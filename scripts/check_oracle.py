@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run each oracle SQL in
+DuckDB over the testdata tables and compare (rows, schema-names, values)
+against the Spark result parquet dumped by graft.Verify."""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+fails = []
+for name in sorted(os.listdir(out_dir)):
+    d = os.path.join(out_dir, name)
+    if not os.path.isdir(d):
+        continue
+    spark_df = pd.concat([pd.read_parquet(f) for f in glob.glob(f"{d}/*.parquet")])
+    if name not in oracles:
+        print(f"{name:28s} rows-only: {len(spark_df)} rows")
+        continue
+    try:
+        oracle_df = con.execute(oracles[name]).fetchdf()
+    except Exception as e:
+        print(f"{name:28s} ORACLE-ERROR: {e}")
+        fails.append(name); continue
+    a = spark_df.reindex(sorted(spark_df.columns), axis=1)
+    b = oracle_df.reindex(sorted(oracle_df.columns), axis=1)
+    if list(a.columns) != list(b.columns):
+        print(f"{name:28s} SCHEMA-MISMATCH spark={list(a.columns)} oracle={list(b.columns)}")
+        fails.append(name); continue
+    # normalize dtypes the way a value-hash would see them
+    for c in a.columns:
+        if str(a[c].dtype).startswith("datetime") or str(b[c].dtype).startswith("datetime"):
+            a[c] = pd.to_datetime(a[c]).astype("datetime64[us]")
+            b[c] = pd.to_datetime(b[c]).astype("datetime64[us]")
+    a = a.sort_values(by=list(a.columns)).reset_index(drop=True)
+    b = b.sort_values(by=list(b.columns)).reset_index(drop=True)
+    if len(a) != len(b):
+        print(f"{name:28s} ROWCOUNT spark={len(a)} oracle={len(b)}")
+        fails.append(name); continue
+    try:
+        pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+        print(f"{name:28s} OK ({len(a)} rows)")
+    except AssertionError as e:
+        print(f"{name:28s} VALUE-MISMATCH: {str(e).splitlines()[-1][:160]}")
+        fails.append(name)
+
+print(f"\n{len(fails)} failures: {fails}" if fails else "\nALL MATCH")
+sys.exit(1 if fails else 0)

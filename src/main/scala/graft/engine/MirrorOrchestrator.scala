@@ -1,0 +1,323 @@
+package graft.engine
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+
+import graft.deltalog.DeltaLogReader
+import graft.sink.MirrorTable
+import graft.state.{CheckpointStore, TableStatus}
+import graft.txlog._
+import graft.types.KustoTypes
+
+/** Configuration of one Delta→mirror pipeline (the reference CLI's
+  * parameters — CommandLineOptions.cs / MainParameterization.cs).
+  *
+  * @param creationTimeExpr an arbitrary Spark SQL scalar expression over the
+  *        partition columns (the `--creation-time` KQL expression, U3) —
+  *        evaluated once per distinct partition tuple via `expr(...)`.
+  * @param goBack adds created before this instant are Skipped (P7/O5).
+  */
+final case class MirrorConfig(
+    deltaTableUrl: String,
+    mirrorDir: String,
+    mirrorTableName: String,
+    checkpointDir: String,
+    creationTimeExpr: Option[String] = None,
+    goBack: Option[Instant] = None,
+    continuous: Boolean = false,
+    probeIntervalMs: Long = 5000L, // BETWEEN_TX_PROBE_DELAY, DeltaTableOrchestration.cs:16
+    readAhead: Int = DeltaLogReader.DefaultReadAhead
+)
+
+/** The control plane: discover new Delta commits, persist them as state rows,
+  * and drive each batch through analyze → stage → load → drop-staging with
+  * every transition checkpointed — crash-resumable at stage granularity.
+  *
+  * Reference: Orchestrations/DeltaTableOrchestration.cs (§3.1-3.2),
+  * BlobAnalysisOrchestration.cs, BlobStagingOrchestration.cs,
+  * BlobLoadingOrchestration.cs.
+  *
+  * Driver/executor split: this class touches only file-level metadata
+  * (bounded by files-per-batch); the data plane — parquet scan, lineage
+  * decoration, staged write, delete rewrite — runs as Spark jobs on the
+  * executors, exactly the reference's CLI-vs-Kusto split.
+  */
+class MirrorOrchestrator(spark: SparkSession, config: MirrorConfig) {
+
+  private val store  = new CheckpointStore(spark, config.checkpointDir)
+  private val reader =
+    new DeltaLogReader(spark, config.deltaTableUrl, config.mirrorTableName, config.readAhead)
+  private val mirror = new MirrorTable(spark, config.mirrorDir, config.mirrorTableName)
+
+  private def now(): Instant = Instant.now()
+  private def status(): TableStatus = TableStatus.fromStore(store, config.mirrorTableName)
+
+  /** One poll: discover + persist new logs, then drain incomplete batches
+    * (DeltaTableOrchestration.cs:50-83). Returns the number of batches
+    * processed.
+    */
+  def runOnce(): Int = {
+    store.compact() // dedup-on-load (O10)
+    var processed = 0
+    var st        = status()
+
+    // resume any incomplete batch first (crash recovery)
+    while (st.isBatchIncomplete) {
+      processBatch(st, st.earliestIncompleteBatchTxId.get)
+      processed += 1
+      st = status()
+    }
+    // then discover new commits
+    var discovered = discoverNext(st)
+    while (discovered) {
+      st = status()
+      while (st.isBatchIncomplete) {
+        processBatch(st, st.earliestIncompleteBatchTxId.get)
+        processed += 1
+        st = status()
+      }
+      discovered = discoverNext(st)
+    }
+    processed
+  }
+
+  /** Continuous mode: poll every `probeIntervalMs` (5 s in the reference)
+    * until `until` returns true; one-shot otherwise.
+    */
+  def run(until: () => Boolean = () => !config.continuous): Unit = {
+    var stop = false
+    while (!stop) {
+      runOnce()
+      stop = until()
+      if (!stop) Thread.sleep(config.probeIntervalMs)
+    }
+  }
+
+  /** §3.3: compute the next coalesced batch from the Delta log vs applied
+    * state, persist its items as `Initial` (PersistNewLogsAsync,
+    * DeltaTableOrchestration.cs:337-351).
+    */
+  private def discoverNext(st: TableStatus): Boolean = {
+    val applied = st.getHistorical(Long.MaxValue)
+    reader.nextBatch(applied) match {
+      case None => false
+      case Some(batch) =>
+        val stagingItem = TransactionItem(
+          tableName = config.mirrorTableName,
+          startTxId = batch.startTxId,
+          endTxId = batch.endTxId,
+          action = TxAction.StagingTable,
+          state = TxState.Initial,
+          mirrorTimestamp = now(),
+          internalState = InternalState(
+            stagingTableName = Some(s"staging-${batch.startTxId}-${batch.endTxId}-" +
+              java.util.UUID.randomUUID().toString.take(8))))
+        store.append(batch.allItems :+ stagingItem)
+        true
+    }
+  }
+
+  // ---- the per-batch pipeline (§3.2) --------------------------------------
+
+  private def processBatch(st: TableStatus, startTxId: Long): Unit = {
+    val batch = st.getBatch(startTxId)
+
+    // 1. landing table schema (tx 0 or schema-change metadata)
+    batch.metadata match {
+      case Some(m) if m.state != TxState.Done =>
+        val schema = StructType(m.schema.getOrElse(Seq.empty).map(c =>
+          StructField(c.name, DataType.fromDDL(c.dataType))))
+        mirror.ensureSchema(schema, m.partitionColumns.getOrElse(Seq.empty))
+        store.append(Seq(m.withState(TxState.Done, now())))
+      case _ =>
+    }
+    // re-read to keep stage transitions monotonic
+    analyze(status().getBatch(startTxId))
+    stageAdds(status(), startTxId)
+    load(status(), startTxId)
+    dropStaging(status().getBatch(startTxId))
+  }
+
+  /** Stage 2 — analyze (BlobAnalysisOrchestration.cs:67-134): evaluate the
+    * creation-time expression once per *distinct* partition tuple (A3/U3/O7 —
+    * one Spark job for all tuples, the reference's one-KQL-round-trip
+    * batching), apply the go-back retention skip (P7/O5), persist Analyzed.
+    */
+  private def analyze(batch: TxLog): Unit = {
+    val todo = batch.adds.filter(_.state == TxState.Initial) // P6
+    if (todo.isEmpty) return
+
+    val pcols = batch.metadata.flatMap(_.partitionColumns)
+      .orElse(status().getTableDefinition(batch.startTxId).map(_._2))
+      .getOrElse(Seq.empty)
+
+    val creationTimes: Map[Map[String, String], Instant] = config.creationTimeExpr match {
+      case Some(e) if pcols.nonEmpty =>
+        val tuples = todo.map(_.partitionValues.getOrElse(Map.empty)).distinct
+        val schema = StructType(pcols.map(c => StructField(c, org.apache.spark.sql.types.StringType)))
+        val rows = tuples.map(t =>
+          org.apache.spark.sql.Row(pcols.map(c => t.getOrElse(c, null)): _*))
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), schema)
+        // the reference aliases partition columns p0, p1, … in the expression
+        val aliased = pcols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+          d.withColumn(s"p$i", col(c))
+        }
+        aliased
+          .withColumn("Result", expr(e).cast("timestamp"))
+          .collect()
+          .map { r =>
+            val tuple = pcols.map(c => c -> Option(r.getAs[String](c)).orNull)
+              .filter(_._2 != null).toMap
+            tuple -> Option(r.getAs[Timestamp]("Result")).map(_.toInstant).getOrElse(Instant.EPOCH)
+          }.toMap
+      case _ => Map.empty
+    }
+
+    val analyzed = todo.map { a =>
+      val ct = creationTimes.get(a.partitionValues.getOrElse(Map.empty))
+        .orElse(a.deltaTimestamp)
+      val skipped = (config.goBack, ct) match {
+        case (Some(cutoff), Some(t)) => t.isBefore(cutoff)
+        case _                       => false
+      }
+      a.copy(
+        state = if (skipped) TxState.Skipped else TxState.Analyzed,
+        mirrorTimestamp = now(),
+        internalState = a.internalState.copy(creationTime = ct))
+    }
+    store.append(analyzed)
+  }
+
+  /** Stage 3 — staging (BlobStagingOrchestration.cs:81-138): empty files go
+    * straight to Done (P8/O4); remaining adds group by partition tuple (A4)
+    * and each group is read + decorated + written to the batch staging dir.
+    * Partition values are injected as constants (O6) — partition columns are
+    * never read from parquet. Lineage (`MLK_BlobPath`) comes from
+    * `input_file_name()`; `MLK_IngestTs` pins this ingest instance.
+    */
+  private def stageAdds(st: TableStatus, startTxId: Long): Unit = {
+    val batch = st.getBatch(startTxId)
+    val stagingName = batch.stagingTable
+      .flatMap(_.internalState.stagingTableName)
+      .getOrElse(s"staging-$startTxId")
+
+    val empty = batch.adds.filter(a => a.state == TxState.Analyzed && a.recordCount.contains(0L))
+    if (empty.nonEmpty)
+      store.append(empty.map(_.withState(TxState.Done, now())))
+
+    val todo = batch.adds.filter(a =>
+      a.state == TxState.Analyzed && !a.recordCount.contains(0L))
+    if (todo.isEmpty) return
+
+    val (schema, pcols) = st.getTableDefinition(startTxId)
+      .getOrElse(throw new IllegalStateException(
+        s"No schema known at tx $startTxId for ${config.mirrorTableName}"))
+    val physicalSchema = StructType(schema.fields.filterNot(f => pcols.contains(f.name)))
+    val ingestTs       = new Timestamp(System.currentTimeMillis())
+
+    val groups = todo.groupBy(_.partitionValues.getOrElse(Map.empty)).toSeq.sortBy(_._1.toString)
+    val tableRoot = new Path(config.deltaTableUrl)
+    groups.zipWithIndex.foreach { case ((pv, adds), gi) =>
+      val groupId = s"g$gi"
+      val absByRel = adds.flatMap(_.blobPath).map { rel =>
+        MirrorTable.normalizePath(new Path(tableRoot, rel).toString) -> rel
+      }
+      val paths = adds.flatMap(_.blobPath).map(rel => new Path(tableRoot, rel).toString)
+
+      import spark.implicits._
+      val mapping = absByRel.toDF("_abs", KustoTypes.BlobPathColumn)
+      var df: DataFrame = spark.read.schema(physicalSchema).parquet(paths: _*)
+        .withColumn("_abs", MirrorTable.normalizePathCol(input_file_name()))
+        .join(broadcast(mapping), Seq("_abs"), "left")
+        .drop("_abs")
+      // O6: partition values as typed constants
+      pcols.foreach { c =>
+        val t = schema.fields.find(_.name == c).map(_.dataType)
+          .getOrElse(org.apache.spark.sql.types.StringType)
+        df = df.withColumn(c, lit(pv.get(c).orNull).cast(t))
+      }
+      df = df.withColumn(KustoTypes.IngestTsColumn, lit(ingestTs))
+        // stable column order = mirror schema order
+        .select(KustoTypes.withTrackingColumns(schema).fields.map(f => col(f.name)).toIndexedSeq: _*)
+
+      mirror.stage(stagingName, groupId, df)
+      store.append(adds.map(a => a.copy(
+        state = TxState.Staged,
+        mirrorTimestamp = now(),
+        internalState = a.internalState.copy(ingestionTime = Some(ingestTs.toInstant.toString)))))
+    }
+  }
+
+  /** Stage 5 — load (BlobLoadingOrchestration.cs): publish staged files
+    * atomically (O11) and mark adds Done; resolve removes against historical
+    * adds (J3 — a remove of a Skipped add is itself Skipped; a remove with no
+    * matching past add is a hard error), then delete by pinned lineage (O12).
+    */
+  private def load(st: TableStatus, startTxId: Long): Unit = {
+    val batch = st.getBatch(startTxId)
+    val stagingName = batch.stagingTable
+      .flatMap(_.internalState.stagingTableName)
+      .getOrElse(s"staging-$startTxId")
+
+    // publish staged adds (one metadata-only commit, O11)
+    val toLoad = batch.adds.filter(_.state == TxState.Staged)
+    if (toLoad.nonEmpty) {
+      if (!mirror.stagingExists(stagingName)) {
+        // reset path (DeltaTableOrchestration.cs:181-200): staging vanished
+        // mid-batch — send the adds back to Analyzed and re-stage.
+        store.append(toLoad.map(_.withState(TxState.Analyzed, now())))
+        stageAdds(status(), startTxId)
+      }
+      mirror.publishStaged(stagingName)
+      store.append(status().getBatch(startTxId).adds
+        .filter(_.state == TxState.Staged).map(_.withState(TxState.Done, now())))
+    }
+
+    // resolve + apply removes
+    val toRemove = batch.removes.filterNot(r =>
+      r.state == TxState.Done || r.state == TxState.Skipped)
+    if (toRemove.nonEmpty) {
+      val historicalAdds = st.getHistorical(startTxId).map(_.adds).getOrElse(Seq.empty)
+      val historical     = historicalAdds.flatMap(a => a.blobPath.map(_ -> a)).toMap
+      val resolved = toRemove.map { r =>
+        val path = r.blobPath.getOrElse(
+          throw new IllegalStateException("Remove item without blob path"))
+        val add = historical.getOrElse(path,
+          throw new IllegalStateException(
+            s"Couldn't find all past adds: no historical add for removed blob $path"))
+        (r, add)
+      }
+      val (skippedPairs, livePairs) =
+        resolved.partition { case (_, add) => add.state == TxState.Skipped }
+      if (livePairs.nonEmpty) {
+        val doomed = livePairs.map { case (_, add) =>
+          (add.blobPath.get,
+            add.internalState.ingestionTime.map(s => Timestamp.from(Instant.parse(s))))
+        }
+        mirror.deleteByLineage(doomed)
+      }
+      store.append(
+        skippedPairs.map(_._1.withState(TxState.Skipped, now())) ++
+          livePairs.map(_._1.withState(TxState.Done, now())))
+    }
+  }
+
+  /** Stage 6 — close the staging area (S13). Unlike the reference's
+    * `.drop table`, staged files ARE the published files (publish is
+    * metadata-only), so closing is just the terminal state transition.
+    */
+  private def dropStaging(batch: TxLog): Unit = {
+    batch.stagingTable.filter(_.state != TxState.Done).foreach { stg =>
+      store.append(Seq(stg.withState(TxState.Done, now())))
+    }
+  }
+
+  /** The mirrored table for queries. */
+  def table: MirrorTable = mirror
+}

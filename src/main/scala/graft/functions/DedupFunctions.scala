@@ -1,0 +1,153 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection at corpus scale. All operators are built from
+  * codegen'd column expressions plus one shuffle each:
+  *
+  *  - exact / fingerprint dedup: one hash-groupBy (map-side partial agg).
+  *  - MinHash+LSH: shingle → minhash signature (per-row expressions, no
+  *    shuffle) → band explode → ONE shuffle on (band, bandHash) → candidate
+  *    pairs → exact-Jaccard verify on candidates only. Pair cost is
+  *    O(colliding pairs), never O(n²) — the 100 TB path.
+  *  - SimHash: token-bit voting via one explode+groupBy, near-dup candidates
+  *    by 16-bit chunk collision (any pair within Hamming distance 3 must
+  *    share one of 4 chunks), verified with `bit_count(xor) <= maxHamming`.
+  */
+object DedupFunctions {
+
+  private val MersennePrime = (1L << 61) - 1
+  private val ParamBound    = 1L << 31
+
+  /** Deterministic universal-hash parameters (a*h+b mod p), seeded. Bounded
+    * below 2^31 so a*h+b stays < 2^63 (no ANSI overflow) with 31-bit base
+    * hashes.
+    */
+  private def hashParams(n: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)((math.abs(rnd.nextLong()) % (ParamBound - 1) + 1, math.abs(rnd.nextLong()) % ParamBound))
+  }
+
+  /** MinHash signature (array of `numHashes` longs) over character
+    * `shingleK`-shingles. Pure per-row expression work: one 31-bit murmur
+    * hash per distinct shingle, then min over (a*h+b mod p) per hash
+    * function.
+    */
+  def minHashSignature(text: Column, numHashes: Int = 64, shingleK: Int = 5,
+      seed: Long = 42L): Column = {
+    val base = transform(
+      array_distinct(TextFunctions.shingles(text, shingleK)),
+      s => pmod(hash(s).cast("long"), lit(ParamBound)))
+    val params = hashParams(numHashes, seed)
+    array(params.map { case (a, b) =>
+      array_min(transform(base, h => pmod(h * a + b, lit(MersennePrime))))
+    }: _*)
+  }
+
+  /** LSH candidate pairs from minhash signatures: split the signature into
+    * `bands` bands, hash each band, explode, and self-join per bucket.
+    * Input df must have (idCol, textCol). Output: (id_a, id_b) candidate
+    * pairs with id_a < id_b, plus exact Jaccard on the candidates, filtered
+    * at `threshold`.
+    */
+  def minHashNearDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 5,
+      threshold: Double = 0.5,
+      seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows   = numHashes / bands
+    val params = hashParams(numHashes, seed)
+
+    // signature via explode + partial aggregation: each shingle hashed ONCE,
+    // the 64 per-doc minima computed map-side (one shuffle on id). This beats
+    // the per-row array-expression form, which Catalyst re-evaluates per
+    // band (no CSE across lambda expressions).
+    val sh = df.select(col(idCol).as("id"),
+        explode(array_distinct(TextFunctions.shingles(col(textCol), shingleK))).as("s"))
+      .withColumn("h", pmod(hash(col("s")).cast("long"), lit(ParamBound)))
+    val sigs = sh.groupBy("id").agg(
+      min(pmod(col("h") * params.head._1 + params.head._2, lit(MersennePrime))).as("m0"),
+      params.zipWithIndex.tail.map { case ((a, b), i) =>
+        min(pmod(col("h") * a + b, lit(MersennePrime))).as(s"m$i")
+      }: _*)
+
+    val banded = sigs.select(col("id"),
+      posexplode(array((0 until bands).map(bd =>
+        xxhash64(((bd * rows) until ((bd + 1) * rows)).map(i => col(s"m$i")): _*)): _*))
+        .as(Seq("band", "bandHash")))
+
+    val candidates = banded.select(col("band"), col("bandHash"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bandHash"), col("id").as("id_b")),
+        Seq("band", "bandHash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+
+    val texts = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    candidates
+      .join(texts.select(col("id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
+      .join(texts.select(col("id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccardShingles(col("text_a"), col("text_b"), shingleK))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Exact Jaccard similarity of the distinct `k`-shingle sets of two texts. */
+  def jaccardShingles(a: Column, b: Column, k: Int): Column = {
+    val sa    = array_distinct(TextFunctions.shingles(a, k))
+    val sb    = array_distinct(TextFunctions.shingles(b, k))
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val union = (size(sa) + size(sb)).cast("double") - inter
+    when(union === 0, lit(1.0)).otherwise(inter / union)
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per-token xxhash64, each of the
+    * 64 bit positions votes +1/-1, the sign of the tally sets the bit.
+    * One explode + one groupBy (partial aggregation applies).
+    */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = df.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"v$b")
+    }
+    tokens.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_.bitwiseOR(_))
+          .as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash: bucket on 4×16-bit chunks (a pair with
+    * Hamming distance ≤ 3 must agree on ≥ 1 chunk), verify with
+    * `bit_count(a XOR b) <= maxHamming`.
+    */
+  def simHashNearDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val hashed = simHash(df, idCol, textCol)
+    val chunked = hashed.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("chunk", "chunkVal")))
+    val l = chunked.select(col("chunk"), col("chunkVal"),
+      col("id").as("id_a"), col("simhash").as("sh_a"))
+    val r = chunked.select(col("chunk"), col("chunkVal"),
+      col("id").as("id_b"), col("simhash").as("sh_b"))
+    l.join(r, Seq("chunk", "chunkVal"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines, built
+  * entirely from codegen'd `org.apache.spark.sql.functions` column
+  * expressions — no UDFs, so every operator stays inside whole-stage codegen
+  * and scales linearly with executors (north-star extension per SURVEY §7.8).
+  */
+object TextFunctions {
+
+  /** Whitespace token count (single-space tokenizer — matches the synthetic
+    * corpus and is exactly reproducible in ANSI SQL for the oracle).
+    */
+  def tokenCount(text: Column): Column = size(split(text, " "))
+
+  def distinctTokenCount(text: Column): Column = size(array_distinct(split(text, " ")))
+
+  /** Occurrences of `needle` in `text` by replace-and-measure — chosen over
+    * regexp so the DuckDB oracle can state the identical arithmetic.
+    */
+  def occurrences(text: Column, needle: String): Column =
+    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(needle), "")))
+      / needle.length).cast("int")
+
+  /** Per-language stopword evidence for the n-gram/stopword language-ID
+    * heuristic. Counts are over space-padded text so word boundaries hold.
+    */
+  val StopwordSets: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " a ", " of "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "es" -> Seq(" el ", " y ", " los "),
+    "fr" -> Seq(" le ", " et ", " les ")
+  )
+
+  def langHits(text: Column, lang: String): Column =
+    StopwordSets(lang).map(w => occurrences(padded(text), w)).reduce(_ + _)
+
+  private def padded(text: Column): Column = concat(lit(" "), text, lit(" "))
+
+  /** Stopword-evidence language ID: arg-max of per-language hit counts with a
+    * fixed tie-break order (en > de > es > fr), 'und' (undetermined) when no
+    * evidence at all.
+    */
+  def langId(text: Column): Column = {
+    val en = langHits(text, "en"); val de = langHits(text, "de")
+    val es = langHits(text, "es"); val fr = langHits(text, "fr")
+    when(en + de + es + fr === 0, lit("und"))
+      .when(en >= de && en >= es && en >= fr, lit("en"))
+      .when(de >= es && de >= fr, lit("de"))
+      .when(es >= fr, lit("es"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Heuristic quality score in [0,1]: lexical diversity, sane token length,
+    * stopword presence — the length/punct/stopword-ratio style signal used to
+    * filter web corpora. Deterministic, closed-form, oracle-reproducible.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok     = tokenCount(text).cast("double")
+    val nDis     = distinctTokenCount(text).cast("double")
+    val nChars   = length(text).cast("double")
+    val diversity = nDis / nTok
+    val avgTokLen = (nChars - (nTok - lit(1.0))) / nTok
+    val lenOk     = when(avgTokLen >= 3 && avgTokLen <= 10, lit(1.0)).otherwise(lit(0.0))
+    val stopRatio = least(langHits(text, "en").cast("double") / nTok * 10.0, lit(1.0))
+    round(diversity * 0.5 + lenOk * 0.2 + stopRatio * 0.3, 6)
+  }
+
+  /** Canonical-form document fingerprint: md5 over lower-cased,
+    * whitespace-collapsed, trimmed text — the cheap exact-dup key robust to
+    * case/spacing noise.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Character k-shingles as an array column (the input to MinHash/Jaccard). */
+  def shingles(text: Column, k: Int): Column =
+    transform(
+      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+      i => text.substr(i, lit(k)))
+
+  /** A BPE-ish subword proxy: split on whitespace AND at letter/digit
+    * boundaries, the standard pre-tokenization regex shape.
+    */
+  def subwordCount(text: Column): Column =
+    size(split(text, "\\s+|(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])"))
+}

@@ -1,0 +1,528 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{DedupFunctions, SimilarityFunctions, TextFunctions}
+
+/** The driver-facing query surface: one entry per operator family of
+  * SURVEY §2 (expressed over the /root/testdata tables) plus the
+  * training-data-pipeline extensions (dedup / similarity / text analysis).
+  *
+  * Every SQL-expressible query has a DuckDB oracle twin with IDENTICAL
+  * column names and aligned result types. Conventions that keep the
+  * hash-compare stable across engines:
+  *   - money/quantity sums go through DECIMAL (exact, order-independent)
+  *     and surface as DOUBLE;
+  *   - per-row double arithmetic is written with the same operation order on
+  *     both sides (bit-identical results), then `round(..., 6)`;
+  *   - no raw TIMESTAMP output columns (ns-vs-us pitfalls): DATE, STRING or
+  *     epoch microseconds instead;
+  *   - counts surface as BIGINT on both sides (Spark `size`/`length` are
+  *     INT — always cast);
+  *   - every top-k has a total deterministic order (score, then id).
+  */
+object Surface {
+
+  final case class QueryDef(
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String],
+      headline: Boolean = false)
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def decSum(c: Column, as: String, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(28,$scale)")).cast("double").as(as)
+
+  // revenue term: money columns are exact 2-decimal values, so the whole
+  // product is computed in DECIMAL (exact, no double-tie-rounding divergence
+  // between engines), surfaced as DOUBLE
+  private val RevenueTermSql =
+    "cast(l_extendedprice as decimal(18,2)) * (cast(1.0 as decimal(4,2)) - cast(l_discount as decimal(4,2)))"
+  private val RevenueTermDk =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+
+  private def revenue(as: String): Column =
+    expr(s"sum($RevenueTermSql)").cast("double").as(as)
+
+  val registry: Map[String, QueryDef] = Map(
+
+    // ---- TPC-H-ish headline aggregations / joins (A6, §2.d) ---------------
+
+    "q1_pricing_summary" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          decSum(col("l_quantity"), "sum_qty"),
+          decSum(col("l_extendedprice"), "sum_base_price"),
+          revenue("sum_disc_price"),
+          expr(s"sum(cast($RevenueTermSql as decimal(18,4)) * (cast(1.0 as decimal(4,2)) + cast(l_tax as decimal(4,2))))")
+            .cast("double").as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", round(col("sum_qty") / col("count_order"), 6)),
+      Some(s"""
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(l_quantity AS DECIMAL(28,2)))::DOUBLE AS sum_qty,
+               SUM(CAST(l_extendedprice AS DECIMAL(28,2)))::DOUBLE AS sum_base_price,
+               SUM($RevenueTermDk)::DOUBLE AS sum_disc_price,
+               SUM(CAST($RevenueTermDk AS DECIMAL(18,4)) * (CAST(1.0 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))))::DOUBLE AS sum_charge,
+               count(*) AS count_order,
+               round(SUM(CAST(l_quantity AS DECIMAL(28,2)))::DOUBLE / count(*), 6) AS avg_qty
+        FROM lineitem GROUP BY 1, 2"""),
+      headline = true),
+
+    "q3_shipping_priority" -> QueryDef(
+      (s, dir) => {
+        val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val ord  = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
+        val li   = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(revenue("revenue"))
+          .select(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"),
+            col("o_orderpriority"), col("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some(s"""
+        SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+               SUM($RevenueTermDk)::DOUBLE AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10"""),
+      headline = true),
+
+    "q5_region_revenue" -> QueryDef(
+      (s, dir) => {
+        val dims = broadcast(
+          t(s, dir, "customer")
+            .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+            .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey")))
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(dims, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(revenue("revenue"), count(lit(1)).as("n_lineitems"))
+      },
+      Some(s"""
+        SELECT r_name, n_name,
+               SUM($RevenueTermDk)::DOUBLE AS revenue,
+               count(*) AS n_lineitems
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2"""),
+      headline = true),
+
+    // ---- arg_max dedup — the MLK_DeltaStatus view (A1, A2, P5, W3, W4) ----
+
+    "q_argmax_latest_event" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+        t(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+            col("event_type").as("last_type"), col("value").as("last_value"))
+      },
+      Some("""
+        SELECT user_id, event_id AS last_event_id, event_type AS last_type, value AS last_value
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) WHERE rn = 1"""),
+      headline = true),
+
+    "q_status_view_argmax" -> QueryDef(
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("last_value"),
+          count(lit(1)).as("n_updates")),
+      Some("""
+        SELECT user_id, event_type, value AS last_value, cnt AS n_updates
+        FROM (SELECT user_id, event_type, value,
+                     count(*) OVER (PARTITION BY user_id, event_type) AS cnt,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) WHERE rn = 1""")),
+
+    // ---- add⋉remove annihilation (J1, O2) ---------------------------------
+
+    "q_add_remove_annihilation" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val adds    = ev.filter(col("event_type") === "click").select("user_id").distinct()
+        val removes = ev.filter(col("event_type") === "purchase").select("user_id").distinct()
+        adds.join(removes, Seq("user_id"), "left_anti")
+      },
+      Some("""
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+          AND user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'purchase')""")),
+
+    // ---- checkpoint-vs-state diff (J2, O3) --------------------------------
+
+    "q_log_delta" -> QueryDef(
+      (s, dir) => {
+        // events.ts is read as epoch-nanos LONG (nanosAsLong); the cutoff is
+        // 2024-01-15T00:00:00Z in epoch nanos
+        val cutoffNs = 1705276800000000000L
+        val ev   = t(s, dir, "events")
+        val prev = ev.filter(col("ts") < cutoffNs).select("user_id").distinct()
+        val cur  = ev.filter(col("ts") >= cutoffNs).select("user_id").distinct()
+        cur.except(prev).withColumn("action", lit("Add"))
+          .unionByName(prev.except(cur).withColumn("action", lit("Remove")))
+      },
+      Some("""
+        SELECT user_id, 'Add' AS action FROM
+          (SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-15'
+           EXCEPT SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '2024-01-15')
+        UNION ALL
+        SELECT user_id, 'Remove' AS action FROM
+          (SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '2024-01-15'
+           EXCEPT SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-15')""")),
+
+    // ---- remove→historical-add resolution + skip propagation (J3, P7) -----
+
+    "q_remove_resolution" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("state",
+          when(col("o_orderdate") < lit("1997-01-01"), "Skipped").otherwise("Done"))
+        .groupBy("state")
+        .agg(count(lit(1)).as("n_removes"), decSum(col("l_quantity"), "sum_qty")),
+      Some("""
+        SELECT CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN 'Skipped' ELSE 'Done' END AS state,
+               count(*) AS n_removes,
+               SUM(CAST(l_quantity AS DECIMAL(28,2)))::DOUBLE AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R' GROUP BY 1""")),
+
+    // ---- distinct partition tuples / grouped ingestion (A3, A4, O6) -------
+
+    "q_distinct_partitions" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("p0"), col("l_linestatus").as("p1")).distinct(),
+      Some("SELECT DISTINCT l_returnflag AS p0, l_linestatus AS p1 FROM lineitem")),
+
+    "q_partition_groups" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("p0"), col("l_linestatus").as("p1"))
+        .agg(
+          count(lit(1)).as("n_files"),
+          decSum(col("l_extendedprice"), "total_size"),
+          min(col("l_shipdate").cast("date")).as("min_created"),
+          max(col("l_shipdate").cast("date")).as("max_created")),
+      Some("""
+        SELECT l_returnflag AS p0, l_linestatus AS p1, count(*) AS n_files,
+               SUM(CAST(l_extendedprice AS DECIMAL(28,2)))::DOUBLE AS total_size,
+               min(CAST(l_shipdate AS DATE)) AS min_created,
+               max(CAST(l_shipdate AS DATE)) AS max_created
+        FROM lineitem GROUP BY 1, 2""")),
+
+    // ---- retention / go-back skip (P7, O5) --------------------------------
+
+    "q_retention_skip" -> QueryDef(
+      (s, dir) => t(s, dir, "orders")
+        .withColumn("state",
+          when(col("o_orderdate") < lit("1996-07-01"), "Skipped").otherwise("Analyzed"))
+        .groupBy("state")
+        .agg(count(lit(1)).as("n_items"),
+          min(col("o_orderdate").cast("date")).as("min_created"),
+          max(col("o_orderdate").cast("date")).as("max_created")),
+      Some("""
+        SELECT CASE WHEN o_orderdate < TIMESTAMP '1996-07-01' THEN 'Skipped' ELSE 'Analyzed' END AS state,
+               count(*) AS n_items,
+               min(CAST(o_orderdate AS DATE)) AS min_created,
+               max(CAST(o_orderdate AS DATE)) AS max_created
+        FROM orders GROUP BY 1""")),
+
+    // ---- earliest incomplete batch (P1, P2, A7) ---------------------------
+
+    "q_earliest_incomplete" -> QueryDef(
+      (s, dir) => t(s, dir, "orders").filter(col("o_orderstatus") =!= "F")
+        .agg(min(col("o_orderkey")).as("start_tx_id"), count(lit(1)).as("n_incomplete")),
+      Some("""
+        SELECT min(o_orderkey) AS start_tx_id, count(*) AS n_incomplete
+        FROM orders WHERE o_orderstatus <> 'F'""")),
+
+    // ---- latest-schema arg_max ≤ tx (P5, W4) ------------------------------
+
+    "q_latest_schema" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        t(s, dir, "orders").filter(col("o_orderdate") < lit("1999-01-01"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("o_custkey"), col("o_orderkey").as("last_order"),
+            col("o_orderdate").cast("date").as("last_date"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey AS last_order, CAST(o_orderdate AS DATE) AS last_date
+        FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01') WHERE rn = 1""")),
+
+    // ---- union of action streams (U1, U2) ---------------------------------
+
+    "q_union_streams" -> QueryDef(
+      (s, dir) => {
+        val adds = t(s, dir, "lineitem").select(col("l_orderkey").as("id"), lit("Add").as("action"))
+        val removes = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey").as("id"), lit("Remove").as("action"))
+        adds.unionByName(removes).groupBy("action")
+          .agg(count(lit(1)).as("n_items"), countDistinct(col("id")).as("n_distinct"))
+      },
+      Some("""
+        SELECT action, count(*) AS n_items, count(DISTINCT id) AS n_distinct
+        FROM (SELECT l_orderkey AS id, 'Add' AS action FROM lineitem
+              UNION ALL
+              SELECT o_orderkey AS id, 'Remove' AS action FROM orders WHERE o_orderstatus = 'F')
+        GROUP BY 1""")),
+
+    // ---- creation-time scalar expression over distinct tuples (U3, O7) ----
+
+    "q_creation_time_expr" -> QueryDef(
+      (s, dir) => t(s, dir, "orders")
+        .select(year(col("o_orderdate")).cast("bigint").as("p0")).distinct()
+        .withColumn("creation_time",
+          date_format(expr("to_timestamp(concat(cast(p0 as string), '-01-01'))"),
+            "yyyy-MM-dd HH:mm:ss")),
+      Some("""
+        SELECT p0, strftime(CAST(p0 || '-01-01' AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS creation_time
+        FROM (SELECT DISTINCT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS p0 FROM orders)""")),
+
+    // ---- ordered incremental fold / running state (W1, W2, §2.h) ----------
+
+    "q_running_fold" -> QueryDef(
+      (s, dir) => {
+        val w    = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("running", sum(col("value")).over(wcum))
+          .filter(col("rn") <= 3)
+          .select(col("user_id"), col("rn").cast("bigint").as("seq"), col("event_id"),
+            round(col("running"), 6).as("running_value"))
+      },
+      Some("""
+        SELECT user_id, CAST(rn AS BIGINT) AS seq, event_id, round(running, 6) AS running_value
+        FROM (SELECT user_id, event_id,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                     sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS running
+              FROM events) WHERE rn <= 3""")),
+
+    // ---- sessionization (stacked windows — the streaming-state analog) ----
+
+    "q_sessionization" -> QueryDef(
+      (s, dir) => {
+        // ts is epoch-nanos LONG; `ts div 1000` = truncate-to-micros, the
+        // same truncation DuckDB's epoch_us applies before subtracting
+        val w    = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .withColumn("us", expr("ts div 1000"))
+          .withColumn("prev_us", lag(col("us"), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull ||
+              col("us") - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+          .withColumn("session_id", sum(col("new_sess")).over(wcum))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            (max(col("us")) - min(col("us"))).as("dur_us"))
+      },
+      Some("""
+        SELECT user_id, session_id, count(*) AS n_events,
+               max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us
+        FROM (SELECT user_id, ts,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM (SELECT *,
+                           CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                     > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+                    FROM events))
+        GROUP BY 1, 2"""),
+      headline = true),
+
+    // ---- dynamic/JSON scalar extraction (§2.g dynamic columns) ------------
+
+    "q_props_extract" -> QueryDef(
+      (s, dir) => t(s, dir, "events")
+        .select(regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("bigint").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n")),
+      Some("""
+        SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k, count(*) AS n
+        FROM events GROUP BY 1""")),
+
+    // ---- training-data extensions: dedup ----------------------------------
+
+    "dedup_exact" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper")),
+      Some("""
+        SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keeper
+        FROM documents GROUP BY 1""")),
+
+    "dedup_fingerprint" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .groupBy(TextFunctions.fingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper")),
+      Some("""
+        SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+               count(*) AS n_copies, min(doc_id) AS keeper
+        FROM documents GROUP BY 1""")),
+
+    "dedup_ngram_jaccard" -> QueryDef(
+      (s, dir) => {
+        val sh = t(s, dir, "documents").filter(col("doc_id") < 50)
+          .select(col("doc_id"),
+            explode(array_distinct(TextFunctions.shingles(col("text"), 10))).as("sh"))
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = sh.as("a").join(sh.as("b"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("i"))
+        inter
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+          .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
+          .filter(col("jaccard") >= 0.4)
+          .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      },
+      Some("""
+        WITH sh AS (SELECT DISTINCT doc_id,
+                      unnest(list_transform(range(1, greatest(length(text) - 9, 1) + 1),
+                                            i -> substr(text, CAST(i AS INT), 10))) AS sh
+                    FROM documents WHERE doc_id < 50),
+             sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             it AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+        FROM it JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.4""")),
+
+    "dedup_minhash_lsh" -> QueryDef(
+      (s, dir) => DedupFunctions.minHashNearDups(
+        t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 64, bands = 16, shingleK = 5, threshold = 0.3),
+      None, headline = true),
+
+    "dedup_simhash" -> QueryDef(
+      (s, dir) => DedupFunctions.simHashNearDups(
+        t(s, dir, "documents"), "doc_id", "text", maxHamming = 16),
+      None),
+
+    // ---- training-data extensions: similarity search ----------------------
+
+    "sim_cosine_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        SimilarityFunctions.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", 10)
+          .withColumn("rank", col("rank").cast("bigint"))
+      },
+      Some("""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id < 5),
+             c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+             sc AS (SELECT query_id, neighbor_id,
+                           round(list_inner_product(qv, cv) /
+                                 (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))),
+                                 6) AS cos
+                    FROM q, c WHERE query_id <> neighbor_id)
+        SELECT query_id, neighbor_id, cos, rank FROM
+          (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           FROM sc) WHERE rank <= 10"""),
+      headline = true),
+
+    "sim_ann_lsh" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        SimilarityFunctions.lshTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, nPlanes = 8)
+      },
+      None),
+
+    "sim_cosine_neardup" -> QueryDef(
+      (s, dir) => SimilarityFunctions.cosineNearDups(
+        t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.9, nPlanes = 6),
+      None),
+
+    // ---- training-data extensions: text analysis --------------------------
+
+    "text_token_stats" -> QueryDef(
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"),
+        length(col("text")).cast("bigint").as("n_chars"),
+        TextFunctions.distinctTokenCount(col("text")).cast("bigint").as("n_distinct"),
+        round(length(col("text")).cast("double") / TextFunctions.tokenCount(col("text")), 6)
+          .as("chars_per_token")),
+      Some("""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               length(text) AS n_chars,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct,
+               round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6) AS chars_per_token
+        FROM documents""")),
+
+    "text_langid" -> QueryDef(
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.langId(col("text")).as("predicted_lang"),
+        TextFunctions.langHits(col("text"), "en").cast("bigint").as("en_hits"),
+        TextFunctions.langHits(col("text"), "de").cast("bigint").as("de_hits")),
+      Some(s"""
+        SELECT doc_id,
+               CASE WHEN ${dkHits("en")} + ${dkHits("de")} + ${dkHits("es")} + ${dkHits("fr")} = 0 THEN 'und'
+                    WHEN ${dkHits("en")} >= ${dkHits("de")} AND ${dkHits("en")} >= ${dkHits("es")}
+                         AND ${dkHits("en")} >= ${dkHits("fr")} THEN 'en'
+                    WHEN ${dkHits("de")} >= ${dkHits("es")} AND ${dkHits("de")} >= ${dkHits("fr")} THEN 'de'
+                    WHEN ${dkHits("es")} >= ${dkHits("fr")} THEN 'es'
+                    ELSE 'fr' END AS predicted_lang,
+               CAST(${dkHits("en")} AS BIGINT) AS en_hits,
+               CAST(${dkHits("de")} AS BIGINT) AS de_hits
+        FROM documents""")),
+
+    "text_quality" -> QueryDef(
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality")),
+      Some(s"""
+        SELECT doc_id,
+               round((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' '))) * 0.5
+                     + (CASE WHEN (CAST(length(text) AS DOUBLE) - (len(string_split(text, ' ')) - 1.0)) / len(string_split(text, ' ')) >= 3
+                               AND (CAST(length(text) AS DOUBLE) - (len(string_split(text, ' ')) - 1.0)) / len(string_split(text, ' ')) <= 10
+                             THEN 1.0 ELSE 0.0 END) * 0.2
+                     + least(CAST(${dkHits("en")} AS DOUBLE) / len(string_split(text, ' ')) * 10.0, 1.0) * 0.3,
+                     6) AS quality
+        FROM documents"""))
+  )
+
+  /** DuckDB-side stopword hit count, matching [[TextFunctions.langHits]]
+    * arithmetic exactly: per word `(len(padded) - len(replace(padded, w, ''))) / len(w)`
+    * cast to INT, summed.
+    */
+  private def dkHits(lang: String): String =
+    TextFunctions.StopwordSets(lang).map { w =>
+      val esc = w.replace("'", "''")
+      s"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', '$esc', ''))) / ${w.length} AS INT)"
+    }.mkString("(", " + ", ")")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map { case (k, v) => k -> v.fn }
+
+  def oracleSql: Map[String, String] =
+    registry.collect { case (k, QueryDef(_, Some(sql), _)) => k -> sql.trim }
+
+  def headlines: Seq[String] = registry.collect { case (k, q) if q.headline => k }.toSeq.sorted
+}

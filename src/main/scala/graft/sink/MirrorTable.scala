@@ -1,0 +1,286 @@
+package graft.sink
+
+import java.sql.Timestamp
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.deltalog.{DeltaLogReader, DeltaLogWriter}
+import graft.txlog.TxLog
+import graft.types.KustoTypes
+
+/** The mirror *target*: a parquet-backed table with an atomic commit log —
+  * the engine's stand-in for the Kusto landing table.
+  *
+  * Layout: `<dir>/data/<staging-name>/<group>/part-*.parquet` +
+  * `<dir>/_delta_log/` (our own commit log in the public Delta format, via
+  * [[DeltaLogWriter]]).
+  *
+  * Commit protocol (the Spark restatement of `.move extents`, O11): staged
+  * files are written straight into their final location but are *invisible*
+  * until one commit-file rename publishes them — readers resolve live files
+  * from the log only. Publishing is therefore pure metadata, O(files-in-batch),
+  * zero data movement, and crash-safe: a crash mid-stage leaves only
+  * unreferenced orphans, and a retry re-stages (overwrite) + re-commits
+  * idempotently.
+  *
+  * Every row carries `MLK_BlobPath` (source-file lineage,
+  * TableDefinition.cs:16) and `MLK_IngestTs` (this engine's analog of Kusto
+  * `ingestion_time()`), so deletes pin the exact ingested instance (O12).
+  * Each published file's add-action records the set of source blobs it holds
+  * (in add.tags), so a delete rewrites only the files that actually contain
+  * the doomed lineage — O(affected files), like the extent-targeted
+  * `.delete table records` (S12).
+  */
+class MirrorTable(spark: SparkSession, dir: String, val name: String) {
+  import MirrorTable._
+
+  private val root     = new Path(dir)
+  private val dataPath = new Path(root, "data")
+  private val writer   = new DeltaLogWriter(spark, dir)
+  private val reader   = new DeltaLogReader(spark, dir, name)
+  private def fs: FileSystem = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists: Boolean = fs.exists(new Path(root, "_delta_log"))
+
+  /** `CREATE TABLE IF NOT EXISTS` + additive schema merge (S14,
+    * DeltaTableOrchestration.cs:301-335): first call writes the metaData
+    * commit; a later additive schema change re-commits it; a
+    * partition-column change is refused (TransactionLog.cs:153-157).
+    */
+  def ensureSchema(sourceSchema: StructType, partitionColumns: Seq[String]): Unit = {
+    val full = KustoTypes.withTrackingColumns(sourceSchema)
+    currentMeta() match {
+      case None =>
+        writer.commit(Seq(writer.metaDataAction(
+          java.util.UUID.randomUUID().toString, name, full, partitionColumns)))
+      case Some((existing, pcols)) =>
+        require(pcols == partitionColumns,
+          s"Repartitioning unsupported: $pcols -> $partitionColumns")
+        if (existing != full) {
+          val merged = mergeSchemas(existing, full)
+          if (merged != existing)
+            writer.commit(Seq(writer.metaDataAction(
+              java.util.UUID.randomUUID().toString, name, merged, partitionColumns)))
+        }
+    }
+  }
+
+  def currentMeta(): Option[(StructType, Seq[String])] =
+    snapshotLog().flatMap(_.metadata).map { m =>
+      val fields = m.schema.getOrElse(Seq.empty).map(c =>
+        org.apache.spark.sql.types.StructField(
+          c.name, org.apache.spark.sql.types.DataType.fromDDL(c.dataType)))
+      (StructType(fields), m.partitionColumns.getOrElse(Seq.empty))
+    }
+
+  /** Staging area of one batch attempt (S13) — final location, pre-publish. */
+  def stagingDir(stagingName: String): Path = new Path(dataPath, stagingName)
+
+  def stagingExists(stagingName: String): Boolean = fs.exists(stagingDir(stagingName))
+
+  /** Remove a staging area that was never published (reset path,
+    * DeltaTableOrchestration.cs:181-200). Refuses if any of its files are
+    * already live.
+    */
+  def dropUnpublishedStaging(stagingName: String): Unit = {
+    val p = stagingDir(stagingName)
+    if (!fs.exists(p)) return
+    val prefix = s"data/$stagingName/"
+    require(!liveAdds().exists(_.path.startsWith(prefix)),
+      s"Staging $stagingName is published; refusing to delete")
+    fs.delete(p, true)
+  }
+
+  /** Write one partition-group's rows under the batch staging area
+    * (invisible until publish). Overwrite-idempotent per (staging, group).
+    */
+  def stage(stagingName: String, groupId: String, df: DataFrame): Unit = {
+    val target = new Path(stagingDir(stagingName), groupId)
+    df.write.mode("overwrite").parquet(target.toString)
+  }
+
+  /** Publish everything staged under `stagingName` in ONE commit: a single
+    * distributed pass recovers per-file lineage (source blobs + row count),
+    * then the commit rename flips visibility. Files already live (a retry
+    * after a crash between commit and state-persist) are skipped.
+    * Returns the commit version, or -1 if nothing new to publish.
+    */
+  def publishStaged(stagingName: String): Long = {
+    val stg = stagingDir(stagingName)
+    if (!fs.exists(stg)) return -1L
+    val files = listParquet(stg)
+    if (files.isEmpty) return -1L
+
+    val live = liveAdds().map(_.path).toSet
+    val rel  = files.map(p => p -> relPath(p)).filterNot { case (_, r) => live.contains(r) }
+    if (rel.isEmpty) return -1L
+
+    val lineage = lineageOf(rel.map(_._1))
+    val actions = rel.map { case (p, r) =>
+      val (blobs, rows) = lineage.getOrElse(normalizePath(p.toString), (Seq.empty[String], 0L))
+      writer.addAction(r, fs.getFileStatus(p).getLen, Map.empty, Some(rows),
+        tags = Map(SourceBlobsTag -> M.writeValueAsString(blobs.toArray)))
+    }
+    writer.commit(actions)
+  }
+
+  /** Row-level delete by source lineage (S12/O12): rewrite exactly the live
+    * files whose recorded source blobs intersect the doomed set, dropping
+    * rows whose (MLK_BlobPath, MLK_IngestTs) matches a doomed instance; one
+    * commit removes the old files and adds the rewrites.
+    */
+  def deleteByLineage(doomed: Seq[(String, Option[Timestamp])]): Long = {
+    if (doomed.isEmpty) return -1L
+    val doomedPaths = doomed.map(_._1).toSet
+    val affected = liveAdds().filter { a =>
+      a.tags.get(SourceBlobsTag) match {
+        case Some(json) => M.readValue(json, classOf[Array[String]]).exists(doomedPaths)
+        case None       => true // no lineage recorded — must assume affected
+      }
+    }
+    if (affected.isEmpty) return -1L
+
+    val keep = !doomed.map { case (p, ts) =>
+      val pathEq = col(KustoTypes.BlobPathColumn) === lit(p)
+      ts.map(t => pathEq && col(KustoTypes.IngestTsColumn) === lit(t)).getOrElse(pathEq)
+    }.reduce(_ || _)
+
+    val stagingName = s"delete-${java.util.UUID.randomUUID().toString.take(8)}"
+    val rewritten = affected.zipWithIndex.map { case (a, i) =>
+      val df = spark.read.parquet(new Path(root, a.path).toString).filter(keep)
+      stage(stagingName, s"rw$i", df)
+      a -> listParquet(new Path(stagingDir(stagingName), s"rw$i"))
+    }
+    val newFiles = rewritten.flatMap(_._2)
+    val lineage  = if (newFiles.nonEmpty) lineageOf(newFiles) else Map.empty[String, (Seq[String], Long)]
+    val actions =
+      rewritten.map { case (a, _) => writer.removeAction(a.path, Some(a.partitionValues)) } ++
+        newFiles.map { p =>
+          val (blobs, rows) = lineage.getOrElse(normalizePath(p.toString), (Seq.empty[String], 0L))
+          writer.addAction(relPath(p), fs.getFileStatus(p).getLen, Map.empty, Some(rows),
+            tags = Map(SourceBlobsTag -> M.writeValueAsString(blobs.toArray)))
+        }
+    writer.commit(actions)
+  }
+
+  /** Live file inventory straight from the commit log — no data scan. */
+  def liveAdds(): Seq[LiveFile] = {
+    val tags = tagCache
+    snapshotLog().toSeq.flatMap(_.adds).map { a =>
+      LiveFile(a.blobPath.get, a.partitionValues.getOrElse(Map.empty),
+        a.size.getOrElse(0L), tags.getOrElse(a.blobPath.get, Map.empty))
+    }
+  }
+
+  /** The mirrored table as a DataFrame: live files only, full mirror schema
+    * (source columns + lineage columns).
+    */
+  def snapshot(): DataFrame = {
+    val meta = currentMeta().getOrElse(
+      throw new IllegalStateException(s"Mirror table $name has no schema commit"))
+    val files = liveAdds().map(a => new Path(root, a.path).toString)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta._1)
+    else spark.read.schema(meta._1).parquet(files: _*)
+  }
+
+  // ---- internals ----------------------------------------------------------
+
+  private def relPath(p: Path): String =
+    normalizePath(p.toString).stripPrefix(normalizePath(root.toString)).stripPrefix("/")
+
+  private def listParquet(dirPath: Path): Seq[Path] = {
+    if (!fs.exists(dirPath)) return Seq.empty
+    val out = Seq.newBuilder[Path]
+    val it  = fs.listFiles(dirPath, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) out += f.getPath
+    }
+    out.result()
+  }
+
+  /** One distributed job: per staged file → (source blobs, row count). */
+  private def lineageOf(files: Seq[Path]): Map[String, (Seq[String], Long)] =
+    spark.read.parquet(files.map(_.toString): _*)
+      .groupBy(normalizePathCol(input_file_name()).as("_file"))
+      .agg(collect_set(col(KustoTypes.BlobPathColumn)).as("blobs"), count(lit(1)).as("rows"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getSeq[String](1), r.getLong(2))))
+      .toMap
+
+  // tags aren't part of the TransactionItem IR (which keeps the reference's
+  // shape); read them straight from the commit JSONs — driver-local and tiny.
+  private def tagCache: Map[String, Map[String, String]] = {
+    val out = scala.collection.mutable.Map[String, Map[String, String]]()
+    reader.listCommits().foreach { case (_, p) =>
+      val in = fs.open(p)
+      val text =
+        try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      text.linesIterator.filter(_.nonEmpty).foreach { line =>
+        val node = M.readTree(line)
+        val add  = node.get("add")
+        if (add != null && !add.isNull) {
+          val path = add.get("path").asText
+          val tags = Option(add.get("tags")).filterNot(_.isNull).map { t =>
+            import scala.jdk.CollectionConverters._
+            t.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+          }.getOrElse(Map.empty[String, String])
+          out(path) = tags
+        }
+      }
+    }
+    out.toMap
+  }
+
+  private def snapshotLog(): Option[TxLog] = {
+    val commits = reader.listCommits()
+    if (commits.isEmpty) None
+    else Some(TxLog.coalesce(reader.readCommits(commits)))
+  }
+}
+
+object MirrorTable {
+  val SourceBlobsTag = "graft.sourceBlobs"
+  private val M      = new ObjectMapper()
+
+  final case class LiveFile(
+      path: String,
+      partitionValues: Map[String, String],
+      size: Long,
+      tags: Map[String, String])
+
+  /** Additive schema merge: existing columns keep their types (a type change
+    * is refused), new columns append — `.create-merge table` semantics (S14).
+    */
+  def mergeSchemas(existing: StructType, incoming: StructType): StructType = {
+    val byName = existing.fields.map(f => f.name -> f).toMap
+    incoming.fields.foreach { f =>
+      byName.get(f.name).foreach { old =>
+        require(old.dataType == f.dataType,
+          s"Column type change unsupported: ${f.name} ${old.dataType} -> ${f.dataType}")
+      }
+    }
+    StructType(existing.fields.toSeq ++ incoming.fields.filterNot(f => byName.contains(f.name)))
+  }
+
+  /** Strip scheme+authority so `input_file_name()` output and
+    * driver-constructed URIs compare equal across `file:/` vs `file:///`
+    * normalization differences.
+    */
+  def normalizePath(s: String): String =
+    s.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
+      .replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/", "/")
+
+  def normalizePathCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*:/", "/")
+}

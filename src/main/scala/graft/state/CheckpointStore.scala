@@ -1,0 +1,219 @@
+package graft.state
+
+import java.nio.charset.StandardCharsets
+import java.time.Instant
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+import graft.txlog._
+
+/** Durable engine state: an `index.csv` of [[TransactionItem]] rows,
+  * append-ordered, last-write-wins per [[ItemKey]], compacted on load.
+  *
+  * Reference: Storage/GlobalTableStatus.cs (S6-S8, A2, O10),
+  * Storage/CheckpointGateway.cs, Storage/TransactionItem.cs:24 (CSV schema —
+  * kept byte-compatible including the JSON-in-CSV dynamic columns).
+  *
+  * The state is metadata-sized (one row per file-level state transition), so
+  * reads/writes are driver-side through the Hadoop FS API (works on any Spark
+  * filesystem). Appends go through write-temp + atomic-rename because local
+  * `ChecksumFileSystem` does not support true appends; on an append-capable
+  * store the same interface maps to append blocks (≤4 MB chunks in the
+  * reference, GlobalTableStatus.cs:138 — unnecessary here).
+  */
+class CheckpointStore(spark: SparkSession, checkpointDir: String) {
+  import CheckpointStore._
+
+  private val dir       = new Path(checkpointDir)
+  private val indexPath = new Path(dir, "index.csv")
+  private def fs: FileSystem =
+    dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Read + last-wins-dedup the full state (GlobalTableStatus.cs:28-64). */
+  def readAll(): Seq[TransactionItem] =
+    TxLog.lastWins(readRaw())
+
+  /** All rows in arrival order, duplicates included. */
+  def readRaw(): Seq[TransactionItem] = {
+    if (!fs.exists(indexPath)) return Seq.empty
+    val in = fs.open(indexPath)
+    val text =
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), StandardCharsets.UTF_8)
+      finally in.close()
+    parseCsv(text)
+  }
+
+  /** Append new state rows (last-write-wins upsert, J6 / TableStatus.cs:119-129). */
+  def append(items: Seq[TransactionItem]): Unit = {
+    if (items.isEmpty) return
+    val existing = if (fs.exists(indexPath)) {
+      val in = fs.open(indexPath)
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), StandardCharsets.UTF_8)
+      finally in.close()
+    } else Header + "\n"
+    val sb = new StringBuilder(existing)
+    items.foreach(i => sb.append(toCsvLine(i)).append('\n'))
+    atomicWrite(sb.toString)
+  }
+
+  /** Rewrite the state as its deduplicated snapshot (S8/O10,
+    * GlobalTableStatus.cs:210-222): temp file then atomic rename.
+    */
+  def compact(): Unit = {
+    val items = readAll()
+    val sb    = new StringBuilder(Header).append('\n')
+    items.foreach(i => sb.append(toCsvLine(i)).append('\n'))
+    atomicWrite(sb.toString)
+  }
+
+  private def atomicWrite(content: String): Unit = {
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val tmp = new Path(dir, s"index.csv.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(indexPath)) fs.delete(indexPath, false)
+    if (!fs.rename(tmp, indexPath))
+      throw new IllegalStateException(s"Failed to commit checkpoint state at $indexPath")
+  }
+}
+
+object CheckpointStore {
+
+  /** CSV schema of Storage/TransactionItem.cs:24, column-for-column. */
+  val Header: String =
+    "KustoTableName,StartTxId,EndTxId,Action,State,MirrorTimestamp,DeltaTimestamp," +
+      "BlobPath,PartitionValues,Size,RecordCount,PartitionColumns,Schema,InternalState"
+
+  private val M = new ObjectMapper()
+
+  // ---- serialization ------------------------------------------------------
+
+  def toCsvLine(i: TransactionItem): String = {
+    def js(f: => JsonNode): String = f.toString
+    val partitionValues = i.partitionValues.map { m =>
+      val n = M.createObjectNode()
+      m.foreach { case (k, v) => n.put(k, v) }
+      js(n)
+    }
+    val partitionColumns = i.partitionColumns.map { cols =>
+      val n = M.createArrayNode(); cols.foreach(n.add); js(n)
+    }
+    val schema = i.schema.map { cols =>
+      val n = M.createArrayNode()
+      cols.foreach { c =>
+        val o = n.addObject(); o.put("name", c.name); o.put("type", c.dataType)
+      }
+      js(n)
+    }
+    val internal = {
+      val n = M.createObjectNode()
+      i.internalState.creationTime.foreach(t => n.put("creationTime", t.toString))
+      i.internalState.ingestionTime.foreach(n.put("ingestionTime", _))
+      i.internalState.stagingTableName.foreach(n.put("stagingTableName", _))
+      i.internalState.deltaTableId.foreach(n.put("deltaTableId", _))
+      i.internalState.deltaTableName.foreach(n.put("deltaTableName", _))
+      js(n)
+    }
+    Seq(
+      i.tableName,
+      i.startTxId.toString,
+      i.endTxId.toString,
+      i.action.name,
+      i.state.name,
+      i.mirrorTimestamp.toString,
+      i.deltaTimestamp.map(_.toString).getOrElse(""),
+      i.blobPath.getOrElse(""),
+      partitionValues.getOrElse(""),
+      i.size.map(_.toString).getOrElse(""),
+      i.recordCount.map(_.toString).getOrElse(""),
+      partitionColumns.getOrElse(""),
+      schema.getOrElse(""),
+      internal
+    ).map(escape).mkString(",")
+  }
+
+  private def escape(s: String): String =
+    if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
+
+  // ---- parsing ------------------------------------------------------------
+
+  def parseCsv(text: String): Seq[TransactionItem] = {
+    val records = splitRecords(text)
+    records.drop(1).filter(_.exists(_.nonEmpty)).map(fromFields)
+  }
+
+  private def fromFields(f: IndexedSeq[String]): TransactionItem = {
+    def opt(s: String): Option[String] = if (s.isEmpty) None else Some(s)
+    def node(s: String): Option[JsonNode] = opt(s).map(M.readTree)
+    val internal = node(f(13)).map { n =>
+      def str(k: String) = Option(n.get(k)).filterNot(_.isNull).map(_.asText)
+      InternalState(
+        creationTime = str("creationTime").map(Instant.parse),
+        ingestionTime = str("ingestionTime"),
+        stagingTableName = str("stagingTableName"),
+        deltaTableId = str("deltaTableId"),
+        deltaTableName = str("deltaTableName"))
+    }.getOrElse(InternalState.empty)
+
+    TransactionItem(
+      tableName = f(0),
+      startTxId = f(1).toLong,
+      endTxId = f(2).toLong,
+      action = TxAction.parse(f(3)),
+      state = TxState.parse(f(4)),
+      mirrorTimestamp = Instant.parse(f(5)),
+      deltaTimestamp = opt(f(6)).map(Instant.parse),
+      blobPath = opt(f(7)),
+      partitionValues = node(f(8)).map { n =>
+        import scala.jdk.CollectionConverters._
+        n.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+      },
+      size = opt(f(9)).map(_.toLong),
+      recordCount = opt(f(10)).map(_.toLong),
+      partitionColumns = node(f(11)).map { n =>
+        import scala.jdk.CollectionConverters._
+        n.elements().asScala.map(_.asText).toSeq
+      },
+      schema = node(f(12)).map { n =>
+        import scala.jdk.CollectionConverters._
+        n.elements().asScala.map(o => ColumnSpec(o.get("name").asText, o.get("type").asText)).toSeq
+      },
+      internalState = internal
+    )
+  }
+
+  /** RFC-4180-ish record splitter (quotes, embedded commas/newlines/CRLF). */
+  private[state] def splitRecords(text: String): Seq[IndexedSeq[String]] = {
+    val records    = Seq.newBuilder[IndexedSeq[String]]
+    var fields     = Vector.empty[String]
+    val cur        = new StringBuilder
+    var i          = 0
+    var inQ        = false
+    def endField(): Unit = { fields = fields :+ cur.toString; cur.clear() }
+    def endRecord(): Unit = { endField(); records += fields; fields = Vector.empty }
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inQ) {
+        if (c == '"') {
+          if (i + 1 < text.length && text.charAt(i + 1) == '"') { cur.append('"'); i += 1 }
+          else inQ = false
+        } else cur.append(c)
+      } else c match {
+        case '"'  => inQ = true
+        case ','  => endField()
+        case '\r' => if (i + 1 < text.length && text.charAt(i + 1) == '\n') i += 1; endRecord()
+        case '\n' => endRecord()
+        case _    => cur.append(c)
+      }
+      i += 1
+    }
+    if (cur.nonEmpty || fields.nonEmpty) endRecord()
+    records.result().filter(_.nonEmpty)
+  }
+}
