@@ -91,9 +91,12 @@ class DeltaLogReader(
         extractTxId(new Path(r.getAs[String]("_file")).getName)
           .getOrElse(sys.error(s"Unexpected commit file ${r.getAs[String]("_file")}")))
     }
-    commits.map { case (tx, _) =>
+    // commits whose actions are all non-engine (commitInfo/txn only) fold to
+    // zero items and are skipped; the tx range still advances past them when
+    // a later non-empty commit lands in the same batch.
+    commits.flatMap { case (tx, _) =>
       val items = grouped.getOrElse(tx, Seq.empty).flatMap(rowToItem(_, tx, tx))
-      TxLog(items)
+      if (items.isEmpty) None else Some(TxLog(items))
     }
   }
 
@@ -136,16 +139,18 @@ class DeltaLogReader(
         val cumulative = readCheckpoint(ckpt.version, startTxId = fromTxId)
         val deltaLog = current match {
           case Some(c) => cumulative.delta(c)
-          case None    => cumulative
+          case None    => Some(cumulative)
         }
         val after = readCommits(
           checkContiguous(listCommits(ckpt.version + 1, ckpt.version + readAhead), ckpt.version + 1))
-        Some(TxLog.coalesce(deltaLog +: after))
+        val logs = deltaLog.toSeq ++ after
+        if (logs.isEmpty) None else Some(TxLog.coalesce(logs))
       case _ =>
         val commits = checkContiguous(
           listCommits(fromTxId, fromTxId + readAhead - 1), fromTxId)
-        if (commits.isEmpty) None
-        else Some(TxLog.coalesce(readCommits(commits)))
+        val logs = readCommits(commits)
+        if (logs.isEmpty) None
+        else Some(TxLog.coalesce(logs))
     }
   }
 
@@ -183,7 +188,9 @@ class DeltaLogReader(
         s"Only parquet-format Delta tables are supported, got '$provider'")
       val schemaString = m.getAs[String]("schemaString")
       val schema       = DataType.fromJson(schemaString).asInstanceOf[StructType]
-      val pcols = Option(m.getAs[Seq[String]]("partitionColumns")).getOrElse(Seq.empty)
+      val pcols =
+        Option(m.getAs[scala.collection.Seq[String]]("partitionColumns"))
+          .map(_.toList).getOrElse(Nil)
       out += TransactionItem(
         tableName = mirrorTableName,
         startTxId = startTxId,
@@ -192,7 +199,7 @@ class DeltaLogReader(
         state = TxState.Initial,
         mirrorTimestamp = now,
         deltaTimestamp = Option(m.getAs[java.lang.Long]("createdTime")).map(t => Instant.ofEpochMilli(t)),
-        partitionColumns = Some(pcols.toList),
+        partitionColumns = Some(pcols),
         schema = Some(schema.fields.toSeq.map(f => ColumnSpec(f.name, f.dataType.sql))),
         internalState = InternalState(
           deltaTableId = Option(m.getAs[String]("id")),
@@ -211,7 +218,8 @@ class DeltaLogReader(
         deltaTimestamp =
           Option(a.getAs[java.lang.Long]("modificationTime")).map(t => Instant.ofEpochMilli(t)),
         blobPath = Option(a.getAs[String]("path")),
-        partitionValues = Option(a.getAs[Map[String, String]]("partitionValues")),
+        partitionValues =
+          Option(a.getAs[scala.collection.Map[String, String]]("partitionValues")).map(_.toMap),
         size = Option(a.getAs[java.lang.Long]("size")).map(_.longValue),
         recordCount = Option(a.getAs[String]("stats")).flatMap(parseNumRecords)
       )
@@ -230,7 +238,8 @@ class DeltaLogReader(
         blobPath = Option(r.getAs[String]("path")),
         // Synapse sometimes omits partition values on remove — keep nullable
         // (TransactionItem.cs:305-306, TransactionLogEntry.cs:257-261).
-        partitionValues = Option(r.getAs[Map[String, String]]("partitionValues")),
+        partitionValues =
+          Option(r.getAs[scala.collection.Map[String, String]]("partitionValues")).map(_.toMap),
         size = Option(r.getAs[java.lang.Long]("size")).map(_.longValue)
       )
     }

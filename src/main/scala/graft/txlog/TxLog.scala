@@ -42,8 +42,8 @@ final case class TxLog(
   def coalesce(second: TxLog): TxLog = {
     val mergedMetadata = (metadata, second.metadata) match {
       case (Some(m), Some(m2)) =>
-        if (m.schema == m2.schema && m.partitionColumns == m2.partitionColumns) Some(m2)
-        else throw new IllegalStateException("Schema changed unsupported")
+        TxLog.requireCompatibleSchema(m, m2)
+        Some(m2) // later metadata wins; additive merge happens at the sink
       case (a, b) => b.orElse(a)
     }
     val allAdds     = adds ++ second.adds
@@ -83,8 +83,11 @@ final case class TxLog(
     * C.removes of blobs never present in P.adds (added *and* removed entirely
     * within the checkpointed span, i.e. tombstones of dead work) are dropped —
     * there is nothing mirrored to delete.
+    *
+    * Returns None when the applied state is already identical to the
+    * checkpoint (no new work).
     */
-  def delta(previousLog: TxLog): TxLog = {
+  def delta(previousLog: TxLog): Option[TxLog] = {
     def byPath(items: Seq[TransactionItem]): Map[String, TransactionItem] =
       items.flatMap(i => i.blobPath.map(_ -> i)).toMap
 
@@ -97,23 +100,28 @@ final case class TxLog(
     val newRemovePaths: Set[String] =
       previousAdds.keySet.filter(p => !currentAdds.contains(p) && !currentRemoves.contains(p)) ++
         currentRemoves.keySet
-    val newRemoves = newRemovePaths.toSeq.sorted.flatMap(previousAdds.get)
+    // a remove of a path never applied (added+removed entirely within the
+    // checkpointed span) has nothing mirrored to delete — dropped by the
+    // flatMap. Surviving removes become FRESH Remove items (state Initial);
+    // resolution back to the historical add (J3) happens at load time.
+    val newRemoves = newRemovePaths.toSeq.sorted.flatMap(previousAdds.get).map(a =>
+      a.copy(action = TxAction.Remove, state = TxState.Initial,
+        internalState = InternalState.empty))
 
     val broken = previousRemoves.keySet -- newRemovePaths
     if (broken.nonEmpty)
       throw new IllegalStateException(
         "Log-delta missing past removes: " + broken.toSeq.sorted.mkString(", "))
 
-    for (pm <- previousLog.metadata; cm <- metadata) {
-      if (pm.partitionColumns != cm.partitionColumns || pm.schema != cm.schema)
-        throw new IllegalStateException("Schema changed unsupported")
-    }
+    for (pm <- previousLog.metadata; cm <- metadata)
+      TxLog.requireCompatibleSchema(pm, cm)
 
     val stagingTables = Seq(stagingTable, previousLog.stagingTable).flatten
       .filter(_.state != TxState.Done)
     val at = (i: TransactionItem) => i.withTxRange(startTxId, endTxId)
 
-    TxLog(None, stagingTables.headOption.map(at), newAdds.map(at), newRemoves.map(at))
+    if (newAdds.isEmpty && newRemoves.isEmpty && stagingTables.isEmpty) None
+    else Some(TxLog(None, stagingTables.headOption.map(at), newAdds.map(at), newRemoves.map(at)))
   }
 }
 
@@ -134,6 +142,24 @@ object TxLog {
   def coalesce(logs: Seq[TxLog]): TxLog = {
     require(logs.nonEmpty, "Should contain at least one log")
     logs.reduceLeft(_.coalesce(_))
+  }
+
+  /** Schema-change policy (TransactionLog.cs:153-157, relaxed): the
+    * reference refuses ANY change; we allow *additive* evolution (every
+    * previous column kept with its type) since the sink's create-merge
+    * handles it (S14), and refuse repartitioning or type changes.
+    */
+  private[txlog] def requireCompatibleSchema(
+      prev: TransactionItem, cur: TransactionItem): Unit = {
+    if (prev.partitionColumns != cur.partitionColumns)
+      throw new IllegalStateException(
+        s"Schema changed unsupported: partition columns ${prev.partitionColumns} -> ${cur.partitionColumns}")
+    val curCols = cur.schema.getOrElse(Seq.empty).map(c => c.name -> c.dataType).toMap
+    prev.schema.getOrElse(Seq.empty).foreach { c =>
+      if (!curCols.get(c.name).contains(c.dataType))
+        throw new IllegalStateException(
+          s"Schema changed unsupported: column ${c.name}:${c.dataType} dropped or retyped")
+    }
   }
 
   /** Last-write-wins dedup by item key, preserving arrival order (A2,

@@ -1,0 +1,97 @@
+package graft.deltalog
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.types._
+
+import graft.SparkSuite
+import graft.txlog.{TxAction, TxState}
+
+class DeltaLogReaderSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val idSchema = StructType(Seq(StructField("id", LongType)))
+
+  test("commit write → read round-trip: metadata, adds, stats, partition values") {
+    val dir = tmpDir("delta")
+    val fx  = new TestDelta(spark, dir, "roundtrip")
+    fx.init(idSchema, Seq("year"))
+    val rel = fx.addCommit(spark.range(5).toDF("id"), Map("year" -> "1994"))
+
+    val reader  = new DeltaLogReader(spark, dir, "roundtrip")
+    val commits = reader.listCommits()
+    assert(commits.map(_._1) == Seq(0L, 1L))
+    val logs = reader.readCommits(commits)
+    assert(logs.size == 2)
+
+    val m = logs.head.metadata.get
+    assert(m.schema.get.map(_.name) == Seq("id"))
+    assert(m.partitionColumns.contains(Seq("year")))
+    assert(m.internalState.deltaTableName.contains("roundtrip"))
+
+    val add = logs(1).adds.head
+    assert(add.blobPath.contains(rel))
+    assert(add.recordCount.contains(5L))
+    assert(add.partitionValues.contains(Map("year" -> "1994")))
+    assert(add.size.exists(_ > 0))
+    assert(add.state == TxState.Initial && add.action == TxAction.Add)
+  }
+
+  test("checkpoint parquet bootstrap (O1) folds to the live set") {
+    val dir = tmpDir("delta")
+    val fx  = new TestDelta(spark, dir, "ckpt")
+    fx.init(idSchema)
+    val f0 = fx.addCommit(spark.range(3).toDF("id"))
+    fx.addCommit(spark.range(3, 6).toDF("id"))
+    fx.replaceCommit(f0, spark.range(1, 3).toDF("id")) // delete id=0
+    val v = fx.checkpoint()
+    assert(v == 3L)
+
+    val reader = new DeltaLogReader(spark, dir, "ckpt")
+    assert(reader.readLastCheckpoint().map(_.version).contains(3L))
+    val cum = reader.readCheckpoint(3L, startTxId = 0L)
+    assert(cum.metadata.nonEmpty)
+    assert(cum.adds.size == 2)                 // f1 + rewritten f0'
+    assert(!cum.adds.exists(_.blobPath.contains(f0)))
+
+    // cold-start nextBatch goes through the checkpoint, not 4 commits
+    val batch = reader.nextBatch(None).get
+    assert(batch.adds.size == 2)
+    assert(batch.endTxId == 3L)
+  }
+
+  test("gap in the commit log fails loudly") {
+    val dir = tmpDir("delta")
+    val fx  = new TestDelta(spark, dir, "gap")
+    fx.init(idSchema)
+    fx.addCommit(spark.range(1).toDF("id"))
+    fx.addCommit(spark.range(1, 2).toDF("id"))
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new Path(dir, "_delta_log/" + f"${1L}%020d" + ".json"), false))
+    val reader = new DeltaLogReader(spark, dir, "gap")
+    val e = intercept[IllegalArgumentException](reader.nextBatch(None))
+    assert(e.getMessage.contains("gap"))
+  }
+
+  test("non-parquet provider is rejected") {
+    val dir = tmpDir("delta")
+    val w   = new DeltaLogWriter(spark, dir)
+    val bad = w.metaDataAction("id0", "bad", idSchema, Nil)
+      .replace("\"provider\":\"parquet\"", "\"provider\":\"csv\"")
+    w.commit(Seq(bad))
+    val reader = new DeltaLogReader(spark, dir, "bad")
+    val e = intercept[Exception](reader.readCommits(reader.listCommits()))
+    assert(e.getMessage.contains("parquet"))
+  }
+
+  test("commitInfo-only commits are skipped but the batch still advances") {
+    val dir = tmpDir("delta")
+    val fx  = new TestDelta(spark, dir, "noop")
+    fx.init(idSchema)
+    fx.writer.commit(Seq("""{"commitInfo":{"operation":"VACUUM START"}}"""))
+    fx.addCommit(spark.range(2).toDF("id"))
+    val reader = new DeltaLogReader(spark, dir, "noop")
+    val batch  = reader.nextBatch(None).get
+    assert(batch.adds.size == 1)
+    assert(batch.startTxId == 0L && batch.endTxId == 2L)
+  }
+}

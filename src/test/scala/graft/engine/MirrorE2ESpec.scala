@@ -1,0 +1,187 @@
+package graft.engine
+
+import java.time.Instant
+
+import org.apache.spark.sql.types._
+
+import graft.SparkSuite
+import graft.deltalog.TestDelta
+import graft.state.CheckpointStore
+import graft.txlog.{TxAction, TxState}
+import graft.types.KustoTypes
+
+/** End-to-end mirror pipeline tests — the Spark restatement of the
+  * reference's Simple/Electric integration suites (SimpleTest.cs,
+  * DeleteTest.cs golden-count pattern) minus live Azure.
+  */
+class MirrorE2ESpec extends SparkSuite {
+
+  private val idSchema = StructType(Seq(StructField("id", LongType)))
+
+  private def setup(name: String): (TestDelta, MirrorConfig) = {
+    val src = new TestDelta(spark, tmpDir(s"src-$name"), name)
+    val cfg = MirrorConfig(
+      deltaTableUrl = src.dir,
+      mirrorDir = tmpDir(s"mirror-$name"),
+      mirrorTableName = name,
+      checkpointDir = tmpDir(s"state-$name"))
+    (src, cfg)
+  }
+
+  private def ids(orch: MirrorOrchestrator): Seq[Long] =
+    orch.table.snapshot().select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("one line one column (SimpleTest.cs:5-22)") {
+    val (src, cfg) = setup("one")
+    src.init(idSchema)
+    src.addCommit(spark.range(1).toDF("id"))
+    val orch = new MirrorOrchestrator(spark, cfg)
+    assert(orch.runOnce() >= 1)
+    assert(ids(orch) == Seq(0L))
+    // lineage columns present and populated
+    val row = orch.table.snapshot().collect().head
+    assert(row.getAs[String](KustoTypes.BlobPathColumn).endsWith(".parquet"))
+    assert(row.getAs[java.sql.Timestamp](KustoTypes.IngestTsColumn) != null)
+  }
+
+  test("multi line + incremental second batch (SimpleTest.cs:24-44)") {
+    val (src, cfg) = setup("multi")
+    src.init(idSchema)
+    src.addCommit(spark.range(10).toDF("id"))
+    val orch = new MirrorOrchestrator(spark, cfg)
+    orch.runOnce()
+    assert(ids(orch) == (0L until 10L))
+
+    src.addCommit(spark.range(10, 15).toDF("id"))
+    orch.runOnce()
+    assert(ids(orch) == (0L until 15L))
+    // idempotent: nothing new → no change, no duplicates
+    orch.runOnce()
+    assert(ids(orch) == (0L until 15L))
+  }
+
+  test("checkpoint bootstrap one-shot (CheckpointTxOneShot)") {
+    val (src, cfg) = setup("ckpt1")
+    src.init(idSchema)
+    (0 until 11).foreach(i => src.addCommit(spark.range(i, i + 1).toDF("id")))
+    src.checkpoint()
+    val orch = new MirrorOrchestrator(spark, cfg)
+    orch.runOnce()
+    assert(ids(orch) == (0L until 11L))
+  }
+
+  test("checkpoint with delta two-shot (CheckpointTxWithDelta)") {
+    val (src, cfg) = setup("ckpt2")
+    src.init(idSchema)
+    (0 until 5).foreach(i => src.addCommit(spark.range(i, i + 1).toDF("id")))
+    val orch = new MirrorOrchestrator(spark, cfg)
+    orch.runOnce()
+    assert(ids(orch) == (0L until 5L))
+
+    (5 until 11).foreach(i => src.addCommit(spark.range(i, i + 1).toDF("id")))
+    src.checkpoint()
+    orch.runOnce()
+    assert(ids(orch) == (0L until 11L))
+  }
+
+  test("row delete via file rewrite (CheckpointTxWithDelete: ids 1..10)") {
+    val (src, cfg) = setup("del")
+    src.init(idSchema)
+    val f0 = src.addCommit(spark.range(0, 6).toDF("id"))
+    src.addCommit(spark.range(6, 11).toDF("id"))
+    val orch = new MirrorOrchestrator(spark, cfg)
+    orch.runOnce()
+    assert(ids(orch) == (0L until 11L))
+
+    src.replaceCommit(f0, spark.range(1, 6).toDF("id")) // DELETE id=0
+    orch.runOnce()
+    assert(ids(orch) == (1L until 11L))
+  }
+
+  test("add+remove in one batch is never ingested (O2 dead-work elimination)") {
+    val (src, cfg) = setup("annihilate")
+    src.init(idSchema)
+    val ephemeral = src.addCommit(spark.range(100, 105).toDF("id"))
+    src.addCommit(spark.range(5).toDF("id"))
+    src.removeCommit(ephemeral)
+    val orch = new MirrorOrchestrator(spark, cfg)
+    orch.runOnce()
+    assert(ids(orch) == (0L until 5L))
+    // the ephemeral blob never reached the mirror's live set
+    assert(!orch.table.liveAdds().exists(_.tags.getOrElse(graft.sink.MirrorTable.SourceBlobsTag, "")
+      .contains(ephemeral)))
+  }
+
+  test("partitioned table: constant-injected partition columns (O6, PartitionLoad)") {
+    val (src, cfg) = setup("part")
+    val schema = StructType(Seq(StructField("id", LongType), StructField("year", IntegerType)))
+    src.init(schema, Seq("year"))
+    src.addCommit(spark.range(0, 5).toDF("id"), Map("year" -> "1994"))
+    src.addCommit(spark.range(5, 9).toDF("id"), Map("year" -> "1995"))
+    val orch = new MirrorOrchestrator(spark, cfg)
+    orch.runOnce()
+
+    val snap = orch.table.snapshot()
+    assert(snap.count() == 9)
+    assert(snap.schema("year").dataType == IntegerType)
+    assert(snap.filter(snap("year") === 1994).count() == 5)
+    val y = snap.select("id", "year").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(y(0L) == 1994 && y(8L) == 1995)
+  }
+
+  test("go-back skips old partitions; removing a skipped add is a no-op (DeleteSkippedTwoShots)") {
+    val (src, cfgBase) = setup("goback")
+    val schema = StructType(Seq(StructField("id", LongType), StructField("year", IntegerType)))
+    src.init(schema, Seq("year"))
+    val oldFile = src.addCommit(spark.range(0, 3).toDF("id"), Map("year" -> "1994"))
+    src.addCommit(spark.range(3, 7).toDF("id"), Map("year" -> "2024"))
+    val cfg = cfgBase.copy(
+      creationTimeExpr = Some("to_timestamp(concat(p0, '-01-01'))"),
+      goBack = Some(Instant.parse("2000-01-01T00:00:00Z")))
+    val orch = new MirrorOrchestrator(spark, cfg)
+    orch.runOnce()
+    assert(ids(orch) == (3L until 7L)) // 1994 partition skipped
+
+    src.removeCommit(oldFile, Some(Map("year" -> "1994")))
+    orch.runOnce()                     // remove of a Skipped add → Skipped, no error
+    assert(ids(orch) == (3L until 7L))
+    val state = new CheckpointStore(spark, cfg.checkpointDir).readAll()
+    val removeItem = state.filter(i => i.action == TxAction.Remove && i.blobPath.contains(oldFile))
+    assert(removeItem.nonEmpty && removeItem.forall(_.state == TxState.Skipped))
+  }
+
+  test("additive schema evolution mid-stream (create-merge semantics)") {
+    val (src, cfg) = setup("evolve")
+    src.init(idSchema)
+    src.addCommit(spark.range(3).toDF("id"))
+    val orch = new MirrorOrchestrator(spark, cfg)
+    orch.runOnce()
+
+    val schema2 = StructType(Seq(StructField("id", LongType), StructField("tag", StringType)))
+    src.writer.commit(Seq(src.writer.metaDataAction("id2", "evolve", schema2, Nil)))
+    import spark.implicits._
+    src.addCommit(Seq((3L, "x"), (4L, "y")).toDF("id", "tag"))
+    orch.runOnce()
+
+    val snap = orch.table.snapshot()
+    assert(snap.count() == 5)
+    assert(snap.schema.fieldNames.contains("tag"))
+    assert(snap.filter(snap("tag").isNull).count() == 3)  // pre-evolution rows
+    assert(snap.filter(snap("tag") === "x").count() == 1)
+  }
+
+  test("empty files skip ingestion (O4) and crash-resume is idempotent") {
+    val (src, cfg) = setup("resume")
+    src.init(idSchema)
+    src.addCommit(spark.range(0, 0).toDF("id")) // empty file, numRecords=0
+    src.addCommit(spark.range(3).toDF("id"))
+    val orch = new MirrorOrchestrator(spark, cfg)
+    orch.runOnce()
+    assert(ids(orch) == (0L until 3L))
+
+    // a fresh orchestrator over the same checkpoint store resumes to no-op
+    val orch2 = new MirrorOrchestrator(spark, cfg)
+    orch2.runOnce()
+    assert(ids(orch2) == (0L until 3L))
+  }
+}

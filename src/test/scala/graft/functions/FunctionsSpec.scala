@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.types.KustoTypes
+
+class FunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog and the cat"),
+    (1L, "the quick brown fox jumps over the lazy dog and the cat"),   // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog and the rat"),   // near dup of 0
+    (3L, "der schnelle braune fuchs springt und der hund und die katze"),
+    (4L, "completely unrelated text about spark query engines only")
+  ).toDF("doc_id", "text")
+
+  test("text: token counts, fingerprint, langid, quality") {
+    val r = docs.select(
+      TextFunctions.tokenCount($"text").as("n"),
+      TextFunctions.fingerprint($"text").as("fp"),
+      TextFunctions.langId($"text").as("lang"),
+      TextFunctions.qualityScore($"text").as("q")).collect()
+    assert(r(0).getAs[Int]("n") == 12)
+    assert(r(0).getAs[String]("fp") == r(1).getAs[String]("fp"))
+    assert(r(0).getAs[String]("lang") == "en")
+    assert(r(3).getAs[String]("lang") == "de")
+    assert(r.forall(x => x.getAs[Double]("q") >= 0 && x.getAs[Double]("q") <= 1))
+
+    // fingerprint is whitespace/case robust
+    val fp2 = Seq("THE  quick   brown fox JUMPS over the lazy dog and the cat")
+      .toDF("text").select(TextFunctions.fingerprint($"text")).head.getString(0)
+    assert(fp2 == r(0).getAs[String]("fp"))
+  }
+
+  test("dedup: minhash LSH finds exact and near dups, not unrelated docs") {
+    val pairs = DedupFunctions.minHashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    // exact dup pair has jaccard 1.0
+    val j = DedupFunctions.minHashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .filter($"id_a" === 0 && $"id_b" === 1).head.getDouble(2)
+    assert(j == 1.0)
+  }
+
+  test("dedup: simhash hamming 0 for exact dup, small for near dup") {
+    val sh = DedupFunctions.simHash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(1L))
+    assert(java.lang.Long.bitCount(sh(0L) ^ sh(2L)) <= 12)
+    assert(java.lang.Long.bitCount(sh(0L) ^ sh(4L)) > 12)
+  }
+
+  test("similarity: brute-force cosine topk exact, LSH recall on same bucket") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = SimilarityFunctions.bruteForceTopK(
+      vecs, vecs.filter($"vec_id" === 0), "vec_id", "embedding", k = 2).collect()
+    assert(top.map(_.getLong(1)).toSeq == Seq(1L, 2L)) // ranked by cosine
+    assert(top.head.getDouble(2) > 0.99)
+
+    val near = SimilarityFunctions.cosineNearDups(vecs, "vec_id", "embedding",
+      threshold = 0.95, nPlanes = 4, dim = 4).collect()
+    assert(near.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)))
+  }
+
+  test("multimodal: decode/feature/frame plumbing over binary payloads") {
+    val corpus = Multimodal.syntheticCorpus(spark, 60)
+    val dec = Multimodal.decode(corpus).collect()
+    assert(dec.length == 60 && dec.forall(_.ok))
+    assert(dec.forall(d => d.width >= 16 && d.height >= 16))
+    assert(dec.filter(_.kind == "image").forall(_.duration_ms == 0L))
+
+    val feats = Multimodal.extractFeatures(corpus, dim = 32).collect()
+    assert(feats.forall(_.features.length == 32))
+    assert(feats.forall(f => math.abs(f.features.sum - 1.0f) < 1e-3)) // normalized histogram
+
+    val frames = Multimodal.sampleFrames(corpus)
+    val kinds = corpus.collect().map(r => r.media_id -> r.kind).toMap
+    assert(frames.select("media_id").distinct().collect()
+      .forall(r => kinds(r.getLong(0)) == "video"))
+  }
+
+  test("types: Kusto mapping and tracking columns") {
+    import org.apache.spark.sql.types._
+    assert(KustoTypes.toKustoType(LongType) == "long")
+    assert(KustoTypes.toKustoType(TimestampType) == "datetime")
+    assert(KustoTypes.toKustoType(ArrayType(FloatType)) == "dynamic")
+    assert(KustoTypes.fromKustoType("decimal") == DecimalType(38, 18))
+    val s = StructType(Seq(StructField("id", LongType)))
+    assert(KustoTypes.kustoSchemaString(s) == "['id']:long")
+    assert(KustoTypes.withTrackingColumns(s).fieldNames.toSeq ==
+      Seq("id", KustoTypes.BlobPathColumn, KustoTypes.IngestTsColumn))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.state
+
+import java.time.Instant
+
+import graft.SparkSuite
+import graft.txlog._
+
+class CheckpointStoreSpec extends SparkSuite {
+
+  private val T0 = Instant.parse("2026-02-03T04:05:06.789Z")
+
+  private def fullItem: TransactionItem = TransactionItem(
+    tableName = "t,with\"nasty\nname",
+    startTxId = 3, endTxId = 7,
+    action = TxAction.Add, state = TxState.Staged,
+    mirrorTimestamp = T0,
+    deltaTimestamp = Some(T0.plusSeconds(1)),
+    blobPath = Some("""part-00000,"quoted".parquet"""),
+    partitionValues = Some(Map("year" -> "1994", "evil" -> "a,\"b\"\nc")),
+    size = Some(12345L), recordCount = Some(678L),
+    partitionColumns = Some(Seq("year", "evil")),
+    schema = Some(Seq(ColumnSpec("id", "BIGINT"), ColumnSpec("s", "STRING"))),
+    internalState = InternalState(
+      creationTime = Some(T0), ingestionTime = Some("2026-02-03T04:05:06Z"),
+      stagingTableName = Some("stg-1"), deltaTableId = Some("uuid-1"),
+      deltaTableName = Some("src")))
+
+  test("CSV round-trip survives commas, quotes and newlines (JSON-in-CSV)") {
+    val store = new CheckpointStore(spark, tmpDir("ckpt"))
+    store.append(Seq(fullItem))
+    val back = store.readAll()
+    assert(back == Seq(fullItem))
+  }
+
+  test("last-wins dedup and compaction") {
+    val store = new CheckpointStore(spark, tmpDir("ckpt"))
+    val a = fullItem
+    val a2 = a.withState(TxState.Done, T0.plusSeconds(60))
+    val b = a.copy(blobPath = Some("other.parquet"))
+    store.append(Seq(a))
+    store.append(Seq(b, a2))
+    assert(store.readRaw().size == 3)
+    assert(store.readAll().toSet == Set(a2, b))
+    store.compact()
+    assert(store.readRaw().size == 2)
+    assert(store.readAll().toSet == Set(a2, b))
+  }
+
+  test("TableStatus queries: incomplete, earliest, batch, historical, schema arg_max") {
+    val m0 = TransactionItem("t", 0, 0, TxAction.Schema, TxState.Done, T0,
+      partitionColumns = Some(Nil), schema = Some(Seq(ColumnSpec("id", "BIGINT"))))
+    val a0 = TransactionItem("t", 0, 0, TxAction.Add, TxState.Done, T0, blobPath = Some("f0"))
+    val m5 = m0.copy(startTxId = 5, endTxId = 5,
+      schema = Some(Seq(ColumnSpec("id", "BIGINT"), ColumnSpec("x", "STRING"))))
+    val a5 = TransactionItem("t", 5, 6, TxAction.Add, TxState.Staged, T0, blobPath = Some("f5"))
+    val r5 = TransactionItem("t", 5, 6, TxAction.Remove, TxState.Initial, T0, blobPath = Some("f0"))
+    val st = TableStatus("t", Seq(m0, a0, m5, a5, r5))
+
+    assert(st.isBatchIncomplete)
+    assert(st.earliestIncompleteBatchTxId.contains(5L))
+    assert(st.getBatch(5).adds.map(_.blobPath.get) == Seq("f5"))
+    val hist = st.getHistorical(5).get
+    assert(hist.adds.map(_.blobPath.get) == Seq("f0"))
+    assert(st.getTableDefinition(4).get._1.fieldNames.toSeq == Seq("id"))
+    assert(st.getTableDefinition(5).get._1.fieldNames.toSeq == Seq("id", "x"))
+  }
+}
