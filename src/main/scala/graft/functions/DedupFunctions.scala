@@ -51,6 +51,11 @@ object DedupFunctions {
     * pairs with id_a < id_b, plus exact Jaccard on the candidates, filtered
     * at `threshold`.
     */
+  /** @param wordGrams if > 0, shingle on word n-grams of that order instead
+    *        of character `shingleK`-shingles — far more discriminative on
+    *        natural text (the RefinedWeb/C4 document-dedup configuration);
+    *        char shingles stay available for short/CJK-ish text.
+    */
   def minHashNearDups(
       df: DataFrame,
       idCol: String,
@@ -59,17 +64,30 @@ object DedupFunctions {
       bands: Int = 16,
       shingleK: Int = 5,
       threshold: Double = 0.5,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      wordGrams: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows   = numHashes / bands
     val params = hashParams(numHashes, seed)
+
+    def shingleSet(c: Column): Column =
+      if (wordGrams > 0) array_distinct(TextFunctions.wordNGrams(c, wordGrams))
+      else array_distinct(TextFunctions.shingles(c, shingleK))
+    // for word grams the lambda must read a materialized token ARRAY column,
+    // never re-tokenize per element
+    def shingleSource(d: DataFrame, textC: String, as: String): DataFrame =
+      if (wordGrams > 0)
+        d.withColumn(s"_tok_$as", split(col(textC), " "))
+          .withColumn(as, shingleSet(col(s"_tok_$as"))).drop(s"_tok_$as", textC)
+      else d.withColumn(as, shingleSet(col(textC))).drop(textC)
 
     // signature via explode + partial aggregation: each shingle hashed ONCE,
     // the 64 per-doc minima computed map-side (one shuffle on id). This beats
     // the per-row array-expression form, which Catalyst re-evaluates per
     // band (no CSE across lambda expressions).
-    val sh = df.select(col(idCol).as("id"),
-        explode(array_distinct(TextFunctions.shingles(col(textCol), shingleK))).as("s"))
+    val sh = shingleSource(
+        df.select(col(idCol).as("id"), col(textCol).as("text")), "text", "shset")
+      .select(col("id"), explode(col("shset")).as("s"))
       .withColumn("h", pmod(hash(col("s")).cast("long"), lit(ParamBound)))
     val sigs = sh.groupBy("id").agg(
       min(pmod(col("h") * params.head._1 + params.head._2, lit(MersennePrime))).as("m0"),
@@ -77,23 +95,45 @@ object DedupFunctions {
         min(pmod(col("h") * a + b, lit(MersennePrime))).as(s"m$i")
       }: _*)
 
-    val banded = sigs.select(col("id"),
+    val withSig = sigs.withColumn("sig", array((0 until numHashes).map(i => col(s"m$i")): _*))
+      .select("id", "sig")
+
+    val banded = withSig.select(col("id"), col("sig"),
       posexplode(array((0 until bands).map(bd =>
-        xxhash64(((bd * rows) until ((bd + 1) * rows)).map(i => col(s"m$i")): _*)): _*))
+        xxhash64(slice(col("sig"), bd * rows + 1, rows))): _*))
         .as(Seq("band", "bandHash")))
 
-    val candidates = banded.select(col("band"), col("bandHash"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("bandHash"), col("id").as("id_b")),
+    // candidate pruning ladder (the 100 TB shape): LSH bucket join →
+    // signature-estimated Jaccard (64 long compares/pair) → exact shingle
+    // Jaccard only on pairs the estimate keeps. On corpora with heavy shared
+    // vocabulary the bucket join alone can approach O(n²) candidates; the
+    // estimate stage makes each such pair ~100× cheaper than exact verify.
+    val candidates = banded
+      .select(col("band"), col("bandHash"), col("id").as("id_a"), col("sig").as("sig_a"))
+      .join(banded.select(col("band"), col("bandHash"), col("id").as("id_b"), col("sig").as("sig_b")),
         Seq("band", "bandHash"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+      .select("id_a", "id_b", "sig_a", "sig_b")
       .distinct()
+      .withColumn("est",
+        aggregate(
+          zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / numHashes)
+      .filter(col("est") >= threshold - 0.15)
+      .select("id_a", "id_b")
 
-    val texts = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    // exact verification only on the (few) estimate-surviving pairs, joining
+    // back the precomputed shingle SETS (not raw text — no re-shingling)
+    val sets = shingleSource(
+      df.select(col(idCol).as("id"), col(textCol).as("text")), "text", "shset")
     candidates
-      .join(texts.select(col("id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
-      .join(texts.select(col("id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
-      .withColumn("jaccard", jaccardShingles(col("text_a"), col("text_b"), shingleK))
+      .join(sets.select(col("id").as("id_a"), col("shset").as("set_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("shset").as("set_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("double"))
+      .withColumn("jaccard",
+        when((size(col("set_a")) + size(col("set_b"))).cast("double") - col("inter") === 0, lit(1.0))
+          .otherwise(col("inter") /
+            ((size(col("set_a")) + size(col("set_b"))).cast("double") - col("inter"))))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }

@@ -81,6 +81,17 @@ object TextFunctions {
       sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
       i => text.substr(i, lit(k)))
 
+  /** Word n-grams over a PRE-MATERIALIZED token-array column (materialize
+    * `split(text, " ")` into its own column first — referencing a split
+    * expression inside the lambda would make Catalyst re-tokenize per
+    * element). The standard document-dedup shingle (RefinedWeb/C4-style
+    * minhash uses word 5-grams).
+    */
+  def wordNGrams(tok: Column, n: Int): Column =
+    transform(
+      sequence(lit(0), greatest(size(tok) - n, lit(0))),
+      i => concat_ws(" ", (1 to n).map(j => element_at(tok, i + j)): _*))
+
   /** A BPE-ish subword proxy: split on whitespace AND at letter/digit
     * boundaries, the standard pre-tokenization regex shape.
     */

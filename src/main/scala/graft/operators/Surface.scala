@@ -412,9 +412,12 @@ object Surface {
         WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.4""")),
 
     "dedup_minhash_lsh" -> QueryDef(
+      // RefinedWeb/C4-style document dedup: minhash over word 5-grams,
+      // jaccard ≥ 0.8 — word grams keep candidate density sane on corpora
+      // with heavy shared vocabulary (char shingles degenerate to ~all-pairs)
       (s, dir) => DedupFunctions.minHashNearDups(
         t(s, dir, "documents"), "doc_id", "text",
-        numHashes = 64, bands = 16, shingleK = 5, threshold = 0.3),
+        numHashes = 64, bands = 8, threshold = 0.8, wordGrams = 5),
       None, headline = true),
 
     "dedup_simhash" -> QueryDef(
