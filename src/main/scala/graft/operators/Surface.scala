@@ -122,6 +122,63 @@ object Surface {
         GROUP BY 1, 2"""),
       headline = true),
 
+    "q6_forecast_revenue" -> QueryDef(
+      // TPC-H Q6 shape: the pushdown showcase — every predicate reaches the
+      // parquet scan, 4-column ReadSchema, single partial-agg, no shuffle of
+      // data rows beyond the 1-row final agg
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+        .agg(
+          expr("sum(cast(l_extendedprice as decimal(18,2)) * cast(l_discount as decimal(4,2)))")
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items")),
+      Some("""
+        SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2)))::DOUBLE AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")),
+
+    // ---- extent↔blob map-back join (J4) -----------------------------------
+
+    "q_blob_map_join" -> QueryDef(
+      // J4 shape: aggregate the big fact stream, then hash-join the small
+      // dimension map back (broadcast — metadata-sized, like the
+      // extent↔blob map of BlobStagingOrchestration.cs:213-242)
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_blobs"), decSum(col("l_extendedprice"), "total_size"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_blobs"), col("total_size")),
+      Some("""
+        SELECT s_suppkey, s_name, n_blobs, total_size
+        FROM (SELECT l_suppkey, count(*) AS n_blobs,
+                     SUM(CAST(l_extendedprice AS DECIMAL(28,2)))::DOUBLE AS total_size
+              FROM lineitem GROUP BY 1)
+        JOIN supplier ON l_suppkey = s_suppkey""")),
+
+    // ---- creation-time map-back join (J5) ---------------------------------
+
+    "q_creation_map_join" -> QueryDef(
+      // J5 shape: the per-partition-tuple scalar map (U3 output) joined back
+      // onto the item stream (BlobAnalysisOrchestration.cs:177-184)
+      (s, dir) => {
+        val ord = t(s, dir, "orders").withColumn("p0", year(col("o_orderdate")).cast("bigint"))
+        val ctMap = ord.select("p0").distinct()
+          .withColumn("creation_date",
+            expr("to_timestamp(concat(cast(p0 as string), '-01-01'))").cast("date"))
+        ord.join(broadcast(ctMap), Seq("p0"))
+          .groupBy(col("creation_date"))
+          .agg(count(lit(1)).as("n_items"), decSum(col("o_totalprice"), "total_size"))
+      },
+      Some("""
+        SELECT CAST(CAST(p0 || '-01-01' AS TIMESTAMP) AS DATE) AS creation_date,
+               count(*) AS n_items,
+               SUM(CAST(o_totalprice AS DECIMAL(28,2)))::DOUBLE AS total_size
+        FROM (SELECT *, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS p0 FROM orders)
+        GROUP BY 1""")),
+
     // ---- arg_max dedup — the MLK_DeltaStatus view (A1, A2, P5, W3, W4) ----
 
     "q_argmax_latest_event" -> QueryDef(
