@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators over the `events` stream shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference's incremental loop (§2.h) is a hand-rolled micro-batch
+  * engine; these are the Spark-native equivalents: file-source `readStream`,
+  * event-time watermarks + windowed aggregation, and custom session state
+  * via `flatMapGroupsWithState` — the pieces a continuous 100 TB ingest
+  * pipeline composes. `Trigger.AvailableNow` gives the reference's
+  * one-shot-drain semantics; `Trigger.ProcessingTime("5 seconds")` its
+  * continuous 5 s probe loop (DeltaTableOrchestration.cs:16).
+  */
+object EventStream {
+
+  /** Parquet schema of the events table; `ts` arrives as TIMESTAMP(NANOS)
+    * which Spark surfaces as epoch-nanos long under `nanosAsLong`.
+    */
+  val EventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of event parquet files, with a real
+    * event-time column recovered from the ns epoch.
+    */
+  def readEvents(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(EventsSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger) // admission control (O8 analog)
+      .parquet(dir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+
+  /** Watermarked tumbling-window counts per event type — the canonical
+    * streaming aggregation (late data beyond 10 min dropped; state bounded).
+    */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  final case class SessionUpdate(
+      user_id: Long, session_start_us: Long, session_end_us: Long, n_events: Long)
+
+  /** Per-user in-flight session state (public: Catalyst's generated encoder
+    * code needs constructor access).
+    */
+  final case class SessionState(startUs: Long, lastUs: Long, n: Long)
+
+  /** Custom session state via flatMapGroupsWithState with EVENT-TIME
+    * timeouts: a session closes `gapMinutes` after its last event as the
+    * watermark passes it. The streaming twin of the batch `q_sessionization`
+    * query — same session definition, incremental state instead of a window
+    * over history. Event-time (not processing-time) timeouts matter twice:
+    * they are replay-deterministic, and an `AvailableNow` drain terminates
+    * (processing-time timeouts keep scheduling wake-up batches forever).
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): Dataset[SessionUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    val gapMs = gapMinutes * 60L * 1000L
+
+    events
+      .withWatermark("event_time", "10 minutes")
+      .select(col("user_id"), expr("ts div 1000").as("us"), col("event_time"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionUpdate(userId, s.startUs, s.lastUs, s.n))
+          } else {
+            val sorted = rows.map(_._2).toSeq.sorted
+            var cur    = state.getOption
+            val closed = Seq.newBuilder[SessionUpdate]
+            sorted.foreach { us =>
+              cur match {
+                case Some(s) if us - s.lastUs <= gapUs =>
+                  cur = Some(s.copy(lastUs = us, n = s.n + 1))
+                case Some(s) =>
+                  closed += SessionUpdate(userId, s.startUs, s.lastUs, s.n)
+                  cur = Some(SessionState(us, us, 1))
+                case None =>
+                  cur = Some(SessionState(us, us, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close when the watermark passes lastEvent+gap (never set a
+              // timeout at-or-below the current watermark — Spark rejects it)
+              state.setTimeoutTimestamp(
+                math.max(s.lastUs / 1000 + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Streaming exact dedup on a content key with bounded state: first-seen
+    * wins inside the watermark horizon — `dropDuplicates` IS the streaming
+    * dedup operator (state pruned by the event-time watermark).
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicates(keyCols :+ "event_time")
+}

@@ -170,6 +170,21 @@ class MirrorE2ESpec extends SparkSuite {
     assert(snap.filter(snap("tag") === "x").count() == 1)
   }
 
+  test("continuous mode drains commits arriving between probes (§2.h)") {
+    val (src, cfgBase) = setup("cont")
+    src.init(idSchema)
+    src.addCommit(spark.range(3).toDF("id"))
+    val cfg  = cfgBase.copy(continuous = true, probeIntervalMs = 25L)
+    val orch = new MirrorOrchestrator(spark, cfg)
+    var polls = 0
+    orch.run(until = () => {
+      polls += 1
+      if (polls == 1) src.addCommit(spark.range(3, 6).toDF("id"))
+      polls >= 3
+    })
+    assert(ids(orch) == (0L until 6L))
+  }
+
   test("empty files skip ingestion (O4) and crash-resume is idempotent") {
     val (src, cfg) = setup("resume")
     src.init(idSchema)
