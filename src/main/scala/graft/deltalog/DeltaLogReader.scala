@@ -154,6 +154,21 @@ class DeltaLogReader(
     }
   }
 
+  /** The complete current state of the table: checkpoint-bootstrap when one
+    * exists (O1), else full commit replay. Unlike [[nextBatch]] there is no
+    * read-ahead cap — this is the "open the table" path, not the poll path.
+    */
+  def fullSnapshot(): Option[TxLog] = readLastCheckpoint() match {
+    case Some(ckpt) =>
+      val cumulative = readCheckpoint(ckpt.version, startTxId = 0L)
+      val after = readCommits(
+        checkContiguous(listCommits(ckpt.version + 1), ckpt.version + 1))
+      Some(TxLog.coalesce(cumulative +: after))
+    case None =>
+      val logs = readCommits(checkContiguous(listCommits(), 0L))
+      if (logs.isEmpty) None else Some(TxLog.coalesce(logs))
+  }
+
   /** A vacuumed/gappy log means unrecoverable history — fail loudly rather
     * than silently skipping commits. (Gaps *above* `from` are impossible in a
     * healthy Delta log; a missing head means the state references vacuumed
@@ -163,6 +178,7 @@ class DeltaLogReader(
     commits.headOption.foreach { case (tx, _) =>
       require(tx == from, s"Delta log gap: expected commit $from, found $tx")
     }
+    // (an empty list is trivially contiguous)
     commits.zipWithIndex.foreach { case ((tx, _), i) =>
       require(tx == from + i, s"Delta log gap at commit ${from + i} (found $tx)")
     }

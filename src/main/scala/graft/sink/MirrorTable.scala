@@ -125,7 +125,9 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
       writer.addAction(r, fs.getFileStatus(p).getLen, Map.empty, Some(rows),
         tags = Map(SourceBlobsTag -> M.writeValueAsString(blobs.toArray)))
     }
-    writer.commit(actions)
+    val v = writer.commit(actions)
+    maybeCheckpoint(v)
+    v
   }
 
   /** Row-level delete by source lineage (S12/O12): rewrite exactly the live
@@ -164,7 +166,9 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
           writer.addAction(relPath(p), fs.getFileStatus(p).getLen, Map.empty, Some(rows),
             tags = Map(SourceBlobsTag -> M.writeValueAsString(blobs.toArray)))
         }
-    writer.commit(actions)
+    val v = writer.commit(actions)
+    maybeCheckpoint(v)
+    v
   }
 
   /** Live file inventory straight from the commit log — no data scan. */
@@ -215,9 +219,25 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
 
   // tags aren't part of the TransactionItem IR (which keeps the reference's
   // shape); read them straight from the commit JSONs — driver-local and tiny.
+  // Memoized per commit-log length so repeated liveAdds()/delete calls in a
+  // long-lived orchestrator don't re-parse the whole log (O(batches²)).
+  private var tagCacheMemo: Option[(Long, Map[String, Map[String, String]])] = None
+
   private def tagCache: Map[String, Map[String, String]] = {
+    val commits = reader.listCommits()
+    val key     = if (commits.isEmpty) -1L else commits.last._1
+    tagCacheMemo match {
+      case Some((k, m)) if k == key => m
+      case _ =>
+        val m = readTags(commits)
+        tagCacheMemo = Some((key, m))
+        m
+    }
+  }
+
+  private def readTags(commits: Seq[(Long, Path)]): Map[String, Map[String, String]] = {
     val out = scala.collection.mutable.Map[String, Map[String, String]]()
-    reader.listCommits().foreach { case (_, p) =>
+    commits.foreach { case (_, p) =>
       val in = fs.open(p)
       val text =
         try new String(
@@ -240,15 +260,34 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
     out.toMap
   }
 
+  // memoized like tagCache: folding the commit log costs a Spark job
+  private var snapshotMemo: Option[(Long, Option[TxLog])] = None
+
   private def snapshotLog(): Option[TxLog] = {
     val commits = reader.listCommits()
-    if (commits.isEmpty) None
-    else Some(TxLog.coalesce(reader.readCommits(commits)))
+    val key     = if (commits.isEmpty) -1L else commits.last._1
+    snapshotMemo match {
+      case Some((k, s)) if k == key => s
+      case _ =>
+        val s = reader.fullSnapshot() // checkpoint-bootstrapped when available
+        snapshotMemo = Some((key, s))
+        s
+    }
   }
+
+  /** Checkpoint the sink's own commit log every `CheckpointEvery` commits so
+    * snapshot replay stays O(live files + recent commits) on long-lived
+    * mirrors (the same O1/O10 treatment the source log gets).
+    */
+  private def maybeCheckpoint(version: Long): Unit =
+    if (version > 0 && version % CheckpointEvery == 0) writer.writeCheckpoint(name)
 }
 
 object MirrorTable {
   val SourceBlobsTag = "graft.sourceBlobs"
+
+  /** Sink-log checkpoint cadence (Delta writers default to every 10 commits). */
+  val CheckpointEvery = 10L
   private val M      = new ObjectMapper()
 
   final case class LiveFile(
