@@ -52,7 +52,9 @@ object MirrorDemo {
       deltaTableUrl = srcDir,
       mirrorDir = s"$work/mirror",
       mirrorTableName = "demo",
-      checkpointDir = s"$work/state")
+      checkpointDir = s"$work/state",
+      // the reference CLI's default KQL creation-time expression (§2.i)
+      creationTimeExpr = Some("todatetime(strcat(p0,'-01-01'))"))
     val orch = new MirrorOrchestrator(spark, cfg)
 
     println(s"[demo] work dir: $work")

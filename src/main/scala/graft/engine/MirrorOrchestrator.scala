@@ -169,7 +169,8 @@ class MirrorOrchestrator(spark: SparkSession, config: MirrorConfig) {
           d.withColumn(s"p$i", col(c))
         }
         aliased
-          .withColumn("Result", expr(e).cast("timestamp"))
+          // accepts Spark SQL or reference-flavored KQL spellings (§2.i)
+          .withColumn("Result", expr(graft.functions.KqlCompat.rewrite(e)).cast("timestamp"))
           .collect()
           .map { r =>
             val tuple = pcols.map(c => c -> Option(r.getAs[String](c)).orNull)

@@ -170,6 +170,44 @@ class MirrorE2ESpec extends SparkSuite {
     assert(snap.filter(snap("tag") === "x").count() == 1)
   }
 
+  test("reference KQL creation-time expression works unchanged (§2.i)") {
+    val (src, cfgBase) = setup("kqlct")
+    val schema = StructType(Seq(StructField("id", LongType), StructField("year", IntegerType)))
+    src.init(schema, Seq("year"))
+    src.addCommit(spark.range(0, 2).toDF("id"), Map("year" -> "1994"))
+    src.addCommit(spark.range(2, 5).toDF("id"), Map("year" -> "2024"))
+    val cfg = cfgBase.copy(
+      creationTimeExpr = Some("todatetime(strcat(p0,'-01-01'))"), // the reference default
+      goBack = Some(Instant.parse("2000-01-01T00:00:00Z")))
+    val orch = new MirrorOrchestrator(spark, cfg)
+    orch.runOnce()
+    assert(ids(orch) == (2L until 5L))
+  }
+
+  test("reset path: staging lost mid-batch → re-stage and publish (DeltaTableOrchestration.cs:181-200)") {
+    val (src, cfg) = setup("reset")
+    src.init(idSchema)
+    src.addCommit(spark.range(4).toDF("id"))
+    val orch = new MirrorOrchestrator(spark, cfg)
+
+    // hand-craft a mid-batch crash state: batch discovered and STAGED, but
+    // the staging directory never materialized (e.g. tmpfs lost on restart)
+    val reader = new graft.deltalog.DeltaLogReader(spark, cfg.deltaTableUrl, cfg.mirrorTableName)
+    val batch  = reader.nextBatch(None).get
+    val store  = new CheckpointStore(spark, cfg.checkpointDir)
+    val staging = graft.txlog.TransactionItem(
+      cfg.mirrorTableName, batch.startTxId, batch.endTxId,
+      TxAction.StagingTable, TxState.Initial, Instant.now(),
+      internalState = graft.txlog.InternalState(stagingTableName = Some("lost-staging-dir")))
+    store.append(batch.metadata.map(_.withState(TxState.Done, Instant.now())).toSeq ++
+      batch.adds.map(_.withState(TxState.Staged, Instant.now())) :+ staging)
+    new graft.sink.MirrorTable(spark, cfg.mirrorDir, cfg.mirrorTableName)
+      .ensureSchema(StructType(Seq(StructField("id", LongType))), Nil)
+
+    orch.runOnce() // must reset the Staged adds, re-stage, publish
+    assert(ids(orch) == (0L until 4L))
+  }
+
   test("continuous mode drains commits arriving between probes (§2.h)") {
     val (src, cfgBase) = setup("cont")
     src.init(idSchema)
