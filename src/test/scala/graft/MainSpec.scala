@@ -1,0 +1,26 @@
+package graft
+
+import java.time.Instant
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class MainSpec extends AnyFunSuite {
+
+  test("go-back parses d-m-y and d/m/y (P12)") {
+    assert(Main.parseGoBack("01-01-2020") == Instant.parse("2020-01-01T00:00:00Z"))
+    assert(Main.parseGoBack("15/6/2021") == Instant.parse("2021-06-15T00:00:00Z"))
+    intercept[IllegalArgumentException](Main.parseGoBack("2020-01"))
+  }
+
+  test("arg parsing and required-arg validation (P11)") {
+    val o = Main.parseArgs(Seq("-s", "src", "-m", "mir", "-c", "ck", "-t", "tbl",
+      "--continuous", "--go-back", "01-01-2020", "--creation-time", "todatetime(p0)"))
+    assert(o.source == "src" && o.mirror == "mir" && o.checkpoint == "ck")
+    assert(o.table == "tbl" && o.continuous)
+    assert(o.goBack.contains(Instant.parse("2020-01-01T00:00:00Z")))
+    assert(o.creationTime.contains("todatetime(p0)"))
+
+    intercept[IllegalArgumentException](Main.parseArgs(Seq("-s", "src")))
+    intercept[IllegalArgumentException](Main.parseArgs(Seq("-s", "src", "-m", "m", "-c", "c", "--bogus")))
+  }
+}
