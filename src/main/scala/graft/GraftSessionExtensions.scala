@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.expressions.RollingHash
+
+/** Spark plugin entry point: load with
+  * `spark.sql.extensions=graft.GraftSessionExtensions` (works with plain
+  * `SparkSession.builder.config(...)` and spark-submit alike). Registers the
+  * engine's native Catalyst expressions so they are usable from SQL text,
+  * `expr()`, and `call_function` on any session — the SparkSessionExtensions
+  * path SURVEY §7 reserves for operators Spark can't express natively.
+  */
+class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "rolling_hash takes exactly one argument")
+        RollingHash(children.head)
+      }))
+  }
+}

@@ -73,6 +73,7 @@ object Main {
       // spark-submit injects the real master; default for bare runMain
       .master(sys.props.getOrElse("spark.master", sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]")))
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftSessionExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

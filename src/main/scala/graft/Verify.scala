@@ -11,6 +11,7 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftSessionExtensions")
       // events.parquet carries TIMESTAMP(NANOS); read as epoch-nanos longs
       // (queries treat ts as ns and the oracles use epoch_ns semantics)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

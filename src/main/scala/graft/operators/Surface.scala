@@ -554,6 +554,15 @@ object Surface {
                CAST(${dkHits("de")} AS BIGINT) AS de_hits
         FROM documents""")),
 
+    "text_fingerprint_rolling" -> QueryDef(
+      // native codegen'd Catalyst expression (RollingHash) — no SQL oracle
+      // (engine-specific hash), rows-only check; dedup clusters by fingerprint
+      (s, dir) => t(s, dir, "documents")
+        .groupBy(graft.functions.expressions.RollingHash.rollingHash(
+          trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper")),
+      None),
+
     "text_quality" -> QueryDef(
       (s, dir) => t(s, dir, "documents").select(
         col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality")),

@@ -87,6 +87,26 @@ class FunctionsSpec extends SparkSuite {
       .forall(r => kinds(r.getLong(0)) == "video"))
   }
 
+  test("rolling_hash: codegen matches interpreted, registered in SQL, rejects non-strings") {
+    import graft.functions.expressions.RollingHash
+    val df = docs.select($"doc_id", $"text",
+      RollingHash.rollingHash($"text").as("h"),
+      expr("rolling_hash(text)").as("h_sql"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      val expected = RollingHash.hashBytes(r.getString(1).getBytes("UTF-8"))
+      assert(r.getLong(2) == expected)       // codegen path == reference impl
+      assert(r.getLong(3) == expected)       // SQL-registered path
+    }
+    // exact dups share a fingerprint; distinct texts don't (here)
+    val h = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(h(0L) == h(1L) && h(0L) != h(4L))
+    // null-safe + type check
+    assert(Seq[Option[String]](None).toDF("text")
+      .select(expr("rolling_hash(text)")).head.isNullAt(0))
+    intercept[Exception](docs.select(expr("rolling_hash(doc_id)")).collect())
+  }
+
   test("types: Kusto mapping and tracking columns") {
     import org.apache.spark.sql.types._
     assert(KustoTypes.toKustoType(LongType) == "long")
