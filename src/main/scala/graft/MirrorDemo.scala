@@ -83,6 +83,11 @@ object MirrorDemo {
     println(s"[demo] after upstream delete of id<100: rows=${snap2.count()} " +
       s"min-id=${snap2.agg(org.apache.spark.sql.functions.min("id")).head.getLong(0)}")
     println(s"[demo] mirror live files: ${orch.table.liveAdds().size}")
+
+    // compact the per-batch small files (sink OPTIMIZE) — row-count invariant
+    orch.table.optimize(targetFileBytes = 512L * 1024 * 1024)
+    println(s"[demo] after sink OPTIMIZE: rows=${orch.table.snapshot().count()} " +
+      s"live-files=${orch.table.liveAdds().size}")
     spark.stop()
   }
 }

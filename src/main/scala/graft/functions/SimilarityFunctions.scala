@@ -94,6 +94,53 @@ object SimilarityFunctions {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** IVF-style ANN: corpus rows are assigned to their nearest of `centroids`
+    * (the coarse quantizer — pass k-means output, or a deterministic sample);
+    * each query probes its `nProbe` nearest centroid cells and ranks exact
+    * cosine only inside them. The classic recall/compute dial: candidate
+    * count ≈ corpus × nProbe / nCells, and the corpus shuffles once on the
+    * cell id — the IVF flavor of [[lshTopK]].
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Seq[Seq[Double]],
+      nProbe: Int = 2): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    def cellDots(v: Column): Seq[Column] =
+      centroids.map(c => cosine(v, array(c.map(lit): _*)))
+    // nearest cell = argmax over centroid cosines (expression-only)
+    def nearestCells(v: Column, n: Int): Column = {
+      val scored = array(cellDots(v).zipWithIndex.map { case (d, i) =>
+        struct(d.as("s"), lit(i).as("cell"))
+      }: _*)
+      slice(reverse(array_sort(scored)), 1, n)
+    }
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cell", nearestCells(col("cv"), 1).getItem(0).getField("cell"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cell", explode(nearestCells(col("qv"), nProbe).getField("cell")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .select("query_id", "neighbor_id", "cos")
+      .distinct() // a neighbor can appear via several probed cells
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic coarse quantizer for tests/benches: the first `nCells`
+    * corpus vectors (a real deployment would plug k-means centroids in).
+    */
+  def leadingCentroids(corpus: DataFrame, vecCol: String, idCol: String, nCells: Int): Seq[Seq[Double]] =
+    corpus.orderBy(col(idCol)).limit(nCells).select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets: same-bucket
     * pairs with cosine above `threshold` — the embedding flavor of
     * [[DedupFunctions.minHashNearDups]].

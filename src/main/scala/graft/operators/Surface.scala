@@ -513,6 +513,32 @@ object Surface {
       },
       None),
 
+    "sim_ivf_topk" -> QueryDef(
+      // IVF scale path: 16 coarse cells, 2-probe; exact ranking within cells
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val centroids = SimilarityFunctions.leadingCentroids(emb, "embedding", "vec_id", 16)
+        SimilarityFunctions.ivfTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, centroids, nProbe = 2)
+      },
+      None),
+
+    "embed_label_centroids" -> QueryDef(
+      // element-wise label centroids via posexplode + partial-agg mean —
+      // the distributed vector aggregation shape (no driver-side vectors)
+      (s, dir) => t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("v").cast("double")), 6).as("centroid_v"),
+          count(lit(1)).as("n_vecs"))
+        .filter(col("pos") < 8),
+      Some("""
+        SELECT label, CAST(t.pos AS INT) AS pos,
+               round(avg(CAST(embedding[CAST(t.pos AS INT) + 1] AS DOUBLE)), 6) AS centroid_v,
+               count(*) AS n_vecs
+        FROM embeddings, range(8) AS t(pos)
+        GROUP BY 1, 2""")),
+
     "sim_cosine_neardup" -> QueryDef(
       (s, dir) => SimilarityFunctions.cosineNearDups(
         t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.9, nPlanes = 6),

@@ -171,6 +171,40 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
     v
   }
 
+  /** OPTIMIZE: compact live files smaller than `smallFileBytes` into
+    * ~`targetFileBytes` files, preserving rows and their lineage columns;
+    * the union of the compacted inputs' source blobs becomes the new files'
+    * lineage tag, so targeted deletes keep working afterwards. One atomic
+    * commit (removes + adds), exactly like an upstream Delta OPTIMIZE —
+    * the antidote to per-batch small files at scale.
+    * Returns the commit version, or -1 if nothing to compact.
+    */
+  def optimize(
+      smallFileBytes: Long = 32L * 1024 * 1024,
+      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    val small = liveAdds().filter(_.size < smallFileBytes)
+    if (small.size < 2) return -1L
+
+    val totalBytes = small.map(_.size).sum
+    val nOut       = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val stagingName = s"optimize-${java.util.UUID.randomUUID().toString.take(8)}"
+    val df = spark.read.parquet(small.map(a => new Path(root, a.path).toString): _*)
+    stage(stagingName, "c0", df.repartition(nOut))
+
+    val newFiles = listParquet(new Path(stagingDir(stagingName), "c0"))
+    val lineage  = lineageOf(newFiles)
+    val actions =
+      small.map(a => writer.removeAction(a.path, Some(a.partitionValues))) ++
+        newFiles.map { p =>
+          val (blobs, rows) = lineage.getOrElse(normalizePath(p.toString), (Seq.empty[String], 0L))
+          writer.addAction(relPath(p), fs.getFileStatus(p).getLen, Map.empty, Some(rows),
+            tags = Map(SourceBlobsTag -> M.writeValueAsString(blobs.toArray)))
+        }
+    val v = writer.commit(actions)
+    maybeCheckpoint(v)
+    v
+  }
+
   /** Live file inventory straight from the commit log — no data scan. */
   def liveAdds(): Seq[LiveFile] = {
     val tags = tagCache

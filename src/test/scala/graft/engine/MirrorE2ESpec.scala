@@ -208,6 +208,49 @@ class MirrorE2ESpec extends SparkSuite {
     assert(ids(orch) == (0L until 4L))
   }
 
+  test("upstream OPTIMIZE churn preserves counts (LoadTest OptimizeOneGo)") {
+    val (src, cfg) = setup("opt-src")
+    src.init(idSchema)
+    val f0 = src.addCommit(spark.range(0, 5).toDF("id"))
+    val f1 = src.addCommit(spark.range(5, 9).toDF("id"))
+    val orch = new MirrorOrchestrator(spark, cfg)
+    orch.runOnce()
+    assert(ids(orch) == (0L until 9L))
+
+    // upstream OPTIMIZE: one commit replacing both files with a compacted one
+    val (rel, n) = src.writeFile(spark.range(0, 9).toDF("id"))
+    src.writer.commit(Seq(
+      src.writer.removeAction(f0), src.writer.removeAction(f1),
+      src.writer.addAction(rel,
+        new org.apache.hadoop.fs.Path(src.dir, rel)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getFileStatus(new org.apache.hadoop.fs.Path(src.dir, rel)).getLen,
+        Map.empty, Some(n))))
+    orch.runOnce()
+    assert(ids(orch) == (0L until 9L)) // same rows, churned files
+  }
+
+  test("sink OPTIMIZE compacts small files and deletes still target lineage") {
+    val (src, cfg) = setup("opt-sink")
+    src.init(idSchema)
+    val f0 = src.addCommit(spark.range(0, 4).toDF("id"))
+    src.addCommit(spark.range(4, 8).toDF("id"))
+    src.addCommit(spark.range(8, 12).toDF("id"))
+    val orch = new MirrorOrchestrator(spark, cfg)
+    orch.runOnce()
+    val before = orch.table.liveAdds().size
+    assert(before >= 3)
+
+    assert(orch.table.optimize(targetFileBytes = 512L * 1024 * 1024) > 0)
+    assert(orch.table.liveAdds().size < before)
+    assert(ids(orch) == (0L until 12L))
+
+    // lineage-targeted delete still works on the compacted file
+    src.replaceCommit(f0, spark.range(1, 4).toDF("id")) // upstream DELETE id=0
+    orch.runOnce()
+    assert(ids(orch) == (1L until 12L))
+  }
+
   test("continuous mode drains commits arriving between probes (§2.h)") {
     val (src, cfgBase) = setup("cont")
     src.init(idSchema)

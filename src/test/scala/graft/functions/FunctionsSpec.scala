@@ -68,6 +68,14 @@ class FunctionsSpec extends SparkSuite {
     val near = SimilarityFunctions.cosineNearDups(vecs, "vec_id", "embedding",
       threshold = 0.95, nPlanes = 4, dim = 4).collect()
     assert(near.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)))
+
+    // IVF: 2 cells around vec 0 and vec 2; query 0 probes both cells and
+    // must still find its true nearest neighbor (vec 1) first
+    val centroids = SimilarityFunctions.leadingCentroids(vecs, "embedding", "vec_id", 2)
+      .take(1) ++ Seq(Seq(0.0, 1.0, 0.0, 0.0))
+    val ivf = SimilarityFunctions.ivfTopK(vecs, vecs.filter($"vec_id" === 0),
+      "vec_id", "embedding", k = 2, centroids, nProbe = 2).collect()
+    assert(ivf.map(_.getLong(1)).toSeq == Seq(1L, 2L))
   }
 
   test("multimodal: decode/feature/frame plumbing over binary payloads") {
