@@ -224,8 +224,10 @@ class MirrorOrchestrator(spark: SparkSession, config: MirrorConfig) {
 
     val groups = todo.groupBy(_.partitionValues.getOrElse(Map.empty)).toSeq.sortBy(_._1.toString)
     val tableRoot = new Path(config.deltaTableUrl)
-    groups.zipWithIndex.foreach { case ((pv, adds), gi) =>
-      val groupId = s"g$gi"
+    groups.foreach { case (pv, adds) =>
+      // content-addressed by partition tuple, NOT positional: a crash-resume
+      // restages only the unfinished groups into their original dirs
+      val groupId = MirrorOrchestrator.groupId(pv)
       val absByRel = adds.flatMap(_.blobPath).map { rel =>
         MirrorTable.normalizePath(new Path(tableRoot, rel).toString) -> rel
       }
@@ -275,7 +277,10 @@ class MirrorOrchestrator(spark: SparkSession, config: MirrorConfig) {
         store.append(toLoad.map(_.withState(TxState.Analyzed, now())))
         stageAdds(status(), startTxId)
       }
-      mirror.publishStaged(stagingName)
+      val pvByGroup = batch.adds
+        .map(_.partitionValues.getOrElse(Map.empty[String, String])).distinct
+        .map(pv => MirrorOrchestrator.groupId(pv) -> pv).toMap
+      mirror.publishStaged(stagingName, pvByGroup)
       store.append(status().getBatch(startTxId).adds
         .filter(_.state == TxState.Staged).map(_.withState(TxState.Done, now())))
     }
@@ -321,4 +326,18 @@ class MirrorOrchestrator(spark: SparkSession, config: MirrorConfig) {
 
   /** The mirrored table for queries. */
   def table: MirrorTable = mirror
+}
+
+object MirrorOrchestrator {
+
+  /** Deterministic staging-group id for a partition tuple (stable across
+    * restarts — resume-safe, unlike positional numbering).
+    */
+  def groupId(pv: Map[String, String]): String =
+    if (pv.isEmpty) "g-default"
+    else {
+      val canonical = pv.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("/")
+      "g-" + java.util.UUID.nameUUIDFromBytes(
+        canonical.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
+    }
 }

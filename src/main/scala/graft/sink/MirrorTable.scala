@@ -109,7 +109,9 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
     * after a crash between commit and state-persist) are skipped.
     * Returns the commit version, or -1 if nothing new to publish.
     */
-  def publishStaged(stagingName: String): Long = {
+  def publishStaged(
+      stagingName: String,
+      pvByGroup: Map[String, Map[String, String]] = Map.empty): Long = {
     val stg = stagingDir(stagingName)
     if (!fs.exists(stg)) return -1L
     val files = listParquet(stg)
@@ -122,7 +124,10 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
     val lineage = lineageOf(rel.map(_._1))
     val actions = rel.map { case (p, r) =>
       val (blobs, rows) = lineage.getOrElse(normalizePath(p.toString), (Seq.empty[String], 0L))
-      writer.addAction(r, fs.getFileStatus(p).getLen, Map.empty, Some(rows),
+      // partition values recorded per file (keyed by the staging group dir)
+      // → metadata-only partition pruning at read time, like Kusto extents
+      val pv = pvByGroup.getOrElse(p.getParent.getName, Map.empty)
+      writer.addAction(r, fs.getFileStatus(p).getLen, pv, Some(rows),
         tags = Map(SourceBlobsTag -> M.writeValueAsString(blobs.toArray)))
     }
     val v = writer.commit(actions)
@@ -217,10 +222,20 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
   /** The mirrored table as a DataFrame: live files only, full mirror schema
     * (source columns + lineage columns).
     */
-  def snapshot(): DataFrame = {
+  def snapshot(): DataFrame = snapshotWhere(_ => true)
+
+  /** Partition-pruned snapshot: only live files whose recorded partition
+    * values satisfy `partitionPredicate` are opened — O(pruned files)
+    * metadata work, zero data touched for pruned partitions (the extent-
+    * pruning Kusto performs on partitioned mirrors). Files without recorded
+    * partition values (pre-partitioning or compacted) are always included.
+    */
+  def snapshotWhere(partitionPredicate: Map[String, String] => Boolean): DataFrame = {
     val meta = currentMeta().getOrElse(
       throw new IllegalStateException(s"Mirror table $name has no schema commit"))
-    val files = liveAdds().map(a => new Path(root, a.path).toString)
+    val files = liveAdds()
+      .filter(a => a.partitionValues.isEmpty || partitionPredicate(a.partitionValues))
+      .map(a => new Path(root, a.path).toString)
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta._1)
     else spark.read.schema(meta._1).parquet(files: _*)

@@ -83,6 +83,30 @@ class DeltaLogReaderSpec extends SparkSuite {
     assert(e.getMessage.contains("parquet"))
   }
 
+  test("optimistic concurrency: losing a commit race fails, retry lands on next version") {
+    val dir = tmpDir("delta")
+    val fx  = new TestDelta(spark, dir, "race")
+    fx.init(idSchema)
+    // simulate a concurrent writer owning version 1
+    val w2 = new DeltaLogWriter(spark, dir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stolen = new Path(dir, "_delta_log/" + f"${1L}%020d" + ".json")
+    val out = fs.create(stolen, false)
+    out.write("""{"commitInfo":{"operation":"CONCURRENT"}}""".getBytes); out.close()
+    // our writer computes nextVersion=2 (sees the stolen commit) — no clash
+    val v = fx.writer.commit(Seq(fx.writer.addAction("x.parquet", 1L, Map.empty, Some(1L))))
+    assert(v == 2L)
+    // but a rename onto an existing version must fail, not overwrite
+    intercept[Exception] {
+      val name = f"${2L}%020d.json"
+      val tmp  = new Path(dir, s"_delta_log/.$name.tmp-test")
+      val o2   = fs.create(tmp, false)
+      o2.write("{}".getBytes); o2.close()
+      if (!fs.rename(tmp, new Path(dir, s"_delta_log/$name")))
+        throw new IllegalStateException("Commit conflict")
+    }
+  }
+
   test("commitInfo-only commits are skipped but the batch still advances") {
     val dir = tmpDir("delta")
     val fx  = new TestDelta(spark, dir, "noop")

@@ -251,6 +251,61 @@ class MirrorE2ESpec extends SparkSuite {
     assert(ids(orch) == (1L until 12L))
   }
 
+  test("mid-staging crash: resume stages only unfinished groups, no data mixed or lost") {
+    val (src, cfg) = setup("midstage")
+    val schema = StructType(Seq(StructField("id", LongType), StructField("year", IntegerType)))
+    src.init(schema, Seq("year"))
+    src.addCommit(spark.range(0, 4).toDF("id"), Map("year" -> "1994"))
+    src.addCommit(spark.range(4, 9).toDF("id"), Map("year" -> "1995"))
+
+    // crash state: batch discovered, 1994 group already STAGED (files on
+    // disk under its content-addressed dir), 1995 group still Analyzed
+    val reader = new graft.deltalog.DeltaLogReader(spark, cfg.deltaTableUrl, cfg.mirrorTableName)
+    val batch  = reader.nextBatch(None).get
+    val store  = new CheckpointStore(spark, cfg.checkpointDir)
+    val stagingName = "crash-staging"
+    val staging = graft.txlog.TransactionItem(
+      cfg.mirrorTableName, batch.startTxId, batch.endTxId,
+      TxAction.StagingTable, TxState.Initial, Instant.now(),
+      internalState = graft.txlog.InternalState(stagingTableName = Some(stagingName)))
+    val (g94, g95) = batch.adds.partition(_.partitionValues.exists(_.get("year").contains("1994")))
+    val mirror = new graft.sink.MirrorTable(spark, cfg.mirrorDir, cfg.mirrorTableName)
+    mirror.ensureSchema(schema, Seq("year"))
+    val ts = new java.sql.Timestamp(System.currentTimeMillis())
+    import org.apache.spark.sql.functions._
+    mirror.stage(stagingName, MirrorOrchestrator.groupId(Map("year" -> "1994")),
+      spark.range(0, 4).toDF("id")
+        .withColumn("year", lit(1994))
+        .withColumn(KustoTypes.BlobPathColumn, lit(g94.head.blobPath.get))
+        .withColumn(KustoTypes.IngestTsColumn, lit(ts)))
+    store.append(batch.metadata.map(_.withState(TxState.Done, Instant.now())).toSeq ++
+      g94.map(_.withState(TxState.Staged, Instant.now())) ++
+      g95.map(_.withState(TxState.Analyzed, Instant.now())) :+ staging)
+
+    new MirrorOrchestrator(spark, cfg).runOnce()
+    val snap = mirror.snapshot()
+    assert(snap.count() == 9)
+    assert(snap.filter(snap("year") === 1994).count() == 4)
+    assert(snap.filter(snap("year") === 1995).count() == 5)
+  }
+
+  test("partition-pruned snapshot opens only matching files") {
+    val (src, cfg) = setup("prune")
+    val schema = StructType(Seq(StructField("id", LongType), StructField("year", IntegerType)))
+    src.init(schema, Seq("year"))
+    src.addCommit(spark.range(0, 5).toDF("id"), Map("year" -> "1994"))
+    src.addCommit(spark.range(5, 9).toDF("id"), Map("year" -> "1995"))
+    val orch = new MirrorOrchestrator(spark, cfg)
+    orch.runOnce()
+
+    // file-level metadata carries the partition values
+    val live = orch.table.liveAdds()
+    assert(live.forall(_.partitionValues.nonEmpty))
+    val pruned = orch.table.snapshotWhere(pv => pv.get("year").contains("1994"))
+    assert(pruned.count() == 5)
+    assert(pruned.inputFiles.length < orch.table.snapshot().inputFiles.length)
+  }
+
   test("continuous mode drains commits arriving between probes (§2.h)") {
     val (src, cfgBase) = setup("cont")
     src.init(idSchema)
