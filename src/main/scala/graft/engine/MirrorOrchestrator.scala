@@ -331,13 +331,21 @@ class MirrorOrchestrator(spark: SparkSession, config: MirrorConfig) {
 object MirrorOrchestrator {
 
   /** Deterministic staging-group id for a partition tuple (stable across
-    * restarts — resume-safe, unlike positional numbering).
+    * restarts — resume-safe, unlike positional numbering). The canonical
+    * form URL-encodes keys and values so distinct tuples can never collide
+    * through delimiter ambiguity, and the full 128-bit name-UUID is kept —
+    * truncating it would make a silent birthday collision (two partitions
+    * sharing one staging dir ⇒ overwrite data loss) plausible at 10k+
+    * tuples per batch.
     */
   def groupId(pv: Map[String, String]): String =
     if (pv.isEmpty) "g-default"
     else {
-      val canonical = pv.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("/")
+      def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+      val canonical = pv.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${enc(k)}=${enc(if (v == null) " null" else v)}" }
+        .mkString("/")
       "g-" + java.util.UUID.nameUUIDFromBytes(
-        canonical.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
+        canonical.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
     }
 }

@@ -164,11 +164,15 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
     }
     val newFiles = rewritten.flatMap(_._2)
     val lineage  = if (newFiles.nonEmpty) lineageOf(newFiles) else Map.empty[String, (Seq[String], Long)]
+    val fileToPv = rewritten.flatMap { case (a, files) => files.map(_ -> a.partitionValues) }.toMap
     val actions =
       rewritten.map { case (a, _) => writer.removeAction(a.path, Some(a.partitionValues)) } ++
         newFiles.map { p =>
           val (blobs, rows) = lineage.getOrElse(normalizePath(p.toString), (Seq.empty[String], 0L))
-          writer.addAction(relPath(p), fs.getFileStatus(p).getLen, Map.empty, Some(rows),
+          // rewrites inherit the source file's partition values so file-level
+          // pruning keeps working after deletes
+          writer.addAction(relPath(p), fs.getFileStatus(p).getLen,
+            fileToPv.getOrElse(p, Map.empty), Some(rows),
             tags = Map(SourceBlobsTag -> M.writeValueAsString(blobs.toArray)))
         }
     val v = writer.commit(actions)
@@ -227,8 +231,13 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
   /** Partition-pruned snapshot: only live files whose recorded partition
     * values satisfy `partitionPredicate` are opened — O(pruned files)
     * metadata work, zero data touched for pruned partitions (the extent-
-    * pruning Kusto performs on partitioned mirrors). Files without recorded
-    * partition values (pre-partitioning or compacted) are always included.
+    * pruning Kusto performs on partitioned mirrors).
+    *
+    * SUPERSET semantics, like all file skipping: files without recorded
+    * partition values (unpartitioned tables, or files compacted across
+    * partitions by [[optimize]]) are conservatively INCLUDED — callers must
+    * still apply their row-level filter on the returned frame; the pruning
+    * only bounds which files get opened.
     */
   def snapshotWhere(partitionPredicate: Map[String, String] => Boolean): DataFrame = {
     val meta = currentMeta().getOrElse(
