@@ -140,6 +140,47 @@ object Surface {
         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")),
 
+    "q18_large_orders" -> QueryDef(
+      // group-HAVING semi-join shape (TPC-H Q18): find big orders from the
+      // fact table, then enrich — aggregate BEFORE the join, so the shuffle
+      // carries order-level rows, not lineitem-level
+      (s, dir) => {
+        val big = t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(decSum(col("l_quantity"), "total_qty"))
+          .filter(col("total_qty") > 150.0)
+        big.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderdate").cast("date").as("o_orderdate"), col("total_qty"))
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_orderdate, total_qty
+        FROM (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(28,2)))::DOUBLE AS total_qty
+              FROM lineitem GROUP BY 1)
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE total_qty > 150.0""")),
+
+    "q10_top_customers" -> QueryDef(
+      // returned-item revenue per customer, top 20 (TPC-H Q10 shape):
+      // fact-side filter + shuffle agg, broadcast dims, bounded top-k
+      (s, dir) => t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(revenue("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20),
+      Some(s"""
+        SELECT c_custkey, c_name, n_name,
+               SUM($RevenueTermDk)::DOUBLE AS revenue, count(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
     // ---- extent↔blob map-back join (J4) -----------------------------------
 
     "q_blob_map_join" -> QueryDef(
