@@ -451,6 +451,61 @@ object Surface {
         GROUP BY 1, 2"""),
       headline = true),
 
+    // ---- rollup aggregation (beyond-reference analytics surface) ----------
+
+    "q_rollup_revenue" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"), decSum(col("l_quantity"), "sum_qty")),
+      Some("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+               SUM(CAST(l_quantity AS DECIMAL(28,2)))::DOUBLE AS sum_qty
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""")),
+
+    // ---- as-of attribution: last preceding click per purchase -------------
+    // the training-pipeline event-attribution op, in its scalable form: ONE
+    // shuffle on user_id, carry-forward via ignore-nulls window (no
+    // per-pair join, no range-join blowup)
+
+    "q_asof_attribution" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // arithmetic on µs-truncated instants: DuckDB truncates parquet
+        // TIMESTAMP(NANOS) to µs, so truncate-each-then-subtract matches it
+        // (subtract-then-truncate would drift by 1µs on sub-µs remainders)
+        t(s, dir, "events")
+          .withColumn("us", expr("ts div 1000"))
+          .withColumn("last_click_us",
+            last(when(col("event_type") === "click", col("us")), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase" && col("last_click_us").isNotNull)
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            (col("us") - col("last_click_us")).as("gap_us"))
+      },
+      Some("""
+        SELECT user_id, event_id AS purchase_id,
+               epoch_us(ts) - last_click_us AS gap_us
+        FROM (SELECT user_id, event_id, ts, event_type,
+                     last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS last_click_us
+              FROM events)
+        WHERE event_type = 'purchase' AND last_click_us IS NOT NULL""")),
+
+    // ---- exact quantiles (order statistics) -------------------------------
+
+    "q_value_quantiles" -> QueryDef(
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.95)"), 6).as("p95"),
+          count(lit(1)).as("n")),
+      Some("""
+        SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.95), 6) AS p95, count(*) AS n
+        FROM events GROUP BY 1""")),
+
     // ---- dynamic/JSON scalar extraction (§2.g dynamic columns) ------------
 
     "q_props_extract" -> QueryDef(
