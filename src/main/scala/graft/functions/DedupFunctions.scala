@@ -81,12 +81,20 @@ object DedupFunctions {
           .withColumn(as, shingleSet(col(s"_tok_$as"))).drop(s"_tok_$as", textC)
       else d.withColumn(as, shingleSet(col(textC))).drop(textC)
 
+    // the shingle SETS are the most expensive thing in the pipeline (tokenize
+    // + n-gram expand per doc) and are read three times (signatures, and both
+    // sides of the exact verify) — materialize them ONCE. This is the same
+    // shape a production C4/RefinedWeb dedup takes: signature table built in
+    // one pass, candidates verified against it.
+    val sets = shingleSource(
+        df.select(col(idCol).as("id"), col(textCol).as("text")), "text", "shset")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
     // signature via explode + partial aggregation: each shingle hashed ONCE,
     // the 64 per-doc minima computed map-side (one shuffle on id). This beats
     // the per-row array-expression form, which Catalyst re-evaluates per
     // band (no CSE across lambda expressions).
-    val sh = shingleSource(
-        df.select(col(idCol).as("id"), col(textCol).as("text")), "text", "shset")
+    val sh = sets
       .select(col("id"), explode(col("shset")).as("s"))
       .withColumn("h", pmod(hash(col("s")).cast("long"), lit(ParamBound)))
     val sigs = sh.groupBy("id").agg(
@@ -108,24 +116,24 @@ object DedupFunctions {
     // Jaccard only on pairs the estimate keeps. On corpora with heavy shared
     // vocabulary the bucket join alone can approach O(n²) candidates; the
     // estimate stage makes each such pair ~100× cheaper than exact verify.
+    // estimate BEFORE distinct: the 64-compare estimate per colliding band
+    // pair is cheaper than shuffling two 64-long signature arrays per pair
+    // through a distinct — the distinct then moves only surviving id pairs
     val candidates = banded
       .select(col("band"), col("bandHash"), col("id").as("id_a"), col("sig").as("sig_a"))
       .join(banded.select(col("band"), col("bandHash"), col("id").as("id_b"), col("sig").as("sig_b")),
         Seq("band", "bandHash"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b")
-      .distinct()
       .withColumn("est",
         aggregate(
           zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, x) => acc + x).cast("double") / numHashes)
       .filter(col("est") >= threshold - 0.15)
       .select("id_a", "id_b")
+      .distinct()
 
     // exact verification only on the (few) estimate-surviving pairs, joining
-    // back the precomputed shingle SETS (not raw text — no re-shingling)
-    val sets = shingleSource(
-      df.select(col(idCol).as("id"), col(textCol).as("text")), "text", "shset")
+    // back the materialized shingle SETS (not raw text — no re-shingling)
     candidates
       .join(sets.select(col("id").as("id_a"), col("shset").as("set_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("shset").as("set_b")), Seq("id_b"))

@@ -141,28 +141,43 @@ object SimilarityFunctions {
     corpus.orderBy(col(idCol)).limit(nCells).select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
 
-  /** Embedding-cosine near-duplicate pairs via LSH buckets: same-bucket
-    * pairs with cosine above `threshold` — the embedding flavor of
-    * [[DedupFunctions.minHashNearDups]].
+  /** Embedding-cosine near-duplicate pairs via OR-amplified LSH: `nTables`
+    * independent hash tables of `nPlanes` sign-bits each; a pair is a
+    * candidate if it collides in ANY table (recall ≈ 1-(1-p^nPlanes)^nTables
+    * for per-plane agreement p), then exact cosine ≥ `threshold` filters.
+    * The embedding flavor of [[DedupFunctions.minHashNearDups]]: candidate
+    * generation is one equi-join on (table, bucket) — the corpus shuffles
+    * once, never a cross product.
     */
   def cosineNearDups(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      nPlanes: Int = 8,
+      nPlanes: Int = 4,
+      nTables: Int = 6,
       dim: Int = 64,
       seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(nPlanes, dim, seed)
+    val buckets = array((0 until nTables).map { t =>
+      lshBucket(col("v"), hyperplanes(nPlanes, dim, seed + t))
+    }: _*)
+    // bucket self-join carries only (table, bucket, id) — never the vectors;
+    // dedup to unique id pairs BEFORE any cosine so each pair is scored once
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", lshBucket(col("v"), planes))
-    val l = base.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = base.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    l.join(r, Seq("bucket"))
+      .withColumn("nv", transform(col("v"), x => x.cast("double") / norm(col("v"))))
+    val ids = base.select(col("id"), posexplode(buckets).as(Seq("table", "bucket")))
+    val pairs = ids.select(col("table"), col("bucket"), col("id").as("id_a"))
+      .join(ids.select(col("table"), col("bucket"), col("id").as("id_b")), Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(cosine(col("v_a"), col("v_b")), 6))
+      .select("id_a", "id_b")
+      .distinct() // a pair can collide in several tables
+    // pre-normalized vectors make per-pair cosine a single dot product (no
+    // per-pair norm recomputation)
+    val vecs = base.select(col("id"), col("nv"))
+    pairs
+      .join(vecs.select(col("id").as("id_a"), col("nv").as("nv_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("nv").as("nv_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), round(dot(col("nv_a"), col("nv_b")), 6).as("cos"))
       .filter(col("cos") >= threshold)
-      .select("id_a", "id_b", "cos")
-      .distinct()
   }
 }

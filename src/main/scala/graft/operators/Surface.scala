@@ -255,36 +255,42 @@ object Surface {
 
     "q_add_remove_annihilation" -> QueryDef(
       (s, dir) => {
+        // (user, day) granularity keeps the anti-join non-trivial at every SF:
+        // a click-day survives only if that user made no purchase the same day.
         val ev = t(s, dir, "events")
-        val adds    = ev.filter(col("event_type") === "click").select("user_id").distinct()
-        val removes = ev.filter(col("event_type") === "purchase").select("user_id").distinct()
-        adds.join(removes, Seq("user_id"), "left_anti")
+          .withColumn("day", to_date(timestamp_micros(expr("ts div 1000"))))
+        val adds    = ev.filter(col("event_type") === "click").select("user_id", "day").distinct()
+        val removes = ev.filter(col("event_type") === "purchase").select("user_id", "day").distinct()
+        adds.join(removes, Seq("user_id", "day"), "left_anti")
       },
       Some("""
-        SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
-          AND user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'purchase')""")),
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'click'
+        EXCEPT
+        SELECT DISTINCT user_id, CAST(ts AS DATE) FROM events WHERE event_type = 'purchase'""")),
 
     // ---- checkpoint-vs-state diff (J2, O3) --------------------------------
 
     "q_log_delta" -> QueryDef(
       (s, dir) => {
         // events.ts is read as epoch-nanos LONG (nanosAsLong); the cutoff is
-        // 2024-01-15T00:00:00Z in epoch nanos
+        // 2024-01-15T00:00:00Z in epoch nanos. The value>100 restriction keeps
+        // the (user, event_type) sets sparse so BOTH diff directions are
+        // non-empty at every SF — a 0-row result would be a vacuous check.
         val cutoffNs = 1705276800000000000L
-        val ev   = t(s, dir, "events")
-        val prev = ev.filter(col("ts") < cutoffNs).select("user_id").distinct()
-        val cur  = ev.filter(col("ts") >= cutoffNs).select("user_id").distinct()
+        val ev   = t(s, dir, "events").filter(col("value") > 100)
+        val prev = ev.filter(col("ts") < cutoffNs).select("user_id", "event_type").distinct()
+        val cur  = ev.filter(col("ts") >= cutoffNs).select("user_id", "event_type").distinct()
         cur.except(prev).withColumn("action", lit("Add"))
           .unionByName(prev.except(cur).withColumn("action", lit("Remove")))
       },
       Some("""
-        SELECT user_id, 'Add' AS action FROM
-          (SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-15'
-           EXCEPT SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '2024-01-15')
+        SELECT user_id, event_type, 'Add' AS action FROM
+          (SELECT DISTINCT user_id, event_type FROM events WHERE value > 100 AND ts >= TIMESTAMP '2024-01-15'
+           EXCEPT SELECT DISTINCT user_id, event_type FROM events WHERE value > 100 AND ts < TIMESTAMP '2024-01-15')
         UNION ALL
-        SELECT user_id, 'Remove' AS action FROM
-          (SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '2024-01-15'
-           EXCEPT SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-15')""")),
+        SELECT user_id, event_type, 'Remove' AS action FROM
+          (SELECT DISTINCT user_id, event_type FROM events WHERE value > 100 AND ts < TIMESTAMP '2024-01-15'
+           EXCEPT SELECT DISTINCT user_id, event_type FROM events WHERE value > 100 AND ts >= TIMESTAMP '2024-01-15')""")),
 
     // ---- remove→historical-add resolution + skip propagation (J3, P7) -----
 
@@ -537,7 +543,10 @@ object Surface {
 
     "dedup_ngram_jaccard" -> QueryDef(
       (s, dir) => {
-        val sh = t(s, dir, "documents").filter(col("doc_id") < 50)
+        // doc_id < 300 bounds the O(n²)-ish shingle self-join while still
+        // covering real near-dup pairs at sf0.01+ (they are spread across the
+        // id range, e.g. (61,185), (8,245) — doc_id<50 found none → vacuous)
+        val sh = t(s, dir, "documents").filter(col("doc_id") < 300)
           .select(col("doc_id"),
             explode(array_distinct(TextFunctions.shingles(col("text"), 10))).as("sh"))
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -556,7 +565,7 @@ object Surface {
         WITH sh AS (SELECT DISTINCT doc_id,
                       unnest(list_transform(range(1, greatest(length(text) - 9, 1) + 1),
                                             i -> substr(text, CAST(i AS INT), 10))) AS sh
-                    FROM documents WHERE doc_id < 50),
+                    FROM documents WHERE doc_id < 300),
              sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
              it AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
                     FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
@@ -636,8 +645,12 @@ object Surface {
         GROUP BY 1, 2""")),
 
     "sim_cosine_neardup" -> QueryDef(
+      // threshold 0.45 sits just under the corpus's max pairwise cosine
+      // (~0.51 at sf0.01) so the result is non-empty — a 0.9 threshold finds
+      // nothing in this synthetic data and would be a vacuous check
       (s, dir) => SimilarityFunctions.cosineNearDups(
-        t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.9, nPlanes = 6),
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.45, nPlanes = 4, nTables = 6),
       None),
 
     // ---- training-data extensions: text analysis --------------------------
