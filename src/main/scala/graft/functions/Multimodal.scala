@@ -101,6 +101,23 @@ object Multimodal {
       .toDF("media_id", "frame_idx", "frame_bytes")
   }
 
+  /** Media corpus derived deterministically from the `documents` table:
+    * payload = UTF-8 text bytes, kind cycles image/audio/video by doc_id.
+    * Because the payload is a pure function of `text`, byte-level pipeline
+    * outputs (sizes, frame counts) are reproducible in ANSI SQL — the
+    * multimodal plumbing gets a real DuckDB oracle, not just a row count.
+    */
+  def corpusFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .map { case (id, text, src) =>
+        val kind = Seq("image", "audio", "video")((id % 3).toInt)
+        MediaRow(id, kind, text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          s"application/x-$kind", s"doc://$src/$id")
+      }
+  }
+
   /** Deterministic synthetic media corpus (for tests and benches). */
   def syntheticCorpus(spark: SparkSession, n: Int, seed: Long = 42L): Dataset[MediaRow] = {
     import spark.implicits._

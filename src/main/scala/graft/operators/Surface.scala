@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{DedupFunctions, SimilarityFunctions, TextFunctions}
+import graft.functions.{DedupFunctions, Multimodal, SimilarityFunctions, TextFunctions}
 
 /** The driver-facing query surface: one entry per operator family of
   * SURVEY §2 (expressed over the /root/testdata tables) plus the
@@ -709,7 +709,72 @@ object Surface {
                              THEN 1.0 ELSE 0.0 END) * 0.2
                      + least(CAST(${dkHits("en")} AS DOUBLE) / len(string_split(text, ' ')) * 10.0, 1.0) * 0.3,
                      6) AS quality
-        FROM documents"""))
+        FROM documents""")),
+
+    // ---- training-data extensions: multimodal columns ---------------------
+    // Media corpus derived from `documents` (payload = UTF-8 text bytes, kind
+    // = doc_id mod 3), so byte-level outputs of the mapPartitions plumbing are
+    // reproducible in ANSI SQL — real oracles, not just row counts.
+
+    "mm_decode_stats" -> QueryDef(
+      (s, dir) => Multimodal.decode(
+          Multimodal.corpusFromDocuments(t(s, dir, "documents")))
+        .toDF()
+        .groupBy("kind")
+        .agg(
+          count(lit(1)).as("n_media"),
+          sum(col("n_bytes")).cast("bigint").as("total_bytes"),
+          sum(when(col("ok"), 1L).otherwise(0L)).cast("bigint").as("n_ok")),
+      Some("""
+        SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               count(*) AS n_media,
+               CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+               CAST(SUM(CASE WHEN strlen(text) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok
+        FROM documents GROUP BY 1""")),
+
+    "mm_frame_stats" -> QueryDef(
+      // video frame sampling: every-10th byte-range slices, ≤ 8 frames; the
+      // slice arithmetic is closed-form, so frame counts and byte totals are
+      // oracle-checked exactly
+      (s, dir) => Multimodal.sampleFrames(
+          Multimodal.corpusFromDocuments(t(s, dir, "documents")))
+        .groupBy("media_id")
+        .agg(
+          count(lit(1)).cast("bigint").as("n_frames"),
+          sum(length(col("frame_bytes"))).cast("bigint").as("frame_bytes_total")),
+      Some("""
+        WITH v AS (
+          SELECT doc_id AS media_id, strlen(text) AS len,
+                 greatest(strlen(text) // 80, 1) AS fs
+          FROM documents WHERE doc_id % 3 = 2 AND strlen(text) > 0),
+        f AS (
+          SELECT media_id, len, fs,
+                 least(8, (len + 10*fs - 1) // (10*fs)) AS nf
+          FROM v)
+        SELECT media_id,
+               CAST(nf AS BIGINT) AS n_frames,
+               CAST((nf - 1) * fs + least(fs, len - (nf - 1) * 10 * fs) AS BIGINT) AS frame_bytes_total
+        FROM f""")),
+
+    "mm_feature_l1" -> QueryDef(
+      // feature extraction (byte-histogram stub behind the real batched
+      // mapPartitions contract): the normalized histogram's L1 mass is 1 for
+      // any non-empty payload — checked per kind against the oracle
+      (s, dir) => {
+        val corpus = Multimodal.corpusFromDocuments(t(s, dir, "documents"))
+        val feats  = Multimodal.extractFeatures(corpus).toDF()
+        val l1 = feats.select(col("media_id"),
+          aggregate(col("features"), lit(0.0d), (acc, x) => acc + x.cast("double")).as("l1"))
+        corpus.toDF().select(col("media_id"), col("kind"))
+          .join(l1, Seq("media_id"))
+          .filter(abs(col("l1") - 1.0d) < 0.001)
+          .groupBy("kind")
+          .agg(count(lit(1)).as("n_unit_mass"))
+      },
+      Some("""
+        SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               count(*) AS n_unit_mass
+        FROM documents WHERE strlen(text) > 0 GROUP BY 1"""))
   )
 
   /** DuckDB-side stopword hit count, matching [[TextFunctions.langHits]]
