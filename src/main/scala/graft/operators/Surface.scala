@@ -512,6 +512,83 @@ object Surface {
                round(quantile_cont(value, 0.95), 6) AS p95, count(*) AS n
         FROM events GROUP BY 1""")),
 
+    // ---- sketch aggregations (the 100 TB scale path for distinct/quantile) -
+    // Sketches can't hash-match an exact oracle, so each query emits
+    // tolerance BOOLEANS computed against the exact answer in the same plan;
+    // the oracle asserts them TRUE. A sketch drifting out of tolerance fails
+    // the gate instead of silently passing a rows-only check.
+
+    "q_sketch_distinct" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events").groupBy("event_type").agg(
+          approx_count_distinct(col("user_id"), 0.05).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        val li = t(s, dir, "lineitem").groupBy(col("l_returnflag").as("grp")).agg(
+          approx_count_distinct(col("l_orderkey"), 0.05).as("approx_keys"),
+          countDistinct(col("l_orderkey")).as("exact_keys"))
+        ev.select(
+            concat(lit("events:"), col("event_type")).as("grp"),
+            col("exact_users").as("exact_count"),
+            // HLL++ is exact in sparse mode (low cardinality) — tight 5%
+            (abs(col("approx_users") - col("exact_users"))
+              <= col("exact_users").cast("double") * 0.05).as("within_tol"))
+          .unionByName(li.select(
+            concat(lit("lineitem:"), col("grp")).as("grp"),
+            col("exact_keys").as("exact_count"),
+            // dense-mode HLL at rsd=0.05: allow 3σ = 15%
+            (abs(col("approx_keys") - col("exact_keys"))
+              <= col("exact_keys").cast("double") * 0.15).as("within_tol")))
+      },
+      Some("""
+        SELECT 'events:' || event_type AS grp, count(DISTINCT user_id) AS exact_count,
+               TRUE AS within_tol FROM events GROUP BY event_type
+        UNION ALL
+        SELECT 'lineitem:' || l_returnflag, count(DISTINCT l_orderkey), TRUE
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    "q_sketch_quantiles" -> QueryDef(
+      // percentile_approx (GK-sketch) vs exact percentile, 2%-of-value
+      // tolerance; exact-quantile parity itself is covered by
+      // q_value_quantiles, so only the booleans are emitted here
+      (s, dir) => t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_sketch"),
+          expr("percentile(value, 0.5)").as("p50_exact"),
+          percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95_sketch"),
+          expr("percentile(value, 0.95)").as("p95_exact"))
+        .select(
+          col("event_type"),
+          (abs(col("p50_sketch") - col("p50_exact"))
+            <= greatest(abs(col("p50_exact")) * 0.02, lit(1.0))).as("p50_within_tol"),
+          (abs(col("p95_sketch") - col("p95_exact"))
+            <= greatest(abs(col("p95_exact")) * 0.02, lit(1.0))).as("p95_within_tol")),
+      Some("""
+        SELECT event_type, TRUE AS p50_within_tol, TRUE AS p95_within_tol
+        FROM events GROUP BY 1""")),
+
+    // ---- salted skew join (100 TB hot-key mitigation; row-identical to the
+    // plain join, so the oracle IS the plain join) --------------------------
+
+    "q_skew_salted_join" -> QueryDef(
+      (s, dir) => {
+        val fact = t(s, dir, "events").withColumnRenamed("user_id", "k")
+        val dim = t(s, dir, "customer")
+          .filter(col("c_custkey") <= 150)
+          .select(col("c_custkey").as("k"), col("c_nationkey"))
+        SkewJoin.saltedJoin(fact, dim, "k", buckets = 8)
+          .groupBy("c_nationkey")
+          .agg(
+            count(lit(1)).as("n_events"),
+            countDistinct(col("k")).as("n_users"),
+            max(col("value")).as("max_value"))
+      },
+      Some("""
+        SELECT c_nationkey, count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users, max(value) AS max_value
+        FROM events JOIN customer ON user_id = c_custkey
+        WHERE c_custkey <= 150 GROUP BY 1""")),
+
     // ---- dynamic/JSON scalar extraction (§2.g dynamic columns) ------------
 
     "q_props_extract" -> QueryDef(
