@@ -343,7 +343,7 @@ object MirrorOrchestrator {
     else {
       def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
       val canonical = pv.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"${enc(k)}=${enc(if (v == null) " null" else v)}" }
+        .map { case (k, v) => s"${enc(k)}=${enc(if (v == null) "\u0000null" else v)}" }
         .mkString("/")
       "g-" + java.util.UUID.nameUUIDFromBytes(
         canonical.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
