@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.expressions.RollingHash
+import graft.functions.expressions.{RollingHash, VectorDot}
 
 /** Spark plugin entry point: load with
   * `spark.sql.extensions=graft.GraftSessionExtensions` (works with plain
@@ -21,6 +21,13 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 1, "rolling_hash takes exactly one argument")
         RollingHash(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "vector_dot takes exactly two arguments")
+        VectorDot(children.head, children(1))
       }))
   }
 }

@@ -18,12 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityFunctions {
 
-  /** Sequential-sum dot product of two array columns (cast to double). */
+  /** Sequential-sum dot product of two array columns — the native codegen'd
+    * [[graft.functions.expressions.VectorDot]] expression (primitive loop,
+    * no per-pair allocation; requires `graft.GraftSessionExtensions` on the
+    * session, which every entry point registers). Bit-identical to the
+    * `aggregate(zip_with(...))` form it replaced.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+    graft.functions.expressions.VectorDot.vectorDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -115,6 +115,32 @@ class FunctionsSpec extends SparkSuite {
     intercept[Exception](docs.select(expr("rolling_hash(doc_id)")).collect())
   }
 
+  test("vector_dot: codegen matches HOF form, null on mismatch, mixed elem types") {
+    import graft.functions.expressions.VectorDot
+    val vecs = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f), Array(4.0, 5.0, 6.0)),
+      (1L, Array(-1.5f, 0.0f, 2.5f), Array(2.0, -3.0, 0.5))).toDF("id", "vf", "vd")
+    // reference arithmetic: sequential left-to-right double sum
+    val hof = aggregate(
+      zip_with($"vf", $"vd", (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val rows = vecs.select(
+      VectorDot.vectorDot($"vf", $"vd").as("native"),   // float × double
+      VectorDot.vectorDot($"vf", $"vf").as("ff"),       // float × float
+      expr("vector_dot(vd, vd)").as("dd_sql"),          // SQL-registered path
+      hof.as("ref")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(3))          // bit-identical to HOF
+      assert(!r.isNullAt(1) && !r.isNullAt(2))
+    }
+    // length mismatch → NULL (zip_with null-pad parity), not an error
+    val mm = Seq((Array(1.0f, 2.0f), Array(1.0, 2.0, 3.0))).toDF("a", "b")
+      .select(expr("vector_dot(a, b)"))
+    assert(mm.head.isNullAt(0))
+    // type check: non-array argument rejected
+    intercept[Exception](vecs.select(expr("vector_dot(id, vf)")).collect())
+  }
+
   test("types: Kusto mapping and tracking columns") {
     import org.apache.spark.sql.types._
     assert(KustoTypes.toKustoType(LongType) == "long")
