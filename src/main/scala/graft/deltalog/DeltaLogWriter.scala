@@ -108,8 +108,14 @@ class DeltaLogWriter(spark: SparkSession, tablePath: String) {
   /** Materialize the cumulative state up to the latest commit as a
     * `<v>.checkpoint.parquet` + `_last_checkpoint` pointer (what Delta
     * writers do every N commits; lets readers log-skip, O1).
+    *
+    * `numParts > 1` emits the protocol's multi-part form
+    * `<v>.checkpoint.<i>.<n>.parquet` (+ `"parts"` in `_last_checkpoint`) —
+    * what real Delta writers produce once the file count outgrows a single
+    * checkpoint parquet, i.e. exactly the 100 TB regime.
     */
-  def writeCheckpoint(mirrorTableName: String = "t"): Long = {
+  def writeCheckpoint(mirrorTableName: String = "t", numParts: Int = 1): Long = {
+    require(numParts >= 1, "numParts must be >= 1")
     val reader  = new DeltaLogReader(spark, tablePath, mirrorTableName)
     val commits = reader.listCommits()
     require(commits.nonEmpty, s"No commits to checkpoint under $tablePath")
@@ -149,19 +155,26 @@ class DeltaLogWriter(spark: SparkSession, tablePath: String) {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), DeltaLogReader.ActionSchema)
     val tmpDir = new Path(logPath, s".ckpt-tmp-${java.util.UUID.randomUUID()}")
-    df.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
-    val part = fs.listStatus(tmpDir).map(_.getPath)
-      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException("checkpoint part file missing"))
-    val target = new Path(logPath, f"$version%020d.checkpoint.parquet")
-    if (fs.exists(target)) fs.delete(target, false)
-    fs.rename(part, target)
+    df.repartition(numParts).write.mode("overwrite").parquet(tmpDir.toString)
+    val parts = fs.listStatus(tmpDir).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    require(parts.nonEmpty, "checkpoint part file missing")
+    parts.zipWithIndex.foreach { case (part, idx) =>
+      val target =
+        if (numParts == 1) new Path(logPath, f"$version%020d.checkpoint.parquet")
+        else new Path(logPath, f"$version%020d.checkpoint.${idx + 1}%010d.$numParts%010d.parquet")
+      if (fs.exists(target)) fs.delete(target, false)
+      fs.rename(part, target)
+    }
     fs.delete(tmpDir, true)
 
+    val partsField = if (numParts == 1) "" else s""","parts":$numParts"""
     val lc  = new Path(logPath, "_last_checkpoint")
     val tmp = new Path(logPath, s"._last_checkpoint.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
-    try out.write(s"""{"version":$version,"size":${rows.size}}""".getBytes(StandardCharsets.UTF_8))
+    try out.write(s"""{"version":$version,"size":${rows.size}$partsField"""
+      .concat("}").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     if (fs.exists(lc)) fs.delete(lc, false)
     fs.rename(tmp, lc)

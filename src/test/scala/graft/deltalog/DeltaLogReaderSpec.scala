@@ -59,6 +59,33 @@ class DeltaLogReaderSpec extends SparkSuite {
     assert(batch.endTxId == 3L)
   }
 
+  test("multi-part checkpoint (the 100 TB form) bootstraps identically") {
+    val dir = tmpDir("delta")
+    val fx  = new TestDelta(spark, dir, "ckpt_mp")
+    fx.init(idSchema)
+    val f0 = fx.addCommit(spark.range(3).toDF("id"))
+    fx.addCommit(spark.range(3, 6).toDF("id"))
+    fx.replaceCommit(f0, spark.range(1, 3).toDF("id"))
+    val v = fx.checkpoint(numParts = 3)
+    assert(v == 3L)
+
+    // protocol naming: <v>.checkpoint.<i>.<n>.parquet, one file per part
+    val fs    = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(new Path(dir, "_delta_log")).map(_.getPath.getName)
+    val partNames = names.filter(_.matches("\\d{20}\\.checkpoint\\.\\d{10}\\.\\d{10}\\.parquet"))
+    assert(partNames.length == 3)
+    assert(!names.contains(f"${3L}%020d.checkpoint.parquet"))
+
+    val reader = new DeltaLogReader(spark, dir, "ckpt_mp")
+    assert(reader.readLastCheckpoint().map(_.version).contains(3L))
+    val cum = reader.readCheckpoint(3L, startTxId = 0L)
+    assert(cum.metadata.nonEmpty)
+    assert(cum.adds.size == 2)
+    assert(!cum.adds.exists(_.blobPath.contains(f0)))
+    val batch = reader.nextBatch(None).get
+    assert(batch.adds.size == 2 && batch.endTxId == 3L)
+  }
+
   test("gap in the commit log fails loudly") {
     val dir = tmpDir("delta")
     val fx  = new TestDelta(spark, dir, "gap")

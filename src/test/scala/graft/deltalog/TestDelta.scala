@@ -55,5 +55,5 @@ class TestDelta(spark: SparkSession, val dir: String, name: String = "src") {
     rel
   }
 
-  def checkpoint(): Long = writer.writeCheckpoint(name)
+  def checkpoint(numParts: Int = 1): Long = writer.writeCheckpoint(name, numParts)
 }
