@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.SparkSuite
+
+/** Physical-plan contract tests: the plans the 100 TB posture depends on are
+  * asserted, not just eyeballed in PlanDump — a regression that drops a
+  * pushed filter, turns a broadcast join into a shuffle join, or adds a
+  * stray exchange fails CI.
+  *
+  * Plans are materialized first so AQE's FINAL plan is inspected (the
+  * pre-execution AdaptiveSparkPlan placeholder hides codegen spans and
+  * exchanges). Assertions are deliberately loose string checks — Catalyst is
+  * free to improve the plan; only the load-bearing properties are pinned.
+  */
+class PlanSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Execute, then return the final (post-AQE) formatted plan — the tree is
+    * sliced to the "== Final Plan ==" section so the Initial Plan AQE echoes
+    * don't double-count nodes.
+    */
+  private def finalPlan(name: String): String = {
+    val df = Surface.registry(name).fn(spark, sf)
+    df.collect()
+    val s     = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val start = s.indexOf("== Final Plan ==")
+    if (start < 0) s
+    else {
+      val end  = s.indexOf("== Initial Plan ==", start)
+      val tree = if (end < 0) s.substring(start) else s.substring(start, end)
+      // keep node details (needed for PushedFilters/ReadSchema assertions)
+      val details = s.indexOf("\n\n(1) ")
+      tree + (if (details >= 0) s.substring(details) else "")
+    }
+  }
+
+  /** Shuffle exchanges in the final-plan tree ("Exchange (n)";
+    * BroadcastExchange is a different node name and is not counted).
+    */
+  private def countShuffles(s: String): Int =
+    "\\bExchange \\(\\d+\\)".r.findAllIn(s).size
+
+  test("q6: filters reach the parquet scan and the schema is pruned") {
+    val s = finalPlan("q6_forecast_revenue")
+    // predicate pushdown: shipdate/discount/quantity bounds in PushedFilters
+    assert(s.contains("PushedFilters:"))
+    assert(s.contains("GreaterThanOrEqual(l_shipdate"), s)
+    assert(s.contains("LessThan(l_quantity"), s)
+    // column pruning: a 16-column table read as only the referenced columns
+    val readSchema = s.linesIterator.find(_.contains("ReadSchema:")).get
+    assert(!readSchema.contains("l_orderkey"), readSchema)
+    assert(readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("q5: all five dimension joins broadcast — no shuffle join") {
+    val s = finalPlan("q5_region_revenue")
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("SortMergeJoin"), s)
+    // the only shuffles serve the final aggregation/sort, not the joins
+    assert(countShuffles(s) <= 2, s)
+  }
+
+  test("q1: single scan, map-side partial aggregation around one exchange") {
+    val s = finalPlan("q1_pricing_summary")
+    assert(countShuffles(s) == 1, s)
+    assert("HashAggregate".r.findAllIn(s).size >= 2, s) // partial + final
+  }
+
+  test("text scans: embarrassingly parallel — zero shuffles") {
+    Seq("text_token_stats", "text_langid", "text_quality").foreach { q =>
+      assert(countShuffles(finalPlan(q)) == 0, s"$q should not shuffle")
+    }
+  }
+
+  test("brute-force topk: query side broadcast, corpus never shuffle-joined") {
+    val s = finalPlan("sim_cosine_topk")
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("SortMergeJoin"), s)
+  }
+
+  test("skew join: salted key appears in the join") {
+    assert(finalPlan("q_skew_salted_join").contains("_salt"))
+  }
+
+  test("native expressions stay inside whole-stage codegen") {
+    Seq("text_fingerprint_rolling" -> "rolling_hash",
+        "sim_cosine_topk"          -> "vector_dot").foreach { case (q, fn) =>
+      val s = finalPlan(q)
+      assert(s.contains("[codegen id :"), s"$q lost codegen")
+      assert(s.contains(fn), s"$q lost $fn")
+    }
+  }
+}
