@@ -181,6 +181,50 @@ object Surface {
         GROUP BY 1, 2, 3
         ORDER BY revenue DESC, c_custkey LIMIT 20""")),
 
+    // ---- part-dimension analytics (TPC-H Q14/Q19 shapes): conditional agg
+    // over a broadcast dim join; disjunctive multi-column predicate bundles -
+
+    "q14_promo_revenue" -> QueryDef(
+      (s, dir) => {
+        val grouped = t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part").select("p_partkey", "p_type")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy("p_type")
+          .agg(count(lit(1)).as("n_items"), revenue("type_revenue"))
+        grouped.withColumn("revenue_share",
+          round(col("type_revenue")
+            / sum(col("type_revenue")).over(Window.partitionBy()), 6))
+      },
+      Some(s"""
+        WITH g AS (
+          SELECT p_type, count(*) AS n_items,
+                 SUM($RevenueTermDk)::DOUBLE AS type_revenue
+          FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1)
+        SELECT p_type, n_items, type_revenue,
+               round(type_revenue / SUM(type_revenue) OVER (), 6) AS revenue_share
+        FROM g""")),
+
+    "q19_disjunctive_filter" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").select("p_partkey", "p_brand", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5)
+            && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10)
+            && col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15)
+            && col("l_quantity").between(20, 30)))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"), revenue("revenue")),
+      Some(s"""
+        SELECT p_brand, count(*) AS n_items, SUM($RevenueTermDk)::DOUBLE AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand='Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand='Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand='Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+        GROUP BY 1""")),
+
     // ---- extent↔blob map-back join (J4) -----------------------------------
 
     "q_blob_map_join" -> QueryDef(
