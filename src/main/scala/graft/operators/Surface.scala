@@ -704,8 +704,12 @@ object Surface {
       None, headline = true),
 
     "dedup_simhash" -> QueryDef(
+      // maxHamming=3 is the bound the 4×16-bit chunk prefilter is SOUND for
+      // (pigeonhole: distance ≤ 3 ⇒ ≥ 1 chunk agrees); the previous 16 both
+      // missed pairs the chunks never collide on and returned ~2% of ALL
+      // pairs as "near dups"
       (s, dir) => DedupFunctions.simHashNearDups(
-        t(s, dir, "documents"), "doc_id", "text", maxHamming = 16),
+        t(s, dir, "documents"), "doc_id", "text", maxHamming = 3),
       None),
 
     // ---- training-data extensions: similarity search ----------------------

@@ -40,6 +40,17 @@ object MinHashProfile {
       explode(array_distinct(TextFunctions.wordNGrams(split(col("text"), " "), 5))).as("s"))
     time("shingle explode count")(println("shingle rows: " + sh.count()))
 
+    // simhash stages
+    val hashed = DedupFunctions.simHash(docs, "doc_id", "text")
+    time("simHash signatures")(println("sigs: " + hashed.count()))
+    time("simHash signatures (2nd)")(println("sigs: " + hashed.count()))
+    val ndp = DedupFunctions.simHashNearDups(docs, "doc_id", "text", maxHamming = 16)
+    time("simHashNearDups mh=16")(println("simhash pairs mh=16: " + ndp.count()))
+    for (mh <- Seq(3, 6)) {
+      val d = DedupFunctions.simHashNearDups(docs, "doc_id", "text", maxHamming = mh)
+      time(s"simHashNearDups mh=$mh")(println(s"simhash pairs mh=$mh: " + d.count()))
+    }
+
     import graft.functions.SimilarityFunctions
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     emb.count()
