@@ -186,29 +186,51 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
     * lineage tag, so targeted deletes keep working afterwards. One atomic
     * commit (removes + adds), exactly like an upstream Delta OPTIMIZE —
     * the antidote to per-batch small files at scale.
+    *
+    * Compaction is PER PARTITION GROUP: rewrites keep their inputs'
+    * partition values, so file-level partition pruning survives OPTIMIZE
+    * (compacting across partitions would erase the values and force every
+    * pruned read to conservatively include the compacted files).
+    *
+    * `clusterBy` additionally range-partitions each group's rows on the
+    * given columns before writing — output files then carry disjoint
+    * min/max ranges, so parquet row-group/file skipping answers range
+    * predicates on those columns without opening unrelated files (the
+    * ZORDER-lite of a single-dimension sort).
     * Returns the commit version, or -1 if nothing to compact.
     */
   def optimize(
       smallFileBytes: Long = 32L * 1024 * 1024,
-      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
-    val small = liveAdds().filter(_.size < smallFileBytes)
-    if (small.size < 2) return -1L
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      clusterBy: Seq[String] = Nil): Long = {
+    val groups = liveAdds().filter(_.size < smallFileBytes)
+      .groupBy(_.partitionValues)
+      .filter(_._2.size >= 2)
+      .toSeq
+      .sortBy(_._1.toSeq.sorted.mkString(","))
+    if (groups.isEmpty) return -1L
 
-    val totalBytes = small.map(_.size).sum
-    val nOut       = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val stagingName = s"optimize-${java.util.UUID.randomUUID().toString.take(8)}"
-    val df = spark.read.parquet(small.map(a => new Path(root, a.path).toString): _*)
-    stage(stagingName, "c0", df.repartition(nOut))
+    val actions = groups.zipWithIndex.flatMap { case ((pv, files), gi) =>
+      val totalBytes = files.map(_.size).sum
+      val nOut       = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+      val in  = spark.read.parquet(files.map(a => new Path(root, a.path).toString): _*)
+      val out =
+        if (clusterBy.nonEmpty)
+          in.repartitionByRange(nOut, clusterBy.map(org.apache.spark.sql.functions.col): _*)
+            .sortWithinPartitions(clusterBy.map(org.apache.spark.sql.functions.col): _*)
+        else in.repartition(nOut)
+      stage(stagingName, s"g$gi", out)
 
-    val newFiles = listParquet(new Path(stagingDir(stagingName), "c0"))
-    val lineage  = lineageOf(newFiles)
-    val actions =
-      small.map(a => writer.removeAction(a.path, Some(a.partitionValues))) ++
+      val newFiles = listParquet(new Path(stagingDir(stagingName), s"g$gi"))
+      val lineage  = lineageOf(newFiles)
+      files.map(a => writer.removeAction(a.path, Some(a.partitionValues))) ++
         newFiles.map { p =>
           val (blobs, rows) = lineage.getOrElse(normalizePath(p.toString), (Seq.empty[String], 0L))
-          writer.addAction(relPath(p), fs.getFileStatus(p).getLen, Map.empty, Some(rows),
+          writer.addAction(relPath(p), fs.getFileStatus(p).getLen, pv, Some(rows),
             tags = Map(SourceBlobsTag -> M.writeValueAsString(blobs.toArray)))
         }
+    }
     val v = writer.commit(actions)
     maybeCheckpoint(v)
     v

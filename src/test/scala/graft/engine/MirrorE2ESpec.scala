@@ -251,6 +251,42 @@ class MirrorE2ESpec extends SparkSuite {
     assert(ids(orch) == (1L until 12L))
   }
 
+  test("partitioned OPTIMIZE keeps partition values and range-clusters files") {
+    val (src, cfg) = setup("opt-part")
+    val schema = StructType(Seq(StructField("id", LongType), StructField("year", IntegerType)))
+    src.init(schema, Seq("year"))
+    src.addCommit(spark.range(0, 3).toDF("id"), Map("year" -> "1994"))
+    src.addCommit(spark.range(3, 6).toDF("id"), Map("year" -> "1994"))
+    src.addCommit(spark.range(6, 9).toDF("id"), Map("year" -> "1995"))
+    src.addCommit(spark.range(9, 12).toDF("id"), Map("year" -> "1995"))
+    val orch = new MirrorOrchestrator(spark, cfg)
+    orch.runOnce()
+    assert(orch.table.liveAdds().size >= 4)
+
+    assert(orch.table.optimize(
+      targetFileBytes = 512L * 1024 * 1024, clusterBy = Seq("id")) > 0)
+
+    // rewrites carry their group's partition values → pruning still exact
+    val live = orch.table.liveAdds()
+    assert(live.forall(_.partitionValues.nonEmpty))
+    assert(live.map(_.partitionValues("year")).toSet == Set("1994", "1995"))
+    val pruned = orch.table.snapshotWhere(pv => pv.get("year").contains("1994"))
+    assert(pruned.select("id").collect().map(_.getLong(0)).sorted.toSeq == (0L until 6L))
+    assert(pruned.inputFiles.length < orch.table.snapshot().inputFiles.length)
+    assert(ids(orch) == (0L until 12L))
+
+    // clusterBy: rows inside each rewritten file are sorted by the key
+    import org.apache.spark.sql.functions.input_file_name
+    val perFile = orch.table.snapshot()
+      .withColumn("f", input_file_name())
+      .select("f", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    perFile.values.foreach { rows =>
+      val seq = rows.map(_._2).toSeq
+      assert(seq == seq.sorted, s"file not clustered: $seq")
+    }
+  }
+
   test("mid-staging crash: resume stages only unfinished groups, no data mixed or lost") {
     val (src, cfg) = setup("midstage")
     val schema = StructType(Seq(StructField("id", LongType), StructField("year", IntegerType)))
