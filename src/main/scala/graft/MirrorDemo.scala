@@ -81,7 +81,7 @@ object MirrorDemo {
     orch.runOnce()
     val snap2 = orch.table.snapshot()
     println(s"[demo] after upstream delete of id<100: rows=${snap2.count()} " +
-      s"min-id=${snap2.agg(org.apache.spark.sql.functions.min("id")).head.getLong(0)}")
+      s"min-id=${snap2.agg(org.apache.spark.sql.functions.min("id")).head().getLong(0)}")
     println(s"[demo] mirror live files: ${orch.table.liveAdds().size}")
 
     // compact the per-batch small files (sink OPTIMIZE) — row-count invariant

@@ -26,7 +26,7 @@ object SkewJoin {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, buckets: Int): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     val saltedFact = fact.withColumn("_salt",
-      pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(buckets)).cast("int"))
+      pmod(xxhash64(struct(fact.columns.toIndexedSeq.map(col): _*)), lit(buckets)).cast("int"))
     val expandedDim = dim.withColumn("_salt",
       explode(array((0 until buckets).map(b => lit(b)): _*)))
     saltedFact.join(expandedDim, Seq(key, "_salt")).drop("_salt")

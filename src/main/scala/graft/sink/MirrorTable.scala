@@ -245,6 +245,28 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
     }
   }
 
+  /** VACUUM: physically delete data files that are no longer referenced by
+    * the live snapshot (tombstoned by delete rewrites or OPTIMIZE) and are
+    * older than `retainMs`. The retention window protects concurrently
+    * staged-but-uncommitted files — the same contract as Delta VACUUM; the
+    * commit log itself is never touched (time travel over metadata stays
+    * possible, only the data bytes are reclaimed). Returns files deleted.
+    */
+  def vacuum(retainMs: Long = 7L * 24 * 3600 * 1000): Int = {
+    require(retainMs >= 0, "retainMs must be >= 0")
+    val live = liveAdds().map(a => normalizePath(new Path(root, a.path).toString)).toSet
+    val cutoff = System.currentTimeMillis() - retainMs
+    var deleted = 0
+    listParquet(dataPath).foreach { p =>
+      if (!live.contains(normalizePath(p.toString))
+          && fs.getFileStatus(p).getModificationTime < cutoff) {
+        fs.delete(p, false)
+        deleted += 1
+      }
+    }
+    deleted
+  }
+
   /** The mirrored table as a DataFrame: live files only, full mirror schema
     * (source columns + lineage columns).
     */

@@ -249,6 +249,30 @@ class MirrorE2ESpec extends SparkSuite {
     src.replaceCommit(f0, spark.range(1, 4).toDF("id")) // upstream DELETE id=0
     orch.runOnce()
     assert(ids(orch) == (1L until 12L))
+
+    // VACUUM reclaims the tombstoned bytes (pre-compaction + pre-delete
+    // files) without touching the live snapshot or the commit log
+    def dataFiles(): Int = {
+      val it = orch.table.snapshot().sparkSession.sparkContext
+        .hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(cfg.mirrorDir).getFileSystem(it)
+      val iter = fs.listFiles(new org.apache.hadoop.fs.Path(cfg.mirrorDir, "data"), true)
+      var n = 0
+      while (iter.hasNext) { if (iter.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val beforeVacuum = dataFiles()
+    Thread.sleep(5) // ensure tombstones age past a 0 ms retention
+    val reclaimed = orch.table.vacuum(retainMs = 0L)
+    assert(reclaimed > 0)
+    assert(dataFiles() == beforeVacuum - reclaimed)
+    assert(dataFiles() == orch.table.liveAdds().size)
+    assert(ids(orch) == (1L until 12L)) // snapshot unaffected
+
+    // and the mirror keeps working after the GC
+    src.addCommit(spark.range(12, 14).toDF("id"))
+    orch.runOnce()
+    assert(ids(orch) == (1L until 14L))
   }
 
   test("partitioned OPTIMIZE keeps partition values and range-clusters files") {
