@@ -160,16 +160,31 @@ class DeltaLogWriter(spark: SparkSession, tablePath: String) {
       .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
       .sortBy(_.getName)
     require(parts.nonEmpty, "checkpoint part file missing")
+
+    // a re-checkpoint of the same version (possibly with a different part
+    // count) must not leave stale files behind: the reader globs on the
+    // "<v>.checkpoint" prefix and would double-count every action
+    fs.listStatus(logPath).map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith(f"$version%020d.checkpoint") && p.getName.endsWith(".parquet")
+      }
+      .foreach(fs.delete(_, false))
+
+    // name by the ACTUAL written part count — a near-empty state can yield
+    // fewer files than requested (empty write tasks emit no file), and the
+    // protocol requires the name's <n> and the pointer's "parts" to match
+    // the files on disk
+    val actualParts = parts.length
     parts.zipWithIndex.foreach { case (part, idx) =>
       val target =
-        if (numParts == 1) new Path(logPath, f"$version%020d.checkpoint.parquet")
-        else new Path(logPath, f"$version%020d.checkpoint.${idx + 1}%010d.$numParts%010d.parquet")
-      if (fs.exists(target)) fs.delete(target, false)
+        if (actualParts == 1) new Path(logPath, f"$version%020d.checkpoint.parquet")
+        else new Path(logPath,
+          f"$version%020d.checkpoint.${idx + 1}%010d.$actualParts%010d.parquet")
       fs.rename(part, target)
     }
     fs.delete(tmpDir, true)
 
-    val partsField = if (numParts == 1) "" else s""","parts":$numParts"""
+    val partsField = if (actualParts == 1) "" else s""","parts":$actualParts"""
     val lc  = new Path(logPath, "_last_checkpoint")
     val tmp = new Path(logPath, s"._last_checkpoint.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)

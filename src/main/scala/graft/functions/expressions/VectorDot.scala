@@ -56,6 +56,9 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
       var acc = 0.0
       var i   = 0
       while (i < n) {
+        // a null element nulls the whole product-sum — zip_with/aggregate
+        // parity (reading the slot raw would silently treat it as 0/garbage)
+        if (ad.isNullAt(i) || bd.isNullAt(i)) return null
         val x = if (leftDouble) ad.getDouble(i) else ad.getFloat(i).toDouble
         val y = if (rightDouble) bd.getDouble(i) else bd.getFloat(i).toDouble
         acc += x * y
@@ -69,6 +72,7 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n   = ctx.freshName("vdN")
       val i   = ctx.freshName("vdI")
+      val acc = ctx.freshName("vdAcc")
       val getA = if (elemType(left) == DoubleType) s"$a.getDouble($i)"
                  else s"(double) $a.getFloat($i)"
       val getB = if (elemType(right) == DoubleType) s"$b.getDouble($i)"
@@ -78,11 +82,14 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
          |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double acc = 0.0;
+         |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    acc += $getA * $getB;
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $getA * $getB;
          |  }
-         |  ${ev.value} = acc;
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $acc;
+         |  }
          |}
        """.stripMargin
     })

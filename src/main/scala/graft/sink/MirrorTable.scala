@@ -210,20 +210,31 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
       .sortBy(_._1.toSeq.sorted.mkString(","))
     if (groups.isEmpty) return -1L
 
+    // read with the TABLE schema, not footer inference: after additive
+    // schema evolution a group can mix old files (missing the new column)
+    // with new ones — inference from a sampled old footer would stage the
+    // rewrite without the column and erase its values for good
+    val tableSchema = currentMeta().getOrElse(
+      throw new IllegalStateException(s"Mirror table $name has no schema commit"))._1
+
     val stagingName = s"optimize-${java.util.UUID.randomUUID().toString.take(8)}"
-    val actions = groups.zipWithIndex.flatMap { case ((pv, files), gi) =>
+    val staged = groups.zipWithIndex.map { case ((pv, files), gi) =>
       val totalBytes = files.map(_.size).sum
       val nOut       = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-      val in  = spark.read.parquet(files.map(a => new Path(root, a.path).toString): _*)
+      val in = spark.read.schema(tableSchema)
+        .parquet(files.map(a => new Path(root, a.path).toString): _*)
       val out =
         if (clusterBy.nonEmpty)
           in.repartitionByRange(nOut, clusterBy.map(org.apache.spark.sql.functions.col): _*)
             .sortWithinPartitions(clusterBy.map(org.apache.spark.sql.functions.col): _*)
         else in.repartition(nOut)
       stage(stagingName, s"g$gi", out)
+      (pv, files, listParquet(new Path(stagingDir(stagingName), s"g$gi")))
+    }
 
-      val newFiles = listParquet(new Path(stagingDir(stagingName), s"g$gi"))
-      val lineage  = lineageOf(newFiles)
+    // ONE lineage job over every group's output, not one collect per group
+    val lineage = lineageOf(staged.flatMap(_._3))
+    val actions = staged.flatMap { case (pv, files, newFiles) =>
       files.map(a => writer.removeAction(a.path, Some(a.partitionValues))) ++
         newFiles.map { p =>
           val (blobs, rows) = lineage.getOrElse(normalizePath(p.toString), (Seq.empty[String], 0L))

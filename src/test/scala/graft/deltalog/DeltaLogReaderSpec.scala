@@ -84,6 +84,15 @@ class DeltaLogReaderSpec extends SparkSuite {
     assert(!cum.adds.exists(_.blobPath.contains(f0)))
     val batch = reader.nextBatch(None).get
     assert(batch.adds.size == 2 && batch.endTxId == 3L)
+
+    // re-checkpointing the same version with a different part count must
+    // not leave both naming forms behind (the prefix glob would then
+    // double-count every action)
+    assert(fx.checkpoint(numParts = 1) == 3L)
+    val after = fs.listStatus(new Path(dir, "_delta_log")).map(_.getPath.getName)
+      .filter(n => n.contains(".checkpoint") && n.endsWith(".parquet"))
+    assert(after.toSeq == Seq(f"${3L}%020d.checkpoint.parquet"), after.toSeq)
+    assert(reader.readCheckpoint(3L, startTxId = 0L).adds.size == 2)
   }
 
   test("gap in the commit log fails loudly") {

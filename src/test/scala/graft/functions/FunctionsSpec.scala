@@ -137,6 +137,10 @@ class FunctionsSpec extends SparkSuite {
     val mm = Seq((Array(1.0f, 2.0f), Array(1.0, 2.0, 3.0))).toDF("a", "b")
       .select(expr("vector_dot(a, b)"))
     assert(mm.head.isNullAt(0))
+    // a null ELEMENT nulls the result too (HOF parity), never reads as 0
+    val ne = spark.sql(
+      "SELECT vector_dot(array(1.0d, cast(null as double)), array(1.0d, 2.0d))")
+    assert(ne.head.isNullAt(0))
     // type check: non-array argument rejected
     intercept[Exception](vecs.select(expr("vector_dot(id, vf)")).collect())
   }
