@@ -181,6 +181,46 @@ object Surface {
         GROUP BY 1, 2, 3
         ORDER BY revenue DESC, c_custkey LIMIT 20""")),
 
+    // ---- semi-join / outer-join analytics (TPC-H Q4/Q13 shapes) -----------
+    // left_semi and left_outer are the two join types the mirror plane never
+    // uses (it is inner/anti only) — covered here so the analytics surface
+    // spans every join strategy Spark offers
+
+    "q4_late_orders" -> QueryDef(
+      // orders with at least one lineitem shipped > 90 days after the order
+      // date: EXISTS ⇒ left_semi (no fan-out, no dedup needed)
+      (s, dir) => t(s, dir, "orders")
+        .join(
+          t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate")),
+          col("o_orderkey") === col("l_orderkey")
+            && to_date(col("l_shipdate")) > date_add(to_date(col("o_orderdate")), 90),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_late_orders")),
+      Some("""
+        SELECT o_orderpriority, count(*) AS n_late_orders FROM orders WHERE EXISTS (
+          SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+            AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 90 DAY)
+        GROUP BY 1""")),
+
+    "q13_order_distribution" -> QueryDef(
+      // customers-per-order-count histogram: left_outer keeps zero-order
+      // customers (count(col) skips the outer-join nulls), then a second
+      // aggregation over the first — the classic double-agg distribution
+      (s, dir) => t(s, dir, "customer").select("c_custkey")
+        .join(
+          t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey")),
+          col("o_custkey") === col("c_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy("n_orders")
+        .agg(count(lit(1)).as("n_custs")),
+      Some("""
+        SELECT n_orders, count(*) AS n_custs FROM (
+          SELECT c_custkey, count(o_orderkey) AS n_orders
+          FROM customer LEFT JOIN orders ON o_custkey = c_custkey GROUP BY 1)
+        GROUP BY 1""")),
+
     // ---- part-dimension analytics (TPC-H Q14/Q19 shapes): conditional agg
     // over a broadcast dim join; disjunctive multi-column predicate bundles -
 
