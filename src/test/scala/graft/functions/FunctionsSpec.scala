@@ -32,6 +32,13 @@ class FunctionsSpec extends SparkSuite {
     val fp2 = Seq("THE  quick   brown fox JUMPS over the lazy dog and the cat")
       .toDF("text").select(TextFunctions.fingerprint($"text")).head.getString(0)
     assert(fp2 == r(0).getAs[String]("fp"))
+
+    // BPE-ish subword counting: splits at whitespace AND letter/digit
+    // boundaries ("gpt4 turbo2x" → gpt|4 turbo|2|x = 5 pieces)
+    val sw = Seq("gpt4 turbo2x", "plain words only")
+      .toDF("text").select(TextFunctions.subwordCount($"text")).collect()
+    assert(sw(0).getInt(0) == 5)
+    assert(sw(1).getInt(0) == 3) // degenerates to whitespace tokens
   }
 
   test("dedup: minhash LSH finds exact and near dups, not unrelated docs") {
