@@ -196,6 +196,18 @@ class DeltaLogReader(
         Some(row.getAs[Row](name))
       else None
 
+    // protocol gate: reader version 1 is the classic parquet protocol this
+    // engine implements; higher versions introduce features (deletion
+    // vectors, column mapping) that change what the data files MEAN — reading
+    // on regardless would silently resurrect deleted rows. Fail loudly, the
+    // same stance as the reference's parquet-only format check.
+    structOpt("protocol").foreach { p =>
+      val minReader = Option(p.getAs[java.lang.Integer]("minReaderVersion")).fold(1)(_.intValue)
+      require(minReader <= 1,
+        s"Unsupported Delta protocol: minReaderVersion=$minReader (this reader implements version 1; " +
+          "newer reader features like deletion vectors or column mapping would be silently misread)")
+    }
+
     structOpt("metaData").foreach { m =>
       val format = Option(m.getAs[Row]("format"))
       val provider = format.map(_.getAs[String]("provider")).orNull

@@ -108,6 +108,23 @@ class DeltaLogReaderSpec extends SparkSuite {
     assert(e.getMessage.contains("gap"))
   }
 
+  test("protocol gate: reader version 1 accepted, deletion-vector era refused") {
+    val dir = tmpDir("delta")
+    val fx  = new TestDelta(spark, dir, "proto")
+    fx.init(idSchema)
+    val w = new DeltaLogWriter(spark, dir)
+    w.commit(Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""))
+    val reader = new DeltaLogReader(spark, dir, "proto")
+    // v1 protocol action is benign
+    reader.readCommits(reader.listCommits())
+
+    w.commit(Seq("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}"""))
+    val e = intercept[Exception] {
+      reader.readCommits(reader.listCommits())
+    }
+    assert(e.getMessage.contains("minReaderVersion=3"), e.getMessage)
+  }
+
   test("non-parquet provider is rejected") {
     val dir = tmpDir("delta")
     val w   = new DeltaLogWriter(spark, dir)
