@@ -31,7 +31,10 @@ final case class MirrorConfig(
     goBack: Option[Instant] = None,
     continuous: Boolean = false,
     probeIntervalMs: Long = 5000L, // BETWEEN_TX_PROBE_DELAY, DeltaTableOrchestration.cs:16
-    readAhead: Int = DeltaLogReader.DefaultReadAhead
+    readAhead: Int = DeltaLogReader.DefaultReadAhead,
+    // numeric columns to record per-file min/max for at publish/delete time
+    // (data-skipping metadata — see MirrorTable.snapshotRange)
+    statsColumns: Seq[String] = Nil
 )
 
 /** The control plane: discover new Delta commits, persist them as state rows,
@@ -280,7 +283,7 @@ class MirrorOrchestrator(spark: SparkSession, config: MirrorConfig) {
       val pvByGroup = batch.adds
         .map(_.partitionValues.getOrElse(Map.empty[String, String])).distinct
         .map(pv => MirrorOrchestrator.groupId(pv) -> pv).toMap
-      mirror.publishStaged(stagingName, pvByGroup)
+      mirror.publishStaged(stagingName, pvByGroup, config.statsColumns)
       store.append(status().getBatch(startTxId).adds
         .filter(_.state == TxState.Staged).map(_.withState(TxState.Done, now())))
     }
@@ -306,7 +309,7 @@ class MirrorOrchestrator(spark: SparkSession, config: MirrorConfig) {
           (add.blobPath.get,
             add.internalState.ingestionTime.map(s => Timestamp.from(Instant.parse(s))))
         }
-        mirror.deleteByLineage(doomed)
+        mirror.deleteByLineage(doomed, config.statsColumns)
       }
       store.append(
         skippedPairs.map(_._1.withState(TxState.Skipped, now())) ++

@@ -111,7 +111,8 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
     */
   def publishStaged(
       stagingName: String,
-      pvByGroup: Map[String, Map[String, String]] = Map.empty): Long = {
+      pvByGroup: Map[String, Map[String, String]] = Map.empty,
+      statsColumns: Seq[String] = Nil): Long = {
     val stg = stagingDir(stagingName)
     if (!fs.exists(stg)) return -1L
     val files = listParquet(stg)
@@ -121,14 +122,14 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
     val rel  = files.map(p => p -> relPath(p)).filterNot { case (_, r) => live.contains(r) }
     if (rel.isEmpty) return -1L
 
-    val lineage = lineageOf(rel.map(_._1))
+    val lineage = lineageOf(rel.map(_._1), statsColumns)
     val actions = rel.map { case (p, r) =>
-      val (blobs, rows) = lineage.getOrElse(normalizePath(p.toString), (Seq.empty[String], 0L))
+      val meta = lineage.getOrElse(normalizePath(p.toString), FileMeta(Seq.empty, 0L))
       // partition values recorded per file (keyed by the staging group dir)
       // → metadata-only partition pruning at read time, like Kusto extents
       val pv = pvByGroup.getOrElse(p.getParent.getName, Map.empty)
-      writer.addAction(r, fs.getFileStatus(p).getLen, pv, Some(rows),
-        tags = Map(SourceBlobsTag -> M.writeValueAsString(blobs.toArray)))
+      writer.addAction(r, fs.getFileStatus(p).getLen, pv, Some(meta.rows),
+        tags = tagsFor(meta))
     }
     val v = writer.commit(actions)
     maybeCheckpoint(v)
@@ -140,7 +141,9 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
     * rows whose (MLK_BlobPath, MLK_IngestTs) matches a doomed instance; one
     * commit removes the old files and adds the rewrites.
     */
-  def deleteByLineage(doomed: Seq[(String, Option[Timestamp])]): Long = {
+  def deleteByLineage(
+      doomed: Seq[(String, Option[Timestamp])],
+      statsColumns: Seq[String] = Nil): Long = {
     if (doomed.isEmpty) return -1L
     val doomedPaths = doomed.map(_._1).toSet
     val affected = liveAdds().filter { a =>
@@ -163,17 +166,18 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
       a -> listParquet(new Path(stagingDir(stagingName), s"rw$i"))
     }
     val newFiles = rewritten.flatMap(_._2)
-    val lineage  = if (newFiles.nonEmpty) lineageOf(newFiles) else Map.empty[String, (Seq[String], Long)]
+    val lineage  = if (newFiles.nonEmpty) lineageOf(newFiles, statsColumns)
+                   else Map.empty[String, FileMeta]
     val fileToPv = rewritten.flatMap { case (a, files) => files.map(_ -> a.partitionValues) }.toMap
     val actions =
       rewritten.map { case (a, _) => writer.removeAction(a.path, Some(a.partitionValues)) } ++
         newFiles.map { p =>
-          val (blobs, rows) = lineage.getOrElse(normalizePath(p.toString), (Seq.empty[String], 0L))
+          val meta = lineage.getOrElse(normalizePath(p.toString), FileMeta(Seq.empty, 0L))
           // rewrites inherit the source file's partition values so file-level
           // pruning keeps working after deletes
           writer.addAction(relPath(p), fs.getFileStatus(p).getLen,
-            fileToPv.getOrElse(p, Map.empty), Some(rows),
-            tags = Map(SourceBlobsTag -> M.writeValueAsString(blobs.toArray)))
+            fileToPv.getOrElse(p, Map.empty), Some(meta.rows),
+            tags = tagsFor(meta))
         }
     val v = writer.commit(actions)
     maybeCheckpoint(v)
@@ -202,7 +206,8 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
   def optimize(
       smallFileBytes: Long = 32L * 1024 * 1024,
       targetFileBytes: Long = 128L * 1024 * 1024,
-      clusterBy: Seq[String] = Nil): Long = {
+      clusterBy: Seq[String] = Nil,
+      statsColumns: Seq[String] = Nil): Long = {
     val groups = liveAdds().filter(_.size < smallFileBytes)
       .groupBy(_.partitionValues)
       .filter(_._2.size >= 2)
@@ -232,14 +237,16 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
       (pv, files, listParquet(new Path(stagingDir(stagingName), s"g$gi")))
     }
 
-    // ONE lineage job over every group's output, not one collect per group
-    val lineage = lineageOf(staged.flatMap(_._3))
+    // ONE lineage job over every group's output, not one collect per group;
+    // stats recorded for clusterBy columns too — the whole point of range
+    // clustering is that the resulting min/max ranges drive skipping
+    val lineage = lineageOf(staged.flatMap(_._3), (statsColumns ++ clusterBy).distinct)
     val actions = staged.flatMap { case (pv, files, newFiles) =>
       files.map(a => writer.removeAction(a.path, Some(a.partitionValues))) ++
         newFiles.map { p =>
-          val (blobs, rows) = lineage.getOrElse(normalizePath(p.toString), (Seq.empty[String], 0L))
-          writer.addAction(relPath(p), fs.getFileStatus(p).getLen, pv, Some(rows),
-            tags = Map(SourceBlobsTag -> M.writeValueAsString(blobs.toArray)))
+          val meta = lineage.getOrElse(normalizePath(p.toString), FileMeta(Seq.empty, 0L))
+          writer.addAction(relPath(p), fs.getFileStatus(p).getLen, pv, Some(meta.rows),
+            tags = tagsFor(meta))
         }
     }
     val v = writer.commit(actions)
@@ -305,6 +312,38 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
     else spark.read.schema(meta._1).parquet(files: _*)
   }
 
+  /** Stats-pruned snapshot: only live files whose recorded numeric
+    * [min,max] for `column` intersects [lo,hi] are opened. Files without
+    * recorded stats for the column are conservatively INCLUDED (superset
+    * semantics, same contract as [[snapshotWhere]]) — callers still apply
+    * the row-level filter. Stats come from `statsColumns` at publish/
+    * delete/OPTIMIZE time; `optimize(clusterBy = ...)` makes the ranges
+    * disjoint across files, which is when this pruning pays off.
+    */
+  def snapshotRange(column: String, lo: Double, hi: Double): DataFrame = {
+    val meta = currentMeta().getOrElse(
+      throw new IllegalStateException(s"Mirror table $name has no schema commit"))
+    val files = liveAdds()
+      .filter { a =>
+        statsOf(a, column) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None           => true
+        }
+      }
+      .map(a => new Path(root, a.path).toString)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta._1)
+    else spark.read.schema(meta._1).parquet(files: _*)
+  }
+
+  /** Recorded (min,max) of `column` for a live file, if stats were kept. */
+  def statsOf(a: LiveFile, column: String): Option[(Double, Double)] =
+    a.tags.get(StatsTag).flatMap { json =>
+      val node = M.readTree(json).get(column)
+      if (node == null || node.size() != 2) None
+      else Some((node.get(0).asDouble(), node.get(1).asDouble()))
+    }
+
   // ---- internals ----------------------------------------------------------
 
   private def relPath(p: Path): String =
@@ -321,14 +360,48 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
     out.result()
   }
 
-  /** One distributed job: per staged file → (source blobs, row count). */
-  private def lineageOf(files: Seq[Path]): Map[String, (Seq[String], Long)] =
-    spark.read.parquet(files.map(_.toString): _*)
-      .groupBy(normalizePathCol(input_file_name()).as("_file"))
-      .agg(collect_set(col(KustoTypes.BlobPathColumn)).as("blobs"), count(lit(1)).as("rows"))
+  /** One distributed job: per staged file → (source blobs, row count, and —
+    * when `statsCols` is non-empty — per-column min/max for numeric data
+    * skipping). Columns absent from the files are skipped silently.
+    */
+  private def lineageOf(
+      files: Seq[Path],
+      statsCols: Seq[String] = Nil): Map[String, FileMeta] = {
+    val df      = spark.read.parquet(files.map(_.toString): _*)
+    val present = statsCols.filter(df.columns.contains)
+    val statAggs = present.flatMap { c =>
+      Seq(min(col(c).cast("double")).as(s"_min_$c"), max(col(c).cast("double")).as(s"_max_$c"))
+    }
+    val base = Seq(
+      collect_set(col(KustoTypes.BlobPathColumn)).as("blobs"), count(lit(1)).as("rows"))
+    df.groupBy(normalizePathCol(input_file_name()).as("_file"))
+      .agg(base.head, (base.tail ++ statAggs): _*)
       .collect()
-      .map(r => r.getString(0) -> ((r.getSeq[String](1), r.getLong(2))))
+      .map { r =>
+        val stats = present.flatMap { c =>
+          val mi = r.getAs[Any](s"_min_$c")
+          val ma = r.getAs[Any](s"_max_$c")
+          if (mi == null || ma == null) None
+          else Some(c -> ((mi.asInstanceOf[Double], ma.asInstanceOf[Double])))
+        }.toMap
+        r.getString(0) -> FileMeta(r.getSeq[String](1), r.getLong(2), stats)
+      }
       .toMap
+  }
+
+  /** Tags for one published file: source-blob lineage + optional min/max
+    * stats (JSON: {"col":[min,max],...}, keys sorted for determinism).
+    */
+  private def tagsFor(meta: FileMeta): Map[String, String] = {
+    val lineageTag = Map(SourceBlobsTag -> M.writeValueAsString(meta.blobs.toArray))
+    if (meta.stats.isEmpty) lineageTag
+    else {
+      val json = meta.stats.toSeq.sortBy(_._1)
+        .map { case (c, (mi, ma)) => s""""${c}":[$mi,$ma]""" }
+        .mkString("{", ",", "}")
+      lineageTag + (StatsTag -> json)
+    }
+  }
 
   // tags aren't part of the TransactionItem IR (which keeps the reference's
   // shape); read them straight from the commit JSONs — driver-local and tiny.
@@ -399,6 +472,11 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
 object MirrorTable {
   val SourceBlobsTag = "graft.sourceBlobs"
 
+  /** Per-file numeric min/max stats tag ({"col":[min,max],...}) — the
+    * data-skipping metadata real Delta keeps in add.stats minValues/maxValues.
+    */
+  val StatsTag = "graft.stats"
+
   /** Sink-log checkpoint cadence (Delta writers default to every 10 commits). */
   val CheckpointEvery = 10L
   private val M      = new ObjectMapper()
@@ -408,6 +486,12 @@ object MirrorTable {
       partitionValues: Map[String, String],
       size: Long,
       tags: Map[String, String])
+
+  /** Per-file publish metadata from one lineage job. */
+  final case class FileMeta(
+      blobs: Seq[String],
+      rows: Long,
+      stats: Map[String, (Double, Double)] = Map.empty)
 
   /** Additive schema merge: existing columns keep their types (a type change
     * is refused), new columns append — `.create-merge table` semantics (S14).

@@ -349,6 +349,40 @@ class MirrorE2ESpec extends SparkSuite {
     assert(snap.filter(snap("year") === 1995).count() == 5)
   }
 
+  test("file stats: publish records min/max, snapshotRange prunes, clusterBy makes ranges disjoint") {
+    val (src, cfgBase) = setup("stats")
+    val cfg = cfgBase.copy(statsColumns = Seq("id"))
+    src.init(idSchema)
+    src.addCommit(spark.range(0, 100).toDF("id"))
+    src.addCommit(spark.range(100, 200).toDF("id"))
+    src.addCommit(spark.range(200, 300).toDF("id"))
+    val orch = new MirrorOrchestrator(spark, cfg)
+    orch.runOnce()
+
+    // every published file carries recorded [min,max] for id
+    val live = orch.table.liveAdds()
+    assert(live.nonEmpty)
+    assert(live.forall(a => orch.table.statsOf(a, "id").isDefined))
+
+    // range pruning: a [0,50] probe opens only the file(s) covering it
+    val pruned = orch.table.snapshotRange("id", 0, 50)
+    assert(pruned.inputFiles.length < orch.table.snapshot().inputFiles.length)
+    assert(pruned.filter("id <= 50").count() == 51)
+    // full-range probe sees everything
+    assert(orch.table.snapshotRange("id", 0, 299).count() == 300)
+
+    // after a clusterBy OPTIMIZE the rewritten files keep disjoint ranges
+    assert(orch.table.optimize(
+      targetFileBytes = 2048L, clusterBy = Seq("id")) > 0)
+    val ranges = orch.table.liveAdds().flatMap(a => orch.table.statsOf(a, "id")).sortBy(_._1)
+    assert(ranges.nonEmpty)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) => assert(hi1 <= lo2, s"overlapping ranges: $ranges")
+      case _                       =>
+    }
+    assert(orch.table.snapshotRange("id", 0, 299).count() == 300)
+  }
+
   test("partition-pruned snapshot opens only matching files") {
     val (src, cfg) = setup("prune")
     val schema = StructType(Seq(StructField("id", LongType), StructField("year", IntegerType)))
