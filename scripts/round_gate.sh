@@ -1,0 +1,25 @@
+#!/usr/bin/env bash
+# One-command replica of the driver's per-round gates:
+#   compile + test, correctness dump + DuckDB hash-compare, bench JSON.
+# Usage: scripts/round_gate.sh [sf_dir_correctness] [sf_dir_bench]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SF_CORRECT="${1:-/root/testdata/sf0.01}"
+SF_BENCH="${2:-/root/testdata/sf0.1}"
+OUT=/tmp/verify_out
+
+echo "== compile + test =="
+sbt -batch test | tail -4
+
+echo "== correctness dump @ $SF_CORRECT =="
+rm -rf "$OUT"
+SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify $SF_CORRECT $OUT" 2>&1 \
+  | grep -E "\[verify\].*failed" && { echo "VERIFY FAILURES"; exit 1; } || true
+
+echo "== DuckDB oracle compare =="
+python3 scripts/check_oracle.py "$SF_CORRECT" "$OUT"
+
+echo "== bench @ $SF_BENCH =="
+SPARK_GRAFT_SF_DIR="$SF_BENCH" SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench" \
+  | grep '"metric"'

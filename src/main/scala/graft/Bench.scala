@@ -30,11 +30,21 @@ object Bench {
       catch { case NonFatal(e) => System.err.println(s"[bench] warmup $name failed: $e") }
     }
 
+    // min of two timed runs: a single sample is hostage to whatever else the
+    // machine is doing; the min is the standard steady-state throughput
+    // estimator (warm-up above already paid codegen/JIT)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-        catch { case NonFatal(e) => System.err.println(s"[bench] $name failed: $e"); false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      def timed(): Double =
+        try {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case NonFatal(e) => System.err.println(s"[bench] $name failed: $e"); -1.0
+        }
+      val a = timed()
+      val b = timed()
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
