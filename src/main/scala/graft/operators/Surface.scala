@@ -181,6 +181,31 @@ object Surface {
         GROUP BY 1, 2, 3
         ORDER BY revenue DESC, c_custkey LIMIT 20""")),
 
+    // ---- HAVING over a global aggregate (TPC-H Q11 shape) -----------------
+
+    "q11_supplier_value" -> QueryDef(
+      // suppliers whose shipped value exceeds 0.1% of ALL shipped value:
+      // the scalar-subquery-in-HAVING shape, expressed as an unpartitioned
+      // window over the per-supplier aggregate (one extra exchange, no
+      // driver round-trip)
+      (s, dir) => {
+        val sv = t(s, dir, "lineitem")
+          .groupBy(col("l_suppkey").as("suppkey"))
+          .agg(decSum(col("l_extendedprice"), "value"))
+        sv.withColumn("total", sum(col("value")).over(Window.partitionBy()))
+          .filter(col("value") > col("total") * 0.001)
+          .join(broadcast(t(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))),
+            col("suppkey") === col("s_suppkey"))
+          .select(col("s_name"), col("s_nationkey"), round(col("value"), 2).as("value"))
+      },
+      Some("""
+        WITH sv AS (SELECT l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(28,2)))::DOUBLE AS value
+                    FROM lineitem GROUP BY 1)
+        SELECT s_name, s_nationkey, round(value, 2) AS value
+        FROM sv JOIN supplier ON l_suppkey = s_suppkey
+        WHERE value > (SELECT 0.001 * SUM(value) FROM sv)""")),
+
     // ---- semi-join / outer-join analytics (TPC-H Q4/Q13 shapes) -----------
     // left_semi and left_outer are the two join types the mirror plane never
     // uses (it is inner/anti only) — covered here so the analytics surface
