@@ -14,8 +14,14 @@ sbt -batch test | tail -4
 
 echo "== correctness dump @ $SF_CORRECT =="
 rm -rf "$OUT"
+# keep sbt's own exit status AND scan for per-query failure lines — a crashed
+# Verify must not sail past just because the failure marker never printed
+VERIFY_LOG=$(mktemp)
 SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify $SF_CORRECT $OUT" 2>&1 \
-  | grep -E "\[verify\].*failed" && { echo "VERIFY FAILURES"; exit 1; } || true
+  | tee "$VERIFY_LOG" | tail -2
+if grep -qE "\[verify\].*failed" "$VERIFY_LOG"; then echo "VERIFY FAILURES"; exit 1; fi
+grep -q "\[success\]" "$VERIFY_LOG" || { echo "VERIFY DID NOT COMPLETE"; exit 1; }
+rm -f "$VERIFY_LOG"
 
 echo "== DuckDB oracle compare =="
 python3 scripts/check_oracle.py "$SF_CORRECT" "$OUT"

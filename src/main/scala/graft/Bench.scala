@@ -43,8 +43,10 @@ object Bench {
           case NonFatal(e) => System.err.println(s"[bench] $name failed: $e"); -1.0
         }
       val a = timed()
-      val b = timed()
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      // don't re-run a deterministic failure; keep the good sample if only
+      // the second attempt hiccups
+      val b = if (a < 0) a else timed()
+      name -> (if (a < 0) -1.0 else if (b < 0) a else math.min(a, b))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -105,19 +105,34 @@ class DeltaLogReader(
     */
   def readCheckpoint(version: Long, startTxId: Long): TxLog = {
     val prefix = f"$version%020d.checkpoint"
-    val parts = fs
+    val names = fs
       .listStatus(logPath)
       .map(_.getPath)
       .filter { p =>
         val n = p.getName
         n.startsWith(prefix) && n.endsWith(".parquet")
       }
-      .map(_.toUri.toString)
-      .sorted
-    require(parts.nonEmpty, s"Checkpoint parquet missing for version $version under $logPath")
-    val df   = spark.read.parquet(parts.toIndexedSeq: _*)
+      .sortBy(_.getName)
+    require(names.nonEmpty, s"Checkpoint parquet missing for version $version under $logPath")
+
+    // multi-part integrity: the file name encodes <i>.<n>; a crash between
+    // the delete-then-rename steps of a re-checkpoint (or a concurrent poll)
+    // can expose a subset — reading it silently would drop add actions, so
+    // validate the set is complete and not mixed with the single-file form
+    val MultiPart = raw"\d{20}\.checkpoint\.(\d{10})\.(\d{10})\.parquet".r
+    val declared  = names.map(_.getName).collect { case MultiPart(_, n) => n.toInt }
+    if (declared.nonEmpty) {
+      require(declared.distinct.size == 1 && names.length == declared.head,
+        s"Incomplete or mixed checkpoint for version $version: found ${names.length} " +
+          s"file(s) ${names.map(_.getName).mkString(", ")} but part names declare ${declared.distinct.mkString("/")} parts")
+    }
+
+    val df   = spark.read.parquet(names.map(_.toUri.toString).toIndexedSeq: _*)
     val cols = df.columns.toSet
-    val wanted = Seq("metaData", "add", "remove").filter(cols)
+    // include `protocol`: real Delta checkpoints embed the protocol action
+    // and later commits don't restate it — selecting it keeps rowToItem's
+    // minReaderVersion gate effective on the checkpoint-bootstrap path too
+    val wanted = Seq("metaData", "add", "remove", "protocol").filter(cols)
     val rows = df.select(wanted.map(col): _*).collect()
     TxLog(rows.toSeq.flatMap(rowToItem(_, startTxId, version)))
   }

@@ -189,22 +189,26 @@ object Surface {
       // window over the per-supplier aggregate (one extra exchange, no
       // driver round-trip)
       (s, dir) => {
+        // threshold compare stays in DECIMAL end-to-end: a double window sum
+        // is order-dependent, and a supplier within ulps of the 0.1% cut
+        // could flip membership between engines/runs
         val sv = t(s, dir, "lineitem")
           .groupBy(col("l_suppkey").as("suppkey"))
-          .agg(decSum(col("l_extendedprice"), "value"))
-        sv.withColumn("total", sum(col("value")).over(Window.partitionBy()))
-          .filter(col("value") > col("total") * 0.001)
+          .agg(sum(col("l_extendedprice").cast("decimal(28,2)")).as("dv"))
+        sv.withColumn("total", sum(col("dv")).over(Window.partitionBy()))
+          .filter(col("dv") > col("total") * lit(java.math.BigDecimal.valueOf(0.001)))
           .join(broadcast(t(s, dir, "supplier")
             .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))),
             col("suppkey") === col("s_suppkey"))
-          .select(col("s_name"), col("s_nationkey"), round(col("value"), 2).as("value"))
+          .select(col("s_name"), col("s_nationkey"),
+            round(col("dv").cast("double"), 2).as("value"))
       },
       Some("""
-        WITH sv AS (SELECT l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(28,2)))::DOUBLE AS value
+        WITH sv AS (SELECT l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS dv
                     FROM lineitem GROUP BY 1)
-        SELECT s_name, s_nationkey, round(value, 2) AS value
+        SELECT s_name, s_nationkey, round(CAST(dv AS DOUBLE), 2) AS value
         FROM sv JOIN supplier ON l_suppkey = s_suppkey
-        WHERE value > (SELECT 0.001 * SUM(value) FROM sv)""")),
+        WHERE dv > (SELECT SUM(dv) FROM sv) * 0.001""")),
 
     // ---- semi-join / outer-join analytics (TPC-H Q4/Q13 shapes) -----------
     // left_semi and left_outer are the two join types the mirror plane never

@@ -239,8 +239,18 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
 
     // ONE lineage job over every group's output, not one collect per group;
     // stats recorded for clusterBy columns too — the whole point of range
-    // clustering is that the resulting min/max ranges drive skipping
-    val lineage = lineageOf(staged.flatMap(_._3), (statsColumns ++ clusterBy).distinct)
+    // clustering is that the resulting min/max ranges drive skipping. Also
+    // re-record whatever stat columns the INPUT files already carried, so a
+    // maintenance OPTIMIZE without explicit statsColumns doesn't silently
+    // strip the skipping metadata the publisher recorded.
+    val inherited = groups.flatMap(_._2).flatMap { a =>
+      a.tags.get(StatsTag).toSeq.flatMap { json =>
+        val it = M.readTree(json).fieldNames()
+        Iterator.continually(if (it.hasNext) it.next() else null).takeWhile(_ != null)
+      }
+    }
+    val lineage = lineageOf(staged.flatMap(_._3),
+      (statsColumns ++ clusterBy ++ inherited).distinct)
     val actions = staged.flatMap { case (pv, files, newFiles) =>
       files.map(a => writer.removeAction(a.path, Some(a.partitionValues))) ++
         newFiles.map { p =>
@@ -382,7 +392,15 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
           val mi = r.getAs[Any](s"_min_$c")
           val ma = r.getAs[Any](s"_max_$c")
           if (mi == null || ma == null) None
-          else Some(c -> ((mi.asInstanceOf[Double], ma.asInstanceOf[Double])))
+          else {
+            val (lo, hi) = (mi.asInstanceOf[Double], ma.asInstanceOf[Double])
+            // NaN/Infinity would serialize to invalid JSON and poison every
+            // later statsOf parse — drop the column's stats for this file
+            // (conservative include at prune time) instead
+            if (java.lang.Double.isFinite(lo) && java.lang.Double.isFinite(hi))
+              Some(c -> ((lo, hi)))
+            else None
+          }
         }.toMap
         r.getString(0) -> FileMeta(r.getSeq[String](1), r.getLong(2), stats)
       }

@@ -85,6 +85,17 @@ class DeltaLogReaderSpec extends SparkSuite {
     val batch = reader.nextBatch(None).get
     assert(batch.adds.size == 2 && batch.endTxId == 3L)
 
+    // a PARTIAL multi-part set (crash mid-rename, or a concurrent poll) must
+    // be refused, not silently read as the whole table
+    val firstPart = partNames.sorted.head
+    val victim    = new Path(new Path(dir, "_delta_log"), firstPart)
+    val bytes     = org.apache.commons.io.IOUtils.toByteArray(fs.open(victim))
+    fs.delete(victim, false)
+    val e = intercept[IllegalArgumentException](reader.readCheckpoint(3L, startTxId = 0L))
+    assert(e.getMessage.contains("Incomplete or mixed checkpoint"), e.getMessage)
+    val out = fs.create(victim, true)
+    try out.write(bytes) finally out.close()
+
     // re-checkpointing the same version with a different part count must
     // not leave both naming forms behind (the prefix glob would then
     // double-count every action)
