@@ -184,6 +184,25 @@ class DeltaLogReader(
       if (logs.isEmpty) None else Some(TxLog.coalesce(logs))
   }
 
+  /** Table state as of commit `version` (inclusive) — time travel.
+    * Bootstraps from the checkpoint only when it is at or before `version`;
+    * otherwise replays commits 0..version. Returns None when `version`
+    * precedes the first commit.
+    */
+  def snapshotAsOf(version: Long): Option[TxLog] =
+    readLastCheckpoint().filter(_.version <= version) match {
+      case Some(ckpt) =>
+        val cumulative = readCheckpoint(ckpt.version, startTxId = 0L)
+        val after = readCommits(
+          checkContiguous(listCommits(ckpt.version + 1), ckpt.version + 1)
+            .filter(_._1 <= version))
+        Some(TxLog.coalesce(cumulative +: after))
+      case None =>
+        val logs = readCommits(
+          checkContiguous(listCommits().filter(_._1 <= version), 0L))
+        if (logs.isEmpty) None else Some(TxLog.coalesce(logs))
+    }
+
   /** A vacuumed/gappy log means unrecoverable history — fail loudly rather
     * than silently skipping commits. (Gaps *above* `from` are impossible in a
     * healthy Delta log; a missing head means the state references vacuumed

@@ -346,6 +346,28 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
     else spark.read.schema(meta._1).parquet(files: _*)
   }
 
+  /** Time travel: the table exactly as of sink-log commit `version` —
+    * the as-of metadata's schema over the as-of live file set. Reproducible
+    * dataset snapshots for training pipelines ("the corpus as of commit N")
+    * fall out of the commit log for free. As in Delta, [[vacuum]] reclaims
+    * files unreferenced by the CURRENT snapshot, so time travel reaches only
+    * as far back as vacuum retention allows.
+    */
+  def snapshotAt(version: Long): DataFrame = {
+    val log = reader.snapshotAsOf(version).getOrElse(
+      throw new IllegalArgumentException(s"No commits at or before version $version for $name"))
+    val schema = log.metadata.map { m =>
+      StructType(m.schema.getOrElse(Seq.empty).map(c =>
+        org.apache.spark.sql.types.StructField(
+          c.name, org.apache.spark.sql.types.DataType.fromDDL(c.dataType))))
+    }.getOrElse(currentMeta().map(_._1).getOrElse(
+      throw new IllegalStateException(s"Mirror table $name has no schema commit")))
+    val files = log.adds.flatMap(_.blobPath).map(p => new Path(root, p).toString)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files: _*)
+  }
+
   /** Recorded (min,max) of `column` for a live file, if stats were kept. */
   def statsOf(a: LiveFile, column: String): Option[(Double, Double)] =
     a.tags.get(StatsTag).flatMap { json =>

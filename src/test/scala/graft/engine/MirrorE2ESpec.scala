@@ -383,6 +383,35 @@ class MirrorE2ESpec extends SparkSuite {
     assert(orch.table.snapshotRange("id", 0, 299).count() == 300)
   }
 
+  test("time travel: snapshotAt reproduces each commit's live set") {
+    val (src, cfg) = setup("timetravel")
+    src.init(idSchema)
+    val f0 = src.addCommit(spark.range(0, 5).toDF("id"))
+    val orch = new MirrorOrchestrator(spark, cfg)
+    orch.runOnce()
+    val v1 = orch.table.liveAdds().size // snapshot after first mirror
+    assert(ids(orch) == (0L until 5L))
+
+    src.addCommit(spark.range(5, 9).toDF("id"))
+    src.replaceCommit(f0, spark.range(1, 5).toDF("id")) // upstream DELETE id=0
+    orch.runOnce()
+    assert(ids(orch) == (1L until 9L))
+
+    // find the first sink commit version that published data
+    val reader = new graft.deltalog.DeltaLogReader(spark, cfg.mirrorDir, cfg.mirrorTableName)
+    val versions = reader.listCommits().map(_._1)
+    val firstPublish = versions.find { v =>
+      reader.snapshotAsOf(v).exists(_.adds.nonEmpty)
+    }.get
+    val asOf = orch.table.snapshotAt(firstPublish)
+    assert(asOf.select("id").collect().map(_.getLong(0)).sorted.toSeq == (0L until 5L))
+
+    // latest version == current snapshot
+    val latest = orch.table.snapshotAt(versions.last)
+    assert(latest.select("id").collect().map(_.getLong(0)).sorted.toSeq == (1L until 9L))
+    assert(v1 >= 1)
+  }
+
   test("partition-pruned snapshot opens only matching files") {
     val (src, cfg) = setup("prune")
     val schema = StructType(Seq(StructField("id", LongType), StructField("year", IntegerType)))
