@@ -173,35 +173,58 @@ class DeltaLogReader(
     * exists (O1), else full commit replay. Unlike [[nextBatch]] there is no
     * read-ahead cap — this is the "open the table" path, not the poll path.
     */
-  def fullSnapshot(): Option[TxLog] = readLastCheckpoint() match {
-    case Some(ckpt) =>
-      val cumulative = readCheckpoint(ckpt.version, startTxId = 0L)
-      val after = readCommits(
-        checkContiguous(listCommits(ckpt.version + 1), ckpt.version + 1))
-      Some(TxLog.coalesce(cumulative +: after))
-    case None =>
-      val logs = readCommits(checkContiguous(listCommits(), 0L))
+  def fullSnapshot(): Option[TxLog] =
+    listCommits().lastOption.flatMap { case (last, _) => snapshotAsOf(last) }
+
+  /** Table state as of commit `version` (inclusive) — time travel, and the
+    * shared fold under [[fullSnapshot]]. Bootstraps from the NEWEST on-disk
+    * checkpoint at or before `version` (older checkpoints are never deleted,
+    * so travel below the latest checkpoint stays O(recent), not O(full log)).
+    * Returns None when the log is empty. Throws on a version beyond the
+    * latest commit — silently returning the current state would let the same
+    * version argument mean different data over time (Delta's versionAsOf
+    * errors the same way).
+    */
+  def snapshotAsOf(version: Long): Option[TxLog] = {
+    val commits = listCommits()
+    if (commits.isEmpty) return None
+    val last = commits.last._1
+    require(version >= 0 && version <= last,
+      s"Version $version is out of range: table $mirrorTableName has commits 0..$last")
+    // newest usable checkpoint first; a torn multi-part set (crash between
+    // the rename steps of a re-checkpoint) is skipped in favor of an older
+    // checkpoint or full replay — commits are never deleted, so the fold
+    // stays correct, only slower
+    val fromCheckpoint = checkpointVersions().filter(_ <= version).sorted.reverse.view
+      .flatMap { ckptV =>
+        try {
+          val cumulative = readCheckpoint(ckptV, startTxId = 0L)
+          val after = readCommits(
+            checkContiguous(listCommits(ckptV + 1), ckptV + 1).filter(_._1 <= version))
+          Some(TxLog.coalesce(cumulative +: after))
+        } catch {
+          case e: IllegalArgumentException
+              if Option(e.getMessage).exists(_.contains("Incomplete or mixed checkpoint")) =>
+            None
+        }
+      }
+      .headOption
+    fromCheckpoint.orElse {
+      val logs = readCommits(checkContiguous(commits.filter(_._1 <= version), 0L))
       if (logs.isEmpty) None else Some(TxLog.coalesce(logs))
+    }
   }
 
-  /** Table state as of commit `version` (inclusive) — time travel.
-    * Bootstraps from the checkpoint only when it is at or before `version`;
-    * otherwise replays commits 0..version. Returns None when `version`
-    * precedes the first commit.
-    */
-  def snapshotAsOf(version: Long): Option[TxLog] =
-    readLastCheckpoint().filter(_.version <= version) match {
-      case Some(ckpt) =>
-        val cumulative = readCheckpoint(ckpt.version, startTxId = 0L)
-        val after = readCommits(
-          checkContiguous(listCommits(ckpt.version + 1), ckpt.version + 1)
-            .filter(_._1 <= version))
-        Some(TxLog.coalesce(cumulative +: after))
-      case None =>
-        val logs = readCommits(
-          checkContiguous(listCommits().filter(_._1 <= version), 0L))
-        if (logs.isEmpty) None else Some(TxLog.coalesce(logs))
-    }
+  /** Versions with a (single- or multi-part) checkpoint parquet on disk. */
+  private def checkpointVersions(): Seq[Long] = {
+    val Ckpt = raw"(\d{20})\.checkpoint(\.\d{10}\.\d{10})?\.parquet".r
+    if (!fs.exists(logPath)) return Seq.empty
+    fs.listStatus(logPath).toSeq
+      .map(_.getPath.getName)
+      .collect { case Ckpt(v, _) => v.toLong }
+      .distinct
+      .sorted
+  }
 
   /** A vacuumed/gappy log means unrecoverable history — fail loudly rather
     * than silently skipping commits. (Gaps *above* `from` are impossible in a

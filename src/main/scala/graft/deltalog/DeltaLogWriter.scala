@@ -124,9 +124,7 @@ class DeltaLogWriter(spark: SparkSession, tablePath: String) {
     val folded  = graft.txlog.TxLog.coalesce(logs)
 
     val rows: Seq[Row] = folded.metadata.map { m =>
-      val schemaJson = StructType(m.schema.getOrElse(Seq.empty).map(c =>
-        org.apache.spark.sql.types.StructField(
-          c.name, org.apache.spark.sql.types.DataType.fromDDL(c.dataType)))).json
+      val schemaJson = graft.types.KustoTypes.structFrom(m.schema.getOrElse(Seq.empty)).json
       Row(
         Row(m.internalState.deltaTableId.orNull, m.internalState.deltaTableName.orNull, null,
           Row("parquet", Map.empty[String, String]), schemaJson,

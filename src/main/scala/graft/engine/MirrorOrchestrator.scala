@@ -133,8 +133,7 @@ class MirrorOrchestrator(spark: SparkSession, config: MirrorConfig) {
     // 1. landing table schema (tx 0 or schema-change metadata)
     batch.metadata match {
       case Some(m) if m.state != TxState.Done =>
-        val schema = StructType(m.schema.getOrElse(Seq.empty).map(c =>
-          StructField(c.name, DataType.fromDDL(c.dataType))))
+        val schema = KustoTypes.structFrom(m.schema.getOrElse(Seq.empty))
         mirror.ensureSchema(schema, m.partitionColumns.getOrElse(Seq.empty))
         store.append(Seq(m.withState(TxState.Done, now())))
       case _ =>

@@ -71,10 +71,8 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
 
   def currentMeta(): Option[(StructType, Seq[String])] =
     snapshotLog().flatMap(_.metadata).map { m =>
-      val fields = m.schema.getOrElse(Seq.empty).map(c =>
-        org.apache.spark.sql.types.StructField(
-          c.name, org.apache.spark.sql.types.DataType.fromDDL(c.dataType)))
-      (StructType(fields), m.partitionColumns.getOrElse(Seq.empty))
+      (KustoTypes.structFrom(m.schema.getOrElse(Seq.empty)),
+        m.partitionColumns.getOrElse(Seq.empty))
     }
 
   /** Staging area of one batch attempt (S13) — final location, pre-publish. */
@@ -356,12 +354,9 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
   def snapshotAt(version: Long): DataFrame = {
     val log = reader.snapshotAsOf(version).getOrElse(
       throw new IllegalArgumentException(s"No commits at or before version $version for $name"))
-    val schema = log.metadata.map { m =>
-      StructType(m.schema.getOrElse(Seq.empty).map(c =>
-        org.apache.spark.sql.types.StructField(
-          c.name, org.apache.spark.sql.types.DataType.fromDDL(c.dataType))))
-    }.getOrElse(currentMeta().map(_._1).getOrElse(
-      throw new IllegalStateException(s"Mirror table $name has no schema commit")))
+    val schema = log.metadata.map(m => KustoTypes.structFrom(m.schema.getOrElse(Seq.empty)))
+      .getOrElse(currentMeta().map(_._1).getOrElse(
+        throw new IllegalStateException(s"Mirror table $name has no schema commit")))
     val files = log.adds.flatMap(_.blobPath).map(p => new Path(root, p).toString)
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

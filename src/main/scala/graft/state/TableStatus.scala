@@ -45,10 +45,8 @@ final case class TableStatus(tableName: String, items: Seq[TransactionItem]) {
       .filter(i => i.action == TxAction.Schema && i.startTxId <= maxTxId)
       .maxByOption(_.startTxId)
       .map { m =>
-        val fields = m.schema.getOrElse(Seq.empty).map { c =>
-          StructField(c.name, DataType.fromDDL(c.dataType))
-        }
-        (StructType(fields), m.partitionColumns.getOrElse(Seq.empty))
+        (graft.types.KustoTypes.structFrom(m.schema.getOrElse(Seq.empty)),
+          m.partitionColumns.getOrElse(Seq.empty))
       }
 }
 

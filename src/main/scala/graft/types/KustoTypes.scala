@@ -16,6 +16,13 @@ import org.apache.spark.sql.types._
   */
 object KustoTypes {
 
+  /** The ONE ColumnSpec→StructType conversion (previously copy-pasted at
+    * every consumer): a schema-encoding change now lands in a single place,
+    * keeping time-travel, checkpoint, and current-snapshot schemas in step.
+    */
+  def structFrom(cols: Seq[graft.txlog.ColumnSpec]): StructType =
+    StructType(cols.map(c => StructField(c.name, DataType.fromDDL(c.dataType))))
+
   /** Lineage column appended to every mirrored table
     * (TableDefinition.cs:16, :58-69).
     */

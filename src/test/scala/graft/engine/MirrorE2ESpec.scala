@@ -389,7 +389,6 @@ class MirrorE2ESpec extends SparkSuite {
     val f0 = src.addCommit(spark.range(0, 5).toDF("id"))
     val orch = new MirrorOrchestrator(spark, cfg)
     orch.runOnce()
-    val v1 = orch.table.liveAdds().size // snapshot after first mirror
     assert(ids(orch) == (0L until 5L))
 
     src.addCommit(spark.range(5, 9).toDF("id"))
@@ -409,7 +408,13 @@ class MirrorE2ESpec extends SparkSuite {
     // latest version == current snapshot
     val latest = orch.table.snapshotAt(versions.last)
     assert(latest.select("id").collect().map(_.getLong(0)).sorted.toSeq == (1L until 9L))
-    assert(v1 >= 1)
+
+    // before the first publish there is no data, only schema
+    assert(orch.table.snapshotAt(firstPublish - 1).count() == 0)
+    // a version beyond the log must ERROR, not silently return current state
+    // (the same version argument would otherwise mean different data later)
+    val e = intercept[IllegalArgumentException](orch.table.snapshotAt(versions.last + 10))
+    assert(e.getMessage.contains("out of range"), e.getMessage)
   }
 
   test("partition-pruned snapshot opens only matching files") {
