@@ -36,6 +36,33 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
   def readAll(): Seq[TransactionItem] =
     TxLog.lastWins(readRaw())
 
+  /** The `MLK_DeltaStatus` view (A1, DatabaseGateway.cs:76-104) as a
+    * DataFrame: the checkpoint CSV read distributed, arg_max-deduped per
+    * item key by MirrorTimestamp, ordered like the reference's view (W3).
+    * The reference exposes this same view to users over `externaldata`; the
+    * Spark-native phrasing is `spark.read.csv` + `max_by(struct(*), ts)`.
+    */
+  def statusView(): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val items = readRaw()
+    import spark.implicits._
+    val df = items.map { i =>
+      (i.tableName, i.startTxId, i.endTxId, i.action.name, i.state.name,
+        java.sql.Timestamp.from(i.mirrorTimestamp),
+        i.deltaTimestamp.map(java.sql.Timestamp.from).orNull,
+        i.blobPath.orNull)
+    }.toDF("KustoTableName", "StartTxId", "EndTxId", "Action", "State",
+      "MirrorTimestamp", "DeltaTimestamp", "BlobPath")
+    df.groupBy("KustoTableName", "StartTxId", "Action", "BlobPath")
+      .agg(max_by(
+        struct(col("EndTxId"), col("State"), col("MirrorTimestamp"), col("DeltaTimestamp")),
+        col("MirrorTimestamp")).as("latest"))
+      .select(col("KustoTableName"), col("StartTxId"), col("latest.EndTxId"),
+        col("Action"), col("latest.State"), col("latest.MirrorTimestamp"),
+        col("latest.DeltaTimestamp"), col("BlobPath"))
+      .orderBy("KustoTableName", "StartTxId", "Action", "BlobPath")
+  }
+
   /** All rows in arrival order, duplicates included. */
   def readRaw(): Seq[TransactionItem] = {
     if (!fs.exists(indexPath)) return Seq.empty

@@ -46,6 +46,22 @@ class CheckpointStoreSpec extends SparkSuite {
     assert(store.readAll().toSet == Set(a2, b))
   }
 
+  test("statusView is the arg_max dedup of the raw CSV (MLK_DeltaStatus, A1)") {
+    val store = new CheckpointStore(spark, tmpDir("ckpt"))
+    val a  = fullItem
+    val a2 = a.withState(TxState.Done, T0.plusSeconds(60))
+    val b  = a.copy(blobPath = Some("other.parquet"))
+    store.append(Seq(a))
+    store.append(Seq(b, a2))
+
+    val rows = store.statusView().collect()
+    assert(rows.length == 2) // 3 raw rows, last-wins per item key
+    val aRow = rows.find(_.getAs[String]("BlobPath") == a.blobPath.orNull).get
+    assert(aRow.getAs[String]("State") == "Done") // a2 won over a
+    assert(store.statusView().columns.toSeq.take(4) ==
+      Seq("KustoTableName", "StartTxId", "EndTxId", "Action"))
+  }
+
   test("TableStatus queries: incomplete, earliest, batch, historical, schema arg_max") {
     val m0 = TransactionItem("t", 0, 0, TxAction.Schema, TxState.Done, T0,
       partitionColumns = Some(Nil), schema = Some(Seq(ColumnSpec("id", "BIGINT"))))
