@@ -84,10 +84,31 @@ object MirrorDemo {
       s"min-id=${snap2.agg(org.apache.spark.sql.functions.min("id")).head().getLong(0)}")
     println(s"[demo] mirror live files: ${orch.table.liveAdds().size}")
 
-    // compact the per-batch small files (sink OPTIMIZE) — row-count invariant
-    orch.table.optimize(targetFileBytes = 512L * 1024 * 1024)
+    // compact per partition group with range clustering on id — rewrites
+    // keep partition values and carry min/max stats for data skipping
+    orch.table.optimize(targetFileBytes = 512L * 1024 * 1024,
+      clusterBy = Seq("id"), statsColumns = Seq("id"))
     println(s"[demo] after sink OPTIMIZE: rows=${orch.table.snapshot().count()} " +
       s"live-files=${orch.table.liveAdds().size}")
+    println(s"[demo] stats-pruned read id∈[0,50]: " +
+      s"files=${orch.table.snapshotRange("id", 0, 50).inputFiles.length} " +
+      s"of ${orch.table.snapshot().inputFiles.length}")
+
+    // time travel: the table as of its first data-bearing commit
+    val rdr = new graft.deltalog.DeltaLogReader(spark, cfg.mirrorDir, cfg.mirrorTableName)
+    val firstData = rdr.listCommits().map(_._1)
+      .find(v => rdr.snapshotAsOf(v).exists(_.adds.nonEmpty))
+    firstData.foreach { v =>
+      println(s"[demo] time travel to commit $v: rows=${orch.table.snapshotAt(v).count()}")
+    }
+
+    // reclaim tombstoned bytes (delete + OPTIMIZE leftovers)
+    Thread.sleep(5)
+    println(s"[demo] VACUUM reclaimed ${orch.table.vacuum(retainMs = 0L)} files")
+
+    // the reference's MLK_DeltaStatus view, Spark-native
+    val status = new graft.state.CheckpointStore(spark, cfg.checkpointDir).statusView()
+    println(s"[demo] status view: ${status.count()} state rows")
     spark.stop()
   }
 }
