@@ -94,10 +94,11 @@ object MirrorDemo {
       s"files=${orch.table.snapshotRange("id", 0, 50).inputFiles.length} " +
       s"of ${orch.table.snapshot().inputFiles.length}")
 
-    // time travel: the table as of its first data-bearing commit
+    // time travel: the table as of its first data-bearing commit (ONE
+    // commit-replay pass to locate it, not a fold per version)
     val rdr = new graft.deltalog.DeltaLogReader(spark, cfg.mirrorDir, cfg.mirrorTableName)
-    val firstData = rdr.listCommits().map(_._1)
-      .find(v => rdr.snapshotAsOf(v).exists(_.adds.nonEmpty))
+    val firstData = rdr.readCommits(rdr.listCommits())
+      .find(_.adds.nonEmpty).map(_.startTxId)
     firstData.foreach { v =>
       println(s"[demo] time travel to commit $v: rows=${orch.table.snapshotAt(v).count()}")
     }

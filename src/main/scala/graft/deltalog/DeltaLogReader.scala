@@ -199,8 +199,10 @@ class DeltaLogReader(
       .flatMap { ckptV =>
         try {
           val cumulative = readCheckpoint(ckptV, startTxId = 0L)
+          // filter the in-hand listing instead of re-LISTing the log dir —
+          // directory LIST is the dominant metadata cost on object stores
           val after = readCommits(
-            checkContiguous(listCommits(ckptV + 1), ckptV + 1).filter(_._1 <= version))
+            checkContiguous(commits.filter(_._1 > ckptV), ckptV + 1).filter(_._1 <= version))
           Some(TxLog.coalesce(cumulative +: after))
         } catch {
           case e: IllegalArgumentException

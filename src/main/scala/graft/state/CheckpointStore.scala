@@ -37,26 +37,30 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
     TxLog.lastWins(readRaw())
 
   /** The `MLK_DeltaStatus` view (A1, DatabaseGateway.cs:76-104) as a
-    * DataFrame: the checkpoint CSV read distributed, arg_max-deduped per
-    * item key by MirrorTimestamp, ordered like the reference's view (W3).
-    * The reference exposes this same view to users over `externaldata`; the
-    * Spark-native phrasing is `spark.read.csv` + `max_by(struct(*), ts)`.
+    * DataFrame: arg_max dedup by MirrorTimestamp over the SAME key the
+    * reference's view uses — (table, StartTxId, Action, BlobPath), note NO
+    * EndTxId, so like the reference this view can collapse rows that
+    * `readAll()`'s full ItemKey keeps distinct. The CSV is read on the
+    * driver (it is state metadata, bounded by files-per-batch — the
+    * reference reads it server-side via `externaldata` the same way) and
+    * parallelized for the dedup. Ties on MirrorTimestamp resolve to the
+    * last-appended row (arrival order), matching `TxLog.lastWins`.
     */
   def statusView(): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val items = readRaw()
     import spark.implicits._
-    val df = items.map { i =>
+    val df = items.zipWithIndex.map { case (i, seq) =>
       (i.tableName, i.startTxId, i.endTxId, i.action.name, i.state.name,
         java.sql.Timestamp.from(i.mirrorTimestamp),
         i.deltaTimestamp.map(java.sql.Timestamp.from).orNull,
-        i.blobPath.orNull)
+        i.blobPath.orNull, seq.toLong)
     }.toDF("KustoTableName", "StartTxId", "EndTxId", "Action", "State",
-      "MirrorTimestamp", "DeltaTimestamp", "BlobPath")
+      "MirrorTimestamp", "DeltaTimestamp", "BlobPath", "_seq")
     df.groupBy("KustoTableName", "StartTxId", "Action", "BlobPath")
       .agg(max_by(
         struct(col("EndTxId"), col("State"), col("MirrorTimestamp"), col("DeltaTimestamp")),
-        col("MirrorTimestamp")).as("latest"))
+        struct(col("MirrorTimestamp"), col("_seq"))).as("latest"))
       .select(col("KustoTableName"), col("StartTxId"), col("latest.EndTxId"),
         col("Action"), col("latest.State"), col("latest.MirrorTimestamp"),
         col("latest.DeltaTimestamp"), col("BlobPath"))

@@ -1,6 +1,6 @@
 package graft.state
 
-import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.types.StructType
 
 import graft.txlog._
 

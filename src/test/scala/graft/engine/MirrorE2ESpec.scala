@@ -396,12 +396,11 @@ class MirrorE2ESpec extends SparkSuite {
     orch.runOnce()
     assert(ids(orch) == (1L until 9L))
 
-    // find the first sink commit version that published data
+    // find the first sink commit version that published data (one replay)
     val reader = new graft.deltalog.DeltaLogReader(spark, cfg.mirrorDir, cfg.mirrorTableName)
     val versions = reader.listCommits().map(_._1)
-    val firstPublish = versions.find { v =>
-      reader.snapshotAsOf(v).exists(_.adds.nonEmpty)
-    }.get
+    val firstPublish = reader.readCommits(reader.listCommits())
+      .find(_.adds.nonEmpty).map(_.startTxId).get
     val asOf = orch.table.snapshotAt(firstPublish)
     assert(asOf.select("id").collect().map(_.getLong(0)).sorted.toSeq == (0L until 5L))
 
