@@ -363,6 +363,22 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
     else spark.read.schema(schema).parquet(files: _*)
   }
 
+  /** Commit history (DESCRIBE HISTORY analog): one row per sink-log commit
+    * with its action counts — the navigation aid for [[snapshotAt]].
+    * Driver-side metadata only; no data files are touched.
+    */
+  def history(): DataFrame = {
+    import spark.implicits._
+    val logs = reader.readCommits(reader.listCommits())
+    logs.map { l =>
+      val ts = (l.adds ++ l.removes ++ l.metadata.toSeq)
+        .flatMap(_.deltaTimestamp).map(_.toEpochMilli).maxOption
+        .map(new java.sql.Timestamp(_)).orNull
+      (l.startTxId, ts, l.adds.size.toLong, l.removes.size.toLong, l.metadata.nonEmpty)
+    }.toDF("version", "timestamp", "n_adds", "n_removes", "schema_change")
+      .orderBy(col("version"))
+  }
+
   /** Recorded (min,max) of `column` for a live file, if stats were kept. */
   def statsOf(a: LiveFile, column: String): Option[(Double, Double)] =
     a.tags.get(StatsTag).flatMap { json =>

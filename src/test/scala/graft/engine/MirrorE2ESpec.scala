@@ -408,6 +408,14 @@ class MirrorE2ESpec extends SparkSuite {
     val latest = orch.table.snapshotAt(versions.last)
     assert(latest.select("id").collect().map(_.getLong(0)).sorted.toSeq == (1L until 9L))
 
+    // history(): one row per state-bearing commit, counts navigable to
+    // snapshotAt versions
+    val hist = orch.table.history().collect()
+    assert(hist.map(_.getLong(0)).toSeq == hist.map(_.getLong(0)).toSeq.sorted)
+    assert(hist.exists(r => r.getLong(0) == firstPublish && r.getLong(2) > 0)) // n_adds
+    assert(hist.exists(_.getBoolean(4))) // the schema commit
+    assert(hist.exists(_.getLong(3) > 0)) // the delete rewrite removed files
+
     // before the first publish there is no data, only schema
     assert(orch.table.snapshotAt(firstPublish - 1).count() == 0)
     // a version beyond the log must ERROR, not silently return current state
