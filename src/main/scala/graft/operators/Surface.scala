@@ -181,6 +181,44 @@ object Surface {
         GROUP BY 1, 2, 3
         ORDER BY revenue DESC, c_custkey LIMIT 20""")),
 
+    // ---- two-sided dimension bridge (TPC-H Q7 shape) ----------------------
+
+    "q7_volume_shipping" -> QueryDef(
+      // revenue between nation PAIRS: the same dim table (nation) joins the
+      // fact twice through different bridges (supplier side and
+      // customer-via-orders side) — both broadcast; year from the nanos-free
+      // lineitem shipdate
+      (s, dir) => {
+        val n1 = broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation")))
+        val n2 = broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation")))
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+            col("o_custkey") === col("c_custkey"))
+          .join(n1, col("s_nationkey") === col("n1_key"))
+          .join(n2, col("c_nationkey") === col("n2_key"))
+          .filter(col("supp_nation") < col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("bigint").as("l_year"))
+          .agg(count(lit(1)).as("n_items"), revenue("revenue"))
+      },
+      Some(s"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               EXTRACT(year FROM l_shipdate) AS l_year,
+               count(*) AS n_items, SUM($RevenueTermDk)::DOUBLE AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name < n2.n_name
+        GROUP BY 1, 2, 3""")),
+
     // ---- HAVING over a global aggregate (TPC-H Q11 shape) -----------------
 
     "q11_supplier_value" -> QueryDef(
