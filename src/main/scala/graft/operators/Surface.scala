@@ -223,9 +223,10 @@ object Surface {
 
     "q11_supplier_value" -> QueryDef(
       // suppliers whose shipped value exceeds 0.1% of ALL shipped value:
-      // the scalar-subquery-in-HAVING shape, expressed as an unpartitioned
-      // window over the per-supplier aggregate (one extra exchange, no
-      // driver round-trip)
+      // the scalar-subquery-in-HAVING shape. The global total is a 1-row
+      // aggregate broadcast back onto the per-supplier rows — NOT an
+      // unpartitioned window, which would move every per-supplier row to a
+      // single task at scale (supplier count grows with the data)
       (s, dir) => {
         // threshold compare stays in DECIMAL end-to-end: a double window sum
         // is order-dependent, and a supplier within ulps of the 0.1% cut
@@ -233,7 +234,7 @@ object Surface {
         val sv = t(s, dir, "lineitem")
           .groupBy(col("l_suppkey").as("suppkey"))
           .agg(sum(col("l_extendedprice").cast("decimal(28,2)")).as("dv"))
-        sv.withColumn("total", sum(col("dv")).over(Window.partitionBy()))
+        sv.crossJoin(broadcast(sv.agg(sum(col("dv")).as("total"))))
           .filter(col("dv") > col("total") * lit(java.math.BigDecimal.valueOf(0.001)))
           .join(broadcast(t(s, dir, "supplier")
             .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))),
@@ -298,9 +299,13 @@ object Surface {
             col("l_partkey") === col("p_partkey"))
           .groupBy("p_type")
           .agg(count(lit(1)).as("n_items"), revenue("type_revenue"))
-        grouped.withColumn("revenue_share",
-          round(col("type_revenue")
-            / sum(col("type_revenue")).over(Window.partitionBy()), 6))
+        // share-of-total via broadcast 1-row aggregate (p_type groups are
+        // bounded, but the no-unpartitioned-window rule is uniform — PlanSpec
+        // pins it across the whole registry)
+        grouped
+          .crossJoin(broadcast(grouped.agg(sum(col("type_revenue")).as("_tot"))))
+          .withColumn("revenue_share", round(col("type_revenue") / col("_tot"), 6))
+          .drop("_tot")
       },
       Some(s"""
         WITH g AS (
@@ -598,8 +603,10 @@ object Surface {
         SELECT user_id, session_id, count(*) AS n_events,
                max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us
         FROM (SELECT user_id, ts,
-                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                         ROWS UNBOUNDED PRECEDING) AS session_id
+                     -- CAST: DuckDB's windowed sum yields HUGEINT (→ float64
+                     -- through the compare harness); Spark emits BIGINT
+                     CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
               FROM (SELECT *,
                            CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -771,12 +778,22 @@ object Surface {
 
     "dedup_ngram_jaccard" -> QueryDef(
       (s, dir) => {
-        // doc_id < 300 bounds the O(n²)-ish shingle self-join while still
-        // covering real near-dup pairs at sf0.01+ (they are spread across the
-        // id range, e.g. (61,185), (8,245) — doc_id<50 found none → vacuous)
-        val sh = t(s, dir, "documents").filter(col("doc_id") < 300)
+        // EXACT shingle self-join — inherently O(colliding pairs), so the
+        // corpus slice is bounded and the bound is SURFACED as a result
+        // column (covered_id_bound, oracle-matched): no silent coverage cap.
+        // The unbounded scale path for near-dup detection is
+        // dedup_minhash_lsh; this query is its exact teaching baseline.
+        // The bound still covers real near-dup pairs at sf0.01+ (they are
+        // spread across the id range, e.g. (61,185), (8,245) — doc_id<50
+        // found none → vacuous).
+        val bound = 300L
+        // shingles join on their xxhash64 (8-byte longs), not the 10-char
+        // strings — same pair counts (64-bit collisions are negligible at any
+        // corpus the exact baseline is allowed to see), far cheaper shuffle
+        val sh = t(s, dir, "documents").filter(col("doc_id") < bound)
           .select(col("doc_id"),
             explode(array_distinct(TextFunctions.shingles(col("text"), 10))).as("sh"))
+          .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val inter = sh.as("a").join(sh.as("b"),
             col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -787,7 +804,8 @@ object Surface {
           .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
           .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
           .filter(col("jaccard") >= 0.4)
-          .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+          .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"),
+            lit(bound).as("covered_id_bound"))
       },
       Some("""
         WITH sh AS (SELECT DISTINCT doc_id,
@@ -797,7 +815,8 @@ object Surface {
              sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
              it AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
                     FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+        SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard,
+               CAST(300 AS BIGINT) AS covered_id_bound
         FROM it JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
         WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.4""")),
 

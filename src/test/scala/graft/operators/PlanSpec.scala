@@ -83,6 +83,29 @@ class PlanSpec extends SparkSuite {
     assert(finalPlan("q_skew_salted_join").contains("_salt"))
   }
 
+  test("no unpartitioned WindowExec anywhere in the registry") {
+    // a global window (Window.partitionBy() with no keys) moves every row to
+    // ONE task — the canonical 100× scale-killer. Share-of-total shapes must
+    // use a broadcast 1-row aggregate instead (q11/q14).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+
+    def offenders(p: SparkPlan): Seq[String] = p.flatMap {
+      case a: AdaptiveSparkPlanExec       => offenders(a.executedPlan)
+      case q: QueryStageExec              => offenders(q.plan)
+      case w: WindowExec if w.partitionSpec.isEmpty => Seq(w.simpleStringWithNodeId())
+      case _                              => Nil
+    }
+
+    Surface.registry.foreach { case (name, q) =>
+      val df = q.fn(spark, sf)
+      df.collect()
+      val bad = offenders(df.queryExecution.executedPlan)
+      assert(bad.isEmpty, s"$name has unpartitioned window(s): ${bad.mkString(", ")}")
+    }
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     Seq("text_fingerprint_rolling" -> "rolling_hash",
         "sim_cosine_topk"          -> "vector_dot").foreach { case (q, fn) =>
