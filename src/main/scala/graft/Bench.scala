@@ -28,6 +28,7 @@ object Bench {
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).count()
       catch { case NonFatal(e) => System.err.println(s"[bench] warmup $name failed: $e") }
+      finally graft.functions.DedupFunctions.releaseCaches()
     }
 
     // min of two timed runs: a single sample is hostage to whatever else the
@@ -41,7 +42,7 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         } catch {
           case NonFatal(e) => System.err.println(s"[bench] $name failed: $e"); -1.0
-        }
+        } finally graft.functions.DedupFunctions.releaseCaches()
       val a = timed()
       // don't re-run a deterministic failure; keep the good sample if only
       // the second attempt hiccups

@@ -68,10 +68,13 @@ object SimilarityFunctions {
       when(dot(vec, planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 
-  /** ANN top-k: candidates = corpus rows sharing the query's LSH bucket
-    * (single equi-join, no cross product), ranked by exact cosine within the
-    * candidate set. Recall is tunable via `nPlanes` (fewer planes → bigger
-    * buckets → higher recall, more compute).
+  /** ANN top-k: candidates = corpus rows sharing a query's LSH bucket in ANY
+    * of `nTables` independent hash tables (OR-amplification — recall
+    * ≈ 1-(1-p^nPlanes)^nTables for per-plane agreement p), ranked by exact
+    * cosine within the deduplicated candidate set. Candidate volume
+    * ≈ corpus × nTables / 2^nPlanes; the bucket join carries ids only (the
+    * vectors join back once per surviving candidate), queries broadcast —
+    * no cross product at any scale.
     */
   def lshTopK(
       corpus: DataFrame,
@@ -80,16 +83,28 @@ object SimilarityFunctions {
       vecCol: String,
       k: Int,
       nPlanes: Int = 8,
+      nTables: Int = 1,
       dim: Int = 64,
       seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(nPlanes, dim, seed)
+    def buckets(v: Column): Column = array((0 until nTables).map { t =>
+      lshBucket(v, hyperplanes(nPlanes, dim, seed + t))
+    }: _*)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("bucket", lshBucket(col("cv"), planes))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("bucket", lshBucket(col("qv"), planes))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    c.join(broadcast(q), Seq("bucket"))
+    val cB = c.select(col("neighbor_id"),
+      posexplode(buckets(col("cv"))).as(Seq("table", "bucket")))
+    val qB = q.select(col("query_id"),
+      posexplode(buckets(col("qv"))).as(Seq("table", "bucket")))
+    // candidate ids first (a pair colliding in several tables scores once),
+    // vectors joined back after the dedup
+    val cand = cB.join(broadcast(qB), Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cand
+      .join(c, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
       .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

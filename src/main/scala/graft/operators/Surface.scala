@@ -823,20 +823,65 @@ object Surface {
     "dedup_minhash_lsh" -> QueryDef(
       // RefinedWeb/C4-style document dedup: minhash over word 5-grams,
       // jaccard ≥ 0.8 — word grams keep candidate density sane on corpora
-      // with heavy shared vocabulary (char shingles degenerate to ~all-pairs)
-      (s, dir) => DedupFunctions.minHashNearDups(
-        t(s, dir, "documents"), "doc_id", "text",
-        numHashes = 64, bands = 8, threshold = 0.8, wordGrams = 5),
-      None, headline = true),
+      // with heavy shared vocabulary (char shingles degenerate to ~all-pairs).
+      // GATE (the q_sketch pattern): the LSH pipeline runs over the FULL
+      // corpus; an exact word-5-gram Jaccard pass over the bounded doc_id
+      // slice is the in-plan ground truth, and the output asserts per-doc
+      // recall — every exact ≥0.8 pair in the slice must be reported by LSH.
+      // Deterministic (seeded hash params), so the booleans are stable.
+      // Precision is structural: the LSH path exact-verifies candidates.
+      (s, dir) => {
+        val docs  = t(s, dir, "documents")
+        val bound = 300L
+        val lsh = DedupFunctions.minHashNearDups(docs, "doc_id", "text",
+          numHashes = 64, bands = 8, threshold = 0.8, wordGrams = 5)
+        val exact = DedupFunctions.exactJaccardPairs(
+          docs.filter(col("doc_id") < bound).select("doc_id", "text"),
+          "doc_id", "text", wordGrams = 5, threshold = 0.8)
+        val missedDocs = exact
+          .join(lsh.select(col("id_a"), col("id_b"), lit(1).as("f")),
+            Seq("id_a", "id_b"), "left_outer")
+          .filter(col("f").isNull)
+          .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+          .distinct()
+        docs.filter(col("doc_id") < bound).select("doc_id")
+          .join(missedDocs.withColumn("missed", lit(true)), Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("missed").isNull.as("recall_ok"))
+      },
+      Some("SELECT doc_id, TRUE AS recall_ok FROM documents WHERE doc_id < 300"),
+      headline = true),
 
     "dedup_simhash" -> QueryDef(
       // maxHamming=3 is the bound the 4×16-bit chunk prefilter is SOUND for
-      // (pigeonhole: distance ≤ 3 ⇒ ≥ 1 chunk agrees); the previous 16 both
-      // missed pairs the chunks never collide on and returned ~2% of ALL
-      // pairs as "near dups"
-      (s, dir) => DedupFunctions.simHashNearDups(
-        t(s, dir, "documents"), "doc_id", "text", maxHamming = 3),
-      None),
+      // (pigeonhole: distance ≤ 3 ⇒ ≥ 1 chunk agrees).
+      // GATE: the chunked pipeline runs over the FULL corpus; a brute-force
+      // all-pairs Hamming pass over the bounded doc_id slice is the in-plan
+      // ground truth. Per doc, the chunk-prefilter pair set restricted to the
+      // slice must EQUAL the exact pair set (the prefilter is provably
+      // complete for ≤3, so any difference is a bug — this pins it).
+      (s, dir) => {
+        val docs  = t(s, dir, "documents")
+        val bound = 300L
+        val cand = DedupFunctions.simHashNearDups(docs, "doc_id", "text", maxHamming = 3)
+          .filter(col("id_a") < bound && col("id_b") < bound)
+          .select(col("id_a"), col("id_b"), lit(1).as("c"))
+        val sliceHash = DedupFunctions.simHash(
+          docs.filter(col("doc_id") < bound), "doc_id", "text")
+        val exact = sliceHash.as("a")
+          .join(sliceHash.as("b"), col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+            bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+          .filter(col("hamming") <= 3)
+          .select(col("id_a"), col("id_b"), lit(1).as("e"))
+        val disagreeing = cand.join(exact, Seq("id_a", "id_b"), "full_outer")
+          .filter(col("c").isNull || col("e").isNull)
+          .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+          .distinct()
+        docs.filter(col("doc_id") < bound).select("doc_id")
+          .join(disagreeing.withColumn("bad", lit(true)), Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("bad").isNull.as("prefilter_exact"))
+      },
+      Some("SELECT doc_id, TRUE AS prefilter_exact FROM documents WHERE doc_id < 300")),
 
     // ---- training-data extensions: similarity search ----------------------
 
@@ -862,22 +907,49 @@ object Surface {
       headline = true),
 
     "sim_ann_lsh" -> QueryDef(
+      // OR-amplified sign-LSH ANN (6 planes × 12 tables ⇒ candidates ≈ 19% of
+      // the corpus per query).
+      // GATE: recall@10 vs the in-plan brute-force exact top-k. The corpus is
+      // synthetic near-orthogonal noise — the hardest case for sign-LSH — so
+      // the pinned floor is modest: measured per-query recall is 0.3–0.7 at
+      // sf0.01 and 0.2–0.9 at sf0.1 (deterministic, seeded); the gate asserts
+      // ≥ 0.15 for every query, catching any regression to the
+      // single-table/low-recall shape (which measured 0.0 on some queries).
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        SimilarityFunctions.lshTopK(emb, emb.filter(col("vec_id") < 5),
-          "vec_id", "embedding", k = 10, nPlanes = 8)
+        val q   = emb.filter(col("vec_id") < 5)
+        val ann = SimilarityFunctions.lshTopK(emb, q, "vec_id", "embedding",
+          k = 10, nPlanes = 6, nTables = 12)
+        val exact = SimilarityFunctions.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+        exact
+          .join(ann.select(col("query_id"), col("neighbor_id"), lit(1).as("f")),
+            Seq("query_id", "neighbor_id"), "left_outer")
+          .groupBy("query_id")
+          .agg((sum(coalesce(col("f"), lit(0))) / count(lit(1))).as("recall"))
+          .select(col("query_id"), (col("recall") >= 0.15).as("recall_ok"))
       },
-      None),
+      Some("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 5")),
 
     "sim_ivf_topk" -> QueryDef(
-      // IVF scale path: 16 coarse cells, 2-probe; exact ranking within cells
+      // IVF scale path: 16 coarse cells, 2-probe; exact ranking within cells.
+      // GATE: recall@10 vs the in-plan brute-force exact top-k — measured
+      // 0.7–1.0 at sf0.01 and 0.9–1.0 at sf0.1 (deterministic); the gate
+      // asserts ≥ 0.5 per query.
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
+        val q   = emb.filter(col("vec_id") < 5)
         val centroids = SimilarityFunctions.leadingCentroids(emb, "embedding", "vec_id", 16)
-        SimilarityFunctions.ivfTopK(emb, emb.filter(col("vec_id") < 5),
-          "vec_id", "embedding", k = 10, centroids, nProbe = 2)
+        val ivf = SimilarityFunctions.ivfTopK(emb, q, "vec_id", "embedding",
+          k = 10, centroids, nProbe = 2)
+        val exact = SimilarityFunctions.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+        exact
+          .join(ivf.select(col("query_id"), col("neighbor_id"), lit(1).as("f")),
+            Seq("query_id", "neighbor_id"), "left_outer")
+          .groupBy("query_id")
+          .agg((sum(coalesce(col("f"), lit(0))) / count(lit(1))).as("recall"))
+          .select(col("query_id"), (col("recall") >= 0.5).as("recall_ok"))
       },
-      None),
+      Some("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 5")),
 
     "embed_label_centroids" -> QueryDef(
       // element-wise label centroids via posexplode + partial-agg mean —
@@ -898,11 +970,42 @@ object Surface {
     "sim_cosine_neardup" -> QueryDef(
       // threshold 0.45 sits just under the corpus's max pairwise cosine
       // (~0.51 at sf0.01) so the result is non-empty — a 0.9 threshold finds
-      // nothing in this synthetic data and would be a vacuous check
-      (s, dir) => SimilarityFunctions.cosineNearDups(
-        t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.45, nPlanes = 4, nTables = 6),
-      None),
+      // nothing in this synthetic data and would be a vacuous check.
+      // GATE vs the exact all-pairs cosine set on the bounded vec_id slice:
+      //   containment_ok — every LSH pair inside the slice appears in the
+      //     exact ≥threshold set (strict: the pipeline exact-verifies);
+      //   recall_ok — ≥ half the exact pairs found (the exact pairs here sit
+      //     BARELY over threshold — cos 0.45–0.48 — where 4-plane OR-LSH
+      //     collision is genuinely probabilistic; measured 2/3 found at
+      //     sf0.01, 3/4 at sf0.1 with 10 tables, deterministic seeds).
+      // n_exact_pairs is oracle-checked exactly, keeping the row non-vacuous.
+      (s, dir) => {
+        val emb   = t(s, dir, "embeddings")
+        val bound = 300L
+        val lsh = SimilarityFunctions.cosineNearDups(emb, "vec_id", "embedding",
+          threshold = 0.45, nPlanes = 4, nTables = 10)
+        val slice = emb.filter(col("vec_id") < bound)
+          .select(col("vec_id").as("id"), col("embedding").as("v"))
+        val exact = slice.as("a").join(slice.as("b"), col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+            SimilarityFunctions.cosine(col("a.v"), col("b.v")).as("cos"))
+          .filter(col("cos") >= 0.45)
+          .select(col("id_a"), col("id_b"), lit(1).as("e"))
+        val lshSlice = lsh.filter(col("id_a") < bound && col("id_b") < bound)
+          .select(col("id_a"), col("id_b"), lit(1).as("f"))
+        exact.join(lshSlice, Seq("id_a", "id_b"), "full_outer")
+          .agg(
+            sum(col("e")).cast("bigint").as("n_exact_pairs"),
+            (sum(when(col("e").isNull, 1).otherwise(0)) === 0).as("containment_ok"),
+            (sum(when(col("e").isNotNull && col("f").isNotNull, 1).otherwise(0))
+              >= sum(col("e")) / 2.0).as("recall_ok"))
+      },
+      Some("""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 300)
+        SELECT count(*) AS n_exact_pairs, TRUE AS containment_ok, TRUE AS recall_ok
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE list_inner_product(a.e, b.e) /
+              (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) >= 0.45""")),
 
     // ---- training-data extensions: text analysis --------------------------
 
@@ -941,13 +1044,38 @@ object Surface {
         FROM documents""")),
 
     "text_fingerprint_rolling" -> QueryDef(
-      // native codegen'd Catalyst expression (RollingHash) — no SQL oracle
-      // (engine-specific hash), rows-only check; dedup clusters by fingerprint
-      (s, dir) => t(s, dir, "documents")
-        .groupBy(graft.functions.expressions.RollingHash.rollingHash(
-          trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
-        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper")),
-      None),
+      // native codegen'd Catalyst expression (RollingHash). The hash values
+      // are engine-specific (no SQL twin), so the GATE asserts the
+      // fingerprint-induced partition of the corpus EQUALS the md5-canonical
+      // partition (dedup_fingerprint's key — SQL-reproducible):
+      //   fp_consistent — every doc in an md5 group has the same rolling fp
+      //     (trivially true unless the expression is non-deterministic);
+      //   fp_injective — no rolling fp spans two different md5 groups
+      //     (a rolling-hash collision would break this).
+      // Group stats (n_copies, keeper) are oracle-checked exactly.
+      (s, dir) => {
+        val canon = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+        val base = t(s, dir, "documents").select(
+          col("doc_id"),
+          md5(canon).as("canon_hash"),
+          graft.functions.expressions.RollingHash.rollingHash(canon).as("fp"))
+        val perGroup = base.groupBy("canon_hash").agg(
+          count(lit(1)).as("n_copies"),
+          min(col("doc_id")).as("keeper"),
+          countDistinct(col("fp")).as("nfp"),
+          min(col("fp")).as("fp"))
+        val perFp = base.groupBy("fp")
+          .agg(countDistinct(col("canon_hash")).as("ncanon"))
+        perGroup.join(perFp, Seq("fp"))
+          .select(col("canon_hash"), col("n_copies"), col("keeper"),
+            (col("nfp") === 1).as("fp_consistent"),
+            (col("ncanon") === 1).as("fp_injective"))
+      },
+      Some("""
+        SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS canon_hash,
+               count(*) AS n_copies, min(doc_id) AS keeper,
+               TRUE AS fp_consistent, TRUE AS fp_injective
+        FROM documents GROUP BY 1""")),
 
     "text_quality" -> QueryDef(
       (s, dir) => t(s, dir, "documents").select(

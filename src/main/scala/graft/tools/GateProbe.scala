@@ -1,0 +1,69 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.SimilarityFunctions
+
+/** Dev probe for calibrating the approximate-operator gates: prints per-query
+  * recall@10 of the ANN paths vs the brute-force exact answer, and which
+  * exact cosine near-dup pairs the OR-amplified LSH finds, at a given SF dir.
+  * Gate thresholds in Surface are set from (and documented against) these
+  * numbers; the operators are seeded/deterministic so the numbers are stable.
+  */
+object GateProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftSessionExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q   = emb.filter(col("vec_id") < 5)
+    val exact = SimilarityFunctions.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+
+    def recall(ann: DataFrame, label: String): Unit = {
+      val r = exact
+        .join(ann.select(col("query_id"), col("neighbor_id"), lit(1).as("f")),
+          Seq("query_id", "neighbor_id"), "left_outer")
+        .groupBy("query_id")
+        .agg((sum(coalesce(col("f"), lit(0))) / count(lit(1))).as("recall"))
+        .orderBy("query_id")
+        .collect()
+      println(s"[probe] $label: " + r.map(x => f"${x.getLong(0)}:${x.getDouble(1)}%.2f").mkString(" "))
+    }
+
+    for (planes <- Seq(6, 8); tables <- Seq(4, 8, 12))
+      recall(SimilarityFunctions.lshTopK(emb, q, "vec_id", "embedding", 10,
+        nPlanes = planes, nTables = tables), s"lsh p=$planes t=$tables")
+
+    val centroids = SimilarityFunctions.leadingCentroids(emb, "embedding", "vec_id", 16)
+    for (probeN <- Seq(2, 4))
+      recall(SimilarityFunctions.ivfTopK(emb, q, "vec_id", "embedding", 10, centroids, probeN),
+        s"ivf probe=$probeN")
+
+    // near-dup gate: which exact cos>=0.45 pairs (both ids < 300) does the
+    // OR-LSH find, per nTables?
+    val slice = emb.filter(col("vec_id") < 300)
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val ex = slice.as("a").join(slice.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        SimilarityFunctions.cosine(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= 0.45)
+    for (tables <- Seq(6, 10, 14)) {
+      val lsh = SimilarityFunctions.cosineNearDups(emb, "vec_id", "embedding",
+        threshold = 0.45, nPlanes = 4, nTables = tables)
+      val miss = ex.join(lsh.select(col("id_a"), col("id_b"), lit(1).as("f")),
+          Seq("id_a", "id_b"), "left_outer")
+        .filter(col("f").isNull).count()
+      println(s"[probe] neardup t=$tables: exact=${ex.count()} missed=$miss lshTotal=${lsh.count()}")
+    }
+    spark.stop()
+  }
+}
