@@ -4,7 +4,7 @@ import java.time.{Instant, LocalDate, ZoneOffset}
 
 import org.apache.spark.sql.SparkSession
 
-import graft.engine.{MirrorConfig, MirrorOrchestrator}
+import graft.engine.{MirrorConfig, MirrorOrchestration}
 
 /** CLI entry point — the Spark restatement of the reference's invocation
   * (README.md:12-14):
@@ -15,20 +15,33 @@ import graft.engine.{MirrorConfig, MirrorOrchestrator}
   *                    [--go-back d-m-y] [--creation-time <expr>]
   * }}}
   *
+  * Repeating `-s <url> -m <url> -t <name>` declares ADDITIONAL tables; all
+  * tables share the one `-c` checkpoint store and drain concurrently (the
+  * reference's per-database orchestration, MirrorOrchestration.cs:44-52,
+  * 127-132).
+  *
   * Arg validation mirrors Program.cs:146-180 (P11); `--go-back` accepts the
   * reference's `d-m-y` / `d/m/y` forms (P12, MainParameterization.cs:63-106);
   * `--creation-time` accepts Spark SQL or KQL spellings (§2.i).
   */
 object Main {
 
-  final case class Options(
+  final case class TableSpec(
       source: String = "",
       mirror: String = "",
-      table: String = "mirror",
+      table: String = "mirror")
+
+  final case class Options(
+      specs: Vector[TableSpec] = Vector.empty,
       checkpoint: String = "",
       continuous: Boolean = false,
       goBack: Option[Instant] = None,
-      creationTime: Option[String] = None)
+      creationTime: Option[String] = None) {
+    // single-table conveniences (first spec)
+    def source: String = specs.headOption.fold("")(_.source)
+    def mirror: String = specs.headOption.fold("")(_.mirror)
+    def table: String  = specs.headOption.fold("mirror")(_.table)
+  }
 
   /** P12: 3-segment day-month-year with `-` or `/` separators. */
   def parseGoBack(s: String): Instant = {
@@ -39,11 +52,17 @@ object Main {
   }
 
   def parseArgs(args: Seq[String]): Options = {
+    // `-s` opens a new table spec; `-m`/`-t` modify the spec being built
+    def patchLast(o: Options)(f: TableSpec => TableSpec): Options = {
+      val specs = if (o.specs.isEmpty) Vector(TableSpec()) else o.specs
+      o.copy(specs = specs.init :+ f(specs.last))
+    }
     def loop(rest: List[String], o: Options): Options = rest match {
       case Nil => o
-      case ("-s" | "--source") :: v :: t        => loop(t, o.copy(source = v))
-      case ("-m" | "--mirror") :: v :: t        => loop(t, o.copy(mirror = v))
-      case ("-t" | "--table") :: v :: t         => loop(t, o.copy(table = v))
+      case ("-s" | "--source") :: v :: t        =>
+        loop(t, o.copy(specs = o.specs :+ TableSpec(source = v)))
+      case ("-m" | "--mirror") :: v :: t        => loop(t, patchLast(o)(_.copy(mirror = v)))
+      case ("-t" | "--table") :: v :: t         => loop(t, patchLast(o)(_.copy(table = v)))
       case ("-c" | "--checkpoint") :: v :: t    => loop(t, o.copy(checkpoint = v))
       case "--continuous" :: t                  => loop(t, o.copy(continuous = true))
       case ("-g" | "--go-back") :: v :: t       => loop(t, o.copy(goBack = Some(parseGoBack(v))))
@@ -52,10 +71,15 @@ object Main {
         throw new IllegalArgumentException(s"Unknown or incomplete argument: $other")
     }
     val o = loop(args.toList, Options())
-    // P11: required-argument validation
-    require(o.source.nonEmpty, "Missing required -s <DeltaTableURL>")
-    require(o.mirror.nonEmpty, "Missing required -m <MirrorTableURL>")
+    // P11: required-argument validation, per table spec
+    require(o.specs.nonEmpty && o.specs.forall(_.source.nonEmpty),
+      "Missing required -s <DeltaTableURL>")
+    o.specs.foreach { s =>
+      require(s.mirror.nonEmpty, s"Missing required -m <MirrorTableURL> for source ${s.source}")
+    }
     require(o.checkpoint.nonEmpty, "Missing required -c <CheckpointFolderURL>")
+    require(o.specs.map(_.table).distinct.size == o.specs.size,
+      "Each table needs a unique -t <TableName> when mirroring several tables")
     o
   }
 
@@ -77,17 +101,27 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val cfg = MirrorConfig(
-      deltaTableUrl = o.source,
-      mirrorDir = o.mirror,
-      mirrorTableName = o.table,
-      checkpointDir = o.checkpoint,
-      creationTimeExpr = o.creationTime,
-      goBack = o.goBack,
-      continuous = o.continuous)
-    val orch = new MirrorOrchestrator(spark, cfg)
+    val cfgs = o.specs.map { s =>
+      MirrorConfig(
+        deltaTableUrl = s.source,
+        mirrorDir = s.mirror,
+        mirrorTableName = s.table,
+        checkpointDir = o.checkpoint,
+        creationTimeExpr = o.creationTime,
+        goBack = o.goBack,
+        continuous = o.continuous,
+        // retention-policy analog (DeltaTableOrchestration.cs:310-318): a
+        // go-back horizon doubles as the mirror's vacuum retention window
+        vacuumRetain = o.goBack.map { g =>
+          val d = java.time.Duration.between(g, Instant.now())
+          if (d.isNegative) java.time.Duration.ZERO else d
+        })
+    }
+    val orch = new MirrorOrchestration(spark, cfgs)
     orch.run()
-    println(s"[graft] mirror '${o.table}' rows=${orch.table.snapshot().count()}")
+    cfgs.foreach { c =>
+      println(s"[graft] mirror '${c.mirrorTableName}' rows=${orch.table(c.mirrorTableName).snapshot().count()}")
+    }
     spark.stop()
   }
 }

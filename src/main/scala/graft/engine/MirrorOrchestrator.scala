@@ -34,7 +34,16 @@ final case class MirrorConfig(
     readAhead: Int = DeltaLogReader.DefaultReadAhead,
     // numeric columns to record per-file min/max for at publish/delete time
     // (data-skipping metadata — see MirrorTable.snapshotRange)
-    statsColumns: Seq[String] = Nil
+    statsColumns: Seq[String] = Nil,
+    // concurrent ingest workers for staging/delete-rewrite job submission —
+    // the reference's N-worker pool, min(capacity, queue)
+    // (BlobStagingOrchestration.cs:123-138)
+    ingestParallelism: Int = 4,
+    // mirror-side retention, the analog of the reference deriving a Kusto
+    // retention policy from --go-back (DeltaTableOrchestration.cs:310-318):
+    // when set, every poll ends with a VACUUM of tombstoned data files older
+    // than this window. The CLI derives it from --go-back (now − cutoff).
+    vacuumRetain: Option[java.time.Duration] = None
 )
 
 /** The control plane: discover new Delta commits, persist them as state rows,
@@ -50,9 +59,13 @@ final case class MirrorConfig(
   * decoration, staged write, delete rewrite — runs as Spark jobs on the
   * executors, exactly the reference's CLI-vs-Kusto split.
   */
-class MirrorOrchestrator(spark: SparkSession, config: MirrorConfig) {
+class MirrorOrchestrator(
+    spark: SparkSession,
+    config: MirrorConfig,
+    sharedStore: Option[CheckpointStore] = None) {
 
-  private val store  = new CheckpointStore(spark, config.checkpointDir)
+  private val store =
+    sharedStore.getOrElse(new CheckpointStore(spark, config.checkpointDir))
   private val reader =
     new DeltaLogReader(spark, config.deltaTableUrl, config.mirrorTableName, config.readAhead)
   private val mirror = new MirrorTable(spark, config.mirrorDir, config.mirrorTableName)
@@ -86,6 +99,10 @@ class MirrorOrchestrator(spark: SparkSession, config: MirrorConfig) {
       }
       discovered = discoverNext(st)
     }
+    // retention (goBack-derived): reclaim tombstoned data files AFTER the
+    // drain — no staging is in flight for this table at this point, so the
+    // window only has to guard against crash remnants, not active batches
+    config.vacuumRetain.foreach(d => mirror.vacuum(math.max(0L, d.toMillis)))
     processed
   }
 
@@ -226,7 +243,12 @@ class MirrorOrchestrator(spark: SparkSession, config: MirrorConfig) {
 
     val groups = todo.groupBy(_.partitionValues.getOrElse(Map.empty)).toSeq.sortBy(_._1.toString)
     val tableRoot = new Path(config.deltaTableUrl)
-    groups.foreach { case (pv, adds) =>
+    // groups are independent (distinct staging dirs, disjoint state rows), so
+    // their read→decorate→write jobs submit from a bounded worker pool — a
+    // 1,000-partition batch no longer serializes 1,000 job waits on the
+    // driver. Each group still checkpoints Staged as soon as IT finishes
+    // (same crash-resume granularity as the sequential loop).
+    graft.util.BoundedPar.run(groups, config.ingestParallelism) { case (pv, adds) =>
       // content-addressed by partition tuple, NOT positional: a crash-resume
       // restages only the unfinished groups into their original dirs
       val groupId = MirrorOrchestrator.groupId(pv)
@@ -308,7 +330,7 @@ class MirrorOrchestrator(spark: SparkSession, config: MirrorConfig) {
           (add.blobPath.get,
             add.internalState.ingestionTime.map(s => Timestamp.from(Instant.parse(s))))
         }
-        mirror.deleteByLineage(doomed, config.statsColumns)
+        mirror.deleteByLineage(doomed, config.statsColumns, config.ingestParallelism)
       }
       store.append(
         skippedPairs.map(_._1.withState(TxState.Skipped, now())) ++

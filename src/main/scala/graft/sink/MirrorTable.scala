@@ -141,7 +141,8 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
     */
   def deleteByLineage(
       doomed: Seq[(String, Option[Timestamp])],
-      statsColumns: Seq[String] = Nil): Long = {
+      statsColumns: Seq[String] = Nil,
+      parallelism: Int = 4): Long = {
     if (doomed.isEmpty) return -1L
     val doomedPaths = doomed.map(_._1).toSet
     val affected = liveAdds().filter { a =>
@@ -158,20 +159,30 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
     }.reduce(_ || _)
 
     val stagingName = s"delete-${java.util.UUID.randomUUID().toString.take(8)}"
-    val rewritten = affected.zipWithIndex.map { case (a, i) =>
-      val df = spark.read.parquet(new Path(root, a.path).toString).filter(keep)
-      stage(stagingName, s"rw$i", df)
-      a -> listParquet(new Path(stagingDir(stagingName), s"rw$i"))
+    // one rewrite job per affected PARTITION GROUP, not per file — a delete
+    // touching 10k files submits tens of group jobs (bounded-parallel), each
+    // reading all its files in a single distributed scan. mergeSchema keeps
+    // additive-evolution groups whole (older files surface the newer columns
+    // as nulls, exactly the create-merge read semantics).
+    val byPv = affected.groupBy(_.partitionValues).toSeq.sortBy(_._1.toString)
+    val rewritten = graft.util.BoundedPar.run(byPv.zipWithIndex, parallelism) {
+      case ((pv, adds), i) =>
+        val paths = adds.map(a => new Path(root, a.path).toString)
+        val df = spark.read.option("mergeSchema", "true").parquet(paths: _*).filter(keep)
+        stage(stagingName, s"rw$i", df)
+        (pv, adds, listParquet(new Path(stagingDir(stagingName), s"rw$i")))
     }
-    val newFiles = rewritten.flatMap(_._2)
+    val newFiles = rewritten.flatMap(_._3)
     val lineage  = if (newFiles.nonEmpty) lineageOf(newFiles, statsColumns)
                    else Map.empty[String, FileMeta]
-    val fileToPv = rewritten.flatMap { case (a, files) => files.map(_ -> a.partitionValues) }.toMap
+    val fileToPv = rewritten.flatMap { case (pv, _, files) => files.map(_ -> pv) }.toMap
     val actions =
-      rewritten.map { case (a, _) => writer.removeAction(a.path, Some(a.partitionValues)) } ++
+      rewritten.flatMap { case (_, adds, _) =>
+        adds.map(a => writer.removeAction(a.path, Some(a.partitionValues)))
+      } ++
         newFiles.map { p =>
           val meta = lineage.getOrElse(normalizePath(p.toString), FileMeta(Seq.empty, 0L))
-          // rewrites inherit the source file's partition values so file-level
+          // rewrites inherit their group's partition values so file-level
           // pruning keeps working after deletes
           writer.addAction(relPath(p), fs.getFileStatus(p).getLen,
             fileToPv.getOrElse(p, Map.empty), Some(meta.rows),

@@ -32,6 +32,18 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
   private def fs: FileSystem =
     dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // append/compact are read-modify-write over the whole index — they must be
+  // mutually exclusive PER INDEX FILE, or a concurrent writer's rows are
+  // silently lost on rename. The lock is JVM-global and keyed by the
+  // qualified path, so N table orchestrators sharing one index.csv (the
+  // multi-table mode) and parallel staging workers within one table are all
+  // covered even across store instances. Cross-process writers would need a
+  // storage-level lease (the reference leans on Azure blob leases there).
+  private def withIndexLock[T](f: => T): T = {
+    val key = fs.makeQualified(indexPath).toString
+    lockFor(key).synchronized(f)
+  }
+
   /** Read + last-wins-dedup the full state (GlobalTableStatus.cs:28-64). */
   def readAll(): Seq[TransactionItem] =
     TxLog.lastWins(readRaw())
@@ -67,19 +79,24 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
       .orderBy("KustoTableName", "StartTxId", "Action", "BlobPath")
   }
 
-  /** All rows in arrival order, duplicates included. */
-  def readRaw(): Seq[TransactionItem] = {
-    if (!fs.exists(indexPath)) return Seq.empty
-    val in = fs.open(indexPath)
-    val text =
-      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), StandardCharsets.UTF_8)
-      finally in.close()
-    parseCsv(text)
+  /** All rows in arrival order, duplicates included. Takes the index lock:
+    * atomicWrite momentarily has the index deleted-but-not-yet-renamed, and a
+    * read landing in that window would see an EMPTY state (→ spurious
+    * batch rediscovery under multi-table concurrency).
+    */
+  def readRaw(): Seq[TransactionItem] = withIndexLock {
+    if (!fs.exists(indexPath)) Seq.empty
+    else {
+      val in = fs.open(indexPath)
+      val text =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), StandardCharsets.UTF_8)
+        finally in.close()
+      parseCsv(text)
+    }
   }
 
   /** Append new state rows (last-write-wins upsert, J6 / TableStatus.cs:119-129). */
-  def append(items: Seq[TransactionItem]): Unit = {
-    if (items.isEmpty) return
+  def append(items: Seq[TransactionItem]): Unit = if (items.nonEmpty) withIndexLock {
     val existing = if (fs.exists(indexPath)) {
       val in = fs.open(indexPath)
       try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), StandardCharsets.UTF_8)
@@ -93,7 +110,7 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
   /** Rewrite the state as its deduplicated snapshot (S8/O10,
     * GlobalTableStatus.cs:210-222): temp file then atomic rename.
     */
-  def compact(): Unit = {
+  def compact(): Unit = withIndexLock {
     val items = readAll()
     val sb    = new StringBuilder(Header).append('\n')
     items.foreach(i => sb.append(toCsvLine(i)).append('\n'))
@@ -113,6 +130,11 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
 }
 
 object CheckpointStore {
+
+  // one lock object per qualified index path (see withIndexLock)
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(key: String): Object =
+    locks.computeIfAbsent(key, _ => new Object)
 
   /** CSV schema of Storage/TransactionItem.cs:24, column-for-column. */
   val Header: String =

@@ -23,4 +23,21 @@ class MainSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Main.parseArgs(Seq("-s", "src")))
     intercept[IllegalArgumentException](Main.parseArgs(Seq("-s", "src", "-m", "m", "-c", "c", "--bogus")))
   }
+
+  test("repeated -s/-m/-t declares additional tables sharing one checkpoint") {
+    val o = Main.parseArgs(Seq(
+      "-s", "srcA", "-m", "mirA", "-t", "ta",
+      "-s", "srcB", "-m", "mirB", "-t", "tb",
+      "-c", "ck"))
+    assert(o.specs.map(s => (s.source, s.mirror, s.table)) ==
+      Vector(("srcA", "mirA", "ta"), ("srcB", "mirB", "tb")))
+    assert(o.checkpoint == "ck")
+
+    // second table missing its mirror URL
+    intercept[IllegalArgumentException](Main.parseArgs(Seq(
+      "-s", "srcA", "-m", "mirA", "-s", "srcB", "-c", "ck")))
+    // duplicate table names (both default "mirror")
+    intercept[IllegalArgumentException](Main.parseArgs(Seq(
+      "-s", "srcA", "-m", "mirA", "-s", "srcB", "-m", "mirB", "-c", "ck")))
+  }
 }

@@ -41,6 +41,17 @@ class TestDelta(spark: SparkSession, val dir: String, name: String = "src") {
     rel
   }
 
+  /** ONE commit adding many files (e.g. one per partition tuple) — the shape
+    * of a large append batch.
+    */
+  def addCommitMulti(files: Seq[(DataFrame, Map[String, String])]): Seq[String] = {
+    val written = files.map { case (df, pv) => (writeFile(df, pv), pv) }
+    writer.commit(written.map { case ((rel, n), pv) =>
+      writer.addAction(rel, fs.getFileStatus(new Path(root, rel)).getLen, pv, Some(n))
+    })
+    written.map(_._1._1)
+  }
+
   def removeCommit(path: String, pv: Option[Map[String, String]] = None): Long =
     writer.commit(Seq(writer.removeAction(path, pv)))
 

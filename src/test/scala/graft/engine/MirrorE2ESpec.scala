@@ -150,6 +150,40 @@ class MirrorE2ESpec extends SparkSuite {
     assert(removeItem.nonEmpty && removeItem.forall(_.state == TxState.Skipped))
   }
 
+  test("goBack-derived vacuum retention reclaims tombstoned files (retention-policy analog)") {
+    val (src, cfgBase) = setup("gbvac")
+    src.init(idSchema)
+    val f0 = src.addCommit(spark.range(0, 6).toDF("id"))
+    src.addCommit(spark.range(6, 11).toDF("id"))
+    // goBack present (cutoff in the past — nothing skipped) and the derived
+    // retention window: zero = reclaim tombstones immediately after drain
+    val cfg = cfgBase.copy(
+      goBack = Some(Instant.parse("2000-01-01T00:00:00Z")),
+      vacuumRetain = Some(java.time.Duration.ZERO))
+    val orch = new MirrorOrchestrator(spark, cfg)
+    orch.runOnce()
+    assert(ids(orch) == (0L until 11L))
+    def dataFiles(): Int = {
+      val p = new org.apache.hadoop.fs.Path(cfg.mirrorDir, "data")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    assert(dataFiles() == orch.table.liveAdds().size) // baseline: all live
+
+    src.replaceCommit(f0, spark.range(1, 6).toDF("id")) // DELETE id=0 → rewrite
+    Thread.sleep(20) // tombstoned file's mtime strictly below the vacuum cutoff
+    orch.runOnce() // drain + end-of-poll vacuum
+    assert(ids(orch) == (1L until 11L))
+    // the delete rewrite tombstoned the original file; the end-of-poll vacuum
+    // must have reclaimed it — every file still on disk is live, and an
+    // explicit zero-retention vacuum finds nothing more
+    assert(dataFiles() == orch.table.liveAdds().size)
+    assert(orch.table.vacuum(0) == 0)
+  }
+
   test("additive schema evolution mid-stream (create-merge semantics)") {
     val (src, cfg) = setup("evolve")
     src.init(idSchema)
