@@ -120,11 +120,19 @@ class DeltaLogReader(
     // can expose a subset — reading it silently would drop add actions, so
     // validate the set is complete and not mixed with the single-file form
     val MultiPart = raw"\d{20}\.checkpoint\.(\d{10})\.(\d{10})\.parquet".r
-    val declared  = names.map(_.getName).collect { case MultiPart(_, n) => n.toInt }
-    if (declared.nonEmpty) {
-      require(declared.distinct.size == 1 && names.length == declared.head,
+    val parts     = names.map(_.getName).collect { case MultiPart(i, n) => (i.toInt, n.toInt) }
+    if (parts.nonEmpty) {
+      val declared = parts.map(_._2).distinct
+      val indices  = parts.map(_._1).sorted.toSeq
+      // the indices must be EXACTLY 1..n — a count-only check passes mixed
+      // sets like {single-file form, part 2/3, part 3/3} (3 files, n=3),
+      // which double-counts or drops actions; and no single-file-form name
+      // may coexist with multi-part names (names.length == parts.length)
+      require(declared.size == 1 && names.length == parts.length &&
+        indices == (1 to declared.head),
         s"Incomplete or mixed checkpoint for version $version: found ${names.length} " +
-          s"file(s) ${names.map(_.getName).mkString(", ")} but part names declare ${declared.distinct.mkString("/")} parts")
+          s"file(s) ${names.map(_.getName).mkString(", ")} but part names declare " +
+          s"${declared.mkString("/")} parts with indices ${indices.mkString(",")}")
     }
 
     val df   = spark.read.parquet(names.map(_.toUri.toString).toIndexedSeq: _*)
@@ -172,9 +180,17 @@ class DeltaLogReader(
   /** The complete current state of the table: checkpoint-bootstrap when one
     * exists (O1), else full commit replay. Unlike [[nextBatch]] there is no
     * read-ahead cap — this is the "open the table" path, not the poll path.
+    *
+    * A log with a checkpoint but ZERO commit JSONs (real Delta log-retention
+    * cleanup leaves exactly this) is NOT empty: fall back to the
+    * `_last_checkpoint` state instead of returning None.
     */
   def fullSnapshot(): Option[TxLog] =
-    listCommits().lastOption.flatMap { case (last, _) => snapshotAsOf(last) }
+    listCommits().lastOption match {
+      case Some((last, _)) => snapshotAsOf(last)
+      case None =>
+        readLastCheckpoint().map(c => readCheckpoint(c.version, startTxId = 0L))
+    }
 
   /** Table state as of commit `version` (inclusive) — time travel, and the
     * shared fold under [[fullSnapshot]]. Bootstraps from the NEWEST on-disk

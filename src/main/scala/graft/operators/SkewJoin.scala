@@ -19,16 +19,22 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   /** Salted inner equi-join on `key`. `dim` is replicated `buckets`× — keep
-    * it the small side. The salt is a deterministic hash of the entire fact
-    * row, so results are stable run-to-run (no `rand()`, which would break
-    * retry idempotency at scale).
+    * it the small side. The salt combines the join key with a
+    * partition-stable row ordinal: deterministic under task retry (the same
+    * input split recomputes the same ordinals — no `rand()`), spreads every
+    * hot key's rows across buckets, and does not depend on the other fact
+    * columns' types (a whole-row hash breaks on map columns, which xxhash64
+    * rejects at analysis). The salt column name is generated to not collide
+    * with either input's columns.
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, buckets: Int): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    val saltedFact = fact.withColumn("_salt",
-      pmod(xxhash64(struct(fact.columns.toIndexedSeq.map(col): _*)), lit(buckets)).cast("int"))
-    val expandedDim = dim.withColumn("_salt",
+    val taken = (fact.columns ++ dim.columns).toSet
+    val salt  = Iterator.iterate("_salt")(_ + "_").dropWhile(taken).next()
+    val saltedFact = fact.withColumn(salt,
+      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(buckets)).cast("int"))
+    val expandedDim = dim.withColumn(salt,
       explode(array((0 until buckets).map(b => lit(b)): _*)))
-    saltedFact.join(expandedDim, Seq(key, "_salt")).drop("_salt")
+    saltedFact.join(expandedDim, Seq(key, salt)).drop(salt)
   }
 }

@@ -441,9 +441,16 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
             // NaN/Infinity would serialize to invalid JSON and poison every
             // later statsOf parse — drop the column's stats for this file
             // (conservative include at prune time) instead
-            if (java.lang.Double.isFinite(lo) && java.lang.Double.isFinite(hi))
-              Some(c -> ((lo, hi)))
-            else None
+            if (java.lang.Double.isFinite(lo) && java.lang.Double.isFinite(hi)) {
+              // the double cast rounds 64-bit integers beyond 2^53 — possibly
+              // INWARD, which would let snapshotRange prune a file that holds
+              // matching rows. Widen one ulp outward to keep the recorded
+              // range a superset of the true range (skip at ±MaxValue where
+              // widening would leave the finite domain).
+              val loW = { val w = Math.nextDown(lo); if (java.lang.Double.isFinite(w)) w else lo }
+              val hiW = { val w = Math.nextUp(hi); if (java.lang.Double.isFinite(w)) w else hi }
+              Some(c -> ((loW, hiW)))
+            } else None
           }
         }.toMap
         r.getString(0) -> FileMeta(r.getSeq[String](1), r.getLong(2), stats)

@@ -106,6 +106,52 @@ class DeltaLogReaderSpec extends SparkSuite {
     assert(reader.readCheckpoint(3L, startTxId = 0L).adds.size == 2)
   }
 
+  test("mixed single-file + multi-part checkpoint set is refused") {
+    val dir = tmpDir("delta")
+    val fx  = new TestDelta(spark, dir, "ckpt_mix")
+    fx.init(idSchema)
+    fx.addCommit(spark.range(2).toDF("id"))
+    fx.addCommit(spark.range(2, 4).toDF("id"))
+    assert(fx.checkpoint(numParts = 3) == 2L)
+    val logDir = new Path(dir, "_delta_log")
+    val fs     = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partNames = fs.listStatus(logDir).map(_.getPath.getName)
+      .filter(_.matches("\\d{20}\\.checkpoint\\.\\d{10}\\.\\d{10}\\.parquet")).sorted
+    val saved = partNames.map { n =>
+      n -> org.apache.commons.io.IOUtils.toByteArray(fs.open(new Path(logDir, n)))
+    }
+    // re-checkpoint to the single-file form, then resurrect parts 2..3 of 3:
+    // {v.checkpoint.parquet, part2/3, part3/3} = 3 files with declared n=3 —
+    // a COUNT-only integrity check would read this and double-count actions
+    assert(fx.checkpoint(numParts = 1) == 2L)
+    saved.drop(1).foreach { case (n, bytes) =>
+      val out = fs.create(new Path(logDir, n), true)
+      try out.write(bytes) finally out.close()
+    }
+    val reader = new DeltaLogReader(spark, dir, "ckpt_mix")
+    val e = intercept[IllegalArgumentException](reader.readCheckpoint(2L, startTxId = 0L))
+    assert(e.getMessage.contains("Incomplete or mixed checkpoint"), e.getMessage)
+  }
+
+  test("fullSnapshot survives log-retention cleanup (checkpoint, zero commit JSONs)") {
+    val dir = tmpDir("delta")
+    val fx  = new TestDelta(spark, dir, "ckpt_ret")
+    fx.init(idSchema)
+    fx.addCommit(spark.range(3).toDF("id"))
+    fx.addCommit(spark.range(3, 5).toDF("id"))
+    fx.checkpoint()
+    // real Delta log retention: expired commit JSONs removed, checkpoint kept
+    val logDir = new Path(dir, "_delta_log")
+    val fs     = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(logDir).map(_.getPath)
+      .filter(_.getName.matches("\\d{20}\\.json"))
+      .foreach(p => fs.delete(p, false))
+    val reader = new DeltaLogReader(spark, dir, "ckpt_ret")
+    val snap = reader.fullSnapshot()
+    assert(snap.nonEmpty, "table with a checkpoint but no commit JSONs is not empty")
+    assert(snap.get.adds.size == 2)
+  }
+
   test("gap in the commit log fails loudly") {
     val dir = tmpDir("delta")
     val fx  = new TestDelta(spark, dir, "gap")
