@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Round-over-round bench regression check.
+
+Usage: bench_diff.py <current_bench_json_line_or_file> [threshold]
+
+Compares per-query seconds of the current bench run against the NEWEST
+BENCH_r*.json in the repo root (the driver's record of the previous round)
+and exits 1 if any query regressed by more than `threshold` x (default 1.5)
+while costing more than 0.3 s absolute (sub-100ms queries are all noise).
+New queries (no baseline entry) are reported, never failed. Queries whose
+SEMANTICS intentionally changed this round (doing strictly more work, e.g.
+a new in-plan correctness gate) can be exempted by listing their names in
+the BENCH_ALLOW env var (comma-separated); they are reported, not failed.
+"""
+import glob
+import json
+import os
+import re
+import sys
+
+
+def load_current(arg):
+    text = open(arg).read() if os.path.exists(arg) else arg
+    # accept either the bare Bench JSON line or a driver BENCH_r file
+    m = re.search(r'\{"metric":"total".*\}', text)
+    if m:
+        return json.loads(m.group(0))
+    return json.loads(text)
+
+
+def load_baseline():
+    files = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..", "BENCH_r*.json")))
+    if not files:
+        return None, None
+    latest = files[-1]
+    data = json.load(open(latest))
+    tail = data.get("tail", "")
+    m = re.search(r'\{\\?"metric\\?":\\?"total\\?".*', tail)
+    if m:
+        # the driver embeds the bench line inside a log tail string
+        line = m.group(0)
+        line = line.split("\\n")[0] if "\\n" in line else line
+        try:
+            return json.loads(line), latest
+        except json.JSONDecodeError:
+            pass
+    if "queries" in data:
+        return data, latest
+    return None, latest
+
+
+def main():
+    if len(sys.argv) < 2:
+        print(__doc__)
+        return 2
+    threshold = float(sys.argv[2]) if len(sys.argv) > 2 else 1.5
+    allow = {n.strip() for n in os.environ.get("BENCH_ALLOW", "").split(",") if n.strip()}
+    cur = load_current(sys.argv[1])
+    base, src = load_baseline()
+    if base is None:
+        print("[bench-diff] no previous BENCH_r*.json baseline - skipping")
+        return 0
+    prev_q = base.get("queries", {})
+    cur_q = cur.get("queries", {})
+    bad = []
+    for name, now in sorted(cur_q.items()):
+        was = prev_q.get(name)
+        if was is None:
+            print(f"[bench-diff] NEW      {name}: {now:.2f}s")
+            continue
+        if was <= 0 or now <= 0:
+            continue
+        ratio = now / was
+        marker = ""
+        if ratio > threshold and now > 0.3:
+            if name in allow:
+                marker = "  (allowed: semantics changed)"
+            else:
+                marker = "  << REGRESSION"
+                bad.append((name, was, now, ratio))
+        if marker or ratio > 1.2 or ratio < 0.8:
+            print(f"[bench-diff] {ratio:5.2f}x  {name}: {was:.2f}s -> {now:.2f}s{marker}")
+    tot_was, tot_now = base.get("value"), cur.get("value")
+    if tot_was and tot_now:
+        print(f"[bench-diff] total: {tot_was:.2f}s -> {tot_now:.2f}s "
+              f"({tot_now / tot_was:.2f}x) vs {os.path.basename(src)}")
+    if bad:
+        print(f"[bench-diff] FAIL: {len(bad)} quer{'y' if len(bad) == 1 else 'ies'} regressed "
+              f">{threshold}x: " + ", ".join(n for n, *_ in bad))
+        return 1
+    print("[bench-diff] OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

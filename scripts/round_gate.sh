@@ -27,5 +27,9 @@ echo "== DuckDB oracle compare =="
 python3 scripts/check_oracle.py "$SF_CORRECT" "$OUT"
 
 echo "== bench @ $SF_BENCH =="
-SPARK_GRAFT_SF_DIR="$SF_BENCH" SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench" \
-  | grep '"metric"'
+BENCH_LINE=$(SPARK_GRAFT_SF_DIR="$SF_BENCH" SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench" \
+  | grep '"metric"')
+echo "$BENCH_LINE"
+
+echo "== bench regression vs previous round =="
+python3 scripts/bench_diff.py "$BENCH_LINE" 1.5
