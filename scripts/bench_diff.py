@@ -68,7 +68,15 @@ def main():
         if was is None:
             print(f"[bench-diff] NEW      {name}: {now:.2f}s")
             continue
-        if was <= 0 or now <= 0:
+        if now <= 0:
+            # Bench records -1.0 for a query that crashed — at sf0.1 only, so
+            # the sf0.01 correctness dump never sees it; this must FAIL
+            if was > 0:
+                print(f"[bench-diff] CRASHED  {name}: {was:.2f}s -> failed")
+                bad.append((name, was, now, float("inf")))
+            continue
+        if was <= 0:
+            print(f"[bench-diff] RECOVERED {name}: failed -> {now:.2f}s")
             continue
         ratio = now / was
         marker = ""

@@ -39,7 +39,6 @@ object Main {
       creationTime: Option[String] = None) {
     // single-table conveniences (first spec)
     def source: String = specs.headOption.fold("")(_.source)
-    def mirror: String = specs.headOption.fold("")(_.mirror)
     def table: String  = specs.headOption.fold("mirror")(_.table)
   }
 
@@ -52,7 +51,9 @@ object Main {
   }
 
   def parseArgs(args: Seq[String]): Options = {
-    // `-s` opens a new table spec; `-m`/`-t` modify the spec being built
+    // `-s` opens a new table spec (or completes one started by a leading
+    // -m/-t — single-table flag order stays free, as before); `-m`/`-t`
+    // modify the spec being built
     def patchLast(o: Options)(f: TableSpec => TableSpec): Options = {
       val specs = if (o.specs.isEmpty) Vector(TableSpec()) else o.specs
       o.copy(specs = specs.init :+ f(specs.last))
@@ -60,7 +61,9 @@ object Main {
     def loop(rest: List[String], o: Options): Options = rest match {
       case Nil => o
       case ("-s" | "--source") :: v :: t        =>
-        loop(t, o.copy(specs = o.specs :+ TableSpec(source = v)))
+        if (o.specs.lastOption.exists(_.source.isEmpty))
+          loop(t, patchLast(o)(_.copy(source = v)))
+        else loop(t, o.copy(specs = o.specs :+ TableSpec(source = v)))
       case ("-m" | "--mirror") :: v :: t        => loop(t, patchLast(o)(_.copy(mirror = v)))
       case ("-t" | "--table") :: v :: t         => loop(t, patchLast(o)(_.copy(table = v)))
       case ("-c" | "--checkpoint") :: v :: t    => loop(t, o.copy(checkpoint = v))

@@ -101,8 +101,12 @@ class MirrorOrchestrator(
     }
     // retention (goBack-derived): reclaim tombstoned data files AFTER the
     // drain — no staging is in flight for this table at this point, so the
-    // window only has to guard against crash remnants, not active batches
-    config.vacuumRetain.foreach(d => mirror.vacuum(math.max(0L, d.toMillis)))
+    // window only has to guard against crash remnants, not active batches.
+    // Only after real work: batches are the only producer of tombstones, and
+    // an idle continuous poll (every 5 s) must not pay a full recursive
+    // data-dir listing against object storage for nothing.
+    if (processed > 0)
+      config.vacuumRetain.foreach(d => mirror.vacuum(math.max(0L, d.toMillis)))
     processed
   }
 

@@ -830,6 +830,12 @@ object Surface {
       // recall — every exact ≥0.8 pair in the slice must be reported by LSH.
       // Deterministic (seeded hash params), so the booleans are stable.
       // Precision is structural: the LSH path exact-verifies candidates.
+      // The recall assertion covers pairs with exact Jaccard ≥ 0.85 — a pair
+      // AT the 0.8 threshold misses all 8 bands with ~23% probability by
+      // design (1-(1-0.8^8)^8), so demanding it would gate on a coin flip if
+      // the corpus ever grows such a pair; at 0.85 the miss rate is ~4% per
+      // pair and every observed near-dup in the fixtures sits ≥ 0.95 (misses
+      // < 1e-3). Borderline 0.80-0.85 pairs are excused, not required.
       (s, dir) => {
         val docs  = t(s, dir, "documents")
         val bound = 300L
@@ -841,7 +847,7 @@ object Surface {
         val missedDocs = exact
           .join(lsh.select(col("id_a"), col("id_b"), lit(1).as("f")),
             Seq("id_a", "id_b"), "left_outer")
-          .filter(col("f").isNull)
+          .filter(col("f").isNull && col("jaccard") >= 0.85)
           .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
           .distinct()
         docs.filter(col("doc_id") < bound).select("doc_id")
@@ -986,19 +992,29 @@ object Surface {
           threshold = 0.45, nPlanes = 4, nTables = 10)
         val slice = emb.filter(col("vec_id") < bound)
           .select(col("vec_id").as("id"), col("embedding").as("v"))
-        val exact = slice.as("a").join(slice.as("b"), col("a.id") < col("b.id"))
+        // keep a LOOSE superset (threshold − 1e-4) with a strict flag: the
+        // LSH side filters on round(normalized-dot, 6), so a pair a hair
+        // under 0.45 by the raw formula can legitimately be reported —
+        // containment checks against the loose set, count/recall against the
+        // strict (DuckDB-matching) set
+        val pairsAll = slice.as("a").join(slice.as("b"), col("a.id") < col("b.id"))
           .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
             SimilarityFunctions.cosine(col("a.v"), col("b.v")).as("cos"))
-          .filter(col("cos") >= 0.45)
-          .select(col("id_a"), col("id_b"), lit(1).as("e"))
+          .filter(col("cos") >= 0.45 - 1e-4)
+          .select(col("id_a"), col("id_b"), (col("cos") >= 0.45).as("strict"))
         val lshSlice = lsh.filter(col("id_a") < bound && col("id_b") < bound)
           .select(col("id_a"), col("id_b"), lit(1).as("f"))
-        exact.join(lshSlice, Seq("id_a", "id_b"), "full_outer")
+        pairsAll.join(lshSlice, Seq("id_a", "id_b"), "full_outer")
           .agg(
-            sum(col("e")).cast("bigint").as("n_exact_pairs"),
-            (sum(when(col("e").isNull, 1).otherwise(0)) === 0).as("containment_ok"),
-            (sum(when(col("e").isNotNull && col("f").isNotNull, 1).otherwise(0))
-              >= sum(col("e")) / 2.0).as("recall_ok"))
+            // coalesce: an empty join (no near-dups at this SF) must yield
+            // (0, TRUE, TRUE) like the oracle's count(*)=0 row, not NULLs
+            coalesce(sum(when(col("strict"), 1L).otherwise(0L)), lit(0L))
+              .cast("bigint").as("n_exact_pairs"),
+            (coalesce(sum(when(col("strict").isNull, 1).otherwise(0)), lit(0)) === 0)
+              .as("containment_ok"),
+            (coalesce(sum(when(col("strict") && col("f").isNotNull, 1).otherwise(0)), lit(0))
+              >= coalesce(sum(when(col("strict"), 1).otherwise(0)), lit(0)) / 2.0)
+              .as("recall_ok"))
       },
       Some("""
         WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 300)

@@ -15,13 +15,18 @@ class MainSpec extends AnyFunSuite {
   test("arg parsing and required-arg validation (P11)") {
     val o = Main.parseArgs(Seq("-s", "src", "-m", "mir", "-c", "ck", "-t", "tbl",
       "--continuous", "--go-back", "01-01-2020", "--creation-time", "todatetime(p0)"))
-    assert(o.source == "src" && o.mirror == "mir" && o.checkpoint == "ck")
+    assert(o.source == "src" && o.specs.head.mirror == "mir" && o.checkpoint == "ck")
     assert(o.table == "tbl" && o.continuous)
     assert(o.goBack.contains(Instant.parse("2020-01-01T00:00:00Z")))
     assert(o.creationTime.contains("todatetime(p0)"))
 
     intercept[IllegalArgumentException](Main.parseArgs(Seq("-s", "src")))
     intercept[IllegalArgumentException](Main.parseArgs(Seq("-s", "src", "-m", "m", "-c", "c", "--bogus")))
+  }
+
+  test("single-table flag order stays free (-m/-t before -s)") {
+    val o = Main.parseArgs(Seq("-t", "tbl", "-m", "mir", "-s", "src", "-c", "ck"))
+    assert(o.specs == Vector(Main.TableSpec("src", "mir", "tbl")))
   }
 
   test("repeated -s/-m/-t declares additional tables sharing one checkpoint") {
