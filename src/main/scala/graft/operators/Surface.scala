@@ -1106,6 +1106,111 @@ object Surface {
                      6) AS quality
         FROM documents""")),
 
+    // ---- training-data extensions: corpus curation -------------------------
+    // The C4/RefinedWeb-style selection steps between dedup and training:
+    // per-domain quota capping, deterministic split assignment, benchmark
+    // contamination detection, and PII-ish token scrubbing. All exact,
+    // DuckDB-oracled, and one-shuffle shapes.
+
+    "curate_source_cap" -> QueryDef(
+      // per-domain quota (cap docs per source, smallest doc_id wins — the
+      // anti-domination step web corpora apply before training). One shuffle
+      // on source; a pathologically hot domain concentrates its rows on one
+      // task during ranking — at that scale pre-filter with an approximate
+      // per-domain count and only rank domains above quota (the filter is
+      // this same plan shape), or salt the rank's first phase.
+      (s, dir) => {
+        val cap = 15
+        val w = Window.partitionBy("source").orderBy("doc_id")
+        t(s, dir, "documents")
+          .withColumn("rk", row_number().over(w))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_total"),
+            sum(when(col("rk") <= cap, 1L).otherwise(0L)).cast("bigint").as("n_kept"),
+            max(when(col("rk") <= cap, col("doc_id"))).as("max_kept_id"))
+      },
+      Some("""
+        SELECT source, count(*) AS n_total,
+               CAST(SUM(CASE WHEN rk <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               max(CASE WHEN rk <= 15 THEN doc_id END) AS max_kept_id
+        FROM (SELECT source, doc_id,
+                     row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+              FROM documents)
+        GROUP BY 1""")),
+
+    "curate_split_assign" -> QueryDef(
+      // deterministic train/val/test assignment by multiplicative hash of the
+      // stable doc id — reproducible across engines/runs/partitionings (the
+      // property a random() split lacks), pure per-row arithmetic, zero
+      // shuffle before the 3-group count. Knuth multiplier, buckets of 1/1000.
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("bucket", (col("doc_id") * 2654435761L) % 1000L)
+        .withColumn("split",
+          when(col("bucket") < 980, "train").when(col("bucket") < 990, "val")
+            .otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id")),
+      Some("""
+        SELECT CASE WHEN (doc_id * 2654435761) % 1000 < 980 THEN 'train'
+                    WHEN (doc_id * 2654435761) % 1000 < 990 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM documents GROUP BY 1""")),
+
+    "curate_contamination" -> QueryDef(
+      // benchmark-contamination detection: corpus docs sharing >= 3 distinct
+      // word-8-grams with any benchmark doc (here: doc_id < 20 stands in for
+      // the benchmark set). Grams join on xxhash64 longs; the benchmark side
+      // is tiny at any corpus scale, so candidate volume is bounded by
+      // benchmark grams, never corpus². The 8-gram order keeps common-phrase
+      // noise out (cf. the 10-gram/13-gram choices in public decontamination
+      // write-ups).
+      (s, dir) => {
+        val grams = t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("tok"))
+          .select(col("doc_id"),
+            explode(array_distinct(TextFunctions.wordNGrams(col("tok"), 8))).as("g"))
+          .select(col("doc_id"), xxhash64(col("g")).as("g"))
+        val bench  = grams.filter(col("doc_id") < 20).select(col("doc_id").as("bench_id"), col("g"))
+        val corpus = grams.filter(col("doc_id") >= 20).select(col("doc_id").as("corpus_id"), col("g"))
+        corpus.join(bench, Seq("g"))
+          .groupBy("corpus_id", "bench_id")
+          .agg(count(lit(1)).as("n_shared_grams"))
+          .filter(col("n_shared_grams") >= 3)
+      },
+      Some("""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             g AS (SELECT DISTINCT doc_id,
+                     unnest(list_transform(range(1, greatest(len(tk) - 7, 0) + 1),
+                            i -> array_to_string(list_slice(tk, CAST(i AS INT), CAST(i AS INT) + 7), ' '))) AS gm
+                   FROM tok)
+        SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id, count(*) AS n_shared_grams
+        FROM (SELECT doc_id, gm FROM g WHERE doc_id >= 20) c
+        JOIN (SELECT doc_id, gm FROM g WHERE doc_id < 20) b USING (gm)
+        GROUP BY 1, 2 HAVING count(*) >= 3""")),
+
+    "curate_scrub_numbers" -> QueryDef(
+      // PII-ish scrubbing accounting over the event props (the digit-masking
+      // shape; real pipelines swap the pattern for emails/phones/SSNs):
+      // per event type, how many payloads carry digits and how many digit
+      // chars masking removes. Zero shuffle before the small final agg;
+      // replace-and-measure arithmetic is stated identically in the oracle.
+      (s, dir) => t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_props"),
+          sum(when(col("props") =!= regexp_replace(col("props"), "\\d", ""), 1L)
+            .otherwise(0L)).cast("bigint").as("n_with_digits"),
+          sum(length(col("props")) - length(regexp_replace(col("props"), "\\d", "")))
+            .cast("bigint").as("n_digit_chars")),
+      Some("""
+        SELECT event_type, count(*) AS n_props,
+               CAST(SUM(CASE WHEN props <> regexp_replace(props, '\d', '', 'g') THEN 1 ELSE 0 END) AS BIGINT) AS n_with_digits,
+               CAST(SUM(length(props) - length(regexp_replace(props, '\d', '', 'g'))) AS BIGINT) AS n_digit_chars
+        FROM events GROUP BY 1""")),
+
     // ---- training-data extensions: multimodal columns ---------------------
     // Media corpus derived from `documents` (payload = UTF-8 text bytes, kind
     // = doc_id mod 3), so byte-level outputs of the mapPartitions plumbing are
