@@ -390,6 +390,52 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
       .orderBy(col("version"))
   }
 
+  /** CDC read (change-data-feed analog, appended rows): every row ADDED by a
+    * sink commit in `(fromVersion, toVersion]`, tagged with the commit
+    * version (`MLK_CommitVersion`) that introduced it — the "what's new
+    * since snapshot N" feed an incremental training pipeline consumes
+    * instead of diffing snapshots. Row deletes surface as file rewrites;
+    * their removed files are listed by [[removedBetween]]. One distributed
+    * read over exactly the added files plus a broadcast file→version map;
+    * like [[snapshotAt]], reach is bounded by vacuum retention.
+    */
+  def changesBetween(fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"changesBetween: fromVersion $fromVersion > toVersion $toVersion")
+    val schema = currentMeta().map(_._1).getOrElse(
+      throw new IllegalStateException(s"Mirror table $name has no schema commit"))
+    val logs = reader.readCommits(reader.listCommits(fromVersion + 1, toVersion))
+    val fileToV = logs.flatMap { l =>
+      l.adds.flatMap(_.blobPath).map(p =>
+        normalizePath(new Path(root, p).toString) -> l.startTxId)
+    }
+    val out = KustoTypes.CommitVersionColumn
+    if (fileToV.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema.add(out, org.apache.spark.sql.types.LongType))
+    import spark.implicits._
+    val mapping = fileToV.toDF("_abs", out)
+    spark.read.schema(schema).parquet(fileToV.map(_._1): _*)
+      .withColumn("_abs", normalizePathCol(input_file_name()))
+      .join(broadcast(mapping), Seq("_abs"))
+      .drop("_abs")
+  }
+
+  /** The file-level remove side of [[changesBetween]]: (version, path) of
+    * every file removed in `(fromVersion, toVersion]` — driver-side metadata
+    * only. A consumer that cannot tolerate rewritten history (deletes /
+    * OPTIMIZE churn) checks this is empty before trusting the append feed.
+    */
+  def removedBetween(fromVersion: Long, toVersion: Long): Seq[(Long, String)] = {
+    require(fromVersion <= toVersion,
+      s"removedBetween: fromVersion $fromVersion > toVersion $toVersion")
+    reader.readCommits(reader.listCommits(fromVersion + 1, toVersion))
+      .flatMap(l => l.removes.flatMap(_.blobPath).map(l.startTxId -> _))
+  }
+
+  /** Latest sink-log commit version, or -1 for an empty log. */
+  def currentVersion(): Long = reader.listCommits().lastOption.map(_._1).getOrElse(-1L)
+
   /** Recorded (min,max) of `column` for a live file, if stats were kept. */
   def statsOf(a: LiveFile, column: String): Option[(Double, Double)] =
     a.tags.get(StatsTag).flatMap { json =>

@@ -34,6 +34,11 @@ object KustoTypes {
     */
   val IngestTsColumn = "MLK_IngestTs"
 
+  /** Version tag on [[graft.sink.MirrorTable.changesBetween]] CDC rows: the
+    * sink-log commit that introduced the row.
+    */
+  val CommitVersionColumn = "MLK_CommitVersion"
+
   def toKustoType(dt: DataType): String = dt match {
     case StringType                       => "string"
     case LongType                         => "long"

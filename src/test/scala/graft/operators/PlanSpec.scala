@@ -83,6 +83,16 @@ class PlanSpec extends SparkSuite {
     assert(finalPlan("q_skew_salted_join").contains("_salt"))
   }
 
+  test("contamination: benchmark gram side broadcasts, corpus never shuffle-joined") {
+    val s = finalPlan("curate_contamination")
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"), s)
+  }
+
+  test("source cap: the window's shuffle is the ONLY shuffle (groupBy reuses it)") {
+    assert(countShuffles(finalPlan("curate_source_cap")) == 1)
+  }
+
   test("no unpartitioned WindowExec anywhere in the registry") {
     // a global window (Window.partitionBy() with no keys) moves every row to
     // ONE task — the canonical 100× scale-killer. Share-of-total shapes must
