@@ -103,6 +103,14 @@ object MirrorDemo {
       println(s"[demo] time travel to commit $v: rows=${orch.table.snapshotAt(v).count()}")
     }
 
+    // CDC feed (BEFORE vacuum — the feed reaches only as far as retention):
+    // rows appended since the first data commit, version-tagged
+    firstData.foreach { v =>
+      val feed = orch.table.changesBetween(v - 1, orch.table.currentVersion())
+      println(s"[demo] CDC feed from commit $v: ${feed.count()} appended rows, " +
+        s"history churn files=${orch.table.removedBetween(v - 1, orch.table.currentVersion()).size}")
+    }
+
     // reclaim tombstoned bytes (delete + OPTIMIZE leftovers)
     Thread.sleep(5)
     println(s"[demo] VACUUM reclaimed ${orch.table.vacuum(retainMs = 0L)} files")
@@ -110,6 +118,36 @@ object MirrorDemo {
     // the reference's MLK_DeltaStatus view, Spark-native
     val status = new graft.state.CheckpointStore(spark, cfg.checkpointDir).statusView()
     println(s"[demo] status view: ${status.count()} state rows")
+
+    // multi-table: a second Delta table drains CONCURRENTLY with the first
+    // through ONE shared checkpoint store (per-database orchestration)
+    val src2 = s"$work/source-delta-2"
+    val w2   = new DeltaLogWriter(spark, src2)
+    val schema2 = StructType(Seq(StructField("id", LongType)))
+    w2.commit(Seq(w2.metaDataAction("demo2-id", "demo2", schema2, Nil)))
+    val rel2 = s"part-${java.util.UUID.randomUUID().toString.take(8)}.parquet"
+    spark.range(9000, 9100).toDF("id").coalesce(1).write.mode("overwrite").parquet(s"$work/.tmp2")
+    val part2 = fs.listStatus(new org.apache.hadoop.fs.Path(s"$work/.tmp2")).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    fs.rename(part2, new org.apache.hadoop.fs.Path(src2, rel2))
+    w2.commit(Seq(w2.addAction(rel2,
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(src2, rel2)).getLen, Map.empty, Some(100))))
+
+    val multi = new graft.engine.MirrorOrchestration(spark, Seq(
+      cfg,
+      MirrorConfig(src2, s"$work/mirror2", "demo2", cfg.checkpointDir)))
+    multi.runOnce()
+    println(s"[demo] multi-table drain: demo=${multi.table("demo").snapshot().count()} " +
+      s"demo2=${multi.table("demo2").snapshot().count()} rows through one index.csv")
+
+    // streaming ingestion into a mirror (foreachBatch staged-publish)
+    val streamMirror = new graft.sink.MirrorTable(spark, s"$work/mirror-stream", "demo_stream")
+    streamMirror.ensureSchema(schema2, Nil)
+    val q = graft.streaming.StreamMirror.start(
+      spark.readStream.schema(schema2).parquet(src2.stripSuffix("/")),
+      streamMirror, s"$work/stream-ckpt")
+    q.awaitTermination()
+    println(s"[demo] streaming mirror drained: rows=${streamMirror.snapshot().count()}")
     spark.stop()
   }
 }

@@ -11,6 +11,11 @@ import org.apache.spark.sql.functions._
   * typed Column functions and as a textual rewrite so reference-flavored
   * expression strings (e.g. `todatetime(strcat(p0,'-01-01'))`, the
   * reference tests' default — ElectricTestBase.cs:13) run unchanged.
+  *
+  * Invariant: every rewrite is a NO-OP on Spark-SQL-native input — only
+  * names that are not valid Spark SQL functions are rewritten (so e.g. KQL
+  * `substring`/`split`, whose Spark twins share the name but differ in
+  * semantics, are deliberately NOT translated).
   */
 object KqlCompat {
 
@@ -28,24 +33,37 @@ object KqlCompat {
     */
   def has(c: Column, term: String): Column = lower(c).contains(term.toLowerCase)
   def argMax(value: Column, ordering: Column): Column = max_by(value, ordering)
+  def strlen(c: Column): Column          = length(c)
+  def isempty(c: Column): Column         = coalesce(c.cast("string"), lit("")) === ""
+  def isnotempty(c: Column): Column      = coalesce(c.cast("string"), lit("")) =!= ""
+  /** KQL `bin` on numbers: floor to a multiple of `size`. */
+  def bin(c: Column, size: Column): Column = floor(c / size) * size
 
   // ---- textual rewrite for expression strings -----------------------------
 
-  private val FnRewrites: Seq[(String, String)] = Seq(
-    "todatetime(" -> "to_timestamp(",
-    "tostring("   -> "cast_string_helper(", // placeholder, expanded below
-    "strcat("     -> "concat(",
-    "toint("      -> "cast_int_helper(",
-    "tolong("     -> "cast_long_helper(",
-    "todouble("   -> "cast_double_helper(",
-    "arg_max("    -> "max_by(",
-    "iff("        -> "if("
+  // plain spelling swaps: KQL name → Spark name with identical call shape
+  private val NameRewrites: Seq[(String, String)] = Seq(
+    "todatetime("     -> "to_timestamp(",
+    "strcat("         -> "concat(",
+    "arg_max("        -> "max_by(",
+    "iff("            -> "if(",
+    "strlen("         -> "length(",
+    "tolower("        -> "lower(",
+    "toupper("        -> "upper(",
+    "replace_string(" -> "replace("
   )
 
+  private val TimeSpan = """(\d+)\s*([dhms])""".r
+  private val SpanSeconds =
+    Map("d" -> 86400L, "h" -> 3600L, "m" -> 60L, "s" -> 1L)
+  private val SpanUnit =
+    Map("d" -> "day", "h" -> "hour", "m" -> "minute", "s" -> "second")
+
   /** Rewrite a KQL-flavored scalar expression into Spark SQL accepted by
-    * `expr()`. Handles the function spellings above plus `datetime(...)`
-    * literals. Spark-SQL-native input passes through untouched (all rewrites
-    * are no-ops on strings that don't use KQL spellings).
+    * `expr()`. Handles the spellings above, cast functions, `datetime(...)`
+    * literals, `ago(1d)`, `bin(x, n)` (numeric or timespan),
+    * `isempty`/`isnotempty`, and `startofday/month/year`. Spark-SQL-native
+    * input passes through untouched.
     */
   def rewrite(kql: String): String = {
     var s = kql
@@ -53,22 +71,78 @@ object KqlCompat {
     // look-behind keeps `todatetime(` intact
     s = "(?<![A-Za-z0-9_])datetime\\(([^)']*)\\)".r
       .replaceAllIn(s, m => s"timestamp'${m.group(1).trim}'")
-    FnRewrites.foreach { case (from, to) => s = s.replace(from, to) }
-    // cast helpers: cast_<t>_helper(x) → cast(x as <t>)
-    for (t <- Seq("string", "int", "long", "double")) {
-      val re = s"cast_${t}_helper\\(".r
-      while (re.findFirstIn(s).isDefined) {
-        val start = s.indexOf(s"cast_${t}_helper(")
-        val open  = start + s"cast_${t}_helper".length
-        var depth = 0; var i = open
-        while (i < s.length && (depth != 0 || i == open)) {
-          if (s.charAt(i) == '(') depth += 1
-          else if (s.charAt(i) == ')') depth -= 1
+    // ago(1d) → (current_timestamp() - interval '1' day)
+    s = "(?<![A-Za-z0-9_])ago\\((\\d+)\\s*([dhms])\\)".r
+      .replaceAllIn(s, m =>
+        s"(current_timestamp() - interval '${m.group(1)}' ${SpanUnit(m.group(2))})")
+    NameRewrites.foreach { case (from, to) => s = s.replace(from, to) }
+    for (t <- Seq("string", "int", "long", "double", "bool", "real")) {
+      val sparkT = t match { case "bool" => "boolean"; case "real" => "double"; case x => x }
+      s = expandCalls(s, s"to$t") { case Seq(x) => s"cast($x as $sparkT)" }
+    }
+    s = expandCalls(s, "isempty") { case Seq(x) => s"(coalesce(cast(($x) as string), '') = '')" }
+    s = expandCalls(s, "isnotempty") { case Seq(x) => s"(coalesce(cast(($x) as string), '') != '')" }
+    for ((fn, unit) <- Seq("startofday" -> "DAY", "startofmonth" -> "MONTH", "startofyear" -> "YEAR"))
+      s = expandCalls(s, fn) { case Seq(x) => s"date_trunc('$unit', $x)" }
+    s = expandCalls(s, "bin") {
+      case Seq(x, n) => n.trim match {
+        case TimeSpan(q, u) =>
+          val secs = q.toLong * SpanSeconds(u)
+          // epoch-second flooring keeps arbitrary spans (15m, 6h) exact;
+          // cast timestamp→double is Spark's epoch-seconds representation
+          s"timestamp_seconds(floor(cast(cast(($x) as timestamp) as double) / $secs) * $secs)"
+        case nt => s"(floor(($x)/($nt))*($nt))"
+      }
+    }
+    s
+  }
+
+  /** Expand every top-level `name(args…)` call in `s` through `render`,
+    * splitting arguments at depth-1 commas (single-quoted strings are
+    * opaque: commas/parens inside them don't count). Calls whose argument
+    * count `render` does not accept are left unchanged.
+    */
+  private def expandCalls(s0: String, name: String)(
+      render: PartialFunction[Seq[String], String]): String = {
+    var s    = s0
+    var from = 0
+    var idx  = s.indexOf(name + "(", from)
+    while (idx >= 0) {
+      val precededByIdent =
+        idx > 0 && (s.charAt(idx - 1).isLetterOrDigit || s.charAt(idx - 1) == '_')
+      if (precededByIdent) {
+        from = idx + 1
+      } else {
+        val open   = idx + name.length
+        var depth  = 0
+        var inQ    = false
+        var i      = open
+        val splits = Seq.newBuilder[Int] // positions of depth-1 commas
+        var end    = -1
+        while (i < s.length && end < 0) {
+          val c = s.charAt(i)
+          if (inQ) { if (c == '\'') inQ = false }
+          else c match {
+            case '\'' => inQ = true
+            case '('  => depth += 1
+            case ')'  => depth -= 1; if (depth == 0) end = i
+            case ','  => if (depth == 1) splits += i
+            case _    =>
+          }
           i += 1
         }
-        val inner = s.substring(open + 1, i - 1)
-        s = s.substring(0, start) + s"cast($inner as $t)" + s.substring(i)
+        if (end < 0) from = idx + 1 // unbalanced — leave untouched
+        else {
+          val bounds = (open +: splits.result()) :+ end
+          val args = bounds.sliding(2).map { case Seq(a, b) => s.substring(a + 1, b).trim }.toSeq
+          if (render.isDefinedAt(args)) {
+            val replacement = render(args)
+            s = s.substring(0, idx) + replacement + s.substring(end + 1)
+            from = idx // re-scan from here (nested calls inside replacement are done)
+          } else from = idx + 1
+        }
       }
+      idx = s.indexOf(name + "(", from)
     }
     s
   }

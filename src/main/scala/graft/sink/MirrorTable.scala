@@ -413,6 +413,15 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
     if (fileToV.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema.add(out, org.apache.spark.sql.types.LongType))
+    // a range reaching vacuumed history must fail with the CONTRACT, not a
+    // raw PATH_NOT_FOUND from the scan (metadata-bounded existence check)
+    val vacuumed = fileToV.collect {
+      case (p, v) if !fs.exists(new Path(p)) => s"$p (commit $v)"
+    }
+    if (vacuumed.nonEmpty)
+      throw new IllegalStateException(
+        s"changesBetween($fromVersion, $toVersion) reaches ${vacuumed.size} file(s) already " +
+          s"reclaimed by VACUUM — narrow the range or raise vacuum retention. First: ${vacuumed.head}")
     import spark.implicits._
     val mapping = fileToV.toDF("_abs", out)
     spark.read.schema(schema).parquet(fileToV.map(_._1): _*)

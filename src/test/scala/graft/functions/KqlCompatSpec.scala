@@ -24,6 +24,36 @@ class KqlCompatSpec extends SparkSuite {
     assert(KqlCompat.rewrite(native) == native)
   }
 
+  test("rewrite handles bin/ago/startof*/isempty/string helpers") {
+    assert(KqlCompat.rewrite("bin(x, 100)") == "(floor((x)/(100))*(100))")
+    assert(KqlCompat.rewrite("bin(ts, 15m)") ==
+      "timestamp_seconds(floor(cast(cast((ts) as timestamp) as double) / 900) * 900)")
+    assert(KqlCompat.rewrite("ago(7d)")
+      == "(current_timestamp() - interval '7' day)")
+    assert(KqlCompat.rewrite("startofday(ts)") == "date_trunc('DAY', ts)")
+    assert(KqlCompat.rewrite("isempty(x)") == "(coalesce(cast((x) as string), '') = '')")
+    assert(KqlCompat.rewrite("strlen(tolower(s))") == "length(lower(s))")
+    assert(KqlCompat.rewrite("replace_string(s, 'a', 'b')") == "replace(s, 'a', 'b')")
+    assert(KqlCompat.rewrite("tobool(x)") == "cast(x as boolean)")
+    // quoted commas/parens are opaque to the arg splitter
+    assert(KqlCompat.rewrite("bin(strlen('a,b)'), 10)")
+      == "(floor((length('a,b)'))/(10))*(10))")
+    // Spark's own 1-arg bin() (binary representation) is NOT rewritten
+    assert(KqlCompat.rewrite("bin(13)") == "bin(13)")
+
+    // evaluate through expr(): numeric bin and timespan bin
+    val r = Seq((1234L, "2021-06-15 13:47:21")).toDF("v", "t")
+      .withColumn("ts", $"t".cast("timestamp"))
+      .selectExpr(
+        KqlCompat.rewrite("bin(v, 100)") + " as b",
+        KqlCompat.rewrite("bin(ts, 1h)") + " as h",
+        KqlCompat.rewrite("startofday(ts)") + " as d")
+      .head
+    assert(r.getAs[Any]("b").toString.toDouble == 1200.0)
+    assert(r.getAs[java.sql.Timestamp]("h").toString == "2021-06-15 13:00:00.0")
+    assert(r.getAs[java.sql.Timestamp]("d").toString == "2021-06-15 00:00:00.0")
+  }
+
   test("typed aliases evaluate with KQL semantics") {
     val df = Seq(("Personal Cluster", 3L)).toDF("offering", "v")
     val r = df.select(

@@ -65,11 +65,24 @@ class StreamMirrorSpec extends SparkSuite {
     assert(mirror.snapshot().count() == 9)
   }
 
-  test("changesBetween edge cases: empty range, bad range") {
+  test("changesBetween edge cases: empty range, bad range, vacuumed history") {
     val mirror = new MirrorTable(spark, tmpDir("cdc-mirror"), "cdc")
     mirror.ensureSchema(schema, Nil)
     val v = mirror.currentVersion()
     assert(mirror.changesBetween(v, v).count() == 0) // empty range, typed empty frame
     intercept[IllegalArgumentException](mirror.changesBetween(v + 1, v))
+
+    // vacuumed history: a CDC range reaching reclaimed files fails with the
+    // contract error, not a raw PATH_NOT_FOUND from the scan
+    mirror.stage("s0", "g-default", spark.range(0, 4).toDF("id")
+      .withColumn(KustoTypes.BlobPathColumn, org.apache.spark.sql.functions.lit("b0"))
+      .withColumn(KustoTypes.IngestTsColumn,
+        org.apache.spark.sql.functions.lit(new java.sql.Timestamp(0L))))
+    val v1 = mirror.publishStaged("s0")
+    mirror.deleteByLineage(Seq(("b0", None))) // tombstones the s0 file
+    Thread.sleep(20)
+    assert(mirror.vacuum(0L) >= 1)
+    val e = intercept[IllegalStateException](mirror.changesBetween(v1 - 1, v1))
+    assert(e.getMessage.contains("reclaimed by VACUUM"), e.getMessage)
   }
 }
