@@ -119,4 +119,13 @@ object EventStream {
     events
       .withWatermark("event_time", "1 hour")
       .dropDuplicates(keyCols :+ "event_time")
+
+  /** Stream-static enrichment: join the event stream against a batch
+    * dimension (re-read per micro-batch, so slowly-changing dims stay
+    * current). The dim side broadcasts — no stream-side shuffle, stateless,
+    * any output mode. The streaming twin of the engine's extent↔blob
+    * map-back joins (J4/J5).
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left_outer")
 }

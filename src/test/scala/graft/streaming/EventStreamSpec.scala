@@ -91,4 +91,28 @@ class EventStreamSpec extends SparkSuite {
     val n = spark.table("deduped").select("event_id").distinct().count()
     assert(spark.table("deduped").count() == n) // no dup event ids in output
   }
+
+  test("stream-static enrichment joins the broadcast dim per micro-batch") {
+    val src = tmpDir("events-src4"); val ckpt = tmpDir("stream-ckpt4")
+    stageEvents(src)
+    val dim = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+    val q = EventStream.enrich(EventStream.readEvents(spark, src), dim, "user_id")
+      .writeStream
+      .format("memory").queryName("enriched")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val out = spark.table("enriched")
+    val total = spark.read.parquet(src).count()
+    assert(out.count() == total) // left_outer: no event dropped or fanned out
+    // events with a matching customer carry its nation; the join matches the
+    // batch answer
+    val batchMatched = spark.read.parquet(src).join(dim, Seq("user_id")).count()
+    assert(out.filter(col("c_nationkey").isNotNull).count() == batchMatched)
+    assert(batchMatched > 0)
+  }
 }
