@@ -29,10 +29,17 @@ def load_current(arg):
 
 
 def load_baseline():
-    files = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..", "BENCH_r*.json")))
+    files = glob.glob(os.path.join(os.path.dirname(__file__), "..", "BENCH_r*.json"))
     if not files:
         return None, None
-    latest = files[-1]
+
+    def round_of(p):
+        # numeric round order, NOT lexicographic: BENCH_r100 must beat
+        # BENCH_r99 once the counter outgrows its zero-padding
+        m = re.search(r"BENCH_r(\d+)\.json$", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
+    latest = max(files, key=round_of)
     data = json.load(open(latest))
     tail = data.get("tail", "")
     m = re.search(r'\{\\?"metric\\?":\\?"total\\?".*', tail)

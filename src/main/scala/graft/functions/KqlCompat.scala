@@ -66,16 +66,27 @@ object KqlCompat {
     * input passes through untouched.
     */
   def rewrite(kql: String): String = {
-    var s = kql
-    // datetime(2021-01-01) literal → timestamp'2021-01-01'; the negative
-    // look-behind keeps `todatetime(` intact
-    s = "(?<![A-Za-z0-9_])datetime\\(([^)']*)\\)".r
-      .replaceAllIn(s, m => s"timestamp'${m.group(1).trim}'")
-    // ago(1d) → (current_timestamp() - interval '1' day)
-    s = "(?<![A-Za-z0-9_])ago\\((\\d+)\\s*([dhms])\\)".r
-      .replaceAllIn(s, m =>
-        s"(current_timestamp() - interval '${m.group(1)}' ${SpanUnit(m.group(2))})")
-    NameRewrites.foreach { case (from, to) => s = s.replace(from, to) }
+    // name/literal rewrites see only the text OUTSIDE single-quoted string
+    // literals, and match only at identifier boundaries — `my_strcat(`,
+    // `sdiff(` and `concat('iff(', x)` must all survive untouched (the
+    // no-op-on-Spark-SQL invariant)
+    var s = mapOutsideQuotes(kql) { seg0 =>
+      var seg = seg0
+      // datetime(2021-01-01) literal → timestamp'2021-01-01'; the negative
+      // look-behind keeps `todatetime(` intact
+      seg = "(?<![A-Za-z0-9_])datetime\\(([^)']*)\\)".r
+        .replaceAllIn(seg, m => s"timestamp'${m.group(1).trim}'")
+      // ago(1d) → (current_timestamp() - interval '1' day)
+      seg = "(?<![A-Za-z0-9_])ago\\((\\d+)\\s*([dhms])\\)".r
+        .replaceAllIn(seg, m =>
+          s"(current_timestamp() - interval '${m.group(1)}' ${SpanUnit(m.group(2))})")
+      NameRewrites.foreach { case (from, to) =>
+        val name = from.stripSuffix("(")
+        seg = s"(?<![A-Za-z0-9_])${java.util.regex.Pattern.quote(name)}\\(".r
+          .replaceAllIn(seg, java.util.regex.Matcher.quoteReplacement(to))
+      }
+      seg
+    }
     for (t <- Seq("string", "int", "long", "double", "bool", "real")) {
       val sparkT = t match { case "bool" => "boolean"; case "real" => "double"; case x => x }
       s = expandCalls(s, s"to$t") { case Seq(x) => s"cast($x as $sparkT)" }
@@ -110,7 +121,10 @@ object KqlCompat {
     while (idx >= 0) {
       val precededByIdent =
         idx > 0 && (s.charAt(idx - 1).isLetterOrDigit || s.charAt(idx - 1) == '_')
-      if (precededByIdent) {
+      // quote parity: an odd count of ' before idx puts the match inside a
+      // string literal ('' escapes keep parity intact) — leave it alone
+      val insideLiteral = s.substring(0, idx).count(_ == '\'') % 2 == 1
+      if (precededByIdent || insideLiteral) {
         from = idx + 1
       } else {
         val open   = idx + name.length
@@ -145,5 +159,27 @@ object KqlCompat {
       idx = s.indexOf(name + "(", from)
     }
     s
+  }
+
+  /** Apply `f` to every maximal segment of `s` OUTSIDE single-quoted string
+    * literals ('' escaping included); the literals pass through verbatim.
+    */
+  private def mapOutsideQuotes(s: String)(f: String => String): String = {
+    val out = new StringBuilder
+    val seg = new StringBuilder
+    var inQ = false
+    s.foreach { c =>
+      if (!inQ) {
+        if (c == '\'') {
+          out.append(f(seg.toString)); seg.clear()
+          out.append(c); inQ = true
+        } else seg.append(c)
+      } else {
+        out.append(c)
+        if (c == '\'') inQ = false
+      }
+    }
+    out.append(f(seg.toString))
+    out.toString
   }
 }

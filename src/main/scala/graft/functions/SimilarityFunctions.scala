@@ -151,6 +151,19 @@ object SimilarityFunctions {
       .filter(col("rank") <= k)
   }
 
+  /** Per-query recall of `ann` against the exact `answer` top-k: both inputs
+    * shaped (query_id, neighbor_id, …). THE one definition shared by the
+    * oracle gates (Surface) and the threshold-calibration probe
+    * (tools.GateProbe) — gate thresholds are calibrated from this exact
+    * computation, so the two must never drift apart.
+    */
+  def recallAtK(exact: DataFrame, ann: DataFrame): DataFrame =
+    exact
+      .join(ann.select(col("query_id"), col("neighbor_id"), lit(1).as("_f")),
+        Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy("query_id")
+      .agg((sum(coalesce(col("_f"), lit(0))) / count(lit(1))).as("recall"))
+
   /** Deterministic coarse quantizer for tests/benches: the first `nCells`
     * corpus vectors (a real deployment would plug k-means centroids in).
     */

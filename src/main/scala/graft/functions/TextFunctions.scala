@@ -86,11 +86,16 @@ object TextFunctions {
     * expression inside the lambda would make Catalyst re-tokenize per
     * element). The standard document-dedup shingle (RefinedWeb/C4-style
     * minhash uses word 5-grams).
+    *
+    * A document with fewer than `n` tokens has ZERO n-grams — the guard
+    * matters under Spark 4's default ANSI mode, where the unguarded
+    * `element_at(tok, i + j)` past the array end is an error, not null.
     */
   def wordNGrams(tok: Column, n: Int): Column =
-    transform(
-      sequence(lit(0), greatest(size(tok) - n, lit(0))),
-      i => concat_ws(" ", (1 to n).map(j => element_at(tok, i + j)): _*))
+    when(size(tok) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(tok) - n),
+        i => concat_ws(" ", (1 to n).map(j => element_at(tok, i + j)): _*)))
 
   /** A BPE-ish subword proxy: split on whitespace AND at letter/digit
     * boundaries, the standard pre-tokenization regex shape.

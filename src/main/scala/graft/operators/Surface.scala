@@ -927,11 +927,7 @@ object Surface {
         val ann = SimilarityFunctions.lshTopK(emb, q, "vec_id", "embedding",
           k = 10, nPlanes = 6, nTables = 12)
         val exact = SimilarityFunctions.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
-        exact
-          .join(ann.select(col("query_id"), col("neighbor_id"), lit(1).as("f")),
-            Seq("query_id", "neighbor_id"), "left_outer")
-          .groupBy("query_id")
-          .agg((sum(coalesce(col("f"), lit(0))) / count(lit(1))).as("recall"))
+        SimilarityFunctions.recallAtK(exact, ann)
           .select(col("query_id"), (col("recall") >= 0.15).as("recall_ok"))
       },
       Some("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 5")),
@@ -948,11 +944,7 @@ object Surface {
         val ivf = SimilarityFunctions.ivfTopK(emb, q, "vec_id", "embedding",
           k = 10, centroids, nProbe = 2)
         val exact = SimilarityFunctions.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
-        exact
-          .join(ivf.select(col("query_id"), col("neighbor_id"), lit(1).as("f")),
-            Seq("query_id", "neighbor_id"), "left_outer")
-          .groupBy("query_id")
-          .agg((sum(coalesce(col("f"), lit(0))) / count(lit(1))).as("recall"))
+        SimilarityFunctions.recallAtK(exact, ivf)
           .select(col("query_id"), (col("recall") >= 0.5).as("recall_ok"))
       },
       Some("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 5")),
@@ -1143,9 +1135,14 @@ object Surface {
       // deterministic train/val/test assignment by multiplicative hash of the
       // stable doc id — reproducible across engines/runs/partitionings (the
       // property a random() split lacks), pure per-row arithmetic, zero
-      // shuffle before the 3-group count. Knuth multiplier, buckets of 1/1000.
+      // shuffle before the 3-group count. Reduce doc_id mod 1000 BEFORE
+      // multiplying: ((id mod m)·(k mod m)) mod m ≡ (id·k) mod m, so the
+      // buckets are identical to the full Knuth-multiplier form but the
+      // arithmetic never overflows BIGINT — `id * 2654435761` would throw
+      // under ANSI once ids pass ~3.5e9, exactly the corpus scale a
+      // deterministic split exists for.
       (s, dir) => t(s, dir, "documents")
-        .withColumn("bucket", (col("doc_id") * 2654435761L) % 1000L)
+        .withColumn("bucket", ((col("doc_id") % 1000L) * 761L) % 1000L)
         .withColumn("split",
           when(col("bucket") < 980, "train").when(col("bucket") < 990, "val")
             .otherwise("test"))
@@ -1153,8 +1150,8 @@ object Surface {
         .agg(count(lit(1)).as("n_docs"),
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id")),
       Some("""
-        SELECT CASE WHEN (doc_id * 2654435761) % 1000 < 980 THEN 'train'
-                    WHEN (doc_id * 2654435761) % 1000 < 990 THEN 'val'
+        SELECT CASE WHEN ((doc_id % 1000) * 761) % 1000 < 980 THEN 'train'
+                    WHEN ((doc_id % 1000) * 761) % 1000 < 990 THEN 'val'
                     ELSE 'test' END AS split,
                count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
         FROM documents GROUP BY 1""")),

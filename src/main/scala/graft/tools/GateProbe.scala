@@ -29,13 +29,8 @@ object GateProbe {
     val exact = SimilarityFunctions.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
 
     def recall(ann: DataFrame, label: String): Unit = {
-      val r = exact
-        .join(ann.select(col("query_id"), col("neighbor_id"), lit(1).as("f")),
-          Seq("query_id", "neighbor_id"), "left_outer")
-        .groupBy("query_id")
-        .agg((sum(coalesce(col("f"), lit(0))) / count(lit(1))).as("recall"))
-        .orderBy("query_id")
-        .collect()
+      // the SAME definition the gates use — calibration must not drift
+      val r = SimilarityFunctions.recallAtK(exact, ann).orderBy("query_id").collect()
       println(s"[probe] $label: " + r.map(x => f"${x.getLong(0)}:${x.getDouble(1)}%.2f").mkString(" "))
     }
 

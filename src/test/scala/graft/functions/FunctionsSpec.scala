@@ -41,6 +41,23 @@ class FunctionsSpec extends SparkSuite {
     assert(sw(1).getInt(0) == 3) // degenerates to whitespace tokens
   }
 
+  test("word n-grams of a too-short document are empty, not an ANSI error") {
+    // Spark 4 defaults ANSI on: an unguarded element_at past the token array
+    // would THROW for any doc shorter than the gram order
+    val short = Seq((1L, "hello world there"), (2L, "one two three four five six"))
+      .toDF("id", "text").withColumn("tok", split($"text", " "))
+    val grams = short.select($"id",
+      TextFunctions.wordNGrams($"tok", 5).as("g")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(grams(1L).isEmpty)           // 3 tokens < 5 → zero 5-grams
+    assert(grams(2L).size == 2)         // 6 tokens → two 5-grams
+    assert(grams(2L).head == "one two three four five")
+    // end-to-end: the minhash pipeline tolerates short docs
+    val withShort = docs.unionByName(Seq((99L, "tiny doc")).toDF("doc_id", "text"))
+    DedupFunctions.minHashNearDups(withShort, "doc_id", "text",
+      threshold = 0.5, wordGrams = 5).collect() // must not throw
+  }
+
   test("dedup: minhash LSH finds exact and near dups, not unrelated docs") {
     val pairs = DedupFunctions.minHashNearDups(docs, "doc_id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

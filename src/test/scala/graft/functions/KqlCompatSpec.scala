@@ -41,6 +41,16 @@ class KqlCompatSpec extends SparkSuite {
     // Spark's own 1-arg bin() (binary representation) is NOT rewritten
     assert(KqlCompat.rewrite("bin(13)") == "bin(13)")
 
+    // identifier boundaries: names embedded in longer identifiers survive
+    assert(KqlCompat.rewrite("my_strcat(a, b)") == "my_strcat(a, b)")
+    assert(KqlCompat.rewrite("sdiff(a, b)") == "sdiff(a, b)")
+    assert(KqlCompat.rewrite("xstrlen(s)") == "xstrlen(s)")
+    // string literals are opaque to every rewrite stage
+    assert(KqlCompat.rewrite("concat('iff(', x)") == "concat('iff(', x)")
+    assert(KqlCompat.rewrite("'isempty(a)'") == "'isempty(a)'")
+    assert(KqlCompat.rewrite("concat('strcat(1d)', tostring(x))")
+      == "concat('strcat(1d)', cast(x as string))")
+
     // evaluate through expr(): numeric bin and timespan bin
     val r = Seq((1234L, "2021-06-15 13:47:21")).toDF("v", "t")
       .withColumn("ts", $"t".cast("timestamp"))

@@ -113,6 +113,7 @@ class PlanSpec extends SparkSuite {
       df.collect()
       val bad = offenders(df.queryExecution.executedPlan)
       assert(bad.isEmpty, s"$name has unpartitioned window(s): ${bad.mkString(", ")}")
+      graft.functions.DedupFunctions.releaseCaches() // minhash persists per run
     }
   }
 
