@@ -46,6 +46,30 @@ class CheckpointStoreSpec extends SparkSuite {
     assert(store.readAll().toSet == Set(a2, b))
   }
 
+  test("concurrent appenders/compactors through two store instances lose nothing") {
+    // the multi-table + parallel-staging write pattern: several threads,
+    // SEPARATE CheckpointStore instances on one index path (the JVM-global
+    // per-path lock is what makes this safe — instance locks would not be)
+    val dir    = tmpDir("ckpt-conc")
+    val storeA = new CheckpointStore(spark, dir)
+    val storeB = new CheckpointStore(spark, dir)
+    val base   = fullItem
+    val items = for (t <- 0 until 8; i <- 0 until 25) yield base.copy(
+      tableName = s"tbl$t", startTxId = i.toLong, endTxId = i.toLong,
+      blobPath = Some(s"blob-$t-$i.parquet"))
+    graft.util.BoundedPar.run(items.grouped(25).toSeq.zipWithIndex, 8) {
+      case (group, gi) =>
+        val store = if (gi % 2 == 0) storeA else storeB
+        group.foreach { it =>
+          store.append(Seq(it))
+          if (it.startTxId % 10 == 0) store.compact() // racing compactions
+        }
+    }
+    val all = storeA.readAll()
+    assert(all.size == 200, s"lost updates: ${all.size} of 200 rows survived")
+    assert(all.map(_.blobPath.get).toSet.size == 200)
+  }
+
   test("statusView is the arg_max dedup of the raw CSV (MLK_DeltaStatus, A1)") {
     val store = new CheckpointStore(spark, tmpDir("ckpt"))
     val a  = fullItem
