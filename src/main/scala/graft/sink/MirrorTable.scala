@@ -355,6 +355,27 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
     else spark.read.schema(meta._1).parquet(files: _*)
   }
 
+  /** [[snapshotRange]] for STRING columns: lexicographic [lo,hi] pruning on
+    * the recorded string bounds (truncation-widened at record time, so the
+    * superset contract holds for long values too). The pruning shape for
+    * date-string / category columns — the other classic skipping axis.
+    */
+  def snapshotRangeString(column: String, lo: String, hi: String): DataFrame = {
+    val meta = currentMeta().getOrElse(
+      throw new IllegalStateException(s"Mirror table $name has no schema commit"))
+    val files = liveAdds()
+      .filter { a =>
+        strStatsOf(a, column) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None           => true
+        }
+      }
+      .map(a => new Path(root, a.path).toString)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta._1)
+    else spark.read.schema(meta._1).parquet(files: _*)
+  }
+
   /** Time travel: the table exactly as of sink-log commit `version` —
     * the as-of metadata's schema over the as-of live file set. Reproducible
     * dataset snapshots for training pipelines ("the corpus as of commit N")
@@ -445,12 +466,20 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
   /** Latest sink-log commit version, or -1 for an empty log. */
   def currentVersion(): Long = reader.listCommits().lastOption.map(_._1).getOrElse(-1L)
 
-  /** Recorded (min,max) of `column` for a live file, if stats were kept. */
+  /** Recorded numeric (min,max) of `column` for a live file, if kept. */
   def statsOf(a: LiveFile, column: String): Option[(Double, Double)] =
     a.tags.get(StatsTag).flatMap { json =>
       val node = M.readTree(json).get(column)
-      if (node == null || node.size() != 2) None
+      if (node == null || node.size() != 2 || !node.get(0).isNumber) None
       else Some((node.get(0).asDouble(), node.get(1).asDouble()))
+    }
+
+  /** Recorded lexicographic string (min,max) of `column`, if kept. */
+  def strStatsOf(a: LiveFile, column: String): Option[(String, String)] =
+    a.tags.get(StatsTag).flatMap { json =>
+      val node = M.readTree(json).get(column)
+      if (node == null || node.size() != 2 || !node.get(0).isTextual) None
+      else Some((node.get(0).asText(), node.get(1).asText()))
     }
 
   // ---- internals ----------------------------------------------------------
@@ -476,10 +505,16 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
   private def lineageOf(
       files: Seq[Path],
       statsCols: Seq[String] = Nil): Map[String, FileMeta] = {
-    val df      = spark.read.parquet(files.map(_.toString): _*)
-    val present = statsCols.filter(df.columns.contains)
+    val df = spark.read.parquet(files.map(_.toString): _*)
+    // string columns keep lexicographic string bounds; everything else goes
+    // through the numeric double path
+    val (strCols, present) = statsCols.filter(df.columns.contains).partition { c =>
+      df.schema(c).dataType == org.apache.spark.sql.types.StringType
+    }
     val statAggs = present.flatMap { c =>
       Seq(min(col(c).cast("double")).as(s"_min_$c"), max(col(c).cast("double")).as(s"_max_$c"))
+    } ++ strCols.flatMap { c =>
+      Seq(min(col(c)).as(s"_smin_$c"), max(col(c)).as(s"_smax_$c"))
     }
     val base = Seq(
       collect_set(col(KustoTypes.BlobPathColumn)).as("blobs"), count(lit(1)).as("rows"))
@@ -487,6 +522,12 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
       .agg(base.head, (base.tail ++ statAggs): _*)
       .collect()
       .map { r =>
+        val strStats = strCols.flatMap { c =>
+          val mn = r.getAs[String](s"_smin_$c")
+          val mx = r.getAs[String](s"_smax_$c")
+          if (mn == null || mx == null) None
+          else Some(c -> truncateBounds(mn, mx))
+        }.toMap
         val stats = present.flatMap { c =>
           val mi = r.getAs[Any](s"_min_$c")
           val ma = r.getAs[Any](s"_max_$c")
@@ -508,22 +549,26 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
             } else None
           }
         }.toMap
-        r.getString(0) -> FileMeta(r.getSeq[String](1), r.getLong(2), stats)
+        r.getString(0) -> FileMeta(r.getSeq[String](1), r.getLong(2), stats, strStats)
       }
       .toMap
   }
 
   /** Tags for one published file: source-blob lineage + optional min/max
-    * stats (JSON: {"col":[min,max],...}, keys sorted for determinism).
+    * stats (JSON: {"col":[min,max],...} — numbers for numeric columns,
+    * JSON strings for string columns; keys sorted for determinism).
     */
   private def tagsFor(meta: FileMeta): Map[String, String] = {
     val lineageTag = Map(SourceBlobsTag -> M.writeValueAsString(meta.blobs.toArray))
-    if (meta.stats.isEmpty) lineageTag
+    if (meta.stats.isEmpty && meta.strStats.isEmpty) lineageTag
     else {
-      val json = meta.stats.toSeq.sortBy(_._1)
-        .map { case (c, (mi, ma)) => s""""${c}":[$mi,$ma]""" }
-        .mkString("{", ",", "}")
-      lineageTag + (StatsTag -> json)
+      val node = M.createObjectNode()
+      (meta.stats.keySet ++ meta.strStats.keySet).toSeq.sorted.foreach { c =>
+        val arr = node.putArray(c)
+        meta.stats.get(c).foreach { case (mi, ma) => arr.add(mi); arr.add(ma) }
+        meta.strStats.get(c).foreach { case (mi, ma) => arr.add(mi); arr.add(ma) }
+      }
+      lineageTag + (StatsTag -> M.writeValueAsString(node))
     }
   }
 
@@ -615,7 +660,18 @@ object MirrorTable {
   final case class FileMeta(
       blobs: Seq[String],
       rows: Long,
-      stats: Map[String, (Double, Double)] = Map.empty)
+      stats: Map[String, (Double, Double)] = Map.empty,
+      strStats: Map[String, (String, String)] = Map.empty)
+
+  /** Conservative truncation of string stat bounds (real Delta truncates at
+    * 32 chars the same way): a PREFIX of the min is ≤ the min; the max gets
+    * U+FFFF appended after truncation, which is ≥ every string sharing the
+    * prefix. Bounds stay a superset of the true range.
+    */
+  private[graft] def truncateBounds(mn: String, mx: String, cap: Int = 64): (String, String) = (
+    if (mn.length > cap) mn.take(cap) else mn,
+    if (mx.length > cap) mx.take(cap) + '￿' else mx
+  )
 
   /** Additive schema merge: existing columns keep their types (a type change
     * is refused), new columns append — `.create-merge table` semantics (S14).

@@ -417,6 +417,34 @@ class MirrorE2ESpec extends SparkSuite {
     assert(orch.table.snapshotRange("id", 0, 299).count() == 300)
   }
 
+  test("string-column stats: lexicographic bounds recorded, snapshotRangeString prunes") {
+    val (src, cfgBase) = setup("strstats")
+    val cfg = cfgBase.copy(statsColumns = Seq("id", "cat"))
+    val schema = StructType(Seq(StructField("id", LongType), StructField("cat", StringType)))
+    src.init(schema)
+    import spark.implicits._
+    src.addCommit(Seq((1L, "apple"), (2L, "berry")).toDF("id", "cat"))
+    src.addCommit(Seq((3L, "mango"), (4L, "peach")).toDF("id", "cat"))
+    src.addCommit(Seq((5L, "tango"), (6L, "zebra")).toDF("id", "cat"))
+    val orch = new MirrorOrchestrator(spark, cfg)
+    orch.runOnce()
+
+    val live = orch.table.liveAdds()
+    assert(live.forall(a => orch.table.strStatsOf(a, "cat").isDefined))
+    assert(live.forall(a => orch.table.statsOf(a, "id").isDefined)) // mixed tag
+
+    // a ["a","c"] probe opens only the apple/berry file
+    val pruned = orch.table.snapshotRangeString("cat", "a", "c")
+    assert(pruned.inputFiles.length < orch.table.snapshot().inputFiles.length)
+    assert(pruned.filter($"cat" < "c").count() == 2)
+    assert(orch.table.snapshotRangeString("cat", "a", "zz").count() == 6)
+
+    // truncation widening keeps long bounds conservative
+    val (mnT, mxT) = graft.sink.MirrorTable.truncateBounds("a" * 100, "b" * 100, cap = 8)
+    assert(mnT == "a" * 8 && mnT <= "a" * 100)
+    assert(mxT.startsWith("b" * 8) && mxT > "b" * 100)
+  }
+
   test("time travel: snapshotAt reproduces each commit's live set") {
     val (src, cfg) = setup("timetravel")
     src.init(idSchema)
