@@ -70,6 +70,29 @@ class FunctionsSpec extends SparkSuite {
     assert(j == 1.0)
   }
 
+  test("minhash recall gate FIRES when the LSH path is crippled (gate sensitivity)") {
+    // the oracle gate pattern: exact ground truth joined against LSH output.
+    // A healthy configuration finds the exact-dup pair; a crippled one
+    // (bands=1 ⇒ collision needs the FULL 64-long signature equal, plus a
+    // sky-high threshold estimate filter) misses near dups — the gate must
+    // turn false, or it is decoration, not a gate
+    val exact = DedupFunctions.exactJaccardPairs(docs, "doc_id", "text",
+      wordGrams = 3, threshold = 0.5)
+    assert(exact.count() >= 2) // (0,1) exact dup and (0,2)/(1,2) near dup
+
+    def missed(lsh: org.apache.spark.sql.DataFrame): Long =
+      exact.join(lsh.select($"id_a", $"id_b", lit(1).as("f")),
+        Seq("id_a", "id_b"), "left_outer").filter($"f".isNull).count()
+
+    val healthy = DedupFunctions.minHashNearDups(docs, "doc_id", "text",
+      numHashes = 64, bands = 16, threshold = 0.5, wordGrams = 3)
+    assert(missed(healthy) == 0, "healthy LSH must find every exact pair")
+
+    val crippled = DedupFunctions.minHashNearDups(docs, "doc_id", "text",
+      numHashes = 64, bands = 1, threshold = 0.95, wordGrams = 3)
+    assert(missed(crippled) > 0, "crippled LSH must be CAUGHT by the gate")
+  }
+
   test("dedup: simhash hamming 0 for exact dup, small for near dup") {
     val sh = DedupFunctions.simHash(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
