@@ -6,7 +6,9 @@ Usage: bench_diff.py <current_bench_json_line_or_file> [threshold]
 Compares per-query seconds of the current bench run against the NEWEST
 BENCH_r*.json in the repo root (the driver's record of the previous round)
 and exits 1 if any query regressed by more than `threshold` x (default 1.5)
-while costing more than 0.3 s absolute (sub-100ms queries are all noise).
+while costing more than 0.5 s absolute — sub-half-second queries at
+local[32] are dominated by scheduling noise (a concurrent build inflates
+them 1.5-2x with no code change), so only material costs gate.
 New queries (no baseline entry) are reported, never failed. Queries whose
 SEMANTICS intentionally changed this round (doing strictly more work, e.g.
 a new in-plan correctness gate) can be exempted by listing their names in
@@ -87,7 +89,7 @@ def main():
             continue
         ratio = now / was
         marker = ""
-        if ratio > threshold and now > 0.3:
+        if ratio > threshold and now > 0.5:
             if name in allow:
                 marker = "  (allowed: semantics changed)"
             else:
