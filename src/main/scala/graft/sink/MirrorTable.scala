@@ -320,12 +320,17 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
     * still apply their row-level filter on the returned frame; the pruning
     * only bounds which files get opened.
     */
-  def snapshotWhere(partitionPredicate: Map[String, String] => Boolean): DataFrame = {
+  def snapshotWhere(partitionPredicate: Map[String, String] => Boolean): DataFrame =
+    prunedSnapshot(a => a.partitionValues.isEmpty || partitionPredicate(a.partitionValues))
+
+  /** Shared body of every pruned read: current schema over the live files
+    * `keep` selects (pruning predicates must be conservative — include when
+    * in doubt); typed empty frame when nothing survives.
+    */
+  private def prunedSnapshot(keep: LiveFile => Boolean): DataFrame = {
     val meta = currentMeta().getOrElse(
       throw new IllegalStateException(s"Mirror table $name has no schema commit"))
-    val files = liveAdds()
-      .filter(a => a.partitionValues.isEmpty || partitionPredicate(a.partitionValues))
-      .map(a => new Path(root, a.path).toString)
+    val files = liveAdds().filter(keep).map(a => new Path(root, a.path).toString)
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta._1)
     else spark.read.schema(meta._1).parquet(files: _*)
@@ -339,42 +344,27 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
     * delete/OPTIMIZE time; `optimize(clusterBy = ...)` makes the ranges
     * disjoint across files, which is when this pruning pays off.
     */
-  def snapshotRange(column: String, lo: Double, hi: Double): DataFrame = {
-    val meta = currentMeta().getOrElse(
-      throw new IllegalStateException(s"Mirror table $name has no schema commit"))
-    val files = liveAdds()
-      .filter { a =>
-        statsOf(a, column) match {
-          case Some((mn, mx)) => mx >= lo && mn <= hi
-          case None           => true
-        }
+  def snapshotRange(column: String, lo: Double, hi: Double): DataFrame =
+    prunedSnapshot { a =>
+      statsOf(a, column) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None           => true
       }
-      .map(a => new Path(root, a.path).toString)
-    if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta._1)
-    else spark.read.schema(meta._1).parquet(files: _*)
-  }
+    }
 
   /** [[snapshotRange]] for STRING columns: lexicographic [lo,hi] pruning on
-    * the recorded string bounds (truncation-widened at record time, so the
-    * superset contract holds for long values too). The pruning shape for
-    * date-string / category columns — the other classic skipping axis.
+    * the recorded string bounds (ASCII-only and truncation-widened at record
+    * time — see `truncateBounds` — so the superset contract holds for long
+    * and non-ASCII values too). The pruning shape for date-string / category
+    * columns — the other classic skipping axis.
     */
-  def snapshotRangeString(column: String, lo: String, hi: String): DataFrame = {
-    val meta = currentMeta().getOrElse(
-      throw new IllegalStateException(s"Mirror table $name has no schema commit"))
-    val files = liveAdds()
-      .filter { a =>
-        strStatsOf(a, column) match {
-          case Some((mn, mx)) => mx >= lo && mn <= hi
-          case None           => true
-        }
+  def snapshotRangeString(column: String, lo: String, hi: String): DataFrame =
+    prunedSnapshot { a =>
+      strStatsOf(a, column) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None           => true
       }
-      .map(a => new Path(root, a.path).toString)
-    if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta._1)
-    else spark.read.schema(meta._1).parquet(files: _*)
-  }
+    }
 
   /** Time travel: the table exactly as of sink-log commit `version` —
     * the as-of metadata's schema over the as-of live file set. Reproducible
@@ -526,7 +516,7 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
           val mn = r.getAs[String](s"_smin_$c")
           val mx = r.getAs[String](s"_smax_$c")
           if (mn == null || mx == null) None
-          else Some(c -> truncateBounds(mn, mx))
+          else truncateBounds(mn, mx).map(c -> _)
         }.toMap
         val stats = present.flatMap { c =>
           val mi = r.getAs[Any](s"_min_$c")
@@ -663,15 +653,33 @@ object MirrorTable {
       stats: Map[String, (Double, Double)] = Map.empty,
       strStats: Map[String, (String, String)] = Map.empty)
 
-  /** Conservative truncation of string stat bounds (real Delta truncates at
-    * 32 chars the same way): a PREFIX of the min is ≤ the min; the max gets
-    * U+FFFF appended after truncation, which is ≥ every string sharing the
-    * prefix. Bounds stay a superset of the true range.
+  /** Conservative truncation of recorded string stat bounds, ASCII-only.
+    *
+    * Returns None — drop the stats, conservative include at prune time —
+    * unless both bounds are pure printable-range ASCII. The restriction is
+    * what makes the bounds SOUND: Spark computes min/max in UTF8_BINARY
+    * (code-point) order while the prune compares with java.lang.String
+    * (UTF-16) order, and the two disagree for supplementary characters;
+    * for ASCII-only stored bounds every comparison against ANY probe string
+    * agrees under both orders (at the first difference, a non-ASCII char
+    * sorts above ASCII in both). Truncation: the min keeps a prefix (≤ the
+    * true min in any order); the max increments the last kept char
+    * (strictly above every string sharing the prefix) — well-defined
+    * because ASCII < 0x7F always has an ASCII successor.
     */
-  private[graft] def truncateBounds(mn: String, mx: String, cap: Int = 64): (String, String) = (
-    if (mn.length > cap) mn.take(cap) else mn,
-    if (mx.length > cap) mx.take(cap) + '￿' else mx
-  )
+  private[graft] def truncateBounds(
+      mn: String, mx: String, cap: Int = 64): Option[(String, String)] = {
+    def asciiOk(s: String) = s.forall(c => c >= ' ' && c <= '~')
+    if (!asciiOk(mn) || !asciiOk(mx)) None
+    else {
+      val lo = if (mn.length > cap) mn.take(cap) else mn
+      if (mx.length <= cap) Some((lo, mx))
+      else {
+        val t = mx.take(cap)
+        Some((lo, t.init + (t.last + 1).toChar))
+      }
+    }
+  }
 
   /** Additive schema merge: existing columns keep their types (a type change
     * is refused), new columns append — `.create-merge table` semantics (S14).

@@ -439,10 +439,16 @@ class MirrorE2ESpec extends SparkSuite {
     assert(pruned.filter($"cat" < "c").count() == 2)
     assert(orch.table.snapshotRangeString("cat", "a", "zz").count() == 6)
 
-    // truncation widening keeps long bounds conservative
-    val (mnT, mxT) = graft.sink.MirrorTable.truncateBounds("a" * 100, "b" * 100, cap = 8)
+    // truncation widening keeps long bounds conservative: min is a prefix,
+    // max increments its last kept char (strictly above the whole prefix set)
+    val Some((mnT, mxT)) =
+      graft.sink.MirrorTable.truncateBounds("a" * 100, "b" * 100, cap = 8)
     assert(mnT == "a" * 8 && mnT <= "a" * 100)
-    assert(mxT.startsWith("b" * 8) && mxT > "b" * 100)
+    assert(mxT == "b" * 7 + "c" && mxT > "b" * 100)
+    // non-ASCII bounds are dropped (UTF8_BINARY vs UTF-16 orders disagree
+    // beyond ASCII — conservative include instead of unsound pruning)
+    assert(graft.sink.MirrorTable.truncateBounds("café", "z", cap = 8).isEmpty)
+    assert(graft.sink.MirrorTable.truncateBounds("a", "emoji 😀", cap = 8).isEmpty)
   }
 
   test("time travel: snapshotAt reproduces each commit's live set") {
