@@ -127,20 +127,10 @@ object SimilarityFunctions {
       centroids: Seq[Seq[Double]],
       nProbe: Int = 2): DataFrame = {
     require(centroids.nonEmpty, "need at least one centroid")
-    def cellDots(v: Column): Seq[Column] =
-      centroids.map(c => cosine(v, array(c.map(lit): _*)))
-    // nearest cell = argmax over centroid cosines (expression-only)
-    def nearestCells(v: Column, n: Int): Column = {
-      val scored = array(cellDots(v).zipWithIndex.map { case (d, i) =>
-        struct(d.as("s"), lit(i).as("cell"))
-      }: _*)
-      slice(reverse(array_sort(scored)), 1, n)
-    }
-
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("cell", nearestCells(col("cv"), 1).getItem(0).getField("cell"))
+      .withColumn("cell", nearestCells(col("cv"), centroids, 1).getItem(0).getField("cell"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("cell", explode(nearestCells(col("qv"), nProbe).getField("cell")))
+      .withColumn("cell", explode(nearestCells(col("qv"), centroids, nProbe).getField("cell")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -170,6 +160,51 @@ object SimilarityFunctions {
   def leadingCentroids(corpus: DataFrame, vecCol: String, idCol: String, nCells: Int): Seq[Seq[Double]] =
     corpus.orderBy(col(idCol)).limit(nCells).select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+
+  /** Distributed Lloyd k-means over the embedding column — the real IVF
+    * coarse quantizer. Deterministic: init = the first `k` corpus vectors by
+    * id ([[leadingCentroids]]), assignment by cosine (matching [[ivfTopK]]'s
+    * probe metric). Each iteration is ONE shuffle: assign cells per row
+    * (expression-only, centroids inlined as literals), then
+    * posexplode+partial-agg the per-cell per-dimension means — no vector
+    * ever lands on the driver except the k×dim centroid matrix itself,
+    * which is bounded by construction. Cells that lose all members keep
+    * their previous centroid (classic empty-cluster guard).
+    */
+  def kmeansCentroids(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      iters: Int = 2): Seq[Seq[Double]] = {
+    var centroids = leadingCentroids(corpus, vecCol, idCol, k)
+    for (_ <- 1 to iters) {
+      val assigned = corpus
+        .select(col(vecCol).as("v"))
+        .withColumn("cell", nearestCells(col("v"), centroids, 1).getItem(0).getField("cell"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
+    }
+    centroids
+  }
+
+  /** The `n` nearest centroid cells of `v` by cosine, as an array of
+    * struct(score, cell) — shared by [[ivfTopK]] and [[kmeansCentroids]].
+    */
+  private[functions] def nearestCells(v: Column, centroids: Seq[Seq[Double]], n: Int): Column = {
+    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(v, array(c.map(lit): _*)).as("s"), lit(i).as("cell"))
+    }: _*)
+    slice(reverse(array_sort(scored)), 1, n)
+  }
 
   /** Embedding-cosine near-duplicate pairs via OR-amplified LSH: `nTables`
     * independent hash tables of `nPlanes` sign-bits each; a pair is a

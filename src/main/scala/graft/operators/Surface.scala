@@ -933,14 +933,15 @@ object Surface {
       Some("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 5")),
 
     "sim_ivf_topk" -> QueryDef(
-      // IVF scale path: 16 coarse cells, 2-probe; exact ranking within cells.
-      // GATE: recall@10 vs the in-plan brute-force exact top-k — measured
-      // 0.7–1.0 at sf0.01 and 0.9–1.0 at sf0.1 (deterministic); the gate
-      // asserts ≥ 0.5 per query.
+      // IVF scale path: 16 coarse cells from 2 distributed Lloyd iterations
+      // (deterministic leading-vector init), 2-probe, exact ranking within
+      // cells. GATE: recall@10 vs the in-plan brute-force exact top-k —
+      // measured 0.7–0.9 at sf0.01 and 1.0 at sf0.1 with k-means cells
+      // (deterministic); the gate asserts ≥ 0.5 per query.
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         val q   = emb.filter(col("vec_id") < 5)
-        val centroids = SimilarityFunctions.leadingCentroids(emb, "embedding", "vec_id", 16)
+        val centroids = SimilarityFunctions.kmeansCentroids(emb, "embedding", "vec_id", 16, iters = 2)
         val ivf = SimilarityFunctions.ivfTopK(emb, q, "vec_id", "embedding",
           k = 10, centroids, nProbe = 2)
         val exact = SimilarityFunctions.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
@@ -1187,6 +1188,34 @@ object Surface {
         FROM (SELECT doc_id, gm FROM g WHERE doc_id >= 20) c
         JOIN (SELECT doc_id, gm FROM g WHERE doc_id < 20) b USING (gm)
         GROUP BY 1, 2 HAVING count(*) >= 3""")),
+
+    "curate_pack" -> QueryDef(
+      // sequence packing (concat-then-chunk): per source shard, documents in
+      // stable doc_id order are laid head-to-tail and chunked at a 512-token
+      // context boundary — each doc's bin is the chunk its FIRST token lands
+      // in. The deterministic streaming-pack every LLM training pipeline
+      // runs before batching; one shuffle on source, window arithmetic only.
+      // A hot shard concentrates on one task at extreme scale — shard-split
+      // upstream (the source column IS the parallelism unit by design).
+      (s, dir) => {
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "documents")
+          .withColumn("n_tok", TextFunctions.tokenCount(col("text")).cast("long"))
+          .withColumn("off", sum(col("n_tok")).over(w) - col("n_tok"))
+          .withColumn("bin_id", expr("off div 512"))
+          .groupBy("source", "bin_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).cast("bigint").as("n_tokens"))
+      },
+      Some("""
+        SELECT source, (off // 512) AS bin_id, count(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        FROM (SELECT source, len(string_split(text, ' ')) AS n_tok,
+                     CAST(sum(len(string_split(text, ' '))) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                          - len(string_split(text, ' ')) AS BIGINT) AS off
+              FROM documents)
+        GROUP BY 1, 2""")),
 
     "curate_scrub_numbers" -> QueryDef(
       // PII-ish scrubbing accounting over the event props (the digit-masking

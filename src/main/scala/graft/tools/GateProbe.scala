@@ -42,6 +42,10 @@ object GateProbe {
     for (probeN <- Seq(2, 4))
       recall(SimilarityFunctions.ivfTopK(emb, q, "vec_id", "embedding", 10, centroids, probeN),
         s"ivf probe=$probeN")
+    val km = SimilarityFunctions.kmeansCentroids(emb, "embedding", "vec_id", 16, iters = 2)
+    for (probeN <- Seq(2, 4))
+      recall(SimilarityFunctions.ivfTopK(emb, q, "vec_id", "embedding", 10, km, probeN),
+        s"ivf-kmeans probe=$probeN")
 
     // near-dup gate: which exact cos>=0.45 pairs (both ids < 300) does the
     // OR-LSH find, per nTables?

@@ -70,6 +70,25 @@ class FunctionsSpec extends SparkSuite {
     assert(j == 1.0)
   }
 
+  test("k-means centroids: deterministic, right shape, tighter than init") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val km  = SimilarityFunctions.kmeansCentroids(vecs, "embedding", "vec_id", k = 4, iters = 2)
+    val km2 = SimilarityFunctions.kmeansCentroids(vecs, "embedding", "vec_id", k = 4, iters = 2)
+    assert(km == km2)                         // fully deterministic
+    assert(km.size == 4 && km.forall(_.size == 64))
+    val init = SimilarityFunctions.leadingCentroids(vecs, "embedding", "vec_id", 4)
+    assert(km != init)                        // Lloyd steps actually moved them
+    // mean assignment cost must not get WORSE than the raw-vector init
+    def cost(cs: Seq[Seq[Double]]): Double = {
+      import org.apache.spark.sql.functions.{avg => favg}
+      vecs.select(
+        SimilarityFunctions.nearestCells(col("embedding"), cs, 1)
+          .getItem(0).getField("s").as("best"))
+        .agg(favg(col("best"))).head.getDouble(0)
+    }
+    assert(cost(km) >= cost(init) - 1e-9)
+  }
+
   test("minhash recall gate FIRES when the LSH path is crippled (gate sensitivity)") {
     // the oracle gate pattern: exact ground truth joined against LSH output.
     // A healthy configuration finds the exact-dup pair; a crippled one
