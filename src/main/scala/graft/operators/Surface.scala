@@ -1189,6 +1189,47 @@ object Surface {
         JOIN (SELECT doc_id, gm FROM g WHERE doc_id < 20) b USING (gm)
         GROUP BY 1, 2 HAVING count(*) >= 3""")),
 
+    "curate_stratified_sample" -> QueryDef(
+      // class-balanced deterministic sampling: per language, keep the docs
+      // whose multiplicative hash bucket falls under the quota (~20.6% here).
+      // Hash-based (not rand()): the SAME docs are kept on every run, every
+      // engine, any partitioning — resumable sampling. Mod-before-multiply
+      // keeps the arithmetic overflow-free at any id scale (cf.
+      // curate_split_assign). Zero shuffle before the per-class count.
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("keep", ((col("doc_id") % 97L) * 53L) % 97L < 20L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).cast("bigint").as("n_kept")),
+      Some("""
+        SELECT lang, count(*) AS n_total,
+               CAST(SUM(CASE WHEN ((doc_id % 97) * 53) % 97 < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM documents GROUP BY 1""")),
+
+    "curate_quality_filter" -> QueryDef(
+      // the C4-style keep/reject filter WITH rejection accounting: every doc
+      // gets a verdict (first failing rule wins: too short → low lexical
+      // diversity → kept), and the output is the per-verdict census a corpus
+      // pipeline reports after each filter stage. Single scan, one tiny agg.
+      (s, dir) => {
+        val nTok = TextFunctions.tokenCount(col("text")).cast("double")
+        val diversity = TextFunctions.distinctTokenCount(col("text")).cast("double") / nTok
+        t(s, dir, "documents")
+          .withColumn("verdict",
+            when(nTok < 20, "too_short")
+              .when(diversity < 0.4, "low_diversity")
+              .otherwise("kept"))
+          .groupBy("verdict")
+          .agg(count(lit(1)).as("n_docs"))
+      },
+      Some("""
+        SELECT CASE WHEN len(string_split(text, ' ')) < 20 THEN 'too_short'
+                    WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                         / len(string_split(text, ' ')) < 0.4 THEN 'low_diversity'
+                    ELSE 'kept' END AS verdict,
+               count(*) AS n_docs
+        FROM documents GROUP BY 1""")),
+
     "curate_pack" -> QueryDef(
       // sequence packing (concat-then-chunk): per source shard, documents in
       // stable doc_id order are laid head-to-tail and chunked at a 512-token
