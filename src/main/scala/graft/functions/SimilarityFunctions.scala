@@ -196,6 +196,26 @@ object SimilarityFunctions {
     centroids
   }
 
+  // an IVF quantizer is BUILT ONCE and queried many times — recomputing the
+  // Lloyd iterations per query would be re-building the index on every
+  // lookup. Keyed by (corpus identity, k, iters); centroids are
+  // deterministic for a given corpus, so a cached entry never goes stale
+  // unless the underlying data changes (callers use a content-versioned key
+  // like the SF dir for that).
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Seq[Seq[Double]]]()
+
+  /** [[kmeansCentroids]] memoized under `cacheKey` (e.g. the corpus path). */
+  def cachedKmeansCentroids(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      iters: Int,
+      cacheKey: String): Seq[Seq[Double]] =
+    centroidCache.computeIfAbsent((cacheKey, k, iters),
+      _ => kmeansCentroids(corpus, vecCol, idCol, k, iters))
+
   /** The `n` nearest centroid cells of `v` by cosine, as an array of
     * struct(score, cell) — shared by [[ivfTopK]] and [[kmeansCentroids]].
     */
