@@ -161,15 +161,24 @@ object SimilarityFunctions {
     corpus.orderBy(col(idCol)).limit(nCells).select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
 
-  /** Distributed Lloyd k-means over the embedding column — the real IVF
-    * coarse quantizer. Deterministic: init = the first `k` corpus vectors by
-    * id ([[leadingCentroids]]), assignment by cosine (matching [[ivfTopK]]'s
-    * probe metric). Each iteration is ONE shuffle: assign cells per row
-    * (expression-only, centroids inlined as literals), then
+  /** Distributed SPHERICAL k-means over the embedding column — the real IVF
+    * coarse quantizer for a cosine metric. Assignment by cosine (matching
+    * [[ivfTopK]]'s probe metric); the update step averages UNIT-NORMALIZED
+    * members — the actual maximizer of the within-cell cosine objective (a
+    * raw-vector mean lets one long vector drag the centroid direction away
+    * from the majority). Init = the first `k` corpus vectors by id
+    * ([[leadingCentroids]]). Each iteration is ONE shuffle: assign cells
+    * per row (expression-only, centroids inlined as literals), then
     * posexplode+partial-agg the per-cell per-dimension means — no vector
     * ever lands on the driver except the k×dim centroid matrix itself,
     * which is bounded by construction. Cells that lose all members keep
     * their previous centroid (classic empty-cluster guard).
+    *
+    * Determinism: seeded init and a fixed iteration count make the result
+    * deterministic in single-process (local) execution; on a multi-executor
+    * cluster, float partial-sum merge order can differ in ULPs run-to-run,
+    * so treat cluster-built centroids as an artifact to persist with the
+    * index, not something to recompute and compare bit-for-bit.
     */
   def kmeansCentroids(
       corpus: DataFrame,
@@ -181,11 +190,12 @@ object SimilarityFunctions {
     for (_ <- 1 to iters) {
       val assigned = corpus
         .select(col(vecCol).as("v"))
+        .withColumn("nv", transform(col("v"), x => x.cast("double") / norm(col("v"))))
         .withColumn("cell", nearestCells(col("v"), centroids, 1).getItem(0).getField("cell"))
       val means = assigned
-        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .select(col("cell"), posexplode(col("nv")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
-        .agg(avg(col("x").cast("double")).as("m"))
+        .agg(avg(col("x")).as("m"))
         .collect()
         .groupBy(_.getInt(0))
         .map { case (cell, rows) =>
@@ -198,12 +208,13 @@ object SimilarityFunctions {
 
   // an IVF quantizer is BUILT ONCE and queried many times — recomputing the
   // Lloyd iterations per query would be re-building the index on every
-  // lookup. Keyed by (corpus identity, k, iters); centroids are
-  // deterministic for a given corpus, so a cached entry never goes stale
-  // unless the underlying data changes (callers use a content-versioned key
-  // like the SF dir for that).
+  // lookup. Keyed by (corpus identity, columns, k, iters); callers use a
+  // content-versioned key (like the SF dir) so a cached entry only outlives
+  // unchanged data. The cache hands back ONE build artifact — which is also
+  // the right posture on a cluster, where recomputation is not bit-stable
+  // (see kmeansCentroids).
   private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Seq[Seq[Double]]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String, Int, Int), Seq[Seq[Double]]]()
 
   /** [[kmeansCentroids]] memoized under `cacheKey` (e.g. the corpus path). */
   def cachedKmeansCentroids(
@@ -213,7 +224,7 @@ object SimilarityFunctions {
       k: Int,
       iters: Int,
       cacheKey: String): Seq[Seq[Double]] =
-    centroidCache.computeIfAbsent((cacheKey, k, iters),
+    centroidCache.computeIfAbsent((cacheKey, vecCol, idCol, k, iters),
       _ => kmeansCentroids(corpus, vecCol, idCol, k, iters))
 
   /** The `n` nearest centroid cells of `v` by cosine, as an array of

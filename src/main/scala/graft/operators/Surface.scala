@@ -36,6 +36,16 @@ object Surface {
   private def decSum(c: Column, as: String, scale: Int = 2): Column =
     sum(c.cast(s"decimal(28,$scale)")).cast("double").as(as)
 
+  /** Deterministic bucket hash `((id % m) * mult) % m` — reproducible across
+    * engines/partitionings and OVERFLOW-FREE at any id scale (reduce mod m
+    * BEFORE multiplying: ((a mod m)(b mod m)) mod m ≡ (ab) mod m, and
+    * m*mult stays far below 2^63). State the identical arithmetic in the
+    * DuckDB twin. Non-negative ids assumed (Spark and DuckDB `%` sign
+    * conventions agree only there).
+    */
+  private def bucketHash(id: Column, m: Long, mult: Long): Column =
+    ((id % m) * mult) % m
+
   // revenue term: money columns are exact 2-decimal values, so the whole
   // product is computed in DECIMAL (exact, no double-tie-rounding divergence
   // between engines), surfaced as DOUBLE
@@ -1136,17 +1146,14 @@ object Surface {
         GROUP BY 1""")),
 
     "curate_split_assign" -> QueryDef(
-      // deterministic train/val/test assignment by multiplicative hash of the
-      // stable doc id — reproducible across engines/runs/partitionings (the
-      // property a random() split lacks), pure per-row arithmetic, zero
-      // shuffle before the 3-group count. Reduce doc_id mod 1000 BEFORE
-      // multiplying: ((id mod m)·(k mod m)) mod m ≡ (id·k) mod m, so the
-      // buckets are identical to the full Knuth-multiplier form but the
-      // arithmetic never overflows BIGINT — `id * 2654435761` would throw
-      // under ANSI once ids pass ~3.5e9, exactly the corpus scale a
-      // deterministic split exists for.
+      // deterministic train/val/test assignment by multiplicative bucket
+      // hash of the stable doc id — reproducible across engines/runs/
+      // partitionings (the property a random() split lacks), pure per-row
+      // arithmetic, zero shuffle before the 3-group count. 761 ≡ the Knuth
+      // multiplier 2654435761 mod 1000, so buckets equal the classic form
+      // without its ANSI overflow at ids past ~3.5e9 (see bucketHash).
       (s, dir) => t(s, dir, "documents")
-        .withColumn("bucket", ((col("doc_id") % 1000L) * 761L) % 1000L)
+        .withColumn("bucket", bucketHash(col("doc_id"), m = 1000L, mult = 761L))
         .withColumn("split",
           when(col("bucket") < 980, "train").when(col("bucket") < 990, "val")
             .otherwise("test"))
@@ -1193,14 +1200,16 @@ object Surface {
         GROUP BY 1, 2 HAVING count(*) >= 3""")),
 
     "curate_stratified_sample" -> QueryDef(
-      // class-balanced deterministic sampling: per language, keep the docs
-      // whose multiplicative hash bucket falls under the quota (~20.6% here).
-      // Hash-based (not rand()): the SAME docs are kept on every run, every
-      // engine, any partitioning — resumable sampling. Mod-before-multiply
-      // keeps the arithmetic overflow-free at any id scale (cf.
-      // curate_split_assign). Zero shuffle before the per-class count.
+      // UNIFORM-RATE deterministic sampling with per-class accounting: every
+      // doc whose hash bucket falls under the quota (~20.6%) is kept, and
+      // the census reports kept/total per language stratum. NOT class
+      // balancing — kept counts inherit the input skew; balancing would set
+      // a per-class quota on the same bucket hash (vary the `< quota` bound
+      // by stratum). Hash-based (not rand()): the SAME docs are kept on
+      // every run, engine, and partitioning — resumable sampling. Zero
+      // shuffle before the per-class count.
       (s, dir) => t(s, dir, "documents")
-        .withColumn("keep", ((col("doc_id") % 97L) * 53L) % 97L < 20L)
+        .withColumn("keep", bucketHash(col("doc_id"), m = 97L, mult = 53L) < 20L)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_total"),
           sum(when(col("keep"), 1L).otherwise(0L)).cast("bigint").as("n_kept")),
