@@ -196,6 +196,47 @@ object DedupFunctions {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components by iterative min-label propagation — the cluster
+    * step after near-dup PAIR detection (keep one doc per component, not per
+    * pair). Pure DataFrame joins, no graph library: each round every node
+    * adopts the smallest label among itself and its neighbors; rounds needed
+    * = component diameter (tiny for near-dup clusters — chains of a few
+    * docs), each round ONE shuffle. Iterations persist + release their
+    * predecessor so the plan lineage stays flat (an unpersisted iterative
+    * join would recompute the whole history every round).
+    *
+    * @param nodes single column `id`; @param edges columns `id_a`,`id_b`.
+    * @return (id, cluster_id = min id reachable), one row per node.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    val und = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = nodes.select(col("id"), col("id").as("cluster_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var iter      = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val viaNeighbor = und
+        .join(labels.select(col("id").as("dst"), col("cluster_id")), Seq("dst"))
+        .select(col("src").as("id"), col("cluster_id"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.as("n")
+        .join(labels.as("o"), Seq("id"))
+        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
+        .limit(1).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    // hand the final frame to the releaseCaches() lifecycle: it must stay
+    // cached until the caller's action runs, then be reclaimable
+    persistedFrames.synchronized { persistedFrames += labels }
+    labels
+  }
+
   /** Exact Jaccard similarity of the distinct `k`-shingle sets of two texts. */
   def jaccardShingles(a: Column, b: Column, k: Int): Column = {
     val sa    = array_distinct(TextFunctions.shingles(a, k))

@@ -46,6 +46,30 @@ object Surface {
   private def bucketHash(id: Column, m: Long, mult: Long): Column =
     ((id % m) * mult) % m
 
+  /** Exact char-10-gram Jaccard pairs over a doc frame — shared by the
+    * pair query (dedup_ngram_jaccard) and the cluster query (dedup_clusters)
+    * so the two can never disagree on the edge definition. Shingles join on
+    * xxhash64 longs (64-bit collisions negligible at any corpus an exact
+    * pass is allowed to see); callers bound the input.
+    */
+  private def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"),
+        explode(array_distinct(TextFunctions.shingles(col("text"), 10))).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   // revenue term: money columns are exact 2-decimal values, so the whole
   // product is computed in DECIMAL (exact, no double-tie-rounding divergence
   // between engines), surfaced as DOUBLE
@@ -797,23 +821,7 @@ object Surface {
         // spread across the id range, e.g. (61,185), (8,245) — doc_id<50
         // found none → vacuous).
         val bound = 300L
-        // shingles join on their xxhash64 (8-byte longs), not the 10-char
-        // strings — same pair counts (64-bit collisions are negligible at any
-        // corpus the exact baseline is allowed to see), far cheaper shuffle
-        val sh = t(s, dir, "documents").filter(col("doc_id") < bound)
-          .select(col("doc_id"),
-            explode(array_distinct(TextFunctions.shingles(col("text"), 10))).as("sh"))
-          .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val inter = sh.as("a").join(sh.as("b"),
-            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("i"))
-        inter
-          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
-          .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
-          .filter(col("jaccard") >= 0.4)
+        ngramJaccardPairs(t(s, dir, "documents").filter(col("doc_id") < bound), 0.4)
           .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"),
             lit(bound).as("covered_id_bound"))
       },
@@ -829,6 +837,44 @@ object Surface {
                CAST(300 AS BIGINT) AS covered_id_bound
         FROM it JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
         WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.4""")),
+
+    "dedup_clusters" -> QueryDef(
+      // near-dup CLUSTERS (connected components over the exact pair graph):
+      // pair detection says who matches whom; dedup keeps one doc per
+      // component, so the cluster id (min reachable doc_id) is the real
+      // output of a dedup pass. Iterative min-label propagation — one
+      // shuffle per round, rounds = component diameter (tiny for near-dup
+      // chains). Oracle: DuckDB recursive-CTE transitive closure over the
+      // identical edge set. Bounded slice like the exact pair query; the
+      // unbounded scale path feeds minhash pairs into the same propagation.
+      (s, dir) => {
+        val bound = 300L
+        val docs  = t(s, dir, "documents").filter(col("doc_id") < bound)
+        val edges = ngramJaccardPairs(docs, 0.4)
+          .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+        DedupFunctions.connectedComponents(docs.select(col("doc_id").as("id")), edges)
+          .select(col("id").as("doc_id"), col("cluster_id"))
+      },
+      Some("""
+        WITH sh AS (SELECT DISTINCT doc_id,
+                      unnest(list_transform(range(1, greatest(length(text) - 9, 1) + 1),
+                                            i -> substr(text, CAST(i AS INT), 10))) AS sh
+                    FROM documents WHERE doc_id < 300),
+             sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             it AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+             e0 AS (SELECT doc_a, doc_b
+                    FROM it JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+                    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.4),
+             edges AS (SELECT doc_a AS a, doc_b AS b FROM e0
+                       UNION SELECT doc_b, doc_a FROM e0),
+             reach AS (
+               WITH RECURSIVE r(a, b) AS (
+                 SELECT doc_id, doc_id FROM documents WHERE doc_id < 300
+                 UNION
+                 SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a)
+               SELECT * FROM r)
+        SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY 1""")),
 
     "dedup_minhash_lsh" -> QueryDef(
       // RefinedWeb/C4-style document dedup: minhash over word 5-grams,
