@@ -213,6 +213,10 @@ object DedupFunctions {
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
     var labels = nodes.select(col("id"), col("id").as("cluster_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // convergence via the label-sum signature: per-node labels only ever
+    // DECREASE under min-propagation, so an unchanged sum ⟺ no label moved —
+    // one tiny aggregate per round instead of a join-and-compare job
+    var prevSig   = labels.agg(sum(col("cluster_id"))).head.getLong(0)
     var iter      = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -222,13 +226,11 @@ object DedupFunctions {
       val next = labels.unionByName(viaNeighbor)
         .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next.as("n")
-        .join(labels.as("o"), Seq("id"))
-        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
-        .limit(1).count()
+      val sig = next.agg(sum(col("cluster_id"))).head.getLong(0)
       labels.unpersist(blocking = false)
       labels = next
-      converged = changed == 0
+      converged = sig == prevSig
+      prevSig = sig
       iter += 1
     }
     // hand the final frame to the releaseCaches() lifecycle: it must stay
