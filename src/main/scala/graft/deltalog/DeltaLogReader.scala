@@ -79,10 +79,22 @@ class DeltaLogReader(
     if (commits.isEmpty) return Seq.empty
     val byPath = commits.map { case (tx, p) => p.toUri.toString -> tx }.toMap
     val rows = spark.read
-      .schema(ActionSchema)
+      .schema(ActionSchema.add("_corrupt", StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
       .json(commits.map(_._2.toUri.toString): _*)
       .withColumn("_file", input_file_name())
       .collect()
+
+    // a malformed commit line must fail LOUDLY: with an explicit schema it
+    // would otherwise parse to an all-null row, be dropped as "no engine
+    // actions", and silently present the table as empty/behind — the same
+    // failure class as a log gap
+    rows.find(r => r.getAs[String]("_corrupt") != null).foreach { r =>
+      throw new IllegalStateException(
+        s"Corrupt Delta commit JSON in ${r.getAs[String]("_file")} for table " +
+          s"$mirrorTableName: '${r.getAs[String]("_corrupt").take(120)}' — refusing to read")
+    }
 
     val grouped = rows.toSeq.groupBy { r =>
       byPath.getOrElse(

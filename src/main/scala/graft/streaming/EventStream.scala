@@ -128,4 +128,32 @@ object EventStream {
     */
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left_outer")
+
+  /** Stream-STREAM event-time join: each purchase pairs with the clicks of
+    * the same user in the preceding `windowMinutes` — the attribution join
+    * (batch twin: q_asof_attribution) as a continuous operator. Both sides
+    * carry watermarks and the join condition carries the time bound, so
+    * Spark can EXPIRE buffered state (without the bound the state store
+    * grows forever — the canonical stream-stream join mistake). One state
+    * shuffle on user_id.
+    */
+  def attributionJoin(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      windowMinutes: Int = 60): DataFrame = {
+    val c = clicks
+      .withWatermark("event_time", "10 minutes")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("event_time").as("click_time"))
+    val p = purchases
+      .withWatermark("event_time", "10 minutes")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("event_time").as("purchase_time"))
+    p.join(c,
+      p("user_id") === c("user_id") &&
+        col("click_time") <= col("purchase_time") &&
+        col("click_time") >= col("purchase_time") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(p("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_time"), col("click_time"))
+  }
 }

@@ -54,6 +54,29 @@ class MultiTableSpec extends SparkSuite {
     assert(snapshotIds(orch, "mtB") == (100L until 110L))
   }
 
+  test("one broken table does not poison the others (Task.WhenAll semantics)") {
+    val good = new TestDelta(spark, tmpDir("src-ok"), "ok")
+    good.init(idSchema)
+    good.addCommit(spark.range(0, 7).toDF("id"))
+    val shared = tmpDir("state-faulty")
+    // the broken table points at a source with a corrupt commit log
+    val brokenSrc = tmpDir("src-broken")
+    val fs = new Path(brokenSrc).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(brokenSrc, "_delta_log"))
+    val out = fs.create(new Path(brokenSrc, "_delta_log/00000000000000000000.json"), true)
+    try out.write("{not json at all".getBytes) finally out.close()
+
+    val orch = new MirrorOrchestration(spark, Seq(
+      MirrorConfig(good.dir, tmpDir("mirror-ok"), "ok", shared),
+      MirrorConfig(brokenSrc, tmpDir("mirror-broken"), "broken", shared)))
+    // the broken table's failure surfaces AFTER every table settled — the
+    // good table's drain must have completed and published
+    intercept[Throwable](orch.runOnce())
+    assert(snapshotIds(orch, "ok") == (0L until 7L))
+    // and the shared state holds the good table's durable progress
+    assert(orch.checkpointStore.readAll().exists(_.tableName == "ok"))
+  }
+
   test("misconfigured orchestration is refused") {
     val src = new TestDelta(spark, tmpDir("src-cfg"), "cfg")
     src.init(idSchema)

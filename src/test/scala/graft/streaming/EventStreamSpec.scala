@@ -92,6 +92,44 @@ class EventStreamSpec extends SparkSuite {
     assert(spark.table("deduped").count() == n) // no dup event ids in output
   }
 
+  test("stream-stream attribution join matches the batch answer") {
+    val src = tmpDir("events-src5"); val ckpt = tmpDir("stream-ckpt5")
+    stageEvents(src)
+    val events = EventStream.readEvents(spark, src)
+    val q = EventStream.attributionJoin(
+        events.filter(col("event_type") === "click"),
+        events.filter(col("event_type") === "purchase"),
+        windowMinutes = 60)
+      .writeStream
+      .format("memory").queryName("attributed")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("attributed")
+    // batch twin over the same files with the identical join condition
+    val all = spark.read.parquet(src)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    val c = all.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("event_time").as("click_time"))
+    val p = all.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("event_time").as("purchase_time"))
+    val batch = p.join(c, Seq("user_id"))
+      .filter(col("click_time") <= col("purchase_time") &&
+        col("click_time") >= col("purchase_time") - expr("INTERVAL 60 MINUTES"))
+    assert(streamed.count() > 0)
+    // watermark-held pairs may still be buffered at AvailableNow shutdown;
+    // everything EMITTED must be a subset of the batch join, keyed exactly
+    assert(streamed.count() <= batch.count())
+    val batchKeys = batch.select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    streamed.select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .foreach(k => assert(batchKeys.contains(k), s"stream emitted non-batch pair $k"))
+  }
+
   test("stream-static enrichment joins the broadcast dim per micro-batch") {
     val src = tmpDir("events-src4"); val ckpt = tmpDir("stream-ckpt4")
     stageEvents(src)
