@@ -95,6 +95,18 @@ class DeltaLogReader(
         s"Corrupt Delta commit JSON in ${r.getAs[String]("_file")} for table " +
           s"$mirrorTableName: '${r.getAs[String]("_corrupt").take(120)}' — refusing to read")
     }
+    // the other torn-write shape: a commit file that parses to ZERO rows
+    // (zero bytes, or whitespace-only — the JSON source drops blank lines
+    // without marking them corrupt). A valid commit always yields ≥1 row
+    // (even commitInfo/txn-only lines parse to an all-null-action row).
+    val rowTxs = rows.map(r =>
+      byPath.getOrElse(r.getAs[String]("_file"),
+        extractTxId(new Path(r.getAs[String]("_file")).getName).getOrElse(-1L))).toSet
+    commits.find { case (tx, _) => !rowTxs.contains(tx) }.foreach { case (tx, p) =>
+      throw new IllegalStateException(
+        s"Commit file $p of table $mirrorTableName (tx $tx) contains no JSON records " +
+          "(torn write?) — refusing to read")
+    }
 
     val grouped = rows.toSeq.groupBy { r =>
       byPath.getOrElse(

@@ -177,12 +177,31 @@ object DedupFunctions {
       idCol: String,
       textCol: String,
       wordGrams: Int,
-      threshold: Double): DataFrame = {
-    val toks = df.select(col(idCol).as("id"), split(col(textCol), " ").as("tok"))
-    val sh = toks
-      .select(col("id"),
-        explode(array_distinct(TextFunctions.wordNGrams(col("tok"), wordGrams))).as("g"))
-      .select(col("id"), xxhash64(col("g")).as("g"))
+      threshold: Double): DataFrame =
+    jaccardPairsFromGrams(
+      df.select(col(idCol).as("id"), split(col(textCol), " ").as("tok"))
+        .select(col("id"),
+          explode(array_distinct(TextFunctions.wordNGrams(col("tok"), wordGrams))).as("g")),
+      threshold)
+
+  /** [[exactJaccardPairs]] over character `k`-shingles instead of word
+    * n-grams (the exact twin of the char-shingle minhash configuration).
+    */
+  def exactJaccardPairsChar(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      threshold: Double): DataFrame =
+    jaccardPairsFromGrams(
+      df.select(col(idCol).as("id"),
+        explode(array_distinct(TextFunctions.shingles(col(textCol), k))).as("g")),
+      threshold)
+
+  // ONE exact-Jaccard core for every gram kind — the union-denominator and
+  // hash-collision posture live here and nowhere else
+  private def jaccardPairsFromGrams(grams: DataFrame, threshold: Double): DataFrame = {
+    val sh    = grams.select(col("id"), xxhash64(col("g")).as("g"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id"))
@@ -215,10 +234,15 @@ object DedupFunctions {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // convergence via the label-sum signature: per-node labels only ever
     // DECREASE under min-propagation, so an unchanged sum ⟺ no label moved —
-    // one tiny aggregate per round instead of a join-and-compare job
-    var prevSig   = labels.agg(sum(col("cluster_id"))).head.getLong(0)
+    // one tiny aggregate per round instead of a join-and-compare job. The
+    // sum runs in DECIMAL(38,0): a LongType sum overflows (ANSI error) with
+    // xxhash64-scale ids or billions of nodes. Null sum = empty node set.
+    def signature(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head
+        .getAs[java.math.BigDecimal](0))
+    var prevSig   = signature(labels)
     var iter      = 0
-    var converged = false
+    var converged = prevSig.isEmpty // no nodes — nothing to propagate
     while (!converged && iter < maxIters) {
       val viaNeighbor = und
         .join(labels.select(col("id").as("dst"), col("cluster_id")), Seq("dst"))
@@ -226,13 +250,18 @@ object DedupFunctions {
       val next = labels.unionByName(viaNeighbor)
         .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sig = next.agg(sum(col("cluster_id"))).head.getLong(0)
+      val sig = signature(next)
       labels.unpersist(blocking = false)
       labels = next
       converged = sig == prevSig
       prevSig = sig
       iter += 1
     }
+    // silently returning unconverged labels would split one component into
+    // several clusters with no hint why — refuse instead
+    require(converged,
+      s"connectedComponents did not converge within $maxIters rounds — a component's " +
+        "diameter exceeds the bound; raise maxIters")
     // hand the final frame to the releaseCaches() lifecycle: it must stay
     // cached until the caller's action runs, then be reclaimable
     persistedFrames.synchronized { persistedFrames += labels }

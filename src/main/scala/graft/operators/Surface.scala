@@ -48,27 +48,13 @@ object Surface {
 
   /** Exact char-10-gram Jaccard pairs over a doc frame — shared by the
     * pair query (dedup_ngram_jaccard) and the cluster query (dedup_clusters)
-    * so the two can never disagree on the edge definition. Shingles join on
-    * xxhash64 longs (64-bit collisions negligible at any corpus an exact
-    * pass is allowed to see); callers bound the input.
+    * so the two can never disagree on the edge definition; the algorithm
+    * itself lives in [[DedupFunctions.exactJaccardPairsChar]] (one core for
+    * every gram kind). Callers bound the input.
     */
-  private def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"),
-        explode(array_distinct(TextFunctions.shingles(col("text"), 10))).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
-      .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-  }
+  private def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame =
+    DedupFunctions.exactJaccardPairsChar(docs, "doc_id", "text", k = 10, threshold)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard"))
 
   // revenue term: money columns are exact 2-decimal values, so the whole
   // product is computed in DECIMAL (exact, no double-tie-rounding divergence

@@ -140,13 +140,17 @@ object EventStream {
   def attributionJoin(
       clicks: DataFrame,
       purchases: DataFrame,
-      windowMinutes: Int = 60): DataFrame = {
+      windowMinutes: Int = 60,
+      latenessMinutes: Int = 10): DataFrame = {
+    // lateness is its own dial: it bounds how far behind the max event time
+    // an event may arrive, NOT how far back attribution looks (that is
+    // windowMinutes, carried in the join condition for state expiry)
     val c = clicks
-      .withWatermark("event_time", "10 minutes")
+      .withWatermark("event_time", s"$latenessMinutes minutes")
       .select(col("user_id"), col("event_id").as("click_id"),
         col("event_time").as("click_time"))
     val p = purchases
-      .withWatermark("event_time", "10 minutes")
+      .withWatermark("event_time", s"$latenessMinutes minutes")
       .select(col("user_id"), col("event_id").as("purchase_id"),
         col("event_time").as("purchase_time"))
     p.join(c,
