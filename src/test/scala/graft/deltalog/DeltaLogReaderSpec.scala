@@ -152,6 +152,31 @@ class DeltaLogReaderSpec extends SparkSuite {
     assert(snap.get.adds.size == 2)
   }
 
+  test("corrupt and zero-record commit files are refused, not read as empty") {
+    val dir = tmpDir("delta")
+    val fx  = new TestDelta(spark, dir, "torn")
+    fx.init(idSchema)
+    fx.addCommit(spark.range(3).toDF("id"))
+    val logDir = new Path(dir, "_delta_log")
+    val fs     = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // malformed JSON line → corrupt-record refusal
+    val badJson = new Path(logDir, f"${2L}%020d.json")
+    val o1 = fs.create(badJson, true)
+    try o1.write("{not json at all".getBytes) finally o1.close()
+    val reader = new DeltaLogReader(spark, dir, "torn")
+    val e1 = intercept[IllegalStateException](reader.nextBatch(None))
+    assert(e1.getMessage.contains("Corrupt Delta commit JSON"), e1.getMessage)
+
+    // zero-byte commit (torn write) → zero-record refusal; with an explicit
+    // schema this would otherwise silently fold to "no engine actions"
+    fs.delete(badJson, false)
+    val o2 = fs.create(badJson, true)
+    o2.close()
+    val e2 = intercept[IllegalStateException](reader.nextBatch(None))
+    assert(e2.getMessage.contains("contains no JSON records"), e2.getMessage)
+  }
+
   test("gap in the commit log fails loudly") {
     val dir = tmpDir("delta")
     val fx  = new TestDelta(spark, dir, "gap")
