@@ -18,9 +18,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Surface.queries
 
-  /** DuckDB oracle twins (same column names, aligned types). Non-SQL-
-    * expressible ops (minhash/simhash/LSH) are intentionally absent →
-    * rows-only check.
+  /** DuckDB oracle twins (same column names, aligned types) — one per
+    * registered query, no exceptions: approximate operators (minhash /
+    * simhash / LSH / IVF / sketches) emit in-plan recall or tolerance
+    * booleans computed against an exact answer, which their oracles assert
+    * TRUE, so nothing falls back to a rows-only check.
     */
   def oracleSql: Map[String, String] = Surface.oracleSql
 }
