@@ -1250,6 +1250,32 @@ object Surface {
                CAST(SUM(CASE WHEN ((doc_id % 97) * 53) % 97 < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         FROM documents GROUP BY 1""")),
 
+    "curate_class_balance" -> QueryDef(
+      // TRUE class balancing (the complement of the uniform-rate sampler
+      // above): every language keeps at most K docs, selected by hash RANK —
+      // deterministic like all hash selection here, but the quota is
+      // per-class, so skewed classes equalize (en 218→50 while fr 64→50 at
+      // sf0.01). One shuffle on the class key; rank-per-class is the same
+      // window shape (and the same hot-class caveat) as curate_source_cap.
+      (s, dir) => {
+        val k = 50
+        val w = Window.partitionBy("lang")
+          .orderBy(bucketHash(col("doc_id"), m = 97L, mult = 53L), col("doc_id"))
+        t(s, dir, "documents")
+          .withColumn("rk", row_number().over(w))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("rk") <= k, 1L).otherwise(0L)).cast("bigint").as("n_kept"))
+      },
+      Some("""
+        SELECT lang, count(*) AS n_total,
+               CAST(SUM(CASE WHEN rk <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM (SELECT lang,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY ((doc_id % 97) * 53) % 97, doc_id) AS rk
+              FROM documents)
+        GROUP BY 1""")),
+
     "curate_quality_filter" -> QueryDef(
       // the C4-style keep/reject filter WITH rejection accounting: every doc
       // gets a verdict (first failing rule wins: too short → low lexical
