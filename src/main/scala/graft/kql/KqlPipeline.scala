@@ -1,0 +1,296 @@
+package graft.kql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.KqlCompat
+
+/** KQL *tabular* pipeline over registered tables — the reference's outward
+  * query surface (its status view is a full `externaldata | summarize
+  * arg_max(...) by ... | order by` pipeline, Kusto/DatabaseGateway.cs:85-96,
+  * and its tests assert with tabular KQL: `<table> | count`
+  * MirrorLakeKustoTest/Electric/LoadTest.cs:22-27, `… | where ModelYear ==
+  * 1994 | count` LoadTest.cs:74-89).
+  *
+  * Spark-first design: the pipeline is parsed into a plain DataFrame program
+  * (filter/withColumn/select/groupBy.agg/orderBy/limit) so Catalyst sees one
+  * declarative plan — pushdown, pruning and join strategy work exactly as if
+  * the user had written the DataFrame calls by hand. Scalar expressions
+  * inside operators are rewritten by [[KqlCompat.rewrite]] (KQL spellings →
+  * Spark SQL) and handed to `expr()` — no interpreter, no per-row closures.
+  *
+  * Supported operators (the practical subset the reference's generated and
+  * test queries use):
+  * {{{
+  *   T
+  *   | where <expr>                      // also: filter
+  *   | extend name = <expr>, …
+  *   | project col, name = <expr>, …
+  *   | project-away col, …
+  *   | summarize [name =] agg(…), … [by key, name = <expr>, …]
+  *   | order by <expr> [asc|desc], …     // also: sort by; KQL default = desc
+  *   | top N by <expr> [asc|desc], …
+  *   | take N                            // also: limit
+  *   | distinct col, … | distinct *
+  *   | count                             // → single column `Count`
+  * }}}
+  * Aggregates: count, countif, dcount (exact distinct here — KQL's is HLL;
+  * documented divergence), sum, avg, min, max, arg_max, arg_min, make_set,
+  * make_list. KQL string predicates `has`/`contains`/`startswith`/
+  * `endswith` (case-insensitive, as in KQL) and `=~`/`!~` are rewritten to
+  * Spark SQL; `//` comments are stripped so multi-line pipelines read
+  * naturally.
+  */
+object KqlPipeline {
+
+  /** Parse and run `kql` against tables provided by `resolve`. */
+  def run(resolve: String => DataFrame, kql: String): DataFrame = {
+    val segs = splitTopLevel(stripComments(kql), '|').map(_.trim).filter(_.nonEmpty)
+    require(segs.nonEmpty, "empty KQL pipeline")
+    val source = segs.head
+    require(!source.contains(' '), s"first pipeline segment must be a table name, got: '$source'")
+    segs.tail.foldLeft(resolve(source))(applyOp)
+  }
+
+  // ---- operator dispatch ---------------------------------------------------
+
+  private def applyOp(df: DataFrame, seg: String): DataFrame = {
+    val (word, rest) = seg.span(c => !c.isWhitespace)
+    word.toLowerCase match {
+      case "where" | "filter" =>
+        df.filter(expr(tx(rest)))
+
+      case "extend" =>
+        splitTopLevel(rest, ',').map(_.trim).foldLeft(df) { (d, item) =>
+          assignment(item) match {
+            case Some((name, e)) => d.withColumn(name, expr(tx(e)))
+            case None            => fail(s"extend needs `name = expr`, got: '$item'")
+          }
+        }
+
+      case "project" =>
+        df.select(splitTopLevel(rest, ',').map(_.trim).map { item =>
+          assignment(item) match {
+            case Some((name, e)) => expr(tx(e)).as(name)
+            case None            => expr(tx(item))
+          }
+        }: _*)
+
+      case "project-away" =>
+        df.drop(splitTopLevel(rest, ',').map(_.trim): _*)
+
+      case "summarize" =>
+        val (aggsPart, byPart) = splitAtTopLevelBy(rest)
+        val aggs = splitTopLevel(aggsPart, ',').map(_.trim).filter(_.nonEmpty).map(aggItem)
+        val keys = byPart.toSeq.flatMap(splitTopLevel(_, ',').map(_.trim).map { item =>
+          assignment(item) match {
+            case Some((name, e)) => expr(tx(e)).as(name)
+            case None            => expr(tx(item))
+          }
+        })
+        (aggs, keys) match {
+          case (Nil, Nil) => fail("summarize needs aggregates and/or a by-clause")
+          case (Nil, ks)  => df.select(ks: _*).distinct() // `summarize by k` = distinct
+          case (as, Nil)  => df.agg(as.head, as.tail: _*)
+          case (as, ks)   => df.groupBy(ks: _*).agg(as.head, as.tail: _*)
+        }
+
+      case "order" | "sort" =>
+        val r = rest.trim
+        require(r.toLowerCase.startsWith("by") && r.length > 2 && r.charAt(2).isWhitespace,
+          s"expected `$word by …`")
+        df.orderBy(orderItems(r.drop(3)): _*)
+
+      case "top" =>
+        rest.trim.split("\\s+", 3) match {
+          case Array(n, by, items) if by.equalsIgnoreCase("by") =>
+            df.orderBy(orderItems(items): _*).limit(n.toInt)
+          case _ => fail(s"expected `top N by <expr>`, got: '$seg'")
+        }
+
+      case "take" | "limit" =>
+        df.limit(rest.trim.toInt)
+
+      case "count" =>
+        require(rest.trim.isEmpty, s"`count` takes no arguments, got: '$rest'")
+        df.agg(count(lit(1)).as("Count"))
+
+      case "distinct" =>
+        if (rest.trim == "*") df.distinct()
+        else df.select(splitTopLevel(rest, ',').map(s => col(s.trim)): _*).distinct()
+
+      case other => fail(s"unsupported KQL operator: '$other'")
+    }
+  }
+
+  // ---- aggregates ----------------------------------------------------------
+
+  private def aggItem(item: String): Column = {
+    val (nameOpt, call) = assignment(item) match {
+      case Some((n, e)) => (Some(n), e.trim)
+      case None         => (None, item.trim)
+    }
+    val open = call.indexOf('(')
+    require(open > 0 && call.endsWith(")"), s"bad aggregate call: '$item'")
+    val fn   = call.substring(0, open).trim.toLowerCase
+    val args = splitTopLevel(call.substring(open + 1, call.length - 1), ',')
+      .map(_.trim).filter(_.nonEmpty)
+    def a(i: Int): Column = expr(tx(args(i)))
+    def slug(s: String): String = s.replaceAll("[^A-Za-z0-9_]", "_")
+    val (c, defName) = fn match {
+      case "count" if args.isEmpty => (count(lit(1)), "count_")
+      case "countif"               => (count(when(a(0), lit(1))), "countif_")
+      // exact distinct (KQL dcount is an HLL estimate; we refuse to be wrong)
+      case "dcount"                => (countDistinct(a(0)), s"dcount_${slug(args(0))}")
+      case "sum"                   => (sum(a(0)), s"sum_${slug(args(0))}")
+      case "avg"                   => (avg(a(0)), s"avg_${slug(args(0))}")
+      case "min"                   => (min(a(0)), s"min_${slug(args(0))}")
+      case "max"                   => (max(a(0)), s"max_${slug(args(0))}")
+      // arg_max(ord, ret): the row-wise maximizer — Spark's max_by(ret, ord)
+      case "arg_max"               => (max_by(a(1), a(0)), slug(args(1)))
+      case "arg_min"               => (min_by(a(1), a(0)), slug(args(1)))
+      case "make_set"              => (array_sort(collect_set(a(0))), s"set_${slug(args(0))}")
+      case "make_list"             => (collect_list(a(0)), s"list_${slug(args(0))}")
+      case other                   => fail(s"unsupported aggregate: '$other'")
+    }
+    c.as(nameOpt.getOrElse(defName))
+  }
+
+  // ---- ordering ------------------------------------------------------------
+
+  /** KQL `order by` / `top … by` default to DESCENDING (ADX semantics). */
+  private def orderItems(s: String): Seq[Column] =
+    splitTopLevel(s, ',').map(_.trim).map { item =>
+      val l = item.toLowerCase
+      if (l.endsWith(" asc")) expr(tx(item.dropRight(4))).asc
+      else if (l.endsWith(" desc")) expr(tx(item.dropRight(5))).desc
+      else expr(tx(item)).desc
+    }
+
+  // ---- scalar translation --------------------------------------------------
+
+  /** KQL scalar text → Spark SQL: infix string predicates first, then the
+    * shared [[KqlCompat.rewrite]] (casts, datetime/ago/bin/startof*, name
+    * swaps). Both passes are no-ops on Spark-SQL-native input.
+    */
+  private def tx(kql: String): String = KqlCompat.rewrite(infixOps(kql))
+
+  // LHS: identifier or simple call; RHS: quoted literal or identifier.
+  private val InfixOperand = """[A-Za-z_][A-Za-z0-9_]*(?:\((?:[^()']|'[^']*')*\))?|'(?:[^']|'')*'"""
+  private val InfixRe =
+    s"""($InfixOperand)\\s+(!?)(has|contains|startswith|endswith)\\s+($InfixOperand)""".r
+  private val CiEqRe = s"""($InfixOperand)\\s*(=~|!~)\\s*($InfixOperand)""".r
+
+  // A match starting INSIDE a string literal (odd count of ' before it) is
+  // left untouched; a match starting outside may legitimately span into one
+  // (`col has 'term'` — the RHS literal is one operand).
+  private def insideLiteral(s: String, pos: Int): Boolean =
+    s.substring(0, pos).count(_ == '\'') % 2 == 1
+
+  private def infixOps(s: String): String = {
+    val r = InfixRe.replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement {
+      if (insideLiteral(s, m.start)) m.matched
+      else {
+        val (l, neg, op, rhs) = (m.group(1), m.group(2), m.group(3), m.group(4))
+        val core = op match {
+          case "has" | "contains" => s"contains(lower($l), lower($rhs))"
+          case "startswith"       => s"startswith(lower($l), lower($rhs))"
+          case "endswith"         => s"endswith(lower($l), lower($rhs))"
+        }
+        if (neg == "!") s"(NOT $core)" else core
+      }
+    })
+    CiEqRe.replaceAllIn(r, m => java.util.regex.Matcher.quoteReplacement {
+      if (insideLiteral(r, m.start)) m.matched
+      else {
+        val (l, op, rhs) = (m.group(1), m.group(2), m.group(3))
+        val core = s"lower($l) = lower($rhs)"
+        if (op == "!~") s"(NOT $core)" else core
+      }
+    })
+  }
+
+  // ---- lexing helpers ------------------------------------------------------
+
+  /** `name = expr` when `name` is a bare identifier and `=` is not part of
+    * `==`/`!=`/`<=`/`>=`/`=~`.
+    */
+  private val AssignRe = """^([A-Za-z_][A-Za-z0-9_]*)\s*=(?![=~])\s*(.+)$""".r
+  private def assignment(item: String): Option[(String, String)] = item match {
+    case AssignRe(name, e) => Some((name, e))
+    case _                 => None
+  }
+
+  /** Split `s` at top-level occurrences of `sep` — outside single/double
+    * quotes, outside parens/brackets; `||` is atomic when splitting on `|`.
+    */
+  private[kql] def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out   = Seq.newBuilder[String]
+    val cur   = new StringBuilder
+    var depth = 0
+    var q     = ' ' // active quote char, NUL = none
+    var i     = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (q != ' ') { cur.append(c); if (c == q) q = ' ' }
+      else c match {
+        case '\'' | '"'          => cur.append(c); q = c
+        case '(' | '['           => depth += 1; cur.append(c)
+        case ')' | ']'           => depth -= 1; cur.append(c)
+        case '|' if sep == '|' && i + 1 < s.length && s.charAt(i + 1) == '|' =>
+          cur.append("||"); i += 1
+        case `sep` if depth == 0 => out += cur.toString; cur.clear()
+        case _                   => cur.append(c)
+      }
+      i += 1
+    }
+    out += cur.toString
+    out.result()
+  }
+
+  /** Split a summarize body at the top-level `by` keyword (word-bounded,
+    * outside quotes/parens). Returns (aggregates, Some(keys)) or
+    * (aggregates, None).
+    */
+  private def splitAtTopLevelBy(s: String): (String, Option[String]) = {
+    var depth = 0
+    var q     = ' '
+    var i     = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (q != ' ') { if (c == q) q = ' ' }
+      else c match {
+        case '\'' | '"' => q = c
+        case '(' | '['  => depth += 1
+        case ')' | ']'  => depth -= 1
+        case 'b' | 'B' if depth == 0
+            && i + 1 < s.length && (s.charAt(i + 1) == 'y' || s.charAt(i + 1) == 'Y')
+            && (i == 0 || s.charAt(i - 1).isWhitespace)
+            && (i + 2 == s.length || s.charAt(i + 2).isWhitespace) =>
+          return (s.substring(0, i), Some(s.substring(i + 2)))
+        case _ =>
+      }
+      i += 1
+    }
+    (s, None)
+  }
+
+  /** Strip `//` line comments outside string literals. */
+  private[kql] def stripComments(s: String): String =
+    s.linesIterator.map { line =>
+      var q   = ' '
+      var cut = -1
+      var i   = 0
+      while (i < line.length && cut < 0) {
+        val c = line.charAt(i)
+        if (q != ' ') { if (c == q) q = ' ' }
+        else if (c == '\'' || c == '"') q = c
+        else if (c == '/' && i + 1 < line.length && line.charAt(i + 1) == '/') cut = i
+        i += 1
+      }
+      if (cut < 0) line else line.substring(0, cut)
+    }.mkString("\n")
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"KQL pipeline: $msg")
+}

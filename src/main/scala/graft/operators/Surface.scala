@@ -33,6 +33,10 @@ object Surface {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Run a KQL tabular pipeline with the testdata tables as its catalog. */
+  private def kqlRun(s: SparkSession, dir: String, kql: String): DataFrame =
+    graft.kql.KqlPipeline.run(name => t(s, dir, name), kql)
+
   private def decSum(c: Column, as: String, scale: Int = 2): Column =
     sum(c.cast(s"decimal(28,$scale)")).cast("double").as(as)
 
@@ -1411,7 +1415,76 @@ object Surface {
       Some("""
         SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
                count(*) AS n_unit_mass
-        FROM documents WHERE strlen(text) > 0 GROUP BY 1"""))
+        FROM documents WHERE strlen(text) > 0 GROUP BY 1""")),
+
+    // ---- KQL tabular pipeline (§2.i; the reference's outward query surface:
+    // DatabaseGateway.cs:85-96 status view, LoadTest.cs:22-27 `T | count`,
+    // LoadTest.cs:74-89 `T | where … | count`). Each query is a literal KQL
+    // string parsed by KqlPipeline into a DataFrame plan; the oracle is the
+    // equivalent SQL — proving the PIPELINE, not a hand-built plan. ---------
+
+    "q_kql_count" -> QueryDef(
+      (s, dir) => kqlRun(s, dir, "events | count"),
+      Some("""SELECT count(*) AS "Count" FROM events""")),
+
+    "q_kql_where_project" -> QueryDef(
+      (s, dir) => kqlRun(s, dir,
+        """orders
+          | | where o_orderpriority == '1-URGENT' and o_totalprice > 150000.0
+          | | project o_orderkey, o_custkey, o_totalprice
+          | | order by o_orderkey asc
+          | | take 50""".stripMargin),
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0
+        ORDER BY o_orderkey LIMIT 50""")),
+
+    "q_kql_summarize" -> QueryDef(
+      // extend + summarize by: integral quantities summed as LONG (exact,
+      // order-independent — the decimal-sum convention via tolong)
+      (s, dir) => kqlRun(s, dir,
+        """lineitem
+          | | where l_shipdate > datetime(1997-06-30)   // KQL datetime literal
+          | | extend qty = tolong(l_quantity)
+          | | summarize n = count(), parts = dcount(l_partkey),
+          |             sum_qty = sum(qty), max_qty = max(qty)
+          |   by l_returnflag, l_linestatus
+          | | order by l_returnflag asc, l_linestatus asc""".stripMargin),
+      Some("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               count(DISTINCT l_partkey) AS parts,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               MAX(CAST(l_quantity AS BIGINT)) AS max_qty
+        FROM lineitem WHERE l_shipdate > TIMESTAMP '1997-06-30'
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    "q_kql_top" -> QueryDef(
+      // KQL `top N by` defaults to DESC (ADX semantics); o_orderkey unique →
+      // deterministic without a tiebreak
+      (s, dir) => kqlRun(s, dir,
+        "orders | top 15 by o_orderkey | project o_orderkey, o_orderstatus, o_orderpriority"),
+      Some("""
+        SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+        ORDER BY o_orderkey DESC LIMIT 15""")),
+
+    "q_kql_status_view" -> QueryDef(
+      // the MLK_DeltaStatus view restated in KQL: `summarize arg_max(…) by …`
+      // over the registered table (DatabaseGateway.cs:85-96 shape). ts is
+      // unique per (user_id, event_type) group in the testdata (probed), so
+      // arg_max is deterministic.
+      (s, dir) => kqlRun(s, dir,
+        """events
+          | | summarize last_value = arg_max(ts, value), n_updates = count()
+          |   by user_id, event_type
+          | | order by user_id asc, event_type asc""".stripMargin),
+      Some("""
+        SELECT user_id, event_type, value AS last_value, cnt AS n_updates
+        FROM (SELECT user_id, event_type, value,
+                     count(*) OVER (PARTITION BY user_id, event_type) AS cnt,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts DESC) AS rn
+              FROM events) WHERE rn = 1
+        ORDER BY user_id, event_type"""))
   )
 
   /** DuckDB-side stopword hit count, matching [[TextFunctions.langHits]]
