@@ -43,6 +43,13 @@ class DeltaLogReader(
   private def fs: FileSystem =
     logPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Test-visible I/O accounting: commit files parsed / checkpoints loaded by
+    * this reader instance — lets tests pin the metadata cost of rebuild paths
+    * (e.g. "a fresh snapshot opens only the checkpoint + trailing commits").
+    */
+  private[graft] val commitFilesRead   = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val checkpointsLoaded = new java.util.concurrent.atomic.AtomicLong
+
   /** S1/S2: list commit blobs, optionally bounded, in tx order. */
   def listCommits(fromTxId: Long = 0L, toTxId: Long = Long.MaxValue): Seq[(Long, Path)] = {
     if (!fs.exists(logPath)) return Seq.empty
@@ -77,6 +84,7 @@ class DeltaLogReader(
     */
   def readCommits(commits: Seq[(Long, Path)]): Seq[TxLog] = {
     if (commits.isEmpty) return Seq.empty
+    commitFilesRead.addAndGet(commits.size)
     val byPath = commits.map { case (tx, p) => p.toUri.toString -> tx }.toMap
     val rows = spark.read
       .schema(ActionSchema.add("_corrupt", StringType))
@@ -128,6 +136,7 @@ class DeltaLogReader(
     * cumulative TxLog with the given tx range.
     */
   def readCheckpoint(version: Long, startTxId: Long): TxLog = {
+    checkpointsLoaded.incrementAndGet()
     val prefix = f"$version%020d.checkpoint"
     val names = fs
       .listStatus(logPath)
@@ -348,7 +357,11 @@ class DeltaLogReader(
         partitionValues =
           Option(a.getAs[scala.collection.Map[String, String]]("partitionValues")).map(_.toMap),
         size = Option(a.getAs[java.lang.Long]("size")).map(_.longValue),
-        recordCount = Option(a.getAs[String]("stats")).flatMap(parseNumRecords)
+        recordCount = Option(a.getAs[String]("stats")).flatMap(parseNumRecords),
+        tags =
+          if (a.schema.fieldNames.contains("tags"))
+            Option(a.getAs[scala.collection.Map[String, String]]("tags")).map(_.toMap)
+          else None
       )
     }
 

@@ -138,7 +138,11 @@ class DeltaLogWriter(spark: SparkSession, tablePath: String) {
             a.size.map(java.lang.Long.valueOf).orNull,
             a.deltaTimestamp.map(t => java.lang.Long.valueOf(t.toEpochMilli)).orNull,
             java.lang.Boolean.TRUE,
-            a.recordCount.map(c => s"""{"numRecords":$c}""").orNull, null),
+            a.recordCount.map(c => s"""{"numRecords":$c}""").orNull,
+            // add.tags (lineage + stats) persist through the checkpoint so
+            // tag rebuilds stay O(checkpoint + trailing commits), same as the
+            // snapshot fold — not O(entire commit log)
+            a.tags.orNull),
           null, null, null)
       } ++
       folded.removes.map { r =>

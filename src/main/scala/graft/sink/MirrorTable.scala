@@ -273,26 +273,45 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
     v
   }
 
-  /** Live file inventory straight from the commit log — no data scan. */
-  def liveAdds(): Seq[LiveFile] = {
-    val tags = tagCache
+  /** Live file inventory straight from the commit log — no data scan. Tags
+    * (lineage + stats) ride the snapshot fold itself, which bootstraps from
+    * the latest sink checkpoint: a rebuild is O(checkpoint + trailing
+    * commits), never O(entire commit log), on a long-lived mirror.
+    */
+  def liveAdds(): Seq[LiveFile] =
     snapshotLog().toSeq.flatMap(_.adds).map { a =>
       LiveFile(a.blobPath.get, a.partitionValues.getOrElse(Map.empty),
-        a.size.getOrElse(0L), tags.getOrElse(a.blobPath.get, Map.empty))
+        a.size.getOrElse(0L), a.tags.getOrElse(Map.empty))
     }
+
+  /** VACUUM: physically delete data files tombstoned by delete rewrites or
+    * OPTIMIZE once they age past `retainMs`. The commit log itself is never
+    * touched (time travel over metadata stays possible, only data bytes are
+    * reclaimed). Returns files deleted.
+    *
+    * Default (targeted) mode derives candidates from the log's REMOVE
+    * actions past a persisted watermark (`_delta_log/_graft_vacuum`):
+    * each run reads only commits the previous run hasn't processed —
+    * O(new commits), never the O(all files) recursive data-dir listing a
+    * delete-heavy 100× table can't afford per poll. A commit's removes are
+    * reclaimed only when ALL are older than the cutoff (their recorded
+    * deletionTimestamp); the scan stops at the first still-retained commit
+    * so the watermark never skips pending tombstones.
+    *
+    * `full = true` keeps the recursive listing: it additionally reclaims
+    * crash orphans — staged-but-never-committed files no remove action
+    * names — at O(all files) listing cost. Run it as an occasional sweep,
+    * not per poll. The retention window is what protects concurrently
+    * staged files in this mode (same contract as Delta VACUUM).
+    */
+  def vacuum(retainMs: Long = 7L * 24 * 3600 * 1000, full: Boolean = false): Int = {
+    require(retainMs >= 0, "retainMs must be >= 0")
+    val cutoff = System.currentTimeMillis() - retainMs
+    if (full) vacuumFull(cutoff) else vacuumTargeted(cutoff)
   }
 
-  /** VACUUM: physically delete data files that are no longer referenced by
-    * the live snapshot (tombstoned by delete rewrites or OPTIMIZE) and are
-    * older than `retainMs`. The retention window protects concurrently
-    * staged-but-uncommitted files — the same contract as Delta VACUUM; the
-    * commit log itself is never touched (time travel over metadata stays
-    * possible, only the data bytes are reclaimed). Returns files deleted.
-    */
-  def vacuum(retainMs: Long = 7L * 24 * 3600 * 1000): Int = {
-    require(retainMs >= 0, "retainMs must be >= 0")
+  private def vacuumFull(cutoff: Long): Int = {
     val live = liveAdds().map(a => normalizePath(new Path(root, a.path).toString)).toSet
-    val cutoff = System.currentTimeMillis() - retainMs
     var deleted = 0
     listParquet(dataPath).foreach { p =>
       if (!live.contains(normalizePath(p.toString))
@@ -301,6 +320,51 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
         deleted += 1
       }
     }
+    deleted
+  }
+
+  private val vacuumMarkPath = new Path(root, "_delta_log/_graft_vacuum")
+
+  private def readVacuumMark(): Long =
+    if (!fs.exists(vacuumMarkPath)) -1L
+    else {
+      val in = fs.open(vacuumMarkPath)
+      try M.readTree(in).get("version").asLong finally in.close()
+    }
+
+  private def writeVacuumMark(v: Long): Unit = {
+    val tmp = new Path(root, s"_delta_log/._graft_vacuum.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"version":$v}""".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(vacuumMarkPath)) fs.delete(vacuumMarkPath, false)
+    fs.rename(tmp, vacuumMarkPath)
+  }
+
+  private def vacuumTargeted(cutoff: Long): Int = {
+    val from    = readVacuumMark()
+    val commits = reader.listCommits(from + 1)
+    if (commits.isEmpty) return 0
+    val byVersion = reader.readCommits(commits).map(l => l.startTxId -> l).toMap
+    // paths are never reused in this engine (UUID staging names), so a
+    // removed path can't be live again — the guard is cheap insurance
+    val live    = liveAdds().map(_.path).toSet
+    var deleted = 0
+    var wm      = from
+    var stopped = false
+    commits.foreach { case (v, _) =>
+      if (!stopped) {
+        val removes = byVersion.get(v).map(_.removes).getOrElse(Seq.empty)
+        if (removes.exists(_.deltaTimestamp.exists(_.toEpochMilli > cutoff))) stopped = true
+        else {
+          removes.flatMap(_.blobPath).filterNot(live).foreach { rel =>
+            if (fs.delete(new Path(root, rel), false)) deleted += 1
+          }
+          wm = v
+        }
+      }
+    }
+    if (wm > from) writeVacuumMark(wm)
     deleted
   }
 
@@ -562,50 +626,10 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
     }
   }
 
-  // tags aren't part of the TransactionItem IR (which keeps the reference's
-  // shape); read them straight from the commit JSONs — driver-local and tiny.
-  // Memoized per commit-log length so repeated liveAdds()/delete calls in a
-  // long-lived orchestrator don't re-parse the whole log (O(batches²)).
-  private var tagCacheMemo: Option[(Long, Map[String, Map[String, String]])] = None
+  // test hook: I/O accounting for rebuild-cost assertions
+  private[graft] def logReader: DeltaLogReader = reader
 
-  private def tagCache: Map[String, Map[String, String]] = {
-    val commits = reader.listCommits()
-    val key     = if (commits.isEmpty) -1L else commits.last._1
-    tagCacheMemo match {
-      case Some((k, m)) if k == key => m
-      case _ =>
-        val m = readTags(commits)
-        tagCacheMemo = Some((key, m))
-        m
-    }
-  }
-
-  private def readTags(commits: Seq[(Long, Path)]): Map[String, Map[String, String]] = {
-    val out = scala.collection.mutable.Map[String, Map[String, String]]()
-    commits.foreach { case (_, p) =>
-      val in = fs.open(p)
-      val text =
-        try new String(
-          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-          java.nio.charset.StandardCharsets.UTF_8)
-        finally in.close()
-      text.linesIterator.filter(_.nonEmpty).foreach { line =>
-        val node = M.readTree(line)
-        val add  = node.get("add")
-        if (add != null && !add.isNull) {
-          val path = add.get("path").asText
-          val tags = Option(add.get("tags")).filterNot(_.isNull).map { t =>
-            import scala.jdk.CollectionConverters._
-            t.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
-          }.getOrElse(Map.empty[String, String])
-          out(path) = tags
-        }
-      }
-    }
-    out.toMap
-  }
-
-  // memoized like tagCache: folding the commit log costs a Spark job
+  // memoized per log length: folding the commit log costs a Spark job
   private var snapshotMemo: Option[(Long, Option[TxLog])] = None
 
   private def snapshotLog(): Option[TxLog] = {

@@ -94,7 +94,14 @@ final case class TransactionItem(
     recordCount: Option[Long] = None,
     partitionColumns: Option[Seq[String]] = None,
     schema: Option[Seq[ColumnSpec]] = None,
-    internalState: InternalState = InternalState.empty
+    internalState: InternalState = InternalState.empty,
+    /** Delta add.tags (sink-plane file metadata: lineage + stats). NOT part
+      * of the reference's CSV state schema (TransactionItem.cs:24) — the
+      * engine-state CSV round-trip drops it by design; it persists via the
+      * sink's commit JSONs and checkpoint parquet instead, so tag rebuilds
+      * bootstrap from the latest checkpoint like the snapshot does.
+      */
+    tags: Option[Map[String, String]] = None
 ) {
   def itemKey: ItemKey = ItemKey(tableName, startTxId, endTxId, action, blobPath)
 
