@@ -25,11 +25,18 @@ import graft.types.KustoTypes
   * (DeltaTableOrchestration.cs:16).
   *
   * Checkpoint contract (standard foreachBatch): keep the checkpoint dir for
-  * the mirror's lifetime. If it is lost at the SAME path, the full-source
-  * replay collides with the published staging names and is skipped (no
-  * duplicates — but rows that arrived since the loss ride in that replayed
-  * batch 0 and are skipped with it); a checkpoint at a NEW path re-ingests
-  * everything (duplicates, as in any Spark sink).
+  * the mirror's lifetime. A checkpoint LOST at the same path restarts the
+  * stream at batch 0 — the replay would collide with the published staging
+  * names and be skipped, and rows that arrived AFTER the loss would ride in
+  * that replayed batch and be silently skipped with it. That failure is now
+  * LOUD: the mirror itself records the highest batch each checkpoint has
+  * published (in the stream staging names the commit log keeps), and a
+  * micro-batch arriving BELOW it refuses with the recovery options instead
+  * of skipping. Residual blind spot: a mirror whose entire history with
+  * this checkpoint is one batch (max = 0) cannot distinguish loss-replay
+  * from a legitimate crash-retry of batch 0 — there the idempotent skip
+  * stands. A checkpoint at a NEW path re-ingests everything (duplicates,
+  * as in any Spark sink).
   */
 object StreamMirror {
 
@@ -61,7 +68,28 @@ object StreamMirror {
           checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
         val stagingName = f"stream-$ckptHash-$batchId%012d"
         val prefix      = s"data/$stagingName/"
-        val alreadyPublished = mirror.liveAdds().exists(_.path.startsWith(prefix))
+        val live        = mirror.liveAdds()
+        val alreadyPublished = live.exists(_.path.startsWith(prefix))
+
+        // batchId-regression guard: Spark's batchIds are monotone within one
+        // checkpoint, so a batch BELOW the mirror's max published batch for
+        // this checkpoint means the streaming checkpoint was lost or rolled
+        // back — refuse loudly; the silent alternative drops every row that
+        // arrived after the loss. (The max erodes if later rewrites/OPTIMIZE
+        // replace ALL of a checkpoint's stream files — the guard is
+        // best-effort beyond that, and exact until then.)
+        val batchPrefix  = s"data/stream-$ckptHash-"
+        val maxPublished = live.iterator.map(_.path).filter(_.startsWith(batchPrefix))
+          .map(_.drop(batchPrefix.length).takeWhile(_.isDigit))
+          .filter(_.nonEmpty).map(_.toLong).maxOption
+        if (maxPublished.exists(_ > batchId))
+          throw new IllegalStateException(
+            s"StreamMirror batchId regression for checkpoint $checkpointDir: micro-batch " +
+              s"$batchId arrived but batch ${maxPublished.get} is already published by this " +
+              "checkpoint — the streaming checkpoint was lost or rolled back, and continuing " +
+              "would silently skip every row that arrived after the loss. Restore the " +
+              "checkpoint dir, or start a NEW checkpoint path (full re-ingest; " +
+              "lineage-delete the old stream rows first to avoid duplicates).")
         if (!alreadyPublished) {
           // ingest timestamp derived from batchId, NOT wall clock: a replayed
           // batch must decorate identically or its rows would carry a new

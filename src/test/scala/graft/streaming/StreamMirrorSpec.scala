@@ -53,15 +53,25 @@ class StreamMirrorSpec extends SparkSuite {
     // full-range CDC covers everything ever appended
     assert(mirror.changesBetween(-1L, v2).count() == 9)
 
-    // checkpoint LOST (deleted, same path) → full source replay as batch 0:
-    // the checkpoint-scoped staging names collide with the published ones on
-    // purpose — replayed rows are skipped, snapshot stays duplicate-free
+    // checkpoint LOST (deleted, same path) → the replay restarts at batch 0
+    // while the mirror has already published batch 1 with this checkpoint:
+    // silent skipping would drop rows that arrived after the loss (id 9
+    // below), so the stream must REFUSE loudly with the recovery options
+    spark.range(9, 10).toDF("id").coalesce(1).write.mode("append").parquet(srcDir)
     val fs = new org.apache.hadoop.fs.Path(ckpt)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
     val q4 = StreamMirror.start(
       spark.readStream.schema(schema).parquet(srcDir), mirror, ckpt)
-    q4.awaitTermination()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q4.awaitTermination()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("batchId regression"))), e.getMessage)
+    // nothing was skipped-and-published behind the refusal: the mirror still
+    // holds exactly the pre-loss rows, no duplicates, no partial batch
     assert(mirror.snapshot().count() == 9)
   }
 
