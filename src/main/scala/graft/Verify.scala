@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, fullOutDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -18,10 +18,18 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=prefix1,prefix2 → targeted runs while iterating
-    // (driver never sets it, so its runs always cover the full registry)
+    // (driver never sets it, so its runs always cover the full registry).
+    // Partial dumps go to a SIBLING dir so stale parquet from an earlier
+    // full run can never mix with a filtered oracle_sql.json — a tool that
+    // globs outDir sees either a complete run or an explicitly-named subset.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty))
+    val outDir = if (only.isEmpty) fullOutDir else {
+      val d = s"$fullOutDir-only"
+      System.err.println(s"[verify] SPARK_GRAFT_ONLY set -> PARTIAL dump to $d")
+      d
+    }
+    new java.io.File(outDir).mkdirs()
     def selected(name: String): Boolean = only.forall(_.exists(name.startsWith))
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -28,10 +28,14 @@ object KqlCompat {
   def todouble(c: Column): Column        = c.cast("double")
   def strcat(cs: Column*): Column        = concat(cs: _*)
   def iff(p: Column, a: Column, b: Column): Column = when(p, a).otherwise(b)
-  /** KQL `has`: term match (we approximate with case-insensitive contains,
-    * like KustoClusterGateway.cs:73's usage).
+  /** KQL `has`: whole-TERM case-insensitive match, as in ADX
+    * ('administrators' has 'admin' is FALSE — KustoClusterGateway.cs:73's
+    * usage relies on term semantics). The haystack splits on
+    * non-alphanumeric boundaries; a needle containing non-alphanumerics (a
+    * multi-term phrase) never matches here — use `contains` for substrings.
     */
-  def has(c: Column, term: String): Column = lower(c).contains(term.toLowerCase)
+  def has(c: Column, term: String): Column =
+    array_contains(split(lower(c), "[^0-9a-z]+"), term.toLowerCase)
   def argMax(value: Column, ordering: Column): Column = max_by(value, ordering)
   def strlen(c: Column): Column          = length(c)
   def isempty(c: Column): Column         = coalesce(c.cast("string"), lit("")) === ""

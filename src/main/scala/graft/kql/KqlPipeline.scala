@@ -38,8 +38,13 @@ import graft.functions.KqlCompat
   * documented divergence), sum, avg, min, max, arg_max, arg_min, make_set,
   * make_list. KQL string predicates `has`/`contains`/`startswith`/
   * `endswith` (case-insensitive, as in KQL) and `=~`/`!~` are rewritten to
-  * Spark SQL; `//` comments are stripped so multi-line pipelines read
-  * naturally.
+  * Spark SQL. `has` is a whole-TERM match as in ADX ('administrators' has
+  * 'admin' is FALSE): the haystack is split on non-alphanumeric boundaries
+  * and the needle must equal one term. Divergence: a needle that itself
+  * contains non-alphanumerics (a multi-term phrase, e.g. 'a-b') matches the
+  * adjacent-term phrase in real ADX but never matches here — use `contains`
+  * for substring search. `//` comments are stripped so multi-line pipelines
+  * read naturally.
   */
 object KqlPipeline {
 
@@ -181,11 +186,22 @@ object KqlPipeline {
     s"""($InfixOperand)\\s+(!?)(has|contains|startswith|endswith)\\s+($InfixOperand)""".r
   private val CiEqRe = s"""($InfixOperand)\\s*(=~|!~)\\s*($InfixOperand)""".r
 
-  // A match starting INSIDE a string literal (odd count of ' before it) is
-  // left untouched; a match starting outside may legitimately span into one
-  // (`col has 'term'` — the RHS literal is one operand).
-  private def insideLiteral(s: String, pos: Int): Boolean =
-    s.substring(0, pos).count(_ == '\'') % 2 == 1
+  // A match starting INSIDE a string literal is left untouched; a match
+  // starting outside may legitimately span into one (`col has 'term'` — the
+  // RHS literal is one operand). Scans both quote kinds, matching the
+  // lexer's view in splitTopLevel/stripComments (single OR double quotes
+  // open a literal; the same char closes it).
+  private def insideLiteral(s: String, pos: Int): Boolean = {
+    var q = ' '
+    var i = 0
+    while (i < pos) {
+      val c = s.charAt(i)
+      if (q != ' ') { if (c == q) q = ' ' }
+      else if (c == '\'' || c == '"') q = c
+      i += 1
+    }
+    q != ' '
+  }
 
   private def infixOps(s: String): String = {
     val r = InfixRe.replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement {
@@ -193,9 +209,13 @@ object KqlPipeline {
       else {
         val (l, neg, op, rhs) = (m.group(1), m.group(2), m.group(3), m.group(4))
         val core = op match {
-          case "has" | "contains" => s"contains(lower($l), lower($rhs))"
-          case "startswith"       => s"startswith(lower($l), lower($rhs))"
-          case "endswith"         => s"endswith(lower($l), lower($rhs))"
+          // ADX `has` = whole-term match: 'administrators' has 'admin' is
+          // FALSE. Split the haystack into alphanumeric terms and require
+          // term equality (see scaladoc for the multi-term-needle caveat).
+          case "has"        => s"array_contains(split(lower($l), '[^0-9a-z]+'), lower($rhs))"
+          case "contains"   => s"contains(lower($l), lower($rhs))"
+          case "startswith" => s"startswith(lower($l), lower($rhs))"
+          case "endswith"   => s"endswith(lower($l), lower($rhs))"
         }
         if (neg == "!") s"(NOT $core)" else core
       }

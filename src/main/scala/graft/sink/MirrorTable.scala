@@ -355,7 +355,10 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
     commits.foreach { case (v, _) =>
       if (!stopped) {
         val removes = byVersion.get(v).map(_.removes).getOrElse(Seq.empty)
-        if (removes.exists(_.deltaTimestamp.exists(_.toEpochMilli > cutoff))) stopped = true
+        // fail-safe: a remove with NO deletionTimestamp (foreign/fixture logs
+        // — this engine always stamps one) counts as newer than the cutoff,
+        // so the retention window stops here instead of deleting immediately
+        if (removes.exists(_.deltaTimestamp.forall(_.toEpochMilli > cutoff))) stopped = true
         else {
           removes.flatMap(_.blobPath).filterNot(live).foreach { rel =>
             if (fs.delete(new Path(root, rel), false)) deleted += 1

@@ -94,6 +94,16 @@ class KqlPipelineSpec extends SparkSuite {
     assert(run("people | where role == 'user | guest' | count").head().getLong(0) == 1L)
     // `has` inside the literal operand must not be rewritten
     assert(run("people | where role == 'x has y' | count").head().getLong(0) == 0L)
+    // ...including inside DOUBLE-quoted literals (both quote kinds open one)
+    assert(run("people | where role == \"x has y\" | count").head().getLong(0) == 0L)
+  }
+
+  test("has is a whole-term match (ADX semantics), not substring") {
+    val docs = Seq((1L, "administrators"), (2L, "the admin team"), (3L, "Admin-ops"))
+      .toDF("id", "t")
+    val r = KqlPipeline.run(Map("docs" -> docs), "docs | where t has 'admin' | project id")
+    // 'administrators' must NOT match; 'Admin-ops' splits to [admin, ops] and does
+    assert(r.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
   }
 
   test("// comments are stripped outside literals") {

@@ -72,4 +72,31 @@ class VacuumSpec extends SparkSuite {
     assert(t.snapshot().filter(col(KustoTypes.BlobPathColumn).isin("blob-1", "blob-2")).count() == 0)
     assert(t.snapshot().count() == 5)
   }
+
+  test("remove without deletionTimestamp fails safe: retained, watermark stops") {
+    val dir = tmpDir("vacuum-nots")
+    val t   = new MirrorTable(spark, dir, "t")
+    t.ensureSchema(schema, Nil)
+    t.stage("b1", "g0", stageDf(1)); t.publishStaged("b1")
+
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val dataFile = walk(new java.io.File(s"$dir/data"))
+      .filter(_.getName.endsWith(".parquet")).head
+    val rel = new java.io.File(dir).toPath.relativize(dataFile.toPath).toString
+
+    // a foreign-log-style remove: no deletionTimestamp (this engine always
+    // stamps one; Delta writers in the wild may not)
+    val logDir = new java.io.File(s"$dir/_delta_log")
+    val next = logDir.listFiles().map(_.getName)
+      .flatMap(graft.deltalog.DeltaLogReader.extractTxId).max + 1
+    val commit = new java.io.File(logDir, f"$next%020d.json")
+    java.nio.file.Files.write(commit.toPath,
+      s"""{"remove":{"path":"$rel","dataChange":true}}""".getBytes("UTF-8"))
+
+    // even with a zero retention window the file must survive: a missing
+    // timestamp counts as NEWER than any cutoff, never as infinitely old
+    assert(t.vacuum(0L) == 0)
+    assert(dataFile.exists, "vacuum deleted a remove with no deletionTimestamp")
+  }
 }
