@@ -21,11 +21,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_ONLY=prefix1,prefix2 → targeted timing while iterating
+    // (driver never sets it; its runs always time the full registry)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty))
+    def selected(name: String): Boolean = only.forall(_.exists(name.startsWith))
+    val queries = SparkEntry.queries.filter(kv => selected(kv._1))
+
     // warm every query once against the measured dataset so timings measure
     // steady-state throughput (codegen compiled, parquet footers cached),
     // not first-touch JIT; warm-up failures are reported, not swallowed
     import scala.util.control.NonFatal
-    SparkEntry.queries.foreach { case (name, fn) =>
+    queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).count()
       catch { case NonFatal(e) => System.err.println(s"[bench] warmup $name failed: $e") }
       finally graft.functions.DedupFunctions.releaseCaches()
@@ -34,7 +40,7 @@ object Bench {
     // min of two timed runs: a single sample is hostage to whatever else the
     // machine is doing; the min is the standard steady-state throughput
     // estimator (warm-up above already paid codegen/JIT)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def timed(): Double =
         try {
           val t0 = System.nanoTime()

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.expressions.{RollingHash, VectorDot}
+import graft.functions.expressions.{BloomContains, RollingHash, VectorDot}
 
 /** Spark plugin entry point: load with
   * `spark.sql.extensions=graft.GraftSessionExtensions` (works with plain
@@ -28,6 +28,13 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 2, "vector_dot takes exactly two arguments")
         VectorDot(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(classOf[BloomContains].getName, "bloom_contains"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "bloom_contains takes exactly two arguments")
+        BloomContains(children.head, children(1))
       }))
   }
 }

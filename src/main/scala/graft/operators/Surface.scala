@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{DedupFunctions, Multimodal, SimilarityFunctions, TextFunctions}
+import graft.functions.expressions.BloomContains
 
 /** The driver-facing query surface: one entry per operator family of
   * SURVEY §2 (expressed over the /root/testdata tables) plus the
@@ -1219,7 +1220,18 @@ object Surface {
           .select(col("doc_id"), xxhash64(col("g")).as("g"))
         val bench  = grams.filter(col("doc_id") < 20).select(col("doc_id").as("bench_id"), col("g"))
         val corpus = grams.filter(col("doc_id") >= 20).select(col("doc_id").as("corpus_id"), col("g"))
-        corpus.join(bench, Seq("g"))
+        // Bloom prefilter: the benchmark side is FIXED-size at any corpus
+        // scale, so its gram hashes fold into a broadcast-sized bloom probed
+        // by a codegen'd expression BEFORE the shuffle — corpus-side shuffle
+        // volume drops to ~matches + 1% FPR of the explode output. False
+        // positives are removed by the exact join that follows; false
+        // negatives cannot occur, so the result is bit-identical.
+        val nBench = math.max(bench.count(), 1L)
+        val bloom  = bench.stat.bloomFilter("g", nBench, 0.01)
+        val pre    = corpus.filter(
+          BloomContains.bloomContains(
+            lit(BloomContains.serialize(bloom)), col("g")))
+        pre.join(bench, Seq("g"))
           .groupBy("corpus_id", "bench_id")
           .agg(count(lit(1)).as("n_shared_grams"))
           .filter(col("n_shared_grams") >= 3)
