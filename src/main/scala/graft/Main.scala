@@ -36,7 +36,9 @@ object Main {
       checkpoint: String = "",
       continuous: Boolean = false,
       goBack: Option[Instant] = None,
-      creationTime: Option[String] = None) {
+      creationTime: Option[String] = None,
+      optimizeEvery: Option[Int] = None,
+      optimizeSmallFiles: Option[Int] = None) {
     // single-table conveniences (first spec)
     def source: String = specs.headOption.fold("")(_.source)
     def table: String  = specs.headOption.fold("mirror")(_.table)
@@ -70,6 +72,8 @@ object Main {
       case "--continuous" :: t                  => loop(t, o.copy(continuous = true))
       case ("-g" | "--go-back") :: v :: t       => loop(t, o.copy(goBack = Some(parseGoBack(v))))
       case ("-k" | "--creation-time") :: v :: t => loop(t, o.copy(creationTime = Some(v)))
+      case "--optimize-every" :: v :: t         => loop(t, o.copy(optimizeEvery = Some(v.toInt)))
+      case "--optimize-small-files" :: v :: t   => loop(t, o.copy(optimizeSmallFiles = Some(v.toInt)))
       case other :: _ =>
         throw new IllegalArgumentException(s"Unknown or incomplete argument: $other")
     }
@@ -92,7 +96,8 @@ object Main {
         System.err.println(s"error: ${e.getMessage}")
         System.err.println(
           "usage: graft.Main -s <DeltaTableURL> -m <MirrorTableURL> -c <CheckpointFolderURL> " +
-            "[-t name] [--continuous] [--go-back d-m-y] [--creation-time <expr>]")
+            "[-t name] [--continuous] [--go-back d-m-y] [--creation-time <expr>] " +
+            "[--optimize-every N] [--optimize-small-files M]")
         sys.exit(2)
     }
     val spark = SparkSession.builder()
@@ -118,7 +123,9 @@ object Main {
         vacuumRetain = o.goBack.map { g =>
           val d = java.time.Duration.between(g, Instant.now())
           if (d.isNegative) java.time.Duration.ZERO else d
-        })
+        },
+        optimizeEveryBatches = o.optimizeEvery,
+        optimizeSmallFileCount = o.optimizeSmallFiles)
     }
     val orch = new MirrorOrchestration(spark, cfgs)
     orch.run()

@@ -43,7 +43,18 @@ final case class MirrorConfig(
     // retention policy from --go-back (DeltaTableOrchestration.cs:310-318):
     // when set, every poll ends with a VACUUM of tombstoned data files older
     // than this window. The CLI derives it from --go-back (now − cutoff).
-    vacuumRetain: Option[java.time.Duration] = None
+    vacuumRetain: Option[java.time.Duration] = None,
+    // auto-OPTIMIZE policy (the mirror-side analog of Kusto's background
+    // extent merging): per-batch staging writes accumulate small files at
+    // scale, so after a drain the orchestrator compacts when EITHER
+    // `optimizeEveryBatches` batches have been processed since the last
+    // OPTIMIZE, OR some partition holds >= `optimizeSmallFileCount` live
+    // files under `optimizeSmallFileBytes` (a metadata-only probe). The
+    // rewrite clusters by `statsColumns` so the compacted files' min/max
+    // ranges keep driving data skipping. Both triggers default off.
+    optimizeEveryBatches: Option[Int] = None,
+    optimizeSmallFileCount: Option[Int] = None,
+    optimizeSmallFileBytes: Long = 32L * 1024 * 1024
 )
 
 /** The control plane: discover new Delta commits, persist them as state rows,
@@ -99,16 +110,37 @@ class MirrorOrchestrator(
       }
       discovered = discoverNext(st)
     }
-    // retention (goBack-derived): reclaim tombstoned data files AFTER the
-    // drain — no staging is in flight for this table at this point, so the
-    // window only has to guard against crash remnants, not active batches.
-    // Only after real work: batches are the only producer of tombstones, and
-    // an idle continuous poll (every 5 s) must not pay a full recursive
-    // data-dir listing against object storage for nothing.
-    if (processed > 0)
+    // maintenance AFTER the drain — no staging is in flight for this table
+    // at this point. Only after real work: batches are the only producer of
+    // small files and tombstones, and an idle continuous poll (every 5 s)
+    // must not pay metadata jobs against object storage for nothing.
+    if (processed > 0) {
+      batchesSinceOptimize += processed
+      // trigger: N batches since last OPTIMIZE, or M small files piled up in
+      // one partition (cheap — reads the already-cached live-adds metadata)
+      val due =
+        config.optimizeEveryBatches.exists(batchesSinceOptimize >= _) ||
+          config.optimizeSmallFileCount.exists(m =>
+            mirror.smallFileBacklog(config.optimizeSmallFileBytes) >= m)
+      if (due) {
+        mirror.optimize(
+          smallFileBytes = config.optimizeSmallFileBytes,
+          clusterBy = config.statsColumns,
+          statsColumns = config.statsColumns)
+        batchesSinceOptimize = 0
+      }
+      // vacuum last, so an OPTIMIZE's fresh tombstones age through the same
+      // retention window as batch-produced ones
       config.vacuumRetain.foreach(d => mirror.vacuum(math.max(0L, d.toMillis)))
+    }
     processed
   }
+
+  // batches processed since the last auto-OPTIMIZE. In-memory on purpose:
+  // the policy is a maintenance heuristic, not state the mirror's
+  // correctness depends on — a restart merely restarts the countdown, and
+  // the small-file trigger (derived from the commit log) survives restarts.
+  private var batchesSinceOptimize = 0
 
   /** Continuous mode: poll every `probeIntervalMs` (5 s in the reference)
     * until `until` returns true; one-shot otherwise.

@@ -284,6 +284,14 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
         a.size.getOrElse(0L), a.tags.getOrElse(Map.empty))
     }
 
+  /** Max count of live files under `smallFileBytes` sharing one partition
+    * tuple — the auto-OPTIMIZE trigger metric. Metadata-only (commit-log
+    * fold), no data or directory I/O.
+    */
+  def smallFileBacklog(smallFileBytes: Long): Int =
+    liveAdds().filter(_.size < smallFileBytes)
+      .groupBy(_.partitionValues).map(_._2.size).maxOption.getOrElse(0)
+
   /** VACUUM: physically delete data files tombstoned by delete rewrites or
     * OPTIMIZE once they age past `retainMs`. The commit log itself is never
     * touched (time travel over metadata stays possible, only data bytes are

@@ -20,6 +20,10 @@ class MainSpec extends AnyFunSuite {
     assert(o.goBack.contains(Instant.parse("2020-01-01T00:00:00Z")))
     assert(o.creationTime.contains("todatetime(p0)"))
 
+    val o2 = Main.parseArgs(Seq("-s", "s", "-m", "m", "-c", "c",
+      "--optimize-every", "20", "--optimize-small-files", "64"))
+    assert(o2.optimizeEvery.contains(20) && o2.optimizeSmallFiles.contains(64))
+
     intercept[IllegalArgumentException](Main.parseArgs(Seq("-s", "src")))
     intercept[IllegalArgumentException](Main.parseArgs(Seq("-s", "src", "-m", "m", "-c", "c", "--bogus")))
   }

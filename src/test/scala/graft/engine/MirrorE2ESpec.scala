@@ -309,6 +309,52 @@ class MirrorE2ESpec extends SparkSuite {
     assert(ids(orch) == (1L until 14L))
   }
 
+  test("auto-OPTIMIZE: N-batches and small-file triggers compact post-drain, stats survive") {
+    val (src, cfg0) = setup("auto-opt")
+    val cfg = cfg0.copy(statsColumns = Seq("id"), optimizeEveryBatches = Some(3))
+    src.init(idSchema)
+    val orch = new MirrorOrchestrator(spark, cfg)
+
+    // commits arriving in one poll coalesce into ONE batch, so batch count
+    // == poll count here: two polls stay below the every-3 threshold
+    src.addCommit(spark.range(0, 4).toDF("id"))
+    src.addCommit(spark.range(4, 8).toDF("id"))
+    orch.runOnce() // batch 1 (init + both adds coalesced)
+    assert(orch.table.liveAdds().size == 2)
+    src.addCommit(spark.range(8, 12).toDF("id"))
+    orch.runOnce() // batch 2
+    assert(orch.table.liveAdds().size == 3)
+
+    // 3rd batch crosses the threshold: the drain's tail OPTIMIZE compacts
+    src.addCommit(spark.range(12, 16).toDF("id"))
+    orch.runOnce() // batch 3 → trigger
+    assert(orch.table.liveAdds().size == 1, "auto-OPTIMIZE did not compact")
+    assert(ids(orch) == (0L until 16L))
+
+    // stats survive the rewrite: the compacted file still carries id bounds,
+    // so a disjoint range opens zero files (stripped stats would force a
+    // conservative include)
+    assert(orch.table.liveAdds().head.tags.contains(
+      graft.sink.MirrorTable.StatsTag))
+    assert(orch.table.snapshotRange("id", 100, 200).inputFiles.isEmpty)
+
+    // small-file trigger, independent of the batch counter: a fresh
+    // orchestrator (counter 0) with the count trigger compacts as soon as
+    // one partition holds >= 3 small live files (1 compacted + 2 new)
+    src.addCommit(spark.range(16, 20).toDF("id"))
+    src.addCommit(spark.range(20, 24).toDF("id"))
+    val orch2 = new MirrorOrchestrator(spark,
+      cfg.copy(optimizeEveryBatches = None, optimizeSmallFileCount = Some(3)))
+    orch2.runOnce()
+    assert(orch2.table.liveAdds().size == 1, "small-file trigger did not fire")
+    assert(ids(orch2) == (0L until 24L))
+
+    // idle poll: no work → no maintenance jobs, no churn
+    val v = orch2.table.currentVersion()
+    orch2.runOnce()
+    assert(orch2.table.currentVersion() == v)
+  }
+
   test("partitioned OPTIMIZE keeps partition values and range-clusters files") {
     val (src, cfg) = setup("opt-part")
     val schema = StructType(Seq(StructField("id", LongType), StructField("year", IntegerType)))
