@@ -154,6 +154,32 @@ object SimilarityFunctions {
       .groupBy("query_id")
       .agg((sum(coalesce(col("_f"), lit(0))) / count(lit(1))).as("recall"))
 
+  /** Deterministic CLUSTERED corpus synthesized from an embeddings table:
+    * member `id`'s vector = centroid(id % nClusters) + noiseScale × the
+    * member's own embedding, over ids in [nClusters, nClusters + nMembers).
+    * With noiseScale well under 1 the centroid term dominates, so
+    * same-cluster cosines sit near 1/(1 + noiseScale²) — the structured
+    * happy path for sign-LSH, complementing the near-orthogonal-noise corpus
+    * (sign-LSH's worst case) the base ANN gate runs on. Fully in-plan and
+    * seed-free: both terms come from the source table, so the construction
+    * is identical across runs and engines.
+    */
+  def clusteredCorpus(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nClusters: Int,
+      nMembers: Int,
+      noiseScale: Double): DataFrame = {
+    val cent = emb.filter(col(idCol) < nClusters)
+      .select(col(idCol).as("c"), col(vecCol).as("cvec"))
+    emb.filter(col(idCol) >= nClusters && col(idCol) < nClusters + nMembers)
+      .select(col(idCol), (col(idCol) % nClusters).as("c"), col(vecCol).as("nvec"))
+      .join(broadcast(cent), Seq("c"))
+      .select(col(idCol),
+        zip_with(col("cvec"), col("nvec"), (x, y) => x + y * lit(noiseScale)).as(vecCol))
+  }
+
   /** Deterministic coarse quantizer for tests/benches: the first `nCells`
     * corpus vectors (a real deployment would plug k-means centroids in).
     */

@@ -979,6 +979,29 @@ object Surface {
       },
       Some("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 5")),
 
+    "sim_ann_lsh_clustered" -> QueryDef(
+      // the HAPPY-PATH ANN gate, complementing sim_ann_lsh's worst case: the
+      // corpus is deterministically re-clustered in-plan (member = centroid
+      // of id%8 + 0.15 × own embedding — SimilarityFunctions.clusteredCorpus)
+      // so same-cluster cosines sit near 1/(1+0.15²) ≈ 0.98 and sign-LSH
+      // buckets align with cluster structure. GATE: recall@10 ≥ 0.8 per
+      // query vs in-plan brute force — measured 1.00 for ALL 40 queries at
+      // sf0.01 AND sf0.1 (the corpus is a bounded id slice, so the gate is
+      // SF-invariant; thresholds calibrated with tools/GateProbe).
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val corpus = SimilarityFunctions.clusteredCorpus(
+          emb, "vec_id", "embedding", nClusters = 8, nMembers = 400, noiseScale = 0.15)
+        val q     = corpus.filter(col("vec_id") < 8 + 40)
+        val ann   = SimilarityFunctions.lshTopK(corpus, q, "vec_id", "embedding",
+          k = 10, nPlanes = 6, nTables = 8)
+        val exact = SimilarityFunctions.bruteForceTopK(corpus, q, "vec_id", "embedding", 10)
+        SimilarityFunctions.recallAtK(exact, ann)
+          .select(col("query_id"), (col("recall") >= 0.8).as("recall_ok"))
+      },
+      Some("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
+        "WHERE vec_id >= 8 AND vec_id < 48")),
+
     "sim_ivf_topk" -> QueryDef(
       // IVF scale path: 16 coarse cells from 2 distributed Lloyd iterations
       // (deterministic leading-vector init), 2-probe, exact ranking within

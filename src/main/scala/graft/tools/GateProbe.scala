@@ -47,6 +47,20 @@ object GateProbe {
       recall(SimilarityFunctions.ivfTopK(emb, q, "vec_id", "embedding", 10, km, probeN),
         s"ivf-kmeans probe=$probeN")
 
+    // clustered-corpus ANN gate (sim_ann_lsh_clustered): per-query recall on
+    // the structured corpus, where the >= 0.8 floor must hold
+    val clustered = SimilarityFunctions.clusteredCorpus(
+      emb, "vec_id", "embedding", nClusters = 8, nMembers = 400, noiseScale = 0.15)
+    val cq      = clustered.filter(col("vec_id") < 8 + 40)
+    val cExact  = SimilarityFunctions.bruteForceTopK(clustered, cq, "vec_id", "embedding", 10)
+    for (planes <- Seq(6, 8); tables <- Seq(8, 12)) {
+      val ann = SimilarityFunctions.lshTopK(clustered, cq, "vec_id", "embedding", 10,
+        nPlanes = planes, nTables = tables)
+      val r = SimilarityFunctions.recallAtK(cExact, ann)
+        .agg(min("recall").as("mn"), avg("recall").as("av")).collect().head
+      println(f"[probe] clustered p=$planes t=$tables: minRecall=${r.getDouble(0)}%.2f avg=${r.getDouble(1)}%.2f")
+    }
+
     // near-dup gate: which exact cos>=0.45 pairs (both ids < 300) does the
     // OR-LSH find, per nTables?
     val slice = emb.filter(col("vec_id") < 300)
