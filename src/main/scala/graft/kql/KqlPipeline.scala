@@ -33,10 +33,23 @@ import graft.functions.KqlCompat
   *   | take N                            // also: limit
   *   | distinct col, … | distinct *
   *   | count                             // → single column `Count`
+  *   | join [kind=inner|innerunique|leftouter|rightouter|fullouter|
+  *           leftsemi|leftanti] (T2 | …) on key, …   // or $left.a == $right.b
+  *   | lookup [kind=leftouter|inner] (Dim) on key    // broadcast dim join
+  *   | union T2, (T3 | where …)          // by-name, null-padding
+  *   | mv-expand arrayCol, …
+  *   | parse Col with "lit" name "lit2" name2 …
   * }}}
+  * Join divergences (documented, loud where silent would mislead): KQL's
+  * unstated default kind is `innerunique` (left deduped on keys) — we
+  * default to plain `inner`; spell `kind=innerunique` to opt in. Bare-key
+  * `on k` outputs ONE key column (Spark using-columns) where KQL emits the
+  * right copy as `k1`.
+  *
   * Aggregates: count, countif, dcount (exact distinct here — KQL's is HLL;
-  * documented divergence), sum, avg, min, max, arg_max, arg_min, make_set,
-  * make_list. KQL string predicates `has`/`contains`/`startswith`/
+  * documented divergence), sum/avg/min/max (+ their *if masked forms),
+  * dcountif, stdev, variance, percentile (exact here — KQL's is T-digest),
+  * arg_max, arg_min, make_set, make_list. KQL string predicates `has`/`contains`/`startswith`/
   * `endswith` (case-insensitive, as in KQL) and `=~`/`!~` are rewritten to
   * Spark SQL. `has` is a whole-TERM match as in ADX ('administrators' has
   * 'admin' is FALSE): the haystack is split on non-alphanumeric boundaries
@@ -54,12 +67,25 @@ object KqlPipeline {
     require(segs.nonEmpty, "empty KQL pipeline")
     val source = segs.head
     require(!source.contains(' '), s"first pipeline segment must be a table name, got: '$source'")
-    segs.tail.foldLeft(resolve(source))(applyOp)
+    segs.tail.foldLeft(resolve(source))(applyOp(resolve))
+  }
+
+  /** A join/union/lookup operand: a bare table name, or a parenthesized
+    * sub-pipeline run through the same parser.
+    */
+  private def operand(resolve: String => DataFrame, s: String): DataFrame = {
+    val trimmed = s.trim
+    if (trimmed.startsWith("(") && trimmed.endsWith(")"))
+      run(resolve, trimmed.substring(1, trimmed.length - 1))
+    else {
+      require(!trimmed.contains(' '), s"expected a table name or (sub-pipeline), got: '$trimmed'")
+      resolve(trimmed)
+    }
   }
 
   // ---- operator dispatch ---------------------------------------------------
 
-  private def applyOp(df: DataFrame, seg: String): DataFrame = {
+  private def applyOp(resolve: String => DataFrame)(df: DataFrame, seg: String): DataFrame = {
     val (word, rest) = seg.span(c => !c.isWhitespace)
     word.toLowerCase match {
       case "where" | "filter" =>
@@ -124,8 +150,165 @@ object KqlPipeline {
         if (rest.trim == "*") df.distinct()
         else df.select(splitTopLevel(rest, ',').map(s => col(s.trim)): _*).distinct()
 
+      case "join" =>
+        val (kind, body) = joinKind(rest.trim)
+        val (rightSrc, onClause) = splitAtTopLevelOn(body)
+        val right = operand(resolve, rightSrc)
+        applyJoin(df, right, kind, onClause)
+
+      // KQL `lookup`: the dimension-enrichment join — semantically a
+      // leftouter (or inner) join against a SMALL table, so the right side
+      // gets a broadcast hint: zero shuffle on the fact side at any scale.
+      case "lookup" =>
+        val (kind, body) = joinKind(rest.trim, default = "leftouter")
+        require(kind == "leftouter" || kind == "inner",
+          s"lookup supports kind=leftouter|inner, got '$kind'")
+        val (rightSrc, onClause) = splitAtTopLevelOn(body)
+        val right = broadcast(operand(resolve, rightSrc))
+        applyJoin(df, right, kind, onClause)
+
+      case "union" =>
+        splitTopLevel(rest, ',').map(_.trim).filter(_.nonEmpty).foldLeft(df) { (acc, src) =>
+          // KQL union matches columns by NAME and null-pads the gaps
+          acc.unionByName(operand(resolve, src), allowMissingColumns = true)
+        }
+
+      // `mv-expand c`: one output row per element of the dynamic (array)
+      // column, other columns repeated; empty/null arrays drop the row (KQL
+      // default). Spark-first: a generator (explode), not a UDF.
+      case "mv-expand" =>
+        splitTopLevel(rest, ',').map(_.trim).filter(_.nonEmpty).foldLeft(df) { (d, c) =>
+          d.withColumn(c, explode(col(c)))
+        }
+
+      // `parse Col with "lit" Name1 "lit2" Name2 …`: anchored scan — each
+      // literal is matched verbatim, each name captures lazily up to the
+      // next literal (the final name captures to end of value). Compiles to
+      // ONE regexp pattern evaluated per extracted column (codegen'd
+      // RegExpExtract; the pattern compiles once per task via Spark's regex
+      // cache). Names may not repeat; non-matching rows yield empty strings
+      // (KQL yields nulls — documented divergence of regexp_extract).
+      case "parse" =>
+        val body = rest.trim
+        val withIdx = body.toLowerCase.indexOf(" with ")
+        require(withIdx > 0, s"expected `parse <col> with <pattern>`, got: '$seg'")
+        val src   = body.substring(0, withIdx).trim
+        val parts = parsePattern(body.substring(withIdx + 6))
+        val regex = parts.map {
+          case Left(litText) => java.util.regex.Pattern.quote(litText)
+          case Right(_)      => "(.*?)"
+        }.mkString("", "", "") + "$" // last capture extends to end of value
+        val names = parts.collect { case Right(n) => n }
+        require(names.distinct.size == names.size, "parse capture names must be unique")
+        names.zipWithIndex.foldLeft(df) { case (d, (n, i)) =>
+          d.withColumn(n, regexp_extract(col(src), regex, i + 1))
+        }
+
       case other => fail(s"unsupported KQL operator: '$other'")
     }
+  }
+
+  // ---- join ----------------------------------------------------------------
+
+  /** KQL → Spark join kinds. KQL's unstated default is `innerunique` (left
+    * side deduplicated on the keys); we refuse the silent dedup and default
+    * to plain `inner` — spell `kind=innerunique` to get the KQL behavior.
+    */
+  private val JoinKinds = Map(
+    "inner" -> "inner", "innerunique" -> "inner",
+    "leftouter" -> "left_outer", "rightouter" -> "right_outer",
+    "fullouter" -> "full_outer", "leftsemi" -> "left_semi",
+    "leftanti" -> "left_anti", "anti" -> "left_anti")
+
+  private val KindRe = """^kind\s*=\s*([a-z]+)\s*(.*)$""".r
+
+  private def joinKind(body: String, default: String = "inner"): (String, String) =
+    body match {
+      case KindRe(k, restOf) =>
+        require(JoinKinds.contains(k), s"unsupported join kind '$k'")
+        (k, restOf)
+      case _ => (default, body)
+    }
+
+  private def applyJoin(left: DataFrame, right: DataFrame, kqlKind: String,
+      onClause: String): DataFrame = {
+    val sparkKind = JoinKinds(kqlKind)
+    // innerunique: KQL dedups the LEFT side on the join keys, with the
+    // surviving row unspecified — dropDuplicates matches that contract
+    // (don't use innerunique where the surviving row's other columns matter)
+    val terms   = splitTopLevel(onClause, ',').map(_.trim).filter(_.nonEmpty)
+    require(terms.nonEmpty, "join needs an `on` clause")
+    val usingCols = terms.filter(t => !t.contains("=="))
+    val exprTerms = terms.filter(_.contains("=="))
+    val leftDeduped =
+      if (kqlKind == "innerunique" && usingCols.nonEmpty)
+        left.dropDuplicates(usingCols)
+      else left
+    if (exprTerms.isEmpty) leftDeduped.join(right, usingCols.toSeq, sparkKind)
+    else {
+      require(usingCols.isEmpty,
+        "join mixes bare key names and $left/$right equalities — use one form")
+      val cond = exprTerms.map { t =>
+        val sides = t.split("==").map(_.trim)
+        require(sides.length == 2 && sides(0).startsWith("$left.") &&
+          sides(1).startsWith("$right."),
+          "expected `$left.a == $right.b`, got: '" + t + "'")
+        leftDeduped(sides(0).stripPrefix("$left.")) === right(sides(1).stripPrefix("$right."))
+      }.reduce(_ && _)
+      leftDeduped.join(right, cond, sparkKind)
+    }
+  }
+
+  /** Split a join body at the top-level ` on ` keyword. */
+  private def splitAtTopLevelOn(s: String): (String, String) = {
+    var depth = 0
+    var q     = ' '
+    var i     = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (q != ' ') { if (c == q) q = ' ' }
+      else c match {
+        case '\'' | '"' => q = c
+        case '(' | '['  => depth += 1
+        case ')' | ']'  => depth -= 1
+        case 'o' | 'O' if depth == 0
+            && i + 1 < s.length && (s.charAt(i + 1) == 'n' || s.charAt(i + 1) == 'N')
+            && (i == 0 || s.charAt(i - 1).isWhitespace)
+            && (i + 2 == s.length || s.charAt(i + 2).isWhitespace) =>
+          return (s.substring(0, i).trim, s.substring(i + 2).trim)
+        case _ =>
+      }
+      i += 1
+    }
+    fail(s"join/lookup needs an `on` clause: '$s'")
+  }
+
+  /** Tokenize a `parse … with` pattern into literals (Left) and capture
+    * names (Right).
+    */
+  private def parsePattern(s: String): Seq[Either[String, String]] = {
+    val out = Seq.newBuilder[Either[String, String]]
+    var i   = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '\'' || c == '"') {
+        val end = s.indexOf(c, i + 1)
+        require(end > 0, s"unterminated literal in parse pattern: '$s'")
+        out += Left(s.substring(i + 1, end))
+        i = end + 1
+      } else {
+        val end = {
+          var j = i
+          while (j < s.length && !s.charAt(j).isWhitespace &&
+            s.charAt(j) != '\'' && s.charAt(j) != '"') j += 1
+          j
+        }
+        out += Right(s.substring(i, end))
+        i = end
+      }
+    }
+    out.result()
   }
 
   // ---- aggregates ----------------------------------------------------------
@@ -145,6 +328,21 @@ object KqlPipeline {
     val (c, defName) = fn match {
       case "count" if args.isEmpty => (count(lit(1)), "count_")
       case "countif"               => (count(when(a(0), lit(1))), "countif_")
+      // *if family: the predicate masks rows to NULL, which every Spark agg
+      // ignores — one pass, no self-join
+      case "sumif"                 => (sum(when(a(1), a(0))), s"sumif_${slug(args(0))}")
+      case "avgif"                 => (avg(when(a(1), a(0))), s"avgif_${slug(args(0))}")
+      case "minif"                 => (min(when(a(1), a(0))), s"minif_${slug(args(0))}")
+      case "maxif"                 => (max(when(a(1), a(0))), s"maxif_${slug(args(0))}")
+      case "dcountif"              => (countDistinct(when(a(1), a(0))), s"dcountif_${slug(args(0))}")
+      case "stdev"                 => (stddev_samp(a(0)), s"stdev_${slug(args(0))}")
+      case "variance"              => (var_samp(a(0)), s"variance_${slug(args(0))}")
+      // KQL percentile() is an approximation (T-digest); we compute the
+      // EXACT percentile (documented divergence, same spirit as dcount) with
+      // KQL's nearest-rank-style argument: percentile(x, 95)
+      case "percentile" =>
+        (expr(s"percentile(${tx(args(0))}, ${args(1).trim.toDouble / 100.0})"),
+          s"percentile_${slug(args(0))}_${slug(args(1))}")
       // exact distinct (KQL dcount is an HLL estimate; we refuse to be wrong)
       case "dcount"                => (countDistinct(a(0)), s"dcount_${slug(args(0))}")
       case "sum"                   => (sum(a(0)), s"sum_${slug(args(0))}")

@@ -1502,6 +1502,95 @@ object Surface {
         SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
         ORDER BY o_orderkey DESC LIMIT 15""")),
 
+    "q_kql_join" -> QueryDef(
+      // tabular join through the KQL surface: fact-side shuffle join with
+      // explicit $left/$right keys; aggregates stay integer-exact (counts +
+      // key max) per the oracle-parity rules
+      (s, dir) => kqlRun(s, dir,
+        """customer
+          | | join kind=inner (orders) on $left.c_custkey == $right.o_custkey
+          | | summarize n_orders = count(), max_order = max(o_orderkey) by c_mktsegment
+          | | order by c_mktsegment asc""".stripMargin),
+      Some("""
+        SELECT c_mktsegment, count(*) AS n_orders, max(o_orderkey) AS max_order
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY 1 ORDER BY 1""")),
+
+    "q_kql_lookup" -> QueryDef(
+      // KQL lookup = dimension enrichment; compiles to a BROADCAST leftouter
+      // join (PlanSpec pins the broadcast), so the fact side never shuffles
+      (s, dir) => kqlRun(s, dir,
+        """supplier
+          | | lookup (nation) on $left.s_nationkey == $right.n_nationkey
+          | | summarize n_suppliers = count() by n_name
+          | | order by n_name asc""".stripMargin),
+      Some("""
+        SELECT n_name, count(*) AS n_suppliers
+        FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY 1 ORDER BY 1""")),
+
+    "q_kql_union" -> QueryDef(
+      // union is by-NAME with null padding (KQL semantics), proven by the
+      // projected shared column surviving from both legs
+      (s, dir) => kqlRun(s, dir,
+        """nation
+          | | project name = n_name
+          | | union (region | project name = r_name)
+          | | summarize n = count(), d = dcount(name)""".stripMargin),
+      Some("""
+        SELECT count(*) AS n, count(DISTINCT name) AS d
+        FROM (SELECT n_name AS name FROM nation
+              UNION ALL SELECT r_name FROM region)""")),
+
+    "q_kql_mvexpand" -> QueryDef(
+      // mv-expand compiles to a generator (explode) — per-token rows without
+      // a UDF; bounded to a doc slice so the explode volume is fixed
+      (s, dir) => kqlRun(s, dir,
+        """documents
+          | | where doc_id < 30
+          | | extend w = split(text, ' ')
+          | | mv-expand w
+          | | summarize n_tokens = count(), n_distinct = dcount(w) by doc_id
+          | | order by doc_id asc""".stripMargin),
+      Some("""
+        SELECT doc_id, count(*) AS n_tokens, count(DISTINCT w) AS n_distinct
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE doc_id < 30)
+        GROUP BY 1 ORDER BY 1""")),
+
+    "q_kql_parse" -> QueryDef(
+      // parse extracts between literal anchors via one compiled regex per
+      // output column; dcount(nm) pins the extraction itself (a wrong
+      // capture collapses the distinct count)
+      (s, dir) => kqlRun(s, dir,
+        """nation
+          | | extend line = strcat('name=', n_name, ';region=', tostring(n_regionkey))
+          | | parse line with 'name=' nm ';region=' reg
+          | | summarize n = count(), d = dcount(nm) by reg
+          | | order by reg asc""".stripMargin),
+      Some("""
+        SELECT CAST(n_regionkey AS VARCHAR) AS reg, count(*) AS n,
+               count(DISTINCT n_name) AS d
+        FROM nation GROUP BY 1 ORDER BY 1""")),
+
+    "q_kql_summarize_if" -> QueryDef(
+      // masked-aggregate family + exact percentile. percentile stays on an
+      // integer key column: interpolation of exactly-representable doubles
+      // is bit-identical across engines (money doubles would not be)
+      (s, dir) => kqlRun(s, dir,
+        """orders
+          | | summarize hi = countif(o_totalprice > 150000.0),
+          |             d = dcountif(o_custkey, o_totalprice > 150000.0),
+          |             p50 = percentile(o_orderkey, 50)
+          |   by o_orderstatus
+          | | order by o_orderstatus asc""".stripMargin),
+      Some("""
+        SELECT o_orderstatus,
+               count(CASE WHEN o_totalprice > 150000.0 THEN 1 END) AS hi,
+               count(DISTINCT CASE WHEN o_totalprice > 150000.0 THEN o_custkey END) AS d,
+               quantile_cont(o_orderkey, 0.5) AS p50
+        FROM orders GROUP BY 1 ORDER BY 1""")),
+
     "q_kql_status_view" -> QueryDef(
       // the MLK_DeltaStatus view restated in KQL: `summarize arg_max(…) by …`
       // over the registered table (DatabaseGateway.cs:85-96 shape). ts is

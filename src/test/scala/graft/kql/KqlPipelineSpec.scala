@@ -22,8 +22,12 @@ class KqlPipelineSpec extends SparkSuite {
     (5L, "Eve", "guest", 35, 15.0)
   ).toDF("id", "name", "role", "age", "score")
 
+  private lazy val depts: DataFrame = Seq(
+    ("admin role", "ops"), ("user", "product"), ("guest", "community")
+  ).toDF("role", "dept")
+
   private def run(kql: String): DataFrame =
-    KqlPipeline.run(Map("people" -> people), kql)
+    KqlPipeline.run(Map("people" -> people, "depts" -> depts), kql)
 
   test("T | count yields a single Count column") {
     val r = run("people | count").collect()
@@ -98,6 +102,75 @@ class KqlPipelineSpec extends SparkSuite {
     assert(run("people | where role == \"x has y\" | count").head().getLong(0) == 0L)
   }
 
+  test("join kinds: inner on key, leftouter keeps unmatched left rows") {
+    val inner = run("people | join (depts) on role | project id, dept | order by id asc")
+    assert(inner.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "ops"), (2L, "product"), (5L, "community")))
+
+    val lo = run("people | join kind=leftouter (depts) on role | count")
+    assert(lo.head().getLong(0) == 5L)
+
+    val semi = run("people | join kind=leftanti (depts) on role | project id | order by id asc")
+    assert(semi.collect().map(_.getLong(0)).toSeq == Seq(3L, 4L))
+  }
+
+  test("join with $left/$right equality and sub-pipeline right side") {
+    val r = run(
+      "people | join kind=inner (depts | where dept != 'ops') on $left.role == $right.role | count")
+    assert(r.head().getLong(0) == 2L)
+
+    // innerunique dedups the LEFT side only: ages (30,25,35,40,35) dedup to
+    // 4 keys, the right keeps its duplicate 35 → 5 result rows (plain inner
+    // keeps both left 35s → 7)
+    val iu = run("people | project age | join kind=innerunique (people | project age) on age | count")
+    assert(iu.head().getLong(0) == 5L)
+    val in = run("people | project age | join kind=inner (people | project age) on age | count")
+    assert(in.head().getLong(0) == 7L)
+  }
+
+  test("lookup broadcasts the dim side and defaults to leftouter") {
+    val r = run("people | lookup (depts) on role | count")
+    assert(r.head().getLong(0) == 5L)
+    val plan = run("people | lookup (depts) on role").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"lookup did not broadcast:\n$plan")
+  }
+
+  test("union by name with null padding; sub-pipeline operand") {
+    assert(run("people | union people | count").head().getLong(0) == 10L)
+    val r = run("people | union (depts | where dept == 'ops') | count")
+    assert(r.head().getLong(0) == 6L)
+    // padding: dept is null on people rows
+    val padded = run("people | union (depts | where dept == 'ops') | where isempty(dept) | count")
+    assert(padded.head().getLong(0) == 5L)
+  }
+
+  test("mv-expand explodes dynamic columns") {
+    val r = run("people | extend w = split(role, ' ') | mv-expand w | summarize n = count() by id | order by id asc")
+    assert(r.collect().map(x => (x.getLong(0), x.getLong(1))).toSeq ==
+      Seq((1L, 2L), (2L, 1L), (3L, 1L), (4L, 3L), (5L, 1L)))
+  }
+
+  test("parse extracts lazily between literals") {
+    val logs = Seq((1L, "user=alice action=login dur=30ms"),
+                   (2L, "user=bob action=logout dur=5ms")).toDF("id", "line")
+    val r = KqlPipeline.run(Map("logs" -> logs),
+      "logs | parse line with 'user=' u ' action=' act ' dur=' d 'ms' | project id, u, act, d | order by id asc")
+    assert(r.collect().map(x => (x.getString(1), x.getString(2), x.getString(3))).toSeq ==
+      Seq(("alice", "login", "30"), ("bob", "logout", "5")))
+  }
+
+  test("conditional and statistical aggregates") {
+    val r = run(
+      """people | summarize s = sumif(score, age > 30), m = maxif(score, age > 30),
+        |  d = dcountif(role, age >= 30), sd = stdev(score), p = percentile(score, 50)""".stripMargin)
+    val row = r.head()
+    assert(row.getDouble(0) == 40.0) // Carol 20 + Dave 5 + Eve 15
+    assert(row.getDouble(1) == 20.0)
+    assert(row.getLong(2) == 4L)     // admin role, ADMIN, user | guest, guest
+    assert(math.abs(row.getDouble(3) - 6.519) < 0.01)
+    assert(row.getDouble(4) == 15.0)
+  }
+
   test("has is a whole-term match (ADX semantics), not substring") {
     val docs = Seq((1L, "administrators"), (2L, "the admin team"), (3L, "Admin-ops"))
       .toDF("id", "t")
@@ -122,7 +195,8 @@ class KqlPipelineSpec extends SparkSuite {
   }
 
   test("error paths are loud: unknown operator, bad aggregate, expression in head") {
-    intercept[IllegalArgumentException](run("people | mv-expand role"))
+    intercept[IllegalArgumentException](run("people | facet by role"))
+    intercept[IllegalArgumentException](run("people | join (depts) kind_missing_on"))
     intercept[IllegalArgumentException](run("people | summarize median(age)"))
     intercept[IllegalArgumentException](run("people | extend score * 2"))
     intercept[IllegalArgumentException](KqlPipeline.run(Map.empty[String, DataFrame], "people x | count"))

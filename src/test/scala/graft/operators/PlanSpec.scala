@@ -89,6 +89,12 @@ class PlanSpec extends SparkSuite {
     assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"), s)
   }
 
+  test("KQL lookup: dimension side broadcasts — fact side never shuffles") {
+    val s = finalPlan("q_kql_lookup")
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"), s)
+  }
+
   test("source cap: the window's shuffle is the ONLY shuffle (groupBy reuses it)") {
     assert(countShuffles(finalPlan("curate_source_cap")) == 1)
   }
@@ -119,7 +125,8 @@ class PlanSpec extends SparkSuite {
 
   test("native expressions stay inside whole-stage codegen") {
     Seq("text_fingerprint_rolling" -> "rolling_hash",
-        "sim_cosine_topk"          -> "vector_dot").foreach { case (q, fn) =>
+        "sim_cosine_topk"          -> "vector_dot",
+        "curate_contamination"     -> "bloom_contains").foreach { case (q, fn) =>
       val s = finalPlan(q)
       assert(s.contains("[codegen id :"), s"$q lost codegen")
       assert(s.contains(fn), s"$q lost $fn")
