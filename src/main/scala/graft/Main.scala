@@ -87,6 +87,10 @@ object Main {
     require(o.checkpoint.nonEmpty, "Missing required -c <CheckpointFolderURL>")
     require(o.specs.map(_.table).distinct.size == o.specs.size,
       "Each table needs a unique -t <TableName> when mirroring several tables")
+    require(o.optimizeEvery.forall(_ > 0),
+      "--optimize-every must be positive (omit the flag to disable auto-OPTIMIZE)")
+    require(o.optimizeSmallFiles.forall(_ > 0),
+      "--optimize-small-files must be positive (omit the flag to disable auto-OPTIMIZE)")
     o
   }
 

@@ -173,18 +173,30 @@ object KqlPipeline {
           acc.unionByName(operand(resolve, src), allowMissingColumns = true)
         }
 
-      // `mv-expand c`: one output row per element of the dynamic (array)
-      // column, other columns repeated; empty/null arrays drop the row (KQL
-      // default). Spark-first: a generator (explode), not a UDF.
+      // `mv-expand c[, d]`: one output row per element of the dynamic
+      // (array) column, other columns repeated; empty/null arrays drop the
+      // row (KQL default). Multiple columns expand in PARALLEL as in KQL —
+      // element i of each array lands on row i, shorter arrays null-padded
+      // (arrays_zip + ONE generator), NOT a cartesian product (chain
+      // separate mv-expand operators for that). Spark-first: explode, no UDF.
       case "mv-expand" =>
-        splitTopLevel(rest, ',').map(_.trim).filter(_.nonEmpty).foldLeft(df) { (d, c) =>
-          d.withColumn(c, explode(col(c)))
+        val cols = splitTopLevel(rest, ',').map(_.trim).filter(_.nonEmpty)
+        require(cols.nonEmpty, "mv-expand needs at least one column")
+        require(cols.distinct.size == cols.size, "mv-expand columns must be distinct")
+        if (cols.size == 1) df.withColumn(cols.head, explode(col(cols.head)))
+        else {
+          val tmp = "__graft_mv_zip"
+          cols.foldLeft(
+            df.withColumn(tmp, explode(arrays_zip(cols.map(col): _*))))(
+            (d, c) => d.withColumn(c, col(tmp).getField(c))).drop(tmp)
         }
 
-      // `parse Col with "lit" Name1 "lit2" Name2 …`: anchored scan — each
-      // literal is matched verbatim, each name captures lazily up to the
-      // next literal (the final name captures to end of value). Compiles to
-      // ONE regexp pattern evaluated per extracted column (codegen'd
+      // `parse Col with ['*'] "lit" Name1 "lit2" Name2 …`: ANCHORED scan, as
+      // in KQL — the pattern must match from the start of the value (lead
+      // with `*` to skip a prefix; a bare `*` anywhere matches-and-discards).
+      // Each literal is matched verbatim, each name captures lazily up to
+      // the next literal (the final name captures to end of value). Compiles
+      // to ONE regexp pattern evaluated per extracted column (codegen'd
       // RegExpExtract; the pattern compiles once per task via Spark's regex
       // cache). Names may not repeat; non-matching rows yield empty strings
       // (KQL yields nulls — documented divergence of regexp_extract).
@@ -194,11 +206,12 @@ object KqlPipeline {
         require(withIdx > 0, s"expected `parse <col> with <pattern>`, got: '$seg'")
         val src   = body.substring(0, withIdx).trim
         val parts = parsePattern(body.substring(withIdx + 6))
-        val regex = parts.map {
+        val regex = "^" + parts.map {
           case Left(litText) => java.util.regex.Pattern.quote(litText)
+          case Right("*")    => "(?:.*?)" // skip, no capture
           case Right(_)      => "(.*?)"
-        }.mkString("", "", "") + "$" // last capture extends to end of value
-        val names = parts.collect { case Right(n) => n }
+        }.mkString + "$" // last capture extends to end of value
+        val names = parts.collect { case Right(n) if n != "*" => n }
         require(names.distinct.size == names.size, "parse capture names must be unique")
         names.zipWithIndex.foldLeft(df) { case (d, (n, i)) =>
           d.withColumn(n, regexp_extract(col(src), regex, i + 1))
@@ -220,7 +233,9 @@ object KqlPipeline {
     "fullouter" -> "full_outer", "leftsemi" -> "left_semi",
     "leftanti" -> "left_anti", "anti" -> "left_anti")
 
-  private val KindRe = """^kind\s*=\s*([a-z]+)\s*(.*)$""".r
+  // (?s): a join/lookup body legitimately spans lines (multi-line
+  // sub-pipelines); without DOTALL the full-match case-pattern never fires
+  private val KindRe = """(?s)^kind\s*=\s*([a-z]+)\s*(.*)$""".r
 
   private def joinKind(body: String, default: String = "inner"): (String, String) =
     body match {
@@ -233,55 +248,42 @@ object KqlPipeline {
   private def applyJoin(left: DataFrame, right: DataFrame, kqlKind: String,
       onClause: String): DataFrame = {
     val sparkKind = JoinKinds(kqlKind)
-    // innerunique: KQL dedups the LEFT side on the join keys, with the
-    // surviving row unspecified — dropDuplicates matches that contract
-    // (don't use innerunique where the surviving row's other columns matter)
     val terms   = splitTopLevel(onClause, ',').map(_.trim).filter(_.nonEmpty)
     require(terms.nonEmpty, "join needs an `on` clause")
     val usingCols = terms.filter(t => !t.contains("=="))
-    val exprTerms = terms.filter(_.contains("=="))
+    // $left.a == $right.b pairs, parsed up front so innerunique can see the
+    // left key names in EITHER on-clause form
+    val exprPairs = terms.filter(_.contains("==")).map { t =>
+      val sides = t.split("==").map(_.trim)
+      require(sides.length == 2 && sides(0).startsWith("$left.") &&
+        sides(1).startsWith("$right."),
+        "expected `$left.a == $right.b`, got: '" + t + "'")
+      (sides(0).stripPrefix("$left."), sides(1).stripPrefix("$right."))
+    }
+    // innerunique: KQL dedups the LEFT side on the join keys, with the
+    // surviving row unspecified — dropDuplicates matches that contract
+    // (don't use innerunique where the surviving row's other columns matter)
     val leftDeduped =
-      if (kqlKind == "innerunique" && usingCols.nonEmpty)
-        left.dropDuplicates(usingCols)
+      if (kqlKind == "innerunique")
+        left.dropDuplicates(usingCols ++ exprPairs.map(_._1))
       else left
-    if (exprTerms.isEmpty) leftDeduped.join(right, usingCols.toSeq, sparkKind)
+    if (exprPairs.isEmpty) leftDeduped.join(right, usingCols.toSeq, sparkKind)
     else {
       require(usingCols.isEmpty,
         "join mixes bare key names and $left/$right equalities — use one form")
-      val cond = exprTerms.map { t =>
-        val sides = t.split("==").map(_.trim)
-        require(sides.length == 2 && sides(0).startsWith("$left.") &&
-          sides(1).startsWith("$right."),
-          "expected `$left.a == $right.b`, got: '" + t + "'")
-        leftDeduped(sides(0).stripPrefix("$left.")) === right(sides(1).stripPrefix("$right."))
+      val cond = exprPairs.map { case (l, r) =>
+        leftDeduped(l) === right(r)
       }.reduce(_ && _)
       leftDeduped.join(right, cond, sparkKind)
     }
   }
 
   /** Split a join body at the top-level ` on ` keyword. */
-  private def splitAtTopLevelOn(s: String): (String, String) = {
-    var depth = 0
-    var q     = ' '
-    var i     = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (q != ' ') { if (c == q) q = ' ' }
-      else c match {
-        case '\'' | '"' => q = c
-        case '(' | '['  => depth += 1
-        case ')' | ']'  => depth -= 1
-        case 'o' | 'O' if depth == 0
-            && i + 1 < s.length && (s.charAt(i + 1) == 'n' || s.charAt(i + 1) == 'N')
-            && (i == 0 || s.charAt(i - 1).isWhitespace)
-            && (i + 2 == s.length || s.charAt(i + 2).isWhitespace) =>
-          return (s.substring(0, i).trim, s.substring(i + 2).trim)
-        case _ =>
-      }
-      i += 1
+  private def splitAtTopLevelOn(s: String): (String, String) =
+    splitAtTopLevelKeyword(s, "on") match {
+      case (before, Some(after)) => (before.trim, after.trim)
+      case _                     => fail(s"join/lookup needs an `on` clause: '$s'")
     }
-    fail(s"join/lookup needs an `on` clause: '$s'")
-  }
 
   /** Tokenize a `parse … with` pattern into literals (Left) and capture
     * names (Right).
@@ -466,11 +468,19 @@ object KqlPipeline {
     out.result()
   }
 
-  /** Split a summarize body at the top-level `by` keyword (word-bounded,
-    * outside quotes/parens). Returns (aggregates, Some(keys)) or
-    * (aggregates, None).
+  /** Split a summarize body at the top-level `by` keyword. Returns
+    * (aggregates, Some(keys)) or (aggregates, None).
     */
-  private def splitAtTopLevelBy(s: String): (String, Option[String]) = {
+  private def splitAtTopLevelBy(s: String): (String, Option[String]) =
+    splitAtTopLevelKeyword(s, "by")
+
+  /** Split `s` at the first top-level, word-bounded, case-insensitive
+    * occurrence of the two-letter keyword `kw` — outside quotes (either
+    * kind) and brackets. The one scanner behind both `summarize … by` and
+    * `join … on`.
+    */
+  private def splitAtTopLevelKeyword(s: String, kw: String): (String, Option[String]) = {
+    val (k0, k1) = (kw.charAt(0).toLower, kw.charAt(1).toLower)
     var depth = 0
     var q     = ' '
     var i     = 0
@@ -481,8 +491,8 @@ object KqlPipeline {
         case '\'' | '"' => q = c
         case '(' | '['  => depth += 1
         case ')' | ']'  => depth -= 1
-        case 'b' | 'B' if depth == 0
-            && i + 1 < s.length && (s.charAt(i + 1) == 'y' || s.charAt(i + 1) == 'Y')
+        case _ if depth == 0 && c.toLower == k0
+            && i + 1 < s.length && s.charAt(i + 1).toLower == k1
             && (i == 0 || s.charAt(i - 1).isWhitespace)
             && (i + 2 == s.length || s.charAt(i + 2).isWhitespace) =>
           return (s.substring(0, i), Some(s.substring(i + 2)))

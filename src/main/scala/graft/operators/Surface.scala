@@ -51,6 +51,11 @@ object Surface {
   private def bucketHash(id: Column, m: Long, mult: Long): Column =
     ((id % m) * mult) % m
 
+  // curate_contamination's serialized benchmark-gram bloom, keyed by dataset
+  // dir (deterministic: seeds and data fixed per dir)
+  private val contaminationBloomCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+
   /** Exact char-10-gram Jaccard pairs over a doc frame — shared by the
     * pair query (dedup_ngram_jaccard) and the cluster query (dedup_clusters)
     * so the two can never disagree on the edge definition; the algorithm
@@ -1248,12 +1253,15 @@ object Surface {
         // by a codegen'd expression BEFORE the shuffle — corpus-side shuffle
         // volume drops to ~matches + 1% FPR of the explode output. False
         // positives are removed by the exact join that follows; false
-        // negatives cannot occur, so the result is bit-identical.
-        val nBench = math.max(bench.count(), 1L)
-        val bloom  = bench.stat.bloomFilter("g", nBench, 0.01)
-        val pre    = corpus.filter(
-          BloomContains.bloomContains(
-            lit(BloomContains.serialize(bloom)), col("g")))
+        // negatives cannot occur, so the result is bit-identical. Capacity
+        // is a static bound (bench docs × grams/doc) rather than a count()
+        // job — an overestimate only wastes bloom bits — and the built
+        // filter memoizes per dataset so plan-only consumers (PlanDump,
+        // PlanSpec) trigger the one build job at most once per JVM.
+        val bloomBytes = contaminationBloomCache.computeIfAbsent(dir, _ =>
+          BloomContains.serialize(bench.stat.bloomFilter("g", 20L * 1024, 0.01)))
+        val pre = corpus.filter(
+          BloomContains.bloomContains(lit(bloomBytes), col("g")))
         pre.join(bench, Seq("g"))
           .groupBy("corpus_id", "bench_id")
           .agg(count(lit(1)).as("n_shared_grams"))
@@ -1581,14 +1589,67 @@ object Surface {
         """orders
           | | summarize hi = countif(o_totalprice > 150000.0),
           |             d = dcountif(o_custkey, o_totalprice > 150000.0),
-          |             p50 = percentile(o_orderkey, 50)
+          |             p50 = percentile(o_orderkey, 50),
+          |             sk = sumif(o_custkey, o_totalprice > 150000.0),
+          |             ak = avgif(o_custkey, o_totalprice > 150000.0),
+          |             mn = minif(o_orderkey, o_totalprice > 150000.0),
+          |             mx = maxif(o_orderkey, o_totalprice > 150000.0)
           |   by o_orderstatus
           | | order by o_orderstatus asc""".stripMargin),
       Some("""
         SELECT o_orderstatus,
                count(CASE WHEN o_totalprice > 150000.0 THEN 1 END) AS hi,
                count(DISTINCT CASE WHEN o_totalprice > 150000.0 THEN o_custkey END) AS d,
-               quantile_cont(o_orderkey, 0.5) AS p50
+               quantile_cont(o_orderkey, 0.5) AS p50,
+               CAST(sum(CASE WHEN o_totalprice > 150000.0 THEN o_custkey END) AS BIGINT) AS sk,
+               avg(CASE WHEN o_totalprice > 150000.0 THEN o_custkey END) AS ak,
+               min(CASE WHEN o_totalprice > 150000.0 THEN o_orderkey END) AS mn,
+               max(CASE WHEN o_totalprice > 150000.0 THEN o_orderkey END) AS mx
+        FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    "q_kql_join_unique" -> QueryDef(
+      // innerunique (KQL's default join kind) dedups the LEFT side on the
+      // keys; projecting the left to its key first makes the surviving row
+      // well-defined, so the query is oracle-exact
+      (s, dir) => kqlRun(s, dir,
+        """orders
+          | | project o_custkey
+          | | join kind=innerunique (customer) on $left.o_custkey == $right.c_custkey
+          | | summarize n = count() by c_mktsegment
+          | | order by c_mktsegment asc""".stripMargin),
+      Some("""
+        SELECT c_mktsegment, count(*) AS n
+        FROM (SELECT DISTINCT o_custkey FROM orders) o
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1 ORDER BY 1""")),
+
+    "q_kql_stats" -> QueryDef(
+      // stdev/variance are float-summation-order sensitive, so cross-engine
+      // hash equality is the WRONG gate; per the approximate-operator rule
+      // the plan emits tolerance booleans against the closed-form
+      // (n·Σx² − (Σx)²)/(n(n−1)) computed from the same scan, and the oracle
+      // asserts them TRUE. n is oracle-exact to keep the row non-vacuous.
+      (s, dir) => {
+        val k = kqlRun(s, dir,
+          """orders
+            | | summarize sd = stdev(o_totalprice), va = variance(o_totalprice),
+            |             n = count()
+            |   by o_orderstatus""".stripMargin)
+        val ex = t(s, dir, "orders").groupBy(col("o_orderstatus")).agg(
+          count(lit(1)).cast("double").as("n_d"),
+          sum(col("o_totalprice")).as("s1"),
+          sum(col("o_totalprice") * col("o_totalprice")).as("s2"))
+          .select(col("o_orderstatus"),
+            ((col("n_d") * col("s2") - col("s1") * col("s1")) /
+              (col("n_d") * (col("n_d") - 1))).as("va_exact"))
+        k.join(ex, Seq("o_orderstatus"))
+          .select(col("o_orderstatus"), col("n"),
+            (abs(col("va") - col("va_exact")) <= col("va_exact") * 1e-6).as("va_ok"),
+            (abs(col("sd") - sqrt(col("va_exact"))) <= sqrt(col("va_exact")) * 1e-6).as("sd_ok"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""
+        SELECT o_orderstatus, count(*) AS n, TRUE AS va_ok, TRUE AS sd_ok
         FROM orders GROUP BY 1 ORDER BY 1""")),
 
     "q_kql_status_view" -> QueryDef(

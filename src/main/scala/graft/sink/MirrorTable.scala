@@ -360,13 +360,18 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
     var deleted = 0
     var wm      = from
     var stopped = false
-    commits.foreach { case (v, _) =>
+    commits.foreach { case (v, commitPath) =>
       if (!stopped) {
         val removes = byVersion.get(v).map(_.removes).getOrElse(Seq.empty)
-        // fail-safe: a remove with NO deletionTimestamp (foreign/fixture logs
-        // — this engine always stamps one) counts as newer than the cutoff,
-        // so the retention window stops here instead of deleting immediately
-        if (removes.exists(_.deltaTimestamp.forall(_.toEpochMilli > cutoff))) stopped = true
+        // fail-safe without wedging: a remove with NO deletionTimestamp
+        // (foreign/fixture logs — this engine always stamps one) ages by its
+        // COMMIT FILE's modification time — never treated as infinitely old
+        // (instant delete) NOR as forever-new (which would pin the watermark
+        // below this commit and stall all later reclamation permanently)
+        lazy val commitTs = fs.getFileStatus(commitPath).getModificationTime
+        def effectiveTs(r: graft.txlog.TransactionItem): Long =
+          r.deltaTimestamp.map(_.toEpochMilli).getOrElse(commitTs)
+        if (removes.exists(effectiveTs(_) > cutoff)) stopped = true
         else {
           removes.flatMap(_.blobPath).filterNot(live).foreach { rel =>
             if (fs.delete(new Path(root, rel), false)) deleted += 1

@@ -159,6 +159,35 @@ class KqlPipelineSpec extends SparkSuite {
       Seq(("alice", "login", "30"), ("bob", "logout", "5")))
   }
 
+  test("parse is anchored at the start; leading * skips a prefix") {
+    val logs = Seq((1L, "user=alice end"), (2L, "junk user=bob end")).toDF("id", "line")
+    // anchored: the row with a prefix does NOT match (KQL semantics)
+    val strict = KqlPipeline.run(Map("logs" -> logs),
+      "logs | parse line with 'user=' u ' end' | where isnotempty(u) | project id")
+    assert(strict.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // leading * opts into prefix skipping
+    val starred = KqlPipeline.run(Map("logs" -> logs),
+      "logs | parse line with * 'user=' u ' end' | where isnotempty(u) | count")
+    assert(starred.head().getLong(0) == 2L)
+  }
+
+  test("mv-expand over several columns zips element-wise (not a cartesian product)") {
+    val r = run(
+      """people | where id == 1
+        | | extend a = split(role, ' '), b = split(role, ' ')
+        | | mv-expand a, b
+        | | summarize n = count(), same = countif(a == b)""".stripMargin)
+    val row = r.head()
+    assert(row.getLong(0) == 2L, "zip must yield one row per element index, not len²")
+    assert(row.getLong(1) == 2L, "zipped elements must pair index-to-index")
+  }
+
+  test("join body spanning several lines parses (kind= with newline before the operand)") {
+    val r = run(
+      "people | join kind=leftouter (\n  depts | where dept != 'ops'\n) on role | count")
+    assert(r.head().getLong(0) == 5L)
+  }
+
   test("conditional and statistical aggregates") {
     val r = run(
       """people | summarize s = sumif(score, age > 30), m = maxif(score, age > 30),

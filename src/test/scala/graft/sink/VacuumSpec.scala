@@ -94,9 +94,15 @@ class VacuumSpec extends SparkSuite {
     java.nio.file.Files.write(commit.toPath,
       s"""{"remove":{"path":"$rel","dataChange":true}}""".getBytes("UTF-8"))
 
-    // even with a zero retention window the file must survive: a missing
-    // timestamp counts as NEWER than any cutoff, never as infinitely old
-    assert(t.vacuum(0L) == 0)
+    // fail-safe: the remove ages by its COMMIT FILE's modification time, so
+    // inside the retention window the file survives
+    assert(t.vacuum(60_000L) == 0)
     assert(dataFile.exists, "vacuum deleted a remove with no deletionTimestamp")
+
+    // ...but it must NOT wedge the watermark forever: once the commit ages
+    // past the window, the tombstone is reclaimed like any other
+    assert(commit.setLastModified(System.currentTimeMillis() - 120_000L))
+    assert(t.vacuum(60_000L) == 1, "aged timestamp-less remove was never reclaimed")
+    assert(!dataFile.exists)
   }
 }
