@@ -17,6 +17,29 @@ object TextFunctions {
 
   def distinctTokenCount(text: Column): Column = size(array_distinct(split(text, " ")))
 
+  /** Distinct-token ratio in [0,1]: low values flag boilerplate/repetition —
+    * the standard cheap repetition-quality signal in pretraining curation.
+    * Pure array expressions over one scan: zero shuffle at any corpus size.
+    */
+  def repetitionRatio(text: Column): Column =
+    distinctTokenCount(text).cast("double") / tokenCount(text).cast("double")
+
+  /** Crude-PII patterns: email addresses and US-style phone numbers.
+    * Deliberately simple, ANCHORED to token-ish boundaries, and stated
+    * IDENTICALLY in the DuckDB oracles — a production scrubber would plug
+    * richer patterns into the same two expressions.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  /** Count of pattern hits in `text` — `regexp_extract_all` size, codegen'd. */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** `text` with every pattern hit replaced by `mask`. */
+  def piiScrub(text: Column, pattern: String, mask: String): Column =
+    regexp_replace(text, pattern, mask)
+
   /** Occurrences of `needle` in `text` by replace-and-measure — chosen over
     * regexp so the DuckDB oracle can state the identical arithmetic.
     */

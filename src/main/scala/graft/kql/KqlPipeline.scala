@@ -347,6 +347,10 @@ object KqlPipeline {
           s"percentile_${slug(args(0))}_${slug(args(1))}")
       // exact distinct (KQL dcount is an HLL estimate; we refuse to be wrong)
       case "dcount"                => (countDistinct(a(0)), s"dcount_${slug(args(0))}")
+      // the KQL-faithful estimator, for users who WANT the sketch: HLL++ at
+      // rsd 0.05 (mergeable, constant memory — the 100 TB dcount)
+      case "dcount_hll" | "hll"    => (approx_count_distinct(a(0), 0.05),
+                                        s"dcount_hll_${slug(args(0))}")
       case "sum"                   => (sum(a(0)), s"sum_${slug(args(0))}")
       case "avg"                   => (avg(a(0)), s"avg_${slug(args(0))}")
       case "min"                   => (min(a(0)), s"min_${slug(args(0))}")

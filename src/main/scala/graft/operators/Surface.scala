@@ -1112,6 +1112,64 @@ object Surface {
                round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6) AS chars_per_token
         FROM documents""")),
 
+    "text_repetition" -> QueryDef(
+      // distinct-token ratio: the standard cheap repetition/boilerplate
+      // signal in pretraining curation. Pure array expressions — one scan,
+      // zero shuffle at any corpus size.
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"),
+        round(TextFunctions.repetitionRatio(col("text")), 6).as("rep_ratio"),
+        (TextFunctions.repetitionRatio(col("text")) < 0.5).as("is_repetitive")),
+      Some("""
+        SELECT doc_id,
+               round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS rep_ratio,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) < 0.5 AS is_repetitive
+        FROM documents""")),
+
+    "curate_pii_scrub" -> QueryDef(
+      // PII detection + masking. The corpus is synthetic (no real PII), so
+      // emails/phones are INJECTED deterministically in-plan — identical
+      // construction in the oracle — then detected (regexp_extract_all
+      // count) and masked (global regexp_replace). One scan, zero shuffle;
+      // richer patterns plug into the same two expressions at 100 TB.
+      (s, dir) => {
+        val injected = t(s, dir, "documents").select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" reach me at user"),
+              col("doc_id").cast("string"), lit("@example.com")))
+          .when(col("doc_id") % 3 === 1,
+            concat(col("text"), lit(" call 555-867-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(col("text")).as("line"))
+        injected.select(
+          col("doc_id"),
+          TextFunctions.piiCount(col("line"), TextFunctions.EmailPattern)
+            .cast("bigint").as("n_emails"),
+          TextFunctions.piiCount(col("line"), TextFunctions.PhonePattern)
+            .cast("bigint").as("n_phones"),
+          length(TextFunctions.piiScrub(
+            TextFunctions.piiScrub(col("line"), TextFunctions.EmailPattern, "<EMAIL>"),
+            TextFunctions.PhonePattern, "<PHONE>")).cast("bigint").as("scrubbed_len"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0
+                        THEN text || ' reach me at user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                      WHEN doc_id % 3 = 1
+                        THEN text || ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      ELSE text END AS line
+          FROM documents)
+        SELECT doc_id,
+               len(regexp_extract_all(line, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+               len(regexp_extract_all(line, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS n_phones,
+               length(regexp_replace(
+                 regexp_replace(line, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g')) AS scrubbed_len
+        FROM base""")),
+
     "text_langid" -> QueryDef(
       (s, dir) => t(s, dir, "documents").select(
         col("doc_id"),
@@ -1622,6 +1680,23 @@ object Surface {
         FROM (SELECT DISTINCT o_custkey FROM orders) o
         JOIN customer ON o_custkey = c_custkey
         GROUP BY 1 ORDER BY 1""")),
+
+    "q_kql_dcount_hll" -> QueryDef(
+      // KQL's native dcount IS an HLL estimate; this pipeline's dcount is
+      // exact by documented choice, and dcount_hll exposes the KQL-faithful
+      // sketch. The whole gate is spelled in KQL itself: estimate within 15%
+      // (3σ at rsd 0.05) of the exact count from the same run, exact count
+      // oracle-matched to keep the row non-vacuous.
+      (s, dir) => kqlRun(s, dir,
+        """orders
+          | | summarize est = dcount_hll(o_custkey), ex = dcount(o_custkey)
+          |   by o_orderstatus
+          | | extend est_ok = abs(est - ex) <= ex * 0.15
+          | | project o_orderstatus, ex, est_ok
+          | | order by o_orderstatus asc""".stripMargin),
+      Some("""
+        SELECT o_orderstatus, count(DISTINCT o_custkey) AS ex, TRUE AS est_ok
+        FROM orders GROUP BY 1 ORDER BY 1""")),
 
     "q_kql_stats" -> QueryDef(
       // stdev/variance are float-summation-order sensitive, so cross-engine

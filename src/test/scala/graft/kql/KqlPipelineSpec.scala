@@ -231,6 +231,25 @@ class KqlPipelineSpec extends SparkSuite {
     intercept[IllegalArgumentException](KqlPipeline.run(Map.empty[String, DataFrame], "people x | count"))
   }
 
+  test("the pipeline composes with Structured Streaming (plan-level, no batch assumptions)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = tmpDir("kql-stream-src"); val ckpt = tmpDir("kql-stream-ckpt")
+    people.write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(people.schema).parquet(src)
+    // stateless KQL operators apply to a streaming frame exactly as to a
+    // batch one — the pipeline builds a plan, never collects
+    val q = KqlPipeline.run(Map("people_stream" -> stream),
+        "people_stream | where age >= 30 | extend tag = strcat(name, '!') | project id, tag")
+      .writeStream.format("memory").queryName("kql_stream")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val rows = spark.table("kql_stream").collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 4L, 5L))
+    assert(rows.map(_.getString(1)).toSet == Set("Alice!", "Carol!", "dave!", "Eve!"))
+  }
+
   test("make_set is sorted (deterministic) and make_list collects") {
     val r = run("people | summarize ages = make_set(age) by score | where score == 20.0")
     assert(r.head().getSeq[Int](1).sorted == r.head().getSeq[Int](1))
