@@ -55,6 +55,15 @@ def load_baseline():
             pass
     if "queries" in data:
         return data, latest
+    # the driver keeps only the LAST N bytes of bench output, which can chop
+    # the head off the JSON line — reconstruct per-query seconds from the
+    # surviving `"name":float` pairs (queries cut off at the head simply
+    # appear as NEW this round; better a partial baseline than none)
+    pairs = re.findall(r'"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)', tail)
+    meta = {"metric", "value", "unit", "sf", "total"}
+    queries = {k: float(v) for k, v in pairs if k not in meta}
+    if queries:
+        return {"queries": queries, "value": None}, latest
     return None, latest
 
 
