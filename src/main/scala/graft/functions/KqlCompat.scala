@@ -95,6 +95,37 @@ object KqlCompat {
       val sparkT = t match { case "bool" => "boolean"; case "real" => "double"; case x => x }
       s = expandCalls(s, s"to$t") { case Seq(x) => s"cast($x as $sparkT)" }
     }
+    // case(p1, v1, p2, v2, …, default) → CASE WHEN; KQL-only spelling (Spark
+    // CASE is keyword syntax, never `case(`), so the rewrite can't collide
+    s = expandCalls(s, "case") {
+      case args if args.size >= 3 && args.size % 2 == 1 =>
+        val whens = args.dropRight(1).grouped(2)
+          .map { case Seq(p, v) => s"WHEN ($p) THEN ($v)" }.mkString(" ")
+        s"(CASE $whens ELSE (${args.last}) END)"
+    }
+    // countof(text, search): non-overlapping plain-text occurrence count
+    s = expandCalls(s, "countof") {
+      case Seq(x, n) =>
+        s"CAST((length($x) - length(replace($x, $n, ''))) / length($n) AS BIGINT)"
+    }
+    // split(x, d, i): KQL's indexed form is 0-based — `get` is too, and
+    // yields NULL out of bounds exactly like KQL (never an ANSI error).
+    // 2-arg split passes through to Spark's (delimiter is a REGEX there vs
+    // literal in KQL — identical for the plain separators used here).
+    s = expandCalls(s, "split") {
+      case Seq(x, d, i) => s"get(split($x, $d), $i)"
+    }
+    // extract(regex, captureGroup, text) → regexp_extract(text, regex, group);
+    // comma-arity 3 only, so Spark's keyword-form extract(field FROM ts)
+    // (no top-level commas) is never touched
+    s = expandCalls(s, "extract") {
+      case Seq(re, g, x) => s"regexp_extract($x, $re, $g)"
+    }
+    // datetime_diff('unit', a, b) = a − b in units → timestampdiff(UNIT, b, a)
+    s = expandCalls(s, "datetime_diff") {
+      case Seq(p, a, b) =>
+        s"timestampdiff(${p.replace("'", "").trim.toUpperCase}, $b, $a)"
+    }
     s = expandCalls(s, "isempty") { case Seq(x) => s"(coalesce(cast(($x) as string), '') = '')" }
     s = expandCalls(s, "isnotempty") { case Seq(x) => s"(coalesce(cast(($x) as string), '') != '')" }
     for ((fn, unit) <- Seq("startofday" -> "DAY", "startofmonth" -> "MONTH", "startofyear" -> "YEAR"))

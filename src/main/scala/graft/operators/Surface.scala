@@ -1681,6 +1681,26 @@ object Surface {
         JOIN customer ON o_custkey = c_custkey
         GROUP BY 1 ORDER BY 1""")),
 
+    "q_kql_scalars" -> QueryDef(
+      // the widened scalar surface through the tabular pipeline: case()
+      // banding, 0-based indexed split, plain-text countof — each stated
+      // with exact-arithmetic DuckDB twins (countof's division is exact for
+      // a 1-char needle, so no cast-rounding divergence)
+      (s, dir) => kqlRun(s, dir,
+        """documents
+          | | extend band = case(doc_id % 3 == 0, 'a', doc_id % 3 == 1, 'b', 'c'),
+          |          first_w = split(text, ' ', 0),
+          |          n_e = countof(text, 'e')
+          | | summarize n = count(), d = dcount(first_w), se = sum(n_e) by band
+          | | order by band asc""".stripMargin),
+      Some("""
+        SELECT CASE WHEN doc_id % 3 = 0 THEN 'a'
+                    WHEN doc_id % 3 = 1 THEN 'b' ELSE 'c' END AS band,
+               count(*) AS n,
+               count(DISTINCT string_split(text, ' ')[1]) AS d,
+               CAST(sum(CAST((length(text) - length(replace(text, 'e', ''))) / 1 AS BIGINT)) AS BIGINT) AS se
+        FROM documents GROUP BY 1 ORDER BY 1""")),
+
     "q_kql_dcount_hll" -> QueryDef(
       // KQL's native dcount IS an HLL estimate; this pipeline's dcount is
       // exact by documented choice, and dcount_hll exposes the KQL-faithful

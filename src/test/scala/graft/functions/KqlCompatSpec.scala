@@ -64,6 +64,32 @@ class KqlCompatSpec extends SparkSuite {
     assert(r.getAs[java.sql.Timestamp]("d").toString == "2021-06-15 00:00:00.0")
   }
 
+  test("rewrite handles case/countof/split-index/extract/datetime_diff") {
+    assert(KqlCompat.rewrite("case(a > 1, 'x', b > 2, 'y', 'z')") ==
+      "(CASE WHEN (a > 1) THEN ('x') WHEN (b > 2) THEN ('y') ELSE ('z') END)")
+    // even arity is not KQL case() — left untouched
+    assert(KqlCompat.rewrite("case(a, b)") == "case(a, b)")
+    assert(KqlCompat.rewrite("split(s, '-', 0)") == "get(split(s, '-'), 0)")
+    assert(KqlCompat.rewrite("split(s, '-')") == "split(s, '-')")
+    assert(KqlCompat.rewrite("extract('([0-9]+)', 1, s)") ==
+      "regexp_extract(s, '([0-9]+)', 1)")
+    assert(KqlCompat.rewrite("datetime_diff('day', a, b)") ==
+      "timestampdiff(DAY, b, a)")
+
+    // evaluate through expr(): 0-based split index, NULL out of bounds, and
+    // occurrence counting
+    val r = Seq(("a-b-c", "banana")).toDF("s", "t").selectExpr(
+      KqlCompat.rewrite("split(s, '-', 0)") + " as first",
+      KqlCompat.rewrite("split(s, '-', 2)") + " as last",
+      KqlCompat.rewrite("split(s, '-', 9)") + " as oob",
+      KqlCompat.rewrite("countof(t, 'an')") + " as n",
+      KqlCompat.rewrite("case(strlen(t) > 5, 'long', 'short')") + " as band").head
+    assert(r.getString(0) == "a" && r.getString(1) == "c")
+    assert(r.isNullAt(2))
+    assert(r.getLong(3) == 2L)
+    assert(r.getString(4) == "long")
+  }
+
   test("typed aliases evaluate with KQL semantics") {
     val df = Seq(("Personal Cluster", 3L)).toDF("offering", "v")
     val r = df.select(
