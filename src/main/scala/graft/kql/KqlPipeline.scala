@@ -39,6 +39,9 @@ import graft.functions.KqlCompat
   *   | union T2, (T3 | where …)          // by-name, null-padding
   *   | mv-expand arrayCol, …
   *   | parse Col with "lit" name "lit2" name2 …
+  *   | make-series n = agg(…) [default = d] on t from a to b step s [by k]
+  *     // dense gap-filled series over the NUMERIC [a,b) axis (epoch-nanos
+  *     // works directly); axis + value arrays per group
   * }}}
   * Join divergences (documented, loud where silent would mislead): KQL's
   * unstated default kind is `innerunique` (left deduped on keys) — we
@@ -216,6 +219,61 @@ object KqlPipeline {
         names.zipWithIndex.foldLeft(df) { case (d, (n, i)) =>
           d.withColumn(n, regexp_extract(col(src), regex, i + 1))
         }
+
+      // `make-series name = agg(…) [default = d] on t from a to b step s
+      //  [by keys]`: dense gap-filled series per group over the NUMERIC axis
+      // [a, b) — works directly on events.ts epoch-nanos (timestamp axes:
+      // bin to epoch first). Spark-first: binned partial agg → ONE shuffle
+      // per group key → the dense grid is a `sequence`/`transform` pair
+      // evaluated per output row; gaps fill via try_element_at on a
+      // collect_list map, no driver loop and no per-point join.
+      case "make-series" =>
+        val (aggPart0, onRest) = splitAtTopLevelKeyword(rest, "on") match {
+          case (a, Some(r)) => (a, r)
+          case _            => fail(s"make-series needs an `on` clause: '$seg'")
+        }
+        val (aggPart, defaultE) = splitAtTopLevelKeyword(aggPart0, "default") match {
+          case (a, Some(d)) =>
+            val dd = d.trim
+            require(dd.startsWith("="), s"expected `default = <value>`, got: '$d'")
+            (a, expr(tx(dd.drop(1))))
+          case (a, None) => (a, lit(0L))
+        }
+        val (name, aggSpec) = assignment(aggPart.trim).getOrElse(
+          fail(s"make-series needs `name = agg(...)`, got: '$aggPart'"))
+        val (timeCol0, fromRest) = splitAtTopLevelKeyword(onRest, "from") match {
+          case (t0, Some(r)) => (t0.trim, r)
+          case _             => fail("make-series needs `from <start>`")
+        }
+        val (startE, toRest) = splitAtTopLevelKeyword(fromRest, "to") match {
+          case (a, Some(r)) => (a.trim, r)
+          case _            => fail("make-series needs `to <stop>`")
+        }
+        val (stopE, stepRest) = splitAtTopLevelKeyword(toRest, "step") match {
+          case (a, Some(r)) => (a.trim, r)
+          case _            => fail("make-series needs `step <size>`")
+        }
+        val (stepE, keyNames) = splitAtTopLevelKeyword(stepRest, "by") match {
+          case (a, Some(k)) => (a.trim, splitTopLevel(k, ',').map(_.trim).filter(_.nonEmpty))
+          case (a, None)    => (a.trim, Seq.empty[String])
+        }
+        val (start, stop, step) = (expr(tx(startE)), expr(tx(stopE)), expr(tx(stepE)))
+        val t       = col(timeCol0)
+        val binCol  = floor((t - start) / step) * step + start
+        val aggCol  = aggItem(s"$name = $aggSpec")
+        val keys    = keyNames.map(col)
+        val binned  = df.filter(t >= start && t < stop)
+          .withColumn("__graft_bin", binCol)
+          .groupBy(keys :+ col("__graft_bin"): _*).agg(aggCol)
+        val axis = filter(sequence(start, stop, step), x => x < stop)
+        binned
+          .groupBy(keys: _*)
+          .agg(map_from_entries(
+            collect_list(struct(col("__graft_bin"), col(name)))).as("__graft_m"))
+          .select(keys ++ Seq(
+            axis.as(timeCol0),
+            transform(axis, x =>
+              coalesce(try_element_at(col("__graft_m"), x), defaultE)).as(name)): _*)
 
       case other => fail(s"unsupported KQL operator: '$other'")
     }
@@ -479,12 +537,12 @@ object KqlPipeline {
     splitAtTopLevelKeyword(s, "by")
 
   /** Split `s` at the first top-level, word-bounded, case-insensitive
-    * occurrence of the two-letter keyword `kw` — outside quotes (either
-    * kind) and brackets. The one scanner behind both `summarize … by` and
-    * `join … on`.
+    * occurrence of keyword `kw` — outside quotes (either kind) and
+    * brackets. The one scanner behind `summarize … by`, `join … on` and the
+    * make-series clause keywords.
     */
   private def splitAtTopLevelKeyword(s: String, kw: String): (String, Option[String]) = {
-    val (k0, k1) = (kw.charAt(0).toLower, kw.charAt(1).toLower)
+    val n     = kw.length
     var depth = 0
     var q     = ' '
     var i     = 0
@@ -495,11 +553,10 @@ object KqlPipeline {
         case '\'' | '"' => q = c
         case '(' | '['  => depth += 1
         case ')' | ']'  => depth -= 1
-        case _ if depth == 0 && c.toLower == k0
-            && i + 1 < s.length && s.charAt(i + 1).toLower == k1
+        case _ if depth == 0 && s.regionMatches(true, i, kw, 0, n)
             && (i == 0 || s.charAt(i - 1).isWhitespace)
-            && (i + 2 == s.length || s.charAt(i + 2).isWhitespace) =>
-          return (s.substring(0, i), Some(s.substring(i + 2)))
+            && (i + n == s.length || s.charAt(i + n).isWhitespace) =>
+          return (s.substring(0, i), Some(s.substring(i + n)))
         case _ =>
       }
       i += 1

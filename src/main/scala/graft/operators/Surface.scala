@@ -1701,6 +1701,37 @@ object Surface {
                CAST(sum(CAST((length(text) - length(replace(text, 'e', ''))) / 1 AS BIGINT)) AS BIGINT) AS se
         FROM documents GROUP BY 1 ORDER BY 1""")),
 
+    "q_kql_make_series" -> QueryDef(
+      // ADX's flagship time-series operator: dense per-group daily count
+      // series over January 2024 on the epoch-nanos axis, gaps filled with
+      // 0. Series compare as JSON text (arrays don't sort in the driver's
+      // frame compare); axis_len pins the [from,to) grid arithmetic.
+      (s, dir) => kqlRun(s, dir,
+        """events
+          | | make-series n = count()
+          |     on ts from 1704067200000000000 to 1706659200000000000 step 86400000000000
+          |     by event_type
+          | | project event_type, n_json = to_json(n), axis_len = tolong(array_size(ts))
+          | | order by event_type asc""".stripMargin),
+      Some("""
+        WITH e AS (SELECT event_type, epoch_ns(ts) AS tn FROM events),
+             binned AS (
+               SELECT event_type,
+                      1704067200000000000 + CAST(floor((tn - 1704067200000000000) / 86400000000000) AS BIGINT) * 86400000000000 AS b,
+                      count(*) AS n
+               FROM e
+               WHERE tn >= 1704067200000000000 AND tn < 1706659200000000000
+               GROUP BY 1, 2),
+             grid AS (
+               SELECT k.event_type, g.b
+               FROM (SELECT DISTINCT event_type FROM binned) k
+               CROSS JOIN (SELECT unnest(range(1704067200000000000, 1706659200000000000, 86400000000000)) AS b) g)
+        SELECT event_type,
+               CAST(to_json(list(coalesce(n, 0) ORDER BY b)) AS VARCHAR) AS n_json,
+               CAST(count(*) AS BIGINT) AS axis_len
+        FROM grid LEFT JOIN binned USING (event_type, b)
+        GROUP BY 1 ORDER BY 1""")),
+
     "q_kql_dcount_hll" -> QueryDef(
       // KQL's native dcount IS an HLL estimate; this pipeline's dcount is
       // exact by documented choice, and dcount_hll exposes the KQL-faithful

@@ -188,6 +188,22 @@ class KqlPipelineSpec extends SparkSuite {
     assert(r.head().getLong(0) == 5L)
   }
 
+  test("make-series fills gaps with the default over the [from,to) numeric axis") {
+    val pts = Seq((0L, "a"), (5L, "a"), (5L, "a"), (25L, "a"), (0L, "b")).toDF("t", "k")
+    val r = KqlPipeline.run(Map("pts" -> pts),
+      "pts | make-series n = count() on t from 0 to 30 step 10 by k | order by k asc")
+    assert(r.columns.toSeq == Seq("k", "t", "n"))
+    val rows = r.collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(rows(0).getSeq[Long](1) == Seq(0L, 10L, 20L), "axis must be [from,to) by step")
+    assert(rows(0).getSeq[Long](2) == Seq(3L, 0L, 1L), "gap must fill with default 0")
+    assert(rows(1).getSeq[Long](2) == Seq(1L, 0L, 0L))
+    // custom default + global series (no by)
+    val g = KqlPipeline.run(Map("pts" -> pts),
+      "pts | make-series m = max(t) default = -1 on t from 0 to 30 step 10")
+    assert(g.collect().head.getSeq[Long](1) == Seq(5L, -1L, 25L))
+  }
+
   test("conditional and statistical aggregates") {
     val r = run(
       """people | summarize s = sumif(score, age > 30), m = maxif(score, age > 30),
