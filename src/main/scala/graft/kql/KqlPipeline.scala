@@ -26,7 +26,7 @@ import graft.functions.KqlCompat
   *   | where <expr>                      // also: filter
   *   | extend name = <expr>, …
   *   | project col, name = <expr>, …
-  *   | project-away col, …
+  *   | project-away col, … | project-keep col, … | project-rename new = old, …
   *   | summarize [name =] agg(…), … [by key, name = <expr>, …]
   *   | order by <expr> [asc|desc], …     // also: sort by; KQL default = desc
   *   | top N by <expr> [asc|desc], …
@@ -112,6 +112,17 @@ object KqlPipeline {
 
       case "project-away" =>
         df.drop(splitTopLevel(rest, ',').map(_.trim): _*)
+
+      case "project-keep" =>
+        df.select(splitTopLevel(rest, ',').map(s => col(s.trim)): _*)
+
+      case "project-rename" =>
+        splitTopLevel(rest, ',').map(_.trim).foldLeft(df) { (d, item) =>
+          assignment(item) match {
+            case Some((newName, oldName)) => d.withColumnRenamed(oldName.trim, newName)
+            case None => fail(s"project-rename needs `new = old`, got: '$item'")
+          }
+        }
 
       case "summarize" =>
         val (aggsPart, byPart) = splitAtTopLevelBy(rest)

@@ -47,9 +47,12 @@ class KqlPipelineSpec extends SparkSuite {
     assert(r.collect().map(_.getDouble(1)).toSeq == Seq(20.0, 40.0, 40.0, 10.0, 30.0))
   }
 
-  test("project-away drops columns") {
+  test("project-away drops columns; project-keep selects; project-rename renames") {
     assert(run("people | project-away role, score").columns.toSeq ==
       Seq("id", "name", "age"))
+    assert(run("people | project-keep name, id").columns.toSeq == Seq("name", "id"))
+    val r = run("people | project-rename who = name | where who =~ 'alice' | count")
+    assert(r.head().getLong(0) == 1L)
   }
 
   test("summarize with by: aggs, default names, countif/dcount") {
