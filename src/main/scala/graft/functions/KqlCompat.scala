@@ -54,7 +54,12 @@ object KqlCompat {
     "strlen("         -> "length(",
     "tolower("        -> "lower(",
     "toupper("        -> "upper(",
-    "replace_string(" -> "replace("
+    "replace_string(" -> "replace(",
+    // series helpers over make-series outputs (dynamic arrays) — KQL-only
+    // names mapping to codegen'd array expressions
+    "array_length("   -> "array_size(",
+    "series_max("     -> "array_max(",
+    "series_min("     -> "array_min("
   )
 
   private val TimeSpan = """(\d+)\s*([dhms])""".r
@@ -94,6 +99,15 @@ object KqlCompat {
     for (t <- Seq("string", "int", "long", "double", "bool", "real")) {
       val sparkT = t match { case "bool" => "boolean"; case "real" => "double"; case x => x }
       s = expandCalls(s, s"to$t") { case Seq(x) => s"cast($x as $sparkT)" }
+    }
+    // series_sum/avg over dynamic arrays: left-to-right double fold —
+    // deterministic, inlined HOF, no explode
+    s = expandCalls(s, "series_sum") {
+      case Seq(x) => s"aggregate($x, CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    }
+    s = expandCalls(s, "series_avg") {
+      case Seq(x) =>
+        s"(aggregate($x, CAST(0 AS DOUBLE), (acc, v) -> acc + v) / size($x))"
     }
     // case(p1, v1, p2, v2, …, default) → CASE WHEN; KQL-only spelling (Spark
     // CASE is keyword syntax, never `case(`), so the rewrite can't collide

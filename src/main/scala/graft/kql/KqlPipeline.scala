@@ -33,6 +33,7 @@ import graft.functions.KqlCompat
   *   | take N                            // also: limit
   *   | distinct col, … | distinct *
   *   | count                             // → single column `Count`
+  *   | getschema                         // ColumnName/ColumnOrdinal/ColumnType
   *   | join [kind=inner|innerunique|leftouter|rightouter|fullouter|
   *           leftsemi|leftanti] (T2 | …) on key, …   // or $left.a == $right.b
   *   | lookup [kind=leftouter|inner] (Dim) on key    // broadcast dim join
@@ -159,6 +160,17 @@ object KqlPipeline {
       case "count" =>
         require(rest.trim.isEmpty, s"`count` takes no arguments, got: '$rest'")
         df.agg(count(lit(1)).as("Count"))
+
+      // schema introspection (ADX column order + catalog type names);
+      // metadata-only — builds a local frame from the analyzed schema
+      case "getschema" =>
+        require(rest.trim.isEmpty, s"`getschema` takes no arguments, got: '$rest'")
+        val rows = df.schema.fields.zipWithIndex.map { case (f, i) =>
+          (f.name, i.toLong, f.dataType.catalogString)
+        }
+        val session = df.sparkSession
+        import session.implicits._
+        rows.toSeq.toDF("ColumnName", "ColumnOrdinal", "ColumnType")
 
       case "distinct" =>
         if (rest.trim == "*") df.distinct()

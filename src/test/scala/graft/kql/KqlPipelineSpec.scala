@@ -191,6 +191,24 @@ class KqlPipelineSpec extends SparkSuite {
     assert(r.head().getLong(0) == 5L)
   }
 
+  test("getschema lists columns; series helpers reduce make-series arrays") {
+    val sc = run("people | getschema").collect()
+    assert(sc.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("id", 0L), ("name", 1L), ("role", 2L), ("age", 3L), ("score", 4L)))
+    assert(sc.head.getString(2) == "bigint")
+
+    val r = run(
+      """people
+        | | make-series n = count() on age from 20 to 45 step 5
+        | | project total = series_sum(n), peak = series_max(n),
+        |           mean = series_avg(n), pts = array_length(n)""".stripMargin)
+    val row = r.head()
+    assert(row.getDouble(0) == 5.0)   // all five people inside [20,45)
+    assert(row.getLong(1) == 2L)      // two aged 35
+    assert(row.getDouble(2) == 1.0)   // 5 people / 5 axis points
+    assert(row.getInt(3) == 5)
+  }
+
   test("make-series fills gaps with the default over the [from,to) numeric axis") {
     val pts = Seq((0L, "a"), (5L, "a"), (5L, "a"), (25L, "a"), (0L, "b")).toDF("t", "k")
     val r = KqlPipeline.run(Map("pts" -> pts),
