@@ -55,9 +55,14 @@ object Bench {
       val b = if (a < 0) a else timed()
       name -> (if (a < 0) -1.0 else if (b < 0) a else math.min(a, b))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // 3-decimal per-query values and summary fields LAST: the driver captures
+    // a bounded tail of stdout, so a long line loses its HEAD — keep the line
+    // short and put metric/value where truncation can't eat them (key order
+    // is irrelevant to any JSON parser)
+    def d3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + d3(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"queries":$qs,"metric":"total","value":${d3(total)},"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }
