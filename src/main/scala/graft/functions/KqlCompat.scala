@@ -51,10 +51,18 @@ object KqlCompat {
     "strcat("         -> "concat(",
     "arg_max("        -> "max_by(",
     "iff("            -> "if(",
+    "iif("            -> "if(",
     "strlen("         -> "length(",
     "tolower("        -> "lower(",
     "toupper("        -> "upper(",
     "replace_string(" -> "replace(",
+    "strcat_delim("   -> "concat_ws(",
+    // KQL format_datetime uses the same yyyy/MM/dd/HH/mm/ss tokens as Java
+    "format_datetime("-> "date_format(",
+    "getyear("        -> "year(",
+    "getmonth("       -> "month(",
+    "monthofyear("    -> "month(",
+    "hourofday("      -> "hour(",
     // series helpers over make-series outputs (dynamic arrays) — KQL-only
     // names mapping to codegen'd array expressions
     "array_length("   -> "array_size(",
@@ -96,10 +104,15 @@ object KqlCompat {
       }
       seg
     }
-    for (t <- Seq("string", "int", "long", "double", "bool", "real")) {
-      val sparkT = t match { case "bool" => "boolean"; case "real" => "double"; case x => x }
+    for (t <- Seq("string", "int", "long", "double", "bool", "real", "decimal")) {
+      val sparkT = t match {
+        case "bool" => "boolean"; case "real" => "double"
+        case "decimal" => "decimal(38,18)"; case x => x
+      }
       s = expandCalls(s, s"to$t") { case Seq(x) => s"cast($x as $sparkT)" }
     }
+    // tohex: KQL emits lowercase hex (Spark's hex is uppercase)
+    s = expandCalls(s, "tohex") { case Seq(x) => s"lower(hex($x))" }
     // series_sum/avg over dynamic arrays: left-to-right double fold —
     // deterministic, inlined HOF, no explode
     s = expandCalls(s, "series_sum") {
@@ -152,6 +165,18 @@ object KqlCompat {
           // cast timestamp→double is Spark's epoch-seconds representation
           s"timestamp_seconds(floor(cast(cast(($x) as timestamp) as double) / $secs) * $secs)"
         case nt => s"(floor(($x)/($nt))*($nt))"
+      }
+    }
+    // bin_at(x, size, fixedPoint): flooring anchored at fixedPoint instead of
+    // zero — numeric sizes and timespan sizes (datetime axes) both supported
+    s = expandCalls(s, "bin_at") {
+      case Seq(x, n, fp) => n.trim match {
+        case TimeSpan(q, u) =>
+          val secs = q.toLong * SpanSeconds(u)
+          val xs  = s"cast(cast(($x) as timestamp) as double)"
+          val fps = s"cast(cast(($fp) as timestamp) as double)"
+          s"timestamp_seconds(floor(($xs - $fps) / $secs) * $secs + $fps)"
+        case nt => s"(floor((($x)-($fp))/($nt))*($nt)+($fp))"
       }
     }
     s

@@ -1,6 +1,7 @@
 package graft.kql
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.KqlCompat
@@ -43,7 +44,26 @@ import graft.functions.KqlCompat
   *   | make-series n = agg(…) [default = d] on t from a to b step s [by k]
   *     // dense gap-filled series over the NUMERIC [a,b) axis (epoch-nanos
   *     // works directly); axis + value arrays per group
+  *   | parse-where Col with "lit" name …     // parse + keep matching rows
+  *   | search 'term'                     // whole-term across all string cols
+  *   | serialize                         // identity (see row_number)
+  *   | extend rn = row_number([start])   // global index in current order —
+  *     // zipWithIndex over the range-partitioned sort, no 1-partition window
+  *   | top-nested N of k by agg(…) [, top-nested M of k2 by agg2(…)]
+  *   | evaluate pivot(col, agg(value))
   * }}}
+  * Statements: `let x = <scalar>;` (macro-substituted) and
+  * `let T2 = T | where …;` (catalog extension) precede the query.
+  * Sources (first segment): a table name, or
+  * {{{
+  *   externaldata (c:type, …) ['path', …] with (format='parquet'|'csv'|'json')
+  *   datatable (c:type, …) [v1, v2, …]
+  *   range x from a to b step s          // stop-inclusive numeric axis
+  *   print [name =] expr, …
+  * }}}
+  * Predicates: `has`/`!has`/`hasprefix`/`hassuffix`/`contains`/`startswith`/
+  * `endswith`/`=~`/`!~`/`matches regex`/`in~`/`!in`/`between (a .. b)`/
+  * `has_any (…)`/`has_all (…)`.
   * Join divergences (documented, loud where silent would mislead): KQL's
   * unstated default kind is `innerunique` (left deduped on keys) — we
   * default to plain `inner`; spell `kind=innerunique` to opt in. Bare-key
@@ -65,14 +85,63 @@ import graft.functions.KqlCompat
   */
 object KqlPipeline {
 
-  /** Parse and run `kql` against tables provided by `resolve`. */
+  /** Parse and run `kql` against tables provided by `resolve`.
+    *
+    * A query is `let` statements (separated by top-level `;`) followed by one
+    * tabular expression. Tabular lets (`let Big = orders | where …;`, or a
+    * bare table alias, or a source operator) extend the table catalog and are
+    * compiled lazily on use; scalar lets (`let cutoff = 100.0;`) are
+    * macro-substituted into later statements at identifier boundaries outside
+    * string literals — exactly KQL's constant-binding semantics. Don't reuse
+    * a scalar let's name as an output column name (the substitution would
+    * rewrite the assignment's left-hand side too, as in ADX shadowing).
+    */
   def run(resolve: String => DataFrame, kql: String): DataFrame = {
-    val segs = splitTopLevel(stripComments(kql), '|').map(_.trim).filter(_.nonEmpty)
-    require(segs.nonEmpty, "empty KQL pipeline")
-    val source = segs.head
-    require(!source.contains(' '), s"first pipeline segment must be a table name, got: '$source'")
-    segs.tail.foldLeft(resolve(source))(applyOp(resolve))
+    val stmts = splitTopLevel(stripComments(kql), ';').map(_.trim).filter(_.nonEmpty)
+    require(stmts.nonEmpty, "empty KQL query")
+    var scalars = Vector.empty[(String, String)]
+    var tabular = Map.empty[String, String]
+    lazy val resolveWithLets: String => DataFrame = name =>
+      tabular.get(name) match {
+        case Some(body) => runPipeline(resolveWithLets, body)
+        case None       => resolve(name)
+      }
+    stmts.dropRight(1).foreach { stmt =>
+      require(stmt.toLowerCase.startsWith("let") && stmt.length > 3 &&
+        stmt.charAt(3).isWhitespace,
+        s"only the final statement may be a query, got: '$stmt'")
+      val (name, rhs0) = assignment(stmt.drop(4).trim).getOrElse(
+        fail(s"let needs `let name = <expr or pipeline>`, got: '$stmt'"))
+      val rhs = substituteScalars(rhs0.trim, scalars)
+      // tabular iff: has a top-level pipe, is a source operator, or is a bare
+      // identifier (a table/tabular-let alias — scalar lets were already
+      // substituted away above, so a surviving bare identifier names a table)
+      val inner = if (rhs.startsWith("(") && rhs.endsWith(")"))
+        rhs.substring(1, rhs.length - 1).trim else rhs
+      if (splitTopLevel(inner, '|').size > 1 || isSource(inner) ||
+          inner.matches("[A-Za-z_][A-Za-z0-9_]*"))
+        tabular += name -> inner
+      else scalars :+= (name -> rhs)
+    }
+    runPipeline(resolveWithLets, substituteScalars(stmts.last, scalars))
   }
+
+  private def runPipeline(resolve: String => DataFrame, kql: String): DataFrame = {
+    val segs = splitTopLevel(kql, '|').map(_.trim).filter(_.nonEmpty)
+    require(segs.nonEmpty, "empty KQL pipeline")
+    segs.tail.foldLeft(source(resolve, segs.head))(applyOp(resolve))
+  }
+
+  /** Substitute scalar-let bindings into `s` at identifier boundaries,
+    * skipping string literals and qualified names (`$left.x`, `a.x`).
+    */
+  private def substituteScalars(s: String, scalars: Seq[(String, String)]): String =
+    scalars.foldLeft(s) { case (acc, (name, rhs)) =>
+      val re = ("""(?<![A-Za-z0-9_.$])""" + java.util.regex.Pattern.quote(name) +
+        """(?![A-Za-z0-9_])""").r
+      re.replaceAllIn(acc, m => java.util.regex.Matcher.quoteReplacement(
+        if (insideLiteral(acc, m.start)) m.matched else s"($rhs)"))
+    }
 
   /** A join/union/lookup operand: a bare table name, or a parenthesized
     * sub-pipeline run through the same parser.
@@ -80,11 +149,204 @@ object KqlPipeline {
   private def operand(resolve: String => DataFrame, s: String): DataFrame = {
     val trimmed = s.trim
     if (trimmed.startsWith("(") && trimmed.endsWith(")"))
-      run(resolve, trimmed.substring(1, trimmed.length - 1))
+      runPipeline(resolve, trimmed.substring(1, trimmed.length - 1))
     else {
       require(!trimmed.contains(' '), s"expected a table name or (sub-pipeline), got: '$trimmed'")
       resolve(trimmed)
     }
+  }
+
+  // ---- source operators ----------------------------------------------------
+
+  /** Is `s` a source-operator expression (vs a table name)? The source words
+    * are only recognized in their tabular spelling (`range x from …`,
+    * `datatable (…)`), so the scalar `range(…)` function is never shadowed.
+    */
+  private def isSource(s: String): Boolean = {
+    val l = s.trim.toLowerCase
+    def headArgs(kw: String) =
+      l.startsWith(kw) && l.drop(kw.length).trim.startsWith("(")
+    l.startsWith("range ") || l.startsWith("print ") || l == "print" ||
+      headArgs("datatable") || headArgs("externaldata")
+  }
+
+  /** Compile the first pipeline segment: a registered table name or one of
+    * the source operators `externaldata` / `datatable` / `range` / `print`.
+    */
+  private def source(resolve: String => DataFrame, seg: String): DataFrame = {
+    val word = seg.takeWhile(c => !c.isWhitespace && c != '(').toLowerCase
+    if (!isSource(seg)) {
+      require(!seg.contains(' '),
+        s"first pipeline segment must be a table name or source operator, got: '$seg'")
+      resolve(seg)
+    } else word match {
+      case "externaldata" => externalData(seg.drop("externaldata".length))
+      case "datatable"    => datatable(seg.drop("datatable".length))
+      case "range"        => rangeSource(seg.drop("range".length))
+      case "print"        => printSource(seg.drop("print".length))
+    }
+  }
+
+  private def spark = org.apache.spark.sql.SparkSession.active
+
+  /** KQL column types → Spark SQL types (externaldata / datatable schemas). */
+  private val KqlTypes = Map(
+    "string" -> "string", "long" -> "bigint", "int" -> "int",
+    "real" -> "double", "double" -> "double", "datetime" -> "timestamp",
+    "date" -> "timestamp", "bool" -> "boolean", "boolean" -> "boolean",
+    "decimal" -> "decimal(38,18)", "guid" -> "string", "timespan" -> "string",
+    "dynamic" -> "string")
+
+  /** Parse `(name:type, …)` into (name, sparkType) pairs. */
+  private def parseSchema(inner: String): Seq[(String, String)] =
+    splitTopLevel(inner, ',').map(_.trim).filter(_.nonEmpty).map { item =>
+      val parts = item.split(":", 2)
+      require(parts.length == 2, s"schema needs `name:type`, got: '$item'")
+      val (n, t) = (parts(0).trim, parts(1).trim.toLowerCase)
+      (n, KqlTypes.getOrElse(t, fail(s"unsupported KQL type '$t' for column '$n'")))
+    }
+
+  /** Take one balanced `open…close` group off the front of `s` (quote-aware);
+    * returns (inner, remainder).
+    */
+  private def takeGroup(s0: String, open: Char, close: Char): (String, String) = {
+    val s = s0.trim
+    require(s.nonEmpty && s.head == open, s"expected '$open…$close', got: '$s0'")
+    var depth = 0
+    var q     = ' '
+    var i     = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (q != ' ') { if (c == q) q = ' ' }
+      else if (c == '\'' || c == '"') q = c
+      else if (c == open) depth += 1
+      else if (c == close) {
+        depth -= 1
+        if (depth == 0) return (s.substring(1, i), s.substring(i + 1))
+      }
+      i += 1
+    }
+    fail(s"unbalanced '$open…$close' in: '$s0'")
+  }
+
+  /** `externaldata (c:type, …) ['path', …] with (format='parquet', …)` — the
+    * reference's own status-view source shape (DatabaseGateway.cs:85-96 reads
+    * checkpoint blobs via an externaldata pipeline). Spark-first: compiles to
+    * `spark.read` with the declared schema, so pushdown/pruning work as for
+    * any native scan. Formats: parquet (schema enforced by per-column cast —
+    * parquet carries its own types), csv (schema applied; `header=true` or
+    * ADX's `ignoreFirstRecord=true` skip the header row), json (line-JSON).
+    */
+  private def externalData(rest: String): DataFrame = {
+    val (schemaInner, afterSchema) = takeGroup(rest, '(', ')')
+    val schema = parseSchema(schemaInner)
+    val (pathsInner, afterPaths) = takeGroup(afterSchema, '[', ']')
+    val paths = splitTopLevel(pathsInner, ',').map(_.trim).filter(_.nonEmpty).map(unquote)
+    require(paths.nonEmpty, "externaldata needs at least one path")
+    val opts: Map[String, String] = {
+      val t = afterPaths.trim
+      if (t.isEmpty) Map.empty
+      else {
+        require(t.toLowerCase.startsWith("with"), s"expected `with (…)`, got: '$t'")
+        val (inner, tail) = takeGroup(t.drop(4), '(', ')')
+        require(tail.trim.isEmpty, s"unexpected trailing text after with(…): '$tail'")
+        splitTopLevel(inner, ',').map(_.trim).filter(_.nonEmpty).map { kv =>
+          val parts = kv.split("=", 2)
+          require(parts.length == 2, s"expected `key = value` in with(…), got: '$kv'")
+          parts(0).trim.toLowerCase -> unquote(parts(1).trim)
+        }.toMap
+      }
+    }
+    val fmt = opts.getOrElse("format", "csv").toLowerCase
+    val header = Seq("header", "ignorefirstrecord").exists(k =>
+      opts.get(k).exists(_.equalsIgnoreCase("true")))
+    val ddl = schema.map { case (n, t) => s"`$n` $t" }.mkString(", ")
+    val structType = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+    fmt match {
+      case "parquet" =>
+        // parquet is self-describing: read natively (stats/pushdown intact),
+        // then project+cast to the declared shape
+        spark.read.parquet(paths: _*)
+          .select(schema.map { case (n, t) => col(n).cast(t).as(n) }: _*)
+      case "csv" =>
+        spark.read.schema(structType).option("header", header.toString).csv(paths: _*)
+      case "json" | "multijson" =>
+        spark.read.schema(structType)
+          .option("multiLine", (fmt == "multijson").toString).json(paths: _*)
+      case other => fail(s"externaldata format '$other' not supported (parquet|csv|json)")
+    }
+  }
+
+  /** `datatable (c:type, …) [v1, v2, …]`: inline literal table, row-major
+    * cells. Each cell is a scalar expression; the whole table compiles to ONE
+    * local `explode(array(struct…))` — no files, no RDD.
+    */
+  private def datatable(rest: String): DataFrame = {
+    val (schemaInner, afterSchema) = takeGroup(rest, '(', ')')
+    val schema = parseSchema(schemaInner)
+    val (cellsInner, tail) = takeGroup(afterSchema, '[', ']')
+    require(tail.trim.isEmpty, s"unexpected trailing text after datatable values: '$tail'")
+    val cells = splitTopLevel(cellsInner, ',').map(_.trim).filter(_.nonEmpty)
+    require(cells.nonEmpty && cells.size % schema.size == 0,
+      s"datatable needs row-major cells, a multiple of ${schema.size}, got ${cells.size}")
+    val rows = cells.grouped(schema.size).toSeq.map { r =>
+      struct(r.zip(schema).map { case (cell, (n, t)) =>
+        expr(tx(cell)).cast(t).as(n)
+      }: _*)
+    }
+    spark.range(1).select(explode(array(rows: _*)).as("__graft_row"))
+      .select(col("__graft_row.*"))
+  }
+
+  /** `range name from a to b step s` over a NUMERIC axis, stop-inclusive as
+    * in KQL. Integer-literal bounds compile to `spark.range` (distributed,
+    * no materialized array); expression bounds fall back to one
+    * `explode(sequence(…))` — fine for control axes, not for billion-row
+    * ranges (use integer literals there).
+    */
+  private def rangeSource(rest: String): DataFrame = {
+    val r = rest.trim
+    val name = r.takeWhile(!_.isWhitespace)
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"range needs `range name from …`, got: '$r'")
+    val (fromPart, afterFrom) = splitAtTopLevelKeyword(r.drop(name.length), "from") match {
+      case (_, Some(a)) => ("", a)
+      case _            => fail("range needs `from <start>`")
+    }
+    require(fromPart.trim.isEmpty, s"unexpected text before `from`: '$fromPart'")
+    val (startE, afterTo) = splitAtTopLevelKeyword(afterFrom, "to") match {
+      case (a, Some(b)) => (a.trim, b)
+      case _            => fail("range needs `to <stop>`")
+    }
+    val (stopE, stepE) = splitAtTopLevelKeyword(afterTo, "step") match {
+      case (a, Some(b)) => (a.trim, b.trim)
+      case _            => fail("range needs `step <size>`")
+    }
+    (startE.toLongOption, stopE.toLongOption, stepE.toLongOption) match {
+      case (Some(a), Some(b), Some(s)) if s > 0 && b >= a =>
+        spark.range(a, b + 1, s).select(col("id").as(name))
+      case _ =>
+        spark.range(1).select(explode(sequence(
+          expr(tx(startE)), expr(tx(stopE)), expr(tx(stepE)))).as(name))
+    }
+  }
+
+  /** `print [name =] expr, …` → one row; unnamed items get `print_i`. */
+  private def printSource(rest: String): DataFrame = {
+    val items = splitTopLevel(rest, ',').map(_.trim).filter(_.nonEmpty)
+    require(items.nonEmpty, "print needs at least one expression")
+    spark.range(1).select(items.zipWithIndex.map { case (item, i) =>
+      assignment(item) match {
+        case Some((n, e)) => expr(tx(e)).as(n)
+        case None         => expr(tx(item)).as(s"print_$i")
+      }
+    }: _*)
+  }
+
+  private def unquote(s: String): String = {
+    val t = s.trim
+    if (t.length >= 2 && (t.head == '\'' || t.head == '"') && t.last == t.head)
+      t.substring(1, t.length - 1)
+    else t
   }
 
   // ---- operator dispatch ---------------------------------------------------
@@ -98,10 +360,21 @@ object KqlPipeline {
       case "extend" =>
         splitTopLevel(rest, ',').map(_.trim).foldLeft(df) { (d, item) =>
           assignment(item) match {
+            case Some((name, e)) if RowNumberRe.matches(e.trim) =>
+              val start = "\\d+".r.findFirstIn(e).map(_.toLong).getOrElse(1L)
+              rowNumber(d, name, start)
             case Some((name, e)) => d.withColumn(name, expr(tx(e)))
             case None            => fail(s"extend needs `name = expr`, got: '$item'")
           }
         }
+
+      // `serialize`: in ADX this freezes row order so row-window functions
+      // become legal. Our row_number() keys off the frame's existing global
+      // sort (see rowNumber), so serialize itself is the identity — spell an
+      // `order by` before row_number() to define the order.
+      case "serialize" =>
+        require(rest.trim.isEmpty, s"`serialize` takes no arguments, got: '$rest'")
+        df
 
       case "project" =>
         df.select(splitTopLevel(rest, ',').map(_.trim).map { item =>
@@ -127,7 +400,7 @@ object KqlPipeline {
 
       case "summarize" =>
         val (aggsPart, byPart) = splitAtTopLevelBy(rest)
-        val aggs = splitTopLevel(aggsPart, ',').map(_.trim).filter(_.nonEmpty).map(aggItem)
+        val aggs = splitTopLevel(aggsPart, ',').map(_.trim).filter(_.nonEmpty).flatMap(aggItems)
         val keys = byPart.toSeq.flatMap(splitTopLevel(_, ',').map(_.trim).map { item =>
           assignment(item) match {
             case Some((name, e)) => expr(tx(e)).as(name)
@@ -227,21 +500,67 @@ object KqlPipeline {
       // cache). Names may not repeat; non-matching rows yield empty strings
       // (KQL yields nulls — documented divergence of regexp_extract).
       case "parse" =>
-        val body = rest.trim
-        val withIdx = body.toLowerCase.indexOf(" with ")
-        require(withIdx > 0, s"expected `parse <col> with <pattern>`, got: '$seg'")
-        val src   = body.substring(0, withIdx).trim
-        val parts = parsePattern(body.substring(withIdx + 6))
-        val regex = "^" + parts.map {
-          case Left(litText) => java.util.regex.Pattern.quote(litText)
-          case Right("*")    => "(?:.*?)" // skip, no capture
-          case Right(_)      => "(.*?)"
-        }.mkString + "$" // last capture extends to end of value
-        val names = parts.collect { case Right(n) if n != "*" => n }
-        require(names.distinct.size == names.size, "parse capture names must be unique")
-        names.zipWithIndex.foldLeft(df) { case (d, (n, i)) =>
-          d.withColumn(n, regexp_extract(col(src), regex, i + 1))
+        applyParse(df, rest, seg, filterMatches = false)
+
+      // `parse-where`: parse, but rows that don't match the pattern are
+      // dropped instead of yielding empty captures — the filter reuses the
+      // SAME compiled regex (rlike), so both stay codegen'd
+      case "parse-where" =>
+        applyParse(df, rest, seg, filterMatches = true)
+
+      // `search 'term'`: whole-term case-insensitive match across ALL string
+      // columns (ADX's cross-column full-text search, term semantics like
+      // `has`). One OR-chain of codegen'd predicates — a single scan.
+      case "search" =>
+        val term = unquote(rest.trim)
+        require(term.nonEmpty, "search needs a non-empty term")
+        val stringCols = df.schema.fields.collect {
+          case f if f.dataType == org.apache.spark.sql.types.StringType => f.name
         }
+        require(stringCols.nonEmpty, "search needs at least one string column")
+        df.filter(stringCols.map(c =>
+          array_contains(split(lower(col(c)), "[^0-9a-z]+"), lit(term.toLowerCase)))
+          .reduce(_ || _))
+
+      // `top-nested N of key by [name =] agg(…) [, top-nested M of key2 by …]`:
+      // hierarchical top-k. Level 1 is agg → global sort-limit (top-k by
+      // sort+limit, never an unpartitioned window); level 2 semi-joins the
+      // kept level-1 keys (broadcast — ≤N rows), aggregates, and ranks with a
+      // window PARTITIONED by the level-1 key. Ties break on the key
+      // (ascending) for determinism — ADX leaves ties unspecified.
+      case "top-nested" =>
+        val levels = splitTopLevel(rest, ',').map(_.trim).filter(_.nonEmpty)
+          .foldLeft(Vector.empty[String]) { (acc, item) =>
+            val l = item.toLowerCase
+            if (l.startsWith("top-nested")) acc :+ item.drop("top-nested".length).trim
+            else if (acc.isEmpty) acc :+ item
+            else acc.init :+ s"${acc.last}, $item" // comma inside an agg arg list
+          }
+        applyTopNested(df, levels.map(parseTopNestedLevel))
+
+      // `evaluate pivot(pivotCol, agg(valueCol))`: wide pivot. Spark-first:
+      // groupBy(all other columns).pivot(col).agg — Spark collects the
+      // DISTINCT pivot values (driver-bounded by the domain size, same
+      // contract as ADX pivot) and emits one codegen'd aggregation.
+      case "evaluate" =>
+        val body = rest.trim
+        require(body.toLowerCase.startsWith("pivot"),
+          s"only `evaluate pivot(…)` is supported, got: '$body'")
+        val (inner, tail) = takeGroup(body.drop("pivot".length), '(', ')')
+        require(tail.trim.isEmpty, s"unexpected trailing text after pivot(…): '$tail'")
+        val parts = splitTopLevel(inner, ',').map(_.trim).filter(_.nonEmpty)
+        require(parts.length == 2, s"pivot needs (pivotColumn, agg(valueColumn)), got: '$inner'")
+        val pivotCol = parts.head
+        val aggCol   = aggItem(parts(1))
+        val valueCol = {
+          val call = parts(1)
+          val open = call.indexOf('(')
+          val arg0 = if (open > 0) splitTopLevel(
+            call.substring(open + 1, call.dropRight(1).length), ',').headOption else None
+          arg0.map(_.trim).filter(_.matches("[A-Za-z_][A-Za-z0-9_]*"))
+        }
+        val groupCols = df.columns.toSeq.filterNot(c => c == pivotCol || valueCol.contains(c))
+        df.groupBy(groupCols.map(col): _*).pivot(pivotCol).agg(aggCol)
 
       // `make-series name = agg(…) [default = d] on t from a to b step s
       //  [by keys]`: dense gap-filled series per group over the NUMERIC axis
@@ -394,9 +713,123 @@ object KqlPipeline {
     out.result()
   }
 
+  // ---- parse / parse-where -------------------------------------------------
+
+  private def applyParse(df: DataFrame, rest: String, seg: String,
+      filterMatches: Boolean): DataFrame = {
+    val body = rest.trim
+    val withIdx = body.toLowerCase.indexOf(" with ")
+    require(withIdx > 0, s"expected `parse <col> with <pattern>`, got: '$seg'")
+    val src   = body.substring(0, withIdx).trim
+    val parts = parsePattern(body.substring(withIdx + 6))
+    val regex = "^" + parts.map {
+      case Left(litText) => java.util.regex.Pattern.quote(litText)
+      case Right("*")    => "(?:.*?)" // skip, no capture
+      case Right(_)      => "(.*?)"
+    }.mkString + "$" // last capture extends to end of value
+    val names = parts.collect { case Right(n) if n != "*" => n }
+    require(names.distinct.size == names.size, "parse capture names must be unique")
+    val base = if (filterMatches) df.filter(col(src).rlike(regex)) else df
+    names.zipWithIndex.foldLeft(base) { case (d, (n, i)) =>
+      d.withColumn(n, regexp_extract(col(src), regex, i + 1))
+    }
+  }
+
+  // ---- row_number ----------------------------------------------------------
+
+  private val RowNumberRe = """(?i)row_number\s*\(\s*(\d+)?\s*\)""".r
+
+  /** Global row index in the frame's CURRENT order (spell an `order by`
+    * first). Spark-first scale shape: a global sort leaves the frame
+    * RANGE-partitioned, so `zipWithIndex` — one lightweight per-partition
+    * count job plus a zero-shuffle map — numbers rows in exactly that order.
+    * Deliberately NOT the `row_number() OVER (ORDER BY …)` spelling, which
+    * collapses to a single-partition WindowExec and dies at scale.
+    */
+  private def rowNumber(df: DataFrame, name: String, start: Long): DataFrame = {
+    val schema = df.schema.add(name, org.apache.spark.sql.types.LongType, nullable = false)
+    val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + start))
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  // ---- top-nested ----------------------------------------------------------
+
+  private final case class TopNestedLevel(n: Int, key: String, aggName: String, agg: Column)
+
+  private def parseTopNestedLevel(s: String): TopNestedLevel = {
+    val (nPart, afterOf) = splitAtTopLevelKeyword(s, "of") match {
+      case (a, Some(b)) => (a.trim, b)
+      case _            => fail(s"top-nested needs `N of key by agg`, got: '$s'")
+    }
+    val (keyPart, aggPart) = splitAtTopLevelKeyword(afterOf, "by") match {
+      case (a, Some(b)) => (a.trim, b.trim)
+      case _            => fail(s"top-nested needs a `by` aggregate, got: '$s'")
+    }
+    require(keyPart.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"top-nested key must be a column name, got: '$keyPart'")
+    val (aggCol, aggName) = aggItemNamed(aggPart)
+    TopNestedLevel(nPart.toInt, keyPart, aggName, aggCol)
+  }
+
+  private def applyTopNested(df: DataFrame, levels: Seq[TopNestedLevel]): DataFrame = {
+    require(levels.nonEmpty && levels.size <= 2,
+      s"top-nested supports 1 or 2 levels, got ${levels.size}")
+    val l1 = levels.head
+    // level 1: aggregate, then top-k via global sort-limit (TakeOrdered — a
+    // bounded structure, never an unpartitioned window)
+    val top1 = df.groupBy(col(l1.key)).agg(l1.agg)
+      .orderBy(col(l1.aggName).desc, col(l1.key).asc)
+      .limit(l1.n)
+    if (levels.size == 1) top1
+    else {
+      val l2   = levels(1)
+      val kept = broadcast(top1)
+      // level 2 sees only rows under the kept level-1 keys (broadcast
+      // semi-join, ≤N keys), aggregates per (k1, k2), and ranks with a
+      // window PARTITIONED by k1 — bounded state per partition
+      val agg2 = df.join(kept.select(col(l1.key)), Seq(l1.key), "left_semi")
+        .groupBy(col(l1.key), col(l2.key)).agg(l2.agg)
+      val w = Window.partitionBy(col(l1.key))
+        .orderBy(col(l2.aggName).desc, col(l2.key).asc)
+      agg2.withColumn("__graft_rank", row_number().over(w))
+        .filter(col("__graft_rank") <= l2.n).drop("__graft_rank")
+        .join(kept, Seq(l1.key)) // attach the level-1 aggregate value
+        .select(col(l1.key), col(l1.aggName), col(l2.key), col(l2.aggName))
+    }
+  }
+
   // ---- aggregates ----------------------------------------------------------
 
-  private def aggItem(item: String): Column = {
+  /** Expand one summarize item: one column normally; `percentiles(x, p1, p2,
+    * …)` expands to one EXACT percentile column per p (KQL's percentiles is
+    * T-digest approximate — same documented divergence as `percentile`).
+    */
+  private def aggItems(item: String): Seq[Column] = {
+    val (nameOpt, call) = assignment(item) match {
+      case Some((n, e)) => (Some(n), e.trim)
+      case None         => (None, item.trim)
+    }
+    val open = call.indexOf('(')
+    val fn   = if (open > 0) call.substring(0, open).trim.toLowerCase else ""
+    if (fn == "percentiles" && call.endsWith(")")) {
+      val args = splitTopLevel(call.substring(open + 1, call.length - 1), ',').map(_.trim)
+      require(args.size >= 2, "percentiles needs (expr, p1[, p2, …])")
+      val x    = args.head
+      val slug = x.replaceAll("[^A-Za-z0-9_]", "_")
+      args.tail.map { p =>
+        val base = nameOpt.getOrElse(s"percentile_$slug")
+        val nm   = if (args.size == 2 && nameOpt.isDefined) base
+                   else s"${base}_${p.replaceAll("[^A-Za-z0-9_]", "_")}"
+        expr(s"percentile(${tx(x)}, ${p.trim.toDouble / 100.0})").as(nm)
+      }
+    } else Seq(aggItem(item))
+  }
+
+  private def aggItem(item: String): Column = aggItemNamed(item)._1
+
+  private def aggItemNamed(item: String): (Column, String) = {
     val (nameOpt, call) = assignment(item) match {
       case Some((n, e)) => (Some(n), e.trim)
       case None         => (None, item.trim)
@@ -443,18 +876,37 @@ object KqlPipeline {
       case "make_list"             => (collect_list(a(0)), s"list_${slug(args(0))}")
       case other                   => fail(s"unsupported aggregate: '$other'")
     }
-    c.as(nameOpt.getOrElse(defName))
+    val name = nameOpt.getOrElse(defName)
+    (c.as(name), name)
   }
 
   // ---- ordering ------------------------------------------------------------
 
-  /** KQL `order by` / `top … by` default to DESCENDING (ADX semantics). */
+  /** KQL `order by` / `top … by` default to DESCENDING (ADX semantics);
+    * `nulls first|last` suffixes supported as in ADX.
+    */
   private def orderItems(s: String): Seq[Column] =
-    splitTopLevel(s, ',').map(_.trim).map { item =>
+    splitTopLevel(s, ',').map(_.trim).map { item0 =>
+      var item = item0
+      val l0 = item.toLowerCase
+      val nulls =
+        if (l0.endsWith(" nulls first")) { item = item.dropRight(12).trim; Some("first") }
+        else if (l0.endsWith(" nulls last")) { item = item.dropRight(11).trim; Some("last") }
+        else None
       val l = item.toLowerCase
-      if (l.endsWith(" asc")) expr(tx(item.dropRight(4))).asc
-      else if (l.endsWith(" desc")) expr(tx(item.dropRight(5))).desc
-      else expr(tx(item)).desc
+      val (e, asc) =
+        if (l.endsWith(" asc")) (item.dropRight(4), true)
+        else if (l.endsWith(" desc")) (item.dropRight(5), false)
+        else (item, false)
+      val c = expr(tx(e))
+      (asc, nulls) match {
+        case (true, Some("first"))  => c.asc_nulls_first
+        case (true, Some("last"))   => c.asc_nulls_last
+        case (true, None)           => c.asc
+        case (false, Some("first")) => c.desc_nulls_first
+        case (false, Some("last"))  => c.desc_nulls_last
+        case (false, None)          => c.desc
+      }
     }
 
   // ---- scalar translation --------------------------------------------------
@@ -465,11 +917,20 @@ object KqlPipeline {
     */
   private def tx(kql: String): String = KqlCompat.rewrite(infixOps(kql))
 
-  // LHS: identifier or simple call; RHS: quoted literal or identifier.
-  private val InfixOperand = """[A-Za-z_][A-Za-z0-9_]*(?:\((?:[^()']|'[^']*')*\))?|'(?:[^']|'')*'"""
+  // LHS: identifier or simple call; RHS: quoted literal, identifier, or a
+  // parenthesized group (scalar-let substitution emits `(value)`).
+  private val InfixOperand =
+    """[A-Za-z_][A-Za-z0-9_]*(?:\((?:[^()']|'[^']*')*\))?|'(?:[^']|'')*'|\((?:[^()']|'[^']*')*\)"""
   private val InfixRe =
-    s"""($InfixOperand)\\s+(!?)(has|contains|startswith|endswith)\\s+($InfixOperand)""".r
+    s"""($InfixOperand)\\s+(!?)(hasprefix|hassuffix|has|contains|startswith|endswith)\\s+($InfixOperand)""".r
   private val CiEqRe = s"""($InfixOperand)\\s*(=~|!~)\\s*($InfixOperand)""".r
+  private val MatchesRe = s"""($InfixOperand)\\s+matches\\s+regex\\s+($InfixOperand)""".r
+  // list-typed predicates: `x in~ (…)`, `x !in (…)`, `x between (a .. b)`,
+  // `x has_any (…)`, `x has_all (…)`; the body allows one paren-nesting level
+  private val ListOpRe =
+    s"""($InfixOperand)\\s+(!?)(in~|in|has_any|has_all|between)\\s*\\(([^()]*(?:\\([^()]*\\)[^()]*)*)\\)""".r
+
+  private def termArray(l: String): String = s"split(lower($l), '[^0-9a-z]+')"
 
   // A match starting INSIDE a string literal is left untouched; a match
   // starting outside may legitimately span into one (`col has 'term'` — the
@@ -489,24 +950,54 @@ object KqlPipeline {
   }
 
   private def infixOps(s: String): String = {
-    val r = InfixRe.replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement {
+    val r0 = ListOpRe.replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement {
       if (insideLiteral(s, m.start)) m.matched
+      else {
+        val (l, neg, op, body) = (m.group(1), m.group(2), m.group(3), m.group(4))
+        def items = splitTopLevel(body, ',').map(_.trim).filter(_.nonEmpty)
+        val core = op match {
+          case "between" =>
+            val bounds = body.split("\\.\\.", 2)
+            require(bounds.length == 2, s"between needs `(low .. high)`, got: '($body)'")
+            s"(($l) >= (${bounds(0).trim}) AND ($l) <= (${bounds(1).trim}))"
+          case "in" =>
+            // bare `in` is Spark-native; only the negated spelling rewrites
+            if (neg == "!") s"(($l) NOT IN ($body))" else m.matched
+          case "in~" =>
+            s"(lower($l) IN (${items.map(i => s"lower($i)").mkString(", ")}))"
+          case "has_any" | "has_all" =>
+            val per = items.map(t => s"array_contains(${termArray(l)}, lower($t))")
+            per.mkString("(", if (op == "has_any") " OR " else " AND ", ")")
+        }
+        if (neg == "!" && op != "in") s"(NOT $core)" else core
+      }
+    })
+    val r1 = InfixRe.replaceAllIn(r0, m => java.util.regex.Matcher.quoteReplacement {
+      if (insideLiteral(r0, m.start)) m.matched
       else {
         val (l, neg, op, rhs) = (m.group(1), m.group(2), m.group(3), m.group(4))
         val core = op match {
           // ADX `has` = whole-term match: 'administrators' has 'admin' is
           // FALSE. Split the haystack into alphanumeric terms and require
           // term equality (see scaladoc for the multi-term-needle caveat).
-          case "has"        => s"array_contains(split(lower($l), '[^0-9a-z]+'), lower($rhs))"
+          case "has"        => s"array_contains(${termArray(l)}, lower($rhs))"
           case "contains"   => s"contains(lower($l), lower($rhs))"
           case "startswith" => s"startswith(lower($l), lower($rhs))"
           case "endswith"   => s"endswith(lower($l), lower($rhs))"
+          // term-PREFIX / term-SUFFIX match (ADX hasprefix/hassuffix):
+          // any alphanumeric term starts/ends with the needle
+          case "hasprefix"  => s"exists(${termArray(l)}, t -> startswith(t, lower($rhs)))"
+          case "hassuffix"  => s"exists(${termArray(l)}, t -> endswith(t, lower($rhs)))"
         }
         if (neg == "!") s"(NOT $core)" else core
       }
     })
-    CiEqRe.replaceAllIn(r, m => java.util.regex.Matcher.quoteReplacement {
-      if (insideLiteral(r, m.start)) m.matched
+    val r2 = MatchesRe.replaceAllIn(r1, m => java.util.regex.Matcher.quoteReplacement {
+      if (insideLiteral(r1, m.start)) m.matched
+      else s"(${m.group(1)} RLIKE ${m.group(2)})"
+    })
+    CiEqRe.replaceAllIn(r2, m => java.util.regex.Matcher.quoteReplacement {
+      if (insideLiteral(r2, m.start)) m.matched
       else {
         val (l, op, rhs) = (m.group(1), m.group(2), m.group(3))
         val core = s"lower($l) = lower($rhs)"
@@ -533,11 +1024,11 @@ object KqlPipeline {
     val out   = Seq.newBuilder[String]
     val cur   = new StringBuilder
     var depth = 0
-    var q     = ' ' // active quote char, NUL = none
+    var q     = '\u0000' // active quote char, NUL = none
     var i     = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (q != ' ') { cur.append(c); if (c == q) q = ' ' }
+      if (q != '\u0000') { cur.append(c); if (c == q) q = '\u0000' }
       else c match {
         case '\'' | '"'          => cur.append(c); q = c
         case '(' | '['           => depth += 1; cur.append(c)
@@ -567,11 +1058,11 @@ object KqlPipeline {
   private def splitAtTopLevelKeyword(s: String, kw: String): (String, Option[String]) = {
     val n     = kw.length
     var depth = 0
-    var q     = ' '
+    var q     = '\u0000'
     var i     = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (q != ' ') { if (c == q) q = ' ' }
+      if (q != '\u0000') { if (c == q) q = '\u0000' }
       else c match {
         case '\'' | '"' => q = c
         case '(' | '['  => depth += 1
@@ -590,12 +1081,12 @@ object KqlPipeline {
   /** Strip `//` line comments outside string literals. */
   private[kql] def stripComments(s: String): String =
     s.linesIterator.map { line =>
-      var q   = ' '
+      var q   = '\u0000'
       var cut = -1
       var i   = 0
       while (i < line.length && cut < 0) {
         val c = line.charAt(i)
-        if (q != ' ') { if (c == q) q = ' ' }
+        if (q != '\u0000') { if (c == q) q = '\u0000' }
         else if (c == '\'' || c == '"') q = c
         else if (c == '/' && i + 1 < line.length && line.charAt(i + 1) == '/') cut = i
         i += 1

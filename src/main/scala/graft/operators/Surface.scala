@@ -1795,7 +1795,182 @@ object Surface {
                      row_number() OVER (PARTITION BY user_id, event_type
                                         ORDER BY ts DESC) AS rn
               FROM events) WHERE rn = 1
-        ORDER BY user_id, event_type"""))
+        ORDER BY user_id, event_type""")),
+
+    "q_kql_let" -> QueryDef(
+      // let statements: a scalar binding macro-substituted into a tabular
+      // binding, which the final query joins — KQL's statement surface
+      (s, dir) => kqlRun(s, dir,
+        """let seg = 'BUILDING';
+          |let bigcust = customer | where c_mktsegment == seg;
+          |orders
+          | | join kind=inner (bigcust) on $left.o_custkey == $right.c_custkey
+          | | summarize n_orders = count(), max_order = max(o_orderkey) by c_nationkey
+          | | order by c_nationkey asc""".stripMargin),
+      Some("""
+        SELECT c_nationkey, count(*) AS n_orders, max(o_orderkey) AS max_order
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY 1 ORDER BY 1""")),
+
+    "q_kql_externaldata" -> QueryDef(
+      // externaldata: the reference's own status-view source shape
+      // (DatabaseGateway.cs:85-96 reads checkpoint blobs via externaldata);
+      // here over a parquet path with a declared, narrowing schema
+      (s, dir) => kqlRun(s, dir,
+        s"""externaldata (n_nationkey:long, n_name:string, n_regionkey:long)
+           |  ['$dir/nation.parquet'] with (format='parquet')
+           | | where n_name hasprefix 'a' or n_regionkey == 2
+           | | summarize n = count(), mx = max(n_nationkey) by n_regionkey
+           | | order by n_regionkey asc""".stripMargin),
+      Some("""
+        SELECT n_regionkey, count(*) AS n, max(n_nationkey) AS mx
+        FROM nation
+        WHERE len(list_filter(string_split_regex(lower(n_name), '[^0-9a-z]+'),
+                              t -> t LIKE 'a%')) > 0
+           OR n_regionkey = 2
+        GROUP BY 1 ORDER BY 1""")),
+
+    "q_kql_range" -> QueryDef(
+      // range source compiles to spark.range (distributed, no materialized
+      // array); stop-inclusive KQL axis semantics
+      (s, _) => kqlRun(s, "",
+        "range x from 1 to 100000 step 7 | summarize n = count(), s = sum(x), mx = max(x)"),
+      Some("""
+        SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s, max(x) AS mx
+        FROM generate_series(1, 100000, 7) t(x)""")),
+
+    "q_kql_datatable" -> QueryDef(
+      // datatable as a broadcast lookup dim: inline literal enrichment —
+      // null-safe countifs prove the leftouter pad
+      (s, dir) => kqlRun(s, dir,
+        """nation
+          | | lookup (datatable (n_name:string, tier:long)
+          |     ['ALGERIA', 1, 'ARGENTINA', 1, 'BRAZIL', 2, 'CANADA', 2, 'CHINA', 3]) on n_name
+          | | summarize n = count(), t_low = countif(tier == 1),
+          |             t_missing = countif(isnull(tier))""".stripMargin),
+      Some("""
+        SELECT count(*) AS n,
+               count(CASE WHEN tier = 1 THEN 1 END) AS t_low,
+               count(CASE WHEN tier IS NULL THEN 1 END) AS t_missing
+        FROM nation LEFT JOIN (VALUES ('ALGERIA', 1), ('ARGENTINA', 1), ('BRAZIL', 2),
+                                      ('CANADA', 2), ('CHINA', 3)) AS d(n_name, tier)
+          USING (n_name)""")),
+
+    "q_kql_predicates" -> QueryDef(
+      // the KQL predicate surface: in~ (case-insensitive list), between
+      // (inclusive range), hasprefix (term-prefix) — one scan, all codegen'd
+      (s, dir) => kqlRun(s, dir,
+        """customer
+          | | where c_mktsegment in~ ('building', 'MACHINERY')
+          |     and c_acctbal between (0.0 .. 5000.0)
+          |     and c_name hasprefix 'customer'
+          | | summarize n = count(), mx = max(c_custkey) by c_mktsegment
+          | | order by c_mktsegment asc""".stripMargin),
+      Some("""
+        SELECT c_mktsegment, count(*) AS n, max(c_custkey) AS mx
+        FROM customer
+        WHERE lower(c_mktsegment) IN ('building', 'machinery')
+          AND c_acctbal BETWEEN 0.0 AND 5000.0
+          AND len(list_filter(string_split_regex(lower(c_name), '[^0-9a-z]+'),
+                              t -> t LIKE 'customer%')) > 0
+        GROUP BY 1 ORDER BY 1""")),
+
+    "q_kql_top_nested" -> QueryDef(
+      // hierarchical top-k: level 1 by sort-limit, level 2 ranked by a
+      // window PARTITIONED by the level-1 key (never a global window)
+      (s, dir) => kqlRun(s, dir,
+        """lineitem
+          | | extend qty = tolong(l_quantity)
+          | | top-nested 2 of l_returnflag by total = sum(qty),
+          |   top-nested 1 of l_linestatus by sub = sum(qty)
+          | | order by l_returnflag asc""".stripMargin),
+      Some("""
+        WITH l1 AS (
+          SELECT l_returnflag, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total
+          FROM lineitem GROUP BY 1
+          ORDER BY total DESC, l_returnflag ASC LIMIT 2),
+        l2 AS (
+          SELECT l.l_returnflag, l.l_linestatus,
+                 CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sub
+          FROM lineitem l JOIN l1 USING (l_returnflag)
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT l_returnflag, l_linestatus, sub,
+                 row_number() OVER (PARTITION BY l_returnflag
+                                    ORDER BY sub DESC, l_linestatus ASC) AS rk
+          FROM l2)
+        SELECT r.l_returnflag, l1.total, r.l_linestatus, r.sub
+        FROM ranked r JOIN l1 USING (l_returnflag)
+        WHERE r.rk <= 1
+        ORDER BY r.l_returnflag ASC""")),
+
+    "q_kql_parse_where" -> QueryDef(
+      // parse-where: anchored pattern filters AND extracts in one pass
+      (s, dir) => kqlRun(s, dir,
+        """orders
+          | | parse-where o_orderpriority with '1-' label
+          | | summarize n = count() by label""".stripMargin),
+      Some("""
+        SELECT substr(o_orderpriority, 3) AS label, count(*) AS n
+        FROM orders WHERE o_orderpriority LIKE '1-%'
+        GROUP BY 1""")),
+
+    "q_kql_search" -> QueryDef(
+      // search: whole-term match across ALL string columns in one scan
+      (s, dir) => kqlRun(s, dir,
+        """documents
+          | | search 'spark'
+          | | summarize n = count(), ids = sum(doc_id)""".stripMargin),
+      Some("""
+        SELECT count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS ids
+        FROM documents
+        WHERE list_contains(string_split_regex(lower(text), '[^0-9a-z]+'), 'spark')
+           OR list_contains(string_split_regex(lower(lang), '[^0-9a-z]+'), 'spark')
+           OR list_contains(string_split_regex(lower(source), '[^0-9a-z]+'), 'spark')""")),
+
+    "q_kql_pivot" -> QueryDef(
+      // evaluate pivot: wide per-value columns; the pivot domain (F/O) is
+      // collected by Spark exactly as ADX pivot collects its value set
+      (s, dir) => kqlRun(s, dir,
+        """lineitem
+          | | extend qty = tolong(l_quantity)
+          | | project l_returnflag, l_linestatus, qty
+          | | evaluate pivot(l_linestatus, sum(qty))
+          | | order by l_returnflag asc""".stripMargin),
+      Some("""
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS F,
+               CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS O
+        FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    "q_kql_row_number" -> QueryDef(
+      // serialize + row_number: global index via zipWithIndex over the
+      // range-partitioned sort — the scalable spelling (no 1-partition window)
+      (s, dir) => kqlRun(s, dir,
+        """orders
+          | | where o_totalprice > 400000.0
+          | | order by o_orderkey asc | serialize
+          | | extend rn = row_number()
+          | | project rn, o_orderkey""".stripMargin),
+      Some("""
+        SELECT row_number() OVER (ORDER BY o_orderkey) AS rn, o_orderkey
+        FROM orders WHERE o_totalprice > 400000.0""")),
+
+    "q_kql_percentiles" -> QueryDef(
+      // percentiles(x, p…): one EXACT interpolated percentile column per p
+      // (KQL's is T-digest approximate — documented divergence)
+      (s, dir) => kqlRun(s, dir,
+        """lineitem
+          | | extend qty = tolong(l_quantity)
+          | | summarize percentiles(qty, 25, 50, 75) by l_returnflag
+          | | order by l_returnflag asc""".stripMargin),
+      Some("""
+        SELECT l_returnflag,
+               quantile_cont(CAST(l_quantity AS BIGINT), 0.25) AS percentile_qty_25,
+               quantile_cont(CAST(l_quantity AS BIGINT), 0.50) AS percentile_qty_50,
+               quantile_cont(CAST(l_quantity AS BIGINT), 0.75) AS percentile_qty_75
+        FROM lineitem GROUP BY 1 ORDER BY 1"""))
   )
 
   /** DuckDB-side stopword hit count, matching [[TextFunctions.langHits]]

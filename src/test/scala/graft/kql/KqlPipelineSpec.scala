@@ -291,4 +291,171 @@ class KqlPipelineSpec extends SparkSuite {
     val r = run("people | summarize ages = make_set(age) by score | where score == 20.0")
     assert(r.head().getSeq[Int](1).sorted == r.head().getSeq[Int](1))
   }
+
+  // ---- let statements ------------------------------------------------------
+
+  test("scalar let is macro-substituted; tabular let extends the catalog") {
+    val r = run(
+      """let cutoff = 30;
+        |let grown = people | where age >= cutoff;
+        |grown | summarize n = count(), youngest = min(age)""".stripMargin)
+    assert(r.head().getLong(0) == 4L)
+    assert(r.head().getInt(1) == 30)
+  }
+
+  test("let: scalar references earlier scalar; tabular alias of a table; join over a let") {
+    val r = run(
+      """let lo = 10;
+        |let hi = lo * 2;
+        |people | where score >= lo and score <= hi | count""".stripMargin)
+    assert(r.head().getLong(0) == 4L) // 10, 20, 20, 15
+
+    val alias = run("let p2 = people; p2 | count")
+    assert(alias.head().getLong(0) == 5L)
+
+    val joined = run(
+      """let d2 = depts | where dept != 'ops';
+        |people | join kind=inner (d2) on role | count""".stripMargin)
+    assert(joined.head().getLong(0) == 2L)
+  }
+
+  test("scalar let substitution skips string literals and column-name LHS") {
+    val r = run(
+      """let needle = 'admin';
+        |people | where role has needle | count""".stripMargin)
+    assert(r.head().getLong(0) == 2L)
+    // the literal 'cutoff' inside a string is NOT substituted
+    val lit = run(
+      """let cutoff = 99;
+        |people | extend tag = 'cutoff' | where tag == 'cutoff' | count""".stripMargin)
+    assert(lit.head().getLong(0) == 5L)
+  }
+
+  // ---- source operators ----------------------------------------------------
+
+  test("datatable builds an inline literal table") {
+    val r = run(
+      """datatable (k:string, v:long) ['a', 1, 'b', 2, 'a', 3]
+        | | summarize s = sum(v) by k | order by k asc""".stripMargin)
+    assert(r.collect().map(x => (x.getString(0), x.getLong(1))).toSeq ==
+      Seq(("a", 4L), ("b", 2L)))
+  }
+
+  test("range generates a stop-inclusive numeric axis; print yields one row") {
+    val r = run("range x from 1 to 10 step 3 | summarize n = count(), last = max(x)")
+    assert(r.head().getLong(0) == 4L)  // 1, 4, 7, 10
+    assert(r.head().getLong(1) == 10L)
+    // expression bounds fall back to sequence
+    val e = run("range x from 0 to 2 + 2 step 2 | count")
+    assert(e.head().getLong(0) == 3L)  // 0, 2, 4
+    val p = run("print a = 1 + 1, strcat('x', 'y')")
+    assert(p.columns.toSeq == Seq("a", "print_1"))
+    assert(p.head().getInt(0) == 2)
+    assert(p.head().getString(1) == "xy")
+  }
+
+  test("externaldata reads parquet and csv with a declared schema") {
+    val dir = tmpDir("kql-externaldata")
+    people.select($"id", $"name", $"age").write.mode("overwrite").parquet(s"$dir/p")
+    val pq = run(
+      s"""externaldata (id:long, age:int) ['$dir/p'] with (format='parquet')
+         | | where age > 30 | count""".stripMargin)
+    assert(pq.head().getLong(0) == 3L)
+
+    people.select($"id", $"name").write.mode("overwrite")
+      .option("header", "true").csv(s"$dir/c")
+    val csv = run(
+      s"""externaldata (id:long, name:string) ['$dir/c'] with (format='csv', ignoreFirstRecord=true)
+         | | summarize n = count(), ids = sum(id)""".stripMargin)
+    assert(csv.head().getLong(0) == 5L)
+    assert(csv.head().getLong(1) == 15L)
+  }
+
+  // ---- predicates ----------------------------------------------------------
+
+  test("between, !in, in~, has_any, has_all, hasprefix, hassuffix, matches regex") {
+    assert(run("people | where age between (25 .. 35) | count").head().getLong(0) == 4L)
+    assert(run("people | where age !between (25 .. 35) | count").head().getLong(0) == 1L)
+    assert(run("people | where name !in ('Alice', 'Eve') | count").head().getLong(0) == 3L)
+    assert(run("people | where name in~ ('ALICE', 'BOB') | count").head().getLong(0) == 2L)
+    assert(run("people | where role has_any ('admin', 'guest') | count").head().getLong(0) == 4L)
+    assert(run("people | where role has_all ('user', 'guest') | count").head().getLong(0) == 1L)
+    assert(run("people | where role hasprefix 'gue' | count").head().getLong(0) == 2L)
+    assert(run("people | where role hassuffix 'ole' | count").head().getLong(0) == 1L)
+    assert(run("people | where name matches regex '^[A-Z]' | count").head().getLong(0) == 3L)
+  }
+
+  // ---- new operators -------------------------------------------------------
+
+  test("parse-where keeps only matching rows") {
+    val logs = Seq((1L, "user=alice end"), (2L, "garbage")).toDF("id", "line")
+    val r = KqlPipeline.run(Map("logs" -> logs),
+      "logs | parse-where line with 'user=' u ' end' | project id, u")
+    assert(r.collect().map(x => (x.getLong(0), x.getString(1))).toSeq == Seq((1L, "alice")))
+  }
+
+  test("search matches whole terms across all string columns") {
+    val r = run("people | search 'admin' | project id | order by id asc")
+    // role 'admin role' (id 1) and 'ADMIN' (id 3); 'administrators' would not match
+    assert(r.collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
+
+  test("serialize + row_number assigns a global index in sort order") {
+    val r = run(
+      """people | order by score desc, id asc | serialize
+        | | extend rn = row_number() | project rn, id""".stripMargin)
+    assert(r.collect().map(x => (x.getLong(0), x.getLong(1))).toSeq ==
+      Seq((1L, 2L), (2L, 3L), (3L, 5L), (4L, 1L), (5L, 4L)))
+    val r10 = run("people | order by id asc | extend rn = row_number(10) | summarize m = min(rn)")
+    assert(r10.head().getLong(0) == 10L)
+  }
+
+  test("top-nested: level-1 top-k, level-2 ranked within each kept key") {
+    val sales = Seq(
+      ("eu", "fr", 10L), ("eu", "de", 30L), ("eu", "it", 20L),
+      ("us", "ca", 100L), ("us", "ny", 50L),
+      ("ap", "jp", 1L)
+    ).toDF("region", "country", "amt")
+    val r = KqlPipeline.run(Map("sales" -> sales),
+      """sales
+        | | top-nested 2 of region by total = sum(amt),
+        |   top-nested 1 of country by t2 = sum(amt)
+        | | order by total desc""".stripMargin)
+    assert(r.columns.toSeq == Seq("region", "total", "country", "t2"))
+    assert(r.collect().map(x => (x.getString(0), x.getLong(1), x.getString(2), x.getLong(3))).toSeq ==
+      Seq(("us", 150L, "ca", 100L), ("eu", 60L, "de", 30L)))
+  }
+
+  test("evaluate pivot spreads the pivot column into per-value columns") {
+    val r = run(
+      """people | project role = iff(role has 'admin', 'admin', 'other'), age
+        | | evaluate pivot(role, max(age))
+        | | order by admin asc nulls last""".stripMargin)
+    // grouped by nothing left but the pivot pair → one row: max age per role
+    assert(r.columns.toSet == Set("admin", "other"))
+    assert(r.head().getInt(r.columns.indexOf("admin")) == 35)
+    assert(r.head().getInt(r.columns.indexOf("other")) == 40)
+  }
+
+  test("percentiles expands to one exact percentile column per argument") {
+    val r = run("people | summarize percentiles(score, 25, 50, 75)")
+    assert(r.columns.toSeq ==
+      Seq("percentile_score_25", "percentile_score_50", "percentile_score_75"))
+    assert(r.head().getDouble(1) == 15.0)
+  }
+
+  test("new scalar spellings: iif, strcat_delim, tohex, format_datetime, bin_at, getyear") {
+    val r = run(
+      """print t = datetime(2024-03-15), n = 255
+        | | extend y = getyear(t), d = format_datetime(t, 'yyyy-MM'),
+        |          hx = tohex(n), joined = strcat_delim('-', 'a', 'b'),
+        |          b = bin_at(37, 10, 2), alt = iif(1 == 1, 'y', 'n')""".stripMargin)
+    val row = r.head()
+    assert(row.getInt(r.schema.fieldIndex("y")) == 2024)
+    assert(row.getString(r.schema.fieldIndex("d")) == "2024-03")
+    assert(row.getString(r.schema.fieldIndex("hx")) == "ff")
+    assert(row.getString(r.schema.fieldIndex("joined")) == "a-b")
+    assert(row.getLong(r.schema.fieldIndex("b")) == 32L)
+    assert(row.getString(r.schema.fieldIndex("alt")) == "y")
+  }
 }
