@@ -44,6 +44,9 @@ import graft.functions.KqlCompat
   *   | make-series n = agg(…) [default = d] on t from a to b step s [by k]
   *     // dense gap-filled series over the NUMERIC [a,b) axis (epoch-nanos
   *     // works directly); axis + value arrays per group
+  *   | mv-apply e = arrayCol on (where … | extend … | summarize … [by k])
+  *     // per-row subquery: explode → stages → ONE groupBy(rowId) — no
+  *     // self-join; rows with no qualifying elements drop, as in ADX
   *   | parse-where Col with "lit" name …     // parse + keep matching rows
   *   | search 'term'                     // whole-term across all string cols
   *   | serialize                         // identity (see row_number)
@@ -488,6 +491,68 @@ object KqlPipeline {
           cols.foldLeft(
             df.withColumn(tmp, explode(arrays_zip(cols.map(col): _*))))(
             (d, c) => d.withColumn(c, col(tmp).getField(c))).drop(tmp)
+        }
+
+      // `mv-apply elem = arrayCol on (where … | extend … | summarize … [by …])`:
+      // the per-row subquery over a dynamic column. Spark-first, no self-join
+      // and no per-row dispatch: tag each row with a generated id, explode
+      // the array, apply the subquery's where/extend stages to the exploded
+      // frame, then ONE groupBy(rowId [+ by-keys]) whose aggregates are the
+      // subquery's summarize plus first() of every original column (constant
+      // per id — exact). Rows whose subquery yields no elements disappear,
+      // matching ADX. The id is generated ONCE and never re-evaluated, so
+      // nondeterministic upstream ordering can't split a row's identity.
+      // Without a terminal summarize the exploded rows ARE the result
+      // (mv-expand + stages). Sub-pipeline operators: where/extend/summarize.
+      case "mv-apply" =>
+        val (bindPart, onPart) = splitAtTopLevelKeyword(rest, "on") match {
+          case (b, Some(o)) => (b.trim, o.trim)
+          case _            => fail(s"mv-apply needs `on (sub-pipeline)`, got: '$seg'")
+        }
+        val (elemName, arrayExpr) = assignment(bindPart) match {
+          case Some((n, e)) => (n, e)
+          case None =>
+            require(bindPart.matches("[A-Za-z_][A-Za-z0-9_]*"),
+              s"mv-apply needs `name = arrayExpr` or a column name, got: '$bindPart'")
+            (bindPart, bindPart)
+        }
+        require(onPart.startsWith("(") && onPart.endsWith(")"),
+          s"mv-apply needs a parenthesized sub-pipeline, got: '$onPart'")
+        val subSegs = splitTopLevel(onPart.substring(1, onPart.length - 1), '|')
+          .map(_.trim).filter(_.nonEmpty)
+        val rowId = "__graft_mv_row"
+        val originals = df.columns.toSeq
+        val exploded = df.withColumn(rowId, monotonically_increasing_id())
+          .withColumn(elemName, explode(expr(tx(arrayExpr))))
+        val (stages, terminal) =
+          if (subSegs.nonEmpty && subSegs.last.toLowerCase.startsWith("summarize"))
+            (subSegs.init, Some(subSegs.last.drop("summarize".length)))
+          else (subSegs, None)
+        val staged = stages.foldLeft(exploded) { (d, s2) =>
+          val w = s2.takeWhile(!_.isWhitespace).toLowerCase
+          require(w == "where" || w == "extend" || w == "filter",
+            s"mv-apply sub-pipeline supports where/extend/summarize, got: '$s2'")
+          applyOp(resolve)(d, s2)
+        }
+        terminal match {
+          case None => staged.drop(rowId)
+          case Some(aggBody) =>
+            val (aggsPart, byPart) = splitAtTopLevelBy(aggBody)
+            val aggs = splitTopLevel(aggsPart, ',').map(_.trim).filter(_.nonEmpty).flatMap(aggItems)
+            require(aggs.nonEmpty, "mv-apply summarize needs at least one aggregate")
+            val byCols = byPart.toSeq.flatMap(splitTopLevel(_, ',').map(_.trim).filter(_.nonEmpty))
+            byCols.foreach(k => require(k.matches("[A-Za-z_][A-Za-z0-9_]*"),
+              s"mv-apply by-keys must be bare column names, got: '$k'"))
+            val carriedNames = originals.filterNot(byCols.contains)
+            val carried = carriedNames.map(c2 => first(col(c2)).as(c2))
+            val agged = staged
+              .groupBy((rowId +: byCols).map(col): _*)
+              .agg((carried ++ aggs).head, (carried ++ aggs).tail: _*)
+              .drop(rowId)
+            // original columns first, then by-keys, then aggregates — the
+            // ADX output shape; agg names read back from the result schema
+            val aggNames = agged.columns.toSeq.diff(carriedNames ++ byCols)
+            agged.select((carriedNames ++ byCols ++ aggNames).map(col): _*)
         }
 
       // `parse Col with ['*'] "lit" Name1 "lit2" Name2 …`: ANCHORED scan, as

@@ -777,6 +777,41 @@ object Surface {
         FROM events JOIN customer ON user_id = c_custkey
         WHERE c_custkey <= 150 GROUP BY 1""")),
 
+    // ---- bucketed point-in-interval join (range join, no nested loop) -----
+
+    "q_interval_join" -> QueryDef(
+      // hot-window alignment: hours in the top 5% by event count become
+      // UNALIGNED [-30min, +90min) incident windows; every event joins to
+      // the windows containing it via RangeJoin's bucketed equi-join — the
+      // threshold is a quantile (scale-free: non-vacuous at every SF), the
+      // windows derive in-plan (deterministic)
+      (s, dir) => {
+        val H = 3600000000000L // 1h in nanos
+        val ev = t(s, dir, "events").select(col("event_type"), col("ts"))
+        val hourly = ev.groupBy(expr(s"ts div $H").as("b"))
+          .agg(count(lit(1)).as("cnt"))
+        val thr = hourly.agg(expr("percentile(cnt, 0.95)").as("q"))
+        val windows = hourly.crossJoin(broadcast(thr))
+          .filter(col("cnt") >= col("q"))
+          .select((col("b") * H - 1800000000000L).as("w_start"),
+                  (col("b") * H + 5400000000000L).as("w_end"))
+        RangeJoin.pointInInterval(ev, "ts", windows, "w_start", "w_end", bucketWidth = H)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_pairs"), countDistinct(col("w_start")).as("n_windows"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH hourly AS (SELECT epoch_ns(ts)//3600000000000 AS b, count(*) AS cnt
+                        FROM events GROUP BY 1),
+        thr AS (SELECT quantile_cont(cnt, 0.95) AS q FROM hourly),
+        win AS (SELECT b*3600000000000 - 1800000000000 AS ws,
+                       b*3600000000000 + 5400000000000 AS we
+                FROM hourly, thr WHERE cnt >= q),
+        pairs AS (SELECT e.event_type, w.ws FROM events e
+                  JOIN win w ON epoch_ns(e.ts) >= w.ws AND epoch_ns(e.ts) < w.we)
+        SELECT event_type, count(*) AS n_pairs, count(DISTINCT ws) AS n_windows
+        FROM pairs GROUP BY 1 ORDER BY 1""")),
+
     // ---- dynamic/JSON scalar extraction (§2.g dynamic columns) ------------
 
     "q_props_extract" -> QueryDef(
@@ -1956,6 +1991,23 @@ object Surface {
       Some("""
         SELECT row_number() OVER (ORDER BY o_orderkey) AS rn, o_orderkey
         FROM orders WHERE o_totalprice > 400000.0""")),
+
+    "q_kql_mvapply" -> QueryDef(
+      // mv-apply: per-row subquery over a dynamic column — explode → filter
+      // → ONE groupBy(rowId) carrying originals via first(); no self-join
+      (s, dir) => kqlRun(s, dir,
+        """documents
+          | | extend words = split(text, ' ')
+          | | mv-apply w = words on (where strlen(w) > 4
+          |     | summarize n_big = count(), top_w = max(w))
+          | | summarize n_docs = count(), total_big = sum(n_big), mx = max(top_w)""".stripMargin),
+      Some("""
+        WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        per AS (SELECT doc_id, count(*) AS n_big, max(w) AS top_w
+                FROM ex WHERE length(w) > 4 GROUP BY doc_id)
+        SELECT count(*) AS n_docs, CAST(sum(n_big) AS BIGINT) AS total_big,
+               max(top_w) AS mx
+        FROM per""")),
 
     "q_kql_percentiles" -> QueryDef(
       // percentiles(x, p…): one EXACT interpolated percentile column per p

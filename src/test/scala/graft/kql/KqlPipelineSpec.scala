@@ -444,6 +444,32 @@ class KqlPipelineSpec extends SparkSuite {
     assert(r.head().getDouble(1) == 15.0)
   }
 
+  test("mv-apply runs a per-row subquery over array elements") {
+    val r = run(
+      """people
+        | | extend w = split(role, ' ')
+        | | mv-apply t = w on (where strlen(t) > 4 | summarize n_big = count(), top_t = max(t))
+        | | project id, n_big, top_t | order by id asc""".stripMargin)
+    // role words >4 chars: id1 [admin? no: 'admin' is 5>4 yes, 'role' no] →
+    // id1: admin(5)→1; id2 user(4)→none (row drops); id3 ADMIN→1;
+    // id4 'user | guest': user(4) no, |(0) no, guest(5) yes →1; id5 guest→1
+    assert(r.collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSeq ==
+      Seq((1L, 1L, "admin"), (3L, 1L, "ADMIN"), (4L, 1L, "guest"), (5L, 1L, "guest")))
+  }
+
+  test("mv-apply without summarize yields the staged exploded rows; by-keys group per element value") {
+    val flat = run(
+      "people | extend w = split(role, ' ') | mv-apply t = w on (where t == 'user') | count")
+    assert(flat.head().getLong(0) == 2L) // id2, id4
+
+    val byK = run(
+      """people | extend w = split(role, ' ')
+        | | mv-apply t = w on (summarize n = count() by t)
+        | | where t == 'guest' | summarize rows = count(), total = sum(n)""".stripMargin)
+    assert(byK.head().getLong(0) == 2L) // guest appears for id4 and id5
+    assert(byK.head().getLong(1) == 2L)
+  }
+
   test("new scalar spellings: iif, strcat_delim, tohex, format_datetime, bin_at, getyear") {
     val r = run(
       """print t = datetime(2024-03-15), n = 255

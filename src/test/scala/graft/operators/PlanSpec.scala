@@ -123,6 +123,20 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("interval join: the range join is a HASH join on the bucket id") {
+    val s = finalPlan("q_interval_join")
+    // the point↔interval join must be an equi (hash) join — a bare non-equi
+    // range predicate would plan as a nested-loop over the FACT side
+    assert(s.contains("BroadcastHashJoin") || s.contains("SortMergeJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+    // at most the broadcast-1-row threshold scalar may nested-loop (the
+    // registry's standard scalar-total shape) — never the events side;
+    // count DISTINCT node ids (formatted plans repeat nodes in the details)
+    val nlj = "BroadcastNestedLoopJoin \\((\\d+)\\)".r
+      .findAllMatchIn(s).map(_.group(1)).toSet.size
+    assert(nlj <= 1, s"unexpected nested-loop joins ($nlj):\n$s")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     Seq("text_fingerprint_rolling" -> "rolling_hash",
         "sim_cosine_topk"          -> "vector_dot",
