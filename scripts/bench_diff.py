@@ -23,8 +23,9 @@ import sys
 
 def load_current(arg):
     text = open(arg).read() if os.path.exists(arg) else arg
-    # accept either the bare Bench JSON line or a driver BENCH_r file
-    m = re.search(r'\{"metric":"total".*\}', text)
+    # accept either the bare Bench JSON line (queries-first or metric-first
+    # field order) or a driver BENCH_r file
+    m = re.search(r'\{"queries":\{.*\}', text) or re.search(r'\{"metric":"total".*\}', text)
     if m:
         return json.loads(m.group(0))
     return json.loads(text)

@@ -28,7 +28,7 @@ python3 scripts/check_oracle.py "$SF_CORRECT" "$OUT"
 
 echo "== bench @ $SF_BENCH =="
 BENCH_LINE=$(SPARK_GRAFT_SF_DIR="$SF_BENCH" SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench" \
-  | grep '"metric"')
+  | grep '"queries"')
 echo "$BENCH_LINE"
 
 echo "== bench regression vs previous round =="

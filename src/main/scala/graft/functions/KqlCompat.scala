@@ -67,7 +67,13 @@ object KqlCompat {
     // names mapping to codegen'd array expressions
     "array_length("   -> "array_size(",
     "series_max("     -> "array_max(",
-    "series_min("     -> "array_min("
+    "series_min("     -> "array_min(",
+    // KQL set_* over dynamic arrays → Spark's array algebra (same
+    // semantics: distinct elements, left-to-right order)
+    "set_intersect("  -> "array_intersect(",
+    "set_union("      -> "array_union(",
+    "set_difference(" -> "array_except(",
+    "strrep("         -> "repeat("
   )
 
   private val TimeSpan = """(\d+)\s*([dhms])""".r
@@ -113,6 +119,21 @@ object KqlCompat {
     }
     // tohex: KQL emits lowercase hex (Spark's hex is uppercase)
     s = expandCalls(s, "tohex") { case Seq(x) => s"lower(hex($x))" }
+    // indexof(text, search): 0-based, -1 when absent — instr is 1-based/0
+    s = expandCalls(s, "indexof") { case Seq(x, n) => s"(instr($x, $n) - 1)" }
+    // array_index_of: 0-based, -1 when absent — array_position is 1-based/0
+    s = expandCalls(s, "array_index_of") {
+      case Seq(a, v) => s"(array_position($a, $v) - 1)"
+    }
+    // array_sum: double fold, same shape as series_sum
+    s = expandCalls(s, "array_sum") {
+      case Seq(x) => s"aggregate($x, CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    }
+    // extract_all(regex, text) → regexp_extract_all(text, regex) — KQL's
+    // argument order is (pattern, source), Spark's is (source, pattern)
+    s = expandCalls(s, "extract_all") {
+      case Seq(re, x) => s"regexp_extract_all($x, $re)"
+    }
     // series_sum/avg over dynamic arrays: left-to-right double fold —
     // deterministic, inlined HOF, no explode
     s = expandCalls(s, "series_sum") {

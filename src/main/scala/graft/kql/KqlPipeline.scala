@@ -54,6 +54,10 @@ import graft.functions.KqlCompat
   *     // zipWithIndex over the range-partitioned sort, no 1-partition window
   *   | top-nested N of k by agg(…) [, top-nested M of k2 by agg2(…)]
   *   | evaluate pivot(col, agg(value))
+  *   | top-hitters N of k [by sumExpr]   // EXACT here (ADX approximates)
+  *   | sample N | sample-distinct N of k // deterministic hash sample here
+  *   | as name                           // bind frame-so-far for operands
+  *   | join [kind=…] [hint.strategy=broadcast|shuffle] (…) on …
   * }}}
   * Statements: `let x = <scalar>;` (macro-substituted) and
   * `let T2 = T | where …;` (catalog extension) precede the query.
@@ -119,8 +123,19 @@ object KqlPipeline {
       // tabular iff: has a top-level pipe, is a source operator, or is a bare
       // identifier (a table/tabular-let alias — scalar lets were already
       // substituted away above, so a surviving bare identifier names a table)
-      val inner = if (rhs.startsWith("(") && rhs.endsWith(")"))
+      val inner0 = if (rhs.startsWith("(") && rhs.endsWith(")"))
         rhs.substring(1, rhs.length - 1).trim else rhs
+      // `materialize(…)` is ADX's caching hint; plan-identical here (Spark
+      // reuses identical exchange subtrees across uses automatically)
+      val inner = {
+        val l = inner0.toLowerCase
+        if (l.startsWith("materialize") &&
+            inner0.drop("materialize".length).trim.startsWith("(") &&
+            inner0.endsWith(")")) {
+          val body = inner0.drop("materialize".length).trim
+          body.substring(1, body.length - 1).trim
+        } else inner0
+      }
       if (splitTopLevel(inner, '|').size > 1 || isSource(inner) ||
           inner.matches("[A-Za-z_][A-Za-z0-9_]*"))
         tabular += name -> inner
@@ -132,7 +147,21 @@ object KqlPipeline {
   private def runPipeline(resolve: String => DataFrame, kql: String): DataFrame = {
     val segs = splitTopLevel(kql, '|').map(_.trim).filter(_.nonEmpty)
     require(segs.nonEmpty, "empty KQL pipeline")
-    segs.tail.foldLeft(source(resolve, segs.head))(applyOp(resolve))
+    // `| as name` binds the frame-so-far for later operands in THIS pipeline
+    // (`T | as X | join (X | …) on k` — the ADX self-reference idiom)
+    var bindings = Map.empty[String, DataFrame]
+    lazy val res: String => DataFrame = name =>
+      bindings.getOrElse(name, resolve(name))
+    segs.tail.foldLeft(source(res, segs.head)) { (df, seg) =>
+      val w = seg.takeWhile(!_.isWhitespace).toLowerCase
+      if (w == "as") {
+        val name = seg.drop(2).trim
+        require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+          s"`as` needs a bare name, got: '$seg'")
+        bindings += name -> df
+        df
+      } else applyOp(res)(df, seg)
+    }
   }
 
   /** Substitute scalar-let bindings into `s` at identifier boundaries,
@@ -433,6 +462,46 @@ object KqlPipeline {
       case "take" | "limit" =>
         df.limit(rest.trim.toInt)
 
+      // `top-hitters N of k [by sumCol]`: heavy-hitter extraction. ADX
+      // computes an APPROXIMATE (sketched) answer; we compute the exact one
+      // (same documented divergence as dcount) with ADX's output column
+      // names. Shape: partial-agg groupBy + TakeOrdered — no global window.
+      case "top-hitters" =>
+        val (countPart, byPart) = splitAtTopLevelKeyword(rest, "by")
+        val (n, key) = splitAtTopLevelKeyword(countPart, "of") match {
+          case (nStr, Some(k)) => (nStr.trim.toInt, k.trim)
+          case _ => fail(s"top-hitters needs `N of key [by expr]`, got: '$seg'")
+        }
+        require(key.matches("[A-Za-z_][A-Za-z0-9_]*"),
+          s"top-hitters key must be a column name, got: '$key'")
+        val (aggCol, aggName) = byPart match {
+          case Some(e) =>
+            // ADX names the sum column after the VALUE expression
+            val nm = s"approximate_sum_${e.trim.replaceAll("[^A-Za-z0-9_]", "_")}"
+            (sum(expr(tx(e.trim))).as(nm), nm)
+          case None =>
+            val nm = s"approximate_count_$key"
+            (count(lit(1)).as(nm), nm)
+        }
+        df.groupBy(col(key)).agg(aggCol)
+          .orderBy(col(aggName).desc, col(key).asc).limit(n)
+
+      // `sample N` / `sample-distinct N of k`: ADX samples
+      // NON-deterministically; we take a deterministic pseudo-random sample
+      // (TakeOrdered by xxhash64 of the row) so results are reproducible and
+      // oracle-checkable — documented divergence. Per-partition top-N merge,
+      // no global sort materialization.
+      case "sample" =>
+        val n = rest.trim.toInt
+        df.orderBy(xxhash64(df.columns.map(col): _*).asc).limit(n)
+
+      case "sample-distinct" =>
+        val (n, key) = splitAtTopLevelKeyword(rest, "of") match {
+          case (nStr, Some(k)) => (nStr.trim.toInt, k.trim)
+          case _ => fail(s"sample-distinct needs `N of key`, got: '$seg'")
+        }
+        df.select(col(key)).distinct().orderBy(xxhash64(col(key)).asc).limit(n)
+
       case "count" =>
         require(rest.trim.isEmpty, s"`count` takes no arguments, got: '$rest'")
         df.agg(count(lit(1)).as("Count"))
@@ -453,16 +522,20 @@ object KqlPipeline {
         else df.select(splitTopLevel(rest, ',').map(s => col(s.trim)): _*).distinct()
 
       case "join" =>
-        val (kind, body) = joinKind(rest.trim)
+        val (kind, hint, body) = joinParams(rest.trim)
         val (rightSrc, onClause) = splitAtTopLevelOn(body)
-        val right = operand(resolve, rightSrc)
+        val right0 = operand(resolve, rightSrc)
+        // ADX hint.strategy=broadcast → broadcast the RIGHT side (ADX
+        // broadcasts the left; our operand order maps its intent: the small
+        // side skips the shuffle). shuffle = the default exchange plan.
+        val right = if (hint.contains("broadcast")) broadcast(right0) else right0
         applyJoin(df, right, kind, onClause)
 
       // KQL `lookup`: the dimension-enrichment join — semantically a
       // leftouter (or inner) join against a SMALL table, so the right side
       // gets a broadcast hint: zero shuffle on the fact side at any scale.
       case "lookup" =>
-        val (kind, body) = joinKind(rest.trim, default = "leftouter")
+        val (kind, _, body) = joinParams(rest.trim, default = "leftouter")
         require(kind == "leftouter" || kind == "inner",
           s"lookup supports kind=leftouter|inner, got '$kind'")
         val (rightSrc, onClause) = splitAtTopLevelOn(body)
@@ -700,15 +773,27 @@ object KqlPipeline {
 
   // (?s): a join/lookup body legitimately spans lines (multi-line
   // sub-pipelines); without DOTALL the full-match case-pattern never fires
-  private val KindRe = """(?s)^kind\s*=\s*([a-z]+)\s*(.*)$""".r
+  private val ParamRe = """(?s)^(kind|hint\.strategy)\s*=\s*([a-z_]+)\s*(.*)$""".r
 
-  private def joinKind(body: String, default: String = "inner"): (String, String) =
-    body match {
-      case KindRe(k, restOf) =>
-        require(JoinKinds.contains(k), s"unsupported join kind '$k'")
-        (k, restOf)
-      case _ => (default, body)
+  /** Parse leading `kind=…` / `hint.strategy=…` parameters (any order). */
+  private def joinParams(body0: String, default: String = "inner")
+      : (String, Option[String], String) = {
+    var kind = default
+    var hint = Option.empty[String]
+    var body = body0
+    var more = true
+    while (more) body match {
+      case ParamRe("kind", v, r) =>
+        require(JoinKinds.contains(v), s"unsupported join kind '$v'")
+        kind = v; body = r
+      case ParamRe("hint.strategy", v, r) =>
+        require(v == "broadcast" || v == "shuffle",
+          s"unsupported hint.strategy '$v' (broadcast|shuffle)")
+        hint = Some(v); body = r
+      case _ => more = false
     }
+    (kind, hint, body)
+  }
 
   private def applyJoin(left: DataFrame, right: DataFrame, kqlKind: String,
       onClause: String): DataFrame = {

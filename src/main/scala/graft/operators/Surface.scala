@@ -1992,6 +1992,19 @@ object Surface {
         SELECT row_number() OVER (ORDER BY o_orderkey) AS rn, o_orderkey
         FROM orders WHERE o_totalprice > 400000.0""")),
 
+    "q_kql_top_hitters" -> QueryDef(
+      // top-hitters: EXACT heavy hitters (ADX approximates — same documented
+      // divergence as dcount), deterministic key tie-break
+      (s, dir) => kqlRun(s, dir,
+        """lineitem
+          | | extend qty = tolong(l_quantity)
+          | | top-hitters 5 of l_suppkey by qty""".stripMargin),
+      Some("""
+        SELECT l_suppkey,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS approximate_sum_qty
+        FROM lineitem GROUP BY 1
+        ORDER BY 2 DESC, 1 ASC LIMIT 5""")),
+
     "q_kql_mvapply" -> QueryDef(
       // mv-apply: per-row subquery over a dynamic column — explode → filter
       // → ONE groupBy(rowId) carrying originals via first(); no self-join

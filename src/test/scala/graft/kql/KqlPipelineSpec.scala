@@ -470,6 +470,81 @@ class KqlPipelineSpec extends SparkSuite {
     assert(byK.head().getLong(1) == 2L)
   }
 
+  test("as binds the frame-so-far; join hint.strategy=broadcast broadcasts the right side") {
+    val r = run(
+      """people | where age >= 30 | as grown
+        | | join kind=inner hint.strategy=broadcast (grown | summarize m = max(score)) on $left.score == $right.m
+        | | project name""".stripMargin)
+    assert(r.collect().map(_.getString(0)).toSet == Set("Carol"))
+    val plan = run(
+      "people | join hint.strategy=broadcast (depts) on role").queryExecution
+      .executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("materialize() in a tabular let is plan-identical") {
+    val r = run(
+      """let hot = materialize(people | where score >= 15.0);
+        |hot | join kind=inner (hot) on id | count""".stripMargin)
+    assert(r.head().getLong(0) == 3L)
+  }
+
+  test("top-hitters: exact heavy hitters with ADX column names") {
+    val r = run("people | top-hitters 2 of age")
+    assert(r.columns.toSeq == Seq("age", "approximate_count_age"))
+    assert(r.head().getInt(0) == 35) // the only age with 2 people
+    val s = run("people | top-hitters 1 of role by score")
+    assert(s.columns.toSeq == Seq("role", "approximate_sum_score"))
+    assert(s.head().getString(0) == "ADMIN") // 20.0 is the max single-role sum tie → ADMIN first asc
+  }
+
+  test("sample and sample-distinct are deterministic and bounded") {
+    val a = run("people | sample 3 | project id").collect().map(_.getLong(0)).toSeq
+    val b = run("people | sample 3 | project id").collect().map(_.getLong(0)).toSeq
+    assert(a == b && a.size == 3)
+    val d = run("people | sample-distinct 2 of age").collect().map(_.getInt(0)).toSeq
+    assert(d.size == 2 && d.distinct.size == 2)
+  }
+
+  test("array scalars: array_index_of, set_intersect, array_sum, indexof, extract_all") {
+    val r = run(
+      """print s = 'a b c', t = 'x-1 y-2'
+        | | extend arr = split(s, ' '), brr = split('b c d', ' ')
+        | | extend pos = array_index_of(arr, 'b'), missing = array_index_of(arr, 'z'),
+        |          both = set_intersect(arr, brr), tot = array_sum(split('1 2 3', ' ')),
+        |          ix = indexof(s, 'b'), nums = extract_all('([0-9]+)', t)""".stripMargin)
+    val row = r.head()
+    assert(row.getLong(r.schema.fieldIndex("pos")) == 1L)
+    assert(row.getLong(r.schema.fieldIndex("missing")) == -1L)
+    assert(row.getSeq[String](r.schema.fieldIndex("both")) == Seq("b", "c"))
+    assert(row.getDouble(r.schema.fieldIndex("tot")) == 6.0)
+    assert(row.getInt(r.schema.fieldIndex("ix")) == 2)
+    assert(row.getSeq[String](r.schema.fieldIndex("nums")) == Seq("1", "2"))
+  }
+
+  test("stateful KQL on a stream: summarize by bin() is a streaming aggregation") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.functions.col
+    val src = tmpDir("kql-stream-agg-src"); val ckpt = tmpDir("kql-stream-agg-ckpt")
+    // minute-spread epoch-nano events
+    val ev = Seq((0L, "a"), (30_000_000_000L, "a"), (90_000_000_000L, "b"))
+      .toDF("ts", "kind")
+    ev.write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(ev.schema).parquet(src)
+    val q = KqlPipeline.run(Map("ev" -> stream),
+        "ev | summarize n = count() by b = bin(ts, 60000000000), kind")
+      .writeStream.format("memory").queryName("kql_stream_agg")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val rows = spark.table("kql_stream_agg").collect()
+      .map(r => (r.getLong(r.fieldIndex("b")), r.getString(r.fieldIndex("kind")),
+        r.getLong(r.fieldIndex("n")))).sorted.toSeq
+    assert(rows == Seq((0L, "a", 2L), (60_000_000_000L, "b", 1L)))
+  }
+
   test("new scalar spellings: iif, strcat_delim, tohex, format_datetime, bin_at, getyear") {
     val r = run(
       """print t = datetime(2024-03-15), n = 255
