@@ -78,6 +78,20 @@ object KqlDemo {
            | | summarize n = count() by Action, State
            | | order by Action asc, State asc""".stripMargin)
 
+    // the reference's OWN status-view query text (DatabaseGateway.cs:85-96):
+    // externaldata over the checkpoint CSV + arg_max(MirrorTimestamp, *) —
+    // running unchanged against the live checkpoint store's index.csv
+    show(s"""externaldata (KustoTableName:string, StartTxId:long, EndTxId:long,
+            |    Action:string, State:string, MirrorTimestamp:datetime,
+            |    DeltaTimestamp:string, BlobPath:string, PartitionValues:string,
+            |    Size:long, RecordCount:long, PartitionColumns:string,
+            |    Schema:string, InternalState:string)
+            |  ['$work/ckpt/index.csv'] with (format='csv', ignoreFirstRecord=true)
+            | | summarize arg_max(MirrorTimestamp, *)
+            |   by KustoTableName, StartTxId, Action, BlobPath
+            | | order by KustoTableName asc, StartTxId asc, Action asc, BlobPath asc
+            | | project KustoTableName, StartTxId, Action, State""".stripMargin)
+
     spark.stop()
   }
 }

@@ -432,18 +432,40 @@ object KqlPipeline {
 
       case "summarize" =>
         val (aggsPart, byPart) = splitAtTopLevelBy(rest)
-        val aggs = splitTopLevel(aggsPart, ',').map(_.trim).filter(_.nonEmpty).flatMap(aggItems)
-        val keys = byPart.toSeq.flatMap(splitTopLevel(_, ',').map(_.trim).map { item =>
-          assignment(item) match {
-            case Some((name, e)) => expr(tx(e)).as(name)
-            case None            => expr(tx(item))
-          }
-        })
-        (aggs, keys) match {
-          case (Nil, Nil) => fail("summarize needs aggregates and/or a by-clause")
-          case (Nil, ks)  => df.select(ks: _*).distinct() // `summarize by k` = distinct
-          case (as, Nil)  => df.agg(as.head, as.tail: _*)
-          case (as, ks)   => df.groupBy(ks: _*).agg(as.head, as.tail: _*)
+        val rawAggs = splitTopLevel(aggsPart, ',').map(_.trim).filter(_.nonEmpty)
+        rawAggs match {
+          // `summarize arg_max(ord, *) by k, …` — the reference status view's
+          // exact spelling (DatabaseGateway.cs:85-96). Expand: ONE
+          // max_by/min_by over a struct of every non-key column, then
+          // unpack — a single partial-aggregable pass, no row_number window.
+          case Seq(ArgStarRe(fnName, ord)) =>
+            val keyNames = byPart.toSeq.flatMap(splitTopLevel(_, ',').map(_.trim))
+              .map(item => assignment(item).map(_._1).getOrElse(item))
+            keyNames.foreach(k => require(k.matches("[A-Za-z_][A-Za-z0-9_]*"),
+              s"summarize $fnName(…, *) needs bare-column by-keys, got: '$k'"))
+            val rest2 = df.columns.toSeq.filterNot(keyNames.contains)
+            val packed = struct(rest2.map(col): _*)
+            val aggCol = (if (fnName.equalsIgnoreCase("arg_max"))
+              max_by(packed, col(ord)) else min_by(packed, col(ord))).as("__graft_argstar")
+            val grouped =
+              if (keyNames.isEmpty) df.agg(aggCol)
+              else df.groupBy(keyNames.map(col): _*).agg(aggCol)
+            grouped.select(keyNames.map(col) ++
+              rest2.map(c2 => col("__graft_argstar").getField(c2).as(c2)): _*)
+          case _ =>
+            val aggs = rawAggs.flatMap(aggItems)
+            val keys = byPart.toSeq.flatMap(splitTopLevel(_, ',').map(_.trim).map { item =>
+              assignment(item) match {
+                case Some((name, e)) => expr(tx(e)).as(name)
+                case None            => expr(tx(item))
+              }
+            })
+            (aggs, keys) match {
+              case (Nil, Nil) => fail("summarize needs aggregates and/or a by-clause")
+              case (Nil, ks)  => df.select(ks: _*).distinct() // `summarize by k` = distinct
+              case (as, Nil)  => df.agg(as.head, as.tail: _*)
+              case (as, ks)   => df.groupBy(ks: _*).agg(as.head, as.tail: _*)
+            }
         }
 
       case "order" | "sort" =>
@@ -656,9 +678,11 @@ object KqlPipeline {
           case f if f.dataType == org.apache.spark.sql.types.StringType => f.name
         }
         require(stringCols.nonEmpty, "search needs at least one string column")
-        df.filter(stringCols.map(c =>
-          array_contains(split(lower(col(c)), "[^0-9a-z]+"), lit(term.toLowerCase)))
-          .reduce(_ || _))
+        import graft.functions.expressions.TermHas
+        def probe(c: String): Column =
+          if (TermHas.isAsciiAlnum(term)) TermHas.termHas(col(c), lit(term))
+          else array_contains(split(lower(col(c)), "[^0-9a-z]+"), lit(term.toLowerCase))
+        df.filter(stringCols.map(probe).reduce(_ || _))
 
       // `top-nested N of key by [name =] agg(…) [, top-nested M of key2 by …]`:
       // hierarchical top-k. Level 1 is agg → global sort-limit (top-k by
@@ -889,20 +913,15 @@ object KqlPipeline {
 
   private val RowNumberRe = """(?i)row_number\s*\(\s*(\d+)?\s*\)""".r
 
+  private val ArgStarRe =
+    """(?i)(arg_max|arg_min)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*\*\s*\)""".r
+
   /** Global row index in the frame's CURRENT order (spell an `order by`
-    * first). Spark-first scale shape: a global sort leaves the frame
-    * RANGE-partitioned, so `zipWithIndex` — one lightweight per-partition
-    * count job plus a zero-shuffle map — numbers rows in exactly that order.
-    * Deliberately NOT the `row_number() OVER (ORDER BY …)` spelling, which
-    * collapses to a single-partition WindowExec and dies at scale.
+    * first) — zipWithIndex over the range-partitioned sort; see
+    * [[graft.util.ZipIndex]] for why this beats a 1-partition window.
     */
-  private def rowNumber(df: DataFrame, name: String, start: Long): DataFrame = {
-    val schema = df.schema.add(name, org.apache.spark.sql.types.LongType, nullable = false)
-    val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + start))
-    }
-    df.sparkSession.createDataFrame(rdd, schema)
-  }
+  private def rowNumber(df: DataFrame, name: String, start: Long): DataFrame =
+    graft.util.ZipIndex.withRowIndex(df, name, start)
 
   // ---- top-nested ----------------------------------------------------------
 
@@ -1126,11 +1145,23 @@ object KqlPipeline {
       if (insideLiteral(r0, m.start)) m.matched
       else {
         val (l, neg, op, rhs) = (m.group(1), m.group(2), m.group(3), m.group(4))
+        // an ASCII-alphanumeric literal needle takes the native codegen'd
+        // scan (no per-row split/array); anything else keeps the array
+        // spelling and its documented never-matches contract
+        def literalAlnum(x: String): Option[String] = {
+          val t = x.trim
+          if (t.length >= 3 && t.head == '\'' && t.last == '\'' &&
+              graft.functions.expressions.TermHas.isAsciiAlnum(t.substring(1, t.length - 1)))
+            Some(t) else None
+        }
         val core = op match {
           // ADX `has` = whole-term match: 'administrators' has 'admin' is
           // FALSE. Split the haystack into alphanumeric terms and require
           // term equality (see scaladoc for the multi-term-needle caveat).
-          case "has"        => s"array_contains(${termArray(l)}, lower($rhs))"
+          case "has" => literalAlnum(rhs) match {
+            case Some(lit) => s"term_has($l, $lit)"
+            case None      => s"array_contains(${termArray(l)}, lower($rhs))"
+          }
           case "contains"   => s"contains(lower($l), lower($rhs))"
           case "startswith" => s"startswith(lower($l), lower($rhs))"
           case "endswith"   => s"endswith(lower($l), lower($rhs))"

@@ -1832,6 +1832,78 @@ object Surface {
               FROM events) WHERE rn = 1
         ORDER BY user_id, event_type""")),
 
+    // ---- training-data extensions: epoch shuffle / corpus stats / tf-idf --
+
+    "curate_epoch_shuffle" -> QueryDef(
+      // deterministic per-epoch shuffle: reorder the corpus by the
+      // overflow-free mod-multiply hash (a bijection: m prime, doc_id < m),
+      // then number rows with zipWithIndex over the range-partitioned sort —
+      // epoch-reproducible on any cluster size, no 1-partition window. The
+      // training-loader primitive: same epoch ⇒ same order, different epoch
+      // ⇒ decorrelated order.
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"))
+        Seq((1, 7919L), (2, 104729L)).map { case (ep, mult) =>
+          val ordered = docs
+            .withColumn("hk", bucketHash(col("doc_id"), 1000003L, mult))
+            .orderBy(col("hk"))
+          graft.util.ZipIndex.withRowIndex(ordered, "pos")
+            .select(lit(ep).as("epoch"), col("pos"), col("doc_id"))
+        }.reduce(_ unionByName _)
+      },
+      Some("""
+        WITH e AS (SELECT 1 AS epoch, 7919 AS mult UNION ALL SELECT 2, 104729),
+        h AS (SELECT epoch, doc_id, ((doc_id % 1000003) * mult) % 1000003 AS hk
+              FROM documents, e)
+        SELECT epoch, row_number() OVER (PARTITION BY epoch ORDER BY hk) AS pos,
+               doc_id
+        FROM h""")),
+
+    "text_corpus_bigrams" -> QueryDef(
+      // corpus n-gram statistics (the LM-data profiling op): explode word
+      // bigrams via ONE generator over an inlined transform — no self-join,
+      // one shuffle for the count, TakeOrdered for the top-k
+      (s, dir) => t(s, dir, "documents")
+        .select(split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(w)-2), i -> concat(element_at(w, i+1), ' ', element_at(w, i+2)))"))
+          .as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bg").asc).limit(20),
+      Some("""
+        WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        bi AS (SELECT w[i] || ' ' || w[i+1] AS bg FROM words,
+               LATERAL unnest(generate_series(1, len(w)-1)) t(i))
+        SELECT bg, count(*) AS n FROM bi
+        GROUP BY 1 ORDER BY n DESC, bg ASC LIMIT 20""")),
+
+    "text_tfidf" -> QueryDef(
+      // tf-idf: the map-reduce classic — per-(doc,term) counts and per-term
+      // document frequency share one exploded frame; the corpus size joins
+      // as a broadcast 1-row scalar; identical ln/multiply order on both
+      // engines + round(6) for cross-engine double parity
+      (s, dir) => {
+        val docs  = t(s, dir, "documents")
+        val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val tf    = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = words.groupBy("term").agg(countDistinct(col("doc_id")).as("dfreq"))
+        val nd    = docs.agg(count(lit(1)).as("nd"))
+        tf.join(dfreq, "term").crossJoin(broadcast(nd))
+          .select(col("doc_id"), col("term"),
+            round(col("tf") * log(col("nd").cast("double") / col("dfreq")), 6).as("tfidf"))
+          .orderBy(col("tfidf").desc, col("doc_id").asc, col("term").asc).limit(30)
+      },
+      Some("""
+        WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                       FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+        df AS (SELECT term, count(DISTINCT doc_id) AS dfreq FROM words GROUP BY 1),
+        n AS (SELECT count(*) AS nd FROM documents)
+        SELECT t.doc_id, t.term, round(t.tf * ln(CAST(nd AS DOUBLE) / dfreq), 6) AS tfidf
+        FROM tf t JOIN df USING (term), n
+        ORDER BY tfidf DESC, t.doc_id ASC, t.term ASC LIMIT 30""")),
+
     "q_kql_let" -> QueryDef(
       // let statements: a scalar binding macro-substituted into a tabular
       // binding, which the final query joins — KQL's statement surface

@@ -545,6 +545,36 @@ class KqlPipelineSpec extends SparkSuite {
     assert(rows == Seq((0L, "a", 2L), (60_000_000_000L, "b", 1L)))
   }
 
+  test("summarize arg_max(ord, *) returns the whole maximizing row per group") {
+    val r = run("people | summarize arg_max(score, *) by age | order by age asc")
+    assert(r.columns.toSeq == Seq("age", "id", "name", "role", "score"))
+    val m = r.collect().map(x => x.getInt(0) -> x.getString(2)).toMap
+    assert(m(35) == "Carol") // 20.0 beats Eve's 15.0
+    assert(m(40) == "dave")
+  }
+
+  test("the reference's status-view shape runs unchanged: externaldata csv + arg_max(ts, *)") {
+    val dir = tmpDir("kql-statusview")
+    val csv = new java.io.File(dir, "index.csv")
+    val w = new java.io.PrintWriter(csv)
+    w.println("KustoTableName,StartTxId,Action,BlobPath,State,MirrorTimestamp")
+    w.println("t1,1,Add,blob/a,Staged,2024-01-01 00:00:00")
+    w.println("t1,1,Add,blob/a,Done,2024-01-01 00:05:00")
+    w.println("t1,2,Add,blob/b,Queued,2024-01-01 00:01:00")
+    w.println("t2,1,Remove,blob/c,Done,2024-01-01 00:02:00")
+    w.close()
+    val r = KqlPipeline.run(Map.empty[String, DataFrame],
+      s"""externaldata (KustoTableName:string, StartTxId:long, Action:string,
+         |  BlobPath:string, State:string, MirrorTimestamp:datetime)
+         |  ['${csv.getAbsolutePath}'] with (format='csv', ignoreFirstRecord=true)
+         | | summarize arg_max(MirrorTimestamp, *)
+         |   by KustoTableName, StartTxId, Action, BlobPath
+         | | order by KustoTableName asc, StartTxId asc, Action asc, BlobPath asc
+         | | project KustoTableName, StartTxId, State""".stripMargin)
+    assert(r.collect().map(x => (x.getString(0), x.getLong(1), x.getString(2))).toSeq ==
+      Seq(("t1", 1L, "Done"), ("t1", 2L, "Queued"), ("t2", 1L, "Done")))
+  }
+
   test("new scalar spellings: iif, strcat_delim, tohex, format_datetime, bin_at, getyear") {
     val r = run(
       """print t = datetime(2024-03-15), n = 255

@@ -140,7 +140,8 @@ class PlanSpec extends SparkSuite {
   test("native expressions stay inside whole-stage codegen") {
     Seq("text_fingerprint_rolling" -> "rolling_hash",
         "sim_cosine_topk"          -> "vector_dot",
-        "curate_contamination"     -> "bloom_contains").foreach { case (q, fn) =>
+        "curate_contamination"     -> "bloom_contains",
+        "q_kql_search"             -> "term_has").foreach { case (q, fn) =>
       val s = finalPlan(q)
       assert(s.contains("[codegen id :"), s"$q lost codegen")
       assert(s.contains(fn), s"$q lost $fn")
