@@ -52,6 +52,8 @@ import graft.functions.KqlCompat
   *   | serialize                         // identity (see row_number)
   *   | extend rn = row_number([start])   // global index in current order —
   *     // zipWithIndex over the range-partitioned sort, no 1-partition window
+  *   | extend c = row_cumsum(x)          // running sum, two-pass scan
+  *     // (per-partition partials + offset walk) — same no-global-window rule
   *   | top-nested N of k by agg(…) [, top-nested M of k2 by agg2(…)]
   *   | evaluate pivot(col, agg(value))
   *   | top-hitters N of k [by sumExpr]   // EXACT here (ADX approximates)
@@ -395,6 +397,16 @@ object KqlPipeline {
             case Some((name, e)) if RowNumberRe.matches(e.trim) =>
               val start = "\\d+".r.findFirstIn(e).map(_.toLong).getOrElse(1L)
               rowNumber(d, name, start)
+            // row_cumsum(x): running sum in current order via the two-pass
+            // distributed scan (ScanOps) — never a 1-partition window
+            case Some((name, e)) if e.trim.toLowerCase.startsWith("row_cumsum") &&
+                e.trim.endsWith(")") =>
+              val call  = e.trim
+              val inner = call.substring(call.indexOf('(') + 1, call.length - 1).trim
+              require(inner.nonEmpty, s"row_cumsum needs an argument, got: '$e'")
+              val tmp = "__graft_cumsum_in"
+              graft.util.ScanOps.cumSum(
+                d.withColumn(tmp, expr(tx(inner))), tmp, name).drop(tmp)
             case Some((name, e)) => d.withColumn(name, expr(tx(e)))
             case None            => fail(s"extend needs `name = expr`, got: '$item'")
           }

@@ -1904,6 +1904,51 @@ object Surface {
         FROM tf t JOIN df USING (term), n
         ORDER BY tfidf DESC, t.doc_id ASC, t.term ASC LIMIT 30""")),
 
+    "text_unigram_logloss" -> QueryDef(
+      // unigram-LM quality scoring: train the unigram model ON the corpus
+      // (one groupBy), score each doc by average negative log-likelihood —
+      // the classic LM-based quality filter signal. Shapes: word explode →
+      // vocab join (shuffle equi-join; the model side broadcast-ables when
+      // small) → per-doc agg → broadcast 1-row total. ln/divide order
+      // matches the oracle exactly; round(6) absorbs summation-order ulps.
+      (s, dir) => {
+        val docs  = t(s, dir, "documents")
+        val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        val vocab = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+        val tot   = words.agg(count(lit(1)).cast("double").as("t"))
+        words.join(vocab, "w")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n"), sum(log(col("cnt").cast("double"))).as("s"))
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"), col("n").as("n_words"),
+            round(log(col("t")) - col("s") / col("n"), 6).as("logloss"))
+      },
+      Some("""
+        WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                       FROM documents),
+        vocab AS (SELECT w, count(*) AS cnt FROM words GROUP BY 1),
+        tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM words),
+        per AS (SELECT doc_id, count(*) AS n, sum(ln(CAST(cnt AS DOUBLE))) AS s
+                FROM words JOIN vocab USING (w) GROUP BY 1)
+        SELECT doc_id, CAST(n AS BIGINT) AS n_words, round(ln(t) - s / n, 6) AS logloss
+        FROM per, tot""")),
+
+    "q_kql_row_cumsum" -> QueryDef(
+      // row_cumsum through the KQL surface: two-pass distributed scan
+      // (ScanOps.cumSum) — per-partition partials + offset walk, exact Long
+      // arithmetic, no single-partition window
+      (s, dir) => kqlRun(s, dir,
+        """orders
+          | | where o_totalprice > 450000.0
+          | | order by o_orderkey asc | serialize
+          | | extend cum = row_cumsum(tolong(floor(o_totalprice)))
+          | | project o_orderkey, cum""".stripMargin),
+      Some("""
+        SELECT o_orderkey,
+               sum(CAST(floor(o_totalprice) AS BIGINT))
+                 OVER (ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING) AS cum
+        FROM orders WHERE o_totalprice > 450000.0""")),
+
     "q_kql_let" -> QueryDef(
       // let statements: a scalar binding macro-substituted into a tabular
       // binding, which the final query joins — KQL's statement surface

@@ -545,6 +545,14 @@ class KqlPipelineSpec extends SparkSuite {
     assert(rows == Seq((0L, "a", 2L), (60_000_000_000L, "b", 1L)))
   }
 
+  test("row_cumsum is a running sum in the sorted order") {
+    val r = run(
+      """people | order by id asc | serialize
+        | | extend c = row_cumsum(age) | project id, c""".stripMargin)
+    assert(r.orderBy("id").collect().map(_.getLong(1)).toSeq ==
+      Seq(30L, 55L, 90L, 130L, 165L))
+  }
+
   test("summarize arg_max(ord, *) returns the whole maximizing row per group") {
     val r = run("people | summarize arg_max(score, *) by age | order by age asc")
     assert(r.columns.toSeq == Seq("age", "id", "name", "role", "score"))

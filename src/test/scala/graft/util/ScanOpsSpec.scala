@@ -1,0 +1,46 @@
+package graft.util
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** ScanOps.cumSum: the two-pass distributed scan must equal the sequential
+  * running sum on every partition layout, stay exact in Long, and fail loud
+  * on overflow instead of wrapping.
+  */
+class ScanOpsSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  test("matches the sequential running sum across partition layouts") {
+    val vals = (1L to 1000L).map(i => (i, i % 7))
+    val want = vals.map(_._2).scanLeft(0L)(_ + _).tail
+    for (parts <- Seq(1, 3, 32)) {
+      val df = vals.toDF("k", "v").repartition(parts).sortWithinPartitions("k")
+        .orderBy("k") // global order
+      val got = ScanOps.cumSum(df, "v", "cum")
+        .orderBy("k").select("cum").as[Long].collect().toSeq
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
+  test("fractional input accumulates in double; nulls contribute zero") {
+    val df = Seq[(Long, java.lang.Double)]((1L, 1.5), (2L, null), (3L, 2.5))
+      .toDF("k", "v").orderBy("k")
+    val got = ScanOps.cumSum(df, "v", "cum").orderBy("k")
+      .select("cum").as[Double].collect().toSeq
+    assert(got == Seq(1.5, 1.5, 4.0))
+  }
+
+  test("long overflow fails loud (addExact), never wraps silently") {
+    val df = Seq(Long.MaxValue, 1L).toDF("v")
+    // executor-side overflow arrives wrapped in SparkException; the
+    // driver-side offset fold throws ArithmeticException directly
+    val e = intercept[Exception] {
+      ScanOps.cumSum(df, "v", "cum").collect()
+    }
+    def mentions(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("overflow")) || mentions(t.getCause))
+    assert(mentions(e), s"unexpected: $e")
+  }
+}
