@@ -18,7 +18,15 @@ import org.apache.spark.sql.types.StructType
   *      (the Simple/Scripts PySpark files).
   *
   * A rename onto an existing commit file fails ⇒ optimistic concurrency: two
-  * concurrent committers cannot both win a version.
+  * concurrent committers cannot both win a version. On HDFS/ABFS that's a
+  * server-side atomic guarantee; Hadoop's LOCAL FileSystem only checks
+  * destination existence BEFORE the underlying POSIX rename (TOCTOU: two
+  * in-flight renames can both pass the check and one silently overwrites the
+  * other — CommitRaceSpec reproduces the loss without the guard). Same-JVM
+  * committers therefore serialize on a per-logPath lock, mirroring
+  * CheckpointStore's locking; cross-PROCESS local-FS writers remain the
+  * caller's responsibility (as in Delta itself, which requires an atomic
+  * LogStore for that).
   */
 class DeltaLogWriter(spark: SparkSession, tablePath: String) {
   import DeltaLogWriter._
@@ -28,6 +36,11 @@ class DeltaLogWriter(spark: SparkSession, tablePath: String) {
   private def fs: FileSystem =
     logPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  private def commitLock: Object = {
+    val key = fs.makeQualified(logPath).toString
+    DeltaLogWriter.Locks.computeIfAbsent(key, _ => new Object)
+  }
+
   def nextVersion(): Long = {
     if (!fs.exists(logPath)) return 0L
     val versions = fs.listStatus(logPath).flatMap(s => DeltaLogReader.extractTxId(s.getPath.getName))
@@ -35,7 +48,7 @@ class DeltaLogWriter(spark: SparkSession, tablePath: String) {
   }
 
   /** Append one commit of raw action JSON lines; returns the version. */
-  def commit(actionJsonLines: Seq[String]): Long = {
+  def commit(actionJsonLines: Seq[String]): Long = commitLock.synchronized {
     if (!fs.exists(logPath)) fs.mkdirs(logPath)
     val v    = nextVersion()
     val name = f"$v%020d.json"
@@ -201,4 +214,9 @@ class DeltaLogWriter(spark: SparkSession, tablePath: String) {
 
 object DeltaLogWriter {
   private val M = new ObjectMapper()
+
+  // per-logPath commit lock: serializes same-JVM committers (the local-FS
+  // rename TOCTOU guard documented on the class)
+  private val Locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 }

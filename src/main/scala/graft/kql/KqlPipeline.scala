@@ -54,6 +54,7 @@ import graft.functions.KqlCompat
   *     // zipWithIndex over the range-partitioned sort, no 1-partition window
   *   | extend c = row_cumsum(x)          // running sum, two-pass scan
   *     // (per-partition partials + offset walk) — same no-global-window rule
+  *   | extend p = prev(x), n = next(x)   // row shifts via boundary exchange
   *   | top-nested N of k by agg(…) [, top-nested M of k2 by agg2(…)]
   *   | evaluate pivot(col, agg(value))
   *   | top-hitters N of k [by sumExpr]   // EXACT here (ADX approximates)
@@ -397,16 +398,20 @@ object KqlPipeline {
             case Some((name, e)) if RowNumberRe.matches(e.trim) =>
               val start = "\\d+".r.findFirstIn(e).map(_.toLong).getOrElse(1L)
               rowNumber(d, name, start)
-            // row_cumsum(x): running sum in current order via the two-pass
-            // distributed scan (ScanOps) — never a 1-partition window
-            case Some((name, e)) if e.trim.toLowerCase.startsWith("row_cumsum") &&
-                e.trim.endsWith(")") =>
-              val call  = e.trim
-              val inner = call.substring(call.indexOf('(') + 1, call.length - 1).trim
-              require(inner.nonEmpty, s"row_cumsum needs an argument, got: '$e'")
-              val tmp = "__graft_cumsum_in"
-              graft.util.ScanOps.cumSum(
-                d.withColumn(tmp, expr(tx(inner))), tmp, name).drop(tmp)
+            // row_cumsum/prev/next: running sum and row shifts in current
+            // order via the two-pass distributed scan / boundary exchange
+            // (ScanOps) — never a 1-partition window
+            case Some((name, e)) if RowScanRe.matches(e.trim) =>
+              val RowScanRe(fn, inner0) = e.trim
+              val inner = inner0.trim
+              require(inner.nonEmpty, s"$fn needs an argument, got: '$e'")
+              val tmp = "__graft_scan_in"
+              val staged2 = d.withColumn(tmp, expr(tx(inner)))
+              (fn.toLowerCase match {
+                case "row_cumsum" => graft.util.ScanOps.cumSum(staged2, tmp, name)
+                case "prev"       => graft.util.ScanOps.lag1(staged2, tmp, name)
+                case "next"       => graft.util.ScanOps.lead1(staged2, tmp, name)
+              }).drop(tmp)
             case Some((name, e)) => d.withColumn(name, expr(tx(e)))
             case None            => fail(s"extend needs `name = expr`, got: '$item'")
           }
@@ -927,6 +932,10 @@ object KqlPipeline {
 
   private val ArgStarRe =
     """(?i)(arg_max|arg_min)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*\*\s*\)""".r
+
+  // serialized-order row functions lowered to ScanOps (argument may be any
+  // scalar expression; no nested parens beyond one level of calls)
+  private val RowScanRe = """(?i)(row_cumsum|prev|next)\s*\((.*)\)""".r
 
   /** Global row index in the frame's CURRENT order (spell an `order by`
     * first) — zipWithIndex over the range-partitioned sort; see

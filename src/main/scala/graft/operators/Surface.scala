@@ -1949,6 +1949,22 @@ object Surface {
                  OVER (ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING) AS cum
         FROM orders WHERE o_totalprice > 450000.0""")),
 
+    "q_kql_prev_next" -> QueryDef(
+      // prev()/next() through the KQL surface: boundary-exchange row shifts
+      // (ScanOps.lag1/lead1) — P scalars to the driver, zero shuffle, no
+      // single-partition window
+      (s, dir) => kqlRun(s, dir,
+        """orders
+          | | where o_totalprice > 450000.0
+          | | order by o_orderkey asc | serialize
+          | | extend prev_key = prev(o_orderkey), next_key = next(o_orderkey)
+          | | project o_orderkey, prev_key, next_key""".stripMargin),
+      Some("""
+        SELECT o_orderkey,
+               lag(o_orderkey)  OVER (ORDER BY o_orderkey) AS prev_key,
+               lead(o_orderkey) OVER (ORDER BY o_orderkey) AS next_key
+        FROM orders WHERE o_totalprice > 450000.0""")),
+
     "q_kql_let" -> QueryDef(
       // let statements: a scalar binding macro-substituted into a tabular
       // binding, which the final query joins — KQL's statement surface

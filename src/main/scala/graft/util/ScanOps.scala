@@ -61,4 +61,63 @@ object ScanOps {
       df.sparkSession.createDataFrame(out, df.schema.add(outCol, DoubleType, nullable = false))
     }
   }
+
+  /** Append `outCol` = the PREVIOUS row's `valueCol` in the current global
+    * order (null for the very first row). Boundary exchange instead of a
+    * window: pass 1 collects each partition's last value (P scalars to the
+    * driver), pass 2 walks each partition seeded with the nearest preceding
+    * non-empty partition's last value. Type-preserving, zero shuffle.
+    */
+  def lag1(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
+    val idx = df.schema.fieldIndex(valueCol)
+    val rdd = df.rdd
+    val lasts = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var last = Option.empty[Any]
+      it.foreach(r => last = Some(r.get(idx)))
+      Iterator((pid, last))
+    }.collect().sortBy(_._1).map(_._2)
+    // seed for partition p = last value of the nearest non-empty partition
+    // before p (scanLeft keeps the latest Some seen so far)
+    val seeds = lasts.scanLeft(Option.empty[Any])((acc, l) => l.orElse(acc)).init
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var prev = seeds(pid)
+      it.map { r =>
+        val v = prev.orNull
+        prev = Some(r.get(idx))
+        Row.fromSeq(r.toSeq :+ v)
+      }
+    }
+    df.sparkSession.createDataFrame(out,
+      df.schema.add(outCol, df.schema(idx).dataType, nullable = true))
+  }
+
+  /** Append `outCol` = the NEXT row's `valueCol` in the current global order
+    * (null for the very last row) — the mirror of [[lag1]]: pass 1 collects
+    * each partition's FIRST value, pass 2 walks with one-element lookahead,
+    * seeding the partition tail with the nearest following non-empty
+    * partition's first value.
+    */
+  def lead1(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
+    val idx = df.schema.fieldIndex(valueCol)
+    val rdd = df.rdd
+    val firsts = rdd.mapPartitionsWithIndex { (pid, it) =>
+      Iterator((pid, if (it.hasNext) Some(it.next().get(idx)) else None))
+    }.collect().sortBy(_._1).map(_._2)
+    val seeds = firsts.scanRight(Option.empty[Any])((f, acc) => f.orElse(acc)).tail
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      new Iterator[Row] {
+        private var cur: Row = if (it.hasNext) it.next() else null
+        override def hasNext: Boolean = cur != null
+        override def next(): Row = {
+          val nxt = if (it.hasNext) it.next() else null
+          val v   = if (nxt != null) nxt.get(idx) else seeds(pid).orNull
+          val r   = Row.fromSeq(cur.toSeq :+ v)
+          cur = nxt
+          r
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(out,
+      df.schema.add(outCol, df.schema(idx).dataType, nullable = true))
+  }
 }

@@ -553,6 +553,17 @@ class KqlPipelineSpec extends SparkSuite {
       Seq(30L, 55L, 90L, 130L, 165L))
   }
 
+  test("prev/next shift rows in the sorted order") {
+    val r = run(
+      """people | order by id asc | serialize
+        | | extend p = prev(name), nx = next(name) | project id, p, nx""".stripMargin)
+    val rows = r.orderBy("id").collect()
+      .map(x => (x.getLong(0), Option(x.getString(1)), Option(x.getString(2)))).toSeq
+    assert(rows.head == ((1L, None, Some("bob"))))
+    assert(rows(2) == ((3L, Some("bob"), Some("dave"))))
+    assert(rows.last == ((5L, Some("dave"), None)))
+  }
+
   test("summarize arg_max(ord, *) returns the whole maximizing row per group") {
     val r = run("people | summarize arg_max(score, *) by age | order by age asc")
     assert(r.columns.toSeq == Seq("age", "id", "name", "role", "score"))

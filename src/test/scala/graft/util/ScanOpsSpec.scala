@@ -32,6 +32,20 @@ class ScanOpsSpec extends SparkSuite {
     assert(got == Seq(1.5, 1.5, 4.0))
   }
 
+  test("lag1/lead1 match the sequential shift across partition layouts, empty partitions included") {
+    val vals = (1L to 100L).map(i => (i, s"v$i"))
+    for (parts <- Seq(1, 7, 64)) { // 64 partitions on 100 rows → some empty/thin
+      val df = vals.toDF("k", "v").repartition(parts).orderBy("k")
+      val got = ScanOps.lead1(ScanOps.lag1(df, "v", "p"), "v", "n")
+        .orderBy("k").select("k", "p", "n").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)), Option(r.getString(2))))
+      got.foreach { case (k, p, n) =>
+        assert(p == (if (k == 1) None else Some(s"v${k - 1}")), s"parts=$parts k=$k prev")
+        assert(n == (if (k == 100) None else Some(s"v${k + 1}")), s"parts=$parts k=$k next")
+      }
+    }
+  }
+
   test("long overflow fails loud (addExact), never wraps silently") {
     val df = Seq(Long.MaxValue, 1L).toDF("v")
     // executor-side overflow arrives wrapped in SparkException; the
