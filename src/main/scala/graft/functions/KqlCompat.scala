@@ -134,6 +134,11 @@ object KqlCompat {
     s = expandCalls(s, "extract_all") {
       case Seq(re, x) => s"regexp_extract_all($x, $re)"
     }
+    // extractjson('$.path', text) → get_json_object(text, '$.path'); same
+    // (pattern, source) → (source, pattern) swap as extract
+    s = expandCalls(s, "extractjson") {
+      case Seq(p, x) => s"get_json_object($x, $p)"
+    }
     // series_sum/avg over dynamic arrays: left-to-right double fold —
     // deterministic, inlined HOF, no explode
     s = expandCalls(s, "series_sum") {

@@ -106,6 +106,29 @@ object KqlPipeline {
     * a scalar let's name as an output column name (the substitution would
     * rewrite the assignment's left-hand side too, as in ADX shadowing).
     */
+  /** Catalog-aware entry point: adds the `.show tables` management command
+    * (the reference's table-existence probe, `.show tables | where TableName
+    * == 'x' | count` — DeltaTableOrchestration.cs:233-238). A leading
+    * `.show tables` yields a one-column `TableName` frame of the catalog,
+    * and the rest of the pipeline applies normally. Non-dot queries route to
+    * the resolver-based [[run]].
+    */
+  def run(tables: Map[String, DataFrame], kql: String): DataFrame = {
+    val text = stripComments(kql).trim
+    if (!text.startsWith(".")) run(tables.apply _, kql)
+    else {
+      require(text.toLowerCase.startsWith(".show tables"),
+        s"only the `.show tables` management command is supported, got: '${text.take(40)}…'")
+      val session = tables.values.headOption.map(_.sparkSession)
+        .getOrElse(org.apache.spark.sql.SparkSession.active)
+      val base = session.createDataFrame(
+        tables.keys.toSeq.sorted.map(Tuple1(_))).toDF("TableName")
+      val rest = text.drop(".show tables".length).trim
+      val segs = splitTopLevel(rest, '|').map(_.trim).filter(_.nonEmpty)
+      segs.foldLeft(base)(applyOp(tables.apply))
+    }
+  }
+
   def run(resolve: String => DataFrame, kql: String): DataFrame = {
     val stmts = splitTopLevel(stripComments(kql), ';').map(_.trim).filter(_.nonEmpty)
     require(stmts.nonEmpty, "empty KQL query")

@@ -1887,9 +1887,14 @@ object Surface {
         val docs  = t(s, dir, "documents")
         val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         val tf    = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val dfreq = words.groupBy("term").agg(countDistinct(col("doc_id")).as("dfreq"))
+        // document frequency via a window PARTITIONED by term over tf (one
+        // row per (doc, term) already): one extra shuffle, no self-join, and
+        // no recomputation of the exploded corpus (Spark's exchange reuse
+        // does not fire across the join's two derivations of tf)
+        val wTerm = Window.partitionBy("term")
         val nd    = docs.agg(count(lit(1)).as("nd"))
-        tf.join(dfreq, "term").crossJoin(broadcast(nd))
+        tf.withColumn("dfreq", count(lit(1)).over(wTerm))
+          .crossJoin(broadcast(nd))
           .select(col("doc_id"), col("term"),
             round(col("tf") * log(col("nd").cast("double") / col("dfreq")), 6).as("tfidf"))
           .orderBy(col("tfidf").desc, col("doc_id").asc, col("term").asc).limit(30)
@@ -1914,11 +1919,21 @@ object Surface {
       (s, dir) => {
         val docs  = t(s, dir, "documents")
         val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        val vocab = words.groupBy("w").agg(count(lit(1)).as("cnt"))
-        val tot   = words.agg(count(lit(1)).cast("double").as("t"))
-        words.join(vocab, "w")
+        // ONE explode pass: per-(doc, word) counts first (combiner-friendly
+        // shuffle of the exploded frame); the vocab, the corpus total and the
+        // per-doc score all derive from that much smaller frame —
+        // sum over occurrences of ln(cnt_w) ≡ sum over distinct doc words of
+        // tfd·ln(cnt_w), so the result is identical
+        val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tfd"))
+        // corpus word count via a window PARTITIONED by w (no vocab
+        // self-join, no recompute of the exploded corpus); the 1-row corpus
+        // total stays the broadcast-scalar pattern (q11/q14)
+        val cnt = sum(col("tfd")).over(Window.partitionBy("w"))
+        val tot = tf.agg(sum(col("tfd")).cast("double").as("t"))
+        tf.withColumn("cnt", cnt)
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("n"), sum(log(col("cnt").cast("double"))).as("s"))
+          .agg(sum(col("tfd")).as("n"),
+            sum(col("tfd") * log(col("cnt").cast("double"))).as("s"))
           .crossJoin(broadcast(tot))
           .select(col("doc_id"), col("n").as("n_words"),
             round(log(col("t")) - col("s") / col("n"), 6).as("logloss"))
@@ -1926,11 +1941,13 @@ object Surface {
       Some("""
         WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
                        FROM documents),
-        vocab AS (SELECT w, count(*) AS cnt FROM words GROUP BY 1),
-        tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM words),
-        per AS (SELECT doc_id, count(*) AS n, sum(ln(CAST(cnt AS DOUBLE))) AS s
-                FROM words JOIN vocab USING (w) GROUP BY 1)
-        SELECT doc_id, CAST(n AS BIGINT) AS n_words, round(ln(t) - s / n, 6) AS logloss
+        tf AS (SELECT doc_id, w, count(*) AS tfd FROM words GROUP BY 1, 2),
+        vocab AS (SELECT w, CAST(sum(tfd) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+        tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM vocab),
+        per AS (SELECT doc_id, CAST(sum(tfd) AS BIGINT) AS n,
+                       sum(tfd * ln(CAST(cnt AS DOUBLE))) AS s
+                FROM tf JOIN vocab USING (w) GROUP BY 1)
+        SELECT doc_id, n AS n_words, round(ln(t) - s / n, 6) AS logloss
         FROM per, tot""")),
 
     "q_kql_row_cumsum" -> QueryDef(
@@ -1948,6 +1965,18 @@ object Surface {
                sum(CAST(floor(o_totalprice) AS BIGINT))
                  OVER (ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING) AS cum
         FROM orders WHERE o_totalprice > 450000.0""")),
+
+    "q_kql_extractjson" -> QueryDef(
+      // extractjson over the dynamic props column — JSON path evaluation
+      // stays codegen'd (get_json_object), no UDF
+      (s, dir) => kqlRun(s, dir,
+        """events
+          | | extend k = toint(extractjson('$.k', props))
+          | | summarize n = count() by k
+          | | order by k asc""".stripMargin),
+      Some("""
+        SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1""")),
 
     "q_kql_prev_next" -> QueryDef(
       // prev()/next() through the KQL surface: boundary-exchange row shifts

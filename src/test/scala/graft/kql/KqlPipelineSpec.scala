@@ -553,6 +553,24 @@ class KqlPipelineSpec extends SparkSuite {
       Seq(30L, 55L, 90L, 130L, 165L))
   }
 
+  test(".show tables lists the catalog and composes with the pipeline") {
+    val r = run(".show tables | order by TableName asc")
+    assert(r.columns.toSeq == Seq("TableName"))
+    assert(r.collect().map(_.getString(0)).toSeq == Seq("depts", "people"))
+    // the reference's existence probe shape
+    val c = run(".show tables | where TableName == 'people' | count")
+    assert(c.head().getLong(0) == 1L)
+    intercept[IllegalArgumentException](run(".drop table people"))
+  }
+
+  test("extractjson evaluates a JSON path via get_json_object") {
+    val logs = Seq((1L, """{"user": {"id": 7}}"""), (2L, """{"user": {"id": 9}}"""))
+      .toDF("id", "payload")
+    val r = KqlPipeline.run(Map("logs" -> logs),
+      "logs | extend uid = tolong(extractjson('$.user.id', payload)) | summarize s = sum(uid)")
+    assert(r.head().getLong(0) == 16L)
+  }
+
   test("prev/next shift rows in the sorted order") {
     val r = run(
       """people | order by id asc | serialize
