@@ -148,6 +148,16 @@ object KqlCompat {
       case Seq(x) =>
         s"(aggregate($x, CAST(0 AS DOUBLE), (acc, v) -> acc + v) / size($x))"
     }
+    // series_fill_forward/backward: null gaps take the last (next) non-null
+    // value — an inlined array fold (DOUBLE result lane, like the other
+    // series helpers); backward = reverse ∘ forward ∘ reverse
+    val ffill = (x: String) =>
+      s"aggregate($x, CAST(array() AS ARRAY<DOUBLE>), " +
+        "(acc, v) -> array_append(acc, coalesce(CAST(v AS DOUBLE), try_element_at(acc, -1))))"
+    s = expandCalls(s, "series_fill_forward") { case Seq(x) => ffill(x) }
+    s = expandCalls(s, "series_fill_backward") {
+      case Seq(x) => s"reverse(${ffill(s"reverse($x)")})"
+    }
     // case(p1, v1, p2, v2, …, default) → CASE WHEN; KQL-only spelling (Spark
     // CASE is keyword syntax, never `case(`), so the rewrite can't collide
     s = expandCalls(s, "case") {

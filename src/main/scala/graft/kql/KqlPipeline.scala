@@ -61,7 +61,10 @@ import graft.functions.KqlCompat
   *   | sample N | sample-distinct N of k // deterministic hash sample here
   *   | as name                           // bind frame-so-far for operands
   *   | join [kind=…] [hint.strategy=broadcast|shuffle] (…) on …
+  *   | partition by k (top N by expr)    // per-group top-k via key window
+  *   | evaluate bag_unpack(dynCol)       // JSON bag → typed columns
   * }}}
+  * Management: `.show tables [| …]` via the Map-catalog entry point.
   * Statements: `let x = <scalar>;` (macro-substituted) and
   * `let T2 = T | where …;` (catalog extension) precede the query.
   * Sources (first segment): a table name, or
@@ -724,6 +727,34 @@ object KqlPipeline {
           else array_contains(split(lower(col(c)), "[^0-9a-z]+"), lit(term.toLowerCase))
         df.filter(stringCols.map(probe).reduce(_ || _))
 
+      // `partition by k (top N by expr [asc|desc])`: ADX's per-group
+      // subquery, in its dominant shape — per-key top-k. Compiles to ONE
+      // window PARTITIONED by the key (bounded per-partition state), never a
+      // per-group driver loop. Other subquery shapes are rejected loudly:
+      // per-group where/extend/summarize are expressible without partition
+      // (filter/groupBy reach the same plan).
+      case "partition" =>
+        val body = rest.trim
+        require(body.toLowerCase.startsWith("by"), s"expected `partition by …`, got: '$seg'")
+        val afterBy = body.drop(2).trim
+        val key = afterBy.takeWhile(c => !c.isWhitespace && c != '(')
+        require(key.matches("[A-Za-z_][A-Za-z0-9_]*"),
+          s"partition by needs a column name, got: '$afterBy'")
+        val (sub, tail) = takeGroup(afterBy.drop(key.length), '(', ')')
+        require(tail.trim.isEmpty, s"unexpected trailing text after partition subquery: '$tail'")
+        val subT = sub.trim
+        val TopRe = """(?i)top\s+(\d+)\s+by\s+(.+)""".r
+        subT match {
+          case TopRe(n, items) =>
+            val sortCols = orderItems(items)
+            val w = Window.partitionBy(col(key)).orderBy(sortCols: _*)
+            df.withColumn("__graft_part_rank", row_number().over(w))
+              .filter(col("__graft_part_rank") <= n.toInt)
+              .drop("__graft_part_rank")
+          case _ => fail(
+            s"partition by supports the `top N by <expr>` subquery (per-group top-k), got: '$subT'")
+        }
+
       // `top-nested N of key by [name =] agg(…) [, top-nested M of key2 by …]`:
       // hierarchical top-k. Level 1 is agg → global sort-limit (top-k by
       // sort+limit, never an unpartitioned window); level 2 semi-joins the
@@ -744,10 +775,28 @@ object KqlPipeline {
       // groupBy(all other columns).pivot(col).agg — Spark collects the
       // DISTINCT pivot values (driver-bounded by the domain size, same
       // contract as ADX pivot) and emits one codegen'd aggregation.
+      case "evaluate" if rest.trim.toLowerCase.startsWith("bag_unpack") =>
+        // `evaluate bag_unpack(dynCol)`: spread a JSON bag into columns. The
+        // key set is data-dependent, so ONE schema-inference pass runs first
+        // (spark.read.json over the column — the same contract as ADX's
+        // plugin, which also scans to discover keys), then a single
+        // from_json + star-expand does the work; the dynamic column drops.
+        val (inner, tail) = takeGroup(rest.trim.drop("bag_unpack".length), '(', ')')
+        require(tail.trim.isEmpty, s"unexpected trailing text after bag_unpack(…): '$tail'")
+        val c = inner.trim
+        require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
+          s"bag_unpack needs a column name, got: '$c'")
+        val jsonSchema = df.sparkSession.read
+          .json(df.select(col(c)).na.drop().as(org.apache.spark.sql.Encoders.STRING))
+          .schema
+        val others = df.columns.toSeq.filterNot(_ == c)
+        df.withColumn("__graft_bag", from_json(col(c), jsonSchema))
+          .select(others.map(col) :+ col("__graft_bag.*"): _*)
+
       case "evaluate" =>
         val body = rest.trim
         require(body.toLowerCase.startsWith("pivot"),
-          s"only `evaluate pivot(…)` is supported, got: '$body'")
+          s"only `evaluate pivot(…)` and `evaluate bag_unpack(…)` are supported, got: '$body'")
         val (inner, tail) = takeGroup(body.drop("pivot".length), '(', ')')
         require(tail.trim.isEmpty, s"unexpected trailing text after pivot(…): '$tail'")
         val parts = splitTopLevel(inner, ',').map(_.trim).filter(_.nonEmpty)
@@ -1087,6 +1136,26 @@ object KqlPipeline {
       case "arg_min"               => (min_by(a(1), a(0)), slug(args(1)))
       case "make_set"              => (array_sort(collect_set(a(0))), s"set_${slug(args(0))}")
       case "make_list"             => (collect_list(a(0)), s"list_${slug(args(0))}")
+      // *if collection forms: the predicate masks to NULL, which collect_*
+      // skips — same one-pass shape as the scalar *if family
+      case "make_set_if"           => (array_sort(collect_set(when(a(1), a(0)))),
+                                        s"set_${slug(args(0))}")
+      case "make_list_if"          => (collect_list(when(a(1), a(0))), s"list_${slug(args(0))}")
+      // take_any: an arbitrary (here: first non-null — deterministic per
+      // partition order) exemplar value
+      case "take_any" | "any"      => (first(a(0), ignoreNulls = true), slug(args(0)))
+      // percentilew(x, weight, p): weighted percentile — Spark's percentile
+      // takes an exact frequency argument (KQL's is T-digest approximate;
+      // same documented divergence as percentile)
+      case "percentilew" =>
+        (expr(s"percentile(${tx(args(0))}, ${args(2).trim.toDouble / 100.0}, ${tx(args(1))})"),
+          s"percentile_${slug(args(0))}_${slug(args(2))}")
+      case "binary_all_and"        => (expr(s"bit_and(${tx(args(0))})"),
+                                        s"binary_all_and_${slug(args(0))}")
+      case "binary_all_or"         => (expr(s"bit_or(${tx(args(0))})"),
+                                        s"binary_all_or_${slug(args(0))}")
+      case "binary_all_xor"        => (expr(s"bit_xor(${tx(args(0))})"),
+                                        s"binary_all_xor_${slug(args(0))}")
       case other                   => fail(s"unsupported aggregate: '$other'")
     }
     val name = nameOpt.getOrElse(defName)

@@ -1978,6 +1978,38 @@ object Surface {
         SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS n
         FROM events GROUP BY 1 ORDER BY 1""")),
 
+    "q_kql_partition_topk" -> QueryDef(
+      // partition by (top N by …): per-group top-k via ONE key-partitioned
+      // window over the pre-aggregated frame — never a per-group driver loop
+      (s, dir) => kqlRun(s, dir,
+        """lineitem
+          | | extend qty = tolong(l_quantity)
+          | | summarize s = sum(qty) by l_returnflag, l_suppkey
+          | | partition by l_returnflag (top 2 by s desc, l_suppkey asc)
+          | | order by l_returnflag asc, s desc""".stripMargin),
+      Some("""
+        SELECT l_returnflag, l_suppkey, s FROM (
+          SELECT l_returnflag, l_suppkey,
+                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+                 row_number() OVER (PARTITION BY l_returnflag
+                                    ORDER BY sum(CAST(l_quantity AS BIGINT)) DESC,
+                                             l_suppkey ASC) AS rk
+          FROM lineitem GROUP BY 1, 2)
+        WHERE rk <= 2 ORDER BY 1, 3 DESC""")),
+
+    "q_kql_bag_unpack" -> QueryDef(
+      // evaluate bag_unpack: dynamic-bag spread with one inference pass +
+      // from_json star-expand; k infers as LONG from the JSON integers
+      (s, dir) => kqlRun(s, dir,
+        """events
+          | | project props
+          | | evaluate bag_unpack(props)
+          | | summarize n = count() by k
+          | | order by k asc""".stripMargin),
+      Some("""
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
     "q_kql_prev_next" -> QueryDef(
       // prev()/next() through the KQL surface: boundary-exchange row shifts
       // (ScanOps.lag1/lead1) — P scalars to the driver, zero shuffle, no

@@ -563,6 +563,48 @@ class KqlPipelineSpec extends SparkSuite {
     intercept[IllegalArgumentException](run(".drop table people"))
   }
 
+  test("partition by (top N by …) keeps the per-group top-k") {
+    val r = run(
+      """people | partition by age (top 1 by score desc, id asc)
+        | | where age == 35 | project name""".stripMargin)
+    assert(r.collect().map(_.getString(0)).toSeq == Seq("Carol")) // 20.0 beats 15.0
+    intercept[IllegalArgumentException](
+      run("people | partition by age (summarize count())"))
+  }
+
+  test("bag_unpack spreads a JSON bag into typed columns") {
+    val logs = Seq((1L, """{"a": 1, "b": "x"}"""), (2L, """{"a": 2}"""))
+      .toDF("id", "bag")
+    val r = KqlPipeline.run(Map("logs" -> logs),
+      "logs | evaluate bag_unpack(bag) | order by id asc")
+    assert(r.columns.toSeq == Seq("id", "a", "b"))
+    val rows = r.collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+    assert(Option(rows(1).getString(2)).isEmpty) // missing key → null
+  }
+
+  test("weighted percentile, bit aggregates, take_any, make_set_if, series fills") {
+    val r = run(
+      """people
+        | | summarize pw = percentilew(age, id, 50), all_and = binary_all_and(age),
+        |             all_or = binary_all_or(age), one = take_any(score),
+        |             grown = make_set_if(name, age >= 35)""".stripMargin)
+    val row = r.head()
+    assert(row.getDouble(0) > 25.0 && row.getDouble(0) <= 40.0)
+    assert(row.getInt(1) == (30 & 25 & 35 & 40 & 35))
+    assert(row.getInt(2) == (30 | 25 | 35 | 40 | 35))
+    assert(!row.isNullAt(3))
+    assert(row.getSeq[String](4).sorted == Seq("Carol", "Eve", "dave").sorted)
+
+    val f = run(
+      """print a = array(1.0, cast(null as double), 3.0, cast(null as double))
+        | | project fwd = series_fill_forward(a), back = series_fill_backward(a)""".stripMargin)
+    assert(f.head().getSeq[Double](0) == Seq(1.0, 1.0, 3.0, 3.0))
+    // trailing null has no successor to fill from → stays null
+    assert(f.head().getSeq[java.lang.Double](1).toSeq ==
+      Seq[java.lang.Double](1.0, 3.0, 3.0, null))
+  }
+
   test("extractjson evaluates a JSON path via get_json_object") {
     val logs = Seq((1L, """{"user": {"id": 7}}"""), (2L, """{"user": {"id": 9}}"""))
       .toDF("id", "payload")
