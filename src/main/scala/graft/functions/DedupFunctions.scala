@@ -30,6 +30,13 @@ object DedupFunctions {
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** Persist a frame under the shared release lifecycle ([[releaseCaches]])
+    * — for operators outside this object that reuse an expensive subtree
+    * more than once in one plan (Spark's exchange reuse does not span
+    * differently-aggregated derivations).
+    */
+  def cached(df: DataFrame): DataFrame = trackPersist(df)
+
   /** Unpersist every frame cached by [[minHashNearDups]] invocations so far.
     * Call between queries in long-lived sessions (Verify/Bench do); safe to
     * call while nothing is cached.
@@ -238,7 +245,7 @@ object DedupFunctions {
     // sum runs in DECIMAL(38,0): a LongType sum overflows (ANSI error) with
     // xxhash64-scale ids or billions of nodes. Null sum = empty node set.
     def signature(df: DataFrame): Option[java.math.BigDecimal] =
-      Option(df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head
+      Option(df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head()
         .getAs[java.math.BigDecimal](0))
     var prevSig   = signature(labels)
     var iter      = 0

@@ -65,6 +65,13 @@ import graft.functions.KqlCompat
   *   | evaluate bag_unpack(dynCol)       // JSON bag → typed columns
   * }}}
   * Management: `.show tables [| …]` via the Map-catalog entry point.
+  *
+  * Deliberately NOT implemented (each fails loudly): `facet`/`fork` return
+  * MULTIPLE result tables — incompatible with the one-DataFrame contract
+  * (run the legs as separate pipelines); `invoke` needs a stored-function
+  * catalog the engine doesn't have (use `let`); `scan` is a general
+  * row-sequence state machine — its dominant uses (sessionization, funnel
+  * attribution) are covered by the dedicated streaming/asof operators.
   * Statements: `let x = <scalar>;` (macro-substituted) and
   * `let T2 = T | where …;` (catalog extension) precede the query.
   * Sources (first segment): a table name, or
@@ -274,11 +281,11 @@ object KqlPipeline {
     val s = s0.trim
     require(s.nonEmpty && s.head == open, s"expected '$open…$close', got: '$s0'")
     var depth = 0
-    var q     = ' '
+    var q     = '\u0000'
     var i     = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (q != ' ') { if (c == q) q = ' ' }
+      if (q != '\u0000') { if (c == q) q = '\u0000' }
       else if (c == '\'' || c == '"') q = c
       else if (c == open) depth += 1
       else if (c == close) {

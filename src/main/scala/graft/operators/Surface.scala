@@ -1859,6 +1859,56 @@ object Surface {
                doc_id
         FROM h""")),
 
+    "dedup_substring_spans" -> QueryDef(
+      // EXACT substring-duplication detection (the Lee-et-al.-style exact
+      // dedup signal): 50-char shingles with positions → grams seen in ≥2
+      // docs → per-doc MERGED span coverage. Scale shapes: the 50-char gram
+      // string never leaves its row — xxhash64 maps it to a LONG in the same
+      // projection, so both shuffles move 8-byte keys (~6× less than raw
+      // grams; a 64-bit collision would need ~2^32 distinct grams in one
+      // corpus to become likely and only perturbs the candidate set — the
+      // oracle equality at test scale proves none occur); distinct
+      // (hash, doc) before the ≥2-docs count keeps the agg partial-friendly;
+      // span merging via lead() over a window PARTITIONED by doc.
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .filter(length(col("text")) >= 50)
+          .select(col("doc_id"), col("text"))
+        // persisted: the gram frame feeds BOTH the duplicate-hash derivation
+        // and the hits join, and exchange reuse does not span the two;
+        // released by the bench/verify lifecycle (releaseCaches)
+        val grams = DedupFunctions.cached(docs
+          .withColumn("pos", explode(sequence(lit(1L), (length(col("text")) - 49).cast("long"))))
+          .select(col("doc_id"), col("pos"),
+            xxhash64(expr("substring(text, CAST(pos AS INT), 50)")).as("h")))
+        val dup = grams.select("h", "doc_id").distinct()
+          .groupBy("h").agg(count(lit(1)).as("nd"))
+          .filter(col("nd") >= 2).select("h")
+        val hits = grams.join(dup, "h").select(col("doc_id"), col("pos"))
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        hits.withColumn("nxt", lead(col("pos"), 1).over(w))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_hits"),
+            sum(when(col("nxt").isNull, lit(50L))
+              .otherwise(least(col("nxt") - col("pos"), lit(50L)))).cast("bigint")
+              .as("dup_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH g AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                 substr(text, CAST(i AS INT), 50) AS gram
+          FROM documents, LATERAL unnest(generate_series(1, greatest(length(text) - 49, 0))) t(i)),
+        dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        hits AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+        spans AS (SELECT doc_id, pos,
+                         lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+                  FROM hits)
+        SELECT doc_id, count(*) AS n_hits,
+               CAST(sum(CASE WHEN nxt IS NULL THEN 50
+                             ELSE least(nxt - pos, 50) END) AS BIGINT) AS dup_chars
+        FROM spans GROUP BY 1 ORDER BY 1""")),
+
     "text_corpus_bigrams" -> QueryDef(
       // corpus n-gram statistics (the LM-data profiling op): explode word
       // bigrams via ONE generator over an inlined transform — no self-join,
