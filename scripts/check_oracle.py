@@ -46,10 +46,20 @@ for name in sorted(os.listdir(out_dir)):
         fails.append(name); continue
     try:
         pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
-        print(f"{name:28s} OK ({len(a)} rows)")
     except AssertionError as e:
         print(f"{name:28s} VALUE-MISMATCH: {str(e).splitlines()[-1][:160]}")
-        fails.append(name)
+        fails.append(name); continue
+    # dtype-kind check: the driver's value hash is dtype-sensitive (int64 vs
+    # float64 from e.g. DuckDB HUGEINT diverge even when values match), so a
+    # kind mismatch here would pass check_dtype=False but fail the real gate.
+    kind_bad = [c for c in a.columns
+                if a[c].dtype.kind != b[c].dtype.kind
+                and {a[c].dtype.kind, b[c].dtype.kind} != {"i", "u"}]
+    if kind_bad:
+        detail = {c: f"spark={a[c].dtype} oracle={b[c].dtype}" for c in kind_bad}
+        print(f"{name:28s} DTYPE-MISMATCH {detail}")
+        fails.append(name); continue
+    print(f"{name:28s} OK ({len(a)} rows)")
 
 print(f"\n{len(fails)} failures: {fails}" if fails else "\nALL MATCH")
 sys.exit(1 if fails else 0)

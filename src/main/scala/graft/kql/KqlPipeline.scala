@@ -84,11 +84,11 @@ import graft.functions.KqlCompat
   * Predicates: `has`/`!has`/`hasprefix`/`hassuffix`/`contains`/`startswith`/
   * `endswith`/`=~`/`!~`/`matches regex`/`in~`/`!in`/`between (a .. b)`/
   * `has_any (…)`/`has_all (…)`.
-  * Join divergences (documented, loud where silent would mislead): KQL's
-  * unstated default kind is `innerunique` (left deduped on keys) — we
-  * default to plain `inner`; spell `kind=innerunique` to opt in. Bare-key
-  * `on k` outputs ONE key column (Spark using-columns) where KQL emits the
-  * right copy as `k1`.
+  * Join semantics: bare `| join` defaults to `innerunique` (left deduped on
+  * the keys, surviving row unspecified) exactly as in ADX; `kind=inner`
+  * opts into the plain non-deduplicating join. Divergence: bare-key `on k`
+  * outputs ONE key column (Spark using-columns) where KQL emits the right
+  * copy as `k1`.
   *
   * Aggregates: count, countif, dcount (exact distinct here — KQL's is HLL;
   * documented divergence), sum/avg/min/max (+ their *if masked forms),
@@ -97,11 +97,11 @@ import graft.functions.KqlCompat
   * `endswith` (case-insensitive, as in KQL) and `=~`/`!~` are rewritten to
   * Spark SQL. `has` is a whole-TERM match as in ADX ('administrators' has
   * 'admin' is FALSE): the haystack is split on non-alphanumeric boundaries
-  * and the needle must equal one term. Divergence: a needle that itself
+  * and the needle must equal one term. A literal needle that itself
   * contains non-alphanumerics (a multi-term phrase, e.g. 'a-b') matches the
-  * adjacent-term phrase in real ADX but never matches here — use `contains`
-  * for substring search. `//` comments are stripped so multi-line pipelines
-  * read naturally.
+  * ADJACENT-term phrase as in real ADX, via a boundary-anchored regex;
+  * only a NON-literal multi-term needle keeps the never-matches contract.
+  * `//` comments are stripped so multi-line pipelines read naturally.
   */
 object KqlPipeline {
 
@@ -172,8 +172,12 @@ object KqlPipeline {
           body.substring(1, body.length - 1).trim
         } else inner0
       }
-      if (splitTopLevel(inner, '|').size > 1 || isSource(inner) ||
-          inner.matches("[A-Za-z_][A-Za-z0-9_]*"))
+      // keyword literals are scalars even though they look like bare
+      // identifiers (`let flag = true;` must not route to the table catalog)
+      val isKeywordLiteral =
+        Set("true", "false", "null").contains(inner.toLowerCase)
+      if (!isKeywordLiteral && (splitTopLevel(inner, '|').size > 1 ||
+          isSource(inner) || inner.matches("[A-Za-z_][A-Za-z0-9_]*")))
         tabular += name -> inner
       else scalars :+= (name -> rhs)
     }
@@ -594,7 +598,9 @@ object KqlPipeline {
         else df.select(splitTopLevel(rest, ',').map(s => col(s.trim)): _*).distinct()
 
       case "join" =>
-        val (kind, hint, body) = joinParams(rest.trim)
+        // bare `| join` means `kind=innerunique` in ADX — match it so ported
+        // KQL returns identical rows; `kind=inner` opts into the plain join
+        val (kind, hint, body) = joinParams(rest.trim, default = "innerunique")
         val (rightSrc, onClause) = splitAtTopLevelOn(body)
         val right0 = operand(resolve, rightSrc)
         // ADX hint.strategy=broadcast → broadcast the RIGHT side (ADX
@@ -667,8 +673,15 @@ object KqlPipeline {
           .map(_.trim).filter(_.nonEmpty)
         val rowId = "__graft_mv_row"
         val originals = df.columns.toSeq
-        val exploded = df.withColumn(rowId, monotonically_increasing_id())
-          .withColumn(elemName, explode(expr(tx(arrayExpr))))
+        // If the element binding shadows an existing column (the `mv-apply
+        // arrayCol on (…)` shorthand), stash the original first: the carried
+        // first() below must see the per-row-constant original, not an
+        // arbitrary exploded element.
+        val collides = originals.contains(elemName)
+        val stash = "__graft_mv_orig"
+        val tagged = df.withColumn(rowId, monotonically_increasing_id())
+        val prepped = if (collides) tagged.withColumn(stash, col(elemName)) else tagged
+        val exploded = prepped.withColumn(elemName, explode(expr(tx(arrayExpr))))
         val (stages, terminal) =
           if (subSegs.nonEmpty && subSegs.last.toLowerCase.startsWith("summarize"))
             (subSegs.init, Some(subSegs.last.drop("summarize".length)))
@@ -680,7 +693,9 @@ object KqlPipeline {
           applyOp(resolve)(d, s2)
         }
         terminal match {
-          case None => staged.drop(rowId)
+          // no summarize: the exploded element IS the output column (ADX
+          // mv-apply shorthand) — the stash is only for the summarize path
+          case None => staged.drop(rowId, stash)
           case Some(aggBody) =>
             val (aggsPart, byPart) = splitAtTopLevelBy(aggBody)
             val aggs = splitTopLevel(aggsPart, ',').map(_.trim).filter(_.nonEmpty).flatMap(aggItems)
@@ -689,7 +704,11 @@ object KqlPipeline {
             byCols.foreach(k => require(k.matches("[A-Za-z_][A-Za-z0-9_]*"),
               s"mv-apply by-keys must be bare column names, got: '$k'"))
             val carriedNames = originals.filterNot(byCols.contains)
-            val carried = carriedNames.map(c2 => first(col(c2)).as(c2))
+            val carried = carriedNames.map { c2 =>
+              // restore the stashed original when the binding shadowed it
+              if (collides && c2 == elemName) first(col(stash)).as(c2)
+              else first(col(c2)).as(c2)
+            }
             val agged = staged
               .groupBy((rowId +: byCols).map(col): _*)
               .agg((carried ++ aggs).head, (carried ++ aggs).tail: _*)
@@ -797,6 +816,12 @@ object KqlPipeline {
           .json(df.select(col(c)).na.drop().as(org.apache.spark.sql.Encoders.STRING))
           .schema
         val others = df.columns.toSeq.filterNot(_ == c)
+        // ADX's plugin errors on key/column conflicts rather than silently
+        // producing a duplicate-named frame — match that, loudly
+        val colliding = jsonSchema.fieldNames.toSeq.intersect(others)
+        require(colliding.isEmpty,
+          s"bag_unpack: inferred keys collide with existing columns: " +
+            colliding.mkString(", "))
         df.withColumn("__graft_bag", from_json(col(c), jsonSchema))
           .select(others.map(col) :+ col("__graft_bag.*"): _*)
 
@@ -882,8 +907,8 @@ object KqlPipeline {
   // ---- join ----------------------------------------------------------------
 
   /** KQL → Spark join kinds. KQL's unstated default is `innerunique` (left
-    * side deduplicated on the keys); we refuse the silent dedup and default
-    * to plain `inner` — spell `kind=innerunique` to get the KQL behavior.
+    * side deduplicated on the keys) and bare `| join` matches it here;
+    * spell `kind=inner` for the plain non-deduplicating join.
     */
   private val JoinKinds = Map(
     "inner" -> "inner", "innerunique" -> "inner",
@@ -1274,13 +1299,33 @@ object KqlPipeline {
               graft.functions.expressions.TermHas.isAsciiAlnum(t.substring(1, t.length - 1)))
             Some(t) else None
         }
+        // A literal needle CONTAINING non-alphanumerics is an ADX phrase:
+        // its alphanumeric terms must appear as ADJACENT terms in the
+        // haystack ('a-b' matches "x a-b y" and "x a b y", not
+        // "x a c b y"). Compiled to ONE boundary-anchored case-insensitive
+        // regex (codegen'd RLIKE, separator-agnostic between terms — ADX
+        // term indexing drops the separators too).
+        def literalPhrase(x: String): Option[String] = {
+          val t = x.trim
+          if (t.length >= 3 && t.head == '\'' && t.last == '\'') {
+            val terms = t.substring(1, t.length - 1)
+              .split("[^0-9A-Za-z]+").filter(_.nonEmpty)
+            if (terms.length >= 1)
+              Some("(?i)(^|[^0-9A-Za-z])" + terms.mkString("[^0-9A-Za-z]+") +
+                "([^0-9A-Za-z]|$)")
+            else None
+          } else None
+        }
         val core = op match {
           // ADX `has` = whole-term match: 'administrators' has 'admin' is
           // FALSE. Split the haystack into alphanumeric terms and require
-          // term equality (see scaladoc for the multi-term-needle caveat).
+          // term equality; multi-term literal needles take the phrase regex.
           case "has" => literalAlnum(rhs) match {
             case Some(lit) => s"term_has($l, $lit)"
-            case None      => s"array_contains(${termArray(l)}, lower($rhs))"
+            case None => literalPhrase(rhs) match {
+              case Some(pat) => s"($l RLIKE '$pat')"
+              case None      => s"array_contains(${termArray(l)}, lower($rhs))"
+            }
           }
           case "contains"   => s"contains(lower($l), lower($rhs))"
           case "startswith" => s"startswith(lower($l), lower($rhs))"

@@ -1617,6 +1617,39 @@ object Surface {
         FROM customer JOIN orders ON c_custkey = o_custkey
         GROUP BY 1 ORDER BY 1""")),
 
+    "q_kql_has_phrase" -> QueryDef(
+      // multi-term `has` needle = ADX adjacent-term phrase match; compiles
+      // to ONE codegen'd boundary-anchored RLIKE (no split/array per row).
+      // Oracle runs the identical regex through DuckDB's RE2.
+      (s, dir) => kqlRun(s, dir,
+        """documents
+          | | where text has 'data-column'
+          | | project doc_id
+          | | order by doc_id asc""".stripMargin),
+      Some("""
+        SELECT doc_id FROM documents
+        WHERE regexp_matches(text,
+          '(?i)(^|[^0-9A-Za-z])data[^0-9A-Za-z]+column([^0-9A-Za-z]|$)')
+        ORDER BY doc_id""")),
+
+    "q_kql_join_default" -> QueryDef(
+      // bare `| join` = ADX innerunique: the left side dedups on the join
+      // keys before the join. Left projects ONLY the key, so the unspecified
+      // survivor can't leak nondeterminism into the oracle compare — the
+      // oracle spells the dedup as SELECT DISTINCT.
+      (s, dir) => kqlRun(s, dir,
+        """lineitem
+          | | where l_orderkey < 1000
+          | | project l_orderkey
+          | | join (orders | project o_orderkey, o_orderstatus) on $left.l_orderkey == $right.o_orderkey
+          | | summarize n = count() by o_orderstatus
+          | | order by o_orderstatus asc""".stripMargin),
+      Some("""
+        SELECT o_orderstatus, count(*) AS n
+        FROM (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_orderkey < 1000) l
+        JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1 ORDER BY 1""")),
+
     "q_kql_lookup" -> QueryDef(
       // KQL lookup = dimension enrichment; compiles to a BROADCAST leftouter
       // join (PlanSpec pins the broadcast), so the fact side never shuffles
@@ -1844,9 +1877,12 @@ object Surface {
       (s, dir) => {
         val docs = t(s, dir, "documents").select(col("doc_id"))
         Seq((1, 7919L), (2, 104729L)).map { case (ep, mult) =>
+          // doc_id tie-break: the mod-multiply hash is only a bijection while
+          // doc_id < 1000003; at larger SFs duplicate hk values would
+          // otherwise leave the order engine-dependent
           val ordered = docs
             .withColumn("hk", bucketHash(col("doc_id"), 1000003L, mult))
-            .orderBy(col("hk"))
+            .orderBy(col("hk"), col("doc_id"))
           graft.util.ZipIndex.withRowIndex(ordered, "pos")
             .select(lit(ep).as("epoch"), col("pos"), col("doc_id"))
         }.reduce(_ unionByName _)
@@ -1855,7 +1891,8 @@ object Surface {
         WITH e AS (SELECT 1 AS epoch, 7919 AS mult UNION ALL SELECT 2, 104729),
         h AS (SELECT epoch, doc_id, ((doc_id % 1000003) * mult) % 1000003 AS hk
               FROM documents, e)
-        SELECT epoch, row_number() OVER (PARTITION BY epoch ORDER BY hk) AS pos,
+        SELECT epoch,
+               row_number() OVER (PARTITION BY epoch ORDER BY hk, doc_id) AS pos,
                doc_id
         FROM h""")),
 
@@ -2012,8 +2049,8 @@ object Surface {
           | | project o_orderkey, cum""".stripMargin),
       Some("""
         SELECT o_orderkey,
-               sum(CAST(floor(o_totalprice) AS BIGINT))
-                 OVER (ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING) AS cum
+               CAST(sum(CAST(floor(o_totalprice) AS BIGINT))
+                 OVER (ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
         FROM orders WHERE o_totalprice > 450000.0""")),
 
     "q_kql_extractjson" -> QueryDef(

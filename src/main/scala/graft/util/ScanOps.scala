@@ -2,6 +2,7 @@ package graft.util
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 /** Distributed prefix operations in the frame's CURRENT global order.
   *
@@ -11,11 +12,20 @@ import org.apache.spark.sql.types._
   * RANGE-partitioned, so (1) one lightweight job folds each partition to a
   * single partial sum (the driver collects P scalars, not rows), (2) a
   * zero-shuffle second pass re-walks each partition carrying its exclusive
-  * prefix offset. Both passes hang off the SAME RDD, so the sort's shuffle
-  * files are computed once and re-read — no cache, no recomputation of the
-  * upstream plan.
+  * prefix offset.
+  *
+  * The two passes MUST see identical partition contents, so the shared RDD
+  * is persisted (MEMORY_AND_DISK) before pass 1 — pass 1's collect
+  * materializes the blocks and pass 2 re-reads them, so a nondeterministic
+  * upstream (repartition without a defining sort, or a map-stage retry
+  * recomputing with different interleaving) cannot make the partials
+  * disagree with pass-2 contents. Spark's ContextCleaner unpersists the
+  * blocks automatically once the result frame is no longer referenced.
   */
 object ScanOps {
+
+  /** Pin the frame's rows for the duration of the two-pass scan. */
+  private def pinned(df: DataFrame) = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
 
   /** Append `outCol` = running sum of `valueCol` in the current row order.
     * Integral inputs accumulate in Long (exact, overflow-checked);
@@ -30,7 +40,7 @@ object ScanOps {
       case dt => throw new IllegalArgumentException(
         s"row_cumsum needs a numeric column, got ${dt.catalogString}")
     }
-    val rdd = df.rdd
+    val rdd = pinned(df)
     if (integral) {
       def valueOf(r: Row): Long =
         if (r.isNullAt(idx)) 0L else r.get(idx).asInstanceOf[java.lang.Number].longValue()
@@ -70,7 +80,7 @@ object ScanOps {
     */
   def lag1(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
     val idx = df.schema.fieldIndex(valueCol)
-    val rdd = df.rdd
+    val rdd = pinned(df)
     val lasts = rdd.mapPartitionsWithIndex { (pid, it) =>
       var last = Option.empty[Any]
       it.foreach(r => last = Some(r.get(idx)))
@@ -99,7 +109,7 @@ object ScanOps {
     */
   def lead1(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
     val idx = df.schema.fieldIndex(valueCol)
-    val rdd = df.rdd
+    val rdd = pinned(df)
     val firsts = rdd.mapPartitionsWithIndex { (pid, it) =>
       Iterator((pid, if (it.hasNext) Some(it.next().get(idx)) else None))
     }.collect().sortBy(_._1).map(_._2)

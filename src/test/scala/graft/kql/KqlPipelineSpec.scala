@@ -131,6 +131,24 @@ class KqlPipelineSpec extends SparkSuite {
     assert(in.head().getLong(0) == 7L)
   }
 
+  test("has with a multi-term literal needle matches the adjacent-term phrase") {
+    // 'admin-role' → terms [admin, role]; "admin role" has them adjacent
+    assert(run("people | where role has 'admin-role' | count").head().getLong(0) == 1L)
+    // separator-agnostic: "user | guest" carries [user, guest] adjacently
+    assert(run("people | where role has 'user guest' | count").head().getLong(0) == 1L)
+    // order matters for a phrase
+    assert(run("people | where role has 'role admin' | count").head().getLong(0) == 0L)
+    // sub-term pieces still don't match (whole-term boundaries hold)
+    assert(run("people | where name has 'ali-ce' | count").head().getLong(0) == 0L)
+    // negation composes
+    assert(run("people | where role !has 'admin-role' | count").head().getLong(0) == 4L)
+  }
+
+  test("bare join defaults to innerunique, matching ADX") {
+    val bare = run("people | project age | join (people | project age) on age | count")
+    assert(bare.head().getLong(0) == 5L) // == kind=innerunique, not inner's 7
+  }
+
   test("lookup broadcasts the dim side and defaults to leftouter") {
     val r = run("people | lookup (depts) on role | count")
     assert(r.head().getLong(0) == 5L)
