@@ -52,7 +52,7 @@ import graft.functions.KqlCompat
   *   | serialize                         // identity (see row_number)
   *   | extend rn = row_number([start])   // global index in current order —
   *     // zipWithIndex over the range-partitioned sort, no 1-partition window
-  *   | extend c = row_cumsum(x)          // running sum, two-pass scan
+  *   | extend c = row_cumsum(x[, rst])   // running sum, two-pass scan
   *     // (per-partition partials + offset walk) — same no-global-window rule
   *   | extend p = prev(x), n = next(x)   // row shifts via boundary exchange
   *   | top-nested N of k by agg(…) [, top-nested M of k2 by agg2(…)]
@@ -62,16 +62,20 @@ import graft.functions.KqlCompat
   *   | as name                           // bind frame-so-far for operands
   *   | join [kind=…] [hint.strategy=broadcast|shuffle] (…) on …
   *   | partition by k (top N by expr)    // per-group top-k via key window
+  *   | partition by k (order by c | extend …) // grouped row fns via windows
   *   | evaluate bag_unpack(dynCol)       // JSON bag → typed columns
+  *   | scan partition by k order by c with (step s1: cond; …) // funnel subset
   * }}}
   * Management: `.show tables [| …]` via the Map-catalog entry point.
   *
   * Deliberately NOT implemented (each fails loudly): `facet`/`fork` return
   * MULTIPLE result tables — incompatible with the one-DataFrame contract
   * (run the legs as separate pipelines); `invoke` needs a stored-function
-  * catalog the engine doesn't have (use `let`); `scan` is a general
-  * row-sequence state machine — its dominant uses (sessionization, funnel
-  * attribution) are covered by the dedicated streaming/asof operators.
+  * catalog the engine doesn't have (use `let`). `scan` is supported in its
+  * restricted single-instance funnel/session form (see
+  * [[graft.operators.ScanSteps]]); the general ADX state machine
+  * (concurrent instances, declared state columns) fails loudly, and
+  * sessionization / as-of attribution also exist as dedicated operators.
   * Statements: `let x = <scalar>;` (macro-substituted) and
   * `let T2 = T | where …;` (catalog extension) precede the query.
   * Sources (first segment): a table name, or
@@ -440,14 +444,30 @@ object KqlPipeline {
             // (ScanOps) — never a 1-partition window
             case Some((name, e)) if RowScanRe.matches(e.trim) =>
               val RowScanRe(fn, inner0) = e.trim
-              val inner = inner0.trim
-              require(inner.nonEmpty, s"$fn needs an argument, got: '$e'")
+              val args = splitTopLevel(inner0, ',').map(_.trim).filter(_.nonEmpty)
+              require(args.nonEmpty, s"$fn needs an argument, got: '$e'")
               val tmp = "__graft_scan_in"
-              val staged2 = d.withColumn(tmp, expr(tx(inner)))
+              val staged2 = d.withColumn(tmp, expr(tx(args.head)))
               (fn.toLowerCase match {
-                case "row_cumsum" => graft.util.ScanOps.cumSum(staged2, tmp, name)
-                case "prev"       => graft.util.ScanOps.lag1(staged2, tmp, name)
-                case "next"       => graft.util.ScanOps.lead1(staged2, tmp, name)
+                case "row_cumsum" if args.size == 1 =>
+                  graft.util.ScanOps.cumSum(staged2, tmp, name)
+                // ADX row_cumsum(term, restart): restart the accumulation at
+                // rows where the bool holds (segment boundaries) — the
+                // restart-aware two-pass scan, still never a 1-partition
+                // window
+                case "row_cumsum" =>
+                  require(args.size == 2, s"row_cumsum takes (term [, restart]), got: '$e'")
+                  val rtmp = "__graft_scan_restart"
+                  graft.util.ScanOps.cumSumRestart(
+                    staged2.withColumn(rtmp, expr(tx(args(1))).cast("boolean")),
+                    tmp, rtmp, name).drop(rtmp)
+                case pn @ ("prev" | "next") =>
+                  require(args.size == 1,
+                    s"$pn with offset/default is supported inside `partition by " +
+                      s"… (order by … | extend …)`, not in the global serialized " +
+                      s"path; got: '$e'")
+                  if (pn == "prev") graft.util.ScanOps.lag1(staged2, tmp, name)
+                  else graft.util.ScanOps.lead1(staged2, tmp, name)
               }).drop(tmp)
             case Some((name, e)) => d.withColumn(name, expr(tx(e)))
             case None            => fail(s"extend needs `name = expr`, got: '$item'")
@@ -777,8 +797,63 @@ object KqlPipeline {
             df.withColumn("__graft_part_rank", row_number().over(w))
               .filter(col("__graft_part_rank") <= n.toInt)
               .drop("__graft_part_rank")
+          // `partition by k (order by c [asc|desc] | extend …)`: grouped
+          // serialized-row functions. Per-KEY order means the window path IS
+          // the 100 TB shape (one shuffle on a high-cardinality key, bounded
+          // per-partition state) — ScanOps' two-pass machinery stays
+          // reserved for the global-order case.
+          case _ if subT.toLowerCase.startsWith("order by") ||
+                    subT.toLowerCase.startsWith("sort by") =>
+            val segs2 = splitTopLevel(subT, '|').map(_.trim).filter(_.nonEmpty)
+            val ordExpr = segs2.head.drop(
+              if (subT.toLowerCase.startsWith("order")) "order by".length else "sort by".length)
+            val sortCols = orderItems(ordExpr)
+            val w = Window.partitionBy(col(key)).orderBy(sortCols: _*)
+            val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            segs2.tail.foldLeft(df) { (d, s2) =>
+              val (w2, rest2) = s2.span(c => !c.isWhitespace)
+              w2.toLowerCase match {
+                case "where" | "filter" => d.filter(expr(tx(rest2)))
+                case "extend" =>
+                  splitTopLevel(rest2, ',').map(_.trim).foldLeft(d) { (d2, item) =>
+                    assignment(item) match {
+                      case Some((name, e)) if RowNumberRe.matches(e.trim) =>
+                        val start = "\\d+".r.findFirstIn(e).map(_.toLong).getOrElse(1L)
+                        d2.withColumn(name,
+                          (row_number().over(w).cast("long") + lit(start - 1)))
+                      case Some((name, e)) if RowScanRe.matches(e.trim) =>
+                        val RowScanRe(fn, inner0) = e.trim
+                        val args = splitTopLevel(inner0, ',').map(_.trim).filter(_.nonEmpty)
+                        require(args.nonEmpty, s"$fn needs an argument, got: '$e'")
+                        val arg0 = expr(tx(args.head))
+                        fn.toLowerCase match {
+                          case "row_cumsum" =>
+                            require(args.size == 1,
+                              "row_cumsum restart is redundant under partition by " +
+                                "(each key already restarts); got: '" + e + "'")
+                            d2.withColumn(name, sum(arg0).over(wCum))
+                          case pn @ ("prev" | "next") =>
+                            require(args.size <= 3,
+                              s"$pn takes (expr [, offset [, default]]), got: '$e'")
+                            val off = if (args.size >= 2) args(1).toInt else 1
+                            val shifted =
+                              if (pn == "prev") lag(arg0, off).over(w)
+                              else lead(arg0, off).over(w)
+                            d2.withColumn(name,
+                              if (args.size == 3) coalesce(shifted, expr(tx(args(2))))
+                              else shifted)
+                        }
+                      case Some((name, e)) => d2.withColumn(name, expr(tx(e)))
+                      case None => fail(s"extend needs `name = expr`, got: '$item'")
+                    }
+                  }
+                case other2 => fail(
+                  s"partition by (order by … | …) supports where/extend stages, got: '$other2'")
+              }
+            }
           case _ => fail(
-            s"partition by supports the `top N by <expr>` subquery (per-group top-k), got: '$subT'")
+            "partition by supports `top N by <expr>` (per-group top-k) or " +
+              s"`order by … | extend …` (grouped row functions), got: '$subT'")
         }
 
       // `top-nested N of key by [name =] agg(…) [, top-nested M of key2 by …]`:
@@ -899,6 +974,35 @@ object KqlPipeline {
             axis.as(timeCol0),
             transform(axis, x =>
               coalesce(try_element_at(col("__graft_m"), x), defaultE)).as(name)): _*)
+
+      // `scan`: the restricted single-instance funnel/session subset — see
+      // [[graft.operators.ScanSteps]] for the spelled-out semantics and the
+      // scale contract (one key shuffle + streaming per-partition fold).
+      case "scan" =>
+        val ScanRe =
+          """(?is)partition\s+by\s+(.+?)\s+order\s+by\s+([A-Za-z_][A-Za-z0-9_]*)\s*(asc|desc)?\s+with\s*(\(.*\))""".r
+        rest.trim match {
+          case ScanRe(keysS, ordCol, dir0, parens) =>
+            val keys = splitTopLevel(keysS, ',').map(_.trim)
+            keys.foreach(k => require(k.matches("[A-Za-z_][A-Za-z0-9_]*"),
+              s"scan partition keys must be bare column names, got: '$k'"))
+            val asc = dir0 == null || dir0.equalsIgnoreCase("asc")
+            val (inner, tail) = takeGroup(parens, '(', ')')
+            require(tail.trim.isEmpty,
+              s"unexpected trailing text after scan steps: '$tail'")
+            val StepRe = """(?is)step\s+([A-Za-z_][A-Za-z0-9_]*)\s*:\s*(.+)""".r
+            val steps = splitTopLevel(inner, ';').map(_.trim).filter(_.nonEmpty).map {
+              case StepRe(nm, cond) => (nm, expr(tx(cond)))
+              case s2 => fail(s"scan step must be `step name: condition`, got: '$s2'")
+            }
+            graft.operators.ScanSteps.scanSteps(df, keys, ordCol, asc, steps)
+          case _ => fail(
+            "scan supports the restricted funnel subset: `scan partition by " +
+              "<keys> order by <col> [asc|desc] with (step s1: cond; step s2: " +
+              "cond; …)` — general ADX scan (concurrent sequence instances, " +
+              "declared state columns) is not implemented; sessionization and " +
+              "as-of attribution also exist as dedicated operators")
+        }
 
       case other => fail(s"unsupported KQL operator: '$other'")
     }

@@ -1617,6 +1617,82 @@ object Surface {
         FROM customer JOIN orders ON c_custkey = o_custkey
         GROUP BY 1 ORDER BY 1""")),
 
+    "q_kql_partition_cumsum" -> QueryDef(
+      // grouped serialized-row functions: `partition by key (order by … |
+      // extend …)` lowers to windows PARTITIONED by the key — one shuffle on
+      // a high-cardinality key, bounded per-group state; ScanOps' two-pass
+      // machinery stays reserved for the global-order spelling
+      (s, dir) => kqlRun(s, dir,
+        """orders
+          | | where o_totalprice > 400000.0
+          | | partition by o_custkey (order by o_orderkey asc
+          |     | extend cum = row_cumsum(tolong(floor(o_totalprice))),
+          |              prev_key = prev(o_orderkey))
+          | | project o_custkey, o_orderkey, cum, prev_key
+          | | order by o_custkey asc, o_orderkey asc""".stripMargin),
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               CAST(sum(CAST(floor(o_totalprice) AS BIGINT))
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_key
+        FROM orders WHERE o_totalprice > 400000.0
+        ORDER BY o_custkey, o_orderkey""")),
+
+    "q_kql_cumsum_restart" -> QueryDef(
+      // ADX row_cumsum(term, restart): global serialized order with segment
+      // restarts — the restart-aware two-pass scan (ScanOps.cumSumRestart).
+      // The restart fires on custkey change (prev() boundary exchange), so
+      // the result equals the per-custkey partitioned window sum.
+      (s, dir) => kqlRun(s, dir,
+        """orders
+          | | where o_totalprice > 450000.0
+          | | order by o_custkey asc, o_orderkey asc | serialize
+          | | extend pk = prev(o_custkey)
+          | | extend cum = row_cumsum(tolong(floor(o_totalprice)), o_custkey != pk)
+          | | project o_custkey, o_orderkey, cum
+          | | order by o_custkey asc, o_orderkey asc""".stripMargin),
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               CAST(sum(CAST(floor(o_totalprice) AS BIGINT))
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM orders WHERE o_totalprice > 450000.0
+        ORDER BY o_custkey, o_orderkey""")),
+
+    "q_kql_scan_funnel" -> QueryDef(
+      // restricted KQL `scan`: signup→purchase funnel with latest-start
+      // attribution and reset-on-completion (ScanSteps). Scale shape: ONE
+      // shuffle on user_id then a streaming per-partition fold — for two
+      // steps the semantics collapse to the window/lag closed form the
+      // oracle spells out (latest preceding A, newer than the previous B).
+      (s, dir) => kqlRun(s, dir,
+        """events
+          | | where event_type in ('signup', 'purchase')
+          | | scan partition by user_id order by ts with (
+          |     step signup: event_type == 'signup';
+          |     step purchase: event_type == 'purchase')
+          | | project user_id, signup_us = signup_ts div 1000, purchase_us = purchase_ts div 1000
+          | | order by user_id asc, purchase_us asc""".stripMargin),
+      // outputs are µs-truncated instants: DuckDB reads parquet
+      // TIMESTAMP(NANOS) at µs precision (the q_asof_attribution
+      // convention); ns→µs truncation is monotone and the data has no µs
+      // ties, so the pairing is unchanged
+      Some("""
+        WITH lp AS (SELECT user_id, event_type, epoch_us(ts) AS tn FROM events
+                    WHERE event_type IN ('signup','purchase')),
+        m AS (SELECT user_id, event_type, tn,
+                max(CASE WHEN event_type = 'signup' THEN tn END)
+                  OVER (PARTITION BY user_id ORDER BY tn
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_a
+              FROM lp),
+        b AS (SELECT user_id, tn AS purchase_us, last_a,
+                lag(tn) OVER (PARTITION BY user_id ORDER BY tn) AS prev_b
+              FROM m WHERE event_type = 'purchase')
+        SELECT user_id, last_a AS signup_us, purchase_us
+        FROM b WHERE last_a IS NOT NULL AND (prev_b IS NULL OR last_a > prev_b)
+        ORDER BY user_id, purchase_us""")),
+
     "q_kql_has_phrase" -> QueryDef(
       // multi-term `has` needle = ADX adjacent-term phrase match; compiles
       // to ONE codegen'd boundary-anchored RLIKE (no split/array per row).

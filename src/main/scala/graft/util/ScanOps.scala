@@ -72,6 +72,83 @@ object ScanOps {
     }
   }
 
+  /** [[cumSum]] with ADX `row_cumsum(term, restart)` semantics: at a row
+    * whose `restartCol` is true the accumulation restarts (cum = term at
+    * that row); nulls in `restartCol` mean no restart. Same two-pass shape:
+    * pass 1 folds each partition to (sum since its last restart, had a
+    * restart?); the incoming offset for partition p is then carry(p) where
+    * carry advances as `if (restarted) tailSum else carry + partSum` — a
+    * restart anywhere in a partition makes everything before it irrelevant
+    * to the partitions after.
+    */
+  def cumSumRestart(df: DataFrame, valueCol: String, restartCol: String,
+      outCol: String): DataFrame = {
+    val idx  = df.schema.fieldIndex(valueCol)
+    val rIdx = df.schema.fieldIndex(restartCol)
+    require(df.schema(rIdx).dataType == BooleanType,
+      s"row_cumsum restart needs a boolean column, got ${df.schema(rIdx).dataType.catalogString}")
+    val integral = df.schema(idx).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case FloatType | DoubleType                        => false
+      case dt => throw new IllegalArgumentException(
+        s"row_cumsum needs a numeric column, got ${dt.catalogString}")
+    }
+    val rdd = pinned(df)
+    def restartOf(r: Row): Boolean = !r.isNullAt(rIdx) && r.getBoolean(rIdx)
+    if (integral) {
+      def valueOf(r: Row): Long =
+        if (r.isNullAt(idx)) 0L else r.get(idx).asInstanceOf[java.lang.Number].longValue()
+      val partials = rdd.mapPartitionsWithIndex { (pid, it) =>
+        var acc = 0L; var restarted = false
+        it.foreach { r =>
+          if (restartOf(r)) { acc = valueOf(r); restarted = true }
+          else acc = Math.addExact(acc, valueOf(r))
+        }
+        Iterator((pid, acc, restarted))
+      }.collect().sortBy(_._1)
+      val seeds = new Array[Long](partials.length)
+      var carry = 0L
+      partials.foreach { case (pid, acc, restarted) =>
+        seeds(pid) = carry
+        carry = if (restarted) acc else Math.addExact(carry, acc)
+      }
+      val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+        var acc = seeds(pid)
+        it.map { r =>
+          if (restartOf(r)) acc = valueOf(r)
+          else acc = Math.addExact(acc, valueOf(r))
+          Row.fromSeq(r.toSeq :+ acc)
+        }
+      }
+      df.sparkSession.createDataFrame(out, df.schema.add(outCol, LongType, nullable = false))
+    } else {
+      def valueOf(r: Row): Double =
+        if (r.isNullAt(idx)) 0.0 else r.get(idx).asInstanceOf[java.lang.Number].doubleValue()
+      val partials = rdd.mapPartitionsWithIndex { (pid, it) =>
+        var acc = 0.0; var restarted = false
+        it.foreach { r =>
+          if (restartOf(r)) { acc = valueOf(r); restarted = true }
+          else acc += valueOf(r)
+        }
+        Iterator((pid, acc, restarted))
+      }.collect().sortBy(_._1)
+      val seeds = new Array[Double](partials.length)
+      var carry = 0.0
+      partials.foreach { case (pid, acc, restarted) =>
+        seeds(pid) = carry
+        carry = if (restarted) acc else carry + acc
+      }
+      val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+        var acc = seeds(pid)
+        it.map { r =>
+          if (restartOf(r)) acc = valueOf(r) else acc += valueOf(r)
+          Row.fromSeq(r.toSeq :+ acc)
+        }
+      }
+      df.sparkSession.createDataFrame(out, df.schema.add(outCol, DoubleType, nullable = false))
+    }
+  }
+
   /** Append `outCol` = the PREVIOUS row's `valueCol` in the current global
     * order (null for the very first row). Boundary exchange instead of a
     * window: pass 1 collects each partition's last value (P scalars to the

@@ -144,6 +144,67 @@ class KqlPipelineSpec extends SparkSuite {
     assert(run("people | where role !has 'admin-role' | count").head().getLong(0) == 4L)
   }
 
+  test("scan: restricted funnel subset — latest-start attribution, reset on completion") {
+    // per user u: A=signup, B=buy. u=1: A@1 A@2 B@3 B@4 A@5 B@6 →
+    // completions (2,3) [latest A wins] and (5,6) [B@4 finds no A after B@3].
+    // u=2: B@1 A@2 B@3 → completion (2,3) only.
+    val r = run(
+      """datatable (u:long, t:long, e:string) [
+        |  1, 1, 'A',  1, 2, 'A',  1, 3, 'B',  1, 4, 'B',  1, 5, 'A',  1, 6, 'B',
+        |  2, 1, 'B',  2, 2, 'A',  2, 3, 'B'
+        |]
+        | | scan partition by u order by t with (step sa: e == 'A'; step sb: e == 'B')
+        | | project u, sa_t, sb_t
+        | | order by u asc, sb_t asc""".stripMargin)
+    assert(r.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq ==
+      Seq((1L, 2L, 3L), (1L, 5L, 6L), (2L, 2L, 3L)))
+  }
+
+  test("scan: three steps need the full sequence; earlier-step match restarts deeper state") {
+    // u=1: A@1 B@2 A@3 C@4 → C@4 can't complete (A@3 cleared B@2's state).
+    // u=2: A@1 B@2 C@3 → completes with (1,2,3).
+    val r = run(
+      """datatable (u:long, t:long, e:string) [
+        |  1, 1, 'A',  1, 2, 'B',  1, 3, 'A',  1, 4, 'C',
+        |  2, 1, 'A',  2, 2, 'B',  2, 3, 'C'
+        |]
+        | | scan partition by u order by t with (
+        |     step s1: e == 'A'; step s2: e == 'B'; step s3: e == 'C')
+        | | project u, s1_t, s2_t, s3_t""".stripMargin)
+    assert(r.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSeq ==
+      Seq((2L, 1L, 2L, 3L)))
+  }
+
+  test("partition by (order by | extend): grouped cumsum/prev/next/row_number via key windows") {
+    val r = run(
+      """datatable (g:string, t:long, v:long) [
+        |  'a', 1, 10,  'a', 2, 20,  'a', 3, 30,
+        |  'b', 1, 5,   'b', 2, 7
+        |]
+        | | partition by g (order by t asc
+        |     | extend cum = row_cumsum(v), p = prev(v), nx = next(v, 1, -1), rn = row_number())
+        | | order by g asc, t asc
+        | | project g, t, cum, p, nx, rn""".stripMargin)
+    val got = r.collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+      if (x.isNullAt(3)) -99L else x.getLong(3), x.getLong(4), x.getLong(5))).toSeq
+    assert(got == Seq(
+      ("a", 1L, 10L, -99L, 20L, 1L), ("a", 2L, 30L, 10L, 30L, 2L),
+      ("a", 3L, 60L, 20L, -1L, 3L),
+      ("b", 1L, 5L, -99L, 7L, 1L), ("b", 2L, 12L, 5L, -1L, 2L)))
+  }
+
+  test("row_cumsum with a restart condition resets the running sum") {
+    val r = run(
+      """datatable (t:long, v:long, rst:bool) [
+        |  1, 10, false,  2, 20, false,  3, 5, true,  4, 1, false,  5, 2, true
+        |]
+        | | order by t asc | serialize
+        | | extend cum = row_cumsum(v, rst)
+        | | project t, cum""".stripMargin)
+    assert(r.collect().map(x => (x.getLong(0), x.getLong(1))).toSeq ==
+      Seq((1L, 10L), (2L, 30L), (3L, 5L), (4L, 6L), (5L, 2L)))
+  }
+
   test("bare join defaults to innerunique, matching ADX") {
     val bare = run("people | project age | join (people | project age) on age | count")
     assert(bare.head().getLong(0) == 5L) // == kind=innerunique, not inner's 7
