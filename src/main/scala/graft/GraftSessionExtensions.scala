@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.expressions.{BloomContains, RollingHash, TermHas, VectorDot}
+import graft.functions.expressions.{BloomContains, GramHashes, RollingHash, TermHas, VectorDot}
 
 /** Spark plugin entry point: load with
   * `spark.sql.extensions=graft.GraftSessionExtensions` (works with plain
@@ -35,6 +35,13 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 2, "bloom_contains takes exactly two arguments")
         BloomContains(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("gram_hashes"),
+      new ExpressionInfo(classOf[GramHashes].getName, "gram_hashes"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "gram_hashes takes exactly two arguments")
+        GramHashes(children.head, children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("term_has"),

@@ -1975,14 +1975,15 @@ object Surface {
     "dedup_substring_spans" -> QueryDef(
       // EXACT substring-duplication detection (the Lee-et-al.-style exact
       // dedup signal): 50-char shingles with positions → grams seen in ≥2
-      // docs → per-doc MERGED span coverage. Scale shapes: the 50-char gram
-      // string never leaves its row — xxhash64 maps it to a LONG in the same
-      // projection, so both shuffles move 8-byte keys (~6× less than raw
-      // grams; a 64-bit collision would need ~2^32 distinct grams in one
-      // corpus to become likely and only perturbs the candidate set — the
-      // oracle equality at test scale proves none occur); distinct
-      // (hash, doc) before the ≥2-docs count keeps the agg partial-friendly;
-      // span merging via lead() over a window PARTITIONED by doc.
+      // docs → per-doc MERGED span coverage. Scale shapes: gram_hashes (the
+      // native sliding Karp–Rabin expression) emits ALL window hashes in
+      // one O(n) pass — the xxhash64(substring(…)) spelling re-reads every
+      // char 50× and was the pipeline's hot loop — and the gram string
+      // never leaves its row, so both shuffles move 8-byte keys (a 64-bit
+      // collision only perturbs the candidate set — the oracle equality at
+      // test scale proves none occur); distinct (hash, doc) before the
+      // ≥2-docs count keeps the agg partial-friendly; span merging via
+      // lead() over a window PARTITIONED by doc.
       (s, dir) => {
         val docs = t(s, dir, "documents")
           .filter(length(col("text")) >= 50)
@@ -1991,9 +1992,9 @@ object Surface {
         // and the hits join, and exchange reuse does not span the two;
         // released by the bench/verify lifecycle (releaseCaches)
         val grams = DedupFunctions.cached(docs
-          .withColumn("pos", explode(sequence(lit(1L), (length(col("text")) - 49).cast("long"))))
-          .select(col("doc_id"), col("pos"),
-            xxhash64(expr("substring(text, CAST(pos AS INT), 50)")).as("h")))
+          .select(col("doc_id"),
+            posexplode(graft.functions.expressions.GramHashes.gramHashes(col("text"), 50))
+              .as(Seq("pos", "h"))))
         val dup = grams.select("h", "doc_id").distinct()
           .groupBy("h").agg(count(lit(1)).as("nd"))
           .filter(col("nd") >= 2).select("h")
