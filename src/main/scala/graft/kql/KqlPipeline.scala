@@ -770,7 +770,11 @@ object KqlPipeline {
         import graft.functions.expressions.TermHas
         def probe(c: String): Column =
           if (TermHas.isAsciiAlnum(term)) TermHas.termHas(col(c), lit(term))
-          else array_contains(split(lower(col(c)), "[^0-9a-z]+"), lit(term.toLowerCase))
+          else phraseRegex(term) match {
+            // multi-term needle: adjacent-term phrase, same as `has`
+            case Some(pat) => col(c).rlike(pat)
+            case None => array_contains(split(lower(col(c)), "[^0-9a-z]+"), lit(term.toLowerCase))
+          }
         df.filter(stringCols.map(probe).reduce(_ || _))
 
       // `partition by k (top N by expr [asc|desc])`: ADX's per-group
@@ -1145,6 +1149,21 @@ object KqlPipeline {
   // scalar expression; no nested parens beyond one level of calls)
   private val RowScanRe = """(?i)(row_cumsum|prev|next)\s*\((.*)\)""".r
 
+  /** ADX phrase semantics for a needle CONTAINING non-alphanumerics: its
+    * alphanumeric terms must appear as ADJACENT terms in the haystack
+    * ('a-b' matches "x a-b y" and "x a b y", not "x a c b y"). ONE
+    * boundary-anchored case-insensitive regex (codegen'd RLIKE,
+    * separator-agnostic between terms — ADX term indexing drops the
+    * separators too). None when the needle has no alphanumeric terms.
+    */
+  private def phraseRegex(needle: String): Option[String] = {
+    val terms = needle.split("[^0-9A-Za-z]+").filter(_.nonEmpty)
+    if (terms.length >= 1)
+      Some("(?i)(^|[^0-9A-Za-z])" + terms.mkString("[^0-9A-Za-z]+") +
+        "([^0-9A-Za-z]|$)")
+    else None
+  }
+
   /** Global row index in the frame's CURRENT order (spell an `order by`
     * first) — zipWithIndex over the range-partitioned sort; see
     * [[graft.util.ZipIndex]] for why this beats a 1-partition window.
@@ -1403,22 +1422,11 @@ object KqlPipeline {
               graft.functions.expressions.TermHas.isAsciiAlnum(t.substring(1, t.length - 1)))
             Some(t) else None
         }
-        // A literal needle CONTAINING non-alphanumerics is an ADX phrase:
-        // its alphanumeric terms must appear as ADJACENT terms in the
-        // haystack ('a-b' matches "x a-b y" and "x a b y", not
-        // "x a c b y"). Compiled to ONE boundary-anchored case-insensitive
-        // regex (codegen'd RLIKE, separator-agnostic between terms — ADX
-        // term indexing drops the separators too).
         def literalPhrase(x: String): Option[String] = {
           val t = x.trim
-          if (t.length >= 3 && t.head == '\'' && t.last == '\'') {
-            val terms = t.substring(1, t.length - 1)
-              .split("[^0-9A-Za-z]+").filter(_.nonEmpty)
-            if (terms.length >= 1)
-              Some("(?i)(^|[^0-9A-Za-z])" + terms.mkString("[^0-9A-Za-z]+") +
-                "([^0-9A-Za-z]|$)")
-            else None
-          } else None
+          if (t.length >= 3 && t.head == '\'' && t.last == '\'')
+            phraseRegex(t.substring(1, t.length - 1))
+          else None
         }
         val core = op match {
           // ADX `has` = whole-term match: 'administrators' has 'admin' is

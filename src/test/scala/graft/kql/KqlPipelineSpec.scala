@@ -142,6 +142,9 @@ class KqlPipelineSpec extends SparkSuite {
     assert(run("people | where name has 'ali-ce' | count").head().getLong(0) == 0L)
     // negation composes
     assert(run("people | where role !has 'admin-role' | count").head().getLong(0) == 4L)
+    // `search` follows the same phrase semantics across all string columns
+    assert(run("people | search 'admin role' | count").head().getLong(0) == 1L)
+    assert(run("people | search 'user guest' | count").head().getLong(0) == 1L)
   }
 
   test("scan: restricted funnel subset — latest-start attribution, reset on completion") {

@@ -99,6 +99,17 @@ class PlanSpec extends SparkSuite {
     assert(countShuffles(finalPlan("curate_source_cap")) == 1)
   }
 
+  test("grouped row-scans: key-partitioned window, filter pushed to the scan") {
+    // partition by k (order by … | extend row_cumsum/prev) must stay a
+    // WindowExec partitioned by the key — one shuffle for the window, one
+    // for the output sort, and the price filter reaches the parquet scan
+    val s = finalPlan("q_kql_partition_cumsum")
+    assert(s.contains("Window"), s)
+    assert(countShuffles(s) <= 2, s)
+    assert(s.contains("PushedFilters:"), s)
+    assert(s.contains("GreaterThan(o_totalprice"), s)
+  }
+
   test("no unpartitioned WindowExec anywhere in the registry") {
     // a global window (Window.partitionBy() with no keys) moves every row to
     // ONE task — the canonical 100× scale-killer. Share-of-total shapes must
