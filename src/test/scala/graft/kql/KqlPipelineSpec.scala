@@ -526,6 +526,30 @@ class KqlPipelineSpec extends SparkSuite {
     assert(r.head().getDouble(1) == 15.0)
   }
 
+  test("mv-apply shorthand binding restores the original array after summarize") {
+    // `mv-apply w on (…)` shadows column w with elements; the carried w in
+    // the output must be the ORIGINAL per-row array, not an arbitrary element
+    val r = run(
+      """people
+        | | extend w = split(role, ' ')
+        | | mv-apply w on (summarize n = count())
+        | | where id == 4
+        | | project id, w, n""".stripMargin)
+    val row = r.head()
+    assert(row.getSeq[String](1) == Seq("user", "|", "guest")) // the array, restored
+    assert(row.getLong(2) == 3L)
+  }
+
+  test("scalar keyword lets stay scalar; bag_unpack key collisions error loudly") {
+    assert(run("let flag = true; people | where flag | count").head().getLong(0) == 5L)
+    assert(run("let nothing = null; people | extend z = nothing | where isempty(z) | count")
+      .head().getLong(0) == 5L)
+    val e = intercept[IllegalArgumentException](run(
+      """datatable (k:string, name:string) ['{"name": 7}', 'x']
+        | | evaluate bag_unpack(k)""".stripMargin).collect())
+    assert(e.getMessage.contains("collide") && e.getMessage.contains("name"), e.getMessage)
+  }
+
   test("mv-apply runs a per-row subquery over array elements") {
     val r = run(
       """people
