@@ -65,7 +65,11 @@ import graft.functions.KqlCompat
   *   | partition by k (order by c | extend …) // grouped row fns via windows
   *   | evaluate bag_unpack(dynCol)       // JSON bag → typed columns
   *   | scan partition by k order by c with (step s1: cond; …) // funnel subset
+  *   | project-reorder c1, c2             // listed first, rest keep order
+  *   | render <chart>                     // client directive — identity
   * }}}
+  * `let x = toscalar(T | …);` runs the subquery eagerly and binds the 1×1
+  * result as a literal (ADX semantics: first column of the first row).
   * Management: `.show tables [| …]` via the Map-catalog entry point.
   *
   * Deliberately NOT implemented (each fails loudly): `facet`/`fork` return
@@ -180,10 +184,23 @@ object KqlPipeline {
       // identifiers (`let flag = true;` must not route to the table catalog)
       val isKeywordLiteral =
         Set("true", "false", "null").contains(inner.toLowerCase)
-      if (!isKeywordLiteral && (splitTopLevel(inner, '|').size > 1 ||
-          isSource(inner) || inner.matches("[A-Za-z_][A-Za-z0-9_]*")))
-        tabular += name -> inner
-      else scalars :+= (name -> rhs)
+      // `let x = toscalar(T | …);` — run the sub-pipeline NOW, take the
+      // single value (first column of the first row, as in ADX), and bind
+      // it as a literal. The subquery is driver-bounded by construction
+      // (toscalar is only meaningful on a 1×1 result).
+      val ToScalarRe = """(?is)toscalar\s*(\(.*\))""".r
+      inner match {
+        case ToScalarRe(parens) =>
+          val (sub, tail) = takeGroup(parens, '(', ')')
+          require(tail.trim.isEmpty, s"unexpected trailing text after toscalar(…): '$tail'")
+          val row = runPipeline(resolveWithLets, sub.trim).limit(1).collect()
+          require(row.nonEmpty, s"toscalar subquery returned no rows: '$sub'")
+          scalars :+= (name -> scalarLiteral(row.head.get(0)))
+        case _ if !isKeywordLiteral && (splitTopLevel(inner, '|').size > 1 ||
+            isSource(inner) || inner.matches("[A-Za-z_][A-Za-z0-9_]*")) =>
+          tabular += name -> inner
+        case _ => scalars :+= (name -> rhs)
+      }
     }
     runPipeline(resolveWithLets, substituteScalars(stmts.last, scalars))
   }
@@ -206,6 +223,24 @@ object KqlPipeline {
         df
       } else applyOp(res)(df, seg)
     }
+  }
+
+  /** Render a collected JVM value as a Spark SQL literal (the toscalar
+    * binding path). String-quoted CAST forms keep doubles/decimals/instants
+    * round-trip exact.
+    */
+  private def scalarLiteral(v: Any): String = v match {
+    case null                     => "null"
+    case s: String                => "'" + s.replace("'", "''") + "'"
+    case b: java.lang.Boolean     => b.toString
+    case i: java.lang.Integer     => i.toString
+    case l: java.lang.Long        => s"CAST($l AS BIGINT)"
+    case d: java.lang.Double      => s"CAST('$d' AS DOUBLE)"
+    case f: java.lang.Float       => s"CAST('$f' AS FLOAT)"
+    case d: java.math.BigDecimal  => s"CAST('$d' AS DECIMAL(38,18))"
+    case t: java.sql.Timestamp    => s"timestamp'$t'"
+    case d: java.sql.Date         => s"date'$d'"
+    case other                    => "'" + other.toString.replace("'", "''") + "'"
   }
 
   /** Substitute scalar-let bindings into `s` at identifier boundaries,
@@ -978,6 +1013,23 @@ object KqlPipeline {
             axis.as(timeCol0),
             transform(axis, x =>
               coalesce(try_element_at(col("__graft_m"), x), defaultE)).as(name)): _*)
+
+      // `render chart …`: a CLIENT-side visualization directive — the result
+      // rows are unchanged in ADX too, so it is the identity here (trailing
+      // `| render timechart` on ported dashboard queries just works)
+      case "render" =>
+        require(rest.trim.nonEmpty, "render needs a chart kind (e.g. `render timechart`)")
+        df
+
+      // `project-reorder c1, c2, …`: listed columns first (in the given
+      // order), unlisted columns after in their existing order — column
+      // arrangement only, no recomputation
+      case "project-reorder" =>
+        val listed = splitTopLevel(rest, ',').map(_.trim).filter(_.nonEmpty)
+        listed.foreach(c2 => require(df.columns.contains(c2),
+          s"project-reorder: unknown column '$c2'"))
+        val remaining = df.columns.toSeq.filterNot(listed.contains)
+        df.select((listed ++ remaining).map(col): _*)
 
       // `scan`: the restricted single-instance funnel/session subset — see
       // [[graft.operators.ScanSteps]] for the spelled-out semantics and the

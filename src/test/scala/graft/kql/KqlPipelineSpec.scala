@@ -526,6 +526,18 @@ class KqlPipelineSpec extends SparkSuite {
     assert(r.head().getDouble(1) == 15.0)
   }
 
+  test("toscalar binds a subquery value; render is identity; project-reorder rearranges") {
+    val r = run("let m = toscalar(people | summarize max(age)); people | where age == m | count")
+    assert(r.head().getLong(0) == 1L) // dave, age 40
+    val r2 = run("let who = toscalar(people | order by score desc, id asc | project name); " +
+      "people | where name == who | project id")
+    assert(r2.head().getLong(0) == 2L) // bob: score 20, lowest id among the tie
+    assert(run("people | render timechart | count").head().getLong(0) == 5L)
+    assert(run("people | project-reorder score, name").columns.toSeq ==
+      Seq("score", "name", "id", "role", "age"))
+    intercept[IllegalArgumentException](run("people | project-reorder nope"))
+  }
+
   test("mv-apply shorthand binding restores the original array after summarize") {
     // `mv-apply w on (…)` shadows column w with elements; the carried w in
     // the output must be the ORIGINAL per-row array, not an arbitrary element
