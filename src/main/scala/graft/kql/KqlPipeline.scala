@@ -1225,7 +1225,8 @@ object KqlPipeline {
 
   // ---- top-nested ----------------------------------------------------------
 
-  private final case class TopNestedLevel(n: Int, key: String, aggName: String, agg: Column)
+  private final case class TopNestedLevel(
+      n: Int, key: String, aggName: String, agg: Column, others: Option[String] = None)
 
   private def parseTopNestedLevel(s: String): TopNestedLevel = {
     val (nPart, afterOf) = splitAtTopLevelKeyword(s, "of") match {
@@ -1236,36 +1237,76 @@ object KqlPipeline {
       case (a, Some(b)) => (a.trim, b.trim)
       case _            => fail(s"top-nested needs a `by` aggregate, got: '$s'")
     }
-    require(keyPart.matches("[A-Za-z_][A-Za-z0-9_]*"),
+    // `of key with others = <label>`: the ADX remainder bucket
+    val WithOthersRe = """(?is)([A-Za-z_][A-Za-z0-9_]*)\s+with\s+others\s*=\s*(.+)""".r
+    val (key, others) = keyPart match {
+      case WithOthersRe(k, lbl) => (k, Some(lbl.trim))
+      case k                    => (k, None)
+    }
+    require(key.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"top-nested key must be a column name, got: '$keyPart'")
     val (aggCol, aggName) = aggItemNamed(aggPart)
-    TopNestedLevel(nPart.toInt, keyPart, aggName, aggCol)
+    TopNestedLevel(nPart.toInt, key, aggName, aggCol, others)
   }
 
+  /** `with others = <label>` is supported on the FINAL level: one extra row
+    * (per parent group, for the nested form) whose key is the label and
+    * whose aggregate is computed over the RAW remainder rows — never a
+    * re-aggregation of aggregates, so avg/count stay exact. The key column
+    * is cast to string when others is present (the label shares the
+    * column, as in ADX output). An others bucket has no sub-breakdown.
+    */
   private def applyTopNested(df: DataFrame, levels: Seq[TopNestedLevel]): DataFrame = {
     require(levels.nonEmpty && levels.size <= 2,
       s"top-nested supports 1 or 2 levels, got ${levels.size}")
+    require(levels.size == 1 || levels.head.others.isEmpty,
+      "top-nested `with others` is supported on the final level only " +
+        "(an others bucket has no sub-breakdown)")
     val l1 = levels.head
     // level 1: aggregate, then top-k via global sort-limit (TakeOrdered — a
     // bounded structure, never an unpartitioned window)
     val top1 = df.groupBy(col(l1.key)).agg(l1.agg)
       .orderBy(col(l1.aggName).desc, col(l1.key).asc)
       .limit(l1.n)
-    if (levels.size == 1) top1
-    else {
+    if (levels.size == 1) l1.others match {
+      case None => top1
+      case Some(lbl) =>
+        // remainder bucket from RAW rows outside the kept keys (broadcast
+        // anti-join on ≤N keys, then one global aggregate)
+        val rest = df.join(broadcast(top1.select(col(l1.key))), Seq(l1.key), "left_anti")
+          .agg(l1.agg)
+          .select(expr(tx(lbl)).cast("string").as(l1.key), col(l1.aggName))
+        top1.withColumn(l1.key, col(l1.key).cast("string")).unionByName(rest)
+    } else {
       val l2   = levels(1)
       val kept = broadcast(top1)
       // level 2 sees only rows under the kept level-1 keys (broadcast
       // semi-join, ≤N keys), aggregates per (k1, k2), and ranks with a
       // window PARTITIONED by k1 — bounded state per partition
-      val agg2 = df.join(kept.select(col(l1.key)), Seq(l1.key), "left_semi")
+      val underKept = df.join(kept.select(col(l1.key)), Seq(l1.key), "left_semi")
+      val agg2 = underKept
         .groupBy(col(l1.key), col(l2.key)).agg(l2.agg)
       val w = Window.partitionBy(col(l1.key))
         .orderBy(col(l2.aggName).desc, col(l2.key).asc)
-      agg2.withColumn("__graft_rank", row_number().over(w))
+      val kept2 = agg2.withColumn("__graft_rank", row_number().over(w))
         .filter(col("__graft_rank") <= l2.n).drop("__graft_rank")
+      val main = kept2
         .join(kept, Seq(l1.key)) // attach the level-1 aggregate value
         .select(col(l1.key), col(l1.aggName), col(l2.key), col(l2.aggName))
+      l2.others match {
+        case None => main
+        case Some(lbl) =>
+          // per parent: aggregate the raw rows whose (k1, k2) pair was not
+          // kept — the pair set is ≤ N1×N2 rows, broadcast
+          val rest = underKept
+            .join(broadcast(kept2.select(col(l1.key), col(l2.key))),
+              Seq(l1.key, l2.key), "left_anti")
+            .groupBy(col(l1.key)).agg(l2.agg)
+            .join(kept, Seq(l1.key))
+            .select(col(l1.key), col(l1.aggName),
+              expr(tx(lbl)).cast("string").as(l2.key), col(l2.aggName))
+          main.withColumn(l2.key, col(l2.key).cast("string")).unionByName(rest)
+      }
     }
   }
 

@@ -1617,6 +1617,23 @@ object Surface {
         FROM customer JOIN orders ON c_custkey = o_custkey
         GROUP BY 1 ORDER BY 1""")),
 
+    "q_kql_top_others" -> QueryDef(
+      // top-nested `with others`: the dashboard idiom — top-k plus ONE
+      // remainder bucket aggregated from the raw non-top rows (broadcast
+      // anti-join on ≤k keys, never a re-aggregation of aggregates)
+      (s, dir) => kqlRun(s, dir,
+        """events
+          | | top-nested 3 of event_type with others = 'OTHER' by cnt = count()
+          | | order by cnt desc, event_type asc""".stripMargin),
+      Some("""
+        WITH agg AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1),
+        top3 AS (SELECT event_type, cnt FROM agg ORDER BY cnt DESC, event_type ASC LIMIT 3)
+        SELECT event_type, cnt FROM top3
+        UNION ALL
+        SELECT 'OTHER', count(*) FROM events
+        WHERE event_type NOT IN (SELECT event_type FROM top3)
+        ORDER BY cnt DESC, event_type ASC""")),
+
     "q_kql_partition_cumsum" -> QueryDef(
       // grouped serialized-row functions: `partition by key (order by … |
       // extend …)` lowers to windows PARTITIONED by the key — one shuffle on

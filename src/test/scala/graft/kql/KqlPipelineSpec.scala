@@ -526,6 +526,23 @@ class KqlPipelineSpec extends SparkSuite {
     assert(r.head().getDouble(1) == 15.0)
   }
 
+  test("top-nested with others aggregates the raw remainder into one bucket") {
+    val r = run(
+      "people | top-nested 2 of age with others = 'REST' by n = count() | order by n desc, age asc")
+    assert(r.collect().map(x => (x.getString(0), x.getLong(1))).toSeq ==
+      Seq(("35", 2L), ("REST", 2L), ("25", 1L))) // ages 30+40 pool into REST
+    // nested form: others on the final level, per parent, no sub-breakdown
+    val r2 = run(
+      """people
+        | | top-nested 1 of age by n1 = count(),
+        |   top-nested 1 of id with others = 'X' by n2 = count()
+        | | order by id asc""".stripMargin)
+    assert(r2.collect().map(x => (x.getInt(0), x.getLong(1), x.getString(2), x.getLong(3))).toSeq ==
+      Seq((35, 2L, "3", 1L), (35, 2L, "X", 1L)))
+    intercept[IllegalArgumentException](run(
+      "people | top-nested 1 of age with others = 'X' by n = count(), top-nested 1 of id by m = count()"))
+  }
+
   test("toscalar binds a subquery value; render is identity; project-reorder rearranges") {
     val r = run("let m = toscalar(people | summarize max(age)); people | where age == m | count")
     assert(r.head().getLong(0) == 1L) // dave, age 40
