@@ -88,6 +88,7 @@ import graft.functions.KqlCompat
   *   datatable (c:type, …) [v1, v2, …]
   *   range x from a to b step s          // stop-inclusive numeric axis
   *   print [name =] expr, …
+  *   union [withsource=Col] T1, T2, …    // multi-table source, null-padded
   * }}}
   * Predicates: `has`/`!has`/`hasprefix`/`hassuffix`/`contains`/`startswith`/
   * `endswith`/`=~`/`!~`/`matches regex`/`in~`/`!in`/`between (a .. b)`/
@@ -278,6 +279,7 @@ object KqlPipeline {
     def headArgs(kw: String) =
       l.startsWith(kw) && l.drop(kw.length).trim.startsWith("(")
     l.startsWith("range ") || l.startsWith("print ") || l == "print" ||
+      l.startsWith("union ") ||
       headArgs("datatable") || headArgs("externaldata")
   }
 
@@ -295,7 +297,36 @@ object KqlPipeline {
       case "datatable"    => datatable(seg.drop("datatable".length))
       case "range"        => rangeSource(seg.drop("range".length))
       case "print"        => printSource(seg.drop("print".length))
+      case "union"        => unionSource(resolve, seg.drop("union".length))
     }
+  }
+
+  /** `union [withsource=Col] T1, T2, …` as the FIRST segment — the
+    * multi-table-logs idiom. Columns match by NAME with null padding (KQL
+    * union semantics); `withsource=` adds a column naming each row's
+    * operand (bare table names label as themselves, parenthesized
+    * sub-pipelines as `union_arg<i>`). The piped form (`T | union U`)
+    * cannot label the left frame — ADX's withsource belongs to the source
+    * form, and that is where it is supported.
+    */
+  private def unionSource(resolve: String => DataFrame, rest: String): DataFrame = {
+    val WithSourceRe = """(?is)\s*withsource\s*=\s*([A-Za-z_][A-Za-z0-9_]*)\s+(.*)""".r
+    val (srcCol, body) = rest match {
+      case WithSourceRe(c, b) => (Some(c), b)
+      case b                  => (None, b)
+    }
+    val operands = splitTopLevel(body, ',').map(_.trim).filter(_.nonEmpty)
+    require(operands.size >= 2, s"union needs at least two operands, got: '$rest'")
+    val frames = operands.zipWithIndex.map { case (src, i) =>
+      val df = operand(resolve, src)
+      srcCol match {
+        case Some(c) =>
+          val label = if (src.matches("[A-Za-z_][A-Za-z0-9_]*")) src else s"union_arg${i + 1}"
+          df.withColumn(c, lit(label))
+        case None => df
+      }
+    }
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   private def spark = org.apache.spark.sql.SparkSession.active

@@ -526,6 +526,19 @@ class KqlPipelineSpec extends SparkSuite {
     assert(r.head().getDouble(1) == 15.0)
   }
 
+  test("union as a source with withsource labels each operand's rows") {
+    val r = run(
+      """union withsource=src people, depts
+        | | summarize n = count() by src
+        | | order by src asc""".stripMargin)
+    assert(r.collect().map(x => (x.getString(0), x.getLong(1))).toSeq ==
+      Seq(("depts", 3L), ("people", 5L)))
+    // null padding across mismatched schemas + sub-pipeline operands
+    val r2 = run(
+      "union withsource=s (people | project id), (depts | project dept) | summarize d = dcount(s)")
+    assert(r2.head().getLong(0) == 2L)
+  }
+
   test("top-nested with others aggregates the raw remainder into one bucket") {
     val r = run(
       "people | top-nested 2 of age with others = 'REST' by n = count() | order by n desc, age asc")
