@@ -719,15 +719,30 @@ object KqlPipeline {
       // (arrays_zip + ONE generator), NOT a cartesian product (chain
       // separate mv-expand operators for that). Spark-first: explode, no UDF.
       case "mv-expand" =>
-        val cols = splitTopLevel(rest, ',').map(_.trim).filter(_.nonEmpty)
+        // each item: `col [to typeof(kqlType)]` — the cast applies to the
+        // EXPANDED element (the ADX spelling for typed dynamic arrays)
+        val ToTypeRe = """(?is)([A-Za-z_][A-Za-z0-9_]*)\s+to\s+typeof\s*\(\s*([A-Za-z0-9()_,]+)\s*\)""".r
+        val items = splitTopLevel(rest, ',').map(_.trim).filter(_.nonEmpty).map {
+          case ToTypeRe(c2, t2) =>
+            val sparkT = KqlTypes.getOrElse(t2.toLowerCase,
+              fail(s"mv-expand: unknown typeof '$t2'"))
+            (c2, Some(sparkT))
+          case c2 => (c2, None)
+        }
+        val cols = items.map(_._1)
         require(cols.nonEmpty, "mv-expand needs at least one column")
         require(cols.distinct.size == cols.size, "mv-expand columns must be distinct")
-        if (cols.size == 1) df.withColumn(cols.head, explode(col(cols.head)))
-        else {
-          val tmp = "__graft_mv_zip"
-          cols.foldLeft(
-            df.withColumn(tmp, explode(arrays_zip(cols.map(col): _*))))(
-            (d, c) => d.withColumn(c, col(tmp).getField(c))).drop(tmp)
+        val expanded =
+          if (cols.size == 1) df.withColumn(cols.head, explode(col(cols.head)))
+          else {
+            val tmp = "__graft_mv_zip"
+            cols.foldLeft(
+              df.withColumn(tmp, explode(arrays_zip(cols.map(col): _*))))(
+              (d, c) => d.withColumn(c, col(tmp).getField(c))).drop(tmp)
+          }
+        items.foldLeft(expanded) {
+          case (d, (c2, Some(t2))) => d.withColumn(c2, col(c2).cast(t2))
+          case (d, (_, None))      => d
         }
 
       // `mv-apply elem = arrayCol on (where … | extend … | summarize … [by …])`:

@@ -526,6 +526,17 @@ class KqlPipelineSpec extends SparkSuite {
     assert(r.head().getDouble(1) == 15.0)
   }
 
+  test("mv-expand to typeof casts the expanded element") {
+    val r = run(
+      """datatable (id:long, xs:string) [1, '7', 2, '9']
+        | | extend arr = split(xs, ';')
+        | | mv-expand arr to typeof(long)
+        | | summarize s = sum(arr)""".stripMargin)
+    assert(r.head().getLong(0) == 16L)
+    intercept[IllegalArgumentException](run(
+      "people | extend w = split(role, ' ') | mv-expand w to typeof(nosuch)"))
+  }
+
   test("union as a source with withsource labels each operand's rows") {
     val r = run(
       """union withsource=src people, depts
