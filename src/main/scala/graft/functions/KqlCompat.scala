@@ -47,7 +47,9 @@ object KqlCompat {
 
   // plain spelling swaps: KQL name → Spark name with identical call shape
   private val NameRewrites: Seq[(String, String)] = Seq(
-    "todatetime("     -> "to_timestamp(",
+    // try_to_timestamp: ADX todatetime yields null on unparseable input
+    // (ANSI to_timestamp would throw)
+    "todatetime("     -> "try_to_timestamp(",
     "strcat("         -> "concat(",
     "arg_max("        -> "max_by(",
     "iff("            -> "if(",
@@ -110,12 +112,16 @@ object KqlCompat {
       }
       seg
     }
+    // ADX to* conversions yield NULL on failure; under Spark's ANSI mode a
+    // plain cast of e.g. toint('abc') would THROW — try_cast restores the
+    // KQL contract (tostring keeps cast: a cast to string cannot fail)
     for (t <- Seq("string", "int", "long", "double", "bool", "real", "decimal")) {
       val sparkT = t match {
         case "bool" => "boolean"; case "real" => "double"
         case "decimal" => "decimal(38,18)"; case x => x
       }
-      s = expandCalls(s, s"to$t") { case Seq(x) => s"cast($x as $sparkT)" }
+      val castFn = if (t == "string") "cast" else "try_cast"
+      s = expandCalls(s, s"to$t") { case Seq(x) => s"$castFn($x as $sparkT)" }
     }
     // tohex: KQL emits lowercase hex (Spark's hex is uppercase)
     s = expandCalls(s, "tohex") { case Seq(x) => s"lower(hex($x))" }

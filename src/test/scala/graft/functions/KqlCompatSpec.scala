@@ -10,13 +10,26 @@ class KqlCompatSpec extends SparkSuite {
   test("rewrite handles the reference's default creation-time expression") {
     // ElectricTestBase.cs:13
     val out = KqlCompat.rewrite("todatetime(strcat(p0,'-01-01'))")
-    assert(out == "to_timestamp(concat(p0,'-01-01'))")
+    assert(out == "try_to_timestamp(concat(p0,'-01-01'))")
     val r = Seq("2021").toDF("p0").withColumn("ct", expr(out)).head
     assert(r.getTimestamp(1).toString.startsWith("2021-01-01"))
   }
 
+  test("to* conversions yield null on failure (ADX contract), never an ANSI error") {
+    val r = Seq(("abc", "2021-01-01", "nope")).toDF("a", "b", "c")
+      .selectExpr(
+        KqlCompat.rewrite("toint(a)"),
+        KqlCompat.rewrite("todatetime(b)"),
+        KqlCompat.rewrite("todatetime(c)"),
+        KqlCompat.rewrite("tolong(a)"),
+        KqlCompat.rewrite("todouble(a)"))
+      .head
+    assert(r.isNullAt(0) && r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+    assert(r.getTimestamp(1).toString.startsWith("2021-01-01"))
+  }
+
   test("rewrite handles casts, datetime literals, iff and passthrough") {
-    assert(KqlCompat.rewrite("toint(tostring(x))") == "cast(cast(x as string) as int)")
+    assert(KqlCompat.rewrite("toint(tostring(x))") == "try_cast(cast(x as string) as int)")
     assert(KqlCompat.rewrite("datetime(2021-06-01)") == "timestamp'2021-06-01'")
     assert(KqlCompat.rewrite("iff(a > 1, 'x', 'y')") == "if(a > 1, 'x', 'y')")
     // Spark-SQL-native input untouched
@@ -34,7 +47,7 @@ class KqlCompatSpec extends SparkSuite {
     assert(KqlCompat.rewrite("isempty(x)") == "(coalesce(cast((x) as string), '') = '')")
     assert(KqlCompat.rewrite("strlen(tolower(s))") == "length(lower(s))")
     assert(KqlCompat.rewrite("replace_string(s, 'a', 'b')") == "replace(s, 'a', 'b')")
-    assert(KqlCompat.rewrite("tobool(x)") == "cast(x as boolean)")
+    assert(KqlCompat.rewrite("tobool(x)") == "try_cast(x as boolean)")
     // quoted commas/parens are opaque to the arg splitter
     assert(KqlCompat.rewrite("bin(strlen('a,b)'), 10)")
       == "(floor((length('a,b)'))/(10))*(10))")
