@@ -741,7 +741,9 @@ object KqlPipeline {
               (d, c) => d.withColumn(c, col(tmp).getField(c))).drop(tmp)
           }
         items.foldLeft(expanded) {
-          case (d, (c2, Some(t2))) => d.withColumn(c2, col(c2).cast(t2))
+          // try_cast: elements that fail conversion become null (the ADX
+          // contract), never an ANSI error
+          case (d, (c2, Some(t2))) => d.withColumn(c2, expr(s"try_cast(`$c2` as $t2)"))
           case (d, (_, None))      => d
         }
 

@@ -1617,6 +1617,44 @@ object Surface {
         FROM customer JOIN orders ON c_custkey = o_custkey
         GROUP BY 1 ORDER BY 1""")),
 
+    "q_kql_union_source" -> QueryDef(
+      // union as the first segment with withsource labeling — the
+      // multi-table-logs idiom; columns match by NAME with null padding
+      (s, dir) => kqlRun(s, dir,
+        """union withsource=src nation, region
+          | | summarize n = count(), named = countif(isnotempty(r_name)) by src
+          | | order by src asc""".stripMargin),
+      Some("""
+        SELECT src, count(*) AS n,
+               CAST(count(CASE WHEN r_name IS NOT NULL AND r_name != '' THEN 1 END) AS BIGINT) AS named
+        FROM (SELECT 'nation' AS src, NULL AS r_name FROM nation
+              UNION ALL SELECT 'region', r_name FROM region)
+        GROUP BY 1 ORDER BY 1""")),
+
+    "q_kql_toscalar" -> QueryDef(
+      // let x = toscalar(subquery): eager 1×1 evaluation bound as a literal
+      // — the ADX threshold-query idiom (exact max keeps both engines
+      // bit-identical)
+      (s, dir) => kqlRun(s, dir,
+        """let mx = toscalar(orders | summarize max(o_orderkey));
+          |orders | where o_orderkey == mx | project o_orderkey, o_orderstatus""".stripMargin),
+      Some("""
+        SELECT o_orderkey, o_orderstatus FROM orders
+        WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders)""")),
+
+    "q_kql_mvexpand_typed" -> QueryDef(
+      // mv-expand `to typeof(long)`: the expanded element casts (try_cast —
+      // null on failure, the ADX contract); render is the identity
+      (s, _) => kqlRun(s, "",
+        """range x from 1 to 3 step 1
+          | | extend arr = split('10;20;oops', ';')
+          | | mv-expand arr to typeof(long)
+          | | summarize s = sum(arr), n = count(), bad = countif(isnull(arr))
+          | | render barchart""".stripMargin),
+      Some("""
+        SELECT CAST(90 AS BIGINT) AS s, CAST(9 AS BIGINT) AS n,
+               CAST(3 AS BIGINT) AS bad""")),
+
     "q_kql_top_others" -> QueryDef(
       // top-nested `with others`: the dashboard idiom — top-k plus ONE
       // remainder bucket aggregated from the raw non-top rows (broadcast
