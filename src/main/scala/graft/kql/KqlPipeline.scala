@@ -571,7 +571,13 @@ object KqlPipeline {
         }
 
       case "summarize" =>
-        val (aggsPart, byPart) = splitAtTopLevelBy(rest)
+        // ADX shuffle hints (`hint.shufflekey=…`, `hint.num_partitions=…`,
+        // `hint.strategy=shuffle`) are execution directives for Kusto's
+        // engine — Spark's planner + AQE own partitioning here, so they are
+        // accepted and dropped (semantics-neutral by definition)
+        val restNoHints = """(?i)^\s*(?:hint\.[a-z_]+\s*=\s*[A-Za-z0-9_]+\s+)+"""
+          .r.replaceFirstIn(rest, " ")
+        val (aggsPart, byPart) = splitAtTopLevelBy(restNoHints)
         val rawAggs = splitTopLevel(aggsPart, ',').map(_.trim).filter(_.nonEmpty)
         rawAggs match {
           // `summarize arg_max(ord, *) by k, …` — the reference status view's
@@ -1493,7 +1499,18 @@ object KqlPipeline {
     * shared [[KqlCompat.rewrite]] (casts, datetime/ago/bin/startof*, name
     * swaps). Both passes are no-ops on Spark-SQL-native input.
     */
-  private def tx(kql: String): String = KqlCompat.rewrite(infixOps(kql))
+  private def tx(kql: String): String = KqlCompat.rewrite(infixOps(bracketIndex(kql)))
+
+  // `arr[0]` / `split(x, ' ')[1]`: ADX 0-based dynamic indexing →
+  // try_element_at (1-based, null out of bounds — ADX yields null too,
+  // where ANSI element_at would error)
+  private val IndexRe =
+    ("""([A-Za-z_][A-Za-z0-9_]*\((?:[^()']|'[^']*')*\)|[A-Za-z_][A-Za-z0-9_]*)""" +
+      """\[(\d+)\]""").r
+  private def bracketIndex(s: String): String =
+    IndexRe.replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+      if (insideLiteral(s, m.start)) m.matched
+      else s"try_element_at(${m.group(1)}, ${m.group(2).toInt + 1})"))
 
   // LHS: identifier or simple call; RHS: quoted literal, identifier, or a
   // parenthesized group (scalar-let substitution emits `(value)`).

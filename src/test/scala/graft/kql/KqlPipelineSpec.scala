@@ -526,6 +526,18 @@ class KqlPipelineSpec extends SparkSuite {
     assert(r.head().getDouble(1) == 15.0)
   }
 
+  test("bracket indexing is 0-based and null-safe; summarize hints are dropped") {
+    val r = run("people | extend first_word = split(role, ' ')[0] | where first_word == 'admin' | count")
+    assert(r.head().getLong(0) == 1L)
+    // out-of-bounds yields null (ADX), not an ANSI error
+    val r2 = run("people | extend w9 = split(role, ' ')[9] | where isempty(w9) | count")
+    assert(r2.head().getLong(0) == 5L)
+    // an index inside a string literal is untouched
+    assert(run("people | where role == 'x[0]' | count").head().getLong(0) == 0L)
+    val r3 = run("people | summarize hint.shufflekey=role hint.num_partitions=8 n = count() by role")
+    assert(r3.count() == 5L) // five distinct roles
+  }
+
   test("mv-expand to typeof casts the expanded element") {
     val r = run(
       """datatable (id:long, xs:string) [1, '7', 2, '9']
