@@ -1132,7 +1132,7 @@ object KqlPipeline {
 
   // (?s): a join/lookup body legitimately spans lines (multi-line
   // sub-pipelines); without DOTALL the full-match case-pattern never fires
-  private val ParamRe = """(?s)^(kind|hint\.strategy)\s*=\s*([a-z_]+)\s*(.*)$""".r
+  private val ParamRe = """(?s)^(kind|hint\.[a-z_]+)\s*=\s*([A-Za-z0-9_]+)\s*(.*)$""".r
 
   /** Parse leading `kind=…` / `hint.strategy=…` parameters (any order). */
   private def joinParams(body0: String, default: String = "inner")
@@ -1149,6 +1149,10 @@ object KqlPipeline {
         require(v == "broadcast" || v == "shuffle",
           s"unsupported hint.strategy '$v' (broadcast|shuffle)")
         hint = Some(v); body = r
+      // other hint.* keys (shufflekey, num_partitions, remote) are Kusto
+      // execution directives — accepted and dropped, like summarize hints
+      case ParamRe(k, _, r) if k.startsWith("hint.") =>
+        body = r
       case _ => more = false
     }
     (kind, hint, body)
