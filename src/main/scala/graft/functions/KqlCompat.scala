@@ -50,6 +50,7 @@ object KqlCompat {
     // try_to_timestamp: ADX todatetime yields null on unparseable input
     // (ANSI to_timestamp would throw)
     "todatetime("     -> "try_to_timestamp(",
+    "now("            -> "current_timestamp(",
     "strcat("         -> "concat(",
     "arg_max("        -> "max_by(",
     "iff("            -> "if(",
@@ -220,6 +221,14 @@ object KqlCompat {
           s"timestamp_seconds(floor(($xs - $fps) / $secs) * $secs + $fps)"
         case nt => s"(floor((($x)-($fp))/($nt))*($nt)+($fp))"
       }
+    }
+    // LAST (after bin/ago have consumed their own timespan arguments): bare
+    // timespan literals in arithmetic — `ts + 1d`, `span > 2h` — become
+    // intervals. `1d` can never be an identifier (no digit-leading names),
+    // and string literals are opaque to this pass.
+    s = mapOutsideQuotes(s) { seg =>
+      "(?<![A-Za-z0-9_'.])(\\d+)([dhms])(?![A-Za-z0-9_])".r.replaceAllIn(seg, m =>
+        s"interval '${m.group(1)}' ${SpanUnit(m.group(2))}")
     }
     s
   }

@@ -15,6 +15,22 @@ class KqlCompatSpec extends SparkSuite {
     assert(r.getTimestamp(1).toString.startsWith("2021-01-01"))
   }
 
+  test("now() and bare timespan arithmetic rewrite to timestamp intervals") {
+    assert(KqlCompat.rewrite("now()") == "current_timestamp()")
+    assert(KqlCompat.rewrite("ts + 1d") == "ts + interval '1' day")
+    assert(KqlCompat.rewrite("t > 12h and u < 30m") ==
+      "t > interval '12' hour and u < interval '30' minute")
+    // bin/ago consume their own timespan args FIRST — unaffected
+    assert(KqlCompat.rewrite("bin(ts, 15m)").contains("/ 900"))
+    assert(KqlCompat.rewrite("ago(1d)").contains("interval '1' day"))
+    // literals, identifiers and plain numbers stay untouched
+    assert(KqlCompat.rewrite("x == '1d'") == "x == '1d'")
+    assert(KqlCompat.rewrite("x1d + 5") == "x1d + 5")
+    val r = Seq(java.sql.Timestamp.valueOf("2024-01-02 00:00:00")).toDF("t")
+      .selectExpr(KqlCompat.rewrite("t - 1d")).head
+    assert(r.getTimestamp(0).toString.startsWith("2024-01-01"))
+  }
+
   test("to* conversions yield null on failure (ADX contract), never an ANSI error") {
     val r = Seq(("abc", "2021-01-01", "nope")).toDF("a", "b", "c")
       .selectExpr(
