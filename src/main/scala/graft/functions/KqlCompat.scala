@@ -196,6 +196,25 @@ object KqlCompat {
       case Seq(p, a, b) =>
         s"timestampdiff(${p.replace("'", "").trim.toUpperCase}, $b, $a)"
     }
+    // datetime_add('unit', n, dt) → timestampadd(UNIT, n, dt)
+    s = expandCalls(s, "datetime_add") {
+      case Seq(p, n, dt) =>
+        s"timestampadd(${p.replace("'", "").trim.toUpperCase}, $n, $dt)"
+    }
+    // ADX dayofweek returns a TIMESPAN (0d = Sunday); built on Spark's
+    // weekday (0 = Monday) — NOT Spark's dayofweek, whose name inside the
+    // replacement would re-trigger this very expansion — so that
+    // `dayofweek(ts) == 0d` compares true under the timespan→interval
+    // rewrite below
+    s = expandCalls(s, "dayofweek") {
+      case Seq(x) => s"(((weekday($x) + 1) % 7) * interval '1' day)"
+    }
+    // endofday/month/year: last representable instant of the period — µs
+    // resolution here (parquet/Spark) vs ADX's 100 ns tick; documented
+    for ((fn, unit) <- Seq("endofday" -> "DAY", "endofmonth" -> "MONTH", "endofyear" -> "YEAR"))
+      s = expandCalls(s, fn) { case Seq(x) =>
+        s"(date_trunc('$unit', $x) + interval '1' ${unit.toLowerCase} - interval '1' microsecond)"
+      }
     s = expandCalls(s, "isempty") { case Seq(x) => s"(coalesce(cast(($x) as string), '') = '')" }
     s = expandCalls(s, "isnotempty") { case Seq(x) => s"(coalesce(cast(($x) as string), '') != '')" }
     for ((fn, unit) <- Seq("startofday" -> "DAY", "startofmonth" -> "MONTH", "startofyear" -> "YEAR"))
@@ -277,7 +296,11 @@ object KqlCompat {
           if (render.isDefinedAt(args)) {
             val replacement = render(args)
             s = s.substring(0, idx) + replacement + s.substring(end + 1)
-            from = idx // re-scan from here (nested calls inside replacement are done)
+            // re-scan from idx+1: nested same-name calls (strictly later
+            // indices) still expand, but a replacement that itself BEGINS
+            // with `name(` can never re-trigger at the same position — the
+            // infinite-expansion guard
+            from = idx + 1
           } else from = idx + 1
         }
       }

@@ -31,6 +31,20 @@ class KqlCompatSpec extends SparkSuite {
     assert(r.getTimestamp(0).toString.startsWith("2024-01-01"))
   }
 
+  test("datetime_add, dayofweek (timespan result), endof* periods") {
+    val r = Seq(java.sql.Timestamp.valueOf("2024-01-07 10:30:00")).toDF("t") // a Sunday
+      .selectExpr(
+        KqlCompat.rewrite("datetime_add('day', 3, t)"),
+        KqlCompat.rewrite("dayofweek(t) == 0d"),
+        KqlCompat.rewrite("endofmonth(t)"),
+        KqlCompat.rewrite("endofday(t)"))
+      .head
+    assert(r.getTimestamp(0).toString.startsWith("2024-01-10"))
+    assert(r.getBoolean(1)) // Sunday == 0d, the ADX timespan convention
+    assert(r.getTimestamp(2).toString.startsWith("2024-01-31 23:59:59.999999"))
+    assert(r.getTimestamp(3).toString.startsWith("2024-01-07 23:59:59.999999"))
+  }
+
   test("to* conversions yield null on failure (ADX contract), never an ANSI error") {
     val r = Seq(("abc", "2021-01-01", "nope")).toDF("a", "b", "c")
       .selectExpr(
