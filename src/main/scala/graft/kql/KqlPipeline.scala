@@ -1565,7 +1565,20 @@ object KqlPipeline {
           case "in~" =>
             s"(lower($l) IN (${items.map(i => s"lower($i)").mkString(", ")}))"
           case "has_any" | "has_all" =>
-            val per = items.map(t => s"array_contains(${termArray(l)}, lower($t))")
+            // each needle follows `has` semantics: single term → term
+            // equality; multi-term literal → adjacent-term phrase regex
+            val per = items.map { t =>
+              val isLit = t.length >= 3 && t.head == '\'' && t.last == '\''
+              val phrase =
+                if (isLit && !graft.functions.expressions.TermHas
+                      .isAsciiAlnum(t.substring(1, t.length - 1)))
+                  phraseRegex(t.substring(1, t.length - 1))
+                else None
+              phrase match {
+                case Some(pat) => s"($l RLIKE '$pat')"
+                case None      => s"array_contains(${termArray(l)}, lower($t))"
+              }
+            }
             per.mkString("(", if (op == "has_any") " OR " else " AND ", ")")
         }
         if (neg == "!" && op != "in") s"(NOT $core)" else core

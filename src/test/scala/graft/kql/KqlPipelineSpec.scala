@@ -145,6 +145,11 @@ class KqlPipelineSpec extends SparkSuite {
     // `search` follows the same phrase semantics across all string columns
     assert(run("people | search 'admin role' | count").head().getLong(0) == 1L)
     assert(run("people | search 'user guest' | count").head().getLong(0) == 1L)
+    // has_any / has_all route phrase needles through the same regex
+    assert(run("people | where role has_any ('admin-role', 'guest') | count")
+      .head().getLong(0) == 3L) // id1 (phrase), id4+id5 (term guest)
+    assert(run("people | where role has_all ('user guest', 'user') | count")
+      .head().getLong(0) == 1L) // id4 only
   }
 
   test("scan: restricted funnel subset — latest-start attribution, reset on completion") {
