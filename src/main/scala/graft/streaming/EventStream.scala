@@ -111,6 +111,58 @@ object EventStream {
       }
   }
 
+  final case class FunnelHit(user_id: Long, first_us: Long, last_us: Long)
+
+  /** Streaming twin of the restricted batch `scan` funnel
+    * ([[graft.operators.ScanSteps]]): per-user ordered step sequence with
+    * latest-start attribution and reset-on-completion, as incremental
+    * `flatMapGroupsWithState` state (one Option[ts] per non-final step —
+    * O(steps) per key, no history retained). Events are processed in ts
+    * order WITHIN each micro-batch (groups sort their batch slice); an
+    * event arriving in a later batch with an earlier ts cannot
+    * retro-insert — the documented micro-batch ordering contract, same as
+    * [[sessionize]]. Emits one row per completed sequence: the step-1 and
+    * final-step instants (µs).
+    *
+    * `stepTypes` are event_type values forming the sequence; the general
+    * condition form stays batch-side (ScanSteps) where arbitrary Columns
+    * can be staged — the streaming shape is the same state machine.
+    */
+  def funnel(events: DataFrame, stepTypes: Seq[String]): Dataset[FunnelHit] = {
+    require(stepTypes.size >= 2, "funnel needs at least two steps")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val n = stepTypes.size
+    events
+      .withWatermark("event_time", "10 minutes")
+      .filter(col("event_type").isin(stepTypes: _*))
+      .select(col("user_id"), expr("ts div 1000").as("us"), col("event_type"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[Option[Long]], FunnelHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[Seq[Option[Long]]]) =>
+          var st = state.getOption.getOrElse(Seq.fill[Option[Long]](n - 1)(None))
+          val out = Seq.newBuilder[FunnelHit]
+          rows.toSeq.sortBy(_._2).foreach { case (_, us, et) =>
+            // deepest extendable step first — mirrors ScanSteps exactly
+            val i = (n - 1 to 0 by -1).find(j =>
+              stepTypes(j) == et && (j == 0 || st(j - 1).isDefined))
+            i.foreach {
+              case j if j == n - 1 =>
+                out += FunnelHit(userId, st.head.get, us)
+                st = Seq.fill[Option[Long]](n - 1)(None) // reset on completion
+              case j =>
+                st = st.zipWithIndex.map { case (v, k) =>
+                  if (k == j) Some(us) else if (k > j) None else v
+                }
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Streaming exact dedup on a content key with bounded state: first-seen
     * wins inside the watermark horizon — `dropDuplicates` IS the streaming
     * dedup operator (state pruned by the event-time watermark).

@@ -92,6 +92,34 @@ class EventStreamSpec extends SparkSuite {
     assert(spark.table("deduped").count() == n) // no dup event ids in output
   }
 
+  test("streaming funnel equals the batch ScanSteps answer on one drain") {
+    val src = tmpDir("events-src6"); val ckpt = tmpDir("stream-ckpt6")
+    stageEvents(src)
+    val q = EventStream.funnel(
+        EventStream.readEvents(spark, src), Seq("signup", "purchase"))
+      .writeStream
+      .format("memory").queryName("funnel_hits")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("funnel_hits").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty)
+
+    val batch = graft.operators.ScanSteps.scanSteps(
+      spark.read.parquet(src)
+        .filter(col("event_type").isin("signup", "purchase"))
+        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("us")),
+      Seq("user_id"), "us", ascending = true,
+      Seq("s" -> (col("event_type") === "signup"),
+          "p" -> (col("event_type") === "purchase")))
+      .select("user_id", "s_us", "p_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch) // identical completions + attribution
+  }
+
   test("stream-stream attribution join matches the batch answer") {
     val src = tmpDir("events-src5"); val ckpt = tmpDir("stream-ckpt5")
     stageEvents(src)
