@@ -56,6 +56,24 @@ class GramHashesSpec extends SparkSuite {
     }
   }
 
+  test("property: sliding hashes equal the definitional polynomial on random unicode text") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.propBoolean
+    val pieceGen = Gen.frequency(
+      6 -> Gen.alphaNumChar.map(_.toString), 2 -> Gen.oneOf(" ", "-", ","),
+      1 -> Gen.oneOf("é", "ß", "λ", "中", "😀")) // incl. a surrogate pair
+    val textGen = Gen.listOf(pieceGen).map(_.mkString)
+    val prop = Prop.forAll(textGen, Gen.choose(1, 7)) { (s: String, k: Int) =>
+      val got = GramHashes.compute(s.getBytes("UTF-8"), k).toSeq
+      val nChars = s.codePointCount(0, s.length)
+      val expected = (0 to nChars - k).map(i => windowHash(s, i, k))
+      got == expected
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("window equality matches substring equality on a realistic doc pair") {
     // the dedup_substring_spans contract: candidate pairs from hash equality
     // == pairs from true 50-char substring equality (no collisions here)
