@@ -164,7 +164,12 @@ object KqlPipeline {
         s"only the final statement may be a query, got: '$stmt'")
       val (name, rhs0) = assignment(stmt.drop(4).trim).getOrElse(
         fail(s"let needs `let name = <expr or pipeline>`, got: '$stmt'"))
-      val rhs = substituteScalars(rhs0.trim, scalars)
+      // toscalar(…) anywhere in the rhs evaluates eagerly (earlier lets are
+      // visible through resolveWithLets) and inlines as a typed literal, so
+      // `let m = toscalar(T | …)` AND `let T2 = T | where x > toscalar(…)`
+      // both work
+      val rhs = substituteToscalarCalls(resolveWithLets,
+        substituteScalars(rhs0.trim, scalars))
       // tabular iff: has a top-level pipe, is a source operator, or is a bare
       // identifier (a table/tabular-let alias — scalar lets were already
       // substituted away above, so a surviving bare identifier names a table)
@@ -189,21 +194,39 @@ object KqlPipeline {
       // single value (first column of the first row, as in ADX), and bind
       // it as a literal. The subquery is driver-bounded by construction
       // (toscalar is only meaningful on a 1×1 result).
-      val ToScalarRe = """(?is)toscalar\s*(\(.*\))""".r
-      inner match {
-        case ToScalarRe(parens) =>
-          val (sub, tail) = takeGroup(parens, '(', ')')
-          require(tail.trim.isEmpty, s"unexpected trailing text after toscalar(…): '$tail'")
-          val row = runPipeline(resolveWithLets, sub.trim).limit(1).collect()
-          require(row.nonEmpty, s"toscalar subquery returned no rows: '$sub'")
-          scalars :+= (name -> scalarLiteral(row.head.get(0)))
-        case _ if !isKeywordLiteral && (splitTopLevel(inner, '|').size > 1 ||
-            isSource(inner) || inner.matches("[A-Za-z_][A-Za-z0-9_]*")) =>
-          tabular += name -> inner
-        case _ => scalars :+= (name -> rhs)
-      }
+      if (!isKeywordLiteral && (splitTopLevel(inner, '|').size > 1 ||
+          isSource(inner) || inner.matches("[A-Za-z_][A-Za-z0-9_]*")))
+        tabular += name -> inner
+      else scalars :+= (name -> rhs)
     }
-    runPipeline(resolveWithLets, substituteScalars(stmts.last, scalars))
+    runPipeline(resolveWithLets, substituteToscalarCalls(resolveWithLets,
+      substituteScalars(stmts.last, scalars)))
+  }
+
+  /** Replace every top-level `toscalar(sub-pipeline)` call in `stmt` with
+    * the literal rendering of its eagerly-evaluated 1×1 result (first
+    * column of the first row — ADX semantics). Occurrences inside string
+    * literals are untouched. The subquery is driver-bounded by
+    * construction (toscalar is only meaningful on a 1×1 result).
+    */
+  private def substituteToscalarCalls(
+      resolve: String => DataFrame, stmt: String): String = {
+    val idx = stmt.toLowerCase.indexOf("toscalar")
+    if (idx < 0) return stmt
+    def skipThis(): String =
+      stmt.substring(0, idx + 8) +
+        substituteToscalarCalls(resolve, stmt.substring(idx + 8))
+    val boundary = idx == 0 || {
+      val c = stmt.charAt(idx - 1); !c.isLetterOrDigit && c != '_'
+    }
+    if (!boundary || insideLiteral(stmt, idx)) return skipThis()
+    val parenAt = stmt.indexWhere(!_.isWhitespace, idx + 8)
+    if (parenAt < 0 || stmt.charAt(parenAt) != '(') return skipThis()
+    val (sub, tail) = takeGroup(stmt.substring(parenAt), '(', ')')
+    val row = runPipeline(resolve, sub.trim).limit(1).collect()
+    require(row.nonEmpty, s"toscalar subquery returned no rows: '$sub'")
+    stmt.substring(0, idx) + scalarLiteral(row.head.get(0)) +
+      substituteToscalarCalls(resolve, tail)
   }
 
   private def runPipeline(resolve: String => DataFrame, kql: String): DataFrame = {

@@ -591,6 +591,13 @@ class KqlPipelineSpec extends SparkSuite {
       "people | where name == who | project id")
     assert(r2.head().getLong(0) == 2L) // bob: score 20, lowest id among the tie
     assert(run("people | render timechart | count").head().getLong(0) == 5L)
+    // inline toscalar (no let) and toscalar inside a tabular let body
+    assert(run("people | where age == toscalar(people | summarize max(age)) | count")
+      .head().getLong(0) == 1L)
+    assert(run("let older = people | where age > toscalar(people | summarize min(age)); " +
+      "older | count").head().getLong(0) == 4L)
+    // a literal containing the word is untouched
+    assert(run("people | where name == 'toscalar(x)' | count").head().getLong(0) == 0L)
     assert(run("people | project-reorder score, name").columns.toSeq ==
       Seq("score", "name", "id", "role", "age"))
     intercept[IllegalArgumentException](run("people | project-reorder nope"))
