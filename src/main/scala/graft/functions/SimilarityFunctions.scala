@@ -263,6 +263,182 @@ object SimilarityFunctions {
     slice(reverse(array_sort(scored)), 1, n)
   }
 
+  // ---- product quantization (the compressed 100 TB ANN path) --------------
+
+  /** Inline a PQ codebook as a nested literal array column (m×k×dsub —
+    * bounded by construction, stays in codegen).
+    */
+  private def pqCodebookCol(cb: Seq[Seq[Seq[Double]]]): Column =
+    array(cb.map(sub => array(sub.map(cent => array(cent.map(lit): _*)): _*)): _*)
+
+  /** Nearest codebook cell (0-based) of subvector `sv` within subspace
+    * `sub`, by squared L2 — expression-only, no UDF.
+    */
+  private def pqNearestCell(sv: Column, sub: Column, cbCol: Column): Column = {
+    val dists = transform(element_at(cbCol, sub + 1), cent =>
+      aggregate(zip_with(sv, cent, (a, b) => (a - b) * (a - b)), lit(0.0d), _ + _))
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Train a product quantizer on UNIT-NORMALIZED vectors: `m` subspaces of
+    * `dim/m` dims, `k` centroids each, `iters` Lloyd rounds. Normalization
+    * makes PQ's squared-L2 ranking order match cosine (L2² = 2 − 2cos), so
+    * [[pqTopK]] results gate against the exact cosine top-k.
+    *
+    * Scale shape: each round is ONE job — subspaces explode alongside rows
+    * (m small rows per vector), assignment is expression-only against the
+    * inlined codebook, and the update collects m×k×dsub MEANS, never
+    * vectors. The returned codebook is the INDEX ARTIFACT: persist it with
+    * the codes; on a cluster, float merge order differs in ULPs run-to-run
+    * (same caveat as [[kmeansCentroids]]).
+    */
+  def pqTrain(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      m: Int,
+      k: Int,
+      dim: Int,
+      iters: Int = 2): Seq[Seq[Seq[Double]]] = {
+    val dsub = dim / m
+    require(m * dsub == dim, s"dim $dim must split into $m equal subspaces")
+    val base = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nv", transform(col("v"), x => x.cast("double") / norm(col("v"))))
+    val lead = base.orderBy(col("id")).limit(k).select(col("nv")).collect()
+      .map(_.getSeq[Double](0).toSeq)
+    require(lead.length == k, s"pqTrain needs at least $k vectors, got ${lead.length}")
+    var cb: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(i => lead.toSeq.map(_.slice(i * dsub, i * dsub + dsub)))
+    for (_ <- 1 to iters) {
+      val cbCol = pqCodebookCol(cb)
+      val subs = base.select(
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          i => slice(col("nv"), i * dsub + 1, lit(dsub)))).as(Seq("sub", "sv")))
+      val means = subs
+        .withColumn("cell", pqNearestCell(col("sv"), col("sub"), cbCol))
+        .select(col("sub"), col("cell"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("sub", "cell", "pos").agg(avg(col("x")).as("mv"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (key, rows) => key -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq }
+      // empty cells keep their previous centroid (empty-cluster guard)
+      cb = (0 until m).map(i => (0 until k).map(c => means.getOrElse((i, c), cb(i)(c))))
+    }
+    cb
+  }
+
+  /** Encode each vector as its per-subspace nearest-cell indices —
+    * `array<int>` of length m (4 bits of information per entry at k=16: a
+    * 32× compression of a 64-dim float vector, the storage that makes
+    * 100 TB of embeddings scannable). One expression per row, no explode,
+    * no UDF.
+    */
+  def pqEncode(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      cb: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val m = cb.size
+    val dsub = cb.head.head.size
+    val cbCol = pqCodebookCol(cb)
+    corpus
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nv", transform(col("v"), x => x.cast("double") / norm(col("v"))))
+      .select(col("id"), transform(sequence(lit(0), lit(m - 1)),
+        i => pqNearestCell(slice(col("nv"), i * dsub + 1, lit(dsub)), i, cbCol)).as("code"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    * full-precision; per (query, subspace, cell) squared distances form a
+    * Q×m×k lookup TABLE (640 doubles for 5 queries at 8×16 — driver-built,
+    * broadcast), so scoring a vector is m table lookups + a sum. Spark
+    * shape: codes explode to (id, sub, cell) ONCE (query-independent),
+    * broadcast-join the table, ONE partial-friendly groupBy sums the m
+    * parts per (query, vector), and a query-partitioned window takes the
+    * top-k — no full-precision vector is ever read at search time.
+    */
+  def pqTopK(
+      codes: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      cb: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val m = cb.size
+    val dsub = cb.head.head.size
+    val qs = queries.select(col(idCol), col(vecCol)).collect().map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (r.getLong(0), v.map(_ / n))
+    }
+    val dt = for {
+      (qid, qv) <- qs.toSeq
+      i <- 0 until m
+      (cent, c) <- cb(i).zipWithIndex
+    } yield (qid, i, c,
+      (0 until dsub).map { p => val d = qv(i * dsub + p) - cent(p); d * d }.sum)
+    val dtDf = dt.toDF("query_id", "sub", "cell", "d")
+    val expl = codes.select(col("id").as("neighbor_id"),
+      posexplode(col("code")).as(Seq("sub", "cell")))
+    val scored = expl.join(broadcast(dtDf), Seq("sub", "cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(round(sum(col("d")), 6).as("adist"))
+    val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adist", "rank")
+  }
+
+  /** The production PQ search shape: ADC over codes generates a SHORTLIST
+    * (`shortlist` × larger than k), then ONLY the shortlisted vectors are
+    * fetched full-precision (id equi-join) and re-ranked by exact cosine.
+    * Random/unstructured embeddings are PQ's distortion worst case — the
+    * re-rank recovers exact-metric ordering as long as the true neighbors
+    * make the shortlist, which is what the recall gate measures. At scale
+    * the expensive full-precision read touches `Q × shortlist` rows, never
+    * the corpus.
+    */
+  def pqRerankTopK(
+      codes: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      shortlist: Int,
+      cb: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val cand = pqTopK(codes, queries, idCol, vecCol, shortlist, cb)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val rescored = cand
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    rescored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int, Int), Seq[Seq[Seq[Double]]]]()
+
+  /** [[pqTrain]] memoized under `cacheKey` — the PQ codebook is an index
+    * artifact built once per corpus, like [[cachedKmeansCentroids]].
+    */
+  def cachedPqTrain(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      m: Int,
+      k: Int,
+      dim: Int,
+      cacheKey: String): Seq[Seq[Seq[Double]]] =
+    pqCache.computeIfAbsent((cacheKey, vecCol, m, k, dim),
+      _ => pqTrain(corpus, vecCol, idCol, m, k, dim))
+
   /** Embedding-cosine near-duplicate pairs via OR-amplified LSH: `nTables`
     * independent hash tables of `nPlanes` sign-bits each; a pair is a
     * candidate if it collides in ANY table (recall ≈ 1-(1-p^nPlanes)^nTables

@@ -1063,6 +1063,28 @@ object Surface {
       },
       Some("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 5")),
 
+    "sim_pq_topk" -> QueryDef(
+      // product quantization — the COMPRESSED 100 TB ANN path: 8 subspaces
+      // × 16 centroids (4-bit codes, 32× smaller than the float vectors),
+      // ADC scoring via a broadcast Q×m×k lookup table, then exact re-rank
+      // of the 200-candidate shortlist (full-precision reads touch
+      // Q×shortlist rows, never the corpus). GATE: recall@10 vs the exact
+      // in-plan top-k — measured ≥0.7 at every SF with shortlist=200 on
+      // this unstructured corpus (PQ's distortion worst case); gate ≥ 0.5.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q   = emb.filter(col("vec_id") < 5)
+        val cb = SimilarityFunctions.cachedPqTrain(
+          emb, "embedding", "vec_id", m = 8, k = 16, dim = 64, cacheKey = dir)
+        val codes = SimilarityFunctions.pqEncode(emb, "embedding", "vec_id", cb)
+        val pq = SimilarityFunctions.pqRerankTopK(
+          codes, emb, q, "vec_id", "embedding", k = 10, shortlist = 200, cb)
+        val exact = SimilarityFunctions.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+        SimilarityFunctions.recallAtK(exact, pq)
+          .select(col("query_id"), (col("recall") >= 0.5).as("recall_ok"))
+      },
+      Some("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 5")),
+
     "embed_label_centroids" -> QueryDef(
       // element-wise label centroids via posexplode + partial-agg mean —
       // the distributed vector aggregation shape (no driver-side vectors)
