@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -124,42 +124,90 @@ object EventStream {
     * [[sessionize]]. Emits one row per completed sequence: the step-1 and
     * final-step instants (µs).
     *
-    * `stepTypes` are event_type values forming the sequence; the general
-    * condition form stays batch-side (ScanSteps) where arbitrary Columns
-    * can be staged — the streaming shape is the same state machine.
+    * State is BOUNDED two ways, which is what makes this run forever on an
+    * unbounded keyspace: (a) per-key state is O(steps) timestamps; (b) a
+    * key whose sequence sees no progress for `horizonMinutes` of EVENT time
+    * is dropped via `EventTimeTimeout` as the watermark passes it — the
+    * incomplete sequence emits nothing and its state store entry is freed
+    * (the [[sessionize]] expiry pattern). A key that completes (or whose
+    * sequence resets to empty) is removed immediately, so only in-flight
+    * funnels occupy the store.
+    *
+    * `stepTypes` are event_type values forming the sequence; the isin
+    * pre-filter pushes to the parquet scan. For arbitrary per-step
+    * predicates use [[funnelScan]].
     */
-  def funnel(events: DataFrame, stepTypes: Seq[String]): Dataset[FunnelHit] = {
-    require(stepTypes.size >= 2, "funnel needs at least two steps")
+  def funnel(
+      events: DataFrame,
+      stepTypes: Seq[String],
+      horizonMinutes: Int = 1440): Dataset[FunnelHit] =
+    funnelScan(
+      events.filter(col("event_type").isin(stepTypes: _*)),
+      stepTypes.map(t => t -> (col("event_type") === t)),
+      horizonMinutes)
+
+  /** General-condition streaming funnel: each step is an arbitrary boolean
+    * `Column` over the event row — full parity with batch
+    * [[graft.operators.ScanSteps.scanSteps]] conditions. Predicates are
+    * evaluated BEFORE the state shuffle as codegen'd columns (exactly how
+    * the batch operator stages its `__graft_scan_c*` columns), so the state
+    * function only sees a boolean vector per row; rows matching no step are
+    * dropped pre-shuffle. Same bounded-state contract as [[funnel]].
+    */
+  def funnelScan(
+      events: DataFrame,
+      steps: Seq[(String, Column)],
+      horizonMinutes: Int = 1440): Dataset[FunnelHit] = {
+    require(steps.size >= 2, "funnel needs at least two steps")
     val spark = events.sparkSession
     import spark.implicits._
-    val n = stepTypes.size
+    val n         = steps.size
+    val horizonMs = horizonMinutes * 60L * 1000L
+    val conds     = array(steps.map { case (_, c) => coalesce(c, lit(false)) }: _*)
     events
       .withWatermark("event_time", "10 minutes")
-      .filter(col("event_type").isin(stepTypes: _*))
-      .select(col("user_id"), expr("ts div 1000").as("us"), col("event_type"))
-      .as[(Long, Long, String)]
+      // event_time must survive the projection: EventTimeTimeout requires
+      // the watermarked column in the state operator's child plan
+      .select(col("user_id"), expr("ts div 1000").as("us"), conds.as("conds"),
+        col("event_time"))
+      .filter(array_contains(col("conds"), true))
+      .as[(Long, Long, Seq[Boolean], java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Seq[Option[Long]], FunnelHit](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (userId, rows, state: GroupState[Seq[Option[Long]]]) =>
-          var st = state.getOption.getOrElse(Seq.fill[Option[Long]](n - 1)(None))
-          val out = Seq.newBuilder[FunnelHit]
-          rows.toSeq.sortBy(_._2).foreach { case (_, us, et) =>
-            // deepest extendable step first — mirrors ScanSteps exactly
-            val i = (n - 1 to 0 by -1).find(j =>
-              stepTypes(j) == et && (j == 0 || st(j - 1).isDefined))
-            i.foreach {
-              case j if j == n - 1 =>
-                out += FunnelHit(userId, st.head.get, us)
-                st = Seq.fill[Option[Long]](n - 1)(None) // reset on completion
-              case j =>
-                st = st.zipWithIndex.map { case (v, k) =>
-                  if (k == j) Some(us) else if (k > j) None else v
-                }
+          if (state.hasTimedOut) {
+            // horizon passed with no progress: drop the incomplete sequence
+            state.remove()
+            Iterator.empty
+          } else {
+            var st     = state.getOption.getOrElse(Seq.fill[Option[Long]](n - 1)(None))
+            var lastUs = Long.MinValue
+            val out    = Seq.newBuilder[FunnelHit]
+            rows.toSeq.sortBy(_._2).foreach { case (_, us, cs, _) =>
+              lastUs = math.max(lastUs, us)
+              // deepest extendable step first — mirrors ScanSteps exactly
+              val i = (n - 1 to 0 by -1).find(j =>
+                cs(j) && (j == 0 || st(j - 1).isDefined))
+              i.foreach {
+                case j if j == n - 1 =>
+                  out += FunnelHit(userId, st.head.get, us)
+                  st = Seq.fill[Option[Long]](n - 1)(None) // reset on completion
+                case j =>
+                  st = st.zipWithIndex.map { case (v, k) =>
+                    if (k == j) Some(us) else if (k > j) None else v
+                  }
+              }
             }
+            if (st.forall(_.isEmpty)) state.remove() // nothing in flight: free the key
+            else {
+              state.update(st)
+              // expire at lastEvent+horizon; never at-or-below the watermark
+              state.setTimeoutTimestamp(
+                math.max(lastUs / 1000 + horizonMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
           }
-          state.update(st)
-          out.result().iterator
       }
   }
 

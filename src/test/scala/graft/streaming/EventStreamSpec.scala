@@ -95,8 +95,11 @@ class EventStreamSpec extends SparkSuite {
   test("streaming funnel equals the batch ScanSteps answer on one drain") {
     val src = tmpDir("events-src6"); val ckpt = tmpDir("stream-ckpt6")
     stageEvents(src)
+    // sf0.001 events span ~30 days; a 60-day horizon keeps every sequence
+    // alive for the drain so the unbounded batch answer is reproduced
     val q = EventStream.funnel(
-        EventStream.readEvents(spark, src), Seq("signup", "purchase"))
+        EventStream.readEvents(spark, src), Seq("signup", "purchase"),
+        horizonMinutes = 60 * 24 * 60)
       .writeStream
       .format("memory").queryName("funnel_hits")
       .outputMode("append")
@@ -118,6 +121,85 @@ class EventStreamSpec extends SparkSuite {
       .select("user_id", "s_us", "p_us").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(streamed == batch) // identical completions + attribution
+  }
+
+  /** One crafted events file per call → one micro-batch each under
+    * `maxFilesPerTrigger = 1` (file source drains oldest-mtime first; the
+    * sleep keeps mtimes strictly ordered). ts is epoch NANOS.
+    */
+  private def writeEventsFile(
+      dir: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+    import spark.implicits._
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Thread.sleep(60)
+  }
+
+  test("funnel state expires past the event-time horizon and its key is freed") {
+    val src = tmpDir("events-src7"); val ckpt = tmpDir("stream-ckpt7")
+    val t0 = 1704067200L * 1000000000L // 2024-01-01T00:00Z in ns
+    def at(min: Long) = t0 + min * 60L * 1000000000L
+    // batch 1: user 1 starts a funnel (signup only)
+    writeEventsFile(src, Seq((1L, at(0), 1L, "signup", 0.5, "{}")))
+    // batches 2-3: lone purchases (match no extendable step → leave no state)
+    // push the watermark to ~170 then ~175 min, past user 1's 60-min horizon,
+    // so batch 3's timeout sweep drops user 1's incomplete sequence
+    writeEventsFile(src, Seq((2L, at(180), 999L, "purchase", 0.5, "{}")))
+    writeEventsFile(src, Seq((3L, at(185), 998L, "purchase", 0.5, "{}")))
+    // batch 4: user 1's purchase arrives AFTER expiry → must not complete;
+    // user 2 runs a fresh signup→purchase inside the horizon → must complete
+    writeEventsFile(src, Seq(
+      (4L, at(200), 1L, "purchase", 0.5, "{}"),
+      (5L, at(190), 2L, "signup", 0.5, "{}"),
+      (6L, at(200), 2L, "purchase", 0.5, "{}")))
+
+    val q = EventStream.funnel(
+        EventStream.readEvents(spark, src, maxFilesPerTrigger = 1),
+        Seq("signup", "purchase"), horizonMinutes = 60)
+      .writeStream
+      .format("memory").queryName("funnel_expiry")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val hits = spark.table("funnel_expiry").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // only user 2 completes; user 1's pre-expiry signup never attributes
+    assert(hits == Set((2L, at(190) / 1000, at(200) / 1000)))
+    // and the store is empty: expired (user 1), completed (user 2), and
+    // no-step rows (999/998) all freed their keys
+    assert(q.lastProgress.stateOperators.head.numRowsTotal == 0L)
+  }
+
+  test("funnelScan with arbitrary conditions equals batch ScanSteps on one drain") {
+    val src = tmpDir("events-src8"); val ckpt = tmpDir("stream-ckpt8")
+    stageEvents(src)
+    val steps = Seq(
+      "s" -> (col("event_type") === "signup" && col("value") > 0.3),
+      "p" -> (col("event_type") === "purchase" && col("value") > 0.3))
+    val q = EventStream.funnelScan(
+        EventStream.readEvents(spark, src), steps, horizonMinutes = 60 * 24 * 60)
+      .writeStream
+      .format("memory").queryName("funnel_cond")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("funnel_cond").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty)
+
+    val batch = graft.operators.ScanSteps.scanSteps(
+      spark.read.parquet(src)
+        .select(col("user_id"), col("event_type"), col("value"),
+          expr("ts div 1000").as("us")),
+      Seq("user_id"), "us", ascending = true, steps)
+      .select("user_id", "s_us", "p_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
   }
 
   test("stream-stream attribution join matches the batch answer") {
