@@ -3,6 +3,7 @@ package graft.kql
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
 import graft.functions.KqlCompat
 
@@ -1112,29 +1113,87 @@ object KqlPipeline {
       // [[graft.operators.ScanSteps]] for the spelled-out semantics and the
       // scale contract (one key shuffle + streaming per-partition fold).
       case "scan" =>
+        import graft.operators.ScanSteps.{ScanStepDef, ScanUpdate, ScanVarDef}
         val ScanRe =
-          """(?is)partition\s+by\s+(.+?)\s+order\s+by\s+([A-Za-z_][A-Za-z0-9_]*)\s*(asc|desc)?\s+with\s*(\(.*\))""".r
+          """(?is)(?:declare\s*\((.*?)\)\s+)?partition\s+by\s+(.+?)\s+order\s+by\s+([A-Za-z_][A-Za-z0-9_]*)\s*(asc|desc)?\s+with\s*(\(.*\))""".r
         rest.trim match {
-          case ScanRe(keysS, ordCol, dir0, parens) =>
+          case ScanRe(declS, keysS, ordCol, dir0, parens) =>
             val keys = splitTopLevel(keysS, ',').map(_.trim)
             keys.foreach(k => require(k.matches("[A-Za-z_][A-Za-z0-9_]*"),
               s"scan partition keys must be bare column names, got: '$k'"))
             val asc = dir0 == null || dir0.equalsIgnoreCase("asc")
+            // `declare (v = <literal>, …)`: the initial literal fixes the
+            // variable's type (integer → long, decimal-point → real,
+            // quoted → string — the KQL literal kinds)
+            val DeclRe = """(?s)([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)""".r
+            val vars = Option(declS).toSeq.flatMap(splitTopLevel(_, ',')).map(_.trim)
+              .filter(_.nonEmpty).map {
+                case DeclRe(nm, lit0) => lit0.trim match {
+                  case l if l.matches("(?i)long\\(\\s*null\\s*\\)") => ScanVarDef(nm, LongType, null)
+                  case l if l.matches("(?i)real\\(\\s*null\\s*\\)") => ScanVarDef(nm, DoubleType, null)
+                  case l if l.matches("-?\\d+")        => ScanVarDef(nm, LongType, l.toLong)
+                  case l if l.matches("-?\\d+\\.\\d+") => ScanVarDef(nm, DoubleType, l.toDouble)
+                  case l if l.length >= 2 && (l.head == '\'' || l.head == '"') && l.last == l.head =>
+                    ScanVarDef(nm, StringType, l.substring(1, l.length - 1))
+                  case l => fail(s"scan declare '$nm': initial value must be a " +
+                    s"numeric or string literal, got: '$l'")
+                }
+                case d => fail(s"scan declare entry must be `name = literal`, got: '$d'")
+              }
+            val varNames = vars.map(_.name).toSet
             val (inner, tail) = takeGroup(parens, '(', ')')
             require(tail.trim.isEmpty,
               s"unexpected trailing text after scan steps: '$tail'")
-            val StepRe = """(?is)step\s+([A-Za-z_][A-Za-z0-9_]*)\s*:\s*(.+)""".r
-            val steps = splitTopLevel(inner, ';').map(_.trim).filter(_.nonEmpty).map {
-              case StepRe(nm, cond) => (nm, expr(tx(cond)))
-              case s2 => fail(s"scan step must be `step name: condition`, got: '$s2'")
+            // updates reference the variable through the fixed state algebra:
+            // `v = v + e` | `v = max(v, e)` | `v = min(v, e)` |
+            // `v = coalesce(v, e)` | `v = e` (e row-only)
+            def parseUpdate(v: String, u: String): ScanUpdate = {
+              val q = java.util.regex.Pattern.quote(v)
+              val add   = s"(?is)^$q\\s*\\+\\s*(.+)$$".r
+              val mx    = s"(?is)^max\\(\\s*$q\\s*,\\s*(.+)\\)$$".r
+              val mn    = s"(?is)^min\\(\\s*$q\\s*,\\s*(.+)\\)$$".r
+              val first = s"(?is)^coalesce\\(\\s*$q\\s*,\\s*(.+)\\)$$".r
+              u.trim match {
+                case add(e)   => ScanUpdate.Add(expr(tx(e)))
+                case mx(e)    => ScanUpdate.MaxOf(expr(tx(e)))
+                case mn(e)    => ScanUpdate.MinOf(expr(tx(e)))
+                case first(e) => ScanUpdate.FirstOf(expr(tx(e)))
+                case e =>
+                  require(!s"(?is).*\\b$q\\b.*".r.matches(e),
+                    s"scan assignment to '$v' may reference the variable only as " +
+                      s"`$v + e`, `max($v, e)`, `min($v, e)` or `coalesce($v, e)`; got: '$e'")
+                  ScanUpdate.SetTo(expr(tx(e)))
+              }
             }
-            graft.operators.ScanSteps.scanSteps(df, keys, ordCol, asc, steps)
+            val StepRe = """(?is)step\s+([A-Za-z_][A-Za-z0-9_]*)\s*:\s*(.+)""".r
+            val AsgnRe = """(?s)([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)""".r
+            val steps = splitTopLevel(inner, ';').map(_.trim).filter(_.nonEmpty).map {
+              case StepRe(nm, body) =>
+                // `step name: cond [=> v = upd, …]`
+                val arrow = body.indexOf("=>")
+                if (arrow < 0) ScanStepDef(nm, expr(tx(body)))
+                else {
+                  val cond = body.substring(0, arrow)
+                  val ups = splitTopLevel(body.substring(arrow + 2), ',')
+                    .map(_.trim).filter(_.nonEmpty).map {
+                      case AsgnRe(v, u) =>
+                        require(varNames.contains(v),
+                          s"scan step '$nm' assigns undeclared variable '$v'")
+                        v -> parseUpdate(v, u)
+                      case a => fail(s"scan step '$nm': assignment must be `var = expr`, got: '$a'")
+                    }
+                  ScanStepDef(nm, expr(tx(cond)), ups)
+                }
+              case s2 => fail(s"scan step must be `step name: condition [=> assignments]`, got: '$s2'")
+            }
+            graft.operators.ScanSteps.scanDeclare(df, keys, ordCol, asc, vars, steps)
           case _ => fail(
-            "scan supports the restricted funnel subset: `scan partition by " +
-              "<keys> order by <col> [asc|desc] with (step s1: cond; step s2: " +
-              "cond; …)` — general ADX scan (concurrent sequence instances, " +
-              "declared state columns) is not implemented; sessionization and " +
-              "as-of attribution also exist as dedicated operators")
+            "scan supports the restricted single-instance subset: `scan " +
+              "[declare (v = lit, …)] partition by <keys> order by <col> " +
+              "[asc|desc] with (step s1: cond [=> v = v + e, …]; step s2: " +
+              "cond; …)` — concurrent sequence instances (output=all_matches) " +
+              "are not implemented; sessionization and as-of attribution " +
+              "also exist as dedicated operators")
         }
 
       case other => fail(s"unsupported KQL operator: '$other'")

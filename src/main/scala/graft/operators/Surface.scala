@@ -1770,6 +1770,46 @@ object Surface {
         FROM b WHERE last_a IS NOT NULL AND (prev_b IS NULL OR last_a > prev_b)
         ORDER BY user_id, purchase_us""")),
 
+    "q_kql_scan_declare" -> QueryDef(
+      // general-scan `declare`: per-key state variables with per-step
+      // assignments (ScanSteps.scanDeclare). n_signups counts the signups
+      // of each completion-to-completion span (declared state resets at
+      // completion, NOT at a step-0 restart). Same scale shape as the
+      // funnel: one key shuffle, streaming fold, O(steps+vars) state; the
+      // update operand is a staged codegen'd column. Oracle: completions
+      // from the funnel closed form, counter as an interval count between
+      // consecutive completions.
+      (s, dir) => kqlRun(s, dir,
+        """events
+          | | where event_type in ('signup', 'purchase')
+          | | scan declare (n_signups = 0) partition by user_id order by ts with (
+          |     step signup: event_type == 'signup' => n_signups = n_signups + 1;
+          |     step purchase: event_type == 'purchase')
+          | | project user_id, signup_us = signup_ts div 1000, purchase_us = purchase_ts div 1000, n_signups
+          | | order by user_id asc, purchase_us asc""".stripMargin),
+      Some("""
+        WITH lp AS (SELECT user_id, event_type, epoch_us(ts) AS tn FROM events
+                    WHERE event_type IN ('signup','purchase')),
+        m AS (SELECT user_id, event_type, tn,
+                max(CASE WHEN event_type = 'signup' THEN tn END)
+                  OVER (PARTITION BY user_id ORDER BY tn
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_a
+              FROM lp),
+        b AS (SELECT user_id, tn AS purchase_us, last_a,
+                lag(tn) OVER (PARTITION BY user_id ORDER BY tn) AS prev_b
+              FROM m WHERE event_type = 'purchase'),
+        comp AS (SELECT user_id, last_a AS signup_us, purchase_us
+                 FROM b WHERE last_a IS NOT NULL AND (prev_b IS NULL OR last_a > prev_b)),
+        comp2 AS (SELECT *, lag(purchase_us)
+                    OVER (PARTITION BY user_id ORDER BY purchase_us) AS prev_c
+                  FROM comp)
+        SELECT c.user_id, c.signup_us, c.purchase_us,
+               (SELECT count(*) FROM lp s
+                WHERE s.user_id = c.user_id AND s.event_type = 'signup'
+                  AND s.tn <= c.purchase_us
+                  AND (c.prev_c IS NULL OR s.tn > c.prev_c)) AS n_signups
+        FROM comp2 c ORDER BY user_id, purchase_us""")),
+
     "q_kql_has_phrase" -> QueryDef(
       // multi-term `has` needle = ADX adjacent-term phrase match; compiles
       // to ONE codegen'd boundary-anchored RLIKE (no split/array per row).

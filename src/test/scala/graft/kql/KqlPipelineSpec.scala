@@ -183,6 +183,32 @@ class KqlPipelineSpec extends SparkSuite {
       Seq((2L, 1L, 2L, 3L)))
   }
 
+  test("scan declare: state variables accumulate per span and reset at completion") {
+    // cnt counts A-matches, vsum sums v over matched rows, vmax tracks the
+    // max A-value, vfirst captures the first A-value, vlast the latest.
+    // u=1: A@1(v10) A@2(v20) B@3(v5) → emit (sa=2, cnt=2, vsum=35, vmax=20,
+    // vfirst=10, vlast=20); B@4 matches nothing (state empty → no update);
+    // A@5(v7) B@6(v2) → (sa=5, cnt=1, vsum=9, vmax=7, vfirst=7, vlast=7).
+    // u=2: B@1 no match; A@2(v4) B@3(v8) → (cnt=1, vsum=12, 4, 4, 4).
+    val r = run(
+      """datatable (u:long, t:long, e:string, v:long) [
+        |  1, 1, 'A', 10,  1, 2, 'A', 20,  1, 3, 'B', 5,
+        |  1, 4, 'B', 1,   1, 5, 'A', 7,   1, 6, 'B', 2,
+        |  2, 1, 'B', 9,   2, 2, 'A', 4,   2, 3, 'B', 8
+        |]
+        | | scan declare (cnt = 0, vsum = 0, vmax = 0, vfirst = long(null), vlast = long(null))
+        |     partition by u order by t with (
+        |     step sa: e == 'A' => cnt = cnt + 1, vsum = vsum + v, vmax = max(vmax, v),
+        |                          vfirst = coalesce(vfirst, v), vlast = v;
+        |     step sb: e == 'B' => vsum = vsum + v)
+        | | project u, sa_t, sb_t, cnt, vsum, vmax, vfirst, vlast
+        | | order by u asc, sb_t asc""".stripMargin)
+    assert(r.collect().map(x => (0 to 7).map(x.getLong)).toSeq == Seq(
+      Seq(1L, 2L, 3L, 2L, 35L, 20L, 10L, 20L),
+      Seq(1L, 5L, 6L, 1L, 9L, 7L, 7L, 7L),
+      Seq(2L, 2L, 3L, 1L, 12L, 4L, 4L, 4L)))
+  }
+
   test("partition by (order by | extend): grouped cumsum/prev/next/row_number via key windows") {
     val r = run(
       """datatable (g:string, t:long, v:long) [

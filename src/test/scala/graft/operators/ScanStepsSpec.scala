@@ -63,6 +63,56 @@ class ScanStepsSpec extends SparkSuite {
     }
   }
 
+  test("property: declared state variables equal the sequential reference fold") {
+    import org.apache.spark.sql.types.LongType
+    import ScanSteps.{ScanStepDef, ScanUpdate, ScanVarDef}
+    // cnt: +1 per A-match; vsum: +v on A and completing B; vmax: max v over
+    // A-matches — all reset at completion (NOT at an A restart)
+    def reference(rows: Seq[(Long, Long, String, Long)])
+        : Set[(Long, Long, Long, Long, Long, Long)] = {
+      val out = Set.newBuilder[(Long, Long, Long, Long, Long, Long)]
+      rows.groupBy(_._1).foreach { case (u, evs) =>
+        var a: Option[Long] = None
+        var cnt = 0L; var vsum = 0L; var vmax = 0L
+        evs.sortBy(_._2).foreach { case (_, t, e, v) =>
+          if (e == "B" && a.isDefined) {
+            vsum += v
+            out += ((u, a.get, t, cnt, vsum, vmax))
+            a = None; cnt = 0L; vsum = 0L; vmax = 0L
+          } else if (e == "A") {
+            cnt += 1; vsum += v; vmax = math.max(vmax, v); a = Some(t)
+          }
+        }
+      }
+      out.result()
+    }
+    val gen = Gen.listOf(for {
+      u <- Gen.choose(1L, 4L)
+      e <- Gen.oneOf(Seq("A", "B", "X"))
+      v <- Gen.choose(0L, 9L)
+    } yield (u, e, v)).map(_.zipWithIndex.map { case ((u, e, v), i) => (u, i.toLong, e, v) })
+    val prop = Prop.forAll(gen) { rows =>
+      val df = rows.toDF("u", "t", "e", "v")
+      val res = ScanSteps.scanDeclare(df, Seq("u"), "t", ascending = true,
+        Seq(ScanVarDef("cnt", LongType, 0L), ScanVarDef("vsum", LongType, 0L),
+          ScanVarDef("vmax", LongType, 0L)),
+        Seq(
+          ScanStepDef("sa", col("e") === "A", Seq(
+            "cnt" -> ScanUpdate.Add(lit(1)),
+            "vsum" -> ScanUpdate.Add(col("v")),
+            "vmax" -> ScanUpdate.MaxOf(col("v")))),
+          ScanStepDef("sb", col("e") === "B", Seq(
+            "vsum" -> ScanUpdate.Add(col("v"))))))
+      val got = res.select("u", "sa_t", "sb_t", "cnt", "vsum", "vmax").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      got == reference(rows)
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: two-step scan equals the window/lag closed form") {
     // each B whose latest preceding A is newer than the previous B row,
     // attributed to that latest A — what q_kql_scan_funnel's oracle asserts
