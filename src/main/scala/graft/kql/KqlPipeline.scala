@@ -64,8 +64,11 @@ import graft.functions.KqlCompat
   *   | join [kind=…] [hint.strategy=broadcast|shuffle] (…) on …
   *   | partition by k (top N by expr)    // per-group top-k via key window
   *   | partition by k (order by c | extend …) // grouped row fns via windows
+  *   | partition by k (where … | summarize … | top …) // general sub-pipeline,
+  *     // each stage lowered key-aware (summarize adds k to group-by)
   *   | evaluate bag_unpack(dynCol)       // JSON bag → typed columns
-  *   | scan partition by k order by c with (step s1: cond; …) // funnel subset
+  *   | scan [declare (v = lit, …)] partition by k order by c with (
+  *       step s1: cond [=> v = v + e, …]; …) // single-instance scan subset
   *   | project-reorder c1, c2             // listed first, rest keep order
   *   | render <chart>                     // client directive — identity
   * }}}
@@ -890,12 +893,14 @@ object KqlPipeline {
           }
         df.filter(stringCols.map(probe).reduce(_ || _))
 
-      // `partition by k (top N by expr [asc|desc])`: ADX's per-group
-      // subquery, in its dominant shape — per-key top-k. Compiles to ONE
-      // window PARTITIONED by the key (bounded per-partition state), never a
-      // per-group driver loop. Other subquery shapes are rejected loudly:
-      // per-group where/extend/summarize are expressible without partition
-      // (filter/groupBy reach the same plan).
+      // `partition by k ( subquery )`: ADX's per-group subquery. Never a
+      // per-group driver loop — every stage lowers to a key-aware
+      // full-table operator: per-row stages (where/extend/project/parse/
+      // mv-expand) apply as-is, `summarize` adds the key to its group-by,
+      // `top N by` becomes ONE window PARTITIONED by the key (bounded
+      // per-partition state), `order by` head + row functions use key
+      // windows. The union-of-per-key-results is therefore a single
+      // distributed plan with one shuffle per aggregating stage.
       case "partition" =>
         val body = rest.trim
         require(body.toLowerCase.startsWith("by"), s"expected `partition by …`, got: '$seg'")
@@ -968,9 +973,60 @@ object KqlPipeline {
                   s"partition by (order by … | …) supports where/extend stages, got: '$other2'")
               }
             }
-          case _ => fail(
-            "partition by supports `top N by <expr>` (per-group top-k) or " +
-              s"`order by … | extend …` (grouped row functions), got: '$subT'")
+          case _ =>
+            // general sub-pipeline: fold stages left to right, each lowered
+            // with the partition key as an implicit extra grouping key. One
+            // documented divergence from ADX: the key column SURVIVES
+            // `summarize`/`count` output even when not listed (per-key
+            // results are useless without it in a unioned answer).
+            val segs2 = splitTopLevel(subT, '|').map(_.trim).filter(_.nonEmpty)
+            segs2.foldLeft(df) { (d, s2) =>
+              val (w2, rest2) = s2.span(c => !c.isWhitespace)
+              val r2 = rest2.trim
+              w2.toLowerCase match {
+                case "where" | "filter" | "extend" | "project" | "project-away" |
+                     "project-keep" | "project-rename" | "project-reorder" |
+                     "parse" | "parse-where" | "mv-expand" =>
+                  applyOp(resolve)(d, s2) // per-row stages are key-agnostic
+                case "summarize" =>
+                  val (aggsPart, byPart) = splitAtTopLevelBy(r2)
+                  val by2 = byPart match {
+                    case Some(b) if splitTopLevel(b, ',').map(_.trim).contains(key) => b
+                    case Some(b) => s"$key, $b"
+                    case None    => key
+                  }
+                  applyOp(resolve)(d, s"summarize $aggsPart by $by2")
+                case "top" =>
+                  r2.split("\\s+", 3) match {
+                    case Array(nS, byW, items) if byW.equalsIgnoreCase("by") =>
+                      val w = Window.partitionBy(col(key)).orderBy(orderItems(items): _*)
+                      d.withColumn("__graft_part_rank", row_number().over(w))
+                        .filter(col("__graft_part_rank") <= nS.toInt)
+                        .drop("__graft_part_rank")
+                    case _ => fail(s"partition top stage needs `top N by <expr>`, got: '$s2'")
+                  }
+                case "count" =>
+                  require(r2.isEmpty, s"`count` takes no arguments, got: '$r2'")
+                  d.groupBy(col(key)).agg(count(lit(1)).as("Count"))
+                case "distinct" =>
+                  val cols2 = splitTopLevel(r2, ',').map(_.trim).filter(_.nonEmpty)
+                  if (cols2 == Seq("*")) d.distinct()
+                  else {
+                    val withKey = if (cols2.contains(key)) cols2 else key +: cols2
+                    d.select(withKey.map(c2 => expr(tx(c2))): _*).distinct()
+                  }
+                case "order" | "sort" =>
+                  // per-key presentation order: prepend the key so the
+                  // unioned result reads grouped by key
+                  require(r2.toLowerCase.startsWith("by"), s"expected `$w2 by …`")
+                  d.orderBy(col(key) +: orderItems(r2.drop(2)): _*)
+                case other2 => fail(
+                  s"partition by ($subT): unsupported stage '$other2' — " +
+                    "supported: where/extend/project*/parse/mv-expand (per-row), " +
+                    "summarize, top N by, distinct, count, order by; " +
+                    "take/sample are per-key nondeterministic and rejected")
+              }
+            }
         }
 
       // `top-nested N of key by [name =] agg(…) [, top-nested M of key2 by …]`:

@@ -2278,6 +2278,32 @@ object Surface {
           FROM lineitem GROUP BY 1, 2)
         WHERE rk <= 2 ORDER BY 1, 3 DESC""")),
 
+    "q_kql_partition_subquery" -> QueryDef(
+      // general `partition by k ( sub-pipeline )`: where → extend →
+      // summarize → top chained per key, every stage lowered key-aware
+      // (summarize groups by the key too; top is one key-partitioned
+      // window). Integer-scaled money keeps the sum engine-exact. One
+      // shuffle for the aggregate, one for the window — no per-group loop.
+      (s, dir) => kqlRun(s, dir,
+        """events
+          | | partition by event_type (
+          |     where value > 0.1
+          |     | extend mv = tolong(floor(value * 1000.0))
+          |     | summarize n = count(), s = sum(mv) by ub = user_id % 10
+          |     | top 3 by s desc, ub asc)
+          | | project event_type, ub, n, s
+          | | order by event_type asc, s desc, ub asc""".stripMargin),
+      Some("""
+        WITH f AS (SELECT event_type, user_id % 10 AS ub,
+                          CAST(floor(value * 1000.0) AS BIGINT) AS mv
+                   FROM events WHERE value > 0.1),
+        g AS (SELECT event_type, ub, count(*) AS n, CAST(sum(mv) AS BIGINT) AS s
+              FROM f GROUP BY 1, 2),
+        r AS (SELECT *, row_number()
+                OVER (PARTITION BY event_type ORDER BY s DESC, ub) AS rk FROM g)
+        SELECT event_type, ub, n, s FROM r WHERE rk <= 3
+        ORDER BY event_type, s DESC, ub""")),
+
     "q_kql_bag_unpack" -> QueryDef(
       // evaluate bag_unpack: dynamic-bag spread with one inference pass +
       // from_json star-expand; k infers as LONG from the JSON integers

@@ -183,6 +183,43 @@ class KqlPipelineSpec extends SparkSuite {
       Seq((2L, 1L, 2L, 3L)))
   }
 
+  test("partition by with a general sub-pipeline: where | summarize | top per key") {
+    val dt =
+      """datatable (k:string, c:string, v:long) [
+        |  'a', 'x', 1,  'a', 'x', 2,  'a', 'y', 10,  'a', 'z', 3,
+        |  'b', 'x', 5,  'b', 'y', 1,  'b', 'y', 2
+        |]""".stripMargin
+    // a: v>1 → x:2 y:10 z:3, top by sum → (y,10); b: x:5 y:2 → (x,5)
+    val r = run(
+      s"""$dt
+         | | partition by k (
+         |     where v > 1
+         |     | summarize s = sum(v) by c
+         |     | top 1 by s desc, c asc)
+         | | order by k asc""".stripMargin)
+    assert(r.select("k", "c", "s").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSeq ==
+      Seq(("a", "y", 10L), ("b", "x", 5L)))
+    // count keeps the key (documented divergence: the key survives output)
+    val r2 = run(
+      s"""$dt
+         | | partition by k (where v > 1 | count)
+         | | order by k asc""".stripMargin)
+    assert(r2.collect().map(x => (x.getString(0), x.getLong(1))).toSeq ==
+      Seq(("a", 3L), ("b", 2L)))
+    // distinct adds the key to the listed columns
+    val r3 = run(
+      s"""$dt
+         | | partition by k (distinct c)
+         | | order by k asc, c asc""".stripMargin)
+    assert(r3.collect().map(x => (x.getString(0), x.getString(1))).toSeq ==
+      Seq(("a", "x"), ("a", "y"), ("a", "z"), ("b", "x"), ("b", "y")))
+    // unsupported stages are rejected loudly
+    val e = intercept[IllegalArgumentException](run(
+      s"$dt | partition by k (take 2)"))
+    assert(e.getMessage.contains("unsupported stage"))
+  }
+
   test("scan declare: state variables accumulate per span and reset at completion") {
     // cnt counts A-matches, vsum sums v over matched rows, vmax tracks the
     // max A-value, vfirst captures the first A-value, vlast the latest.
@@ -777,8 +814,10 @@ class KqlPipelineSpec extends SparkSuite {
       """people | partition by age (top 1 by score desc, id asc)
         | | where age == 35 | project name""".stripMargin)
     assert(r.collect().map(_.getString(0)).toSeq == Seq("Carol")) // 20.0 beats 15.0
+    // summarize is now a supported sub-pipeline stage (keyed group-by);
+    // per-key nondeterministic stages still reject
     intercept[IllegalArgumentException](
-      run("people | partition by age (summarize count())"))
+      run("people | partition by age (take 2)"))
   }
 
   test("bag_unpack spreads a JSON bag into typed columns") {
