@@ -8,11 +8,15 @@ import org.apache.spark.sql.functions._
   * with typed `Dataset.mapPartitions` (the Scala analog of `mapInPandas` —
   * per-partition batch processing with a typed row contract).
   *
-  * The actual codec work is STUBBED (this container has no image/audio
-  * libraries): `decodeStub` derives deterministic fake dimensions/features
-  * from the bytes. Everything Spark-side — schema, batch shape, partitioning,
-  * null handling — is real and tested; swapping the stub for a JNI/javacv
-  * decoder changes only the function body.
+  * The IMAGE path decodes for real through JDK `javax.imageio` (PNG/JPEG/
+  * GIF/BMP — no extra jars, headless-safe): real width/height/channel
+  * counts, with the deterministic byte-hash stub as the fallback for
+  * payloads ImageIO cannot read. Audio/video codec work remains STUBBED
+  * (this container has no media libraries): `decodeStub` derives
+  * deterministic fake dimensions/features from the bytes. Everything
+  * Spark-side — schema, batch shape, partitioning, null handling — is real
+  * and tested; swapping the stub for a JNI/javacv decoder changes only the
+  * function body.
   */
 object Multimodal {
 
@@ -29,6 +33,7 @@ object Multimodal {
       kind: String,
       width: Int,
       height: Int,
+      n_channels: Int,     // real for ImageIO-decoded images; 0 for stub rows
       duration_ms: Long,
       n_bytes: Long,
       ok: Boolean)
@@ -37,8 +42,21 @@ object Multimodal {
       media_id: Long,
       features: Array[Float])
 
+  /** Real image header decode via JDK ImageIO → (width, height, channels);
+    * None when the payload isn't a readable image. The disk cache is off so
+    * executor threads never touch temp files for in-memory payloads.
+    */
+  private[functions] def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Int)] =
+    if (bytes == null || bytes.isEmpty) None
+    else try {
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else Some((img.getWidth, img.getHeight, img.getColorModel.getNumComponents))
+    } catch { case _: java.io.IOException => None }
+
   /** STUB decoder — deterministic from payload bytes so tests are stable.
-    * Real implementation: decode header via an image/audio codec.
+    * Stands in for the audio/video codecs this container lacks.
     */
   private[functions] def decodeStub(r: MediaRow): DecodedMedia = {
     val bytes = if (r.payload == null) Array.emptyByteArray else r.payload
@@ -49,15 +67,45 @@ object Multimodal {
       kind = r.kind,
       width = if (ok) (math.abs(h) % 1920 + 16).toInt else 0,
       height = if (ok) (math.abs(h >> 16) % 1080 + 16).toInt else 0,
+      n_channels = 0,
       duration_ms = if (r.kind == "image" || !ok) 0L else math.abs(h >> 32) % 600000L,
       n_bytes = bytes.length.toLong,
       ok = ok)
   }
 
-  /** Decode metadata per media row — partition-parallel, zero shuffle. */
+  /** Decode metadata per media row — partition-parallel, zero shuffle.
+    * Image payloads decode for REAL (ImageIO); unreadable image bytes fall
+    * back to the stub so mixed corpora keep flowing (ok still reflects
+    * payload presence — see [[decodeStrict]] for decode-success gating).
+    */
   def decode(ds: Dataset[MediaRow]): Dataset[DecodedMedia] = {
     import ds.sparkSession.implicits._
-    ds.mapPartitions(_.map(decodeStub))
+    ds.mapPartitions(_.map { r =>
+      if (r.kind == "image") decodeImage(r.payload) match {
+        case Some((w, h, c)) =>
+          DecodedMedia(r.media_id, r.kind, w, h, c, 0L,
+            r.payload.length.toLong, ok = true)
+        case None => decodeStub(r)
+      }
+      else decodeStub(r)
+    })
+  }
+
+  /** Like [[decode]] but `ok` means THE DECODE SUCCEEDED: image rows that
+    * ImageIO cannot read come back all-zero with ok = false (no stub
+    * fallback) — the honest gate for curation pipelines that drop
+    * undecodable media.
+    */
+  def decodeStrict(ds: Dataset[MediaRow]): Dataset[DecodedMedia] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { r =>
+      val nb = if (r.payload == null) 0L else r.payload.length.toLong
+      if (r.kind == "image") decodeImage(r.payload) match {
+        case Some((w, h, c)) => DecodedMedia(r.media_id, r.kind, w, h, c, 0L, nb, ok = true)
+        case None            => DecodedMedia(r.media_id, r.kind, 0, 0, 0, 0L, nb, ok = false)
+      }
+      else decodeStub(r)
+    })
   }
 
   /** STUB feature extractor: fixed-width feature vector from byte
@@ -115,6 +163,48 @@ object Multimodal {
         val kind = Seq("image", "audio", "video")((id % 3).toInt)
         MediaRow(id, kind, text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
           s"application/x-$kind", s"doc://$src/$id")
+      }
+  }
+
+  /** Deterministic RGB PNG: dimensions are the caller's, pixel values a pure
+    * function of (seed, x, y) — so corpora built from it have SQL-predictable
+    * decoded dimensions while the bytes are a REAL png stream.
+    */
+  def syntheticPng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, ((seed * 31 + x * 7 + y * 13) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Image corpus with REAL PNG payloads derived from `documents`: one image
+    * per doc with doc_id % 3 == 0 (the corpus' "image" rows), dimensions the
+    * closed form width = 16 + doc_id % 31, height = 16 + doc_id % 17 — so a
+    * SQL oracle can predict every decoded stat. Docs with doc_id % 5 == 0
+    * carry a TRUNCATED payload (first 10 bytes) to exercise the
+    * decode-failure path deterministically (10 bytes cannot even carry the
+    * PNG signature + IHDR, so every ImageIO reader rejects it).
+    */
+  def imageCorpusFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("source"))
+      .filter(col("doc_id") % 3 === 0)
+      .as[(Long, String)]
+      .map { case (id, src) =>
+        val png = syntheticPng(16 + (id % 31).toInt, 16 + (id % 17).toInt, id)
+        val payload = if (id % 5 == 0) png.take(10) else png
+        MediaRow(id, "image", payload, "image/png", s"doc://$src/$id")
       }
   }
 

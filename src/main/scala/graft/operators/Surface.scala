@@ -1575,6 +1575,29 @@ object Surface {
                count(*) AS n_unit_mass
         FROM documents WHERE strlen(text) > 0 GROUP BY 1""")),
 
+    "mm_image_decode" -> QueryDef(
+      // REAL image decode (JDK ImageIO, no stub): the corpus carries real
+      // PNG payloads whose dimensions follow a closed form of doc_id, so
+      // width/height/channel sums are oracle-exact; truncated payloads
+      // (doc_id % 5 == 0, 10 bytes) must FAIL decode — decodeStrict returns
+      // ok = false with zero dims, and the oracle counts them the same way
+      (s, dir) => Multimodal.decodeStrict(
+          Multimodal.imageCorpusFromDocuments(t(s, dir, "documents")))
+        .toDF()
+        .agg(
+          count(lit(1)).as("n_media"),
+          sum(when(col("ok"), 1L).otherwise(0L)).cast("bigint").as("n_ok"),
+          sum(col("width").cast("bigint")).as("sum_w"),
+          sum(col("height").cast("bigint")).as("sum_h"),
+          sum(col("n_channels").cast("bigint")).as("sum_c")),
+      Some("""
+        SELECT count(*) AS n_media,
+               CAST(SUM(CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+               CAST(SUM(CASE WHEN doc_id % 5 <> 0 THEN 16 + doc_id % 31 ELSE 0 END) AS BIGINT) AS sum_w,
+               CAST(SUM(CASE WHEN doc_id % 5 <> 0 THEN 16 + doc_id % 17 ELSE 0 END) AS BIGINT) AS sum_h,
+               CAST(SUM(CASE WHEN doc_id % 5 <> 0 THEN 3 ELSE 0 END) AS BIGINT) AS sum_c
+        FROM documents WHERE doc_id % 3 = 0""")),
+
     // ---- KQL tabular pipeline (§2.i; the reference's outward query surface:
     // DatabaseGateway.cs:85-96 status view, LoadTest.cs:22-27 `T | count`,
     // LoadTest.cs:74-89 `T | where … | count`). Each query is a literal KQL

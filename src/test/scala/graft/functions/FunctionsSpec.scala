@@ -161,6 +161,30 @@ class FunctionsSpec extends SparkSuite {
       .forall(r => kinds(r.getLong(0)) == "video"))
   }
 
+  test("multimodal: ImageIO decodes real PNG payloads exactly; truncation fails strictly") {
+    import spark.implicits._
+    // byte-level roundtrip: generated png decodes to its exact dimensions
+    val png = Multimodal.syntheticPng(23, 17, seed = 7L)
+    assert(Multimodal.decodeImage(png).contains((23, 17, 3)))
+    assert(Multimodal.decodeImage(png.take(10)).isEmpty) // no signature+IHDR
+    assert(Multimodal.decodeImage(Array.emptyByteArray).isEmpty)
+
+    // distributed path: real decode through mapPartitions, closed-form dims
+    val rows = Seq(
+      Multimodal.MediaRow(3L, "image", Multimodal.syntheticPng(19, 33, 3L), "image/png", "m://3"),
+      Multimodal.MediaRow(5L, "image", Multimodal.syntheticPng(20, 20, 5L).take(10), "image/png", "m://5"),
+      Multimodal.MediaRow(7L, "audio", Array[Byte](1, 2, 3), "application/x-audio", "m://7"))
+    val ds  = spark.createDataset(rows)
+    val dec = Multimodal.decodeStrict(ds).collect().map(d => d.media_id -> d).toMap
+    assert(dec(3L).ok && dec(3L).width == 19 && dec(3L).height == 33 && dec(3L).n_channels == 3)
+    assert(!dec(5L).ok && dec(5L).width == 0 && dec(5L).n_channels == 0)
+    assert(dec(7L).ok && dec(7L).n_channels == 0) // audio stays on the stub path
+    // lenient decode falls back to the stub for unreadable image bytes
+    val lenient = Multimodal.decode(ds).collect().map(d => d.media_id -> d).toMap
+    assert(lenient(5L).ok && lenient(5L).width >= 16) // stub dims, still flowing
+    assert(lenient(3L).width == 19)                   // real decode when readable
+  }
+
   test("rolling_hash: codegen matches interpreted, registered in SQL, rejects non-strings") {
     import graft.functions.expressions.RollingHash
     val df = docs.select($"doc_id", $"text",
