@@ -31,5 +31,15 @@ BENCH_LINE=$(SPARK_GRAFT_SF_DIR="$SF_BENCH" SPARK_GRAFT_CPUS=32 sbt -batch "runM
   | grep '"queries"')
 echo "$BENCH_LINE"
 
+# Committed, truncation-proof per-query record: the driver's BENCH_r{N}.json
+# is head-truncated, which has forced manual re-runs to adjudicate noise.
+# Round number = latest CORRECTNESS_r*.json + 1 (the round being built).
+ROUND=$(ls CORRECTNESS_r*.json 2>/dev/null \
+  | sed -E 's/.*_r0*([0-9]+)\.json/\1/' | sort -n | tail -1)
+ROUND=$(( ${ROUND:-0} + 1 ))
+printf '%s\n' "$BENCH_LINE" | sed 's/^\[info\] *//' \
+  | python3 -m json.tool > "$(printf 'BENCH_LOCAL_r%02d.json' "$ROUND")"
+echo "full per-query bench written to $(printf 'BENCH_LOCAL_r%02d.json' "$ROUND")"
+
 echo "== bench regression vs previous round =="
 python3 scripts/bench_diff.py "$BENCH_LINE" 1.5

@@ -242,16 +242,28 @@ object SimilarityFunctions {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, String, Int, Int), Seq[Seq[Double]]]()
 
-  /** [[kmeansCentroids]] memoized under `cacheKey` (e.g. the corpus path). */
+  /** [[kmeansCentroids]] memoized under `cacheKey` (e.g. the corpus path)
+    * AND persisted via [[graft.state.IndexStore]]: the first session to
+    * need the quantizer trains and publishes it; every later session —
+    * fresh JVM included — loads the identical artifact instead of
+    * re-running Lloyd iterations (which on a cluster would not even be
+    * bit-stable). The artifact path embeds a content fingerprint of the
+    * corpus, so changed data retrains rather than serving a stale index.
+    */
   def cachedKmeansCentroids(
       corpus: DataFrame,
       vecCol: String,
       idCol: String,
       k: Int,
       iters: Int,
-      cacheKey: String): Seq[Seq[Double]] =
-    centroidCache.computeIfAbsent((cacheKey, vecCol, idCol, k, iters),
-      _ => kmeansCentroids(corpus, vecCol, idCol, k, iters))
+      cacheKey: String): Seq[Seq[Double]] = {
+    val spark = corpus.sparkSession
+    val fp = graft.state.IndexStore.fingerprint(spark, cacheKey)
+    centroidCache.computeIfAbsent((fp, vecCol, idCol, k, iters), _ =>
+      graft.state.IndexStore.loadOrTrainCentroids(spark,
+        s"${graft.state.IndexStore.baseDir(spark)}/ivf_${fp}_${vecCol}_k${k}_i$iters")(
+        kmeansCentroids(corpus, vecCol, idCol, k, iters)))
+  }
 
   /** The `n` nearest centroid cells of `v` by cosine, as an array of
     * struct(score, cell) — shared by [[ivfTopK]] and [[kmeansCentroids]].
@@ -425,8 +437,11 @@ object SimilarityFunctions {
   private val pqCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int, Int), Seq[Seq[Seq[Double]]]]()
 
-  /** [[pqTrain]] memoized under `cacheKey` — the PQ codebook is an index
-    * artifact built once per corpus, like [[cachedKmeansCentroids]].
+  /** [[pqTrain]] memoized under `cacheKey` and persisted via
+    * [[graft.state.IndexStore]] — the PQ codebook is an index artifact
+    * built once per corpus and MUST ship with the codes it produced
+    * (codes are meaningless under any other codebook), exactly like
+    * [[cachedKmeansCentroids]].
     */
   def cachedPqTrain(
       corpus: DataFrame,
@@ -435,9 +450,23 @@ object SimilarityFunctions {
       m: Int,
       k: Int,
       dim: Int,
-      cacheKey: String): Seq[Seq[Seq[Double]]] =
-    pqCache.computeIfAbsent((cacheKey, vecCol, m, k, dim),
-      _ => pqTrain(corpus, vecCol, idCol, m, k, dim))
+      cacheKey: String): Seq[Seq[Seq[Double]]] = {
+    val spark = corpus.sparkSession
+    val fp = graft.state.IndexStore.fingerprint(spark, cacheKey)
+    pqCache.computeIfAbsent((fp, vecCol, m, k, dim), _ =>
+      graft.state.IndexStore.loadOrTrainPq(spark,
+        s"${graft.state.IndexStore.baseDir(spark)}/pq_${fp}_${vecCol}_m${m}_k${k}_d$dim")(
+        pqTrain(corpus, vecCol, idCol, m, k, dim)))
+  }
+
+  /** Drop the in-JVM index memos (NOT the persisted artifacts) — forces
+    * the next cached call through [[graft.state.IndexStore]]'s disk path.
+    * Test hook, mirroring [[DedupFunctions.releaseCaches]].
+    */
+  def releaseIndexCaches(): Unit = {
+    centroidCache.clear()
+    pqCache.clear()
+  }
 
   /** Embedding-cosine near-duplicate pairs via OR-amplified LSH: `nTables`
     * independent hash tables of `nPlanes` sign-bits each; a pair is a

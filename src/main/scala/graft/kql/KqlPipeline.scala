@@ -72,8 +72,11 @@ import graft.functions.KqlCompat
   *   | project-reorder c1, c2             // listed first, rest keep order
   *   | render <chart>                     // client directive — identity
   * }}}
-  * `let x = toscalar(T | …);` runs the subquery eagerly and binds the 1×1
-  * result as a literal (ADX semantics: first column of the first row).
+  * `let x = toscalar(T | …);` binds the 1×1 subquery result as a literal
+  * (ADX semantics: first column of the first row). Evaluation is LAZY and
+  * MEMOIZED: the subquery job runs when the first statement that actually
+  * consumes the binding is compiled — never for a let no consumed branch
+  * references — and a given subquery text runs at most once per query.
   * Management: `.show tables [| …]` via the Map-catalog entry point.
   *
   * Deliberately NOT implemented (each fails loudly): `facet`/`fork` return
@@ -157,10 +160,19 @@ object KqlPipeline {
     require(stmts.nonEmpty, "empty KQL query")
     var scalars = Vector.empty[(String, String)]
     var tabular = Map.empty[String, String]
+    // one Spark job per DISTINCT toscalar subquery text, run at first use —
+    // a toscalar in a branch nothing consumes never runs at all
+    val toscalarMemo = scala.collection.mutable.Map.empty[String, String]
+    val compiledBody = scala.collection.mutable.Map.empty[String, String]
     lazy val resolveWithLets: String => DataFrame = name =>
       tabular.get(name) match {
-        case Some(body) => runPipeline(resolveWithLets, body)
-        case None       => resolve(name)
+        case Some(body) =>
+          // toscalar substitution happens at compile-on-first-use, then the
+          // substituted body is reused (the literal is stable: ADX binds a
+          // let once per query, not per reference)
+          runPipeline(resolveWithLets, compiledBody.getOrElseUpdate(name,
+            substituteToscalarCalls(resolveWithLets, toscalarMemo, body)))
+        case None => resolve(name)
       }
     stmts.dropRight(1).foreach { stmt =>
       require(stmt.toLowerCase.startsWith("let") && stmt.length > 3 &&
@@ -168,12 +180,12 @@ object KqlPipeline {
         s"only the final statement may be a query, got: '$stmt'")
       val (name, rhs0) = assignment(stmt.drop(4).trim).getOrElse(
         fail(s"let needs `let name = <expr or pipeline>`, got: '$stmt'"))
-      // toscalar(…) anywhere in the rhs evaluates eagerly (earlier lets are
-      // visible through resolveWithLets) and inlines as a typed literal, so
+      // toscalar(…) anywhere in the rhs stays TEXT here — it inlines as a
+      // typed literal only when a consuming statement compiles (laziness),
+      // with earlier lets visible through resolveWithLets at that point, so
       // `let m = toscalar(T | …)` AND `let T2 = T | where x > toscalar(…)`
-      // both work
-      val rhs = substituteToscalarCalls(resolveWithLets,
-        substituteScalars(rhs0.trim, scalars))
+      // both work and neither runs a job unless actually referenced
+      val rhs = substituteScalars(rhs0.trim, scalars)
       // tabular iff: has a top-level pipe, is a source operator, or is a bare
       // identifier (a table/tabular-let alias — scalar lets were already
       // substituted away above, so a surviving bare identifier names a table)
@@ -194,9 +206,9 @@ object KqlPipeline {
       // identifiers (`let flag = true;` must not route to the table catalog)
       val isKeywordLiteral =
         Set("true", "false", "null").contains(inner.toLowerCase)
-      // `let x = toscalar(T | …);` — run the sub-pipeline NOW, take the
-      // single value (first column of the first row, as in ADX), and bind
-      // it as a literal. The subquery is driver-bounded by construction
+      // `let x = toscalar(T | …);` classifies as a SCALAR binding (no
+      // top-level pipe: splitTopLevel respects the parens); the subquery
+      // runs later, on first use, and is driver-bounded by construction
       // (toscalar is only meaningful on a 1×1 result).
       if (!isKeywordLiteral && (splitTopLevel(inner, '|').size > 1 ||
           isSource(inner) || inner.matches("[A-Za-z_][A-Za-z0-9_]*")))
@@ -204,22 +216,25 @@ object KqlPipeline {
       else scalars :+= (name -> rhs)
     }
     runPipeline(resolveWithLets, substituteToscalarCalls(resolveWithLets,
-      substituteScalars(stmts.last, scalars)))
+      toscalarMemo, substituteScalars(stmts.last, scalars)))
   }
 
   /** Replace every top-level `toscalar(sub-pipeline)` call in `stmt` with
-    * the literal rendering of its eagerly-evaluated 1×1 result (first
-    * column of the first row — ADX semantics). Occurrences inside string
-    * literals are untouched. The subquery is driver-bounded by
-    * construction (toscalar is only meaningful on a 1×1 result).
+    * the literal rendering of its 1×1 result (first column of the first
+    * row — ADX semantics). Occurrences inside string literals are
+    * untouched. Each distinct subquery text runs at most once per query
+    * (`memo`); the subquery is driver-bounded by construction (toscalar is
+    * only meaningful on a 1×1 result).
     */
   private def substituteToscalarCalls(
-      resolve: String => DataFrame, stmt: String): String = {
+      resolve: String => DataFrame,
+      memo: scala.collection.mutable.Map[String, String],
+      stmt: String): String = {
     val idx = stmt.toLowerCase.indexOf("toscalar")
     if (idx < 0) return stmt
     def skipThis(): String =
       stmt.substring(0, idx + 8) +
-        substituteToscalarCalls(resolve, stmt.substring(idx + 8))
+        substituteToscalarCalls(resolve, memo, stmt.substring(idx + 8))
     val boundary = idx == 0 || {
       val c = stmt.charAt(idx - 1); !c.isLetterOrDigit && c != '_'
     }
@@ -227,10 +242,12 @@ object KqlPipeline {
     val parenAt = stmt.indexWhere(!_.isWhitespace, idx + 8)
     if (parenAt < 0 || stmt.charAt(parenAt) != '(') return skipThis()
     val (sub, tail) = takeGroup(stmt.substring(parenAt), '(', ')')
-    val row = runPipeline(resolve, sub.trim).limit(1).collect()
-    require(row.nonEmpty, s"toscalar subquery returned no rows: '$sub'")
-    stmt.substring(0, idx) + scalarLiteral(row.head.get(0)) +
-      substituteToscalarCalls(resolve, tail)
+    val lit = memo.getOrElseUpdate(sub.trim, {
+      val row = runPipeline(resolve, sub.trim).limit(1).collect()
+      require(row.nonEmpty, s"toscalar subquery returned no rows: '$sub'")
+      scalarLiteral(row.head.get(0))
+    })
+    stmt.substring(0, idx) + lit + substituteToscalarCalls(resolve, memo, tail)
   }
 
   private def runPipeline(resolve: String => DataFrame, kql: String): DataFrame = {

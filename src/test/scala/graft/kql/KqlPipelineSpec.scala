@@ -666,6 +666,38 @@ class KqlPipelineSpec extends SparkSuite {
     intercept[IllegalArgumentException](run("people | project-reorder nope"))
   }
 
+  test("toscalar is lazy: bindings no consumed branch references never run") {
+    // the poison table THROWS on resolution — if either unused let's
+    // toscalar ran at bind time (the old eager behavior), this query fails
+    val resolver: String => DataFrame = {
+      case "people" => people
+      case "poison" => throw new IllegalStateException("unused toscalar ran a job")
+      case other    => fail(s"unexpected table: $other")
+    }
+    val r = KqlPipeline.run(resolver,
+      "let unusedScalar = toscalar(poison | count); " +
+        "let unusedTabular = poison | where id > toscalar(poison | count); " +
+        "people | count")
+    assert(r.head().getLong(0) == 5L)
+  }
+
+  test("toscalar is memoized: one subquery evaluation per distinct text") {
+    // source-resolution count is the job-count proxy: each toscalar
+    // evaluation compiles its sub-pipeline, resolving `people` once —
+    // two textually-identical calls must share one evaluation
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val resolver: String => DataFrame = {
+      case "people" => n.incrementAndGet(); people
+      case other    => fail(s"unexpected table: $other")
+    }
+    val r = KqlPipeline.run(resolver,
+      "people | where age == toscalar(people | summarize max(age)) " +
+        "or score == toscalar(people | summarize max(age)) | count")
+    assert(r.head().getLong(0) == 1L) // dave: age 40; no score equals 40.0… except none
+    // outer pipeline resolves people once + ONE shared toscalar evaluation
+    assert(n.get() == 2, s"expected 2 resolutions (memoized), got ${n.get()}")
+  }
+
   test("mv-apply shorthand binding restores the original array after summarize") {
     // `mv-apply w on (…)` shadows column w with elements; the carried w in
     // the output must be the ORIGINAL per-row array, not an arbitrary element
