@@ -67,8 +67,9 @@ import graft.functions.KqlCompat
   *   | partition by k (where … | summarize … | top …) // general sub-pipeline,
   *     // each stage lowered key-aware (summarize adds k to group-by)
   *   | evaluate bag_unpack(dynCol)       // JSON bag → typed columns
-  *   | scan [declare (v = lit, …)] partition by k order by c with (
-  *       step s1: cond [=> v = v + e, …]; …) // single-instance scan subset
+  *   | scan [with_match_id = M] [declare (v = lit, …)] partition by k
+  *       order by c with (step s1 [output=all|last|none]: cond
+  *       [=> v = v + e, …]; …)              // single-instance-per-step scan
   *   | project-reorder c1, c2             // listed first, rest keep order
   *   | render <chart>                     // client directive — identity
   * }}}
@@ -82,11 +83,13 @@ import graft.functions.KqlCompat
   * Deliberately NOT implemented (each fails loudly): `facet`/`fork` return
   * MULTIPLE result tables — incompatible with the one-DataFrame contract
   * (run the legs as separate pipelines); `invoke` needs a stored-function
-  * catalog the engine doesn't have (use `let`). `scan` is supported in its
-  * restricted single-instance funnel/session form (see
-  * [[graft.operators.ScanSteps]]); the general ADX state machine
-  * (concurrent instances, declared state columns) fails loudly, and
-  * sessionization / as-of attribution also exist as dedicated operators.
+  * catalog the engine doesn't have (use `let`). `scan` implements the
+  * one-active-sequence-per-step ADX state machine (declared state
+  * variables, per-step assignments, `output=all|last|none` modes,
+  * `with_match_id` — see [[graft.operators.ScanSteps]] for the pinned
+  * semantics, including the `output=last` completion-scoped edge ADX
+  * leaves unspecified); sessionization / as-of attribution also exist as
+  * dedicated operators.
   * Statements: `let x = <scalar>;` (macro-substituted) and
   * `let T2 = T | where …;` (catalog extension) precede the query.
   * Sources (first segment): a table name, or
@@ -1186,11 +1189,11 @@ object KqlPipeline {
       // [[graft.operators.ScanSteps]] for the spelled-out semantics and the
       // scale contract (one key shuffle + streaming per-partition fold).
       case "scan" =>
-        import graft.operators.ScanSteps.{ScanStepDef, ScanUpdate, ScanVarDef}
+        import graft.operators.ScanSteps.{ScanOutput, ScanStepDef, ScanUpdate, ScanVarDef}
         val ScanRe =
-          """(?is)(?:declare\s*\((.*?)\)\s+)?partition\s+by\s+(.+?)\s+order\s+by\s+([A-Za-z_][A-Za-z0-9_]*)\s*(asc|desc)?\s+with\s*(\(.*\))""".r
+          """(?is)(?:with_match_id\s*=\s*([A-Za-z_][A-Za-z0-9_]*)\s+)?(?:declare\s*\((.*?)\)\s+)?partition\s+by\s+(.+?)\s+order\s+by\s+([A-Za-z_][A-Za-z0-9_]*)\s*(asc|desc)?\s+with\s*(\(.*\))""".r
         rest.trim match {
-          case ScanRe(declS, keysS, ordCol, dir0, parens) =>
+          case ScanRe(midName, declS, keysS, ordCol, dir0, parens) =>
             val keys = splitTopLevel(keysS, ',').map(_.trim)
             keys.foreach(k => require(k.matches("[A-Za-z_][A-Za-z0-9_]*"),
               s"scan partition keys must be bare column names, got: '$k'"))
@@ -1238,13 +1241,20 @@ object KqlPipeline {
                   ScanUpdate.SetTo(expr(tx(e)))
               }
             }
-            val StepRe = """(?is)step\s+([A-Za-z_][A-Za-z0-9_]*)\s*:\s*(.+)""".r
+            val StepRe =
+              """(?is)step\s+([A-Za-z_][A-Za-z0-9_]*)\s*(?:output\s*=\s*(all|last|none)\s*)?:\s*(.+)""".r
             val AsgnRe = """(?s)([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)""".r
+            def outMode(s2: String): ScanOutput = s2 match {
+              case null                              => ScanOutput.All // ADX default
+              case o if o.equalsIgnoreCase("all")    => ScanOutput.All
+              case o if o.equalsIgnoreCase("last")   => ScanOutput.Last
+              case _                                 => ScanOutput.Silent
+            }
             val steps = splitTopLevel(inner, ';').map(_.trim).filter(_.nonEmpty).map {
-              case StepRe(nm, body) =>
-                // `step name: cond [=> v = upd, …]`
+              case StepRe(nm, out0, body) =>
+                // `step name [output=all|last|none]: cond [=> v = upd, …]`
                 val arrow = body.indexOf("=>")
-                if (arrow < 0) ScanStepDef(nm, expr(tx(body)))
+                if (arrow < 0) ScanStepDef(nm, expr(tx(body)), Nil, outMode(out0))
                 else {
                   val cond = body.substring(0, arrow)
                   val ups = splitTopLevel(body.substring(arrow + 2), ',')
@@ -1255,18 +1265,19 @@ object KqlPipeline {
                         v -> parseUpdate(v, u)
                       case a => fail(s"scan step '$nm': assignment must be `var = expr`, got: '$a'")
                     }
-                  ScanStepDef(nm, expr(tx(cond)), ups)
+                  ScanStepDef(nm, expr(tx(cond)), ups, outMode(out0))
                 }
-              case s2 => fail(s"scan step must be `step name: condition [=> assignments]`, got: '$s2'")
+              case s2 => fail(s"scan step must be `step name [output=all|last|none]: " +
+                s"condition [=> assignments]`, got: '$s2'")
             }
-            graft.operators.ScanSteps.scanDeclare(df, keys, ordCol, asc, vars, steps)
+            graft.operators.ScanSteps.scanDeclare(
+              df, keys, ordCol, asc, vars, steps, Option(midName))
           case _ => fail(
-            "scan supports the restricted single-instance subset: `scan " +
-              "[declare (v = lit, …)] partition by <keys> order by <col> " +
-              "[asc|desc] with (step s1: cond [=> v = v + e, …]; step s2: " +
-              "cond; …)` — concurrent sequence instances (output=all_matches) " +
-              "are not implemented; sessionization and as-of attribution " +
-              "also exist as dedicated operators")
+            "scan supports the single-instance-per-step subset: `scan " +
+              "[with_match_id = M] [declare (v = lit, …)] partition by <keys> " +
+              "order by <col> [asc|desc] with (step s1 [output=all|last|none]: " +
+              "cond [=> v = v + e, …]; step s2: cond; …)`; sessionization and " +
+              "as-of attribution also exist as dedicated operators")
         }
 
       case other => fail(s"unsupported KQL operator: '$other'")

@@ -1770,7 +1770,7 @@ object Surface {
         """events
           | | where event_type in ('signup', 'purchase')
           | | scan partition by user_id order by ts with (
-          |     step signup: event_type == 'signup';
+          |     step signup output=none: event_type == 'signup';
           |     step purchase: event_type == 'purchase')
           | | project user_id, signup_us = signup_ts div 1000, purchase_us = purchase_ts div 1000
           | | order by user_id asc, purchase_us asc""".stripMargin),
@@ -1806,7 +1806,7 @@ object Surface {
         """events
           | | where event_type in ('signup', 'purchase')
           | | scan declare (n_signups = 0) partition by user_id order by ts with (
-          |     step signup: event_type == 'signup' => n_signups = n_signups + 1;
+          |     step signup output=none: event_type == 'signup' => n_signups = n_signups + 1;
           |     step purchase: event_type == 'purchase')
           | | project user_id, signup_us = signup_ts div 1000, purchase_us = purchase_ts div 1000, n_signups
           | | order by user_id asc, purchase_us asc""".stripMargin),
@@ -1832,6 +1832,49 @@ object Surface {
                   AND s.tn <= c.purchase_us
                   AND (c.prev_c IS NULL OR s.tn > c.prev_c)) AS n_signups
         FROM comp2 c ORDER BY user_id, purchase_us""")),
+
+    "q_kql_scan_matches" -> QueryDef(
+      // ADX scan output modes + with_match_id: `output=all` (the ADX
+      // default) emits EVERY admitted row — here each signup row emits
+      // immediately (purchase_ts still null) and each completing purchase
+      // emits with its attributed signup; `mid` is the per-key 0-based
+      // sequence id (every signup admission starts a new instance, so a
+      // completion carries the ordinal of its attributed signup). Same
+      // scale shape as the funnel: one key shuffle, streaming fold.
+      (s, dir) => kqlRun(s, dir,
+        """events
+          | | where event_type in ('signup', 'purchase')
+          | | scan with_match_id = mid partition by user_id order by ts with (
+          |     step signup: event_type == 'signup';
+          |     step purchase: event_type == 'purchase')
+          | | project user_id, signup_us = signup_ts div 1000, purchase_us = purchase_ts div 1000, mid
+          | | order by user_id asc, mid asc, purchase_us asc""".stripMargin),
+      // oracle: signup rows are themselves (mid = per-user signup ordinal);
+      // completions come from the funnel closed form, joined back to the
+      // signup ordinals on the attributed instant. Spark sorts nulls first
+      // on asc — DuckDB needs it spelled out.
+      Some("""
+        WITH lp AS (SELECT user_id, event_type, epoch_us(ts) AS tn FROM events
+                    WHERE event_type IN ('signup','purchase')),
+        sg AS (SELECT user_id, tn,
+                 row_number() OVER (PARTITION BY user_id ORDER BY tn) - 1 AS mid
+               FROM lp WHERE event_type = 'signup'),
+        m AS (SELECT user_id, event_type, tn,
+                max(CASE WHEN event_type = 'signup' THEN tn END)
+                  OVER (PARTITION BY user_id ORDER BY tn
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_a
+              FROM lp),
+        b AS (SELECT user_id, tn AS purchase_us, last_a,
+                lag(tn) OVER (PARTITION BY user_id ORDER BY tn) AS prev_b
+              FROM m WHERE event_type = 'purchase'),
+        comp AS (SELECT user_id, last_a AS signup_us, purchase_us
+                 FROM b WHERE last_a IS NOT NULL AND (prev_b IS NULL OR last_a > prev_b))
+        SELECT user_id, signup_us, purchase_us, mid FROM (
+          SELECT user_id, tn AS signup_us, CAST(NULL AS BIGINT) AS purchase_us, mid FROM sg
+          UNION ALL
+          SELECT c.user_id, c.signup_us, c.purchase_us, s.mid
+          FROM comp c JOIN sg s ON s.user_id = c.user_id AND s.tn = c.signup_us
+        ) ORDER BY user_id, mid, purchase_us NULLS FIRST""")),
 
     "q_kql_has_phrase" -> QueryDef(
       // multi-term `has` needle = ADX adjacent-term phrase match; compiles

@@ -161,7 +161,7 @@ class KqlPipelineSpec extends SparkSuite {
         |  1, 1, 'A',  1, 2, 'A',  1, 3, 'B',  1, 4, 'B',  1, 5, 'A',  1, 6, 'B',
         |  2, 1, 'B',  2, 2, 'A',  2, 3, 'B'
         |]
-        | | scan partition by u order by t with (step sa: e == 'A'; step sb: e == 'B')
+        | | scan partition by u order by t with (step sa output=none: e == 'A'; step sb: e == 'B')
         | | project u, sa_t, sb_t
         | | order by u asc, sb_t asc""".stripMargin)
     assert(r.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq ==
@@ -177,10 +177,48 @@ class KqlPipelineSpec extends SparkSuite {
         |  2, 1, 'A',  2, 2, 'B',  2, 3, 'C'
         |]
         | | scan partition by u order by t with (
-        |     step s1: e == 'A'; step s2: e == 'B'; step s3: e == 'C')
+        |     step s1 output=none: e == 'A'; step s2 output=none: e == 'B'; step s3: e == 'C')
         | | project u, s1_t, s2_t, s3_t""".stripMargin)
     assert(r.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSeq ==
       Seq((2L, 1L, 2L, 3L)))
+  }
+
+  test("scan output modes and with_match_id: all emits admitted rows, last at completion") {
+    val dt =
+      """datatable (u:long, t:long, e:string) [
+        |  1, 1, 'A',  1, 2, 'A',  1, 3, 'B',  1, 4, 'B',  1, 5, 'A',  1, 6, 'B'
+        |]""".stripMargin
+    def rows(r: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      r.collect().map(x => (x.getLong(1),
+        if (x.isNullAt(2)) -1L else x.getLong(2), x.getLong(3))).toSeq
+    // ADX default output=all: every admitted row emits with state-so-far;
+    // mid: each A admission starts a new sequence instance
+    val all = run(
+      s"""$dt
+         | | scan with_match_id = mid partition by u order by t with (
+         |     step sa: e == 'A'; step sb: e == 'B')
+         | | project u, sa_t, sb_t, mid
+         | | order by mid asc, sb_t asc""".stripMargin)
+    assert(rows(all) == Seq(
+      (1L, -1L, 0L), (2L, -1L, 1L), (2L, 3L, 1L), (5L, -1L, 2L), (5L, 6L, 2L)))
+    // output=last: only the span's LAST admitted row, at completion —
+    // A@1's held row is replaced by A@2 and never emits
+    val last = run(
+      s"""$dt
+         | | scan with_match_id = mid partition by u order by t with (
+         |     step sa output=last: e == 'A'; step sb: e == 'B')
+         | | project u, sa_t, sb_t, mid
+         | | order by mid asc, sb_t asc""".stripMargin)
+    assert(rows(last) == Seq(
+      (2L, -1L, 1L), (2L, 3L, 1L), (5L, -1L, 2L), (5L, 6L, 2L)))
+    // a silent FINAL step still completes (resets state), emitting nothing
+    val silentFinal = run(
+      s"""$dt
+         | | scan partition by u order by t with (
+         |     step sa: e == 'A'; step sb output=none: e == 'B')
+         | | project u, sa_t, sb_t
+         | | order by sa_t asc""".stripMargin)
+    assert(silentFinal.collect().map(x => x.getLong(1)).toSeq == Seq(1L, 2L, 5L))
   }
 
   test("partition by with a general sub-pipeline: where | summarize | top per key") {
@@ -235,7 +273,7 @@ class KqlPipelineSpec extends SparkSuite {
         |]
         | | scan declare (cnt = 0, vsum = 0, vmax = 0, vfirst = long(null), vlast = long(null))
         |     partition by u order by t with (
-        |     step sa: e == 'A' => cnt = cnt + 1, vsum = vsum + v, vmax = max(vmax, v),
+        |     step sa output=none: e == 'A' => cnt = cnt + 1, vsum = vsum + v, vmax = max(vmax, v),
         |                          vfirst = coalesce(vfirst, v), vlast = v;
         |     step sb: e == 'B' => vsum = vsum + v)
         | | project u, sa_t, sb_t, cnt, vsum, vmax, vfirst, vlast

@@ -65,7 +65,7 @@ class ScanStepsSpec extends SparkSuite {
 
   test("property: declared state variables equal the sequential reference fold") {
     import org.apache.spark.sql.types.LongType
-    import ScanSteps.{ScanStepDef, ScanUpdate, ScanVarDef}
+    import ScanSteps.{ScanOutput, ScanStepDef, ScanUpdate, ScanVarDef}
     // cnt: +1 per A-match; vsum: +v on A and completing B; vmax: max v over
     // A-matches — all reset at completion (NOT at an A restart)
     def reference(rows: Seq[(Long, Long, String, Long)])
@@ -100,12 +100,45 @@ class ScanStepsSpec extends SparkSuite {
           ScanStepDef("sa", col("e") === "A", Seq(
             "cnt" -> ScanUpdate.Add(lit(1)),
             "vsum" -> ScanUpdate.Add(col("v")),
-            "vmax" -> ScanUpdate.MaxOf(col("v")))),
+            "vmax" -> ScanUpdate.MaxOf(col("v"))), ScanOutput.Silent),
           ScanStepDef("sb", col("e") === "B", Seq(
             "vsum" -> ScanUpdate.Add(col("v"))))))
       val got = res.select("u", "sa_t", "sb_t", "cnt", "vsum", "vmax").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
           r.getLong(4), r.getLong(5))).toSet
+      got == reference(rows)
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: output=all + with_match_id equals the sequential reference") {
+    import ScanSteps.ScanStepDef
+    // reference: every A row emits (ordinal id); a B with a pending A
+    // completes under the A's id; -1 encodes the null sb_t of A rows
+    def reference(rows: Seq[(Long, Long, String)]): Set[(Long, Long, Long, Long)] = {
+      val out = Set.newBuilder[(Long, Long, Long, Long)]
+      rows.groupBy(_._1).foreach { case (u, evs) =>
+        var a: Option[Long] = None
+        var nextId = 0L; var cur = 0L
+        evs.sortBy(_._2).foreach { case (_, t, e) =>
+          if (e == "B" && a.isDefined) { out += ((u, a.get, t, cur)); a = None }
+          else if (e == "A") {
+            cur = nextId; nextId += 1; a = Some(t); out += ((u, t, -1L, cur))
+          }
+        }
+      }
+      out.result()
+    }
+    val prop = Prop.forAll(eventsGen(Seq("A", "B", "X"))) { rows =>
+      val df = rows.toDF("u", "t", "e")
+      val res = ScanSteps.scanDeclare(df, Seq("u"), "t", ascending = true, Nil,
+        Seq(ScanStepDef("sa", col("e") === "A"), ScanStepDef("sb", col("e") === "B")),
+        matchId = Some("mid"))
+      val got = res.select("u", "sa_t", "sb_t", "mid").collect().map(r =>
+        (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+          r.getLong(3))).toSet
       got == reference(rows)
     }
     val res = org.scalacheck.Test.check(
