@@ -71,6 +71,7 @@ import graft.functions.KqlCompat
   *       order by c with (step s1 [output=all|last|none]: cond
   *       [=> v = v + e, …]; …)              // single-instance-per-step scan
   *   | project-reorder c1, c2             // listed first, rest keep order
+  *   | invoke f(args)                     // let-bound lambda, macro-expanded
   *   | render <chart>                     // client directive — identity
   * }}}
   * `let x = toscalar(T | …);` binds the 1×1 subquery result as a literal
@@ -80,10 +81,15 @@ import graft.functions.KqlCompat
   * references — and a given subquery text runs at most once per query.
   * Management: `.show tables [| …]` via the Map-catalog entry point.
   *
-  * Deliberately NOT implemented (each fails loudly): `facet`/`fork` return
-  * MULTIPLE result tables — incompatible with the one-DataFrame contract
-  * (run the legs as separate pipelines); `invoke` needs a stored-function
-  * catalog the engine doesn't have (use `let`). `scan` implements the
+  * `invoke` applies a `let`-bound lambda (`let f = (T:(*), p:long = 5)
+  * { T | where v > p };` → `T2 | invoke f(9)`): scalar arguments
+  * macro-substitute into the body, the tabular parameter binds to the
+  * frame-so-far through a fresh `as` name (so join/union operands may
+  * reference it too), and lambdas may call lambdas (depth-capped).
+  * `facet`/`fork` return MULTIPLE result tables — incompatible with
+  * [[run]]'s one-DataFrame contract, so they fail loudly there; use
+  * [[runMulti]], which returns named (leg, DataFrame) pairs for a final
+  * `fork (…) (…)` or `facet by c1, c2 [with (…)]`. `scan` implements the
   * one-active-sequence-per-step ADX state machine (declared state
   * variables, per-step assignments, `output=all|last|none` modes,
   * `with_match_id` — see [[graft.operators.ScanSteps]] for the pinned
@@ -159,10 +165,88 @@ object KqlPipeline {
   }
 
   def run(resolve: String => DataFrame, kql: String): DataFrame = {
+    val (res, fin) = compileStatements(resolve, kql)
+    runPipeline(res, fin)
+  }
+
+  /** Run a query whose FINAL operator is `fork` or `facet` — the two ADX
+    * operators that return MULTIPLE result tables and therefore can't fit
+    * [[run]]'s one-DataFrame contract. Returns (name, frame) legs in
+    * declaration order.
+    *
+    *  - `… | fork [name =] (sub-pipeline) [name =] (…) …`: each leg's
+    *    sub-pipeline applies to the frame-so-far; unnamed legs are
+    *    `fork_1, fork_2, …` (ADX auto-names similarly).
+    *  - `… | facet by c1, c2 [with (sub-pipeline)]`: one leg per column —
+    *    its distinct values with `count_` (the ADX facet table shape) —
+    *    plus a `query` leg when `with (…)` is given.
+    *
+    * `as` bindings made before the fork are not visible inside legs
+    * (documented divergence; bind with `let` instead).
+    */
+  def runMulti(tables: Map[String, DataFrame], kql: String): Seq[(String, DataFrame)] = {
+    val (res, fin) = compileStatements(tables.apply _, kql)
+    val segs = splitTopLevel(fin, '|').map(_.trim).filter(_.nonEmpty)
+    require(segs.size >= 2, "runMulti needs a source and a final fork/facet operator")
+    val last = segs.last
+    val w = last.takeWhile(!_.isWhitespace).toLowerCase
+    val base = runPipeline(res, segs.init.mkString(" | "))
+    w match {
+      case "fork" =>
+        val NameEq = """(?s)^([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(\(.*)$""".r
+        var rest = last.drop("fork".length).trim
+        val legs = Seq.newBuilder[(String, DataFrame)]
+        var i = 0
+        while (rest.nonEmpty) {
+          i += 1
+          val (name, parens) = rest match {
+            case NameEq(nm, p)            => (nm, p)
+            case p if p.startsWith("(")   => (s"fork_$i", p)
+            case p => fail(s"fork leg must be `[name =] (sub-pipeline)`, got: '$p'")
+          }
+          val (sub, tail) = takeGroup(parens, '(', ')')
+          val legSegs = splitTopLevel(sub, '|').map(_.trim).filter(_.nonEmpty)
+          legs += name -> legSegs.foldLeft(base)(applyOp(res))
+          rest = tail.trim
+        }
+        val out = legs.result()
+        require(out.nonEmpty, "fork needs at least one (sub-pipeline) leg")
+        out
+      case "facet" =>
+        val FacetRe = """(?is)^facet\s+by\s+(.+?)(?:\s+with\s*(\(.*\))\s*)?$""".r
+        last match {
+          case FacetRe(colsS, withS) =>
+            val cols = splitTopLevel(colsS, ',').map(_.trim)
+            cols.foreach(c => require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
+              s"facet columns must be bare names, got: '$c'"))
+            val facets = cols.map { c =>
+              c -> base.groupBy(col(c)).agg(count(lit(1)).as("count_"))
+            }
+            val query = Option(withS).toSeq.map { p =>
+              val (sub, _) = takeGroup(p, '(', ')')
+              val legSegs = splitTopLevel(sub, '|').map(_.trim).filter(_.nonEmpty)
+              "query" -> legSegs.foldLeft(base)(applyOp(res))
+            }
+            facets ++ query
+          case _ => fail(s"facet needs `facet by c1[, c2] [with (sub-pipeline)]`, got: '$last'")
+        }
+      case other => fail(s"runMulti's final operator must be fork or facet, got: '$other'")
+    }
+  }
+
+  /** The shared statement machinery behind [[run]]/[[runMulti]]: processes
+    * `let` statements (scalar macro bindings, tabular catalog extensions,
+    * lambda functions), lazily-memoized `toscalar`, and `invoke` expansion.
+    * Returns the let-aware resolver and the fully-preprocessed final
+    * tabular statement.
+    */
+  private def compileStatements(
+      resolve: String => DataFrame, kql: String): (String => DataFrame, String) = {
     val stmts = splitTopLevel(stripComments(kql), ';').map(_.trim).filter(_.nonEmpty)
     require(stmts.nonEmpty, "empty KQL query")
     var scalars = Vector.empty[(String, String)]
     var tabular = Map.empty[String, String]
+    var lambdas = Map.empty[String, LambdaDef]
     // one Spark job per DISTINCT toscalar subquery text, run at first use —
     // a toscalar in a branch nothing consumes never runs at all
     val toscalarMemo = scala.collection.mutable.Map.empty[String, String]
@@ -188,7 +272,14 @@ object KqlPipeline {
       // with earlier lets visible through resolveWithLets at that point, so
       // `let m = toscalar(T | …)` AND `let T2 = T | where x > toscalar(…)`
       // both work and neither runs a job unless actually referenced
-      val rhs = substituteScalars(rhs0.trim, scalars)
+      val rhs = expandInvokes(lambdas,
+        substituteScalars(rhs0.trim, scalars))
+      // `let f = (T:(*), p:long [= dflt], …) { body };` — an ADX lambda
+      // function; `| invoke f(args)` macro-expands it at the call site
+      parseLambda(rhs) match {
+        case Some(lam) =>
+          lambdas += name -> lam
+        case None =>
       // tabular iff: has a top-level pipe, is a source operator, or is a bare
       // identifier (a table/tabular-let alias — scalar lets were already
       // substituted away above, so a surviving bare identifier names a table)
@@ -217,10 +308,98 @@ object KqlPipeline {
           isSource(inner) || inner.matches("[A-Za-z_][A-Za-z0-9_]*")))
         tabular += name -> inner
       else scalars :+= (name -> rhs)
+      }
     }
-    runPipeline(resolveWithLets, substituteToscalarCalls(resolveWithLets,
-      toscalarMemo, substituteScalars(stmts.last, scalars)))
+    (resolveWithLets, substituteToscalarCalls(resolveWithLets,
+      toscalarMemo, expandInvokes(lambdas,
+        substituteScalars(stmts.last, scalars))))
   }
+
+  /** An ADX lambda function bound by `let`: the tabular parameter's name,
+    * the scalar parameters (name, optional default text), and the body.
+    */
+  private final case class LambdaDef(
+      tabParam: String, params: Seq[(String, Option[String])], body: String)
+
+  /** Parse `(T:(*), p:long [= default], …) { body }` — None if `rhs` isn't
+    * a lambda literal. The tabular parameter (type spec in parens, e.g.
+    * `(*)` or an explicit schema) must come first, as in ADX.
+    */
+  private def parseLambda(rhs: String): Option[LambdaDef] = {
+    if (!rhs.startsWith("(")) return None
+    val (ps, after) = takeGroup(rhs, '(', ')')
+    val aft = after.trim
+    if (!(aft.startsWith("{") && aft.endsWith("}"))) return None
+    val body = aft.substring(1, aft.length - 1).trim
+    val items = splitTopLevel(ps, ',').map(_.trim).filter(_.nonEmpty)
+    require(items.nonEmpty, "lambda needs at least a tabular parameter")
+    val TabRe    = """(?s)([A-Za-z_][A-Za-z0-9_]*)\s*:\s*\(.*\)""".r
+    val ScalarRe = """(?s)([A-Za-z_][A-Za-z0-9_]*)\s*:\s*[A-Za-z_][A-Za-z0-9_]*\s*(?:=\s*(.+))?""".r
+    val tab = items.head match {
+      case TabRe(nm) => nm
+      case p => fail(s"lambda's first parameter must be tabular (`T:(*)`), got: '$p'")
+    }
+    val params = items.tail.map {
+      case TabRe(nm) => fail(s"lambda allows one tabular parameter (first); '$nm' is second")
+      case ScalarRe(nm, dflt) => nm -> Option(dflt).map(_.trim)
+      case p => fail(s"lambda scalar parameter must be `name:type [= default]`, got: '$p'")
+    }
+    Some(LambdaDef(tab, params, body))
+  }
+
+  /** Macro-expand every `invoke f(args)` call in `stmt`: scalar arguments
+    * substitute into the lambda body at identifier boundaries; the body
+    * must start from its tabular parameter, which binds to the frame-so-far
+    * via a fresh `| as` name (so the body may also reference it in join/
+    * union operands). Expansion recurses for lambdas calling lambdas,
+    * depth-capped to fail loudly on cycles.
+    */
+  private def expandInvokes(
+      lambdas: Map[String, LambdaDef], stmt: String, depth: Int = 0): String = {
+    require(depth < 32, "invoke expansion exceeded depth 32 — lambda cycle?")
+    val idx = stmt.toLowerCase.indexOf("invoke")
+    if (idx < 0) return stmt
+    def skipThis(): String =
+      stmt.substring(0, idx + 6) +
+        expandInvokes(lambdas, stmt.substring(idx + 6), depth)
+    val boundary = (idx == 0 || {
+      val c = stmt.charAt(idx - 1); !c.isLetterOrDigit && c != '_'
+    }) && (idx + 6 >= stmt.length || !stmt.charAt(idx + 6).isLetterOrDigit)
+    if (!boundary || insideLiteral(stmt, idx)) return skipThis()
+    val NameRe = """(?s)\s*([A-Za-z_][A-Za-z0-9_]*)\s*(\(.*)""".r
+    stmt.substring(idx + 6) match {
+      case NameRe(fn, rest) =>
+        val lam = lambdas.getOrElse(fn, fail(
+          s"invoke: unknown function '$fn' — bind it first with " +
+            s"`let $fn = (T:(*), …) { … };`"))
+        val (argsS, tail) = takeGroup(rest, '(', ')')
+        val args = splitTopLevel(argsS, ',').map(_.trim).filter(_.nonEmpty)
+        require(args.size <= lam.params.size,
+          s"invoke $fn: ${args.size} arguments for ${lam.params.size} parameters")
+        val bound = lam.params.zipWithIndex.map { case ((nm, dflt), i) =>
+          nm -> args.lift(i).orElse(dflt).getOrElse(
+            fail(s"invoke $fn: missing argument for parameter '$nm' (no default)"))
+        }
+        val body = substituteScalars(lam.body, bound)
+        val segs = splitTopLevel(body, '|').map(_.trim).filter(_.nonEmpty)
+        require(segs.nonEmpty && segs.head == lam.tabParam,
+          s"invoke $fn: lambda body must start from its tabular parameter " +
+            s"'${lam.tabParam}', got: '${segs.headOption.getOrElse("")}'")
+        val fresh = s"__graft_invoke_${invokeCounter.getAndIncrement()}"
+        val re = ("""(?<![A-Za-z0-9_.$])""" +
+          java.util.regex.Pattern.quote(lam.tabParam) + """(?![A-Za-z0-9_])""").r
+        val rewritten = segs.tail.map { seg =>
+          re.replaceAllIn(seg, m =>
+            if (insideLiteral(seg, m.start)) m.matched else fresh)
+        }
+        val expansion = (s"as $fresh" +: rewritten).mkString(" | ")
+        expandInvokes(lambdas,
+          stmt.substring(0, idx) + expansion + tail, depth + 1)
+      case _ => skipThis()
+    }
+  }
+
+  private val invokeCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Replace every top-level `toscalar(sub-pipeline)` call in `stmt` with
     * the literal rendering of its 1×1 result (first column of the first
@@ -1810,7 +1989,7 @@ object KqlPipeline {
   /** `name = expr` when `name` is a bare identifier and `=` is not part of
     * `==`/`!=`/`<=`/`>=`/`=~`.
     */
-  private val AssignRe = """^([A-Za-z_][A-Za-z0-9_]*)\s*=(?![=~])\s*(.+)$""".r
+  private val AssignRe = """(?s)^([A-Za-z_][A-Za-z0-9_]*)\s*=(?![=~])\s*(.+)$""".r
   private def assignment(item: String): Option[(String, String)] = item match {
     case AssignRe(name, e) => Some((name, e))
     case _                 => None

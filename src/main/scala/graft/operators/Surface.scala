@@ -1876,6 +1876,51 @@ object Surface {
           FROM comp c JOIN sg s ON s.user_id = c.user_id AND s.tn = c.signup_us
         ) ORDER BY user_id, mid, purchase_us NULLS FIRST""")),
 
+    "q_kql_invoke" -> QueryDef(
+      // `invoke` + let-bound lambda: scalar args macro-substitute into the
+      // body, the tabular parameter binds to the frame-so-far — the whole
+      // call compiles to the same plan as writing the body inline (filter
+      // pushed to the scan, partial-agg count), zero runtime overhead.
+      (s, dir) => kqlRun(s, dir,
+        """let big_orders = (T:(*), minTotal:real = 100000.0) {
+          |   T | where o_totalprice >= minTotal };
+          | orders
+          | | invoke big_orders(400000.0)
+          | | summarize n = count() by o_orderpriority
+          | | order by o_orderpriority asc""".stripMargin),
+      Some("""
+        SELECT o_orderpriority, count(*) AS n FROM orders
+        WHERE o_totalprice >= 400000.0
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    "q_kql_fork" -> QueryDef(
+      // `fork`: multiple result tables from one pass over the frame-so-far
+      // (KqlPipeline.runMulti — run()'s one-DataFrame contract can't carry
+      // them). Each leg applies to the SAME base frame; Spark reuses the
+      // shared scan subtree across legs. The driver gate needs one frame,
+      // so the legs union under a `leg` label — exactly what a caller of
+      // runMulti would do to persist both.
+      (s, dir) => {
+        val legs = graft.kql.KqlPipeline.runMulti(
+          Map("lineitem" -> t(s, dir, "lineitem")),
+          """lineitem
+            | | fork
+            |     flagged = (where l_returnflag == 'R' | summarize n = count() by l_linestatus)
+            |     bulky   = (where l_quantity >= 45 | summarize n = count() by l_linestatus)""".stripMargin)
+        legs.map { case (nm, df) => df.withColumn("leg", lit(nm)) }
+          .reduce(_.unionByName(_))
+          .select("leg", "l_linestatus", "n")
+          .orderBy("leg", "l_linestatus")
+      },
+      Some("""
+        SELECT * FROM (
+          SELECT 'flagged' AS leg, l_linestatus, count(*) AS n FROM lineitem
+          WHERE l_returnflag = 'R' GROUP BY l_linestatus
+          UNION ALL
+          SELECT 'bulky', l_linestatus, count(*) FROM lineitem
+          WHERE l_quantity >= 45 GROUP BY l_linestatus
+        ) ORDER BY leg, l_linestatus""")),
+
     "q_kql_has_phrase" -> QueryDef(
       // multi-term `has` needle = ADX adjacent-term phrase match; compiles
       // to ONE codegen'd boundary-anchored RLIKE (no split/array per row).

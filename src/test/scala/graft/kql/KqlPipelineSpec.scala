@@ -704,6 +704,57 @@ class KqlPipelineSpec extends SparkSuite {
     intercept[IllegalArgumentException](run("people | project-reorder nope"))
   }
 
+  test("runMulti: fork applies each leg to the frame-so-far") {
+    val legs = KqlPipeline.runMulti(Map("people" -> people),
+      "people | where age >= 30 | fork " +
+        "olds = (where age >= 35 | summarize n = count()) " +
+        "scores = (summarize s = sum(score))")
+    assert(legs.map(_._1) == Seq("olds", "scores"))
+    assert(legs(0)._2.head().getLong(0) == 3L)     // Carol, dave, Eve
+    assert(legs(1)._2.head().getDouble(0) == 50.0) // 10 + 20 + 5 + 15
+    // unnamed legs auto-name in order
+    val anon = KqlPipeline.runMulti(Map("people" -> people),
+      "people | fork (count) (where age < 30 | count)")
+    assert(anon.map(_._1) == Seq("fork_1", "fork_2"))
+    assert(anon(0)._2.head().getLong(0) == 5L)
+    assert(anon(1)._2.head().getLong(0) == 1L)
+    // fork inside run()'s one-frame contract stays a loud error
+    intercept[IllegalArgumentException](run("people | fork (count)"))
+  }
+
+  test("runMulti: facet by yields per-column value counts plus the with-leg") {
+    val legs = KqlPipeline.runMulti(Map("people" -> people),
+      "people | facet by age, role with (summarize m = max(score))")
+    assert(legs.map(_._1) == Seq("age", "role", "query"))
+    val ages = legs(0)._2.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(ages == Map(25 -> 1L, 30 -> 1L, 35 -> 2L, 40 -> 1L))
+    assert(legs(1)._2.count() == 5L) // five distinct role strings
+    assert(legs(2)._2.head().getDouble(0) == 20.0)
+  }
+
+  test("invoke applies a let-bound lambda function") {
+    // default parameter value
+    assert(run("let adults = (T:(*), minAge:long = 30) { T | where age >= minAge }; " +
+      "people | invoke adults() | count").head().getLong(0) == 4L)
+    // explicit argument
+    assert(run("let adults = (T:(*), minAge:long = 30) { T | where age >= minAge }; " +
+      "people | invoke adults(35) | count").head().getLong(0) == 3L)
+    // composes mid-pipeline with surrounding operators
+    assert(run("let big = (T:(*), th:long) { T | where score >= th }; " +
+      "people | where age <= 35 | invoke big(15) | count").head().getLong(0) == 3L)
+    // the body may reference its tabular parameter again (union operand)
+    assert(run("let dbl = (T:(*)) { T | union T }; " +
+      "people | invoke dbl() | count").head().getLong(0) == 10L)
+    // lambdas calling lambdas expand recursively
+    assert(run("let adults = (T:(*), minAge:long = 30) { T | where age >= minAge }; " +
+      "let named = (T:(*)) { T | invoke adults(35) | where name startswith 'C' }; " +
+      "people | invoke named() | count").head().getLong(0) == 1L)
+    // missing argument without a default, and unknown function, fail loudly
+    intercept[IllegalArgumentException](run(
+      "let big = (T:(*), th:long) { T | where score >= th }; people | invoke big()"))
+    intercept[IllegalArgumentException](run("people | invoke nope()"))
+  }
+
   test("toscalar is lazy: bindings no consumed branch references never run") {
     // the poison table THROWS on resolution — if either unused let's
     // toscalar ran at bind time (the old eager behavior), this query fails
