@@ -10,13 +10,16 @@ import org.apache.spark.sql.functions._
   *
   * The IMAGE path decodes for real through JDK `javax.imageio` (PNG/JPEG/
   * GIF/BMP — no extra jars, headless-safe): real width/height/channel
-  * counts, with the deterministic byte-hash stub as the fallback for
-  * payloads ImageIO cannot read. Audio/video codec work remains STUBBED
-  * (this container has no media libraries): `decodeStub` derives
-  * deterministic fake dimensions/features from the bytes. Everything
-  * Spark-side — schema, batch shape, partitioning, null handling — is real
-  * and tested; swapping the stub for a JNI/javacv decoder changes only the
-  * function body.
+  * counts. The AUDIO path decodes for real through JDK
+  * `javax.sound.sampled` (WAV/AIFF/AU — also jar-free): real channel
+  * count, sample rate, and frame-exact duration. Both fall back to the
+  * deterministic byte-hash stub in [[decode]] for payloads the JDK reader
+  * rejects. VIDEO codec work remains STUBBED (the JDK has no video
+  * decoder and this container has no media libraries): `decodeStub`
+  * derives deterministic fake dimensions/features from the bytes.
+  * Everything Spark-side — schema, batch shape, partitioning, null
+  * handling — is real and tested; swapping the video stub for a
+  * JNI/javacv decoder changes only the function body.
   */
 object Multimodal {
 
@@ -33,7 +36,8 @@ object Multimodal {
       kind: String,
       width: Int,
       height: Int,
-      n_channels: Int,     // real for ImageIO-decoded images; 0 for stub rows
+      n_channels: Int,     // real for ImageIO images / sampled audio; 0 for stub rows
+      sample_rate: Int,    // Hz; real for decoded audio, 0 otherwise
       duration_ms: Long,
       n_bytes: Long,
       ok: Boolean)
@@ -55,8 +59,32 @@ object Multimodal {
       else Some((img.getWidth, img.getHeight, img.getColorModel.getNumComponents))
     } catch { case _: java.io.IOException => None }
 
+  /** Real audio header decode via JDK `javax.sound.sampled` →
+    * (channels, sampleRateHz, durationMs); None when the payload isn't a
+    * readable WAV/AIFF/AU stream. Duration is frame-exact:
+    * frameLength / frameRate off the container header — no PCM data is
+    * traversed, so this is O(header) per row regardless of payload size.
+    */
+  private[functions] def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Long)] =
+    if (bytes == null || bytes.isEmpty) None
+    else try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt    = in.getFormat
+        val frames = in.getFrameLength
+        if (frames < 0 || fmt.getFrameRate <= 0f) None
+        else Some((fmt.getChannels, math.round(fmt.getSampleRate),
+          math.round(frames * 1000.0 / fmt.getFrameRate)))
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException                               => None
+    }
+
   /** STUB decoder — deterministic from payload bytes so tests are stable.
-    * Stands in for the audio/video codecs this container lacks.
+    * Stands in for the video codecs this container lacks (and, in lenient
+    * [[decode]], for audio/image payloads the JDK readers reject).
     */
   private[functions] def decodeStub(r: MediaRow): DecodedMedia = {
     val bytes = if (r.payload == null) Array.emptyByteArray else r.payload
@@ -68,43 +96,51 @@ object Multimodal {
       width = if (ok) (math.abs(h) % 1920 + 16).toInt else 0,
       height = if (ok) (math.abs(h >> 16) % 1080 + 16).toInt else 0,
       n_channels = 0,
+      sample_rate = 0,
       duration_ms = if (r.kind == "image" || !ok) 0L else math.abs(h >> 32) % 600000L,
       n_bytes = bytes.length.toLong,
       ok = ok)
   }
 
+  /** One media row through the real JDK decoders; None when the payload
+    * isn't readable for its kind (video has no JDK decoder → always None).
+    */
+  private def decodeReal(r: MediaRow): Option[DecodedMedia] = {
+    val nb = if (r.payload == null) 0L else r.payload.length.toLong
+    r.kind match {
+      case "image" => decodeImage(r.payload).map { case (w, h, c) =>
+        DecodedMedia(r.media_id, r.kind, w, h, c, 0, 0L, nb, ok = true)
+      }
+      case "audio" => decodeAudio(r.payload).map { case (ch, rate, ms) =>
+        DecodedMedia(r.media_id, r.kind, 0, 0, ch, rate, ms, nb, ok = true)
+      }
+      case _ => None
+    }
+  }
+
   /** Decode metadata per media row — partition-parallel, zero shuffle.
-    * Image payloads decode for REAL (ImageIO); unreadable image bytes fall
-    * back to the stub so mixed corpora keep flowing (ok still reflects
-    * payload presence — see [[decodeStrict]] for decode-success gating).
+    * Image and audio payloads decode for REAL (ImageIO / javax.sound);
+    * unreadable bytes fall back to the stub so mixed corpora keep flowing
+    * (ok still reflects payload presence — see [[decodeStrict]] for
+    * decode-success gating).
     */
   def decode(ds: Dataset[MediaRow]): Dataset[DecodedMedia] = {
     import ds.sparkSession.implicits._
-    ds.mapPartitions(_.map { r =>
-      if (r.kind == "image") decodeImage(r.payload) match {
-        case Some((w, h, c)) =>
-          DecodedMedia(r.media_id, r.kind, w, h, c, 0L,
-            r.payload.length.toLong, ok = true)
-        case None => decodeStub(r)
-      }
-      else decodeStub(r)
-    })
+    ds.mapPartitions(_.map(r => decodeReal(r).getOrElse(decodeStub(r))))
   }
 
-  /** Like [[decode]] but `ok` means THE DECODE SUCCEEDED: image rows that
-    * ImageIO cannot read come back all-zero with ok = false (no stub
-    * fallback) — the honest gate for curation pipelines that drop
-    * undecodable media.
+  /** Like [[decode]] but `ok` means THE DECODE SUCCEEDED: image/audio rows
+    * the JDK readers cannot parse come back all-zero with ok = false (no
+    * stub fallback) — the honest gate for curation pipelines that drop
+    * undecodable media. Video stays on the stub (no JDK decoder exists).
     */
   def decodeStrict(ds: Dataset[MediaRow]): Dataset[DecodedMedia] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.map { r =>
       val nb = if (r.payload == null) 0L else r.payload.length.toLong
-      if (r.kind == "image") decodeImage(r.payload) match {
-        case Some((w, h, c)) => DecodedMedia(r.media_id, r.kind, w, h, c, 0L, nb, ok = true)
-        case None            => DecodedMedia(r.media_id, r.kind, 0, 0, 0, 0L, nb, ok = false)
-      }
-      else decodeStub(r)
+      if (r.kind == "video") decodeStub(r)
+      else decodeReal(r).getOrElse(
+        DecodedMedia(r.media_id, r.kind, 0, 0, 0, 0, 0L, nb, ok = false))
     })
   }
 
@@ -186,6 +222,58 @@ object Multimodal {
     javax.imageio.ImageIO.setUseCache(false)
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  /** Deterministic 16-bit PCM WAV: `nFrames` frames at `sampleRate` Hz with
+    * `channels` channels, sample values a pure function of (seed, frame,
+    * channel) — so corpora built from it have SQL-predictable decoded
+    * channel counts and durations while the bytes are a REAL RIFF/WAVE
+    * stream any audio reader accepts.
+    */
+  def syntheticWav(nFrames: Int, sampleRate: Int = 8000, channels: Int = 1,
+      seed: Long = 0L): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false) // PCM signed little-endian
+    val pcm = new Array[Byte](nFrames * channels * 2)
+    var f = 0
+    while (f < nFrames) {
+      var c = 0
+      while (c < channels) {
+        val v = ((seed * 31 + f * 7 + c * 13) & 0xffff).toShort
+        val off = (f * channels + c) * 2
+        pcm(off) = (v & 0xff).toByte
+        pcm(off + 1) = ((v >> 8) & 0xff).toByte
+        c += 1
+      }
+      f += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Audio corpus with REAL WAV payloads derived from `documents`: one clip
+    * per doc with doc_id % 3 == 1 (the corpus' "audio" rows), the closed
+    * forms channels = 1 + doc_id % 2 and nFrames = 400 + (doc_id % 50) * 80
+    * at 8000 Hz — so duration_ms = 50 + (doc_id % 50) * 10 and a SQL oracle
+    * can predict every decoded stat. Docs with doc_id % 5 == 0 carry a
+    * TRUNCATED payload (first 10 bytes — cannot even carry the RIFF/WAVE
+    * header) to exercise the decode-failure path deterministically.
+    */
+  def audioCorpusFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("source"))
+      .filter(col("doc_id") % 3 === 1)
+      .as[(Long, String)]
+      .map { case (id, src) =>
+        val wav = syntheticWav(400 + (id % 50).toInt * 80, 8000,
+          1 + (id % 2).toInt, id)
+        val payload = if (id % 5 == 0) wav.take(10) else wav
+        MediaRow(id, "audio", payload, "audio/wav", s"doc://$src/$id")
+      }
   }
 
   /** Image corpus with REAL PNG payloads derived from `documents`: one image

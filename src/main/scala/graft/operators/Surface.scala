@@ -1598,6 +1598,32 @@ object Surface {
                CAST(SUM(CASE WHEN doc_id % 5 <> 0 THEN 3 ELSE 0 END) AS BIGINT) AS sum_c
         FROM documents WHERE doc_id % 3 = 0""")),
 
+    "mm_audio_decode" -> QueryDef(
+      // REAL audio decode (JDK javax.sound.sampled, no stub): the corpus
+      // carries real 16-bit PCM WAV payloads whose channel counts and
+      // frame-exact durations follow closed forms of doc_id, so the sums
+      // are oracle-exact; truncated payloads (doc_id % 5 == 0, 10 bytes)
+      // must FAIL decode — decodeStrict returns ok = false with zeros, and
+      // the oracle counts them the same way. Header-only decode + one
+      // mapPartitions pass, zero shuffle before the final agg.
+      (s, dir) => Multimodal.decodeStrict(
+          Multimodal.audioCorpusFromDocuments(t(s, dir, "documents")))
+        .toDF()
+        .agg(
+          count(lit(1)).as("n_media"),
+          sum(when(col("ok"), 1L).otherwise(0L)).cast("bigint").as("n_ok"),
+          sum(col("n_channels").cast("bigint")).as("sum_ch"),
+          sum(when(col("ok"), col("sample_rate").cast("bigint"))
+            .otherwise(0L)).as("sum_rate"),
+          sum(col("duration_ms")).cast("bigint").as("sum_ms")),
+      Some("""
+        SELECT count(*) AS n_media,
+               CAST(SUM(CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+               CAST(SUM(CASE WHEN doc_id % 5 <> 0 THEN 1 + doc_id % 2 ELSE 0 END) AS BIGINT) AS sum_ch,
+               CAST(SUM(CASE WHEN doc_id % 5 <> 0 THEN 8000 ELSE 0 END) AS BIGINT) AS sum_rate,
+               CAST(SUM(CASE WHEN doc_id % 5 <> 0 THEN 50 + (doc_id % 50) * 10 ELSE 0 END) AS BIGINT) AS sum_ms
+        FROM documents WHERE doc_id % 3 = 1""")),
+
     // ---- KQL tabular pipeline (§2.i; the reference's outward query surface:
     // DatabaseGateway.cs:85-96 status view, LoadTest.cs:22-27 `T | count`,
     // LoadTest.cs:74-89 `T | where … | count`). Each query is a literal KQL

@@ -178,11 +178,34 @@ class FunctionsSpec extends SparkSuite {
     val dec = Multimodal.decodeStrict(ds).collect().map(d => d.media_id -> d).toMap
     assert(dec(3L).ok && dec(3L).width == 19 && dec(3L).height == 33 && dec(3L).n_channels == 3)
     assert(!dec(5L).ok && dec(5L).width == 0 && dec(5L).n_channels == 0)
-    assert(dec(7L).ok && dec(7L).n_channels == 0) // audio stays on the stub path
+    assert(!dec(7L).ok && dec(7L).n_channels == 0) // 3 raw bytes are not a WAV either
     // lenient decode falls back to the stub for unreadable image bytes
     val lenient = Multimodal.decode(ds).collect().map(d => d.media_id -> d).toMap
     assert(lenient(5L).ok && lenient(5L).width >= 16) // stub dims, still flowing
     assert(lenient(3L).width == 19)                   // real decode when readable
+    assert(lenient(7L).ok)                            // unreadable audio → stub, still flowing
+  }
+
+  test("multimodal: javax.sound decodes real WAV payloads exactly; truncation fails strictly") {
+    import spark.implicits._
+    // byte-level roundtrip: generated wav decodes to its exact header stats
+    val wav = Multimodal.syntheticWav(nFrames = 800, sampleRate = 8000, channels = 2, seed = 3L)
+    assert(Multimodal.decodeAudio(wav).contains((2, 8000, 100L))) // 800 frames @ 8 kHz = 100 ms
+    assert(Multimodal.decodeAudio(wav.take(10)).isEmpty)          // no RIFF/WAVE header
+    assert(Multimodal.decodeAudio(Array.emptyByteArray).isEmpty)
+
+    // distributed strict path on the closed-form corpus: channels, rate and
+    // frame-exact duration all follow doc_id; truncated rows fail honestly
+    val docsDf = Seq((1L, "a"), (4L, "b"), (7L, "c"), (10L, "d"))
+      .toDF("doc_id", "source")
+    val dec = Multimodal.decodeStrict(Multimodal.audioCorpusFromDocuments(docsDf))
+      .collect().map(d => d.media_id -> d).toMap
+    assert(dec.keySet == Set(1L, 4L, 7L, 10L))
+    assert(dec(1L).ok && dec(1L).n_channels == 2 && dec(1L).sample_rate == 8000
+      && dec(1L).duration_ms == 60L)   // 1+1%2=2 ch, 50+1*10 ms
+    assert(dec(4L).ok && dec(4L).n_channels == 1 && dec(4L).duration_ms == 90L)
+    assert(dec(7L).ok && dec(7L).n_channels == 2 && dec(7L).duration_ms == 120L)
+    assert(!dec(10L).ok && dec(10L).n_channels == 0 && dec(10L).duration_ms == 0L) // 10 % 5 == 0: truncated
   }
 
   test("rolling_hash: codegen matches interpreted, registered in SQL, rejects non-strings") {
