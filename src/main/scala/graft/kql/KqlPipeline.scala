@@ -72,7 +72,11 @@ import graft.functions.KqlCompat
   *       [=> v = v + e, …]; …)              // single-instance-per-step scan
   *   | project-reorder c1, c2             // listed first, rest keep order
   *   | invoke f(args)                     // let-bound lambda, macro-expanded
+  *   | parse-kv e as (k:type, …) with (pair_delimiter=';', kv_delimiter='=')
   *   | render <chart>                     // client directive — identity
+  * }}}
+  * Source form (first segment): {{{
+  *   find [withsource=Col] in (T1, T2, …) where pred [project c1, …]
   * }}}
   * `let x = toscalar(T | …);` binds the 1×1 subquery result as a literal
   * (ADX semantics: first column of the first row). Evaluation is LAZY and
@@ -505,7 +509,7 @@ object KqlPipeline {
     def headArgs(kw: String) =
       l.startsWith(kw) && l.drop(kw.length).trim.startsWith("(")
     l.startsWith("range ") || l.startsWith("print ") || l == "print" ||
-      l.startsWith("union ") ||
+      l.startsWith("union ") || l.startsWith("find ") ||
       headArgs("datatable") || headArgs("externaldata")
   }
 
@@ -524,6 +528,54 @@ object KqlPipeline {
       case "range"        => rangeSource(seg.drop("range".length))
       case "print"        => printSource(seg.drop("print".length))
       case "union"        => unionSource(resolve, seg.drop("union".length))
+      case "find"         => findSource(resolve, seg.drop("find".length))
+    }
+  }
+
+  /** `find [withsource=Col] in (T1, T2, …) where <pred> [project c1, …]` —
+    * ADX's cross-table search. Lowers to `unionByName(allowMissingColumns)`
+    * of the listed tables (each labeled with its name, default column
+    * `source_`) followed by ONE filter: Catalyst pushes the predicate
+    * through the union into every leg, so each table scans with its own
+    * pushed filters, and a column missing from a table reads as null there
+    * — the row simply doesn't match (ADX semantics). The optional trailing
+    * `project` keeps the label column plus the listed columns.
+    */
+  private def findSource(resolve: String => DataFrame, rest: String): DataFrame = {
+    val HeadRe = """(?is)\s*(?:withsource\s*=\s*([A-Za-z_][A-Za-z0-9_]*)\s+)?in\s*(\(.*)""".r
+    rest match {
+      case HeadRe(srcColN, after) =>
+        val srcCol = Option(srcColN).getOrElse("source_")
+        val (tablesInner, tail0) = takeGroup(after, '(', ')')
+        val tables = splitTopLevel(tablesInner, ',').map(_.trim).filter(_.nonEmpty)
+        require(tables.nonEmpty, "find needs at least one table in (…)")
+        tables.foreach(t => require(t.matches("[A-Za-z_][A-Za-z0-9_]*"),
+          s"find takes bare table names, got: '$t'"))
+        // split the tail at a top-level ` project ` (never inside a literal)
+        val t = tail0.trim
+        val projIdx = {
+          val re = """(?i)\bproject\b""".r
+          re.findAllMatchIn(t).map(_.start).find(i => !insideLiteral(t, i))
+        }
+        val (whereS, projS) = projIdx match {
+          case Some(i) => (t.substring(0, i).trim, Some(t.substring(i + "project".length).trim))
+          case None    => (t, None)
+        }
+        require(whereS.toLowerCase.startsWith("where") &&
+            whereS.length > 5 && whereS.charAt(5).isWhitespace,
+          s"find needs `where <predicate>` after the table list, got: '$t'")
+        val pred = whereS.drop("where".length).trim
+        val unioned = tables.map(tn => resolve(tn).withColumn(srcCol, lit(tn)))
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+        val found = unioned.filter(expr(tx(pred)))
+        projS match {
+          case Some(p) =>
+            val cols = splitTopLevel(p, ',').map(_.trim).filter(_.nonEmpty)
+            require(cols.nonEmpty, "find: `project` needs at least one column")
+            found.select((srcCol +: cols.filterNot(_ == srcCol)).map(col): _*)
+          case None => found
+        }
+      case _ => fail(s"find needs `[withsource=Col] in (T1, T2, …) where …`, got: '$rest'")
     }
   }
 
@@ -1071,6 +1123,46 @@ object KqlPipeline {
       // SAME compiled regex (rlike), so both stay codegen'd
       case "parse-where" =>
         applyParse(df, rest, seg, filterMatches = true)
+
+      // `parse-kv Expr as (k1:type, …) with (pair_delimiter=';',
+      // kv_delimiter='=')`: key-value extraction. Lowers to ONE codegen'd
+      // str_to_map per row (delimiters are literal — regex-quoted) with
+      // trimmed keys/values, then a cast per declared key; undeclared keys
+      // are ignored, missing keys come back null (ADX semantics).
+      case "parse-kv" =>
+        val AsRe = """(?is)(.+?)\s+as\s*(\(.*)""".r
+        val (exprS, after) = rest.trim match {
+          case AsRe(e, a) => (e, a)
+          case _ => fail(s"parse-kv needs `<expr> as (name:type, …)`, got: '$seg'")
+        }
+        val (schemaInner, tail) = takeGroup(after, '(', ')')
+        val schema = parseSchema(schemaInner)
+        var pairDelim = " "
+        var kvDelim   = "="
+        val t0 = tail.trim
+        if (t0.nonEmpty) {
+          require(t0.toLowerCase.startsWith("with"),
+            s"parse-kv: expected `with (…)` after the schema, got: '$t0'")
+          val (optsInner, _) = takeGroup(t0.drop(4).trim, '(', ')')
+          splitTopLevel(optsInner, ',').map(_.trim).filter(_.nonEmpty).foreach { o =>
+            val parts = o.split("=", 2)
+            require(parts.length == 2, s"parse-kv option needs `name=value`, got: '$o'")
+            parts(0).trim.toLowerCase match {
+              case "pair_delimiter" => pairDelim = unquote(parts(1).trim)
+              case "kv_delimiter"   => kvDelim   = unquote(parts(1).trim)
+              case other => fail(s"parse-kv: unsupported option '$other'")
+            }
+          }
+        }
+        def rq(s: String) = java.util.regex.Pattern.quote(s)
+        val m = "__graft_kv"
+        df.withColumn(m,
+            str_to_map(expr(tx(exprS)).cast("string"), lit(rq(pairDelim)), lit(rq(kvDelim))))
+          .withColumn(m, expr(s"transform_keys(transform_values($m, (k, v) -> trim(v)), (k, v) -> trim(k))"))
+          .transform(d => schema.foldLeft(d) { case (acc, (n, tpe)) =>
+            acc.withColumn(n, element_at(col(m), n).cast(tpe))
+          })
+          .drop(m)
 
       // `search 'term'`: whole-term case-insensitive match across ALL string
       // columns (ADX's cross-column full-text search, term semantics like

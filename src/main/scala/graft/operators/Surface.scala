@@ -1947,6 +1947,39 @@ object Surface {
           WHERE l_quantity >= 45 GROUP BY l_linestatus
         ) ORDER BY leg, l_linestatus""")),
 
+    "q_kql_find" -> QueryDef(
+      // `find in (…)`: cross-table search. Lowers to union-by-name with
+      // null padding + ONE filter; Catalyst pushes the disjuncts through
+      // the union so each table scans with its own pushed predicate, and a
+      // column missing from a table reads as null there (no match) — no
+      // per-table driver loop, one distributed plan.
+      (s, dir) => kqlRun(s, dir,
+        "find withsource=src in (customer, supplier) " +
+          "where c_acctbal > 9000.0 or s_acctbal > 9000.0 " +
+          "| summarize n = count() by src | order by src asc"),
+      Some("""
+        SELECT * FROM (
+          SELECT 'customer' AS src, count(*) AS n FROM customer WHERE c_acctbal > 9000.0
+          UNION ALL
+          SELECT 'supplier', count(*) FROM supplier WHERE s_acctbal > 9000.0
+        ) ORDER BY src""")),
+
+    "q_kql_parse_kv" -> QueryDef(
+      // `parse-kv`: key-value extraction via ONE codegen'd str_to_map per
+      // row + per-key cast. The kv string is built in-plan from orders
+      // columns, parsed back out, and aggregated — proving the round-trip
+      // with integer-exact sums the oracle can state directly.
+      (s, dir) => kqlRun(s, dir,
+        """orders
+          | | extend kv = strcat('pri=', o_orderpriority, ';key=', tostring(o_orderkey))
+          | | parse-kv kv as (pri:string, key:long) with (pair_delimiter=';', kv_delimiter='=')
+          | | summarize n = count(), s = sum(key) by pri
+          | | order by pri asc""".stripMargin),
+      Some("""
+        SELECT o_orderpriority AS pri, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS s
+        FROM orders GROUP BY o_orderpriority ORDER BY pri""")),
+
     "q_kql_has_phrase" -> QueryDef(
       // multi-term `has` needle = ADX adjacent-term phrase match; compiles
       // to ONE codegen'd boundary-anchored RLIKE (no split/array per row).

@@ -755,6 +755,30 @@ class KqlPipelineSpec extends SparkSuite {
     intercept[IllegalArgumentException](run("people | invoke nope()"))
   }
 
+  test("find searches across tables; missing columns null-pad and never match") {
+    val r = run("find withsource=src in (people, depts) " +
+      "where role == 'guest' or dept == 'ops' " +
+      "project src, role | order by src asc, role asc").collect()
+    assert(r.map(x => (x.getString(0), x.getString(1))).toSeq == Seq(
+      ("depts", "admin role"), ("depts", "guest"), ("people", "guest")))
+    // default label column is source_; `where` is mandatory
+    assert(run("find in (people, depts) where role == 'user' | project source_ | distinct source_")
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("depts", "people"))
+    intercept[IllegalArgumentException](run("find in (people, depts) | count"))
+  }
+
+  test("parse-kv extracts typed key-values with trimming; missing keys are null") {
+    val r = run("people | extend kv = strcat('a=', tostring(age), '; n=', name) " +
+      "| parse-kv kv as (a:long, n:string) with (pair_delimiter=';', kv_delimiter='=') " +
+      "| where a >= 35 | project n | order by n asc").collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("Carol", "Eve", "dave"))
+    // undeclared keys are ignored; declared-but-absent keys come back null
+    val miss = run("people | extend kv = strcat('a=', tostring(age)) " +
+      "| parse-kv kv as (zz:string) with (pair_delimiter=';', kv_delimiter='=') " +
+      "| where isnull(zz) | count").head().getLong(0)
+    assert(miss == 5L)
+  }
+
   test("toscalar is lazy: bindings no consumed branch references never run") {
     // the poison table THROWS on resolution — if either unused let's
     // toscalar ran at bind time (the old eager behavior), this query fails
