@@ -165,6 +165,143 @@ object KqlCompat {
     s = expandCalls(s, "series_fill_backward") {
       case Seq(x) => s"reverse(${ffill(s"reverse($x)")})"
     }
+    // dynamic([…]) array literal → array(…). Bag literals (dynamic({…}))
+    // stay unsupported here (bag columns arrive as JSON strings instead —
+    // see KqlPipeline bag_unpack). expandCalls splits the bracket commas at
+    // depth 1, so rejoin before unwrapping.
+    s = expandCalls(s, "dynamic") {
+      case parts if parts.nonEmpty && parts.head.trim.startsWith("[") &&
+          parts.last.trim.endsWith("]") =>
+        val joined = parts.mkString(",").trim
+        s"array(${joined.stripPrefix("[").stripSuffix("]")})"
+    }
+    // ---- series analysis over dynamic arrays --------------------------
+    // ADX's series_* analysis family as pure array-HOF rewrites: codegen'd
+    // per-row expressions, no explode, no shuffle — a make-series output of
+    // G groups stays G rows end to end. Folds run left-to-right (fixed
+    // summation order ⇒ deterministic across engines); variance/stdev are
+    // SAMPLE (n−1) moments via the closed form (n·Σx² − (Σx)²)/(n(n−1)),
+    // clamped at 0 against cancellation. Sub-expressions repeat textually
+    // (scalar SQL has no `let`) — arrays are series-sized (grid points, not
+    // table rows), so the re-evaluation cost is negligible by design.
+    val asD   = (x: String) => s"transform($x, v -> CAST(v AS DOUBLE))"
+    val foldD = (a: String) => s"aggregate($a, CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    def nOf(x: String)  = s"CAST(size($x) AS DOUBLE)"
+    def sumOf(x: String)   = foldD(asD(x))
+    def sumSqOf(x: String) =
+      s"aggregate(${asD(x)}, CAST(0 AS DOUBLE), (acc, v) -> acc + v * v)"
+    def varOf(x: String) = {
+      val (n, s1, s2) = (nOf(x), sumOf(x), sumSqOf(x))
+      s"(CASE WHEN $n > 1 THEN greatest(($n * $s2 - $s1 * $s1) / ($n * ($n - 1)), CAST(0 AS DOUBLE)) ELSE CAST(0 AS DOUBLE) END)"
+    }
+    // series_stats_dynamic(x): min/max with their first 0-based indices,
+    // avg, sample stdev/variance, sum, len — one struct, ADX field names
+    s = expandCalls(s, "series_stats_dynamic") {
+      case Seq(x) =>
+        val xd = asD(x)
+        s"named_struct(" +
+          s"'min', array_min($xd), " +
+          s"'min_idx', CAST(array_position($xd, array_min($xd)) - 1 AS BIGINT), " +
+          s"'max', array_max($xd), " +
+          s"'max_idx', CAST(array_position($xd, array_max($xd)) - 1 AS BIGINT), " +
+          s"'avg', ${sumOf(x)} / ${nOf(x)}, " +
+          s"'stdev', sqrt(${varOf(x)}), " +
+          s"'variance', ${varOf(x)}, " +
+          s"'sum', ${sumOf(x)}, " +
+          s"'len', CAST(size($x) AS BIGINT))"
+    }
+    // series_fit_line_dynamic(x): least-squares line over the implicit axis
+    // 0..n−1. Σi and Σi² are closed-form; Σxy is one indexed fold. Struct
+    // fields follow ADX (rsquare, slope, variance, rvariance, interception,
+    // line_fit); rsquare:=1 on a constant series (the fit is exact there).
+    s = expandCalls(s, "series_fit_line_dynamic") {
+      case Seq(x) =>
+        val xd  = asD(x)
+        val n   = nOf(x)
+        val sy  = sumOf(x)
+        val syy = sumSqOf(x)
+        val sx  = s"($n * ($n - 1) / 2)"
+        val sxx = s"(($n - 1) * $n * (2 * $n - 1) / 6)"
+        val sxy = s"aggregate(sequence(0, size($x) - 1), CAST(0 AS DOUBLE), " +
+          s"(acc, i) -> acc + element_at($xd, i + 1) * CAST(i AS DOUBLE))"
+        val slope =
+          s"(CASE WHEN $n > 1 THEN ($n * $sxy - $sx * $sy) / ($n * $sxx - $sx * $sx) ELSE CAST(0 AS DOUBLE) END)"
+        val icept = s"(($sy - $slope * $sx) / $n)"
+        val ssres = s"aggregate(sequence(0, size($x) - 1), CAST(0 AS DOUBLE), " +
+          s"(acc, i) -> acc + pow(element_at($xd, i + 1) - ($icept + $slope * CAST(i AS DOUBLE)), 2))"
+        val sstot = s"($syy - $sy * $sy / $n)"
+        s"named_struct(" +
+          s"'rsquare', (CASE WHEN $sstot > 0 THEN 1 - $ssres / $sstot ELSE CAST(1 AS DOUBLE) END), " +
+          s"'slope', $slope, " +
+          s"'variance', (CASE WHEN $n > 1 THEN $sstot / ($n - 1) ELSE CAST(0 AS DOUBLE) END), " +
+          s"'rvariance', (CASE WHEN $n > 1 THEN $ssres / ($n - 1) ELSE CAST(0 AS DOUBLE) END), " +
+          s"'interception', $icept, " +
+          s"'line_fit', transform(sequence(0, size($x) - 1), i -> $icept + $slope * CAST(i AS DOUBLE)))"
+    }
+    // series_outliers(x): Tukey-fence anomaly score per point. Quartiles are
+    // type-7 linear interpolation over the sorted copy ((n−1)·p index — the
+    // same convention as DuckDB quantile_cont, so oracles can restate the
+    // identical arithmetic); score = (x−q75)/iqr above, (x−q25)/iqr below,
+    // 0 inside or when iqr = 0.
+    def q7(sorted: String, n: String, p: String) = {
+      val idx = s"(($n - 1) * $p)"
+      val lo  = s"CAST(floor($idx) AS INT)"
+      val vlo = s"element_at($sorted, $lo + 1)"
+      val vhi = s"coalesce(try_element_at($sorted, $lo + 2), $vlo)"
+      s"($vlo + ($idx - floor($idx)) * ($vhi - $vlo))"
+    }
+    s = expandCalls(s, "series_outliers") {
+      case Seq(x) =>
+        val srt = s"array_sort(${asD(x)})"
+        val n   = nOf(x)
+        val q25 = q7(srt, n, "0.25")
+        val q75 = q7(srt, n, "0.75")
+        val iqr = s"($q75 - $q25)"
+        s"transform(${asD(x)}, v -> CASE " +
+          s"WHEN $iqr <= 0 THEN CAST(0 AS DOUBLE) " +
+          s"WHEN v > $q75 THEN (v - $q75) / $iqr " +
+          s"WHEN v < $q25 THEN (v - $q25) / $iqr " +
+          s"ELSE CAST(0 AS DOUBLE) END)"
+    }
+    // series_fir(x, filter[, normalize[, center]]): finite-impulse-response
+    // moving window — y[i] = Σⱼ w[j]·x[i−j+c] over in-range samples, edges
+    // renormalized by the weight mass actually used (normalize=true, the
+    // default) so a [1,1,1] filter is a clean moving average. normalize and
+    // center must be literal true/false (resolved at rewrite time).
+    s = expandCalls(s, "series_fir") {
+      case x +: w +: opts if opts.size <= 2 &&
+          opts.forall(o => Set("true", "false")(o.trim.toLowerCase)) =>
+        val normalize = opts.headOption.forall(_.trim.equalsIgnoreCase("true"))
+        val center    = opts.lift(1).exists(_.trim.equalsIgnoreCase("true"))
+        val xd  = asD(x)
+        val wd  = asD(w)
+        val c   = if (center) s"(size($w) div 2)" else "0"
+        // Spark's try_element_at still throws on index 0 (INVALID_INDEX_OF_ZERO)
+        // — guard the left edge explicitly
+        val at  = s"(CASE WHEN i - j + $c >= 0 THEN " +
+          s"try_element_at($xd, CAST(i - j + $c + 1 AS INT)) END)"
+        val num = s"aggregate(sequence(0, size($w) - 1), CAST(0 AS DOUBLE), " +
+          s"(acc, j) -> acc + coalesce(element_at($wd, j + 1) * $at, CAST(0 AS DOUBLE)))"
+        val den =
+          if (!normalize) "CAST(1 AS DOUBLE)"
+          else s"aggregate(sequence(0, size($w) - 1), CAST(0 AS DOUBLE), " +
+            s"(acc, j) -> acc + CASE WHEN $at IS NOT NULL THEN element_at($wd, j + 1) ELSE CAST(0 AS DOUBLE) END)"
+        s"transform(sequence(0, size($x) - 1), i -> $num / $den)"
+    }
+    // series_pearson_correlation(x, y): closed-form Pearson r from six
+    // left-to-right folds; 0 when either side is constant (ADX yields NaN —
+    // divergence chosen so the value stays comparable/sortable)
+    s = expandCalls(s, "series_pearson_correlation") {
+      case Seq(x, y) =>
+        val n = nOf(x)
+        val (sx, sy)   = (sumOf(x), sumOf(y))
+        val (sxx, syy) = (sumSqOf(x), sumSqOf(y))
+        val sxy = s"aggregate(zip_with(${asD(x)}, ${asD(y)}, (a, b) -> a * b), " +
+          "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        val dx = s"($n * $sxx - $sx * $sx)"
+        val dy = s"($n * $syy - $sy * $sy)"
+        s"(CASE WHEN $dx > 0 AND $dy > 0 THEN ($n * $sxy - $sx * $sy) / (sqrt($dx) * sqrt($dy)) ELSE CAST(0 AS DOUBLE) END)"
+    }
     // case(p1, v1, p2, v2, …, default) → CASE WHEN; KQL-only spelling (Spark
     // CASE is keyword syntax, never `case(`), so the rewrite can't collide
     s = expandCalls(s, "case") {

@@ -1396,15 +1396,21 @@ object KqlPipeline {
           case (a, Some(r)) => (a, r)
           case _            => fail(s"make-series needs an `on` clause: '$seg'")
         }
-        val (aggPart, defaultE) = splitAtTopLevelKeyword(aggPart0, "default") match {
-          case (a, Some(d)) =>
-            val dd = d.trim
-            require(dd.startsWith("="), s"expected `default = <value>`, got: '$d'")
-            (a, expr(tx(dd.drop(1))))
-          case (a, None) => (a, lit(0L))
+        // one or more `name = agg(…) [default = d]` clauses, each with its
+        // own default (ADX scopes `default` per aggregation)
+        val aggClauses = splitTopLevel(aggPart0, ',').map(_.trim).filter(_.nonEmpty).map { item =>
+          val (aggPart, defaultE) = splitAtTopLevelKeyword(item, "default") match {
+            case (a, Some(d)) =>
+              val dd = d.trim
+              require(dd.startsWith("="), s"expected `default = <value>`, got: '$d'")
+              (a, expr(tx(dd.drop(1))))
+            case (a, None) => (a, lit(0L))
+          }
+          val (name, aggSpec) = assignment(aggPart.trim).getOrElse(
+            fail(s"make-series needs `name = agg(...)`, got: '$aggPart'"))
+          (name, aggSpec, defaultE)
         }
-        val (name, aggSpec) = assignment(aggPart.trim).getOrElse(
-          fail(s"make-series needs `name = agg(...)`, got: '$aggPart'"))
+        require(aggClauses.nonEmpty, s"make-series needs at least one aggregation: '$seg'")
         val (timeCol0, fromRest) = splitAtTopLevelKeyword(onRest, "from") match {
           case (t0, Some(r)) => (t0.trim, r)
           case _             => fail("make-series needs `from <start>`")
@@ -1424,20 +1430,26 @@ object KqlPipeline {
         val (start, stop, step) = (expr(tx(startE)), expr(tx(stopE)), expr(tx(stepE)))
         val t       = col(timeCol0)
         val binCol  = floor((t - start) / step) * step + start
-        val aggCol  = aggItem(s"$name = $aggSpec")
+        val aggCols = aggClauses.map { case (name, aggSpec, _) => aggItem(s"$name = $aggSpec") }
         val keys    = keyNames.map(col)
         val binned  = df.filter(t >= start && t < stop)
           .withColumn("__graft_bin", binCol)
-          .groupBy(keys :+ col("__graft_bin"): _*).agg(aggCol)
+          .groupBy(keys :+ col("__graft_bin"): _*).agg(aggCols.head, aggCols.tail: _*)
         val axis = filter(sequence(start, stop, step), x => x < stop)
+        // one bin→value map per aggregation, all built in the SAME groupBy
+        // (still exactly one shuffle on the group keys)
+        val mapAggs = aggClauses.map { case (name, _, _) =>
+          map_from_entries(
+            collect_list(struct(col("__graft_bin"), col(name)))).as(s"__graft_m_$name")
+        }
         binned
           .groupBy(keys: _*)
-          .agg(map_from_entries(
-            collect_list(struct(col("__graft_bin"), col(name)))).as("__graft_m"))
-          .select(keys ++ Seq(
-            axis.as(timeCol0),
-            transform(axis, x =>
-              coalesce(try_element_at(col("__graft_m"), x), defaultE)).as(name)): _*)
+          .agg(mapAggs.head, mapAggs.tail: _*)
+          .select(keys ++ Seq(axis.as(timeCol0)) ++ aggClauses.map {
+            case (name, _, defaultE) =>
+              transform(axis, x =>
+                coalesce(try_element_at(col(s"__graft_m_$name"), x), defaultE)).as(name)
+          }: _*)
 
       // `render chart …`: a CLIENT-side visualization directive — the result
       // rows are unchanged in ADX too, so it is the identity here (trailing
@@ -1946,7 +1958,7 @@ object KqlPipeline {
   // try_element_at (1-based, null out of bounds — ADX yields null too,
   // where ANSI element_at would error)
   private val IndexRe =
-    ("""([A-Za-z_][A-Za-z0-9_]*\((?:[^()']|'[^']*')*\)|[A-Za-z_][A-Za-z0-9_]*)""" +
+    ("""([A-Za-z_][A-Za-z0-9_]*\((?:[^()']|'[^']*')*\)|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)""" +
       """\[(\d+)\]""").r
   private def bracketIndex(s: String): String =
     IndexRe.replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(

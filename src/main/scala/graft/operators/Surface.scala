@@ -2163,6 +2163,213 @@ object Surface {
         FROM grid LEFT JOIN binned USING (event_type, b)
         GROUP BY 1 ORDER BY 1""")),
 
+    // ---- series analysis family (ADX series_* over make-series output) ---
+    // All five share the q_kql_make_series daily-count grid; the analysis
+    // itself is per-row array-HOF work (KqlCompat rewrites) — G groups in,
+    // G rows out, zero extra shuffles after make-series' one.
+
+    "q_series_stats" -> QueryDef(
+      // series_stats_dynamic: min/max + first 0-based indices, avg, sample
+      // stdev, sum, len — scalars out of the daily count series per type
+      (s, dir) => kqlRun(s, dir,
+        """events
+          | | make-series n = count()
+          |     on ts from 1704067200000000000 to 1706659200000000000 step 86400000000000
+          |     by event_type
+          | | extend st = series_stats_dynamic(n)
+          | | project event_type, s_min = st.min, s_min_idx = st.min_idx,
+          |     s_max = st.max, s_max_idx = st.max_idx,
+          |     s_avg = round(st.avg, 6), s_stdev = round(st.stdev, 6),
+          |     s_sum = st.sum, s_len = st.len
+          | | order by event_type asc""".stripMargin),
+      Some("""
+        WITH e AS (SELECT event_type, epoch_ns(ts) AS tn FROM events),
+             binned AS (
+               SELECT event_type,
+                      1704067200000000000 + CAST(floor((tn - 1704067200000000000) / 86400000000000) AS BIGINT) * 86400000000000 AS b,
+                      count(*) AS n
+               FROM e
+               WHERE tn >= 1704067200000000000 AND tn < 1706659200000000000
+               GROUP BY 1, 2),
+             grid AS (
+               SELECT k.event_type, g.b
+               FROM (SELECT DISTINCT event_type FROM binned) k
+               CROSS JOIN (SELECT unnest(range(1704067200000000000, 1706659200000000000, 86400000000000)) AS b) g),
+             ser AS (
+               SELECT event_type,
+                      list(CAST(coalesce(n, 0) AS DOUBLE) ORDER BY b) AS l
+               FROM grid LEFT JOIN binned USING (event_type, b)
+               GROUP BY 1)
+        SELECT event_type,
+               list_min(l) AS s_min,
+               CAST(list_position(l, list_min(l)) - 1 AS BIGINT) AS s_min_idx,
+               list_max(l) AS s_max,
+               CAST(list_position(l, list_max(l)) - 1 AS BIGINT) AS s_max_idx,
+               round(list_sum(l) / len(l), 6) AS s_avg,
+               round(sqrt(greatest(
+                 (len(l) * list_sum(list_transform(l, v -> v * v)) - list_sum(l) * list_sum(l))
+                   / (len(l) * (len(l) - 1)), 0)), 6) AS s_stdev,
+               CAST(list_sum(l) AS DOUBLE) AS s_sum,
+               CAST(len(l) AS BIGINT) AS s_len
+        FROM ser ORDER BY event_type""")),
+
+    "q_series_fit_line" -> QueryDef(
+      // series_fit_line_dynamic: least-squares trend over the implicit
+      // 0..n−1 axis; oracle restates it through DuckDB's regr_* aggregates
+      // (slope/intercept/r² are arithmetic identities of the same sums).
+      // last_fit pins the line_fit array without re-deriving the scalars.
+      (s, dir) => kqlRun(s, dir,
+        """events
+          | | make-series n = count()
+          |     on ts from 1704067200000000000 to 1706659200000000000 step 86400000000000
+          |     by event_type
+          | | extend f = series_fit_line_dynamic(n)
+          | | project event_type, slope = round(f.slope, 6),
+          |     icept = round(f.interception, 6), rsq = round(f.rsquare, 6),
+          |     variance = round(f.variance, 6), rvariance = round(f.rvariance, 6),
+          |     last_fit = round(f.line_fit[29], 6)
+          | | order by event_type asc""".stripMargin),
+      Some("""
+        WITH e AS (SELECT event_type, epoch_ns(ts) AS tn FROM events),
+             binned AS (
+               SELECT event_type,
+                      1704067200000000000 + CAST(floor((tn - 1704067200000000000) / 86400000000000) AS BIGINT) * 86400000000000 AS b,
+                      count(*) AS n
+               FROM e
+               WHERE tn >= 1704067200000000000 AND tn < 1706659200000000000
+               GROUP BY 1, 2),
+             grid AS (
+               SELECT k.event_type, g.b
+               FROM (SELECT DISTINCT event_type FROM binned) k
+               CROSS JOIN (SELECT unnest(range(1704067200000000000, 1706659200000000000, 86400000000000)) AS b) g),
+             pts AS (
+               SELECT event_type,
+                      CAST(row_number() OVER (PARTITION BY event_type ORDER BY b) - 1 AS DOUBLE) AS i,
+                      CAST(coalesce(n, 0) AS DOUBLE) AS v
+               FROM grid LEFT JOIN binned USING (event_type, b))
+        SELECT event_type,
+               round(regr_slope(v, i), 6) AS slope,
+               round(regr_intercept(v, i), 6) AS icept,
+               round(regr_r2(v, i), 6) AS rsq,
+               round(var_samp(v), 6) AS variance,
+               round((1 - regr_r2(v, i)) * var_samp(v), 6) AS rvariance,
+               round(regr_intercept(v, i) + regr_slope(v, i) * 29, 6) AS last_fit
+        FROM pts GROUP BY 1 ORDER BY 1""")),
+
+    "q_series_outliers" -> QueryDef(
+      // series_outliers: Tukey-fence score per point; quartiles are type-7
+      // interpolation on both sides (quantile_cont), scores compare as
+      // round-6 JSON — arrays don't sort in the driver's frame compare
+      (s, dir) => kqlRun(s, dir,
+        """events
+          | | make-series n = count()
+          |     on ts from 1704067200000000000 to 1706659200000000000 step 86400000000000
+          |     by event_type
+          | | extend o = series_outliers(n)
+          | | project event_type, o_json = to_json(transform(o, v -> round(v, 6)))
+          | | order by event_type asc""".stripMargin),
+      Some("""
+        WITH e AS (SELECT event_type, epoch_ns(ts) AS tn FROM events),
+             binned AS (
+               SELECT event_type,
+                      1704067200000000000 + CAST(floor((tn - 1704067200000000000) / 86400000000000) AS BIGINT) * 86400000000000 AS b,
+                      count(*) AS n
+               FROM e
+               WHERE tn >= 1704067200000000000 AND tn < 1706659200000000000
+               GROUP BY 1, 2),
+             grid AS (
+               SELECT k.event_type, g.b,
+                      CAST(coalesce(n, 0) AS DOUBLE) AS v
+               FROM (SELECT DISTINCT event_type FROM binned) k
+               CROSS JOIN (SELECT unnest(range(1704067200000000000, 1706659200000000000, 86400000000000)) AS b) g
+               LEFT JOIN binned USING (event_type, b)),
+             q AS (
+               SELECT event_type,
+                      quantile_cont(v, 0.25) AS q25,
+                      quantile_cont(v, 0.75) AS q75
+               FROM grid GROUP BY 1)
+        SELECT g.event_type,
+               CAST(to_json(list(
+                 round(CASE WHEN q75 - q25 <= 0 THEN 0
+                            WHEN v > q75 THEN (v - q75) / (q75 - q25)
+                            WHEN v < q25 THEN (v - q25) / (q75 - q25)
+                            ELSE 0 END, 6)
+                 ORDER BY g.b)) AS VARCHAR) AS o_json
+        FROM grid g JOIN q USING (event_type)
+        GROUP BY 1 ORDER BY 1""")),
+
+    "q_series_fir" -> QueryDef(
+      // series_fir with a centered normalized [1,1,1] filter IS a 3-point
+      // moving average with renormalized edges — exactly SQL's
+      // ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING window AVG, which is the
+      // oracle spelling. Sums are integer-valued (counts) so the fold order
+      // difference between engines is exact-safe.
+      (s, dir) => kqlRun(s, dir,
+        """events
+          | | make-series n = count()
+          |     on ts from 1704067200000000000 to 1706659200000000000 step 86400000000000
+          |     by event_type
+          | | extend sm = series_fir(n, dynamic([1, 1, 1]), true, true)
+          | | project event_type, sm_json = to_json(transform(sm, v -> round(v, 6)))
+          | | order by event_type asc""".stripMargin),
+      Some("""
+        WITH e AS (SELECT event_type, epoch_ns(ts) AS tn FROM events),
+             binned AS (
+               SELECT event_type,
+                      1704067200000000000 + CAST(floor((tn - 1704067200000000000) / 86400000000000) AS BIGINT) * 86400000000000 AS b,
+                      count(*) AS n
+               FROM e
+               WHERE tn >= 1704067200000000000 AND tn < 1706659200000000000
+               GROUP BY 1, 2),
+             grid AS (
+               SELECT k.event_type, g.b,
+                      CAST(coalesce(n, 0) AS DOUBLE) AS v
+               FROM (SELECT DISTINCT event_type FROM binned) k
+               CROSS JOIN (SELECT unnest(range(1704067200000000000, 1706659200000000000, 86400000000000)) AS b) g
+               LEFT JOIN binned USING (event_type, b)),
+             sm AS (
+               SELECT event_type, b,
+                      avg(v) OVER (PARTITION BY event_type ORDER BY b
+                                   ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS m
+               FROM grid)
+        SELECT event_type,
+               CAST(to_json(list(round(m, 6) ORDER BY b)) AS VARCHAR) AS sm_json
+        FROM sm GROUP BY 1 ORDER BY 1""")),
+
+    "q_series_corr" -> QueryDef(
+      // multi-aggregation make-series (n = count(), sv = sum(value) — one
+      // shuffle builds both series) + series_pearson_correlation between
+      // the two; svs pins the second series beyond what r alone would
+      (s, dir) => kqlRun(s, dir,
+        """events
+          | | make-series n = count(), sv = sum(value)
+          |     on ts from 1704067200000000000 to 1706659200000000000 step 86400000000000
+          |     by event_type
+          | | extend r = round(series_pearson_correlation(n, sv), 6),
+          |     svs = round(series_sum(sv), 2)
+          | | project event_type, r, svs
+          | | order by event_type asc""".stripMargin),
+      Some("""
+        WITH e AS (SELECT event_type, epoch_ns(ts) AS tn, value FROM events),
+             binned AS (
+               SELECT event_type,
+                      1704067200000000000 + CAST(floor((tn - 1704067200000000000) / 86400000000000) AS BIGINT) * 86400000000000 AS b,
+                      count(*) AS n, sum(value) AS sv
+               FROM e
+               WHERE tn >= 1704067200000000000 AND tn < 1706659200000000000
+               GROUP BY 1, 2),
+             grid AS (
+               SELECT k.event_type, g.b,
+                      CAST(coalesce(n, 0) AS DOUBLE) AS nv,
+                      CAST(coalesce(sv, 0) AS DOUBLE) AS svv
+               FROM (SELECT DISTINCT event_type FROM binned) k
+               CROSS JOIN (SELECT unnest(range(1704067200000000000, 1706659200000000000, 86400000000000)) AS b) g
+               LEFT JOIN binned USING (event_type, b))
+        SELECT event_type,
+               round(corr(nv, svv), 6) AS r,
+               round(sum(svv), 2) AS svs
+        FROM grid GROUP BY 1 ORDER BY 1""")),
+
     "q_kql_dcount_hll" -> QueryDef(
       // KQL's native dcount IS an HLL estimate; this pipeline's dcount is
       // exact by documented choice, and dcount_hll exposes the KQL-faithful
