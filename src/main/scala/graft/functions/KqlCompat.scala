@@ -76,7 +76,10 @@ object KqlCompat {
     "set_intersect("  -> "array_intersect(",
     "set_union("      -> "array_union(",
     "set_difference(" -> "array_except(",
-    "strrep("         -> "repeat("
+    "strrep("         -> "repeat(",
+    // crypto digests: same hex-string output shape on both engines
+    "hash_md5("       -> "md5(",
+    "hash_sha1("      -> "sha1("
   )
 
   private val TimeSpan = """(\d+)\s*([dhms])""".r
@@ -309,6 +312,52 @@ object KqlCompat {
         val whens = args.dropRight(1).grouped(2)
           .map { case Seq(p, v) => s"WHEN ($p) THEN ($v)" }.mkString(" ")
         s"(CASE $whens ELSE (${args.last}) END)"
+    }
+    // hash_sha256 / base64: Spark spells these sha2(x, 256) and
+    // base64/unbase64 over BINARY
+    s = expandCalls(s, "hash_sha256") { case Seq(x) => s"sha2($x, 256)" }
+    s = expandCalls(s, "base64_encode_tostring") {
+      case Seq(x) => s"base64(CAST($x AS BINARY))"
+    }
+    s = expandCalls(s, "base64_decode_tostring") {
+      case Seq(x) => s"CAST(unbase64($x) AS STRING)"
+    }
+    // ---- IPv4 helpers -------------------------------------------------
+    // parse_ipv4: dotted quad → numeric (null on malformed input, like
+    // ADX): exactly 4 parts, each 0..255, folded big-endian. The fold
+    // propagates a null octet to a null result.
+    def ip4(x: String) = {
+      val octets = s"transform(split($x, '\\\\.'), p -> " +
+        s"CASE WHEN try_cast(p AS BIGINT) BETWEEN 0 AND 255 THEN try_cast(p AS BIGINT) END)"
+      s"(CASE WHEN size(split($x, '\\\\.')) = 4 THEN " +
+        s"aggregate($octets, CAST(0 AS BIGINT), (acc, v) -> acc * 256 + v) END)"
+    }
+    s = expandCalls(s, "parse_ipv4") { case Seq(x) => ip4(x) }
+    // ipv4_is_private: RFC-1918 ranges 10/8, 172.16/12, 192.168/16
+    s = expandCalls(s, "ipv4_is_private") {
+      case Seq(x) =>
+        val v = ip4(x)
+        s"((($v) BETWEEN 167772160 AND 184549375) OR " +
+          s"(($v) BETWEEN 2886729728 AND 2887778303) OR " +
+          s"(($v) BETWEEN 3232235520 AND 3232301055))"
+    }
+    // ipv4_is_in_range(ip, 'a.b.c.d/m'): compare the top m bits; a bare
+    // address range (no /m) means /32, i.e. equality
+    s = expandCalls(s, "ipv4_is_in_range") {
+      case Seq(x, r) =>
+        // try_element_at, not [i]: ANSI mode errors on subscript
+        // out-of-bounds, and a bare range has no '/' part
+        val base = ip4(s"element_at(split($r, '/'), 1)")
+        val m    = s"coalesce(try_cast(try_element_at(split($r, '/'), 2) AS INT), 32)"
+        s"(shiftright(${ip4(x)}, 32 - $m) = shiftright($base, 32 - $m))"
+    }
+    // format_ipv4: numeric → dotted quad
+    s = expandCalls(s, "format_ipv4") {
+      case Seq(x) =>
+        s"concat(CAST((($x) div 16777216) % 256 AS STRING), '.', " +
+          s"CAST((($x) div 65536) % 256 AS STRING), '.', " +
+          s"CAST((($x) div 256) % 256 AS STRING), '.', " +
+          s"CAST(($x) % 256 AS STRING))"
     }
     // countof(text, search): non-overlapping plain-text occurrence count
     s = expandCalls(s, "countof") {

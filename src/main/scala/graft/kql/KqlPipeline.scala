@@ -442,6 +442,10 @@ object KqlPipeline {
     // `| as name` binds the frame-so-far for later operands in THIS pipeline
     // (`T | as X | join (X | …) on k` — the ADX self-reference idiom)
     var bindings = Map.empty[String, DataFrame]
+    // `| make-graph …` declares the edge/node frames for the one operator
+    // that consumes them, `| graph-match …` — fused here in the fold (like
+    // `as`) because a graph is not a DataFrame-shaped pipeline value
+    var graph: Option[GraphCtx] = None
     lazy val res: String => DataFrame = name =>
       bindings.getOrElse(name, resolve(name))
     segs.tail.foldLeft(source(res, segs.head)) { (df, seg) =>
@@ -452,7 +456,97 @@ object KqlPipeline {
           s"`as` needs a bare name, got: '$seg'")
         bindings += name -> df
         df
+      } else if (w == "make-graph") {
+        graph = Some(makeGraph(res, df, seg.drop("make-graph".length).trim))
+        df
+      } else if (w == "graph-match") {
+        graphMatch(graph.getOrElse(
+          fail("graph-match needs a preceding `make-graph` in the same pipeline")),
+          seg.drop("graph-match".length).trim)
       } else applyOp(res)(df, seg)
+    }
+  }
+
+  /** Edge frame + endpoint columns + node frame + its id column — what
+    * `make-graph` declares and `graph-match` joins over.
+    */
+  private final case class GraphCtx(
+      edges: DataFrame, src: String, dst: String, nodes: DataFrame, id: String)
+
+  /** `make-graph src --> dst [with <nodesRef> on <idCol>]`: the piped frame
+    * is the edge list; nodes come from the referenced table/let (or, when
+    * omitted, the distinct endpoint set with a single `node_id` column —
+    * ADX's implicit-nodes behavior).
+    */
+  private def makeGraph(res: String => DataFrame, df: DataFrame, rest: String): GraphCtx = {
+    val (edgePart, withPart) = splitAtTopLevelKeyword(rest, "with")
+    val arrow = edgePart.indexOf("-->")
+    require(arrow > 0, s"make-graph needs `src --> dst`, got: '$rest'")
+    val src = edgePart.substring(0, arrow).trim
+    val dst = edgePart.substring(arrow + 3).trim
+    Seq(src, dst).foreach(c2 => require(df.columns.contains(c2),
+      s"make-graph: unknown edge column '$c2'"))
+    withPart match {
+      case Some(wp) =>
+        val (ref, onPart) = splitAtTopLevelKeyword(wp, "on") match {
+          case (r, Some(o)) => (r.trim, o.trim)
+          case _            => fail(s"make-graph `with` needs `on <idColumn>`: '$rest'")
+        }
+        require(ref.matches("[A-Za-z_][A-Za-z0-9_]*"),
+          s"make-graph: nodes must be a table or let name, got: '$ref'")
+        GraphCtx(df, src, dst, res(ref), onPart)
+      case None =>
+        val nodes = df.select(col(src).as("node_id"))
+          .union(df.select(col(dst).as("node_id"))).distinct()
+        GraphCtx(df, src, dst, nodes, "node_id")
+    }
+  }
+
+  /** `graph-match (a)-[e1]->(b)-[e2]->(c) [where <pred>] [project <items>]`
+    * — the linear-path subset of ADX's pattern matcher (no variable-length
+    * edges, no branching patterns; documented divergence). Lowering is
+    * pure Catalyst: one aliased join per pattern element — node and edge
+    * predicates push into the scans, the optimizer picks broadcast vs
+    * shuffle per hop, and AQE re-plans skewed hops — so a pattern match
+    * scales exactly like the equivalent hand-written join chain.
+    */
+  private def graphMatch(g: GraphCtx, rest: String): DataFrame = {
+    val (beforeProject, projectPart) = splitAtTopLevelKeyword(rest, "project")
+    val (patternStr, wherePart)      = splitAtTopLevelKeyword(beforeProject, "where")
+    val NodeRe = """^\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*""".r
+    val HopRe  = """^-\[\s*([A-Za-z_][A-Za-z0-9_]*)\s*\]->\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*""".r
+    var s2 = patternStr.trim
+    val first = NodeRe.findPrefixMatchOf(s2).getOrElse(
+      fail(s"graph-match pattern must start with `(node)`, got: '$patternStr'"))
+    var out  = g.nodes.alias(first.group(1))
+    var prev = first.group(1)
+    var seen = Set(first.group(1))
+    s2 = s2.drop(first.matched.length)
+    require(s2.nonEmpty, s"graph-match needs at least one edge: '$patternStr'")
+    while (s2.nonEmpty) {
+      val m = HopRe.findPrefixMatchOf(s2).getOrElse(
+        fail(s"bad graph-match pattern near: '$s2'"))
+      val (e, n) = (m.group(1), m.group(2))
+      Seq(e, n).foreach(v => { require(!seen(v),
+        s"graph-match: pattern variable '$v' repeats (self-referential patterns unsupported)")
+        seen += v })
+      out = out
+        .join(g.edges.alias(e), col(s"$prev.${g.id}") === col(s"$e.${g.src}"))
+        .join(g.nodes.alias(n), col(s"$e.${g.dst}") === col(s"$n.${g.id}"))
+      prev = n
+      s2 = s2.drop(m.matched.length)
+    }
+    val filtered = wherePart.map(p => out.filter(expr(tx(p)))).getOrElse(out)
+    projectPart match {
+      case Some(items) =>
+        val cols = splitTopLevel(items, ',').map(_.trim).filter(_.nonEmpty).map { it =>
+          assignment(it) match {
+            case Some((n2, e2)) => expr(tx(e2)).as(n2)
+            case None           => expr(tx(it))
+          }
+        }
+        filtered.select(cols: _*)
+      case None => filtered
     }
   }
 
@@ -1364,10 +1458,47 @@ object KqlPipeline {
         df.withColumn("__graft_bag", from_json(col(c), jsonSchema))
           .select(others.map(col) :+ col("__graft_bag.*"): _*)
 
+      // `evaluate narrow()`: fold the frame to (Row, Column, Value) string
+      // triples — ADX's debugging/display plugin. Rows number 0,1,… in the
+      // frame's CURRENT global order via ZipIndex (a per-partition count job
+      // + zero-shuffle map — never a single-partition window); the wide→long
+      // turn itself is Spark's built-in unpivot, one codegen'd pass.
+      case "evaluate" if rest.trim.toLowerCase.startsWith("narrow") =>
+        val (inner, tail) = takeGroup(rest.trim.drop("narrow".length), '(', ')')
+        require(inner.trim.isEmpty && tail.trim.isEmpty,
+          s"narrow takes no arguments, got: '$rest'")
+        val indexed = graft.util.ZipIndex.withRowIndex(
+          df.select(df.columns.map(c2 => col(c2).cast("string").as(c2)): _*),
+          "Row", 0L)
+        indexed.unpivot(Array(col("Row")), df.columns.map(col), "Column", "Value")
+
+      // `evaluate basket([threshold])`: frequent-itemset mining over the
+      // frame's columns (ADX's Apriori plugin). Spark-first: ONE `cube`
+      // computes the whole itemset lattice Apriori walks level-by-level —
+      // a single shuffle with partial aggregation — then a support filter
+      // keeps itemsets covering >= threshold (default 5%) of the rows.
+      // Wildcard positions are NULL, as in ADX; the all-wildcard row (the
+      // empty itemset) is excluded by grouping_id. The row total rides in
+      // as a broadcast scalar, not a driver-side collect.
+      case "evaluate" if rest.trim.toLowerCase.startsWith("basket") =>
+        val (inner, tail) = takeGroup(rest.trim.drop("basket".length), '(', ')')
+        require(tail.trim.isEmpty, s"unexpected trailing text after basket(…): '$tail'")
+        val threshold = if (inner.trim.isEmpty) 0.05 else inner.trim.toDouble
+        require(threshold > 0 && threshold <= 1, s"basket threshold must be in (0,1]: $threshold")
+        val cols  = df.columns.toSeq
+        val total = df.agg(count(lit(1)).cast("double").as("__graft_total"))
+        df.cube(cols.map(col): _*)
+          .agg(count(lit(1)).as("Count"), grouping_id().as("__graft_gid"))
+          .filter(col("__graft_gid") =!= ((1L << cols.length) - 1))
+          .crossJoin(broadcast(total))
+          .filter(col("Count") >= col("__graft_total") * threshold)
+          .withColumn("Percent", round(col("Count") * 100 / col("__graft_total"), 6))
+          .drop("__graft_gid", "__graft_total")
+
       case "evaluate" =>
         val body = rest.trim
         require(body.toLowerCase.startsWith("pivot"),
-          s"only `evaluate pivot(…)` and `evaluate bag_unpack(…)` are supported, got: '$body'")
+          s"only `evaluate pivot(…)`, `evaluate bag_unpack(…)`, `evaluate narrow()` and `evaluate basket(…)` are supported, got: '$body'")
         val (inner, tail) = takeGroup(body.drop("pivot".length), '(', ')')
         require(tail.trim.isEmpty, s"unexpected trailing text after pivot(…): '$tail'")
         val parts = splitTopLevel(inner, ',').map(_.trim).filter(_.nonEmpty)
@@ -1383,6 +1514,38 @@ object KqlPipeline {
         }
         val groupCols = df.columns.toSeq.filterNot(c => c == pivotCol || valueCol.contains(c))
         df.groupBy(groupCols.map(col): _*).pivot(pivotCol).agg(aggCol)
+
+      // `reduce by <expr> [with threshold = t]`: group similar strings into
+      // patterns. ADX's plugin uses an opaque similarity heuristic; this
+      // implementation is a DETERMINISTIC simplification (documented
+      // divergence): the pattern generalizes every maximal digit run to
+      // `*`, Count is the group size, Representative the lexicographic
+      // minimum (ADX picks an arbitrary exemplar — min makes it stable).
+      // One hash-groupBy on the pattern: scales like any aggregation.
+      // `with threshold = t` drops patterns covering < t of all rows.
+      case "reduce" =>
+        val r0 = rest.trim
+        require(r0.toLowerCase.startsWith("by "), s"reduce needs `by <expr>`: '$seg'")
+        val (exprPart, threshold) = splitAtTopLevelKeyword(r0.drop(3), "with") match {
+          case (e, Some(w)) =>
+            val wt = w.trim
+            require(wt.toLowerCase.startsWith("threshold"),
+              s"reduce: only `with threshold = t` is supported, got: '$w'")
+            val eq = wt.indexOf('=')
+            require(eq > 0, s"reduce: expected `threshold = <value>`, got: '$w'")
+            (e.trim, wt.substring(eq + 1).trim.toDouble)
+          case (e, None) => (e.trim, 0.0)
+        }
+        val sCol  = expr(tx(exprPart)).cast("string")
+        val total = df.agg(count(lit(1)).cast("double").as("__graft_total"))
+        val groups = df
+          .select(sCol.as("__graft_s"))
+          .groupBy(regexp_replace(col("__graft_s"), "[0-9]+", "*").as("Pattern"))
+          .agg(count(lit(1)).as("Count"), min(col("__graft_s")).as("Representative"))
+        (if (threshold <= 0) groups
+         else groups.crossJoin(broadcast(total))
+           .filter(col("Count") >= col("__graft_total") * threshold)
+           .drop("__graft_total"))
 
       // `make-series name = agg(…) [default = d] on t from a to b step s
       //  [by keys]`: dense gap-filled series per group over the NUMERIC axis

@@ -2370,6 +2370,166 @@ object Surface {
                round(sum(svv), 2) AS svs
         FROM grid GROUP BY 1 ORDER BY 1""")),
 
+    "q_kql_narrow" -> QueryDef(
+      // `evaluate narrow()`: wide→long (Row, Column, Value) string triples;
+      // Row follows the pre-narrow sort (ZipIndex numbering, no
+      // single-partition window). Doubles stringify shortest-round-trip on
+      // both engines.
+      (s, dir) => kqlRun(s, dir,
+        """orders
+          | | where o_orderkey <= 160
+          | | project o_orderkey, o_orderstatus, o_totalprice
+          | | order by o_orderkey asc
+          | | evaluate narrow()
+          | | order by Row asc, Column asc""".stripMargin),
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice,
+                 row_number() OVER (ORDER BY o_orderkey) - 1 AS r
+          FROM orders WHERE o_orderkey <= 160)
+        SELECT r AS "Row", 'o_orderkey' AS "Column",
+               CAST(o_orderkey AS VARCHAR) AS "Value" FROM base
+        UNION ALL
+        SELECT r, 'o_orderstatus', o_orderstatus FROM base
+        UNION ALL
+        SELECT r, 'o_totalprice', CAST(o_totalprice AS VARCHAR) FROM base
+        ORDER BY 1, 2""")),
+
+    "q_kql_basket" -> QueryDef(
+      // `evaluate basket(0.05)`: frequent itemsets over (status, priority)
+      // via ONE cube + support filter — the Apriori lattice in a single
+      // shuffle. Wildcards surface as '*' for a total output order.
+      (s, dir) => kqlRun(s, dir,
+        """orders
+          | | project o_orderstatus, o_orderpriority
+          | | evaluate basket(0.05)
+          | | project status = coalesce(o_orderstatus, '*'),
+          |     priority = coalesce(o_orderpriority, '*'), Count, Percent
+          | | order by Count desc, status asc, priority asc""".stripMargin),
+      Some("""
+        WITH total AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM orders),
+             c AS (
+               SELECT coalesce(o_orderstatus, '*') AS status,
+                      coalesce(o_orderpriority, '*') AS priority,
+                      count(*) AS cnt,
+                      GROUPING(o_orderstatus) AS gs,
+                      GROUPING(o_orderpriority) AS gp
+               FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority))
+        SELECT status, priority, cnt AS "Count",
+               round(cnt * 100 / t, 6) AS "Percent"
+        FROM c, total
+        WHERE NOT (gs = 1 AND gp = 1) AND cnt >= t * 0.05
+        ORDER BY cnt DESC, status, priority""")),
+
+    "q_kql_reduce" -> QueryDef(
+      // `reduce by`: pattern-group strings (digit runs → '*', deterministic
+      // simplification of ADX's fuzzy plugin — see KqlPipeline). One
+      // hash-groupBy; threshold drops patterns under 1% coverage.
+      (s, dir) => kqlRun(s, dir,
+        """events
+          | | reduce by strcat(event_type, '#', tostring(user_id % 97))
+          |     with threshold = 0.01
+          | | order by Count desc, Pattern asc""".stripMargin),
+      Some("""
+        WITH s AS (SELECT event_type || '#' || CAST(user_id % 97 AS VARCHAR) AS v
+                   FROM events),
+             g AS (SELECT regexp_replace(v, '[0-9]+', '*', 'g') AS "Pattern",
+                          count(*) AS "Count", min(v) AS "Representative"
+                   FROM s GROUP BY 1),
+             t AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM events)
+        SELECT "Pattern", "Count", "Representative"
+        FROM g, t WHERE "Count" >= t * 0.01
+        ORDER BY "Count" DESC, "Pattern"""")),
+
+    "q_kql_ipfuncs" -> QueryDef(
+      // IPv4 + digest/base64 scalar tail over an inline datatable: the
+      // whole row is scalar-expression work (codegen'd; no shuffle at all)
+      (s, dir) => kqlRun(s, dir,
+        """datatable (ip:string) [
+          |   '10.1.2.3', '172.16.0.1', '172.32.0.1', '192.168.255.1',
+          |   '8.8.8.8', '256.1.1.1', 'not-an-ip', '1.2.3'
+          | ]
+          | | extend ipn = parse_ipv4(ip),
+          |     priv = ipv4_is_private(ip),
+          |     in24 = ipv4_is_in_range(ip, '10.1.2.0/24'),
+          |     rt = format_ipv4(parse_ipv4(ip)),
+          |     b64 = base64_encode_tostring(ip),
+          |     rb = base64_decode_tostring(base64_encode_tostring(ip)),
+          |     h = hash_sha256(ip)
+          | | project ip, ipn, priv, in24, rt, b64, rb, h
+          | | order by ip asc""".stripMargin),
+      Some("""
+        WITH d AS (SELECT unnest(['10.1.2.3', '172.16.0.1', '172.32.0.1',
+                                  '192.168.255.1', '8.8.8.8', '256.1.1.1',
+                                  'not-an-ip', '1.2.3']) AS ip),
+             p AS (
+               SELECT ip,
+                      CASE WHEN len(string_split(ip, '.')) = 4
+                             AND NOT EXISTS (SELECT 1 FROM unnest(string_split(ip, '.')) u(o)
+                                             WHERE TRY_CAST(o AS BIGINT) IS NULL
+                                                OR TRY_CAST(o AS BIGINT) NOT BETWEEN 0 AND 255)
+                        THEN CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+                           + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+                           + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+                           + CAST(string_split(ip, '.')[4] AS BIGINT)
+                      END AS ipn
+               FROM d)
+        SELECT ip, ipn,
+               (ipn BETWEEN 167772160 AND 184549375
+                OR ipn BETWEEN 2886729728 AND 2887778303
+                OR ipn BETWEEN 3232235520 AND 3232301055) AS priv,
+               (ipn // 256 = 655618) AS in24,
+               CASE WHEN ipn IS NOT NULL THEN
+                 CAST(ipn // 16777216 % 256 AS VARCHAR) || '.' ||
+                 CAST(ipn // 65536 % 256 AS VARCHAR) || '.' ||
+                 CAST(ipn // 256 % 256 AS VARCHAR) || '.' ||
+                 CAST(ipn % 256 AS VARCHAR)
+               END AS rt,
+               to_base64(CAST(ip AS BLOB)) AS b64,
+               CAST(from_base64(to_base64(CAST(ip AS BLOB))) AS VARCHAR) AS rb,
+               sha256(ip) AS h
+        FROM p ORDER BY ip""")),
+
+    "q_kql_graph_match" -> QueryDef(
+      // make-graph + graph-match over a heterogeneous TPC-H graph:
+      // customer→supplier edges (orders⋈lineitem) and supplier→part edges
+      // (lineitem), nodes labeled by origin table. The 2-hop pattern
+      // (c)-[e1]->(s)-[e2]->(p) counts paths through each supplier. The
+      // qty = 50 edge predicates PUSH THROUGH the pattern's join chain
+      // into both lineitem scans (graph-match is plain Catalyst joins), so
+      // the match runs on ~2% of the edge list — the scale story at 100 TB.
+      (s, dir) => kqlRun(s, dir,
+        """let E = orders
+          |   | join kind=inner (lineitem) on $left.o_orderkey == $right.l_orderkey
+          |   | project src = strcat('c', tostring(o_custkey)),
+          |       dst = strcat('s', tostring(l_suppkey)), qty = l_quantity
+          |   | union (lineitem
+          |       | project src = strcat('s', tostring(l_suppkey)),
+          |           dst = strcat('p', tostring(l_partkey)), qty = l_quantity);
+          |let N = customer
+          |   | project id = strcat('c', tostring(c_custkey)), label = 'cust'
+          |   | union (supplier | project id = strcat('s', tostring(s_suppkey)), label = 'supp')
+          |   | union (part | project id = strcat('p', tostring(p_partkey)), label = 'part');
+          |E
+          | | make-graph src --> dst with N on id
+          | | graph-match (c)-[e1]->(s)-[e2]->(p)
+          |     where c.label == 'cust' and p.label == 'part'
+          |       and e1.qty == 50 and e2.qty == 50
+          |     project sid = s.id
+          | | summarize paths = count() by sid
+          | | order by paths desc, sid asc
+          | | take 10""".stripMargin),
+      Some("""
+        WITH ce AS (SELECT 's' || CAST(l_suppkey AS VARCHAR) AS sid
+                    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                    WHERE l_quantity = 50),
+             pe AS (SELECT 's' || CAST(l_suppkey AS VARCHAR) AS sid
+                    FROM lineitem WHERE l_quantity = 50)
+        SELECT c.sid, c.n * p.n AS paths
+        FROM (SELECT sid, count(*) AS n FROM ce GROUP BY 1) c
+        JOIN (SELECT sid, count(*) AS n FROM pe GROUP BY 1) p USING (sid)
+        ORDER BY paths DESC, c.sid LIMIT 10""")),
+
     "q_kql_dcount_hll" -> QueryDef(
       // KQL's native dcount IS an HLL estimate; this pipeline's dcount is
       // exact by documented choice, and dcount_hll exposes the KQL-faithful
