@@ -144,6 +144,66 @@ object Multimodal {
     })
   }
 
+  /** Per-clip PCM sample statistics — REAL signal decode, not header reads:
+    * the full 16-bit PCM stream decompresses through `AudioInputStream`
+    * (so WAV/AIFF/AU byte order and container framing are the JDK's
+    * problem, not ours) and folds to (n_samples, sum_abs, peak) integers in
+    * the same partition-parallel pass. Integer stats, not RMS doubles, so a
+    * SQL oracle over the synthetic corpus' closed-form samples compares
+    * EXACTLY. Unreadable payloads yield ok = false with zeroed stats.
+    * O(payload bytes) per row, zero shuffle — the contract a feature
+    * extractor at 100 TB needs.
+    */
+  def audioPcmStats(ds: Dataset[MediaRow]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.filter(_.kind == "audio").mapPartitions(_.map { r =>
+      val stats =
+        if (r.payload == null || r.payload.isEmpty) None
+        else try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          try {
+            val fmt = in.getFormat
+            if (fmt.getSampleSizeInBits != 16) None
+            else {
+              val le  = !fmt.isBigEndian
+              val buf = new Array[Byte](8192)
+              var n   = 0L; var sumAbs = 0L; var peak = 0L
+              var read = in.read(buf)
+              var carry = -1 // split sample across read boundaries
+              while (read > 0) {
+                var i = 0
+                if (carry >= 0 && read > 0) {
+                  val v = if (le) ((buf(0) << 8) | carry).toShort
+                          else ((carry << 8) | (buf(0) & 0xff)).toShort
+                  val a = math.abs(v.toLong)
+                  n += 1; sumAbs += a; if (a > peak) peak = a
+                  carry = -1; i = 1
+                }
+                while (i + 1 < read) {
+                  val v = if (le) (((buf(i + 1) & 0xff) << 8) | (buf(i) & 0xff)).toShort
+                          else (((buf(i) & 0xff) << 8) | (buf(i + 1) & 0xff)).toShort
+                  val a = math.abs(v.toLong)
+                  n += 1; sumAbs += a; if (a > peak) peak = a
+                  i += 2
+                }
+                if (i < read) carry = buf(i) & 0xff
+                read = in.read(buf)
+              }
+              Some((n, sumAbs, peak))
+            }
+          } finally in.close()
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => None
+          case _: java.io.IOException                               => None
+        }
+      stats match {
+        case Some((n, s, p)) => (r.media_id, n, s, p, true)
+        case None            => (r.media_id, 0L, 0L, 0L, false)
+      }
+    }).toDF("media_id", "n_samples", "sum_abs", "peak", "ok")
+  }
+
   /** STUB feature extractor: fixed-width feature vector from byte
     * histogram — real implementation would run a vision/audio encoder per
     * partition (model loaded once per partition, amortized over the batch —

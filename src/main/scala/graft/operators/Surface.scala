@@ -1624,6 +1624,70 @@ object Surface {
                CAST(SUM(CASE WHEN doc_id % 5 <> 0 THEN 50 + (doc_id % 50) * 10 ELSE 0 END) AS BIGINT) AS sum_ms
         FROM documents WHERE doc_id % 3 = 1""")),
 
+    "mm_audio_pcm" -> QueryDef(
+      // REAL PCM signal decode (not just headers): every 16-bit sample of
+      // every readable clip streams through AudioInputStream and folds to
+      // integer stats in the same partition pass — zero shuffle before the
+      // final agg. The corpus' samples are a closed form of (doc_id, frame,
+      // channel), so the oracle recomputes EVERY sample value in SQL and
+      // the sums compare exactly; truncated payloads (doc_id % 5 == 0)
+      // fail decode and contribute zeros on both sides.
+      (s, dir) => Multimodal.audioPcmStats(
+          Multimodal.audioCorpusFromDocuments(t(s, dir, "documents")))
+        .agg(
+          count(lit(1)).cast("bigint").as("n_clips"),
+          sum(when(col("ok"), 1L).otherwise(0L)).cast("bigint").as("n_ok"),
+          sum(col("n_samples")).cast("bigint").as("n_samples"),
+          sum(col("sum_abs")).cast("bigint").as("sum_abs"),
+          max(col("peak")).cast("bigint").as("peak")),
+      Some("""
+        WITH a AS (SELECT doc_id AS id, 400 + (doc_id % 50) * 80 AS nf,
+                          1 + doc_id % 2 AS ch
+                   FROM documents WHERE doc_id % 3 = 1),
+             ok AS (SELECT * FROM a WHERE id % 5 <> 0),
+             s AS (SELECT (id * 31 + f.g * 7 + c.g * 13) % 65536 AS m
+                   FROM ok,
+                        LATERAL unnest(range(0, nf)) f(g),
+                        LATERAL unnest(range(0, ch)) c(g)),
+             v AS (SELECT CASE WHEN m >= 32768 THEN m - 65536 ELSE m END AS x
+                   FROM s)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_clips,
+               (SELECT CAST(count(*) AS BIGINT) FROM ok) AS n_ok,
+               CAST(count(*) AS BIGINT) AS n_samples,
+               CAST(sum(abs(x)) AS BIGINT) AS sum_abs,
+               CAST(max(abs(x)) AS BIGINT) AS peak
+        FROM v""")),
+
+    "embed_int8_quantize" -> QueryDef(
+      // symmetric per-vector int8 quantization (the embedding-compression
+      // step a training pipeline runs before ANN indexing / shipping):
+      // scale = max|v|/127, codes = round(v/scale). All array-HOF work, one
+      // shuffle for the per-label rollup. Approximate-operator rule: the
+      // reconstruction-error bound (≤ scale/2) and the code-range bound
+      // (|code| ≤ 127) are asserted IN-PLAN against the exact vectors; the
+      // oracle pins counts and asserts the booleans TRUE.
+      (s, dir) => {
+        val xd    = transform(col("embedding"), v => v.cast("double"))
+        val scale = array_max(transform(xd, v => abs(v))) / lit(127.0)
+        val codes = transform(xd, v =>
+          when(scale === 0d, lit(0.0)).otherwise(round(v / scale)))
+        val recon = transform(codes, c => c * scale)
+        val maxErr  = array_max(zip_with(xd, recon, (a, b) => abs(a - b)))
+        val qOk     = maxErr <= scale * 0.5 + lit(1e-9)
+        val rangeOk = array_max(transform(codes, c => abs(c))) <= lit(127.0)
+        t(s, dir, "embeddings")
+          .select(col("label").cast("int").as("label"),
+            qOk.as("q_ok"), rangeOk.as("range_ok"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vecs"),
+            min(col("q_ok")).as("q_ok"), min(col("range_ok")).as("range_ok"))
+          .orderBy(col("label"))
+      },
+      Some("""
+        SELECT CAST(label AS INT) AS label, count(*) AS n_vecs,
+               TRUE AS q_ok, TRUE AS range_ok
+        FROM embeddings GROUP BY 1 ORDER BY 1""")),
+
     // ---- KQL tabular pipeline (§2.i; the reference's outward query surface:
     // DatabaseGateway.cs:85-96 status view, LoadTest.cs:22-27 `T | count`,
     // LoadTest.cs:74-89 `T | where … | count`). Each query is a literal KQL

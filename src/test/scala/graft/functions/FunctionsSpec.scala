@@ -208,6 +208,27 @@ class FunctionsSpec extends SparkSuite {
     assert(!dec(10L).ok && dec(10L).n_channels == 0 && dec(10L).duration_ms == 0L) // 10 % 5 == 0: truncated
   }
 
+  test("multimodal: PCM sample stats decode the signal, not just the header") {
+    import spark.implicits._
+    // closed-form check against the synthetic generator's sample formula
+    val (frames, ch, seed) = (600, 2, 9L)
+    val wav = Multimodal.syntheticWav(frames, 8000, ch, seed)
+    val expected = for { f <- 0 until frames; c <- 0 until ch }
+      yield ((seed * 31 + f * 7 + c * 13) & 0xffff).toShort.toLong
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio", wav, "audio/wav", "m://1"),
+      Multimodal.MediaRow(2L, "audio", wav.take(10), "audio/wav", "m://2"),
+      Multimodal.MediaRow(3L, "image", Array[Byte](1), "image/png", "m://3"))
+    val out = Multimodal.audioPcmStats(spark.createDataset(rows))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L)) // image rows don't enter the audio path
+    assert(out(1L).getBoolean(4))
+    assert(out(1L).getLong(1) == frames.toLong * ch)
+    assert(out(1L).getLong(2) == expected.map(math.abs).sum)
+    assert(out(1L).getLong(3) == expected.map(math.abs).max)
+    assert(!out(2L).getBoolean(4) && out(2L).getLong(1) == 0L)
+  }
+
   test("rolling_hash: codegen matches interpreted, registered in SQL, rejects non-strings") {
     import graft.functions.expressions.RollingHash
     val df = docs.select($"doc_id", $"text",

@@ -158,4 +158,22 @@ class PlanSpec extends SparkSuite {
       assert(s.contains(fn), s"$q lost $fn")
     }
   }
+
+  test("graph-match: edge predicates push through the pattern's join chain") {
+    val s = finalPlan("q_kql_graph_match")
+    // the e1.qty/e2.qty == 50 step predicates must reach every lineitem
+    // scan — graph-match is plain Catalyst joins, so pushdown is the proof
+    // the pattern scales by scanning ~2% of the edges, not all of them
+    val pushed = s.linesIterator.filter(_.contains("EqualTo(l_quantity,50.0)")).size
+    assert(pushed >= 2, s"edge predicate not pushed into lineitem scans:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("basket: the itemset lattice is ONE cube (expand + single agg shuffle)") {
+    val s = finalPlan("q_kql_basket")
+    assert(s.contains("Expand"), s) // cube's lattice expansion operator
+    assert(!s.contains("CartesianProduct"), s)
+    // row total joins in as a broadcast scalar, never a shuffle join
+    assert(!s.contains("SortMergeJoin"), s)
+  }
 }
