@@ -197,6 +197,16 @@ object KqlCompat {
       val (n, s1, s2) = (nOf(x), sumOf(x), sumSqOf(x))
       s"(CASE WHEN $n > 1 THEN greatest(($n * $s2 - $s1 * $s1) / ($n * ($n - 1)), CAST(0 AS DOUBLE)) ELSE CAST(0 AS DOUBLE) END)"
     }
+    // series_decompose_anomalies(x, period): Tukey-fence scores over the
+    // decomposition residual. Runs FIRST in the series pass: it emits
+    // `series_outliers((series_decompose(…)).residual)` and the two
+    // expansions below (which haven't run yet at this point) do the
+    // decomposition and quartile work on the emitted text. Same
+    // fixed-period divergence as series_decompose.
+    s = expandCalls(s, "series_decompose_anomalies") {
+      case Seq(x, pStr) if pStr.trim.matches("\\d+") && pStr.trim.toInt >= 2 =>
+        s"series_outliers((series_decompose($x, ${pStr.trim})).residual)"
+    }
     // series_stats_dynamic(x): min/max with their first 0-based indices,
     // avg, sample stdev/variance, sum, len — one struct, ADX field names
     s = expandCalls(s, "series_stats_dynamic") {
@@ -290,6 +300,43 @@ object KqlCompat {
           else s"aggregate(sequence(0, size($w) - 1), CAST(0 AS DOUBLE), " +
             s"(acc, j) -> acc + CASE WHEN $at IS NOT NULL THEN element_at($wd, j + 1) ELSE CAST(0 AS DOUBLE) END)"
         s"transform(sequence(0, size($x) - 1), i -> $num / $den)"
+    }
+    // series_decompose(x, period): CLASSICAL additive decomposition with a
+    // FIXED literal period (documented divergence from ADX's
+    // period-autodetecting plugin): trend = centered width-`period` moving
+    // average with renormalized edges (the series_fir shape); seasonal =
+    // per-phase mean of the detrended series; baseline = trend + seasonal;
+    // residual = x − baseline. Pure array HOFs — but sub-expressions repeat
+    // TEXTUALLY (no scalar `let` in SQL), so per-row cost grows ~O(n²·p) on
+    // an n-point series: built for grid-sized series (make-series output,
+    // 10²–10³ points), not raw-event arrays.
+    s = expandCalls(s, "series_decompose") {
+      case Seq(x, pStr) if pStr.trim.matches("\\d+") && pStr.trim.toInt >= 2 =>
+        val p  = pStr.trim.toInt
+        val xd = asD(x)
+        val c  = p / 2
+        val at = s"(CASE WHEN i - j + $c >= 0 THEN " +
+          s"try_element_at($xd, CAST(i - j + $c + 1 AS INT)) END)"
+        val num = s"aggregate(sequence(0, ${p - 1}), CAST(0 AS DOUBLE), " +
+          s"(acc, j) -> acc + coalesce($at, CAST(0 AS DOUBLE)))"
+        val den = s"aggregate(sequence(0, ${p - 1}), CAST(0 AS DOUBLE), " +
+          s"(acc, j) -> acc + (CASE WHEN $at IS NOT NULL THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END))"
+        val trend = s"transform(sequence(0, size($x) - 1), i -> $num / $den)"
+        val det   = s"zip_with($xd, $trend, (a, b) -> a - b)"
+        // p phase means of the detrended series: one tiny p-length array;
+        // the fold carries (sum, count) and finishes with the mean
+        val pm = s"transform(sequence(0, ${p - 1}), ph -> " +
+          s"aggregate(sequence(0, size($x) - 1), " +
+          s"named_struct('s', CAST(0 AS DOUBLE), 'c', CAST(0 AS DOUBLE)), " +
+          s"(acc2, k) -> IF(k % $p = ph, " +
+          s"named_struct('s', acc2.s + element_at($det, k + 1), 'c', acc2.c + 1), acc2), " +
+          s"fin -> fin.s / fin.c))"
+        val seasonal = s"transform(sequence(0, size($x) - 1), m -> " +
+          s"element_at($pm, CAST(m % $p + 1 AS INT)))"
+        val baseline = s"zip_with($trend, $seasonal, (a, b) -> a + b)"
+        val residual = s"zip_with($xd, $baseline, (a, b) -> a - b)"
+        s"named_struct('baseline', $baseline, 'seasonal', $seasonal, " +
+          s"'trend', $trend, 'residual', $residual)"
     }
     // series_pearson_correlation(x, y): closed-form Pearson r from six
     // left-to-right folds; 0 when either side is constant (ADX yields NaN —

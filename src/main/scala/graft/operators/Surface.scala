@@ -2434,6 +2434,106 @@ object Surface {
                round(sum(svv), 2) AS svs
         FROM grid GROUP BY 1 ORDER BY 1""")),
 
+    "q_series_decompose" -> QueryDef(
+      // classical additive decomposition, period 7 (weekly) over the daily
+      // grid: trend (centered MA-7, renormalized edges), per-phase seasonal
+      // means, residual. The oracle restates each component with window
+      // functions — AVG OVER ROWS ±3 IS the renormalized centered MA.
+      (s, dir) => kqlRun(s, dir,
+        """events
+          | | make-series n = count()
+          |     on ts from 1704067200000000000 to 1706659200000000000 step 86400000000000
+          |     by event_type
+          | | extend d = series_decompose(n, 7)
+          | | project event_type,
+          |     trend_json = to_json(transform(d.trend, v -> round(v, 6))),
+          |     seasonal_json = to_json(transform(d.seasonal, v -> round(v, 6))),
+          |     resid_json = to_json(transform(d.residual, v -> round(v, 6)))
+          | | order by event_type asc""".stripMargin),
+      Some("""
+        WITH e AS (SELECT event_type, epoch_ns(ts) AS tn FROM events),
+             binned AS (
+               SELECT event_type,
+                      1704067200000000000 + CAST(floor((tn - 1704067200000000000) / 86400000000000) AS BIGINT) * 86400000000000 AS b,
+                      count(*) AS n
+               FROM e
+               WHERE tn >= 1704067200000000000 AND tn < 1706659200000000000
+               GROUP BY 1, 2),
+             grid AS (
+               SELECT k.event_type, g.b,
+                      CAST(coalesce(n, 0) AS DOUBLE) AS v
+               FROM (SELECT DISTINCT event_type FROM binned) k
+               CROSS JOIN (SELECT unnest(range(1704067200000000000, 1706659200000000000, 86400000000000)) AS b) g
+               LEFT JOIN binned USING (event_type, b)),
+             tr AS (
+               SELECT event_type, b, v,
+                      CAST(row_number() OVER (PARTITION BY event_type ORDER BY b) - 1 AS BIGINT) AS rn,
+                      avg(v) OVER (PARTITION BY event_type ORDER BY b
+                                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS t
+               FROM grid),
+             se AS (
+               SELECT event_type, b, v, t,
+                      avg(v - t) OVER (PARTITION BY event_type, rn % 7) AS s
+               FROM tr)
+        SELECT event_type,
+               CAST(to_json(list(round(t, 6) ORDER BY b)) AS VARCHAR) AS trend_json,
+               CAST(to_json(list(round(s, 6) ORDER BY b)) AS VARCHAR) AS seasonal_json,
+               CAST(to_json(list(round(v - t - s, 6) ORDER BY b)) AS VARCHAR) AS resid_json
+        FROM se GROUP BY 1 ORDER BY 1""")),
+
+    "q_series_anomalies" -> QueryDef(
+      // series_decompose_anomalies = Tukey scores on the decomposition
+      // residual (period 7). The Catalyst optimizer's extract-value
+      // simplification collapses the emitted struct access, so only the
+      // residual lane actually evaluates.
+      (s, dir) => kqlRun(s, dir,
+        """events
+          | | make-series n = count()
+          |     on ts from 1704067200000000000 to 1706659200000000000 step 86400000000000
+          |     by event_type
+          | | extend a = series_decompose_anomalies(n, 7)
+          | | project event_type, a_json = to_json(transform(a, v -> round(v, 6)))
+          | | order by event_type asc""".stripMargin),
+      Some("""
+        WITH e AS (SELECT event_type, epoch_ns(ts) AS tn FROM events),
+             binned AS (
+               SELECT event_type,
+                      1704067200000000000 + CAST(floor((tn - 1704067200000000000) / 86400000000000) AS BIGINT) * 86400000000000 AS b,
+                      count(*) AS n
+               FROM e
+               WHERE tn >= 1704067200000000000 AND tn < 1706659200000000000
+               GROUP BY 1, 2),
+             grid AS (
+               SELECT k.event_type, g.b,
+                      CAST(coalesce(n, 0) AS DOUBLE) AS v
+               FROM (SELECT DISTINCT event_type FROM binned) k
+               CROSS JOIN (SELECT unnest(range(1704067200000000000, 1706659200000000000, 86400000000000)) AS b) g
+               LEFT JOIN binned USING (event_type, b)),
+             tr AS (
+               SELECT event_type, b, v,
+                      CAST(row_number() OVER (PARTITION BY event_type ORDER BY b) - 1 AS BIGINT) AS rn,
+                      avg(v) OVER (PARTITION BY event_type ORDER BY b
+                                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS t
+               FROM grid),
+             se AS (
+               SELECT event_type, b,
+                      v - t - avg(v - t) OVER (PARTITION BY event_type, rn % 7) AS res
+               FROM tr),
+             q AS (
+               SELECT event_type,
+                      quantile_cont(res, 0.25) AS q25,
+                      quantile_cont(res, 0.75) AS q75
+               FROM se GROUP BY 1)
+        SELECT se.event_type,
+               CAST(to_json(list(
+                 round(CASE WHEN q75 - q25 <= 0 THEN 0
+                            WHEN res > q75 THEN (res - q75) / (q75 - q25)
+                            WHEN res < q25 THEN (res - q25) / (q75 - q25)
+                            ELSE 0 END, 6)
+                 ORDER BY se.b)) AS VARCHAR) AS a_json
+        FROM se JOIN q USING (event_type)
+        GROUP BY 1 ORDER BY 1""")),
+
     "q_kql_narrow" -> QueryDef(
       // `evaluate narrow()`: wide→long (Row, Column, Value) string triples;
       // Row follows the pre-narrow sort (ZipIndex numbering, no

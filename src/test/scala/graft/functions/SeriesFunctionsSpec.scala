@@ -85,6 +85,36 @@ class SeriesFunctionsSpec extends SparkSuite {
       "series_pearson_correlation(dynamic([1, 2, 3]), dynamic([5, 5, 5]))").getDouble(0) == 0.0)
   }
 
+  test("series_decompose: classical fixed-period components recompose to x") {
+    // perfectly periodic series, period 2: [10, 20, 10, 20, 10, 20]
+    val r = oneRow("series_decompose(dynamic([10, 20, 10, 20, 10, 20]), 2)").getStruct(0)
+    val x        = Seq(10.0, 20.0, 10.0, 20.0, 10.0, 20.0)
+    val trend    = r.getSeq[Double](r.fieldIndex("trend"))
+    val seasonal = r.getSeq[Double](r.fieldIndex("seasonal"))
+    val baseline = r.getSeq[Double](r.fieldIndex("baseline"))
+    val residual = r.getSeq[Double](r.fieldIndex("residual"))
+    // centered width-2 MA (c=1) looks at {x[i], x[i+1]} -> 15.0 everywhere
+    // except the right edge, which renormalizes to the single sample x[5]
+    assert(trend.take(5).forall(v => math.abs(v - 15.0) < 1e-12))
+    assert(trend(5) == 20.0)
+    // identity: baseline + residual == x exactly
+    baseline.zip(residual).zip(x).foreach { case ((b, e), v) =>
+      assert(math.abs(b + e - v) < 1e-12)
+    }
+    // phases alternate low/high and seasonal follows the phase
+    assert(seasonal(0) == seasonal(2) && seasonal(1) == seasonal(3))
+    assert(seasonal(1) > seasonal(0))
+  }
+
+  test("series_decompose_anomalies: a spike scores positive, flat stays 0") {
+    // periodic base 10/20 with one +100 spike at index 4 (phase 0)
+    val o = oneRow(
+      "series_decompose_anomalies(dynamic([10, 20, 10, 20, 110, 20, 10, 20, 10, 20]), 2)")
+      .getSeq[Double](0)
+    assert(o(4) > 0.0, s"spike not flagged: $o")
+    assert(o(4) == o.max)
+  }
+
   test("make-series supports multiple aggregations with per-agg defaults") {
     val s = spark
     import s.implicits._
