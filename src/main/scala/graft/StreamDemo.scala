@@ -24,7 +24,8 @@ object StreamDemo {
     spark.sparkContext.setLogLevel("WARN")
 
     val dir  = java.nio.file.Files.createTempDirectory("stream-demo").toString
-    spark.read.parquet(s"$src/events.parquet").write.mode("append").parquet(s"$dir/in")
+    graft.util.EventTicks.toNanos(spark.read.parquet(s"$src/events.parquet"))
+      .write.mode("append").parquet(s"$dir/in")
 
     val win = EventStream.windowedCounts(EventStream.readEvents(spark, s"$dir/in"))
       .writeStream.format("memory").queryName("win").outputMode("append")

@@ -12,7 +12,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftSessionExtensions")
-      // events.parquet carries TIMESTAMP(NANOS); read as epoch-nanos longs
+      // TIMESTAMP(NANOS) parquet reads as epoch-nanos long; a MICROS
+      // encoding is normalized by EventTicks.toNanos inside Surface.t
       // (queries treat ts as ns and the oracles use epoch_ns semantics)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -31,8 +31,11 @@ object Surface {
       oracle: Option[String],
       headline: Boolean = false)
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    // events.ts must be epoch-nanos LONG whatever the on-disk encoding
+    if (name == "events") graft.util.EventTicks.toNanos(df) else df
+  }
 
   /** Run a KQL tabular pipeline with the testdata tables as its catalog. */
   private def kqlRun(s: SparkSession, dir: String, kql: String): DataFrame =

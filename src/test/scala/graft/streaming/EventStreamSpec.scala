@@ -12,7 +12,9 @@ class EventStreamSpec extends SparkSuite {
     * files so the file source sees multiple input splits.
     */
   private def stageEvents(dir: String): Unit = {
-    val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    // ts → epoch-nanos long at staging so the stream schema (ts LONG) holds
+    val df = graft.util.EventTicks.toNanos(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
     df.filter(col("event_id") % 2 === 0).write.mode("append").parquet(dir)
     df.filter(col("event_id") % 2 === 1).write.mode("append").parquet(dir)
   }
@@ -77,7 +79,8 @@ class EventStreamSpec extends SparkSuite {
 
   test("streaming dedup drops re-delivered files within the watermark") {
     val src = tmpDir("events-src3"); val ckpt = tmpDir("stream-ckpt3")
-    val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(200)
+    val df = graft.util.EventTicks.toNanos(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet")).limit(200)
     df.write.mode("append").parquet(src)
     df.write.mode("append").parquet(src) // duplicate delivery
     val q = EventStream.dedupStream(EventStream.readEvents(spark, src), Seq("event_id"))
