@@ -184,9 +184,10 @@ object KqlCompat {
     // G groups stays G rows end to end. Folds run left-to-right (fixed
     // summation order ⇒ deterministic across engines); variance/stdev are
     // SAMPLE (n−1) moments via the closed form (n·Σx² − (Σx)²)/(n(n−1)),
-    // clamped at 0 against cancellation. Sub-expressions repeat textually
-    // (scalar SQL has no `let`) — arrays are series-sized (grid points, not
-    // table rows), so the re-evaluation cost is negligible by design.
+    // clamped at 0 against cancellation. CHEAP sub-expressions may repeat
+    // textually; expensive intermediates (sorted copies, trend arrays)
+    // must bind through the `let1` single-assignment trick below —
+    // interpreted HOF eval recomputes every textual copy per reference.
     val asD   = (x: String) => s"transform($x, v -> CAST(v AS DOUBLE))"
     val foldD = (a: String) => s"aggregate($a, CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
     def nOf(x: String)  = s"CAST(size($x) AS DOUBLE)"
@@ -263,18 +264,29 @@ object KqlCompat {
       val vhi = s"coalesce(try_element_at($sorted, $lo + 2), $vlo)"
       s"($vlo + ($idx - floor($idx)) * ($vhi - $vlo))"
     }
+    // Single-assignment trick used here and in series_decompose: SQL scalar
+    // text has no `let`, so binding an expensive intermediate means wrapping
+    // it in a ONE-element array and a `transform` lambda — every later
+    // reference is then a lambda-variable lookup (O(1)), not a textual copy
+    // that interpreted HOF eval would recompute. Without this, composing
+    // series fns (series_decompose_anomalies = outliers ∘ decompose)
+    // multiplies whole subtrees per element and per reference — measured
+    // MINUTES per row on a 30-point series; with it the cost is the
+    // plain O(n·p) of the math.
+    def let1(v: String, bound: String, body: String): String =
+      s"element_at(transform(array($bound), $v -> $body), 1)"
     s = expandCalls(s, "series_outliers") {
       case Seq(x) =>
-        val srt = s"array_sort(${asD(x)})"
-        val n   = nOf(x)
-        val q25 = q7(srt, n, "0.25")
-        val q75 = q7(srt, n, "0.75")
-        val iqr = s"($q75 - $q25)"
-        s"transform(${asD(x)}, v -> CASE " +
-          s"WHEN $iqr <= 0 THEN CAST(0 AS DOUBLE) " +
-          s"WHEN v > $q75 THEN (v - $q75) / $iqr " +
-          s"WHEN v < $q25 THEN (v - $q25) / $iqr " +
-          s"ELSE CAST(0 AS DOUBLE) END)"
+        val q25 = q7("__so_s", "CAST(size(__so_x) AS DOUBLE)", "0.25")
+        val q75 = q7("__so_s", "CAST(size(__so_x) AS DOUBLE)", "0.75")
+        let1("__so_x", asD(x),
+          let1("__so_s", "array_sort(__so_x)",
+            let1("__so_q", s"named_struct('q25', $q25, 'q75', $q75)",
+              "transform(__so_x, v -> CASE " +
+                "WHEN (__so_q.q75 - __so_q.q25) <= 0 THEN CAST(0 AS DOUBLE) " +
+                "WHEN v > __so_q.q75 THEN (v - __so_q.q75) / (__so_q.q75 - __so_q.q25) " +
+                "WHEN v < __so_q.q25 THEN (v - __so_q.q25) / (__so_q.q75 - __so_q.q25) " +
+                "ELSE CAST(0 AS DOUBLE) END)")))
     }
     // series_fir(x, filter[, normalize[, center]]): finite-impulse-response
     // moving window — y[i] = Σⱼ w[j]·x[i−j+c] over in-range samples, edges
@@ -313,30 +325,35 @@ object KqlCompat {
     s = expandCalls(s, "series_decompose") {
       case Seq(x, pStr) if pStr.trim.matches("\\d+") && pStr.trim.toInt >= 2 =>
         val p  = pStr.trim.toInt
-        val xd = asD(x)
         val c  = p / 2
+        // every intermediate binds ONCE through let1 — a reference to
+        // __sd_x/__sd_t/__sd_d/__sd_p is an O(1) variable lookup, so the
+        // whole decomposition is the plain O(n·p) of the math
         val at = s"(CASE WHEN i - j + $c >= 0 THEN " +
-          s"try_element_at($xd, CAST(i - j + $c + 1 AS INT)) END)"
+          s"try_element_at(__sd_x, CAST(i - j + $c + 1 AS INT)) END)"
         val num = s"aggregate(sequence(0, ${p - 1}), CAST(0 AS DOUBLE), " +
           s"(acc, j) -> acc + coalesce($at, CAST(0 AS DOUBLE)))"
         val den = s"aggregate(sequence(0, ${p - 1}), CAST(0 AS DOUBLE), " +
           s"(acc, j) -> acc + (CASE WHEN $at IS NOT NULL THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END))"
-        val trend = s"transform(sequence(0, size($x) - 1), i -> $num / $den)"
-        val det   = s"zip_with($xd, $trend, (a, b) -> a - b)"
+        val trend = s"transform(sequence(0, size(__sd_x) - 1), i -> $num / $den)"
         // p phase means of the detrended series: one tiny p-length array;
         // the fold carries (sum, count) and finishes with the mean
         val pm = s"transform(sequence(0, ${p - 1}), ph -> " +
-          s"aggregate(sequence(0, size($x) - 1), " +
+          s"aggregate(sequence(0, size(__sd_x) - 1), " +
           s"named_struct('s', CAST(0 AS DOUBLE), 'c', CAST(0 AS DOUBLE)), " +
           s"(acc2, k) -> IF(k % $p = ph, " +
-          s"named_struct('s', acc2.s + element_at($det, k + 1), 'c', acc2.c + 1), acc2), " +
+          s"named_struct('s', acc2.s + element_at(__sd_d, k + 1), 'c', acc2.c + 1), acc2), " +
           s"fin -> fin.s / fin.c))"
-        val seasonal = s"transform(sequence(0, size($x) - 1), m -> " +
-          s"element_at($pm, CAST(m % $p + 1 AS INT)))"
-        val baseline = s"zip_with($trend, $seasonal, (a, b) -> a + b)"
-        val residual = s"zip_with($xd, $baseline, (a, b) -> a - b)"
-        s"named_struct('baseline', $baseline, 'seasonal', $seasonal, " +
-          s"'trend', $trend, 'residual', $residual)"
+        val seasonal = s"transform(sequence(0, size(__sd_x) - 1), m -> " +
+          s"element_at(__sd_p, CAST(m % $p + 1 AS INT)))"
+        let1("__sd_x", asD(x),
+          let1("__sd_t", trend,
+            let1("__sd_d", "zip_with(__sd_x, __sd_t, (a, b) -> a - b)",
+              let1("__sd_p", pm,
+                let1("__sd_b", s"zip_with(__sd_t, $seasonal, (a, b) -> a + b)",
+                  s"named_struct('baseline', __sd_b, 'seasonal', $seasonal, " +
+                    "'trend', __sd_t, " +
+                    "'residual', zip_with(__sd_x, __sd_b, (a, b) -> a - b))")))))
     }
     // series_pearson_correlation(x, y): closed-form Pearson r from six
     // left-to-right folds; 0 when either side is constant (ADX yields NaN —
