@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
 import graft.functions.KqlCompat
+import graft.operators.ActivityMetrics
 
 /** KQL *tabular* pipeline over registered tables — the reference's outward
   * query surface (its status view is a full `externaldata | summarize
@@ -37,7 +38,8 @@ import graft.functions.KqlCompat
   *   | count                             // → single column `Count`
   *   | getschema                         // ColumnName/ColumnOrdinal/ColumnType
   *   | join [kind=inner|innerunique|leftouter|rightouter|fullouter|
-  *           leftsemi|leftanti] (T2 | …) on key, …   // or $left.a == $right.b
+  *           leftsemi|leftanti|rightsemi|rightanti] (T2 | …) on key, …
+  *     // or $left.a == $right.b; right-semi/anti emulate by side swap
   *   | lookup [kind=leftouter|inner] (Dim) on key    // broadcast dim join
   *   | union T2, (T3 | where …)          // by-name, null-padding
   *   | mv-expand arrayCol, …
@@ -1495,10 +1497,105 @@ object KqlPipeline {
           .withColumn("Percent", round(col("Count") * 100 / col("__graft_total"), 6))
           .drop("__graft_gid", "__graft_total")
 
+      // ---- ADX activity-analytics plugins ---------------------------------
+      // All four work on a NUMERIC timeline axis (bin epoch-nanos to µs
+      // first; datetime axes are epoch numbers here) and lower to
+      // ActivityMetrics' explode-to-covered-bins shapes — per-bin partials
+      // first, bounded w-way explode after, never a range self-join. Scalar
+      // arguments are constant-folded KQL expressions (86400 * 1000000 is
+      // fine), so callers can spell windows arithmetically.
+      case "evaluate" if rest.trim.toLowerCase.startsWith("activity_counts_metrics") =>
+        val a = pluginArgs(rest, "activity_counts_metrics", 5)
+        ActivityMetrics.activityCountsMetrics(df, identArg(a(0)), identArg(a(1)),
+          constLong(a(2)), constLong(a(3)), constLong(a(4)))
+
+      case "evaluate" if rest.trim.toLowerCase.startsWith("sliding_window_counts") =>
+        val a = pluginArgs(rest, "sliding_window_counts", 6)
+        ActivityMetrics.slidingWindowCounts(df, identArg(a(0)), identArg(a(1)),
+          constLong(a(2)), constLong(a(3)), constLong(a(4)), constLong(a(5)))
+
+      case "evaluate" if rest.trim.toLowerCase.startsWith("active_users_count") =>
+        val a = pluginArgs(rest, "active_users_count", 8)
+        ActivityMetrics.activeUsersCount(df, identArg(a(0)), identArg(a(1)),
+          constLong(a(2)), constLong(a(3)), constLong(a(4)), constLong(a(5)),
+          constLong(a(6)).toInt, constLong(a(7)))
+
+      case "evaluate" if rest.trim.toLowerCase.startsWith("rolling_percentile") =>
+        val a = pluginArgs(rest, "rolling_percentile", 7)
+        ActivityMetrics.rollingPercentile(df, identArg(a(0)), constDouble(a(1)),
+          identArg(a(2)), constLong(a(3)), constLong(a(4)),
+          constLong(a(5)).toInt, constLong(a(6)))
+
+      case "evaluate" if rest.trim.toLowerCase.startsWith("activity_metrics") =>
+        val a = pluginArgs(rest, "activity_metrics", 5)
+        ActivityMetrics.activityMetrics(df, identArg(a(0)), identArg(a(1)),
+          constLong(a(2)), constLong(a(3)), constLong(a(4)))
+
+      // `evaluate autocluster([minCoverage])`: common attribute segments.
+      // ADX's heuristic is opaque; this is a DETERMINISTIC simplification
+      // (documented divergence): the basket cube lattice + support filter,
+      // then the CLOSED-segment rule — a segment is dropped when a strictly
+      // more specific kept segment has the same Count (it adds no
+      // information). The closed filter is a self-join over the
+      // support-filtered candidate set (tiny: the lattice after the support
+      // cut), not over the data.
+      case "evaluate" if rest.trim.toLowerCase.startsWith("autocluster") =>
+        val (inner, tail) = takeGroup(rest.trim.drop("autocluster".length), '(', ')')
+        require(tail.trim.isEmpty, s"unexpected trailing text after autocluster(…): '$tail'")
+        val threshold = if (inner.trim.isEmpty) 0.05 else inner.trim.toDouble
+        require(threshold > 0 && threshold <= 1, s"autocluster coverage must be in (0,1]: $threshold")
+        val cols  = df.columns.toSeq
+        val total = df.agg(count(lit(1)).cast("double").as("__graft_total"))
+        val cand = df.cube(cols.map(col): _*)
+          .agg(count(lit(1)).as("Count"), grouping_id().as("__graft_gid"))
+          .filter(col("__graft_gid") =!= ((1L << cols.length) - 1))
+          .crossJoin(broadcast(total))
+          .filter(col("Count") >= col("__graft_total") * threshold)
+          .withColumn("Percent", round(col("Count") * 100 / col("__graft_total"), 6))
+          .drop("__graft_total")
+        val a = cand.as("a"); val b = cand.as("b")
+        // b strictly more specific than a: agrees wherever a is fixed, fixes
+        // strictly more positions (gid bit 1 = wildcard ⇒ fewer bits set)
+        val subsumes = cols.map(c2 =>
+          col(s"a.$c2").isNull || col(s"a.$c2") === col(s"b.$c2")).reduce(_ && _) &&
+          col("b.__graft_gid") < col("a.__graft_gid") &&
+          (col("a.__graft_gid").bitwiseAND(col("b.__graft_gid")) === col("b.__graft_gid")) &&
+          col("a.Count") === col("b.Count")
+        a.join(b, subsumes, "left_anti")
+          .drop("__graft_gid")
+
+      // `evaluate diffpatterns(splitCol, valueA, valueB [, minDiffPct])`:
+      // segment share difference between two cohorts — ONE cube with
+      // conditional counts (no per-cohort pass), Percent columns against
+      // each cohort's total, filtered on |PercentA - PercentB|. Ordering is
+      // left to the caller (ADX ranks by an opaque score; documented
+      // divergence).
+      case "evaluate" if rest.trim.toLowerCase.startsWith("diffpatterns") =>
+        val a = pluginArgs(rest, "diffpatterns", 3, maxN = 4)
+        val (splitC, vA, vB) = (identArg(a(0)), unquote(a(1)), unquote(a(2)))
+        val minDiff = if (a.length > 3) a(3).trim.toDouble else 0.0
+        val attrs = df.columns.toSeq.filterNot(_ == splitC)
+        val totals = df.agg(
+          sum(when(col(splitC) === vA, 1L).otherwise(0L)).cast("double").as("__graft_ta"),
+          sum(when(col(splitC) === vB, 1L).otherwise(0L)).cast("double").as("__graft_tb"))
+        df.filter(col(splitC).isin(vA, vB))
+          .cube(attrs.map(col): _*)
+          .agg(
+            sum(when(col(splitC) === vA, 1L).otherwise(0L)).as("CountA"),
+            sum(when(col(splitC) === vB, 1L).otherwise(0L)).as("CountB"),
+            grouping_id().as("__graft_gid"))
+          .filter(col("__graft_gid") =!= ((1L << attrs.length) - 1))
+          .crossJoin(broadcast(totals))
+          .withColumn("PercentA", round(col("CountA") * 100 / col("__graft_ta"), 6))
+          .withColumn("PercentB", round(col("CountB") * 100 / col("__graft_tb"), 6))
+          .withColumn("PercentDiff", round(col("PercentA") - col("PercentB"), 6))
+          .filter(abs(col("PercentDiff")) >= minDiff)
+          .drop("__graft_gid", "__graft_ta", "__graft_tb")
+
       case "evaluate" =>
         val body = rest.trim
         require(body.toLowerCase.startsWith("pivot"),
-          s"only `evaluate pivot(…)`, `evaluate bag_unpack(…)`, `evaluate narrow()` and `evaluate basket(…)` are supported, got: '$body'")
+          s"only `evaluate pivot/bag_unpack/narrow/basket/autocluster/diffpatterns/activity_counts_metrics/sliding_window_counts/active_users_count/activity_metrics` are supported, got: '$body'")
         val (inner, tail) = takeGroup(body.drop("pivot".length), '(', ')')
         require(tail.trim.isEmpty, s"unexpected trailing text after pivot(…): '$tail'")
         val parts = splitTopLevel(inner, ',').map(_.trim).filter(_.nonEmpty)
@@ -1740,7 +1837,12 @@ object KqlPipeline {
     "inner" -> "inner", "innerunique" -> "inner",
     "leftouter" -> "left_outer", "rightouter" -> "right_outer",
     "fullouter" -> "full_outer", "leftsemi" -> "left_semi",
-    "leftanti" -> "left_anti", "anti" -> "left_anti")
+    "leftanti" -> "left_anti", "anti" -> "left_anti",
+    // Spark has no right_semi/right_anti — applyJoin swaps the sides and
+    // runs the left-flavored join, which is exactly ADX's contract (the
+    // result carries RIGHT-side columns only)
+    "rightsemi" -> "right_semi", "rightanti" -> "right_anti",
+    "rightantisemi" -> "right_anti")
 
   // (?s): a join/lookup body legitimately spans lines (multi-line
   // sub-pipelines); without DOTALL the full-match case-pattern never fires
@@ -1773,6 +1875,23 @@ object KqlPipeline {
   private def applyJoin(left: DataFrame, right: DataFrame, kqlKind: String,
       onClause: String): DataFrame = {
     val sparkKind = JoinKinds(kqlKind)
+    if (sparkKind == "right_semi" || sparkKind == "right_anti") {
+      // swap sides; the on-clause's $left/$right still name the ORIGINAL
+      // sides, so rewrite the clause with the roles exchanged
+      val swapped = splitTopLevel(onClause, ',').map(_.trim).filter(_.nonEmpty).map { t =>
+        if (!t.contains("==")) t
+        else {
+          val sides = t.split("==").map(_.trim)
+          require(sides.length == 2 && sides(0).startsWith("$left.") &&
+            sides(1).startsWith("$right."),
+            "expected `$left.a == $right.b`, got: '" + t + "'")
+          "$left." + sides(1).stripPrefix("$right.") +
+            " == $right." + sides(0).stripPrefix("$left.")
+        }
+      }.mkString(", ")
+      return applyJoin(right, left,
+        if (sparkKind == "right_semi") "leftsemi" else "leftanti", swapped)
+    }
     val terms   = splitTopLevel(onClause, ',').map(_.trim).filter(_.nonEmpty)
     require(terms.nonEmpty, "join needs an `on` clause")
     val usingCols = terms.filter(t => !t.contains("=="))
@@ -2341,4 +2460,47 @@ object KqlPipeline {
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"KQL pipeline: $msg")
+
+  // ---- evaluate-plugin argument helpers ------------------------------------
+
+  /** `evaluate name(a, b, …)` → the comma-split argument list, arity-checked. */
+  private def pluginArgs(rest: String, name: String, n: Int, maxN: Int = -1): Seq[String] = {
+    val (inner, tail) = takeGroup(rest.trim.drop(name.length), '(', ')')
+    require(tail.trim.isEmpty, s"unexpected trailing text after $name(…): '$tail'")
+    val args = splitTopLevel(inner, ',').map(_.trim).filter(_.nonEmpty)
+    val hi = if (maxN < 0) n else maxN
+    require(args.length >= n && args.length <= hi,
+      s"$name expects ${if (hi == n) s"$n" else s"$n..$hi"} arguments, got ${args.length}: '$inner'")
+    args
+  }
+
+  /** A plugin argument that must be a bare column name. */
+  private def identArg(s: String): String = {
+    val t = s.trim
+    require(t.matches("[A-Za-z_][A-Za-z0-9_]*"), s"expected a column name, got: '$t'")
+    t
+  }
+
+  /** Constant-fold a scalar KQL expression argument to a Long (plugin
+    * window/axis parameters — `86400 * 1000000` is fine; columns are not). */
+  private def constLong(s: String): Long = {
+    val ex = org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(tx(s))
+    require(ex.foldable, s"expected a constant scalar argument, got: '$s'")
+    ex.eval(org.apache.spark.sql.catalyst.InternalRow.empty) match {
+      case n: java.lang.Number => n.longValue()
+      case d: java.math.BigDecimal => d.longValueExact()
+      case d: org.apache.spark.sql.types.Decimal => d.toLong
+      case other => fail(s"constant argument '$s' is not numeric: $other")
+    }
+  }
+
+  private def constDouble(s: String): Double = {
+    val ex = org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(tx(s))
+    require(ex.foldable, s"expected a constant scalar argument, got: '$s'")
+    ex.eval(org.apache.spark.sql.catalyst.InternalRow.empty) match {
+      case n: java.lang.Number => n.doubleValue()
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case other => fail(s"constant argument '$s' is not numeric: $other")
+    }
+  }
 }

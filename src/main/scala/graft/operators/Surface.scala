@@ -2697,6 +2697,237 @@ object Surface {
         JOIN (SELECT sid, count(*) AS n FROM pe GROUP BY 1) p USING (sid)
         ORDER BY paths DESC, c.sid LIMIT 10""")),
 
+    "q_kql_join_rightanti" -> QueryDef(
+      // kind=rightanti: parts never shipped in bulk (no lineitem with
+      // quantity ≥ 45). Lowered as the side-swapped left_anti — result
+      // carries RIGHT-side columns only, the ADX contract.
+      (s, dir) => kqlRun(s, dir,
+        """lineitem
+          | | where l_quantity >= 45
+          | | join kind=rightanti (part) on $left.l_partkey == $right.p_partkey
+          | | project p_partkey, p_brand
+          | | order by p_partkey asc""".stripMargin),
+      Some("""
+        SELECT p_partkey, p_brand FROM part
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_partkey = p_partkey AND l_quantity >= 45)
+        ORDER BY p_partkey""")),
+
+    // ---- ADX activity-analytics plugin family -----------------------------
+    // All four lower through ActivityMetrics' explode-to-covered-bins
+    // shapes (per-bin partials → bounded w-way explode → re-aggregate;
+    // never a range self-join). Axis = epoch-nanos over the events span
+    // (Jan 2024), day bins; the DuckDB twins restate the identical grid
+    // arithmetic on epoch_us(ts)*1000.
+
+    "q_kql_activity_counts" -> QueryDef(
+      // per-day count / dcount / first-seen dcount / cumulative dcount
+      (s, dir) => kqlRun(s, dir,
+        """events
+          | | evaluate activity_counts_metrics(user_id, ts,
+          |     1704067200000000000, 1706659200000000000, 86400000000000)
+          | | order by timestamp asc""".stripMargin),
+      Some("""
+        WITH b AS (SELECT user_id,
+                     1704067200000000000 + (epoch_us(ts)*1000 - 1704067200000000000)
+                       // 86400000000000 * 86400000000000 AS bin
+                   FROM events
+                   WHERE epoch_us(ts)*1000 >= 1704067200000000000
+                     AND epoch_us(ts)*1000 < 1706659200000000000),
+             per AS (SELECT bin, count(*) AS cnt, count(DISTINCT user_id) AS dc
+                     FROM b GROUP BY 1),
+             nu AS (SELECT bin, count(*) AS nd
+                    FROM (SELECT user_id, min(bin) AS bin FROM b GROUP BY 1)
+                    GROUP BY 1)
+        SELECT per.bin AS "timestamp", cnt AS "count", dc AS dcount,
+               coalesce(nd, 0) AS new_dcount,
+               CAST(sum(coalesce(nd, 0)) OVER (ORDER BY per.bin) AS BIGINT)
+                 AS aggregated_dcount
+        FROM per LEFT JOIN nu USING (bin) ORDER BY 1""")),
+
+    "q_kql_sliding_window" -> QueryDef(
+      // trailing 7-day row count + distinct users per day: the rolling-MAU
+      // shape. Spark explodes each per-day partial to the ≤7 grid points it
+      // covers; the oracle restates the window as a bin range join.
+      (s, dir) => kqlRun(s, dir,
+        """events
+          | | evaluate sliding_window_counts(user_id, ts,
+          |     1704067200000000000, 1706659200000000000,
+          |     604800000000000, 86400000000000)
+          | | order by timestamp asc""".stripMargin),
+      Some("""
+        WITH b AS (SELECT user_id,
+                     1704067200000000000 + (epoch_us(ts)*1000 - 1704067200000000000)
+                       // 86400000000000 * 86400000000000 AS bin
+                   FROM events
+                   WHERE epoch_us(ts)*1000 >= 1704067200000000000
+                     AND epoch_us(ts)*1000 < 1706659200000000000),
+             grid AS (SELECT unnest(range(1704067200000000000,
+                                          1706659200000000000,
+                                          86400000000000)) AS t)
+        SELECT t AS "timestamp", count(*) AS "count",
+               count(DISTINCT user_id) AS dcount
+        FROM grid JOIN b ON bin <= t AND bin > t - 604800000000000
+        GROUP BY 1 ORDER BY 1""")),
+
+    "q_kql_active_users" -> QueryDef(
+      // users active on ≥5 distinct days inside the trailing week, per day
+      (s, dir) => kqlRun(s, dir,
+        """events
+          | | evaluate active_users_count(user_id, ts,
+          |     1704067200000000000, 1706659200000000000,
+          |     604800000000000, 86400000000000, 5, 86400000000000)
+          | | order by timestamp asc""".stripMargin),
+      Some("""
+        WITH p AS (SELECT DISTINCT user_id,
+                     1704067200000000000 + (epoch_us(ts)*1000 - 1704067200000000000)
+                       // 86400000000000 * 86400000000000 AS pb
+                   FROM events
+                   WHERE epoch_us(ts)*1000 >= 1704067200000000000
+                     AND epoch_us(ts)*1000 < 1706659200000000000),
+             grid AS (SELECT unnest(range(1704067200000000000,
+                                          1706659200000000000,
+                                          86400000000000)) AS t),
+             j AS (SELECT t, user_id
+                   FROM grid JOIN p ON pb <= t AND pb > t - 604800000000000
+                   GROUP BY 1, 2 HAVING count(DISTINCT pb) >= 5)
+        SELECT t AS "timestamp", count(*) AS dcount
+        FROM j GROUP BY 1 ORDER BY 1""")),
+
+    "q_kql_activity_metrics" -> QueryDef(
+      // per-day engagement: distinct users, first-seen users, adjacent-day
+      // retention/churn (rates NULL on the first bin — no predecessor)
+      (s, dir) => kqlRun(s, dir,
+        """events
+          | | evaluate activity_metrics(user_id, ts,
+          |     1704067200000000000, 1706659200000000000, 86400000000000)
+          | | order by timestamp asc""".stripMargin),
+      Some("""
+        WITH b AS (SELECT DISTINCT user_id,
+                     1704067200000000000 + (epoch_us(ts)*1000 - 1704067200000000000)
+                       // 86400000000000 * 86400000000000 AS bin
+                   FROM events
+                   WHERE epoch_us(ts)*1000 >= 1704067200000000000
+                     AND epoch_us(ts)*1000 < 1706659200000000000),
+             per AS (SELECT bin, count(*) AS dv FROM b GROUP BY 1),
+             fs AS (SELECT bin, count(*) AS nv
+                    FROM (SELECT user_id, min(bin) AS bin FROM b GROUP BY 1)
+                    GROUP BY 1),
+             ret AS (SELECT b2.bin, count(*) AS r
+                     FROM b b1 JOIN b b2
+                       ON b1.user_id = b2.user_id
+                      AND b2.bin = b1.bin + 86400000000000
+                     GROUP BY 1),
+             j AS (SELECT per.bin, per.dv, coalesce(nv, 0) AS nv,
+                          coalesce(r, 0) AS r, prev.dv AS prev
+                   FROM per LEFT JOIN fs USING (bin)
+                            LEFT JOIN ret ON ret.bin = per.bin
+                            LEFT JOIN per prev
+                              ON prev.bin + 86400000000000 = per.bin)
+        SELECT bin AS "timestamp", dv AS dcount_values, nv AS dcount_newvalues,
+               round(CAST(r AS DOUBLE) / prev, 6) AS retention_rate,
+               round(1 - CAST(r AS DOUBLE) / prev, 6) AS churn_rate
+        FROM j ORDER BY 1""")),
+
+    "q_kql_rolling_percentile" -> QueryDef(
+      // trailing-week median of event value per day — EXACT interpolated
+      // percentile (ADX's plugin is T-digest approximate; documented
+      // divergence keeps the quantile_cont twin bit-comparable)
+      (s, dir) => kqlRun(s, dir,
+        """events
+          | | evaluate rolling_percentile(value, 50, ts,
+          |     1704067200000000000, 1706659200000000000, 7, 86400000000000)
+          | | order by timestamp asc""".stripMargin),
+      Some("""
+        WITH b AS (SELECT value,
+                     1704067200000000000 + (epoch_us(ts)*1000 - 1704067200000000000)
+                       // 86400000000000 * 86400000000000 AS bin
+                   FROM events
+                   WHERE epoch_us(ts)*1000 >= 1704067200000000000
+                     AND epoch_us(ts)*1000 < 1706659200000000000),
+             grid AS (SELECT unnest(range(1704067200000000000,
+                                          1706659200000000000,
+                                          86400000000000)) AS t)
+        SELECT t AS "timestamp",
+               round(quantile_cont(value, 0.5), 6) AS rolling_percentile
+        FROM grid JOIN b ON bin <= t AND bin > t - 604800000000000
+        GROUP BY 1 ORDER BY 1""")),
+
+    "q_kql_autocluster" -> QueryDef(
+      // autocluster = the basket lattice + the CLOSED-segment rule: `cls`
+      // is functionally dependent on priority, so every (priority, *)
+      // segment is subsumed by its equal-count (priority, cls) twin and
+      // must be dropped — the oracle restates the rule as NOT EXISTS over
+      // the same support-filtered cube.
+      (s, dir) => kqlRun(s, dir,
+        """orders
+          | | extend cls = iff(o_orderpriority == '1-URGENT'
+          |     or o_orderpriority == '2-HIGH', 'hot', 'std')
+          | | project o_orderstatus, o_orderpriority, cls
+          | | evaluate autocluster(0.05)
+          | | project status = coalesce(o_orderstatus, '*'),
+          |     priority = coalesce(o_orderpriority, '*'),
+          |     cls = coalesce(cls, '*'), Count, Percent
+          | | order by Count desc, status asc, priority asc, cls asc""".stripMargin),
+      Some("""
+        WITH base AS (SELECT o_orderstatus AS s, o_orderpriority AS p,
+                             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                  THEN 'hot' ELSE 'std' END AS c
+                      FROM orders),
+             tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM base),
+             cand AS (SELECT s, p, c, GROUPING(s) AS gs, GROUPING(p) AS gp,
+                             GROUPING(c) AS gc, count(*) AS cnt
+                      FROM base GROUP BY CUBE(s, p, c)),
+             f AS (SELECT * FROM cand, tot
+                   WHERE NOT (gs = 1 AND gp = 1 AND gc = 1) AND cnt >= t * 0.05)
+        SELECT coalesce(a.s, '*') AS status, coalesce(a.p, '*') AS priority,
+               coalesce(a.c, '*') AS cls, a.cnt AS "Count",
+               round(a.cnt * 100 / a.t, 6) AS "Percent"
+        FROM f a
+        WHERE NOT EXISTS (SELECT 1 FROM f b
+          WHERE b.cnt = a.cnt
+            AND b.gs <= a.gs AND b.gp <= a.gp AND b.gc <= a.gc
+            AND b.gs + b.gp + b.gc < a.gs + a.gp + a.gc
+            AND (a.gs = 1 OR b.s = a.s)
+            AND (a.gp = 1 OR b.p = a.p)
+            AND (a.gc = 1 OR b.c = a.c))
+        ORDER BY "Count" DESC, status, priority, cls""")),
+
+    "q_kql_diffpatterns" -> QueryDef(
+      // click-vs-purchase segment share difference over (value band,
+      // user bucket): ONE cube with conditional counts, percent against
+      // each cohort's own total, |diff| ≥ 0.1pp
+      (s, dir) => kqlRun(s, dir,
+        """events
+          | | extend band = iff(value > 50.0, 'hi', 'lo'),
+          |     ub = tostring(user_id % 7)
+          | | project event_type, band, ub
+          | | evaluate diffpatterns(event_type, 'click', 'purchase', 0.1)
+          | | project band = coalesce(band, '*'), ub = coalesce(ub, '*'),
+          |     CountA, CountB, PercentA, PercentB, PercentDiff
+          | | order by PercentDiff desc, band asc, ub asc""".stripMargin),
+      Some("""
+        WITH base AS (SELECT event_type,
+                             CASE WHEN value > 50.0 THEN 'hi' ELSE 'lo' END AS band,
+                             CAST(user_id % 7 AS VARCHAR) AS ub
+                      FROM events WHERE event_type IN ('click', 'purchase')),
+             tot AS (SELECT CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE) AS ta,
+                            CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) AS tb
+                     FROM base),
+             cand AS (SELECT band, ub, GROUPING(band) AS gb, GROUPING(ub) AS gu,
+                             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+                             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+                      FROM base GROUP BY CUBE(band, ub))
+        SELECT coalesce(band, '*') AS band, coalesce(ub, '*') AS ub,
+               CAST(ca AS BIGINT) AS CountA, CAST(cb AS BIGINT) AS CountB,
+               round(ca * 100 / ta, 6) AS PercentA,
+               round(cb * 100 / tb, 6) AS PercentB,
+               round(round(ca * 100 / ta, 6) - round(cb * 100 / tb, 6), 6) AS PercentDiff
+        FROM cand, tot
+        WHERE NOT (gb = 1 AND gu = 1)
+          AND abs(round(round(ca * 100 / ta, 6) - round(cb * 100 / tb, 6), 6)) >= 0.1
+        ORDER BY PercentDiff DESC, band, ub""")),
+
     "q_kql_dcount_hll" -> QueryDef(
       // KQL's native dcount IS an HLL estimate; this pipeline's dcount is
       // exact by documented choice, and dcount_hll exposes the KQL-faithful

@@ -115,6 +115,16 @@ class KqlPipelineSpec extends SparkSuite {
 
     val semi = run("people | join kind=leftanti (depts) on role | project id | order by id asc")
     assert(semi.collect().map(_.getLong(0)).toSeq == Seq(3L, 4L))
+
+    // rightsemi/rightanti: side-swapped left joins — RIGHT-side columns only,
+    // and $left/$right in the on-clause keep naming the ORIGINAL sides
+    val rs = run("people | join kind=rightsemi (depts) on $left.role == $right.role " +
+      "| project dept | order by dept asc")
+    assert(rs.collect().map(_.getString(0)).toSeq == Seq("community", "ops", "product"))
+    assert(rs.columns.toSeq == Seq("dept")) // no left-side columns leak through
+    val ra = run("people | where id <= 2 | join kind=rightanti (depts) on role " +
+      "| project dept | order by dept asc")
+    assert(ra.collect().map(_.getString(0)).toSeq == Seq("community"))
   }
 
   test("join with $left/$right equality and sub-pipeline right side") {

@@ -176,4 +176,20 @@ class PlanSpec extends SparkSuite {
     // row total joins in as a broadcast scalar, never a shuffle join
     assert(!s.contains("SortMergeJoin"), s)
   }
+
+  test("sliding-window counts: explode-to-bins, never a range self-join") {
+    val s = finalPlan("q_kql_sliding_window")
+    // the rolling window is a bounded explode (Generate) over per-bin
+    // partials — a range/theta join here would be the 100 TB scale-killer
+    assert(s.contains("Generate"), s)
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
+  test("diffpatterns: ONE conditional-count cube, totals broadcast") {
+    val s = finalPlan("q_kql_diffpatterns")
+    assert(s.contains("Expand"), s)
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("SortMergeJoin"), s) // cohort totals ride a broadcast
+  }
 }
