@@ -1520,6 +1520,21 @@ object KqlPipeline {
           constLong(a(2)), constLong(a(3)), constLong(a(4)), constLong(a(5)),
           constLong(a(6)).toInt, constLong(a(7)))
 
+      case "evaluate" if rest.trim.toLowerCase.startsWith("activity_engagement") =>
+        val a = pluginArgs(rest, "activity_engagement", 7)
+        ActivityMetrics.activityEngagement(df, identArg(a(0)), identArg(a(1)),
+          constLong(a(2)), constLong(a(3)), constLong(a(4)), constLong(a(5)),
+          constLong(a(6)))
+
+      // funnel_sequence(id, axis, stateCol, 's1', 's2', …): consecutive
+      // state-sequence matches grouped by surrounding states. DIVERGENCE:
+      // no per-step time bound (that's `scan`); ADX's multi-table output
+      // (prev/next charts) folds into one (prev, next) grouped table.
+      case "evaluate" if rest.trim.toLowerCase.startsWith("funnel_sequence") =>
+        val a = pluginArgs(rest, "funnel_sequence", 5, maxN = 16)
+        ActivityMetrics.funnelSequence(df, identArg(a(0)), identArg(a(1)),
+          identArg(a(2)), a.drop(3).map(unquote))
+
       case "evaluate" if rest.trim.toLowerCase.startsWith("rolling_percentile") =>
         val a = pluginArgs(rest, "rolling_percentile", 7)
         ActivityMetrics.rollingPercentile(df, identArg(a(0)), constDouble(a(1)),

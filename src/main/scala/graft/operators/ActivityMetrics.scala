@@ -153,6 +153,52 @@ object ActivityMetrics {
       .groupBy(col("timestamp")).agg(count(lit(1)).as("dcount"))
   }
 
+  /** Engagement ratio (the DAU/MAU shape): distinct ids in the trailing
+    * `inner` window over distinct ids in the trailing `outer` window, per
+    * grid point. Both sides are the slidingWindowCounts explode shape; the
+    * join is grid-sized. Output: (timestamp, dcount_activities_inner,
+    * dcount_activities_outer, activity_ratio[round 6]).
+    */
+  def activityEngagement(
+      df: DataFrame, idCol: String, axisCol: String,
+      start: Long, end: Long, inner: Long, outer: Long, step: Long): DataFrame = {
+    require(outer >= inner, s"outer window must contain inner: inner=$inner outer=$outer")
+    val in  = slidingWindowCounts(df, idCol, axisCol, start, end, inner, step)
+      .select(col("timestamp"), col("dcount").as("dcount_activities_inner"))
+    val out = slidingWindowCounts(df, idCol, axisCol, start, end, outer, step)
+      .select(col("timestamp"), col("dcount").as("dcount_activities_outer"))
+    in.join(out, Seq("timestamp"))
+      .withColumn("activity_ratio",
+        round(col("dcount_activities_inner").cast("double") /
+          col("dcount_activities_outer"), 6))
+  }
+
+  /** Sequence analytics (the funnel_sequence shape): occurrences of the
+    * exact CONSECUTIVE state sequence per id (ordered by the axis), grouped
+    * by the states immediately before and after the match ('' at stream
+    * edges). DIVERGENCE from ADX: no per-step time-window bound — the
+    * windowed variant is the `scan` operator's job. One shuffle on the id;
+    * the k−1 lead chain runs inside the per-id sort, so cost is O(k) per
+    * row with no self-joins. Output: (prev, next, matches, dcount_ids).
+    */
+  def funnelSequence(
+      df: DataFrame, idCol: String, axisCol: String, stateCol: String,
+      states: Seq[String]): DataFrame = {
+    require(states.size >= 2, s"funnel_sequence needs >= 2 states, got $states")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id")).orderBy(col("__ax"))
+    val hit = states.zipWithIndex.map { case (st, i) =>
+      (if (i == 0) col("__st") else lead(col("__st"), i).over(w)) === st
+    }.reduce(_ && _)
+    df.select(col(idCol).as("__id"), col(axisCol).as("__ax"), col(stateCol).as("__st"))
+      .withColumn("__prev", coalesce(lag(col("__st"), 1).over(w), lit("")))
+      .withColumn("__next", coalesce(lead(col("__st"), states.size).over(w), lit("")))
+      .withColumn("__hit", hit)
+      .filter(col("__hit"))
+      .groupBy(col("__prev").as("prev"), col("__next").as("next"))
+      .agg(count(lit(1)).as("matches"), countDistinct(col("__id")).as("dcount_ids"))
+  }
+
   /** Rolling exact interpolated percentile of `valueCol` over the trailing
     * `binsPerWindow` bins at each grid point (ADX's plugin is T-digest
     * approximate — documented divergence to keep the DuckDB `quantile_cont`

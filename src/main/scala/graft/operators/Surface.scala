@@ -2829,6 +2829,58 @@ object Surface {
                round(1 - CAST(r AS DOUBLE) / prev, 6) AS churn_rate
         FROM j ORDER BY 1""")),
 
+    "q_kql_activity_engagement" -> QueryDef(
+      // DAU/WAU engagement ratio: distinct users in the trailing day over
+      // distinct users in the trailing week, per day — two explode-shape
+      // rolling dcounts joined on the grid
+      (s, dir) => kqlRun(s, dir,
+        """events
+          | | evaluate activity_engagement(user_id, ts,
+          |     1704067200000000000, 1706659200000000000,
+          |     86400000000000, 604800000000000, 86400000000000)
+          | | order by timestamp asc""".stripMargin),
+      Some("""
+        WITH b AS (SELECT user_id,
+                     1704067200000000000 + (epoch_us(ts)*1000 - 1704067200000000000)
+                       // 86400000000000 * 86400000000000 AS bin
+                   FROM events
+                   WHERE epoch_us(ts)*1000 >= 1704067200000000000
+                     AND epoch_us(ts)*1000 < 1706659200000000000),
+             grid AS (SELECT unnest(range(1704067200000000000,
+                                          1706659200000000000,
+                                          86400000000000)) AS t),
+             i AS (SELECT t, count(DISTINCT user_id) AS di
+                   FROM grid JOIN b ON bin <= t AND bin > t - 86400000000000
+                   GROUP BY 1),
+             o AS (SELECT t, count(DISTINCT user_id) AS do_
+                   FROM grid JOIN b ON bin <= t AND bin > t - 604800000000000
+                   GROUP BY 1)
+        SELECT i.t AS "timestamp", di AS dcount_activities_inner,
+               do_ AS dcount_activities_outer,
+               round(CAST(di AS DOUBLE) / do_, 6) AS activity_ratio
+        FROM i JOIN o ON i.t = o.t ORDER BY 1""")),
+
+    "q_kql_funnel_sequence" -> QueryDef(
+      // click→purchase transitions grouped by the surrounding states
+      // ('' at stream edges): k−1 lead chain per user, one shuffle, no
+      // self-joins. (user_id, ts) is unique in the corpus, so the per-user
+      // order — and therefore the lead chain — is total on both engines.
+      (s, dir) => kqlRun(s, dir,
+        """events
+          | | evaluate funnel_sequence(user_id, ts, event_type,
+          |     'click', 'purchase')
+          | | order by matches desc, prev asc, next asc""".stripMargin),
+      Some("""
+        WITH o AS (SELECT user_id, event_type,
+                          coalesce(lag(event_type) OVER w, '') AS prev,
+                          lead(event_type, 1) OVER w AS n1,
+                          coalesce(lead(event_type, 2) OVER w, '') AS next
+                   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+        SELECT prev, next, count(*) AS matches,
+               count(DISTINCT user_id) AS dcount_ids
+        FROM o WHERE event_type = 'click' AND n1 = 'purchase'
+        GROUP BY 1, 2 ORDER BY matches DESC, prev, next""")),
+
     "q_kql_rolling_percentile" -> QueryDef(
       // trailing-week median of event value per day — EXACT interpolated
       // percentile (ADX's plugin is T-digest approximate; documented

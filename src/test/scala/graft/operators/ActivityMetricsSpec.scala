@@ -69,6 +69,35 @@ class ActivityMetricsSpec extends SparkSuite {
       (30L, 2L, 1L, Some(0.5), Some(0.5))))  // {1,3}∩{1,2} = {1}, prev 2
   }
 
+  test("activityEngagement: inner/outer rolling dcount ratio") {
+    val out = ActivityMetrics.activityEngagement(frame, "id", "x", 0L, 40L, 10L, 20L, 10L)
+      .orderBy("timestamp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // inner = 1 bin, outer = 2 bins (see slidingWindowCounts case above)
+    assert(out.toSeq == Seq(
+      (0L, 2L, 2L, 1.0),   // {1,2} / {1,2}
+      (10L, 1L, 2L, 0.5),  // {1} / {1,2}
+      (20L, 2L, 2L, 1.0),  // {1,2} / {1,2}
+      (30L, 2L, 3L, round2(2.0 / 3))))
+  }
+
+  private def round2(d: Double): Double = math.rint(d * 1e6) / 1e6
+
+  test("funnelSequence: consecutive matches with edge-padded prev/next") {
+    import spark.implicits._
+    // id 1: a b a b  → matches at 1 (prev='', next='a') and 3 (prev='b', next='')
+    // id 2: a a b    → one match at pos 2: (prev='a', next='')
+    val ev = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "b"),
+      (2L, 1L, "a"), (2L, 2L, "a"), (2L, 3L, "b")
+    ).toDF("id", "x", "st")
+    val out = ActivityMetrics.funnelSequence(ev, "id", "x", "st", Seq("a", "b"))
+      .orderBy("prev", "next").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("", "a", 1L, 1L), ("a", "", 1L, 1L), ("b", "", 1L, 1L)))
+  }
+
   test("rollingPercentile: exact interpolated percentile over trailing bins") {
     import spark.implicits._
     val vals = Seq((0L, 1.0), (0L, 3.0), (10L, 5.0), (10L, 7.0)).toDF("x", "v")
