@@ -1520,6 +1520,11 @@ object KqlPipeline {
           constLong(a(2)), constLong(a(3)), constLong(a(4)), constLong(a(5)),
           constLong(a(6)).toInt, constLong(a(7)))
 
+      case "evaluate" if rest.trim.toLowerCase.startsWith("new_activity_metrics") =>
+        val a = pluginArgs(rest, "new_activity_metrics", 5)
+        ActivityMetrics.newActivityMetrics(df, identArg(a(0)), identArg(a(1)),
+          constLong(a(2)), constLong(a(3)), constLong(a(4)))
+
       case "evaluate" if rest.trim.toLowerCase.startsWith("activity_engagement") =>
         val a = pluginArgs(rest, "activity_engagement", 7)
         ActivityMetrics.activityEngagement(df, identArg(a(0)), identArg(a(1)),

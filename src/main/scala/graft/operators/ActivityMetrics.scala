@@ -153,6 +153,36 @@ object ActivityMetrics {
       .groupBy(col("timestamp")).agg(count(lit(1)).as("dcount"))
   }
 
+  /** Cohort retention (the new_activity_metrics shape): for every cohort
+    * (= first-seen bin) and every bin where a cohort member is active, the
+    * cohort size, the retained distinct ids, and the retention rate.
+    * DIVERGENCE from ADX (documented): the full sparse cohort matrix
+    * (from ≤ to, rows only where retained > 0) instead of adjacent-window
+    * pairs — the classic cohort table. All steps are id-keyed equi-joins
+    * and hash aggregations; output is grid²-bounded.
+    * Output: (from_timestamp, to_timestamp, dcount_new, dcount_retained,
+    * retention_rate[round 6]).
+    */
+  def newActivityMetrics(
+      df: DataFrame, idCol: String, axisCol: String,
+      start: Long, end: Long, step: Long): DataFrame = {
+    requireGrid(start, end, step)
+    val idBin = df
+      .filter(col(axisCol) >= start && col(axisCol) < end)
+      .select(col(idCol).as("__id"), binOf(col(axisCol), start, step).as("__bin"))
+      .distinct()
+    val cohort = idBin.groupBy(col("__id")).agg(min(col("__bin")).as("__cohort"))
+    val sizes  = cohort.groupBy(col("__cohort")).agg(count(lit(1)).as("dcount_new"))
+    idBin.join(cohort, Seq("__id"))
+      .groupBy(col("__cohort"), col("__bin"))
+      .agg(count(lit(1)).as("dcount_retained"))
+      .join(sizes, Seq("__cohort"))
+      .withColumn("retention_rate",
+        round(col("dcount_retained").cast("double") / col("dcount_new"), 6))
+      .select(col("__cohort").as("from_timestamp"), col("__bin").as("to_timestamp"),
+        col("dcount_new"), col("dcount_retained"), col("retention_rate"))
+  }
+
   /** Engagement ratio (the DAU/MAU shape): distinct ids in the trailing
     * `inner` window over distinct ids in the trailing `outer` window, per
     * grid point. Both sides are the slidingWindowCounts explode shape; the

@@ -2829,6 +2829,31 @@ object Surface {
                round(1 - CAST(r AS DOUBLE) / prev, 6) AS churn_rate
         FROM j ORDER BY 1""")),
 
+    "q_kql_cohort_retention" -> QueryDef(
+      // new_activity_metrics: the sparse cohort matrix — cohort = first
+      // active day, one row per (cohort, active day) pair with ≥1 retained
+      (s, dir) => kqlRun(s, dir,
+        """events
+          | | evaluate new_activity_metrics(user_id, ts,
+          |     1704067200000000000, 1706659200000000000, 86400000000000)
+          | | order by from_timestamp asc, to_timestamp asc""".stripMargin),
+      Some("""
+        WITH b AS (SELECT DISTINCT user_id,
+                     1704067200000000000 + (epoch_us(ts)*1000 - 1704067200000000000)
+                       // 86400000000000 * 86400000000000 AS bin
+                   FROM events
+                   WHERE epoch_us(ts)*1000 >= 1704067200000000000
+                     AND epoch_us(ts)*1000 < 1706659200000000000),
+             c AS (SELECT user_id, min(bin) AS cohort FROM b GROUP BY 1),
+             r AS (SELECT cohort, bin, count(DISTINCT b.user_id) AS dcount_retained
+                   FROM b JOIN c USING (user_id) GROUP BY 1, 2),
+             s AS (SELECT cohort, count(*) AS dcount_new FROM c GROUP BY 1)
+        SELECT cohort AS from_timestamp, bin AS to_timestamp, dcount_new,
+               dcount_retained,
+               round(CAST(dcount_retained AS DOUBLE) / dcount_new, 6)
+                 AS retention_rate
+        FROM r JOIN s USING (cohort) ORDER BY 1, 2""")),
+
     "q_kql_activity_engagement" -> QueryDef(
       // DAU/WAU engagement ratio: distinct users in the trailing day over
       // distinct users in the trailing week, per day — two explode-shape

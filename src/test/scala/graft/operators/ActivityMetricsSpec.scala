@@ -69,6 +69,18 @@ class ActivityMetricsSpec extends SparkSuite {
       (30L, 2L, 1L, Some(0.5), Some(0.5))))  // {1,3}∩{1,2} = {1}, prev 2
   }
 
+  test("newActivityMetrics: sparse cohort matrix with retention rates") {
+    val out = ActivityMetrics.newActivityMetrics(frame, "id", "x", 0L, 40L, 10L)
+      .orderBy("from_timestamp", "to_timestamp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // cohort 0 = {1,2}: active bins 0 {1,2}, 10 {1}, 20 {1,2}, 30 {1}
+    // cohort 30 = {3}: active bin 30 only
+    assert(out.toSeq == Seq(
+      (0L, 0L, 2L, 2L, 1.0), (0L, 10L, 2L, 1L, 0.5),
+      (0L, 20L, 2L, 2L, 1.0), (0L, 30L, 2L, 1L, 0.5),
+      (30L, 30L, 1L, 1L, 1.0)))
+  }
+
   test("activityEngagement: inner/outer rolling dcount ratio") {
     val out = ActivityMetrics.activityEngagement(frame, "id", "x", 0L, 40L, 10L, 20L, 10L)
       .orderBy("timestamp").collect()
