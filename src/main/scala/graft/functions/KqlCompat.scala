@@ -369,6 +369,72 @@ object KqlCompat {
         val dy = s"($n * $syy - $sy * $sy)"
         s"(CASE WHEN $dx > 0 AND $dy > 0 THEN ($n * $sxy - $sx * $sy) / (sqrt($dx) * sqrt($dy)) ELSE CAST(0 AS DOUBLE) END)"
     }
+    // ---- dynamic-array scalar tail ------------------------------------
+    // Mostly 1:1 maps onto Spark's codegen'd array functions. ADX array
+    // indices are 0-based; slice/rotate restate them on Spark's 1-based
+    // slice/element_at. Set ops keep Spark's order contract (first-array
+    // order, deduplicated) — oracle twins normalize with a sort.
+    s = expandCalls(s, "array_sort_asc") { case Seq(x) => s"array_sort($x)" }
+    s = expandCalls(s, "array_sort_desc") { case Seq(x) => s"reverse(array_sort($x))" }
+    s = expandCalls(s, "array_reverse") { case Seq(x) => s"reverse($x)" }
+    s = expandCalls(s, "array_length") { case Seq(x) => s"CAST(size($x) AS BIGINT)" }
+    s = expandCalls(s, "array_concat") {
+      case args if args.nonEmpty => s"concat(${args.mkString(", ")})"
+    }
+    // array_slice(x, start, end): 0-based INCLUSIVE bounds (non-negative)
+    s = expandCalls(s, "array_slice") {
+      case Seq(x, a, b) => s"slice($x, ($a) + 1, ($b) - ($a) + 1)"
+    }
+    s = expandCalls(s, "array_rotate_left") {
+      case Seq(x, n) =>
+        let1("__arl", x,
+          s"concat(slice(__arl, pmod($n, size(__arl)) + 1, " +
+            s"size(__arl) - pmod($n, size(__arl))), " +
+            s"slice(__arl, 1, pmod($n, size(__arl))))")
+    }
+    s = expandCalls(s, "array_rotate_right") {
+      case Seq(x, n) =>
+        let1("__arr", x,
+          s"concat(slice(__arr, pmod(-($n), size(__arr)) + 1, " +
+            s"size(__arr) - pmod(-($n), size(__arr))), " +
+            s"slice(__arr, 1, pmod(-($n), size(__arr))))")
+    }
+    // array_shift_left(x, n[, fill]): drop the first n, pad n fills (null
+    // default) at the end; n must be non-negative (shift right spells the
+    // other direction)
+    s = expandCalls(s, "array_shift_left") {
+      case Seq(x, n)       => s"concat(slice($x, ($n) + 1, size($x) - ($n)), " +
+        s"transform(slice($x, 1, $n), __as -> NULL))" // null pad keeps the element type
+      case Seq(x, n, fill) => s"concat(slice($x, ($n) + 1, size($x) - ($n)), " +
+        s"array_repeat($fill, CAST($n AS INT)))"
+    }
+    s = expandCalls(s, "set_union") {
+      case args if args.size >= 2 => args.reduce((a, b) => s"array_union($a, $b)")
+    }
+    s = expandCalls(s, "set_intersect") {
+      case args if args.size >= 2 => args.reduce((a, b) => s"array_intersect($a, $b)")
+    }
+    s = expandCalls(s, "set_difference") {
+      case a +: rest if rest.nonEmpty =>
+        s"array_except($a, ${rest.reduce((x, y) => s"array_union($x, $y)")})"
+    }
+    s = expandCalls(s, "set_has_element") { case Seq(a, v) => s"array_contains($a, $v)" }
+    s = expandCalls(s, "pack_array") { case args => s"array(${args.mkString(", ")})" }
+    s = expandCalls(s, "jaccard_index") {
+      case Seq(a, b) =>
+        s"(CAST(size(array_intersect($a, $b)) AS DOUBLE) / size(array_union($a, $b)))"
+    }
+    // array_iff(cond, x, y): elementwise selector over three same-length arrays
+    s = expandCalls(s, "array_iff") {
+      case Seq(b, x, y) =>
+        s"transform(sequence(1, size($b)), __ai -> " +
+          s"IF(element_at($b, __ai), element_at($x, __ai), element_at($y, __ai)))"
+    }
+    // zip(a, b): pairs as 2-element arrays (ADX emits JSON pairs)
+    s = expandCalls(s, "zip") {
+      case Seq(a, b) => s"zip_with($a, $b, (__zl, __zr) -> array(__zl, __zr))"
+    }
+    s = expandCalls(s, "bag_keys") { case Seq(x) => s"json_object_keys($x)" }
     // case(p1, v1, p2, v2, …, default) → CASE WHEN; KQL-only spelling (Spark
     // CASE is keyword syntax, never `case(`), so the rewrite can't collide
     s = expandCalls(s, "case") {

@@ -2829,6 +2829,61 @@ object Surface {
                round(1 - CAST(r AS DOUBLE) / prev, 6) AS churn_rate
         FROM j ORDER BY 1""")),
 
+    "q_kql_arrayfuncs" -> QueryDef(
+      // dynamic-array scalar tail over an inline datatable: pure
+      // codegen'd array-function work, zero shuffles. Set-op outputs are
+      // sorted in the QUERY so engine ordering contracts can't diverge.
+      (s, dir) => kqlRun(s, dir,
+        """datatable (k:long) [ 1 ]
+          | | extend a = dynamic([3, 1, 2, 2]), b = dynamic([2, 3, 4]),
+          |     m = dynamic([true, false, true])
+          | | project k,
+          |     s_asc = to_json(array_sort_asc(a)),
+          |     s_desc = to_json(array_sort_desc(a)),
+          |     rev = to_json(array_reverse(b)),
+          |     alen = array_length(a),
+          |     cc = to_json(array_concat(a, b)),
+          |     sl = to_json(array_slice(a, 1, 2)),
+          |     rl = to_json(array_rotate_left(a, 1)),
+          |     rr = to_json(array_rotate_right(a, 1)),
+          |     shl = to_json(array_shift_left(a, 2, 0)),
+          |     su = to_json(array_sort_asc(set_union(a, b))),
+          |     si = to_json(array_sort_asc(set_intersect(a, b))),
+          |     sd = to_json(array_sort_asc(set_difference(a, b))),
+          |     has4 = set_has_element(b, 4),
+          |     pk = to_json(pack_array(k, 5)),
+          |     jac = round(jaccard_index(a, b), 6),
+          |     aiff = to_json(array_iff(m, a, b)),
+          |     zp = to_json(zip(b, b)),
+          |     bk = to_json(bag_keys('{"x":1,"y":2}'))""".stripMargin),
+      Some("""
+        WITH d AS (SELECT CAST(1 AS BIGINT) AS k,
+                          [3, 1, 2, 2] AS a, [2, 3, 4] AS b,
+                          [true, false, true] AS m)
+        SELECT k,
+               to_json(list_sort(a)) AS s_asc,
+               to_json(list_sort(a, 'DESC')) AS s_desc,
+               to_json(list_reverse(b)) AS rev,
+               CAST(len(a) AS BIGINT) AS alen,
+               to_json(list_concat(a, b)) AS cc,
+               to_json(list_slice(a, 2, 3)) AS sl,
+               to_json(list_concat(list_slice(a, 2, 4), list_slice(a, 1, 1))) AS rl,
+               to_json(list_concat(list_slice(a, 4, 4), list_slice(a, 1, 3))) AS rr,
+               to_json(list_concat(list_slice(a, 3, 4), [0, 0])) AS shl,
+               to_json(list_sort(list_distinct(list_concat(a, b)))) AS su,
+               to_json(list_sort(list_distinct(list_intersect(a, b)))) AS si,
+               to_json(list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x))))) AS sd,
+               list_contains(b, 4) AS has4,
+               to_json([k, 5]) AS pk,
+               round(CAST(len(list_distinct(list_intersect(a, b))) AS DOUBLE)
+                 / len(list_distinct(list_concat(a, b))), 6) AS jac,
+               to_json(list_transform(generate_series(1, len(m)),
+                 i -> CASE WHEN m[i] THEN a[i] ELSE b[i] END)) AS aiff,
+               to_json(list_transform(generate_series(1, len(b)),
+                 i -> [b[i], b[i]])) AS zp,
+               to_json(json_keys('{"x":1,"y":2}')) AS bk
+        FROM d""")),
+
     "q_kql_cohort_retention" -> QueryDef(
       // new_activity_metrics: the sparse cohort matrix — cohort = first
       // active day, one row per (cohort, active day) pair with ≥1 retained

@@ -133,6 +133,22 @@ class KqlCompatSpec extends SparkSuite {
     assert(r.getString(4) == "long")
   }
 
+  test("dynamic-array scalar tail: rotate/shift/iff/jaccard edge cases") {
+    val r = spark.range(1).selectExpr(
+      KqlCompat.rewrite("array_rotate_left(dynamic([1, 2, 3, 4]), 5)") + " as rl5",
+      KqlCompat.rewrite("array_rotate_right(dynamic([1, 2, 3, 4]), 1)") + " as rr1",
+      KqlCompat.rewrite("array_shift_left(dynamic(['a', 'b', 'c']), 1)") + " as shl",
+      KqlCompat.rewrite("array_iff(dynamic([true, false]), dynamic([1, 2]), dynamic([9, 8]))") + " as ai",
+      KqlCompat.rewrite("round(jaccard_index(dynamic([1, 2]), dynamic([2, 3])), 6)") + " as j",
+      KqlCompat.rewrite("array_slice(dynamic([1, 2, 3, 4]), 0, 2)") + " as sl").head
+    assert(r.getSeq[Int](0) == Seq(2, 3, 4, 1))     // rotate by 5 ≡ by 1 (pmod)
+    assert(r.getSeq[Int](1) == Seq(4, 1, 2, 3))
+    assert(r.getSeq[String](2) == Seq("b", "c", null)) // null pad keeps type
+    assert(r.getSeq[Int](3) == Seq(1, 8))
+    assert(r.getDouble(4) == 0.333333)
+    assert(r.getSeq[Int](5) == Seq(1, 2, 3))        // 0-based inclusive bounds
+  }
+
   test("typed aliases evaluate with KQL semantics") {
     val df = Seq(("Personal Cluster", 3L)).toDF("offering", "v")
     val r = df.select(
