@@ -369,6 +369,30 @@ object KqlCompat {
         val dy = s"($n * $syy - $sy * $sy)"
         s"(CASE WHEN $dx > 0 AND $dy > 0 THEN ($n * $sxy - $sx * $sy) / (sqrt($dx) * sqrt($dy)) ELSE CAST(0 AS DOUBLE) END)"
     }
+    // series_periods_detect(x, min_period, max_period, num_periods):
+    // top-k candidate periods by NORMALIZED AUTOCORRELATION (divergence
+    // from ADX's FFT-based detector, same contract: two arrays, best
+    // first). r(L) = Σ c[i]·c[i+L] / Σ c[i]² over the mean-centered
+    // series; candidates sort as [-score, lag] pairs — lexicographic
+    // array order IS (score desc, lag asc) on both engines. All
+    // intermediates let1-bound; cost O(n·(max−min)).
+    s = expandCalls(s, "series_periods_detect") {
+      case Seq(x, minP, maxP, k) =>
+        val num = s"aggregate(sequence(1, size(__spd_c) - __pl), CAST(0 AS DOUBLE), " +
+          "(acc, i) -> acc + element_at(__spd_c, i) * element_at(__spd_c, i + __pl))"
+        val pairs = s"transform(sequence($minP, $maxP), __pl -> array(" +
+          s"-(CASE WHEN __spd_d > 0 AND size(__spd_c) - __pl >= 1 THEN $num / __spd_d " +
+          "ELSE CAST(0 AS DOUBLE) END), CAST(__pl AS DOUBLE)))"
+        let1("__spd_x", asD(x),
+          let1("__spd_m", s"${foldD("__spd_x")} / size(__spd_x)",
+            let1("__spd_c", "transform(__spd_x, v -> v - __spd_m)",
+              let1("__spd_d",
+                "aggregate(__spd_c, CAST(0 AS DOUBLE), (acc, v) -> acc + v * v)",
+                let1("__spd_t", s"slice(array_sort($pairs), 1, $k)",
+                  "named_struct(" +
+                    "'periods', transform(__spd_t, __pp -> element_at(__pp, 2)), " +
+                    "'scores', transform(__spd_t, __pp -> round(-element_at(__pp, 1), 6)))")))))
+    }
     // ---- dynamic-array scalar tail ------------------------------------
     // Mostly 1:1 maps onto Spark's codegen'd array functions. ADX array
     // indices are 0-based; slice/rotate restate them on Spark's 1-based

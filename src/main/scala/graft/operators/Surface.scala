@@ -2829,6 +2829,57 @@ object Surface {
                round(1 - CAST(r AS DOUBLE) / prev, 6) AS churn_rate
         FROM j ORDER BY 1""")),
 
+    "q_series_periods" -> QueryDef(
+      // series_periods_detect: top-2 candidate periods of the daily count
+      // series by normalized autocorrelation (divergence from ADX's FFT
+      // detector, same output contract). Candidates sort as [-score, lag]
+      // pairs — lexicographic array order is (score desc, lag asc) on both
+      // engines.
+      (s, dir) => kqlRun(s, dir,
+        """events
+          | | make-series n = count()
+          |     on ts from 1704067200000000000 to 1706659200000000000 step 86400000000000
+          |     by event_type
+          | | extend pd = series_periods_detect(n, 2, 10, 2)
+          | | project event_type, periods_json = to_json(pd.periods),
+          |     scores_json = to_json(pd.scores)
+          | | order by event_type asc""".stripMargin),
+      Some("""
+        WITH e AS (SELECT event_type, epoch_ns(ts) AS tn FROM events),
+             binned AS (
+               SELECT event_type,
+                      1704067200000000000 + CAST(floor((tn - 1704067200000000000) / 86400000000000) AS BIGINT) * 86400000000000 AS b,
+                      count(*) AS n
+               FROM e
+               WHERE tn >= 1704067200000000000 AND tn < 1706659200000000000
+               GROUP BY 1, 2),
+             grid AS (
+               SELECT k.event_type, g.b, CAST(coalesce(n, 0) AS DOUBLE) AS v
+               FROM (SELECT DISTINCT event_type FROM binned) k
+               CROSS JOIN (SELECT unnest(range(1704067200000000000, 1706659200000000000, 86400000000000)) AS b) g
+               LEFT JOIN binned USING (event_type, b)),
+             ser AS (SELECT event_type, list(v ORDER BY b) AS x
+                     FROM grid GROUP BY 1),
+             c AS (SELECT event_type,
+                          list_transform(x, v -> v - list_sum(x) / len(x)) AS cc
+                   FROM ser),
+             d AS (SELECT event_type, cc,
+                          list_sum(list_transform(cc, v -> v * v)) AS dd
+                   FROM c),
+             p AS (SELECT event_type,
+                          list_sort(list_transform(generate_series(2, 10), L ->
+                            [-(CASE WHEN dd > 0 AND len(cc) - L >= 1 THEN
+                                 coalesce(list_sum(list_transform(
+                                   generate_series(1, len(cc) - L),
+                                   i -> cc[i] * cc[i + L])), 0) / dd
+                               ELSE 0 END),
+                             CAST(L AS DOUBLE)])) AS pairs
+                   FROM d)
+        SELECT event_type,
+               to_json(list_transform(pairs[1:2], pr -> pr[2])) AS periods_json,
+               to_json(list_transform(pairs[1:2], pr -> round(-pr[1], 6))) AS scores_json
+        FROM p ORDER BY 1""")),
+
     "q_kql_arrayfuncs" -> QueryDef(
       // dynamic-array scalar tail over an inline datatable: pure
       // codegen'd array-function work, zero shuffles. Set-op outputs are

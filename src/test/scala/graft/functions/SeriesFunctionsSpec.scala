@@ -115,6 +115,21 @@ class SeriesFunctionsSpec extends SparkSuite {
     assert(o(4) == o.max)
   }
 
+  test("series_periods_detect: a clean period-4 wave tops the candidates") {
+    // 12 points of exact period-4 signal: autocorrelation peaks at lag 4
+    // (and its harmonic 8); lag 4 must rank first with a near-1 score
+    val o = oneRow(
+      "series_periods_detect(dynamic([1, 5, 2, 9, 1, 5, 2, 9, 1, 5, 2, 9]), 2, 8, 2)")
+    val row = o.getStruct(0)
+    val periods = row.getSeq[Double](row.fieldIndex("periods"))
+    val scores  = row.getSeq[Double](row.fieldIndex("scores"))
+    assert(periods.head == 4.0, s"expected period 4 first: $periods / $scores")
+    // biased estimator: a perfect wave scores the overlap fraction
+    // (n−L)/n = 8/12 exactly — the large-lag penalty is intentional
+    assert(scores.head == 0.666667, s"scores: $scores")
+    assert(periods.size == 2 && scores.size == 2)
+  }
+
   test("make-series supports multiple aggregations with per-agg defaults") {
     val s = spark
     import s.implicits._
