@@ -50,6 +50,25 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Sliding-window rolling counts — the streaming twin of the batch
+    * `sliding_window_counts` plugin (ActivityMetrics). Spark's native
+    * overlapping `window(col, len, slide)` assigns each event to its
+    * len/slide covering windows (the same bounded explode shape as the
+    * batch operator); distinct users are HLL sketches (exact distinct in
+    * unbounded streaming state would grow with the keyspace — the sketch
+    * merge is order-independent, so the drained answer is reproducible).
+    * State stays bounded by the watermark: closed windows emit and evict.
+    */
+  def slidingCounts(
+      events: DataFrame, windowLen: String = "6 hours",
+      slide: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), windowLen, slide))
+      .agg(count(lit(1)).as("n"), approx_count_distinct("user_id").as("approx_users"))
+      .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
+        col("n"), col("approx_users"))
+
   final case class SessionUpdate(
       user_id: Long, session_start_us: Long, session_end_us: Long, n_events: Long)
 

@@ -50,6 +50,37 @@ class EventStreamSpec extends SparkSuite {
     assert(streamed <= batchByKey.values.sum)
   }
 
+  test("sliding-window rolling counts match the batch twin on closed windows") {
+    val src = tmpDir("events-src9"); val ckpt = tmpDir("stream-ckpt9")
+    stageEvents(src)
+    val q = EventStream.slidingCounts(EventStream.readEvents(spark, src))
+      .writeStream
+      .format("memory").queryName("sliding_counts")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("sliding_counts").collect()
+    assert(streamed.nonEmpty)
+    // batch twin: identical overlapping-window assignment; HLL sketch
+    // merge is order-independent, so approx_users must agree EXACTLY
+    val batch = spark.read.parquet(src)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("event_time"), "6 hours", "1 hour"))
+      .agg(count(lit(1)).as("n"), approx_count_distinct("user_id").as("approx_users"))
+      .select(col("window.start").as("ws"), col("n"), col("approx_users")).collect()
+      .map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    streamed.foreach { r =>
+      val (n, u) = batch(r.getTimestamp(0))
+      assert(r.getLong(2) == n && r.getLong(3) == u)
+    }
+    // each event lands in windowLen/slide = 6 windows; emitted (closed)
+    // windows never exceed the full batch set
+    assert(streamed.length <= batch.size)
+  }
+
   test("flatMapGroupsWithState sessionization emits closed sessions") {
     val src = tmpDir("events-src2"); val ckpt = tmpDir("stream-ckpt2")
     stageEvents(src)
