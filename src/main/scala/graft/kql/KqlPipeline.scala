@@ -1520,6 +1520,30 @@ object KqlPipeline {
           constLong(a(2)), constLong(a(3)), constLong(a(4)), constLong(a(5)),
           constLong(a(6)).toInt, constLong(a(7)))
 
+      // sequence_detect(axis, maxStepWindow, maxSpan, id, n1 = pred, …):
+      // event sequences per id under time constraints. Lowers onto the
+      // `scan` state machine (latest-start, single active sequence —
+      // documented divergence: a completion whose gaps violate the bounds
+      // DROPS, it does not retry an earlier pairing), then filters
+      // adjacent-step gaps <= maxStepWindow and total span <= maxSpan.
+      // Adds ADX's duration column (last step axis − first step axis).
+      case "evaluate" if rest.trim.toLowerCase.startsWith("sequence_detect") =>
+        val a = pluginArgs(rest, "sequence_detect", 6, maxN = 16)
+        val axis = identArg(a(0)); val maxStep = constLong(a(1))
+        val maxSpan = constLong(a(2)); val id = identArg(a(3))
+        val StepRe = """(?s)^([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)$""".r
+        val steps = a.drop(4).map {
+          case StepRe(nm, pred) => nm -> expr(tx(pred))
+          case other => fail(s"sequence_detect step must be `name = <predicate>`, got: '$other'")
+        }
+        val scanned =
+          graft.operators.ScanSteps.scanSteps(df, Seq(id), axis, ascending = true, steps)
+        val tcols = steps.map(st => col(s"${st._1}_$axis"))
+        val gapOk = tcols.sliding(2).map { case Seq(x, y) => (y - x) <= maxStep }
+          .reduce(_ && _)
+        scanned.filter(gapOk && (tcols.last - tcols.head) <= maxSpan)
+          .withColumn("duration", tcols.last - tcols.head)
+
       case "evaluate" if rest.trim.toLowerCase.startsWith("new_activity_metrics") =>
         val a = pluginArgs(rest, "new_activity_metrics", 5)
         ActivityMetrics.newActivityMetrics(df, identArg(a(0)), identArg(a(1)),

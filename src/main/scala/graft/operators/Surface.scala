@@ -2829,6 +2829,38 @@ object Surface {
                round(1 - CAST(r AS DOUBLE) / prev, 6) AS churn_rate
         FROM j ORDER BY 1""")),
 
+    "q_kql_sequence_detect" -> QueryDef(
+      // sequence_detect: signup→purchase sequences within a 7-day span —
+      // the scan closed form (latest preceding signup, newer than the
+      // previous completion) plus the span filter and ADX's duration.
+      // Outputs are µs-truncated instants; the corpus is µs-exact, so the
+      // ns-side span filter and the µs-side oracle filter agree.
+      (s, dir) => kqlRun(s, dir,
+        """events
+          | | where event_type in ('signup', 'purchase')
+          | | evaluate sequence_detect(ts, 604800000000000, 604800000000000,
+          |     user_id, signup = event_type == 'signup',
+          |     purchase = event_type == 'purchase')
+          | | project user_id, signup_us = signup_ts div 1000,
+          |     purchase_us = purchase_ts div 1000, dur_us = duration div 1000
+          | | order by user_id asc, purchase_us asc""".stripMargin),
+      Some("""
+        WITH lp AS (SELECT user_id, event_type, epoch_us(ts) AS tn FROM events
+                    WHERE event_type IN ('signup','purchase')),
+        m AS (SELECT user_id, event_type, tn,
+                max(CASE WHEN event_type = 'signup' THEN tn END)
+                  OVER (PARTITION BY user_id ORDER BY tn
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_a
+              FROM lp),
+        b AS (SELECT user_id, tn AS purchase_us, last_a,
+                lag(tn) OVER (PARTITION BY user_id ORDER BY tn) AS prev_b
+              FROM m WHERE event_type = 'purchase')
+        SELECT user_id, last_a AS signup_us, purchase_us,
+               purchase_us - last_a AS dur_us
+        FROM b WHERE last_a IS NOT NULL AND (prev_b IS NULL OR last_a > prev_b)
+          AND purchase_us - last_a <= 604800000000
+        ORDER BY user_id, purchase_us""")),
+
     "q_series_periods" -> QueryDef(
       // series_periods_detect: top-2 candidate periods of the daily count
       // series by normalized autocorrelation (divergence from ADX's FFT

@@ -129,6 +129,22 @@ class ActivityMetricsSpec extends SparkSuite {
     assert(out.toSeq == Seq((0L, 2L, 2L), (10L, 3L, 2L), (20L, 3L, 2L), (30L, 5L, 3L)))
   }
 
+  test("KQL sequence_detect: span bound drops late completions, duration emits") {
+    import spark.implicits._
+    // id 1 completes a→b within span 5; id 2's b arrives 100 ticks later
+    val ev = Seq(
+      (1L, 10L, "a"), (1L, 13L, "b"),
+      (2L, 10L, "a"), (2L, 110L, "b")
+    ).toDF("id", "x", "st")
+    val out = graft.kql.KqlPipeline.run(_ => ev,
+      """t
+        | | evaluate sequence_detect(x, 5, 5, id, s1 = st == 'a', s2 = st == 'b')
+        | | project id, s1_x, s2_x, duration
+        | | order by id asc""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 10L, 13L, 3L)))
+  }
+
   test("KQL autocluster drops segments closed by an equal-count refinement") {
     import spark.implicits._
     // b is functionally dependent on a: every (a, *) segment has an
