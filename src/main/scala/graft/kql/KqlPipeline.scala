@@ -1549,6 +1549,18 @@ object KqlPipeline {
         ActivityMetrics.newActivityMetrics(df, identArg(a(0)), identArg(a(1)),
           constLong(a(2)), constLong(a(3)), constLong(a(4)))
 
+      // session_count(id, axis, start, end, bin, lookback): active sessions
+      // per bin. A session = an id's activity cluster with gaps <= lookback;
+      // a session is active at t iff its id had activity in (t−lookback, t],
+      // and an id has at most ONE active session at any t — so the count of
+      // active sessions IS the rolling distinct-id count. Shares the
+      // sliding_window_counts explode shape (provably identical result).
+      case "evaluate" if rest.trim.toLowerCase.startsWith("session_count") =>
+        val a = pluginArgs(rest, "session_count", 6)
+        ActivityMetrics.slidingWindowCounts(df, identArg(a(0)), identArg(a(1)),
+          constLong(a(2)), constLong(a(3)), constLong(a(5)), constLong(a(4)))
+          .select(col("timestamp"), col("dcount").as("count"))
+
       case "evaluate" if rest.trim.toLowerCase.startsWith("activity_engagement") =>
         val a = pluginArgs(rest, "activity_engagement", 7)
         ActivityMetrics.activityEngagement(df, identArg(a(0)), identArg(a(1)),

@@ -2829,6 +2829,29 @@ object Surface {
                round(1 - CAST(r AS DOUBLE) / prev, 6) AS churn_rate
         FROM j ORDER BY 1""")),
 
+    "q_kql_session_count" -> QueryDef(
+      // active sessions per day (3-day inactivity horizon): equals the
+      // rolling distinct-id count — one active session per active id
+      (s, dir) => kqlRun(s, dir,
+        """events
+          | | evaluate session_count(user_id, ts,
+          |     1704067200000000000, 1706659200000000000,
+          |     86400000000000, 259200000000000)
+          | | order by timestamp asc""".stripMargin),
+      Some("""
+        WITH b AS (SELECT user_id,
+                     1704067200000000000 + (epoch_us(ts)*1000 - 1704067200000000000)
+                       // 86400000000000 * 86400000000000 AS bin
+                   FROM events
+                   WHERE epoch_us(ts)*1000 >= 1704067200000000000
+                     AND epoch_us(ts)*1000 < 1706659200000000000),
+             grid AS (SELECT unnest(range(1704067200000000000,
+                                          1706659200000000000,
+                                          86400000000000)) AS t)
+        SELECT t AS "timestamp", count(DISTINCT user_id) AS "count"
+        FROM grid JOIN b ON bin <= t AND bin > t - 259200000000000
+        GROUP BY 1 ORDER BY 1""")),
+
     "q_kql_sequence_detect" -> QueryDef(
       // sequence_detect: signup→purchase sequences within a 7-day span —
       // the scan closed form (latest preceding signup, newer than the
