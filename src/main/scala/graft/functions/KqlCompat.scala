@@ -393,6 +393,25 @@ object KqlCompat {
                     "'periods', transform(__spd_t, __pp -> element_at(__pp, 2)), " +
                     "'scores', transform(__spd_t, __pp -> round(-element_at(__pp, 1), 6)))")))))
     }
+    // HLL sketch scalars (paired with the hll()/hll_merge() aggregates):
+    // dcount_hll over a BINARY sketch column estimates it;
+    // dcount_intersect estimates |A∩B| (and |A∩B∩C|) by inclusion-
+    // exclusion over sketch unions — the only intersection a mergeable
+    // sketch supports. Estimates are LONG (hll_sketch_estimate's type).
+    s = expandCalls(s, "dcount_hll") {
+      case Seq(x) => s"hll_sketch_estimate($x)"
+    }
+    s = expandCalls(s, "dcount_intersect") {
+      case Seq(a, b) =>
+        s"(hll_sketch_estimate($a) + hll_sketch_estimate($b) " +
+          s"- hll_sketch_estimate(hll_union($a, $b)))"
+      case Seq(a, b, c) =>
+        s"(hll_sketch_estimate($a) + hll_sketch_estimate($b) + hll_sketch_estimate($c) " +
+          s"- hll_sketch_estimate(hll_union($a, $b)) " +
+          s"- hll_sketch_estimate(hll_union($a, $c)) " +
+          s"- hll_sketch_estimate(hll_union($b, $c)) " +
+          s"+ hll_sketch_estimate(hll_union(hll_union($a, $b), $c)))"
+    }
     // ---- dynamic-array scalar tail ------------------------------------
     // Mostly 1:1 maps onto Spark's codegen'd array functions. ADX array
     // indices are 0-based; slice/rotate restate them on Spark's 1-based

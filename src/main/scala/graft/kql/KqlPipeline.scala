@@ -2218,8 +2218,16 @@ object KqlPipeline {
       case "dcount"                => (countDistinct(a(0)), s"dcount_${slug(args(0))}")
       // the KQL-faithful estimator, for users who WANT the sketch: HLL++ at
       // rsd 0.05 (mergeable, constant memory — the 100 TB dcount)
-      case "dcount_hll" | "hll"    => (approx_count_distinct(a(0), 0.05),
+      case "dcount_hll"            => (approx_count_distinct(a(0), 0.05),
                                         s"dcount_hll_${slug(args(0))}")
+      // hll()/hll_merge(): REAL sketch columns (DataSketches HLL binary) —
+      // the two-level shape ADX uses for pre-aggregated dashboards: hll()
+      // per fine group, hll_merge() when rolling up, dcount_hll(sketch)/
+      // dcount_intersect(…) as scalars to read them (KqlCompat). Insert-
+      // order independent, so results are deterministic under any
+      // partitioning — mergeability IS the 100 TB contract.
+      case "hll"                   => (hll_sketch_agg(a(0)), s"hll_${slug(args(0))}")
+      case "hll_merge"             => (hll_union_agg(a(0)), s"hll_merge_${slug(args(0))}")
       case "sum"                   => (sum(a(0)), s"sum_${slug(args(0))}")
       case "avg"                   => (avg(a(0)), s"avg_${slug(args(0))}")
       case "min"                   => (min(a(0)), s"min_${slug(args(0))}")

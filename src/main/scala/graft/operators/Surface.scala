@@ -2829,6 +2829,44 @@ object Surface {
                round(1 - CAST(r AS DOUBLE) / prev, 6) AS churn_rate
         FROM j ORDER BY 1""")),
 
+    "q_kql_hll_sketches" -> QueryDef(
+      // REAL sketch columns end-to-end: hll() per status → pivot the two
+      // binary sketches side by side → scalar estimate + inclusion-
+      // exclusion intersection. Estimates are deterministic (insert-order
+      // independent); the in-plan tolerance booleans gate them against
+      // exact counts from the same run (q_sketch_* convention), and the
+      // exact counts oracle-match to keep the row non-vacuous.
+      (s, dir) => kqlRun(s, dir,
+        """let exact_f = toscalar(orders | where o_orderstatus == 'F'
+          |   | summarize dcount(o_custkey));
+          |let exact_o = toscalar(orders | where o_orderstatus == 'O'
+          |   | summarize dcount(o_custkey));
+          |let exact_i = toscalar(orders | where o_orderstatus in ('F', 'O')
+          |   | summarize ns = dcount(o_orderstatus) by o_custkey
+          |   | where ns == 2 | count);
+          |orders
+          | | where o_orderstatus in ('F', 'O')
+          | | summarize h = hll(o_custkey) by o_orderstatus
+          | | evaluate pivot(o_orderstatus, take_any(h))
+          | | project est_f = dcount_hll(F), est_o = dcount_hll(O),
+          |     est_inter = dcount_intersect(F, O)
+          | | project ok_f = abs(est_f - exact_f) <= exact_f * 0.15,
+          |     ok_o = abs(est_o - exact_o) <= exact_o * 0.15,
+          |     ok_inter = abs(est_inter - exact_i) <= exact_i * 0.25 + 50.0,
+          |     ex_f = exact_f, ex_o = exact_o, ex_inter = exact_i""".stripMargin),
+      Some("""
+        WITH f AS (SELECT count(DISTINCT o_custkey) AS ex_f FROM orders
+                   WHERE o_orderstatus = 'F'),
+             o AS (SELECT count(DISTINCT o_custkey) AS ex_o FROM orders
+                   WHERE o_orderstatus = 'O'),
+             i AS (SELECT count(*) AS ex_inter FROM (
+                     SELECT o_custkey FROM orders
+                     WHERE o_orderstatus IN ('F', 'O')
+                     GROUP BY 1 HAVING count(DISTINCT o_orderstatus) = 2))
+        SELECT TRUE AS ok_f, TRUE AS ok_o, TRUE AS ok_inter,
+               ex_f, ex_o, ex_inter
+        FROM f, o, i""")),
+
     "q_kql_session_count" -> QueryDef(
       // active sessions per day (3-day inactivity horizon): equals the
       // rolling distinct-id count — one active session per active id

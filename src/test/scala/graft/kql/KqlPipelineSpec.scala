@@ -127,6 +127,29 @@ class KqlPipelineSpec extends SparkSuite {
     assert(ra.collect().map(_.getString(0)).toSeq == Seq("community"))
   }
 
+  test("hll sketch columns: merged partials estimate equals the direct sketch") {
+    // hll() per role → hll_merge() roll-up must estimate exactly what one
+    // global hll() estimates (sketch merge is lossless and order-free);
+    // at 4 distinct ages the sketch is in exact mode, so the value is 4
+    val merged = run(
+      """people
+        | | summarize h = hll(age) by role
+        | | summarize m = hll_merge(h)
+        | | project est = dcount_hll(m)""".stripMargin).head().getLong(0)
+    val direct = run(
+      "people | summarize h = hll(age) | project est = dcount_hll(h)")
+      .head().getLong(0)
+    assert(merged == direct && merged == 4L)
+    // dcount_intersect: inclusion-exclusion over sketch unions — ages
+    // {25,30} ∩ {30,35,40} = {30}, exact at this cardinality
+    val inter = run(
+      """people
+        | | summarize a = hll(iff(age <= 30, age, tolong(''))),
+        |     b = hll(iff(age >= 30, age, tolong('')))
+        | | project i = dcount_intersect(a, b)""".stripMargin).head().getLong(0)
+    assert(inter == 1L)
+  }
+
   test("join with $left/$right equality and sub-pipeline right side") {
     val r = run(
       "people | join kind=inner (depts | where dept != 'ops') on $left.role == $right.role | count")
