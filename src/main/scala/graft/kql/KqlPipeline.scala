@@ -1549,6 +1549,48 @@ object KqlPipeline {
         ActivityMetrics.newActivityMetrics(df, identArg(a(0)), identArg(a(1)),
           constLong(a(2)), constLong(a(3)), constLong(a(4)))
 
+      // ipv4_lookup(LookupTable, ipCol, cidrCol [, return_unmatched]):
+      // longest-prefix CIDR match as a BUCKETED EQUI-JOIN — never a range
+      // theta-join. Each CIDR explodes to the /16 buckets it covers
+      // (2^(16−m) for m<16, else one — bounded), facts bucket by ipn>>16,
+      // the hash join matches buckets and a residual range filter keeps
+      // real containment. Longest prefix wins per fact row (mask desc,
+      // cidr asc tie-break) via a row-id-partitioned window; ZipIndex
+      // supplies the deterministic row id without a 1-task window.
+      case "evaluate" if rest.trim.toLowerCase.startsWith("ipv4_lookup") =>
+        val a = pluginArgs(rest, "ipv4_lookup", 3, maxN = 4)
+        val lutName = a(0).trim
+        require(lutName.matches("[A-Za-z_][A-Za-z0-9_]*"),
+          s"ipv4_lookup needs a table name, got: '$lutName'")
+        val ipC = identArg(a(1)); val cidrC = identArg(a(2))
+        val returnUnmatched = a.length > 3 && a(3).trim.toLowerCase == "true"
+        val lut = resolve(lutName)
+          .withColumn("__lk_base", expr(tx(s"parse_ipv4(split($cidrC, '/')[0])")))
+          .withColumn("__lk_mask", expr(tx(s"toint(coalesce(split($cidrC, '/')[1], '32'))")))
+          .withColumn("__lk_lo", expr(
+            "__lk_base - pmod(__lk_base, shiftleft(CAST(1 AS BIGINT), 32 - __lk_mask))"))
+          .withColumn("__lk_hi", expr(
+            "__lk_lo + shiftleft(CAST(1 AS BIGINT), 32 - __lk_mask) - 1"))
+        val lutB = lut.withColumn("__lk_b",
+          explode(expr("sequence(__lk_lo div 65536, __lk_hi div 65536)")))
+        val fact = graft.util.ZipIndex.withRowIndex(df, "__lk_rid", 0L)
+          .withColumn("__lk_ipn", expr(tx(s"parse_ipv4($ipC)")))
+          .withColumn("__lk_b", expr("__lk_ipn div 65536"))
+        val wBest = Window.partitionBy(col("__lk_rid"))
+          .orderBy(col("__lk_mask").desc, col(cidrC).asc)
+        val matched = fact.join(lutB, Seq("__lk_b"))
+          .filter(expr("__lk_ipn BETWEEN __lk_lo AND __lk_hi"))
+          .withColumn("__lk_rn", row_number().over(wBest))
+          .filter(col("__lk_rn") === 1)
+        val internal = Seq("__lk_b", "__lk_ipn", "__lk_base", "__lk_mask",
+          "__lk_lo", "__lk_hi", "__lk_rn")
+        val out =
+          if (!returnUnmatched) matched
+          else matched.unionByName(
+            fact.join(matched.select(col("__lk_rid")), Seq("__lk_rid"), "left_anti"),
+            allowMissingColumns = true)
+        out.drop(internal :+ "__lk_rid": _*)
+
       // session_count(id, axis, start, end, bin, lookback): active sessions
       // per bin. A session = an id's activity cluster with gaps <= lookback;
       // a session is active at t iff its id had activity in (t−lookback, t],

@@ -2829,6 +2829,50 @@ object Surface {
                round(1 - CAST(r AS DOUBLE) / prev, 6) AS churn_rate
         FROM j ORDER BY 1""")),
 
+    "q_kql_ipv4_lookup" -> QueryDef(
+      // longest-prefix CIDR attribution of synthetic event IPs: every ip is
+      // 10.x.y.7 (matches corp /8); user 42's ips also match the more
+      // specific lab /16 and must attribute there — the longest-prefix
+      // rule, exercised through the bucketed equi-join lowering.
+      (s, dir) => kqlRun(s, dir,
+        """let nets = datatable (cidr:string, net:string) [
+          |   '10.0.0.0/8', 'corp',
+          |   '10.42.0.0/16', 'lab',
+          |   '192.168.1.0/24', 'home',
+          |   '172.16.0.0/12', 'priv'
+          | ];
+          |events
+          | | extend ip = strcat('10.', tostring(user_id % 200), '.',
+          |     tostring(event_id % 250), '.7')
+          | | evaluate ipv4_lookup(nets, ip, cidr)
+          | | summarize n = count() by net
+          | | order by net asc""".stripMargin),
+      Some("""
+        WITH nets(cidr, net) AS (VALUES
+               ('10.0.0.0/8', 'corp'), ('10.42.0.0/16', 'lab'),
+               ('192.168.1.0/24', 'home'), ('172.16.0.0/12', 'priv')),
+             l AS (SELECT cidr, net,
+                     CAST(coalesce(nullif(split_part(cidr, '/', 2), ''), '32') AS INT) AS mask,
+                     CAST(string_split(split_part(cidr, '/', 1), '.')[1] AS BIGINT) * 16777216
+                     + CAST(string_split(split_part(cidr, '/', 1), '.')[2] AS BIGINT) * 65536
+                     + CAST(string_split(split_part(cidr, '/', 1), '.')[3] AS BIGINT) * 256
+                     + CAST(string_split(split_part(cidr, '/', 1), '.')[4] AS BIGINT) AS base
+                   FROM nets),
+             r AS (SELECT cidr, net, mask,
+                     base - base % (CAST(1 AS BIGINT) << (32 - mask)) AS lo,
+                     base - base % (CAST(1 AS BIGINT) << (32 - mask))
+                       + (CAST(1 AS BIGINT) << (32 - mask)) - 1 AS hi
+                   FROM l),
+             f AS (SELECT event_id,
+                     167772160 + (user_id % 200) * 65536 + (event_id % 250) * 256 + 7 AS ipn
+                   FROM events),
+             j AS (SELECT f.event_id, r.net,
+                     row_number() OVER (PARTITION BY f.event_id
+                                        ORDER BY r.mask DESC, r.cidr) AS rn
+                   FROM f JOIN r ON f.ipn BETWEEN r.lo AND r.hi)
+        SELECT net, count(*) AS n FROM j WHERE rn = 1
+        GROUP BY 1 ORDER BY 1""")),
+
     "q_kql_hll_sketches" -> QueryDef(
       // REAL sketch columns end-to-end: hll() per status → pivot the two
       // binary sketches side by side → scalar estimate + inclusion-

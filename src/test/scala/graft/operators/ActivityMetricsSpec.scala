@@ -145,6 +145,26 @@ class ActivityMetricsSpec extends SparkSuite {
     assert(out.toSeq == Seq((1L, 10L, 13L, 3L)))
   }
 
+  test("KQL ipv4_lookup: longest prefix wins; return_unmatched pads nulls") {
+    import spark.implicits._
+    val facts = Seq(("10.42.1.5", "a"), ("10.9.9.9", "b"), ("8.8.8.8", "c"))
+      .toDF("ip", "tag")
+    val nets = Seq(("10.0.0.0/8", "corp"), ("10.42.0.0/16", "lab"))
+      .toDF("cidr", "net")
+    def run(kql: String) = graft.kql.KqlPipeline.run(
+      Map("facts" -> facts, "nets" -> nets), kql)
+    val matched = run(
+      "facts | evaluate ipv4_lookup(nets, ip, cidr) | project ip, net | order by ip asc")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    // 10.42.1.5 matches BOTH /8 and /16 → the /16 (longest prefix) wins
+    assert(matched.toSeq == Seq(("10.42.1.5", "lab"), ("10.9.9.9", "corp")))
+    val all = run(
+      "facts | evaluate ipv4_lookup(nets, ip, cidr, true) | project ip, net | order by ip asc")
+      .collect().map(r => (r.getString(0), Option(r.getString(1))))
+    assert(all.toSeq == Seq(("10.42.1.5", Some("lab")), ("10.9.9.9", Some("corp")),
+      ("8.8.8.8", None)))
+  }
+
   test("KQL autocluster drops segments closed by an equal-count refinement") {
     import spark.implicits._
     // b is functionally dependent on a: every (a, *) segment has an
