@@ -66,6 +66,9 @@ object KqlCompat {
     "getmonth("       -> "month(",
     "monthofyear("    -> "month(",
     "hourofday("      -> "hour(",
+    "dayofmonth("     -> "day(",
+    "week_of_year("   -> "weekofyear(", // both ISO-8601 week numbering
+    "make_datetime("  -> "make_timestamp(",
     // series helpers over make-series outputs (dynamic arrays) — KQL-only
     // names mapping to codegen'd array expressions
     "array_length("   -> "array_size(",
@@ -392,6 +395,23 @@ object KqlCompat {
                   "named_struct(" +
                     "'periods', transform(__spd_t, __pp -> element_at(__pp, 2)), " +
                     "'scores', transform(__spd_t, __pp -> round(-element_at(__pp, 1), 6)))")))))
+    }
+    // geo scalars: great-circle distance by the haversine closed form on
+    // the 6371.0088 km mean-Earth radius (ADX uses a geodesic; documented
+    // divergence — haversine restates identically in any SQL engine, which
+    // keeps the oracle twin bit-comparable; callers round the meters).
+    // in_circle expands FIRST so its emitted geo_distance_2points text is
+    // picked up by the expansion below (the decompose_anomalies pattern).
+    s = expandCalls(s, "geo_point_in_circle") {
+      case Seq(lon, lat, clon, clat, r) =>
+        s"(geo_distance_2points($lon, $lat, $clon, $clat) <= ($r))"
+    }
+    s = expandCalls(s, "geo_distance_2points") {
+      case Seq(lon1, lat1, lon2, lat2) =>
+        "(2.0 * 6371008.8 * asin(sqrt(" +
+          s"pow(sin(radians(($lat2) - ($lat1)) / 2), 2) + " +
+          s"cos(radians($lat1)) * cos(radians($lat2)) * " +
+          s"pow(sin(radians(($lon2) - ($lon1)) / 2), 2))))"
     }
     // HLL sketch scalars (paired with the hll()/hll_merge() aggregates):
     // dcount_hll over a BINARY sketch column estimates it;

@@ -2829,6 +2829,40 @@ object Surface {
                round(1 - CAST(r AS DOUBLE) / prev, 6) AS churn_rate
         FROM j ORDER BY 1""")),
 
+    "q_kql_geo_datetime" -> QueryDef(
+      // datetime scalar tail + haversine geo distance over synthetic
+      // per-order coordinates; meters round to 3 (the formula restates
+      // identically on both engines, so only libm last-ulp noise is left)
+      (s, dir) => kqlRun(s, dir,
+        """orders
+          | | where o_orderkey <= 400
+          | | extend lon = (o_orderkey % 180) * 1.0 - 90.0,
+          |     lat = (o_orderkey % 80) * 1.0 - 40.0
+          | | project o_orderkey,
+          |     dom = dayofmonth(o_orderdate), doy = dayofyear(o_orderdate),
+          |     woy = week_of_year(o_orderdate),
+          |     dist_m = round(geo_distance_2points(lon, lat, 10.0, 20.0), 3),
+          |     near = geo_point_in_circle(lon, lat, 10.0, 20.0, 3000000.0)
+          | | order by o_orderkey asc""".stripMargin),
+      Some("""
+        WITH f AS (SELECT o_orderkey, o_orderdate,
+                     (o_orderkey % 180) * 1.0 - 90.0 AS lon,
+                     (o_orderkey % 80) * 1.0 - 40.0 AS lat
+                   FROM orders WHERE o_orderkey <= 400),
+             g AS (SELECT o_orderkey, o_orderdate, lon, lat,
+                     2.0 * 6371008.8 * asin(sqrt(
+                       pow(sin(radians(20.0 - lat) / 2), 2) +
+                       cos(radians(lat)) * cos(radians(20.0)) *
+                       pow(sin(radians(10.0 - lon) / 2), 2))) AS d
+                   FROM f)
+        SELECT o_orderkey,
+               CAST(day(o_orderdate) AS INT) AS dom,
+               CAST(dayofyear(o_orderdate) AS INT) AS doy,
+               CAST(weekofyear(o_orderdate) AS INT) AS woy,
+               round(d, 3) AS dist_m,
+               d <= 3000000.0 AS near
+        FROM g ORDER BY o_orderkey""")),
+
     "q_kql_ipv4_lookup" -> QueryDef(
       // longest-prefix CIDR attribution of synthetic event IPs: every ip is
       // 10.x.y.7 (matches corp /8); user 42's ips also match the more
