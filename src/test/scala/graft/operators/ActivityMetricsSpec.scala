@@ -129,6 +129,44 @@ class ActivityMetricsSpec extends SparkSuite {
     assert(out.toSeq == Seq((0L, 2L, 2L), (10L, 3L, 2L), (20L, 3L, 2L), (30L, 5L, 3L)))
   }
 
+  test("property: sliding/active rolling metrics match a naive reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val step = 10L; val start = 0L; val end = 100L // 10-bin grid
+      val lookback = step * (1 + rnd.nextInt(4))     // 1..4 bins
+      val rows = Seq.fill(120 + rnd.nextInt(80))(
+        (rnd.nextInt(6).toLong, start + rnd.nextInt((end - start).toInt).toLong))
+      val df = rows.toDF("id", "x")
+
+      // naive reference: full scan per grid point
+      val grid = (start until end by step).toSeq
+      def inWin(t: Long, x: Long) = { val b = (x / step) * step; b <= t && b > t - lookback }
+      val refSliding = grid.map { t =>
+        val w = rows.filter { case (_, x) => inWin(t, x) }
+        (t, w.size.toLong, w.map(_._1).distinct.size.toLong)
+      }.filter(_._2 > 0)
+      val gotSliding = ActivityMetrics
+        .slidingWindowCounts(df, "id", "x", start, end, lookback, step)
+        .orderBy("timestamp").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(gotSliding == refSliding, s"trial $trial lookback $lookback (sliding)")
+
+      val k = 1 + rnd.nextInt(3)
+      val refActive = grid.map { t =>
+        val ids = rows.filter { case (_, x) => inWin(t, x) }
+          .groupBy(_._1).view.mapValues(_.map(v => (v._2 / step) * step).distinct.size)
+          .filter(_._2 >= k).keys
+        (t, ids.size.toLong)
+      }.filter(_._2 > 0)
+      val gotActive = ActivityMetrics
+        .activeUsersCount(df, "id", "x", start, end, lookback, step, k, step)
+        .orderBy("timestamp").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(gotActive == refActive, s"trial $trial lookback $lookback k $k (active)")
+    }
+  }
+
   test("KQL sequence_detect: span bound drops late completions, duration emits") {
     import spark.implicits._
     // id 1 completes a→b within span 5; id 2's b arrives 100 ticks later

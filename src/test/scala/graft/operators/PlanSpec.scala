@@ -186,6 +186,14 @@ class PlanSpec extends SparkSuite {
     assert(!s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("ipv4_lookup: CIDR match is a bucket HASH join, never a range NLJ") {
+    val s = finalPlan("q_kql_ipv4_lookup")
+    // the containment predicate must ride a bucket equi-join as a residual
+    // filter — a raw BETWEEN join would plan as a nested loop over facts
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
   test("diffpatterns: ONE conditional-count cube, totals broadcast") {
     val s = finalPlan("q_kql_diffpatterns")
     assert(s.contains("Expand"), s)
