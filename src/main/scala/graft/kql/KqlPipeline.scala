@@ -1609,6 +1609,16 @@ object KqlPipeline {
           constLong(a(2)), constLong(a(3)), constLong(a(4)), constLong(a(5)),
           constLong(a(6)))
 
+      // funnel_sequence_completion(id, axis, state, dynamic([states]),
+      // dynamic([windows])): distinct ids completing each sequence prefix
+      // within each time budget — one scan per prefix (k small), counts
+      // unioned. Output (prefix, window, dcount).
+      case "evaluate" if rest.trim.toLowerCase.startsWith("funnel_sequence_completion") =>
+        val a = pluginArgs(rest, "funnel_sequence_completion", 5)
+        ActivityMetrics.funnelCompletion(df, identArg(a(0)), identArg(a(1)),
+          identArg(a(2)), dynListArg(a(3)).map(unquote),
+          dynListArg(a(4)).map(constLong))
+
       // funnel_sequence(id, axis, stateCol, 's1', 's2', …): consecutive
       // state-sequence matches grouped by surrounding states. DIVERGENCE:
       // no per-step time bound (that's `scan`); ADX's multi-table output
@@ -2578,6 +2588,19 @@ object KqlPipeline {
     require(args.length >= n && args.length <= hi,
       s"$name expects ${if (hi == n) s"$n" else s"$n..$hi"} arguments, got ${args.length}: '$inner'")
     args
+  }
+
+  /** A `dynamic([a, b, …])` plugin argument → its element texts. */
+  private def dynListArg(s: String): Seq[String] = {
+    val t = s.trim
+    require(t.toLowerCase.startsWith("dynamic"),
+      s"expected a dynamic([…]) list argument, got: '$t'")
+    val (inner, tail) = takeGroup(t.drop("dynamic".length), '(', ')')
+    require(tail.trim.isEmpty, s"unexpected trailing text after dynamic(…): '$tail'")
+    val body = inner.trim
+    require(body.startsWith("[") && body.endsWith("]"),
+      s"expected dynamic([…]), got: '$t'")
+    splitTopLevel(body.substring(1, body.length - 1), ',').map(_.trim).filter(_.nonEmpty)
   }
 
   /** A plugin argument that must be a bare column name. */

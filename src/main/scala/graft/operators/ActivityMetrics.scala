@@ -229,6 +229,35 @@ object ActivityMetrics {
       .agg(count(lit(1)).as("matches"), countDistinct(col("__id")).as("dcount_ids"))
   }
 
+  /** Funnel completion by time budget (the funnel_sequence_completion
+    * shape): for every sequence prefix length p (1..k) and every window w,
+    * the distinct ids that completed states(0..p−1) with total span ≤ w.
+    * Each prefix runs the `scan` state machine once (k is small — a
+    * driver-side loop over k plans, each ONE key shuffle + fold), and the
+    * per-(prefix, window) counts are single-row aggregates unioned at the
+    * end. Output: (prefix, window, dcount), prefix/window ascending.
+    */
+  def funnelCompletion(
+      df: DataFrame, idCol: String, axisCol: String, stateCol: String,
+      states: Seq[String], windows: Seq[Long]): DataFrame = {
+    require(states.nonEmpty && windows.nonEmpty, "funnel completion needs states and windows")
+    val legs = states.indices.map { i =>
+      val prefix = states.take(i + 1)
+      val steps  = prefix.zipWithIndex.map { case (st, j) =>
+        s"s$j" -> (col(stateCol) === st)
+      }
+      val scanned = ScanSteps.scanSteps(df, Seq(idCol), axisCol, ascending = true, steps)
+      val span = col(s"s${i}_$axisCol") - col(s"s0_$axisCol")
+      windows.map { w =>
+        scanned.filter(span <= w)
+          .agg(countDistinct(col(idCol)).as("dcount"))
+          .select(lit(i + 1).as("prefix"), lit(w).as("window"), col("dcount"))
+      }
+    }
+    legs.flatten.reduce(_ unionByName _)
+      .orderBy(col("prefix"), col("window"))
+  }
+
   /** Rolling exact interpolated percentile of `valueCol` over the trailing
     * `binsPerWindow` bins at each grid point (ADX's plugin is T-digest
     * approximate — documented divergence to keep the DuckDB `quantile_cont`

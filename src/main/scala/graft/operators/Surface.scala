@@ -2829,6 +2829,41 @@ object Surface {
                round(1 - CAST(r AS DOUBLE) / prev, 6) AS churn_rate
         FROM j ORDER BY 1""")),
 
+    "q_kql_funnel_completion" -> QueryDef(
+      // funnel_sequence_completion: distinct users completing each prefix
+      // of click→purchase within 1-day and 7-day budgets — one scan per
+      // prefix, single-row aggregates unioned. Oracle: prefix 1 is plain
+      // click dcount; prefix 2 is the scan closed form + span bound.
+      (s, dir) => kqlRun(s, dir,
+        """events
+          | | where event_type in ('click', 'purchase')
+          | | evaluate funnel_sequence_completion(user_id, ts, event_type,
+          |     dynamic(['click', 'purchase']),
+          |     dynamic([86400000000000, 604800000000000]))
+          | | order by prefix asc, window asc""".stripMargin),
+      Some("""
+        WITH lp AS (SELECT user_id, event_type, epoch_us(ts) AS tn FROM events
+                    WHERE event_type IN ('click','purchase')),
+        c1 AS (SELECT count(DISTINCT user_id) AS d FROM lp
+               WHERE event_type = 'click'),
+        m AS (SELECT user_id, event_type, tn,
+                max(CASE WHEN event_type = 'click' THEN tn END)
+                  OVER (PARTITION BY user_id ORDER BY tn
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_a
+              FROM lp),
+        b AS (SELECT user_id, tn, last_a,
+                lag(tn) OVER (PARTITION BY user_id ORDER BY tn) AS prev_b
+              FROM m WHERE event_type = 'purchase'),
+        comp AS (SELECT user_id, tn - last_a AS dur FROM b
+                 WHERE last_a IS NOT NULL AND (prev_b IS NULL OR last_a > prev_b))
+        SELECT CAST(1 AS INT) AS prefix, CAST(86400000000000 AS BIGINT) AS "window", d AS dcount FROM c1
+        UNION ALL SELECT 1, 604800000000000, d FROM c1
+        UNION ALL SELECT 2, 86400000000000,
+          (SELECT count(DISTINCT user_id) FROM comp WHERE dur <= 86400000000)
+        UNION ALL SELECT 2, 604800000000000,
+          (SELECT count(DISTINCT user_id) FROM comp WHERE dur <= 604800000000)
+        ORDER BY 1, 2""")),
+
     "q_kql_geo_datetime" -> QueryDef(
       // datetime scalar tail + haversine geo distance over synthetic
       // per-order coordinates; meters round to 3 (the formula restates
