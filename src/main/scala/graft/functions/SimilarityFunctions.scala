@@ -52,6 +52,38 @@ object SimilarityFunctions {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** Sign-bit binarization of a ≤64-dim embedding into ONE long: bit i set
+    * iff v[i] > 0. 256× compression at dim 64 (float32 → 1 bit/dim) —
+    * the extreme end of the compression ladder (float → int8 → PQ 4-bit →
+    * sign bit), with Hamming distance as the codegen'd `bit_count(a ^ b)`.
+    */
+  def signPack(vecCol: String): Column =
+    // >64 dims would silently wrap shiftleft's 6-bit shift amount — fail loud
+    expr(s"CASE WHEN size($vecCol) > 64 THEN " +
+      s"CAST(raise_error('signPack: dim > 64, pack into multiple words') AS BIGINT) " +
+      s"ELSE aggregate(sequence(0, size($vecCol) - 1), CAST(0 AS BIGINT), " +
+      s"(acc, i) -> CASE WHEN element_at($vecCol, i + 1) > 0 THEN " +
+      "acc | shiftleft(CAST(1 AS BIGINT), i) ELSE acc END) END")
+
+  /** Exact Hamming top-k over sign-packed signatures: queries broadcast,
+    * distance is one XOR + popcount per pair, ties break on the id —
+    * fully deterministic (no tolerance gate needed, unlike the
+    * float-scoring ANN paths).
+    */
+  def hammingTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nQueries: Int, k: Int): DataFrame = {
+    val sig = corpus.select(col(idCol).as("vec_id"), signPack(vecCol).as("sig"))
+    val q = sig.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("sig").as("q_sig"))
+    val w = Window.partitionBy("q_id").orderBy(col("ham"), col("vec_id"))
+    sig.crossJoin(broadcast(q))
+      .withColumn("ham", expr("CAST(bit_count(sig ^ q_sig) AS INT)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("ham"))
+  }
+
   /** Deterministic random hyperplanes: `nPlanes` × `dim` doubles. */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)

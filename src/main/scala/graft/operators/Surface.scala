@@ -2829,6 +2829,35 @@ object Surface {
                round(1 - CAST(r AS DOUBLE) / prev, 6) AS churn_rate
         FROM j ORDER BY 1""")),
 
+    "sim_hamming_topk" -> QueryDef(
+      // sign-bit embeddings: 64-dim float vectors pack to ONE long (256×
+      // compression), Hamming = xor + popcount per pair — integer-exact,
+      // so this row hash-matches with NO tolerance gate. 5 broadcast
+      // queries × corpus, top-10 by (hamming, id).
+      (s, dir) => SimilarityFunctions.hammingTopK(
+        t(s, dir, "embeddings"), "vec_id", "embedding", nQueries = 5, k = 10)
+        .orderBy(col("q_id"), col("ham"), col("vec_id")),
+      Some("""
+        WITH s AS (SELECT vec_id,
+                     -- DuckDB's checked << rejects 1<<63; spell the sign
+                     -- bit as the literal long (bit_or is two's-complement
+                     -- clean either way)
+                     list_aggregate(list_transform(
+                       generate_series(1, len(embedding)),
+                       i -> CASE WHEN embedding[i] <= 0 THEN 0
+                                 WHEN i = 64 THEN CAST(-9223372036854775808 AS BIGINT)
+                                 ELSE (CAST(1 AS BIGINT) << (i - 1)) END),
+                       'bit_or') AS sig
+                   FROM embeddings),
+             q AS (SELECT vec_id AS q_id, sig AS q_sig FROM s WHERE vec_id < 5),
+             d AS (SELECT q_id, s.vec_id,
+                     CAST(bit_count(xor(sig, q_sig)) AS INT) AS ham,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY bit_count(xor(sig, q_sig)), s.vec_id) AS rn
+                   FROM q, s)
+        SELECT q_id, vec_id, ham FROM d WHERE rn <= 10
+        ORDER BY q_id, ham, vec_id""")),
+
     "q_kql_funnel_completion" -> QueryDef(
       // funnel_sequence_completion: distinct users completing each prefix
       // of click→purchase within 1-day and 7-day budgets — one scan per
