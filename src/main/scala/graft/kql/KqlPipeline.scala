@@ -1678,7 +1678,8 @@ object KqlPipeline {
       // each cohort's total, filtered on |PercentA - PercentB|. Ordering is
       // left to the caller (ADX ranks by an opaque score; documented
       // divergence).
-      case "evaluate" if rest.trim.toLowerCase.startsWith("diffpatterns") =>
+      case "evaluate" if rest.trim.toLowerCase.startsWith("diffpatterns") &&
+          !rest.trim.toLowerCase.startsWith("diffpatterns_text") =>
         val a = pluginArgs(rest, "diffpatterns", 3, maxN = 4)
         val (splitC, vA, vB) = (identArg(a(0)), unquote(a(1)), unquote(a(2)))
         val minDiff = if (a.length > 3) a(3).trim.toDouble else 0.0
@@ -1699,6 +1700,33 @@ object KqlPipeline {
           .withColumn("PercentDiff", round(col("PercentA") - col("PercentB"), 6))
           .filter(abs(col("PercentDiff")) >= minDiff)
           .drop("__graft_gid", "__graft_ta", "__graft_tb")
+
+      // diffpatterns_text(textCol, cond [, minDiffPct]): token-share
+      // difference between the cond-true and cond-false cohorts. ADX mines
+      // wildcard token PATTERNS (opaque heuristic); this is the
+      // DETERMINISTIC single-token simplification (documented divergence):
+      // lowercase [a-z0-9]+ tokens, occurrence counts per cohort, percents
+      // against each cohort's token total — one explode + one hash groupBy.
+      case "evaluate" if rest.trim.toLowerCase.startsWith("diffpatterns_text") =>
+        val a = pluginArgs(rest, "diffpatterns_text", 2, maxN = 3)
+        val textC = identArg(a(0)); val cond = expr(tx(a(1)))
+        val minDiff = if (a.length > 2) a(2).trim.toDouble else 0.0
+        val tok = df
+          .select(explode(split(lower(col(textC)), "[^a-z0-9]+")).as("token"),
+            cond.as("__dpt_c"))
+          .filter(length(col("token")) > 0)
+        val totals = tok.agg(
+          sum(when(col("__dpt_c"), 1L).otherwise(0L)).cast("double").as("__dpt_ta"),
+          sum(when(!col("__dpt_c"), 1L).otherwise(0L)).cast("double").as("__dpt_tb"))
+        tok.groupBy(col("token"))
+          .agg(sum(when(col("__dpt_c"), 1L).otherwise(0L)).as("CountA"),
+            sum(when(!col("__dpt_c"), 1L).otherwise(0L)).as("CountB"))
+          .crossJoin(broadcast(totals))
+          .withColumn("PercentA", round(col("CountA") * 100 / col("__dpt_ta"), 6))
+          .withColumn("PercentB", round(col("CountB") * 100 / col("__dpt_tb"), 6))
+          .withColumn("PercentDiff", round(col("PercentA") - col("PercentB"), 6))
+          .filter(abs(col("PercentDiff")) >= minDiff)
+          .drop("__dpt_ta", "__dpt_tb")
 
       case "evaluate" =>
         val body = rest.trim

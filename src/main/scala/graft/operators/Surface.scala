@@ -2829,6 +2829,33 @@ object Surface {
                round(1 - CAST(r AS DOUBLE) / prev, 6) AS churn_rate
         FROM j ORDER BY 1""")),
 
+    "q_kql_diffpatterns_text" -> QueryDef(
+      // token-share difference between English and non-English documents:
+      // one explode + one hash groupBy, percents per cohort token total
+      (s, dir) => kqlRun(s, dir,
+        """documents
+          | | evaluate diffpatterns_text(text, lang == 'en', 0.2)
+          | | order by PercentDiff desc, token asc""".stripMargin),
+      Some("""
+        WITH tok AS (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token,
+                            lang = 'en' AS c
+                     FROM documents),
+             t2 AS (SELECT token, c FROM tok WHERE len(token) > 0),
+             tot AS (SELECT CAST(sum(CASE WHEN c THEN 1 ELSE 0 END) AS DOUBLE) AS ta,
+                            CAST(sum(CASE WHEN NOT c THEN 1 ELSE 0 END) AS DOUBLE) AS tb
+                     FROM t2),
+             cand AS (SELECT token,
+                        sum(CASE WHEN c THEN 1 ELSE 0 END) AS ca,
+                        sum(CASE WHEN NOT c THEN 1 ELSE 0 END) AS cb
+                      FROM t2 GROUP BY 1)
+        SELECT token, CAST(ca AS BIGINT) AS CountA, CAST(cb AS BIGINT) AS CountB,
+               round(ca * 100 / ta, 6) AS PercentA,
+               round(cb * 100 / tb, 6) AS PercentB,
+               round(round(ca * 100 / ta, 6) - round(cb * 100 / tb, 6), 6) AS PercentDiff
+        FROM cand, tot
+        WHERE abs(round(round(ca * 100 / ta, 6) - round(cb * 100 / tb, 6), 6)) >= 0.2
+        ORDER BY PercentDiff DESC, token""")),
+
     "sim_hamming_topk" -> QueryDef(
       // sign-bit embeddings: 64-dim float vectors pack to ONE long (256×
       // compression), Hamming = xor + popcount per pair — integer-exact,

@@ -487,6 +487,16 @@ class KqlPipelineSpec extends SparkSuite {
     intercept[IllegalArgumentException](run("people | summarize median(age)"))
     intercept[IllegalArgumentException](run("people | extend score * 2"))
     intercept[IllegalArgumentException](KqlPipeline.run(Map.empty[String, DataFrame], "people x | count"))
+    // evaluate-plugin argument validation: wrong arity, non-constant scalar
+    // args, and non-column identifiers must all fail at compile time
+    intercept[IllegalArgumentException](
+      run("people | evaluate sliding_window_counts(id, age, 0, 100)"))
+    intercept[IllegalArgumentException](
+      run("people | evaluate activity_counts_metrics(id, age, 0, 100, age)"))
+    intercept[IllegalArgumentException](
+      run("people | evaluate active_users_count(id + 1, age, 0, 100, 10, 10, 2, 10)"))
+    intercept[IllegalArgumentException](
+      run("people | evaluate funnel_sequence_completion(id, age, role, 'a', 'b')"))
   }
 
   test("the pipeline composes with Structured Streaming (plan-level, no batch assumptions)") {
