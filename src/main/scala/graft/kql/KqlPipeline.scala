@@ -1576,20 +1576,26 @@ object KqlPipeline {
         val fact = graft.util.ZipIndex.withRowIndex(df, "__lk_rid", 0L)
           .withColumn("__lk_ipn", expr(tx(s"parse_ipv4($ipC)")))
           .withColumn("__lk_b", expr("__lk_ipn div 65536"))
-        val wBest = Window.partitionBy(col("__lk_rid"))
-          .orderBy(col("__lk_mask").desc, col(cidrC).asc)
+        // longest prefix per fact row as a hash max_by (mask desc, cidr
+        // desc tie-break) — partial aggregation collapses a row's matches
+        // INSIDE the broadcast-join task before any shuffle, and no sort
+        // is ever planned (a rid-window would shuffle + sort everything)
+        val lutOut  = resolve(lutName).columns.toSeq
+        val factOut = df.columns.toSeq
         val matched = fact.join(lutB, Seq("__lk_b"))
           .filter(expr("__lk_ipn BETWEEN __lk_lo AND __lk_hi"))
-          .withColumn("__lk_rn", row_number().over(wBest))
-          .filter(col("__lk_rn") === 1)
-        val internal = Seq("__lk_b", "__lk_ipn", "__lk_base", "__lk_mask",
-          "__lk_lo", "__lk_hi", "__lk_rn")
+          .groupBy(col("__lk_rid") +: factOut.map(col): _*)
+          .agg(max_by(struct(lutOut.map(col): _*),
+            struct(col("__lk_mask"), col(cidrC))).as("__lk_best"))
+          .select(col("__lk_rid") +: factOut.map(col) ++:
+            lutOut.map(c2 => col(s"__lk_best.$c2").as(c2)): _*)
         val out =
           if (!returnUnmatched) matched
           else matched.unionByName(
-            fact.join(matched.select(col("__lk_rid")), Seq("__lk_rid"), "left_anti"),
+            fact.select(col("__lk_rid") +: factOut.map(col): _*)
+              .join(matched.select(col("__lk_rid")), Seq("__lk_rid"), "left_anti"),
             allowMissingColumns = true)
-        out.drop(internal :+ "__lk_rid": _*)
+        out.drop("__lk_rid")
 
       // session_count(id, axis, start, end, bin, lookback): active sessions
       // per bin. A session = an id's activity cluster with gaps <= lookback;

@@ -2993,7 +2993,7 @@ object Surface {
                    FROM events),
              j AS (SELECT f.event_id, r.net,
                      row_number() OVER (PARTITION BY f.event_id
-                                        ORDER BY r.mask DESC, r.cidr) AS rn
+                                        ORDER BY r.mask DESC, r.cidr DESC) AS rn
                    FROM f JOIN r ON f.ipn BETWEEN r.lo AND r.hi)
         SELECT net, count(*) AS n FROM j WHERE rn = 1
         GROUP BY 1 ORDER BY 1""")),
