@@ -1099,10 +1099,18 @@ object KqlPipeline {
       // (arrays_zip + ONE generator), NOT a cartesian product (chain
       // separate mv-expand operators for that). Spark-first: explode, no UDF.
       case "mv-expand" =>
+        // optional leading `with_itemindex = name`: the element's 0-based
+        // position rides along (Spark's posexplode shape via arrays_zip
+        // with a sequence — one generator either way)
+        val IdxRe = """(?is)^with_itemindex\s*=\s*([A-Za-z_][A-Za-z0-9_]*)\s+(.*)$""".r
+        val (itemIndex, rest2) = rest.trim match {
+          case IdxRe(nm, r) => (Some(nm), r)
+          case r            => (None, r)
+        }
         // each item: `col [to typeof(kqlType)]` — the cast applies to the
         // EXPANDED element (the ADX spelling for typed dynamic arrays)
         val ToTypeRe = """(?is)([A-Za-z_][A-Za-z0-9_]*)\s+to\s+typeof\s*\(\s*([A-Za-z0-9()_,]+)\s*\)""".r
-        val items = splitTopLevel(rest, ',').map(_.trim).filter(_.nonEmpty).map {
+        val items = splitTopLevel(rest2, ',').map(_.trim).filter(_.nonEmpty).map {
           case ToTypeRe(c2, t2) =>
             val sparkT = KqlTypes.getOrElse(t2.toLowerCase,
               fail(s"mv-expand: unknown typeof '$t2'"))
@@ -1112,14 +1120,27 @@ object KqlPipeline {
         val cols = items.map(_._1)
         require(cols.nonEmpty, "mv-expand needs at least one column")
         require(cols.distinct.size == cols.size, "mv-expand columns must be distinct")
-        val expanded =
-          if (cols.size == 1) df.withColumn(cols.head, explode(col(cols.head)))
-          else {
+        val expanded = itemIndex match {
+          case Some(idx) =>
+            // zip a 0-based position lane in and expand everything together;
+            // the lane spans the LONGEST array (arrays_zip null-pads short)
+            val tmp = "__graft_mv_zip"
+            val maxLen = cols.map(c2 => size(col(c2)).cast("long"))
+              .reduce((x, y) => greatest(x, y))
+            val zipped = arrays_zip(
+              (sequence(lit(0L), maxLen - 1).as(idx) +: cols.map(col)): _*)
+            cols.foldLeft(
+              df.withColumn(tmp, explode(zipped))
+                .withColumn(idx, col(tmp).getField(idx)))(
+              (d, c) => d.withColumn(c, col(tmp).getField(c))).drop(tmp)
+          case None if cols.size == 1 =>
+            df.withColumn(cols.head, explode(col(cols.head)))
+          case None =>
             val tmp = "__graft_mv_zip"
             cols.foldLeft(
               df.withColumn(tmp, explode(arrays_zip(cols.map(col): _*))))(
               (d, c) => d.withColumn(c, col(tmp).getField(c))).drop(tmp)
-          }
+        }
         items.foldLeft(expanded) {
           // try_cast: elements that fail conversion become null (the ADX
           // contract), never an ANSI error
@@ -1741,7 +1762,7 @@ object KqlPipeline {
         val (inner, tail) = takeGroup(body.drop("pivot".length), '(', ')')
         require(tail.trim.isEmpty, s"unexpected trailing text after pivot(…): '$tail'")
         val parts = splitTopLevel(inner, ',').map(_.trim).filter(_.nonEmpty)
-        require(parts.length == 2, s"pivot needs (pivotColumn, agg(valueColumn)), got: '$inner'")
+        require(parts.length >= 2, s"pivot needs (pivotColumn, agg(valueColumn)[, v1, v2, …]), got: '$inner'")
         val pivotCol = parts.head
         val aggCol   = aggItem(parts(1))
         val valueCol = {
@@ -1752,7 +1773,13 @@ object KqlPipeline {
           arg0.map(_.trim).filter(_.matches("[A-Za-z_][A-Za-z0-9_]*"))
         }
         val groupCols = df.columns.toSeq.filterNot(c => c == pivotCol || valueCol.contains(c))
-        df.groupBy(groupCols.map(col): _*).pivot(pivotCol).agg(aggCol)
+        val grouped = df.groupBy(groupCols.map(col): _*)
+        // explicit output values (ADX allows them) skip the domain-
+        // discovery pass entirely — on a big fact table that pass is a
+        // full extra scan, so spelling the columns IS the fast path
+        val domain = parts.drop(2).map(unquote)
+        if (domain.isEmpty) grouped.pivot(pivotCol).agg(aggCol)
+        else grouped.pivot(pivotCol, domain).agg(aggCol)
 
       // `reduce by <expr> [with threshold = t]`: group similar strings into
       // patterns. ADX's plugin uses an opaque similarity heuristic; this

@@ -374,6 +374,26 @@ class KqlPipelineSpec extends SparkSuite {
       Seq((1L, 2L), (2L, 1L), (3L, 1L), (4L, 3L), (5L, 1L)))
   }
 
+  test("mv-expand with_itemindex rides the 0-based element position") {
+    val r = run(
+      """people | where id == 1
+        | | extend w = split(role, ' ')
+        | | mv-expand with_itemindex = ix w
+        | | project ix, w
+        | | order by ix asc""".stripMargin)
+      .collect().map(x => (x.getLong(0), x.getString(1)))
+    assert(r.toSeq == Seq((0L, "admin"), (1L, "role")))
+  }
+
+  test("evaluate pivot with explicit values skips the domain-discovery pass") {
+    val r = run(
+      """people | project role, score
+        | | evaluate pivot(role, sum(score), 'user', 'guest')""".stripMargin)
+    assert(r.columns.toSeq == Seq("user", "guest"))
+    val row = r.head()
+    assert(row.getDouble(0) == 20.0 && row.getDouble(1) == 15.0)
+  }
+
   test("parse extracts lazily between literals") {
     val logs = Seq((1L, "user=alice action=login dur=30ms"),
                    (2L, "user=bob action=logout dur=5ms")).toDF("id", "line")
