@@ -910,6 +910,66 @@ object Surface {
                SELECT * FROM r)
         SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY 1""")),
 
+    "curate_dedup_keep_best" -> QueryDef(
+      // the step real pipelines run AFTER near-dup clustering: keep ONE doc
+      // per cluster — the highest-quality member (doc_id tie-break). Same
+      // edge set and components as dedup_clusters, then a per-cluster
+      // max_by; the composition is exactly fuzzy-dedup-with-quality-policy.
+      (s, dir) => {
+        val bound = 300L
+        val docs  = t(s, dir, "documents").filter(col("doc_id") < bound)
+        val edges = ngramJaccardPairs(docs, 0.4)
+          .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+        val clusters = DedupFunctions
+          .connectedComponents(docs.select(col("doc_id").as("id")), edges)
+          .select(col("id").as("doc_id"), col("cluster_id"))
+        val scored = docs.select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("q"))
+        clusters.join(scored, Seq("doc_id"))
+          .groupBy(col("cluster_id"))
+          .agg(
+            count(lit(1)).as("n_members"),
+            max_by(col("doc_id"), struct(col("q"), -col("doc_id"))).as("kept_doc"),
+            max(col("q")).as("best_quality"))
+      },
+      Some(s"""
+        WITH sh AS (SELECT DISTINCT doc_id,
+                      unnest(list_transform(range(1, greatest(length(text) - 9, 1) + 1),
+                                            i -> substr(text, CAST(i AS INT), 10))) AS sh
+                    FROM documents WHERE doc_id < 300),
+             sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             it AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+             e0 AS (SELECT doc_a, doc_b
+                    FROM it JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+                    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.4),
+             edges AS (SELECT doc_a AS a, doc_b AS b FROM e0
+                       UNION SELECT doc_b, doc_a FROM e0),
+             reach AS (
+               WITH RECURSIVE r(a, b) AS (
+                 SELECT doc_id, doc_id FROM documents WHERE doc_id < 300
+                 UNION
+                 SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a)
+               SELECT * FROM r),
+             cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY 1),
+             q AS (SELECT doc_id,
+                     round((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' '))) * 0.5
+                           + (CASE WHEN (CAST(length(text) AS DOUBLE) - (len(string_split(text, ' ')) - 1.0)) / len(string_split(text, ' ')) >= 3
+                                     AND (CAST(length(text) AS DOUBLE) - (len(string_split(text, ' ')) - 1.0)) / len(string_split(text, ' ')) <= 10
+                                   THEN 1.0 ELSE 0.0 END) * 0.2
+                           + least(CAST(${dkHits("en")} AS DOUBLE) / len(string_split(text, ' ')) * 10.0, 1.0) * 0.3,
+                           6) AS q
+                   FROM documents WHERE doc_id < 300),
+             j AS (SELECT cl.cluster_id, cl.doc_id, q.q,
+                          row_number() OVER (PARTITION BY cluster_id
+                                             ORDER BY q.q DESC, cl.doc_id) AS rn,
+                          count(*) OVER (PARTITION BY cluster_id) AS cnt,
+                          max(q.q) OVER (PARTITION BY cluster_id) AS mq
+                   FROM cl JOIN q USING (doc_id))
+        SELECT cluster_id, cnt AS n_members, doc_id AS kept_doc,
+               mq AS best_quality
+        FROM j WHERE rn = 1""")),
+
     "dedup_minhash_lsh" -> QueryDef(
       // RefinedWeb/C4-style document dedup: minhash over word 5-grams,
       // jaccard ≥ 0.8 — word grams keep candidate density sane on corpora
