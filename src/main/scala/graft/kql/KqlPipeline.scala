@@ -236,7 +236,18 @@ object KqlPipeline {
             facets ++ query
           case _ => fail(s"facet needs `facet by c1[, c2] [with (sub-pipeline)]`, got: '$last'")
         }
-      case other => fail(s"runMulti's final operator must be fork or facet, got: '$other'")
+      // `evaluate preview(N)`: ADX's two-table peek — the first N rows plus
+      // the total row count. The sample leg is a plain limit (no sort, no
+      // full scan); the count leg is the one aggregate.
+      case "evaluate" if last.stripPrefix("evaluate").trim.toLowerCase.startsWith("preview") =>
+        val body = last.stripPrefix("evaluate").trim
+        val (inner, tail) = takeGroup(body.drop("preview".length), '(', ')')
+        require(tail.trim.isEmpty, s"unexpected trailing text after preview(…): '$tail'")
+        val n = inner.trim.toInt
+        require(n > 0, s"preview needs a positive row count: '$inner'")
+        Seq("preview" -> base.limit(n),
+          "count" -> base.agg(count(lit(1)).as("Count")))
+      case other => fail(s"runMulti's final operator must be fork, facet or evaluate preview, got: '$other'")
     }
   }
 

@@ -795,6 +795,15 @@ class KqlPipelineSpec extends SparkSuite {
     assert(legs(2)._2.head().getDouble(0) == 20.0)
   }
 
+  test("runMulti: evaluate preview returns the sample and the total count") {
+    val legs = KqlPipeline.runMulti(Map("people" -> people),
+      "people | where age >= 30 | evaluate preview(2)")
+    assert(legs.map(_._1) == Seq("preview", "count"))
+    assert(legs(0)._2.count() == 2L)
+    assert(legs(0)._2.columns.toSeq == people.columns.toSeq)
+    assert(legs(1)._2.head().getLong(0) == 4L)
+  }
+
   test("invoke applies a let-bound lambda function") {
     // default parameter value
     assert(run("let adults = (T:(*), minAge:long = 30) { T | where age >= minAge }; " +
