@@ -396,6 +396,62 @@ object KqlCompat {
                     "'periods', transform(__spd_t, __pp -> element_at(__pp, 2)), " +
                     "'scores', transform(__spd_t, __pp -> round(-element_at(__pp, 1), 6)))")))))
     }
+    // series_fit_2lines_dynamic(x): best two-segment linear fit — for every
+    // split s (2..n−2), closed-form least squares on [0,s) and [s,n) from
+    // six per-segment folds (Σx/Σx² are index closed forms; Σy/Σxy/Σy² are
+    // O(len) folds → O(n²) per row, grid-sized series by design).
+    // Candidates encode as [rss, s, αL, βL, αR, βR] arrays; lexicographic
+    // array_sort puts (rss asc, split asc) first on both engines. All
+    // intermediates let1-bound.
+    s = expandCalls(s, "series_fit_2lines_dynamic") {
+      case Seq(x) =>
+        def sy(a: String, b: String)  =
+          s"aggregate(sequence($a, ($b) - 1), CAST(0 AS DOUBLE), (acc, i) -> acc + element_at(__f2_x, i + 1))"
+        def sxy(a: String, b: String) =
+          s"aggregate(sequence($a, ($b) - 1), CAST(0 AS DOUBLE), (acc, i) -> acc + CAST(i AS DOUBLE) * element_at(__f2_x, i + 1))"
+        def syy(a: String, b: String) =
+          s"aggregate(sequence($a, ($b) - 1), CAST(0 AS DOUBLE), (acc, i) -> acc + element_at(__f2_x, i + 1) * element_at(__f2_x, i + 1))"
+        // index sums over [a, b): closed forms
+        def sx(a: String, b: String)  = s"((($b) - 1 + ($a)) * (($b) - ($a)) / 2.0)"
+        def sxx(b: String)            = s"((($b) - 1) * ($b) * (2 * ($b) - 1) / 6.0)"
+        def sxx2(a: String, b: String) = s"(${sxx(b)} - ${sxx(a)})"
+        // one segment's [α, β, rss] as a 3-array (m ≥ 2 everywhere by the
+        // split bounds, and x-values are distinct indices, so D > 0)
+        def seg(a: String, b: String) = {
+          val m = s"CAST((($b) - ($a)) AS DOUBLE)"
+          s"element_at(transform(array(array(${sy(a, b)}, ${sxy(a, b)}, ${syy(a, b)})), __sv -> " +
+            s"element_at(transform(array(" +
+            s"(($m * element_at(__sv, 2) - ${sx(a, b)} * element_at(__sv, 1)) / " +
+            s"($m * ${sxx2(a, b)} - ${sx(a, b)} * ${sx(a, b)}))), __sb -> " +
+            s"array((element_at(__sv, 1) - __sb * ${sx(a, b)}) / $m, __sb, " +
+            s"element_at(__sv, 3) - (element_at(__sv, 1) - __sb * ${sx(a, b)}) / $m * element_at(__sv, 1) - __sb * element_at(__sv, 2))" +
+            s"), 1)), 1)"
+        }
+        val cand = s"transform(sequence(2, size(__f2_x) - 2), __fs -> " +
+          s"element_at(transform(array(${seg("0", "__fs")}), __fl -> " +
+          s"element_at(transform(array(${seg("__fs", "size(__f2_x)")}), __fr -> " +
+          "array(element_at(__fl, 3) + element_at(__fr, 3), CAST(__fs AS DOUBLE), " +
+          "element_at(__fl, 1), element_at(__fl, 2), element_at(__fr, 1), element_at(__fr, 2))" +
+          "), 1)), 1))"
+        val best = s"element_at(array_sort($cand), 1)"
+        let1("__f2_x", asD(x),
+          let1("__f2_b", best,
+            let1("__f2_s", "CAST(element_at(__f2_b, 2) AS INT)",
+              "named_struct(" +
+                "'split_idx', CAST(__f2_s AS BIGINT), " +
+                s"'rsquare', (CASE WHEN ${varOf("__f2_x")} > 0 THEN " +
+                s"1 - element_at(__f2_b, 1) / (${varOf("__f2_x")} * (${nOf("__f2_x")} - 1)) " +
+                "ELSE CAST(1 AS DOUBLE) END), " +
+                s"'variance', ${varOf("__f2_x")}, " +
+                s"'rvariance', element_at(__f2_b, 1) / (${nOf("__f2_x")} - 1), " +
+                "'left_interception', element_at(__f2_b, 3), " +
+                "'left_slope', element_at(__f2_b, 4), " +
+                "'right_interception', element_at(__f2_b, 5), " +
+                "'right_slope', element_at(__f2_b, 6), " +
+                "'line_fit', transform(sequence(0, size(__f2_x) - 1), i -> " +
+                "CASE WHEN i < __f2_s THEN element_at(__f2_b, 3) + element_at(__f2_b, 4) * CAST(i AS DOUBLE) " +
+                "ELSE element_at(__f2_b, 5) + element_at(__f2_b, 6) * CAST(i AS DOUBLE) END))")))
+    }
     // geo scalars: great-circle distance by the haversine closed form on
     // the 6371.0088 km mean-Earth radius (ADX uses a geodesic; documented
     // divergence — haversine restates identically in any SQL engine, which

@@ -3202,6 +3202,27 @@ object Surface {
                to_json(list_transform(pairs[1:2], pr -> round(-pr[1], 6))) AS scores_json
         FROM p ORDER BY 1""")),
 
+    "q_series_fit2lines" -> QueryDef(
+      // series_fit_2lines_dynamic on an exact piecewise-linear fixture —
+      // the oracle is the HAND-DERIVED ground truth (slope 1 then −2,
+      // break at 6, perfect fit), not a reimplementation; every sum is
+      // integer-exact in double so the recovered params are exact.
+      // `+ 0.0` normalizes a possible −0.0 interception.
+      (s, dir) => kqlRun(s, dir,
+        """print d = series_fit_2lines_dynamic(
+          |     dynamic([0.0, 1, 2, 3, 4, 5, 10, 8, 6, 4]))
+          | | project split_idx = d.split_idx,
+          |     rsq = round(d.rsquare, 6),
+          |     ls = round(d.left_slope, 6) + 0.0,
+          |     li = round(d.left_interception, 6) + 0.0,
+          |     rs = round(d.right_slope, 6) + 0.0,
+          |     ri = round(d.right_interception, 6) + 0.0,
+          |     fit = to_json(transform(d.line_fit, v -> round(v, 6)))""".stripMargin),
+      Some("""
+        SELECT CAST(6 AS BIGINT) AS split_idx, 1.0 AS rsq,
+               1.0 AS ls, 0.0 AS li, -2.0 AS rs, 22.0 AS ri,
+               '[0.0,1.0,2.0,3.0,4.0,5.0,10.0,8.0,6.0,4.0]' AS fit""")),
+
     "q_kql_arrayfuncs" -> QueryDef(
       // dynamic-array scalar tail over an inline datatable: pure
       // codegen'd array-function work, zero shuffles. Set-op outputs are

@@ -130,6 +130,23 @@ class SeriesFunctionsSpec extends SparkSuite {
     assert(periods.size == 2 && scores.size == 2)
   }
 
+  test("series_fit_2lines_dynamic: exact piecewise-linear series recovers the break") {
+    // y = i for i<6, y = 22 - 2i for i>=6 — all sums integer-exact in
+    // double, so the fit recovers the params exactly and rss is ~0
+    val o = oneRow(
+      "series_fit_2lines_dynamic(dynamic([0.0, 1, 2, 3, 4, 5, 10, 8, 6, 4]))")
+    val r = o.getStruct(0)
+    assert(r.getAs[Long]("split_idx") == 6L)
+    assert(math.abs(r.getAs[Double]("rsquare") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("left_slope") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("left_interception")) < 1e-9)
+    assert(math.abs(r.getAs[Double]("right_slope") + 2.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("right_interception") - 22.0) < 1e-9)
+    val fit = r.getSeq[Double](r.fieldIndex("line_fit"))
+    assert(fit.zip(Seq(0.0, 1, 2, 3, 4, 5, 10, 8, 6, 4))
+      .forall { case (a, b) => math.abs(a - b) < 1e-9 })
+  }
+
   test("make-series supports multiple aggregations with per-agg defaults") {
     val s = spark
     import s.implicits._
