@@ -515,42 +515,58 @@ object KqlPipeline {
     }
   }
 
-  /** `graph-match (a)-[e1]->(b)-[e2]->(c) [where <pred>] [project <items>]`
-    * — the linear-path subset of ADX's pattern matcher (no variable-length
-    * edges, no branching patterns; documented divergence). Lowering is
-    * pure Catalyst: one aliased join per pattern element — node and edge
-    * predicates push into the scans, the optimizer picks broadcast vs
-    * shuffle per hop, and AQE re-plans skewed hops — so a pattern match
-    * scales exactly like the equivalent hand-written join chain.
+  private final case class GraphHop(
+      edge: String, range: Option[(Int, Int)], node: String)
+
+  /** `graph-match (a)-[e1]->(b)-[e*1..3]->(c) [where <pred>]
+    * [project <items>]` — linear paths with optional BOUNDED
+    * variable-length edges (branching patterns stay unsupported;
+    * documented divergence). Lowering is pure Catalyst: one aliased join
+    * per pattern element — node and edge predicates push into the scans,
+    * the optimizer picks broadcast vs shuffle per hop, and AQE re-plans
+    * skewed hops — so a pattern match scales exactly like the equivalent
+    * hand-written join chain.
+    *
+    * A variable hop `-[e*lo..hi]->` expands to the UNION of the fixed
+    * chains of lo..hi edges (intermediate endpoints membership-checked
+    * against the node frame, matching ADX); the hop count rides along as
+    * `<e>_hops`, but the variable edge's own columns are not addressable
+    * (ADX's all()/any() edge functions are out of scope). Because the
+    * union flattens the per-branch aliases, a pattern WITH a variable
+    * hop requires an explicit `project`.
     */
   private def graphMatch(g: GraphCtx, rest: String): DataFrame = {
     val (beforeProject, projectPart) = splitAtTopLevelKeyword(rest, "project")
     val (patternStr, wherePart)      = splitAtTopLevelKeyword(beforeProject, "where")
     val NodeRe = """^\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*""".r
-    val HopRe  = """^-\[\s*([A-Za-z_][A-Za-z0-9_]*)\s*\]->\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*""".r
+    val HopRe  = ("""^-\[\s*([A-Za-z_][A-Za-z0-9_]*)""" +
+      """(?:\s*\*\s*(\d+)\s*\.\.\s*(\d+))?\s*\]->\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*""").r
     var s2 = patternStr.trim
     val first = NodeRe.findPrefixMatchOf(s2).getOrElse(
       fail(s"graph-match pattern must start with `(node)`, got: '$patternStr'"))
-    var out  = g.nodes.alias(first.group(1))
-    var prev = first.group(1)
-    var seen = Set(first.group(1))
+    val start = first.group(1)
+    var seen  = Set(start)
     s2 = s2.drop(first.matched.length)
     require(s2.nonEmpty, s"graph-match needs at least one edge: '$patternStr'")
+    val hops = Seq.newBuilder[GraphHop]
     while (s2.nonEmpty) {
       val m = HopRe.findPrefixMatchOf(s2).getOrElse(
         fail(s"bad graph-match pattern near: '$s2'"))
-      val (e, n) = (m.group(1), m.group(2))
-      Seq(e, n).foreach(v => { require(!seen(v),
+      val range = Option(m.group(2)).map { lo0 =>
+        val (lo, hi) = (lo0.toInt, m.group(3).toInt)
+        require(lo >= 1 && hi >= lo && hi <= 8,
+          s"variable-length hop needs 1 <= lo <= hi <= 8, got *$lo0..${m.group(3)}")
+        (lo, hi)
+      }
+      Seq(m.group(1), m.group(4)).foreach(v => { require(!seen(v),
         s"graph-match: pattern variable '$v' repeats (self-referential patterns unsupported)")
         seen += v })
-      out = out
-        .join(g.edges.alias(e), col(s"$prev.${g.id}") === col(s"$e.${g.src}"))
-        .join(g.nodes.alias(n), col(s"$e.${g.dst}") === col(s"$n.${g.id}"))
-      prev = n
+      hops += GraphHop(m.group(1), range, m.group(4))
       s2 = s2.drop(m.matched.length)
     }
-    val filtered = wherePart.map(p => out.filter(expr(tx(p)))).getOrElse(out)
-    projectPart match {
+    val allHops = hops.result()
+
+    def projected(frame: DataFrame): DataFrame = projectPart match {
       case Some(items) =>
         val cols = splitTopLevel(items, ',').map(_.trim).filter(_.nonEmpty).map { it =>
           assignment(it) match {
@@ -558,8 +574,49 @@ object KqlPipeline {
             case None           => expr(tx(it))
           }
         }
-        filtered.select(cols: _*)
-      case None => filtered
+        frame.select(cols: _*)
+      case None => frame
+    }
+
+    /** One fixed chain: each hop contributes `lengths(i)` edges; anonymous
+      * intermediates are membership-checked id-only node projections. */
+    def chain(lengths: Seq[Int]): DataFrame = {
+      var out  = g.nodes.alias(start)
+      var prev = s"$start.${g.id}"
+      var anon = 0
+      allHops.zip(lengths).foreach { case (h, len) =>
+        for (i <- 1 to len) {
+          val last   = i == len
+          val eAlias = if (h.range.isEmpty) h.edge else { anon += 1; s"__ge$anon" }
+          out = out.join(g.edges.alias(eAlias), col(prev) === col(s"$eAlias.${g.src}"))
+          if (last) {
+            out  = out.join(g.nodes.alias(h.node), col(s"$eAlias.${g.dst}") === col(s"${h.node}.${g.id}"))
+            prev = s"${h.node}.${g.id}"
+          } else {
+            anon += 1
+            val nAlias = s"__gn$anon"
+            out = out.join(
+              g.nodes.select(col(g.id).as(nAlias)).alias(nAlias),
+              col(s"$eAlias.${g.dst}") === col(s"$nAlias.$nAlias"))
+            prev = s"$nAlias.$nAlias"
+          }
+        }
+        h.range.foreach(_ => out = out.withColumn(s"${h.edge}_hops", lit(len.toLong)))
+      }
+      wherePart.map(p => out.filter(expr(tx(p)))).getOrElse(out)
+    }
+
+    if (allHops.forall(_.range.isEmpty)) projected(chain(allHops.map(_ => 1)))
+    else {
+      require(projectPart.isDefined,
+        "graph-match with a variable-length hop needs an explicit `project` " +
+          "(the union of expansions flattens the pattern aliases)")
+      val choices = allHops.map(h => h.range.map { case (lo, hi) => lo to hi }.getOrElse(1 to 1))
+      val combos  = choices.foldLeft(Seq(Seq.empty[Int]))((acc, r) =>
+        acc.flatMap(pfx => r.map(pfx :+ _)))
+      require(combos.size <= 64,
+        s"variable-length expansion too large (${combos.size} > 64 chains)")
+      combos.map(ls => projected(chain(ls))).reduce(_ unionByName _)
     }
   }
 
