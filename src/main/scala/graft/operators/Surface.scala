@@ -3454,6 +3454,44 @@ object Surface {
           AND abs(round(round(ca * 100 / ta, 6) - round(cb * 100 / tb, 6), 6)) >= 0.1
         ORDER BY PercentDiff DESC, band, ub""")),
 
+    "q_kql_graph_varlen" -> QueryDef(
+      // variable-length graph-match on the TPC-H bulk-shipment graph:
+      // (x)-[e*1..2]->(y) from customers = the union of the 1-hop (c→s)
+      // and 2-hop (c→s→p) chains, counted per hop depth. Each expansion is
+      // plain Catalyst joins with the qty=50 edge filter pushed to scans.
+      (s, dir) => kqlRun(s, dir,
+        """let E = orders
+          |   | join kind=inner (lineitem) on $left.o_orderkey == $right.l_orderkey
+          |   | where l_quantity == 50
+          |   | project src = strcat('c', tostring(o_custkey)),
+          |       dst = strcat('s', tostring(l_suppkey))
+          |   | union (lineitem
+          |       | where l_quantity == 50
+          |       | project src = strcat('s', tostring(l_suppkey)),
+          |           dst = strcat('p', tostring(l_partkey)));
+          |E
+          | | make-graph src --> dst
+          | | graph-match (x)-[e*1..2]->(y)
+          |     where x.node_id startswith 'c'
+          |     project hops = e_hops
+          | | summarize paths = count() by hops
+          | | order by hops asc""".stripMargin),
+      Some("""
+        WITH ce AS (SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                           's' || CAST(l_suppkey AS VARCHAR) AS dst
+                    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                    WHERE l_quantity = 50),
+             se AS (SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                           'p' || CAST(l_partkey AS VARCHAR) AS dst
+                    FROM lineitem WHERE l_quantity = 50),
+             E AS (SELECT * FROM ce UNION ALL SELECT * FROM se)
+        SELECT CAST(1 AS BIGINT) AS hops, count(*) AS paths
+        FROM E WHERE src LIKE 'c%'
+        UNION ALL
+        SELECT 2, count(*) FROM E a JOIN E b ON a.dst = b.src
+        WHERE a.src LIKE 'c%'
+        ORDER BY 1""")),
+
     "q_kql_dcount_hll" -> QueryDef(
       // KQL's native dcount IS an HLL estimate; this pipeline's dcount is
       // exact by documented choice, and dcount_hll exposes the KQL-faithful
