@@ -452,6 +452,18 @@ object KqlCompat {
                 "CASE WHEN i < __f2_s THEN element_at(__f2_b, 3) + element_at(__f2_b, 4) * CAST(i AS DOUBLE) " +
                 "ELSE element_at(__f2_b, 5) + element_at(__f2_b, 6) * CAST(i AS DOUBLE) END))")))
     }
+    // bag_pack('k1', v1, 'k2', v2, …): a JSON bag (bags are JSON strings
+    // in this engine — the bag_unpack/extractjson duals). Keys must be
+    // string literals (they become struct field names); insertion order is
+    // preserved, matching json_object on the oracle side.
+    s = expandCalls(s, "bag_pack") {
+      case args if args.size >= 2 && args.size % 2 == 0 &&
+          args.grouped(2).forall(p => p.head.trim.matches("'[^']*'")) =>
+        val fields = args.grouped(2).map { case Seq(k, v) =>
+          s"${k.trim}, $v"
+        }.mkString(", ")
+        s"to_json(named_struct($fields))"
+    }
     // geo scalars: great-circle distance by the haversine closed form on
     // the 6371.0088 km mean-Earth radius (ADX uses a geodesic; documented
     // divergence — haversine restates identically in any SQL engine, which

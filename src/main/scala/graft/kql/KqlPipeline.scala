@@ -1155,9 +1155,23 @@ object KqlPipeline {
         applyJoin(df, right, kind, onClause)
 
       case "union" =>
-        splitTopLevel(rest, ',').map(_.trim).filter(_.nonEmpty).foldLeft(df) { (acc, src) =>
-          // KQL union matches columns by NAME and null-pads the gaps
-          acc.unionByName(operand(resolve, src), allowMissingColumns = true)
+        // `kind=outer` (the default) null-pads name-matched columns;
+        // `kind=inner` keeps only the columns COMMON to every operand
+        val (uKind, rest1) = rest.trim match {
+          case r if r.toLowerCase.startsWith("kind=") =>
+            val (k, t2) = r.drop("kind=".length).span(!_.isWhitespace)
+            require(k == "inner" || k == "outer", s"union kind must be inner|outer, got '$k'")
+            (k, t2.trim)
+          case r => ("outer", r)
+        }
+        val operands = df +: splitTopLevel(rest1, ',').map(_.trim).filter(_.nonEmpty)
+          .map(operand(resolve, _))
+        if (uKind == "outer")
+          operands.reduce(_.unionByName(_, allowMissingColumns = true))
+        else {
+          val common = operands.map(_.columns.toSeq).reduce(_ intersect _)
+          require(common.nonEmpty, "union kind=inner: operands share no columns")
+          operands.map(_.select(common.map(col): _*)).reduce(_ unionByName _)
         }
 
       // `mv-expand c[, d]`: one output row per element of the dynamic

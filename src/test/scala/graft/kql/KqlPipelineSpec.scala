@@ -795,6 +795,17 @@ class KqlPipelineSpec extends SparkSuite {
     assert(legs(2)._2.head().getDouble(0) == 20.0)
   }
 
+  test("union kind=inner keeps only the common columns; bag_pack builds a bag") {
+    val r = run(
+      "people | union kind=inner (depts) | project-keep role | count")
+    assert(r.head().getLong(0) == 8L) // 5 people + 3 depts, role is common
+    intercept[Exception](
+      run("people | union kind=inner (depts) | project id | count").collect())
+    val bag = run("people | where id == 1 | project b = bag_pack('n', name, 'a', age)")
+      .head().getString(0)
+    assert(bag == """{"n":"Alice","a":30}""")
+  }
+
   test("runMulti: evaluate preview returns the sample and the total count") {
     val legs = KqlPipeline.runMulti(Map("people" -> people),
       "people | where age >= 30 | evaluate preview(2)")
