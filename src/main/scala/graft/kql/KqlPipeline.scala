@@ -976,6 +976,17 @@ object KqlPipeline {
                       s"path; got: '$e'")
                   if (pn == "prev") graft.util.ScanOps.lag1(staged2, tmp, name)
                   else graft.util.ScanOps.lead1(staged2, tmp, name)
+                // dense run rank over the serialized order: +1 whenever the
+                // term changes — a boundary indicator through the same
+                // lag + cumsum scans (still no 1-partition window)
+                case "row_rank_dense" =>
+                  require(args.size == 1, s"row_rank_dense takes (term), got: '$e'")
+                  val ptmp = "__graft_scan_prev"
+                  val itmp = "__graft_scan_ind"
+                  val ind = graft.util.ScanOps.lag1(staged2, tmp, ptmp)
+                    .withColumn(itmp,
+                      when(col(ptmp).isNull || col(tmp) =!= col(ptmp), 1L).otherwise(0L))
+                  graft.util.ScanOps.cumSum(ind, itmp, name).drop(ptmp, itmp)
               }).drop(tmp)
             case Some((name, e)) => d.withColumn(name, expr(tx(e)))
             case None            => fail(s"extend needs `name = expr`, got: '$item'")
@@ -1454,6 +1465,16 @@ object KqlPipeline {
                             d2.withColumn(name,
                               if (args.size == 3) coalesce(shifted, expr(tx(args(2))))
                               else shifted)
+                          case "row_rank_dense" =>
+                            // two window passes (lag, then the cumulative
+                            // sum) — nesting one inside the other is illegal
+                            require(args.size == 1, s"row_rank_dense takes (term), got: '$e'")
+                            val ptmp = "__graft_rrd_prev"
+                            d2.withColumn(ptmp, lag(arg0, 1).over(w))
+                              .withColumn(name, sum(
+                                when(col(ptmp).isNull || arg0 =!= col(ptmp), 1L)
+                                  .otherwise(0L)).over(wCum))
+                              .drop(ptmp)
                         }
                       case Some((name, e)) => d2.withColumn(name, expr(tx(e)))
                       case None => fail(s"extend needs `name = expr`, got: '$item'")
@@ -2239,7 +2260,7 @@ object KqlPipeline {
 
   // serialized-order row functions lowered to ScanOps (argument may be any
   // scalar expression; no nested parens beyond one level of calls)
-  private val RowScanRe = """(?i)(row_cumsum|prev|next)\s*\((.*)\)""".r
+  private val RowScanRe = """(?i)(row_cumsum|row_rank_dense|prev|next)\s*\((.*)\)""".r
 
   /** ADX phrase semantics for a needle CONTAINING non-alphanumerics: its
     * alphanumeric terms must appear as ADJACENT terms in the haystack

@@ -3454,6 +3454,27 @@ object Surface {
           AND abs(round(round(ca * 100 / ta, 6) - round(cb * 100 / tb, 6), 6)) >= 0.1
         ORDER BY PercentDiff DESC, band, ub""")),
 
+    "q_kql_row_rank" -> QueryDef(
+      // row_rank_dense over the serialized event stream of one user: the
+      // rank bumps when the event type changes — boundary indicator via
+      // the lag + cumsum scan pair, no 1-partition window
+      (s, dir) => kqlRun(s, dir,
+        """events
+          | | where user_id == 7
+          | | order by ts asc
+          | | extend r = row_rank_dense(event_type)
+          | | project event_id, event_type, r
+          | | order by event_id asc""".stripMargin),
+      Some("""
+        SELECT event_id, event_type,
+               CAST(sum(CASE WHEN prev IS NULL OR event_type <> prev
+                             THEN 1 ELSE 0 END)
+                 OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS r
+        FROM (SELECT event_id, ts, event_type,
+                     lag(event_type) OVER (ORDER BY ts) AS prev
+              FROM events WHERE user_id = 7)
+        ORDER BY event_id""")),
+
     "q_kql_graph_varlen" -> QueryDef(
       // variable-length graph-match on the TPC-H bulk-shipment graph:
       // (x)-[e*1..2]->(y) from customers = the union of the 1-hop (c→s)
