@@ -1257,28 +1257,47 @@ object KqlPipeline {
           case (b, Some(o)) => (b.trim, o.trim)
           case _            => fail(s"mv-apply needs `on (sub-pipeline)`, got: '$seg'")
         }
-        val (elemName, arrayExpr) = assignment(bindPart) match {
-          case Some((n, e)) => (n, e)
-          case None =>
-            require(bindPart.matches("[A-Za-z_][A-Za-z0-9_]*"),
-              s"mv-apply needs `name = arrayExpr` or a column name, got: '$bindPart'")
-            (bindPart, bindPart)
+        // one or several comma-separated bindings: several arrays expand in
+        // PARALLEL (element i of each lands on row i — arrays_zip + ONE
+        // generator, exactly the mv-expand contract), then the sub-pipeline
+        // sees all element columns at once.
+        val binds = splitTopLevel(bindPart, ',').map(_.trim).filter(_.nonEmpty).map { b =>
+          assignment(b) match {
+            case Some((n, e)) => (n, e)
+            case None =>
+              require(b.matches("[A-Za-z_][A-Za-z0-9_]*"),
+                s"mv-apply needs `name = arrayExpr` or a column name, got: '$b'")
+              (b, b)
+          }
         }
+        require(binds.nonEmpty, s"mv-apply needs at least one binding, got: '$bindPart'")
+        require(binds.map(_._1).distinct.size == binds.size,
+          s"mv-apply element names must be distinct, got: '$bindPart'")
         require(onPart.startsWith("(") && onPart.endsWith(")"),
           s"mv-apply needs a parenthesized sub-pipeline, got: '$onPart'")
         val subSegs = splitTopLevel(onPart.substring(1, onPart.length - 1), '|')
           .map(_.trim).filter(_.nonEmpty)
         val rowId = "__graft_mv_row"
         val originals = df.columns.toSeq
-        // If the element binding shadows an existing column (the `mv-apply
+        // If an element binding shadows an existing column (the `mv-apply
         // arrayCol on (…)` shorthand), stash the original first: the carried
         // first() below must see the per-row-constant original, not an
         // arbitrary exploded element.
-        val collides = originals.contains(elemName)
-        val stash = "__graft_mv_orig"
-        val tagged = df.withColumn(rowId, monotonically_increasing_id())
-        val prepped = if (collides) tagged.withColumn(stash, col(elemName)) else tagged
-        val exploded = prepped.withColumn(elemName, explode(expr(tx(arrayExpr))))
+        val stashes = binds.map(_._1).filter(originals.contains)
+          .map(n => n -> s"__graft_mv_orig_$n").toMap
+        val tagged  = df.withColumn(rowId, monotonically_increasing_id())
+        val prepped = stashes.foldLeft(tagged) { case (d, (n, st)) =>
+          d.withColumn(st, col(n))
+        }
+        val exploded =
+          if (binds.size == 1)
+            prepped.withColumn(binds.head._1, explode(expr(tx(binds.head._2))))
+          else {
+            val tmp = "__graft_mva_zip"
+            binds.foldLeft(prepped.withColumn(tmp, explode(arrays_zip(
+              binds.map { case (n, e) => expr(tx(e)).as(n) }: _*))))(
+              (d, b) => d.withColumn(b._1, col(tmp).getField(b._1))).drop(tmp)
+          }
         val (stages, terminal) =
           if (subSegs.nonEmpty && subSegs.last.toLowerCase.startsWith("summarize"))
             (subSegs.init, Some(subSegs.last.drop("summarize".length)))
@@ -1292,7 +1311,7 @@ object KqlPipeline {
         terminal match {
           // no summarize: the exploded element IS the output column (ADX
           // mv-apply shorthand) — the stash is only for the summarize path
-          case None => staged.drop(rowId, stash)
+          case None => staged.drop(rowId +: stashes.values.toSeq: _*)
           case Some(aggBody) =>
             val (aggsPart, byPart) = splitAtTopLevelBy(aggBody)
             val aggs = splitTopLevel(aggsPart, ',').map(_.trim).filter(_.nonEmpty).flatMap(aggItems)
@@ -1302,9 +1321,8 @@ object KqlPipeline {
               s"mv-apply by-keys must be bare column names, got: '$k'"))
             val carriedNames = originals.filterNot(byCols.contains)
             val carried = carriedNames.map { c2 =>
-              // restore the stashed original when the binding shadowed it
-              if (collides && c2 == elemName) first(col(stash)).as(c2)
-              else first(col(c2)).as(c2)
+              // restore the stashed original when a binding shadowed it
+              first(col(stashes.getOrElse(c2, c2))).as(c2)
             }
             val agged = staged
               .groupBy((rowId +: byCols).map(col): _*)

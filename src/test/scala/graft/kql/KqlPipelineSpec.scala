@@ -918,6 +918,17 @@ class KqlPipelineSpec extends SparkSuite {
     assert(e.getMessage.contains("collide") && e.getMessage.contains("name"), e.getMessage)
   }
 
+  test("mv-apply over several arrays zips element-wise") {
+    val df = Seq((1L, Seq(1, 2, 3), Seq(10.0, 20.0, 30.0))).toDF("id", "q", "p")
+    // revenue per row = Σ q[i]*p[i] over PAIRED elements (not a cross)
+    val r = KqlPipeline.run(Map("t" -> df),
+      """t | mv-apply qe = q, pe = p on (
+        |     extend v = qe * pe
+        |   | summarize rev = sum(v))""".stripMargin)
+    assert(r.columns.toSeq == Seq("id", "q", "p", "rev"))
+    assert(r.head().getDouble(3) == 140.0) // 10 + 40 + 90
+  }
+
   test("mv-apply runs a per-row subquery over array elements") {
     val r = run(
       """people
