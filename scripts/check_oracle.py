@@ -16,6 +16,12 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
 
 oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
 fails = []
+# a query whose Spark dump is MISSING (Verify caught its exception and moved
+# on) must fail the gate — silently skipping it makes ALL MATCH vacuous
+for name in sorted(oracles):
+    if not os.path.isdir(os.path.join(out_dir, name)):
+        print(f"{name:28s} NO-SPARK-DUMP (query failed in Verify?)")
+        fails.append(name)
 for name in sorted(os.listdir(out_dir)):
     d = os.path.join(out_dir, name)
     if not os.path.isdir(d):

@@ -2547,8 +2547,11 @@ object KqlPipeline {
 
   // LHS: identifier or simple call; RHS: quoted literal, identifier, or a
   // parenthesized group (scalar-let substitution emits `(value)`).
+  // identifier operands may be dot-qualified (`x.node_id startswith 'c'`
+  // inside graph-match / join aliases) — each dotted part must start with a
+  // letter, so decimal literals never match the qualifier extension
   private val InfixOperand =
-    """[A-Za-z_][A-Za-z0-9_]*(?:\((?:[^()']|'[^']*')*\))?|'(?:[^']|'')*'|\((?:[^()']|'[^']*')*\)"""
+    """[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*(?:\((?:[^()']|'[^']*')*\))?|'(?:[^']|'')*'|\((?:[^()']|'[^']*')*\)"""
   private val InfixRe =
     s"""($InfixOperand)\\s+(!?)(hasprefix|hassuffix|has|contains|startswith|endswith)\\s+($InfixOperand)""".r
   private val CiEqRe = s"""($InfixOperand)\\s*(=~|!~)\\s*($InfixOperand)""".r
