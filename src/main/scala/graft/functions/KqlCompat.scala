@@ -372,6 +372,26 @@ object KqlCompat {
         val dy = s"($n * $syy - $sy * $sy)"
         s"(CASE WHEN $dx > 0 AND $dy > 0 THEN ($n * $sxy - $sx * $sy) / (sqrt($dx) * sqrt($dy)) ELSE CAST(0 AS DOUBLE) END)"
     }
+    // float-classification scalars (isnan passes through natively)
+    s = expandCalls(s, "isinf") {
+      case Seq(x) =>
+        s"(($x) = CAST('Infinity' AS DOUBLE) OR ($x) = CAST('-Infinity' AS DOUBLE))"
+    }
+    s = expandCalls(s, "isfinite") {
+      case Seq(x) =>
+        s"(NOT isnan($x) AND ($x) <> CAST('Infinity' AS DOUBLE) " +
+          s"AND ($x) <> CAST('-Infinity' AS DOUBLE))"
+    }
+    // series_cosine_similarity(x, y): Σxy / (√Σx² · √Σy²) from three
+    // left-to-right folds; 0 when either side has zero norm (divergence
+    // from ADX's NaN, keeping the value sortable — the pearson convention)
+    s = expandCalls(s, "series_cosine_similarity") {
+      case Seq(x, y) =>
+        val sxy = s"aggregate(zip_with(${asD(x)}, ${asD(y)}, (a, b) -> a * b), " +
+          "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        s"(CASE WHEN ${sumSqOf(x)} > 0 AND ${sumSqOf(y)} > 0 THEN " +
+          s"$sxy / (sqrt(${sumSqOf(x)}) * sqrt(${sumSqOf(y)})) ELSE CAST(0 AS DOUBLE) END)"
+    }
     // series_periods_detect(x, min_period, max_period, num_periods):
     // top-k candidate periods by NORMALIZED AUTOCORRELATION (divergence
     // from ADX's FFT-based detector, same contract: two arrays, best

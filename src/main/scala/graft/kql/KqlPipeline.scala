@@ -2413,6 +2413,15 @@ object KqlPipeline {
                    else s"${base}_${p.replaceAll("[^A-Za-z0-9_]", "_")}"
         expr(s"percentile(${tx(x)}, ${p.trim.toDouble / 100.0})").as(nm)
       }
+    } else if (fn == "percentiles_array" && call.endsWith(")")) {
+      // the one-array variant: percentile() takes an ARRAY of fractions and
+      // returns the matching array — still one pass over the group
+      val args = splitTopLevel(call.substring(open + 1, call.length - 1), ',').map(_.trim)
+      require(args.size >= 2, "percentiles_array needs (expr, p1[, p2, …])")
+      val ps = args.tail.map(_.toDouble / 100.0).mkString(", ")
+      val nm = nameOpt.getOrElse(
+        s"percentiles_${args.head.replaceAll("[^A-Za-z0-9_]", "_")}")
+      Seq(expr(s"percentile(${tx(args.head)}, array($ps))").as(nm))
     } else Seq(aggItem(item))
   }
 

@@ -3454,6 +3454,28 @@ object Surface {
           AND abs(round(round(ca * 100 / ta, 6) - round(cb * 100 / tb, 6), 6)) >= 0.1
         ORDER BY PercentDiff DESC, band, ub""")),
 
+    "q_kql_scalar_tail2" -> QueryDef(
+      // series cosine, float classification, and the one-array percentiles
+      // aggregate in a single oracle row over lineitem quantities
+      (s, dir) => kqlRun(s, dir,
+        """let cs = toscalar(print round(series_cosine_similarity(
+          |   dynamic([1.0, 2.0, 3.0]), dynamic([2.0, 4.0, 6.0])), 6));
+          |lineitem
+          | | where l_orderkey <= 1000
+          | | summarize pa = percentiles_array(l_quantity, 25, 50, 75)
+          | | project pa_json = to_json(transform(pa, v -> round(v, 6))),
+          |     cos_par = cs,
+          |     inf_flag = isinf(todouble('Infinity')),
+          |     fin_flag = isfinite(42.0),
+          |     nan_fin = isfinite(todouble('NaN'))""".stripMargin),
+      Some("""
+        SELECT to_json([round(quantile_cont(l_quantity, 0.25), 6),
+                        round(quantile_cont(l_quantity, 0.50), 6),
+                        round(quantile_cont(l_quantity, 0.75), 6)]) AS pa_json,
+               1.0 AS cos_par, TRUE AS inf_flag, TRUE AS fin_flag,
+               FALSE AS nan_fin
+        FROM lineitem WHERE l_orderkey <= 1000""")),
+
     "q_kql_row_rank" -> QueryDef(
       // row_rank_dense over the serialized event stream of one user: the
       // rank bumps when the event type changes — boundary indicator via
