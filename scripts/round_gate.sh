@@ -21,10 +21,20 @@ SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify $SF_CORRECT $OUT" 2>&1 \
   | tee "$VERIFY_LOG" | tail -2
 if grep -qE "\[verify\].*failed" "$VERIFY_LOG"; then echo "VERIFY FAILURES"; exit 1; fi
 grep -q "\[success\]" "$VERIFY_LOG" || { echo "VERIFY DID NOT COMPLETE"; exit 1; }
+REGISTRY=$(grep -oE '\[verify\] registry [0-9]+' "$VERIFY_LOG" | grep -oE '[0-9]+' | tail -1)
 rm -f "$VERIFY_LOG"
 
 echo "== DuckDB oracle compare =="
 python3 scripts/check_oracle.py "$SF_CORRECT" "$OUT"
+
+echo "== registry-count gate =="
+# every registry entry must have produced a dump that the compare above saw;
+# a drifted SURVEY/README total or a silently-skipped query fails here
+DUMPED=$(find "$OUT" -mindepth 1 -maxdepth 1 -type d | wc -l)
+if [ -z "$REGISTRY" ] || [ "$REGISTRY" != "$DUMPED" ]; then
+  echo "REGISTRY/DUMP COUNT MISMATCH: registry=$REGISTRY dumped=$DUMPED"; exit 1
+fi
+echo "registry == dumped == $REGISTRY"
 
 echo "== bench @ $SF_BENCH =="
 BENCH_LINE=$(SPARK_GRAFT_SF_DIR="$SF_BENCH" SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench" \

@@ -31,6 +31,9 @@ object Verify {
       d
     }
     new java.io.File(outDir).mkdirs()
+    // the registry-count gate: round_gate.sh asserts this number equals
+    // the dumped-dir count, so SURVEY/README totals can't silently drift
+    System.err.println(s"[verify] registry ${SparkEntry.queries.size} queries")
     def selected(name: String): Boolean = only.forall(_.exists(name.startsWith))
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

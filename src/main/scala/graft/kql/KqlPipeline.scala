@@ -518,22 +518,35 @@ object KqlPipeline {
   private final case class GraphHop(
       edge: String, range: Option[(Int, Int)], node: String)
 
-  /** `graph-match (a)-[e1]->(b)-[e*1..3]->(c) [where <pred>]
-    * [project <items>]` — linear paths with optional BOUNDED
-    * variable-length edges (branching patterns stay unsupported;
-    * documented divergence). Lowering is pure Catalyst: one aliased join
-    * per pattern element — node and edge predicates push into the scans,
-    * the optimizer picks broadcast vs shuffle per hop, and AQE re-plans
-    * skewed hops — so a pattern match scales exactly like the equivalent
-    * hand-written join chain.
+  /** `graph-match (a)-[e1]->(b)-[e*1..3]->(c) [, (b)-[e2]->(d) …]
+    * [where <pred>] [project <items>]` — one or several comma-separated
+    * path patterns with optional BOUNDED variable-length edges. Node
+    * variables MAY repeat, within a path (closed cycles
+    * `(a)-[e1]->(b)-[e2]->(a)`) and across paths (trees / branches
+    * `(a)-[e1]->(b), (a)-[e2]->(c)`): a repeated variable binds to the
+    * SAME node, lowered as an equality constraint folded into the one
+    * existing alias's join instead of a second join. Edge variables must
+    * stay distinct — each names its own edge element (the ADX contract) —
+    * and every path after the first must START at an already-bound node
+    * variable (a disconnected pattern would be a cross product; rejected).
+    * Matching is homomorphic: two edge variables may bind the same edge
+    * row, as in ADX.
+    *
+    * Lowering is pure Catalyst: one aliased join per pattern element —
+    * node and edge predicates push into the scans, the optimizer picks
+    * broadcast vs shuffle per hop, and AQE re-plans skewed hops — so a
+    * pattern match scales exactly like the equivalent hand-written join
+    * chain.
     *
     * A variable hop `-[e*lo..hi]->` expands to the UNION of the fixed
     * chains of lo..hi edges (intermediate endpoints membership-checked
     * against the node frame, matching ADX); the hop count rides along as
-    * `<e>_hops`, but the variable edge's own columns are not addressable
-    * (ADX's all()/any() edge functions are out of scope). Because the
-    * union flattens the per-branch aliases, a pattern WITH a variable
-    * hop requires an explicit `project`.
+    * `<e>_hops`, and `all(e.col)` / `any(e.col)` in the where/project
+    * collect the hop edges' `col` values into a hop-ordered array for the
+    * expansion branch at hand (compose with array_sum/array_length/…;
+    * ADX's predicate forms all(e, pred)/any(e, pred) are not parsed).
+    * Because the union flattens the per-branch aliases, a pattern WITH a
+    * variable hop requires an explicit `project`.
     */
   private def graphMatch(g: GraphCtx, rest: String): DataFrame = {
     val (beforeProject, projectPart) = splitAtTopLevelKeyword(rest, "project")
@@ -541,73 +554,121 @@ object KqlPipeline {
     val NodeRe = """^\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*""".r
     val HopRe  = ("""^-\[\s*([A-Za-z_][A-Za-z0-9_]*)""" +
       """(?:\s*\*\s*(\d+)\s*\.\.\s*(\d+))?\s*\]->\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*""").r
-    var s2 = patternStr.trim
-    val first = NodeRe.findPrefixMatchOf(s2).getOrElse(
-      fail(s"graph-match pattern must start with `(node)`, got: '$patternStr'"))
-    val start = first.group(1)
-    var seen  = Set(start)
-    s2 = s2.drop(first.matched.length)
-    require(s2.nonEmpty, s"graph-match needs at least one edge: '$patternStr'")
-    val hops = Seq.newBuilder[GraphHop]
-    while (s2.nonEmpty) {
-      val m = HopRe.findPrefixMatchOf(s2).getOrElse(
-        fail(s"bad graph-match pattern near: '$s2'"))
-      val range = Option(m.group(2)).map { lo0 =>
-        val (lo, hi) = (lo0.toInt, m.group(3).toInt)
-        require(lo >= 1 && hi >= lo && hi <= 8,
-          s"variable-length hop needs 1 <= lo <= hi <= 8, got *$lo0..${m.group(3)}")
-        (lo, hi)
-      }
-      Seq(m.group(1), m.group(4)).foreach(v => { require(!seen(v),
-        s"graph-match: pattern variable '$v' repeats (self-referential patterns unsupported)")
-        seen += v })
-      hops += GraphHop(m.group(1), range, m.group(4))
-      s2 = s2.drop(m.matched.length)
-    }
-    val allHops = hops.result()
-
-    def projected(frame: DataFrame): DataFrame = projectPart match {
-      case Some(items) =>
-        val cols = splitTopLevel(items, ',').map(_.trim).filter(_.nonEmpty).map { it =>
-          assignment(it) match {
-            case Some((n2, e2)) => expr(tx(e2)).as(n2)
-            case None           => expr(tx(it))
-          }
+    var seenEdges = Set.empty[String]
+    final case class GraphPath(start: String, hops: Seq[GraphHop])
+    val paths = splitTopLevel(patternStr, ',').map(_.trim).filter(_.nonEmpty).map { pat =>
+      var s2 = pat
+      val first = NodeRe.findPrefixMatchOf(s2).getOrElse(
+        fail(s"graph-match pattern must start with `(node)`, got: '$pat'"))
+      s2 = s2.drop(first.matched.length)
+      require(s2.nonEmpty, s"graph-match needs at least one edge: '$pat'")
+      val hops = Seq.newBuilder[GraphHop]
+      while (s2.nonEmpty) {
+        val m = HopRe.findPrefixMatchOf(s2).getOrElse(
+          fail(s"bad graph-match pattern near: '$s2'"))
+        val range = Option(m.group(2)).map { lo0 =>
+          val (lo, hi) = (lo0.toInt, m.group(3).toInt)
+          require(lo >= 1 && hi >= lo && hi <= 8,
+            s"variable-length hop needs 1 <= lo <= hi <= 8, got *$lo0..${m.group(3)}")
+          (lo, hi)
         }
-        frame.select(cols: _*)
-      case None => frame
+        require(!seenEdges(m.group(1)),
+          s"graph-match: edge variable '${m.group(1)}' repeats (each names its own edge element)")
+        seenEdges += m.group(1)
+        hops += GraphHop(m.group(1), range, m.group(4))
+        s2 = s2.drop(m.matched.length)
+      }
+      GraphPath(first.group(1), hops.result())
     }
+    val allHops = paths.flatMap(_.hops)
+    require(allHops.nonEmpty, s"graph-match needs at least one edge: '$patternStr'")
 
-    /** One fixed chain: each hop contributes `lengths(i)` edges; anonymous
-      * intermediates are membership-checked id-only node projections. */
-    def chain(lengths: Seq[Int]): DataFrame = {
-      var out  = g.nodes.alias(start)
-      var prev = s"$start.${g.id}"
+    // `all(e.col)` / `any(e.col)` over a variable hop's edges → the
+    // hop-ordered array of this branch's per-edge values
+    def branchTx(s: String, hopAliases: Map[String, Seq[String]]): String =
+      hopAliases.foldLeft(s) { case (acc, (e, aliases)) =>
+        val re = ("""(?i)(?<![A-Za-z0-9_])(?:all|any)\s*\(\s*""" +
+          java.util.regex.Pattern.quote(e) +
+          """\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)""").r
+        re.replaceAllIn(acc, m => java.util.regex.Matcher.quoteReplacement(
+          aliases.map(a => s"$a.${m.group(1)}").mkString("array(", ", ", ")")))
+      }
+
+    def projected(frame: DataFrame, hopAliases: Map[String, Seq[String]]): DataFrame =
+      projectPart match {
+        case Some(items) =>
+          val cols = splitTopLevel(items, ',').map(_.trim).filter(_.nonEmpty).map { it =>
+            assignment(it) match {
+              case Some((n2, e2)) => expr(tx(branchTx(e2, hopAliases))).as(n2)
+              case None           => expr(tx(branchTx(it, hopAliases)))
+            }
+          }
+          frame.select(cols: _*)
+        case None => frame
+      }
+
+    /** One fixed chain across all paths: each hop contributes `lengths(i)`
+      * edges; anonymous intermediates are membership-checked id-only node
+      * projections; a repeated node variable folds to an equality filter
+      * on its existing alias. Returns the frame plus the per-variable-hop
+      * edge aliases this branch used (for all()/any()).
+      */
+    def chain(lengths: Seq[Int]): (DataFrame, Map[String, Seq[String]]) = {
+      var out: DataFrame = null
+      var bound      = Map.empty[String, String]      // node var → qualified id
+      var hopAliases = Map.empty[String, Seq[String]] // varlen edge → aliases
       var anon = 0
-      allHops.zip(lengths).foreach { case (h, len) =>
-        for (i <- 1 to len) {
-          val last   = i == len
-          val eAlias = if (h.range.isEmpty) h.edge else { anon += 1; s"__ge$anon" }
-          out = out.join(g.edges.alias(eAlias), col(prev) === col(s"$eAlias.${g.src}"))
-          if (last) {
-            out  = out.join(g.nodes.alias(h.node), col(s"$eAlias.${g.dst}") === col(s"${h.node}.${g.id}"))
-            prev = s"${h.node}.${g.id}"
-          } else {
-            anon += 1
-            val nAlias = s"__gn$anon"
-            out = out.join(
-              g.nodes.select(col(g.id).as(nAlias)).alias(nAlias),
-              col(s"$eAlias.${g.dst}") === col(s"$nAlias.$nAlias"))
-            prev = s"$nAlias.$nAlias"
+      var li   = 0
+      paths.foreach { p =>
+        var prev = bound.getOrElse(p.start, {
+          require(out == null,
+            s"graph-match: path starting at unbound '${p.start}' is disconnected " +
+              "(a cross product) — start later paths at an already-bound node variable")
+          out    = g.nodes.alias(p.start)
+          bound += p.start -> s"${p.start}.${g.id}"
+          s"${p.start}.${g.id}"
+        })
+        p.hops.foreach { h =>
+          val len = lengths(li); li += 1
+          val branchAliases = Seq.newBuilder[String]
+          for (i <- 1 to len) {
+            val last   = i == len
+            val eAlias = if (h.range.isEmpty) h.edge else { anon += 1; s"__ge$anon" }
+            branchAliases += eAlias
+            out = out.join(g.edges.alias(eAlias), col(prev) === col(s"$eAlias.${g.src}"))
+            if (last) {
+              bound.get(h.node) match {
+                case Some(ref) =>
+                  out  = out.filter(col(s"$eAlias.${g.dst}") === col(ref))
+                  prev = ref
+                case None =>
+                  out = out.join(g.nodes.alias(h.node),
+                    col(s"$eAlias.${g.dst}") === col(s"${h.node}.${g.id}"))
+                  bound += h.node -> s"${h.node}.${g.id}"
+                  prev = s"${h.node}.${g.id}"
+              }
+            } else {
+              anon += 1
+              val nAlias = s"__gn$anon"
+              out = out.join(
+                g.nodes.select(col(g.id).as(nAlias)).alias(nAlias),
+                col(s"$eAlias.${g.dst}") === col(s"$nAlias.$nAlias"))
+              prev = s"$nAlias.$nAlias"
+            }
+          }
+          if (h.range.isDefined) {
+            out         = out.withColumn(s"${h.edge}_hops", lit(len.toLong))
+            hopAliases += h.edge -> branchAliases.result()
           }
         }
-        h.range.foreach(_ => out = out.withColumn(s"${h.edge}_hops", lit(len.toLong)))
       }
-      wherePart.map(p => out.filter(expr(tx(p)))).getOrElse(out)
+      (wherePart.map(p => out.filter(expr(tx(branchTx(p, hopAliases)))))
+        .getOrElse(out), hopAliases)
     }
 
-    if (allHops.forall(_.range.isEmpty)) projected(chain(allHops.map(_ => 1)))
-    else {
+    if (allHops.forall(_.range.isEmpty)) {
+      val (f, m) = chain(allHops.map(_ => 1)); projected(f, m)
+    } else {
       require(projectPart.isDefined,
         "graph-match with a variable-length hop needs an explicit `project` " +
           "(the union of expansions flattens the pattern aliases)")
@@ -616,7 +677,8 @@ object KqlPipeline {
         acc.flatMap(pfx => r.map(pfx :+ _)))
       require(combos.size <= 64,
         s"variable-length expansion too large (${combos.size} > 64 chains)")
-      combos.map(ls => projected(chain(ls))).reduce(_ unionByName _)
+      combos.map { ls => val (f, m) = chain(ls); projected(f, m) }
+        .reduce(_ unionByName _)
     }
   }
 
@@ -1220,8 +1282,11 @@ object KqlPipeline {
             val tmp = "__graft_mv_zip"
             val maxLen = cols.map(c2 => size(col(c2)).cast("long"))
               .reduce((x, y) => greatest(x, y))
-            val zipped = arrays_zip(
-              (sequence(lit(0L), maxLen - 1).as(idx) +: cols.map(col)): _*)
+            // empty arrays drop the row (ADX + the no-index path): guard
+            // the index lane — sequence(0, -1) would step BACKWARDS to
+            // [0, -1] and fabricate two rows; explode(null) yields none
+            val zipped = when(maxLen > lit(0L), arrays_zip(
+              (sequence(lit(0L), maxLen - 1).as(idx) +: cols.map(col)): _*))
             cols.foldLeft(
               df.withColumn(tmp, explode(zipped))
                 .withColumn(idx, col(tmp).getField(idx)))(
@@ -1693,12 +1758,16 @@ object KqlPipeline {
 
       // ipv4_lookup(LookupTable, ipCol, cidrCol [, return_unmatched]):
       // longest-prefix CIDR match as a BUCKETED EQUI-JOIN — never a range
-      // theta-join. Each CIDR explodes to the /16 buckets it covers
-      // (2^(16−m) for m<16, else one — bounded), facts bucket by ipn>>16,
-      // the hash join matches buckets and a residual range filter keeps
-      // real containment. Longest prefix wins per fact row (mask desc,
-      // cidr asc tie-break) via a row-id-partitioned window; ZipIndex
-      // supplies the deterministic row id without a 1-task window.
+      // theta-join. TWO bucket tiers bound the LUT-side explode at 256
+      // rows for ANY mask: CIDRs with mask ≥ 8 explode to the /16 buckets
+      // they cover (2^(16−m), ≤ 256) and join facts on ipn>>16; wider
+      // CIDRs (mask < 8, e.g. a /4 or the /0 default route) explode to /8
+      // buckets (2^(8−m), ≤ 256) and join on ipn>>24. A residual range
+      // filter keeps real containment. Longest prefix wins per fact row
+      // (mask desc, cidr desc tie-break — the oracle orders the same way)
+      // via a hash max_by over the UNION of both legs: partial aggregation
+      // collapses a row's matches inside the join tasks, no window, no
+      // sort. ZipIndex supplies the deterministic row id.
       case "evaluate" if rest.trim.toLowerCase.startsWith("ipv4_lookup") =>
         val a = pluginArgs(rest, "ipv4_lookup", 3, maxN = 4)
         val lutName = a(0).trim
@@ -1713,19 +1782,29 @@ object KqlPipeline {
             "__lk_base - pmod(__lk_base, shiftleft(CAST(1 AS BIGINT), 32 - __lk_mask))"))
           .withColumn("__lk_hi", expr(
             "__lk_lo + shiftleft(CAST(1 AS BIGINT), 32 - __lk_mask) - 1"))
-        val lutB = lut.withColumn("__lk_b",
+        val lutB16 = lut.filter(col("__lk_mask") >= 8).withColumn("__lk_b",
           explode(expr("sequence(__lk_lo div 65536, __lk_hi div 65536)")))
+        val lutB8 = lut.filter(col("__lk_mask") < 8).withColumn("__lk_b8",
+          explode(expr("sequence(__lk_lo div 16777216, __lk_hi div 16777216)")))
         val fact = graft.util.ZipIndex.withRowIndex(df, "__lk_rid", 0L)
           .withColumn("__lk_ipn", expr(tx(s"parse_ipv4($ipC)")))
           .withColumn("__lk_b", expr("__lk_ipn div 65536"))
+          .withColumn("__lk_b8", expr("__lk_ipn div 16777216"))
         // longest prefix per fact row as a hash max_by (mask desc, cidr
         // desc tie-break) — partial aggregation collapses a row's matches
         // INSIDE the broadcast-join task before any shuffle, and no sort
         // is ever planned (a rid-window would shuffle + sort everything)
         val lutOut  = resolve(lutName).columns.toSeq
         val factOut = df.columns.toSeq
-        val matched = fact.join(lutB, Seq("__lk_b"))
+        val candCols = col("__lk_rid") +: col("__lk_mask") +:
+          (factOut ++ lutOut).map(col)
+        val cand = fact.join(lutB16, Seq("__lk_b"))
           .filter(expr("__lk_ipn BETWEEN __lk_lo AND __lk_hi"))
+          .select(candCols: _*)
+          .unionByName(fact.join(lutB8, Seq("__lk_b8"))
+            .filter(expr("__lk_ipn BETWEEN __lk_lo AND __lk_hi"))
+            .select(candCols: _*))
+        val matched = cand
           .groupBy(col("__lk_rid") +: factOut.map(col): _*)
           .agg(max_by(struct(lutOut.map(col): _*),
             struct(col("__lk_mask"), col(cidrC))).as("__lk_best"))

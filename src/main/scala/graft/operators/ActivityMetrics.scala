@@ -135,6 +135,8 @@ object ActivityMetrics {
       s"lookback/period/activePeriods must be positive")
     require(period % step == 0,
       s"period must be a multiple of step so period starts land on the grid: period=$period step=$step")
+    require(lookback % step == 0,
+      s"lookback must be a multiple of step or the explode bound below silently truncates the window: lookback=$lookback step=$step")
     val last = lastBin(start, end, step)
     // distinct (id, period bucket): the only full-input shuffle
     val idPeriod = df

@@ -3535,6 +3535,106 @@ object Surface {
         WHERE a.src LIKE 'c%'
         ORDER BY 1""")),
 
+    "q_kql_graph_branch" -> QueryDef(
+      // branching pattern: two paths share the bound node variable (s) —
+      // bulk (qty 50) and near-bulk (qty 49) shipments out of the same
+      // supplier, counted as ordered pairs. Lowered as one join chain with
+      // the shared variable folded to its single alias; both edge
+      // predicates push into the lineitem scans.
+      (s, dir) => kqlRun(s, dir,
+        """let E = lineitem
+          |   | where l_quantity == 50 or l_quantity == 49
+          |   | project src = strcat('s', tostring(l_suppkey)),
+          |       dst = strcat('p', tostring(l_partkey)), qty = toint(l_quantity);
+          |E
+          | | make-graph src --> dst
+          | | graph-match (s)-[e1]->(p), (s)-[e2]->(q)
+          |     where e1.qty == 50 and e2.qty == 49
+          |     project sid = s.node_id
+          | | summarize pairs = count() by sid
+          | | order by pairs desc, sid asc
+          | | take 10""".stripMargin),
+      Some("""
+        WITH e AS (SELECT 's' || CAST(l_suppkey AS VARCHAR) AS sid,
+                          CAST(l_quantity AS INT) AS qty
+                   FROM lineitem WHERE l_quantity IN (49, 50))
+        SELECT sid, a.n * b.n AS pairs
+        FROM (SELECT sid, count(*) AS n FROM e WHERE qty = 50 GROUP BY 1) a
+        JOIN (SELECT sid, count(*) AS n FROM e WHERE qty = 49 GROUP BY 1) b
+          USING (sid)
+        ORDER BY pairs DESC, sid LIMIT 10""")),
+
+    "q_kql_graph_cycle" -> QueryDef(
+      // closed cycle via a repeated node variable: customer→supplier bulk
+      // edges plus their reversals, pattern (x)-[e1]->(y)-[e2]->(x). The
+      // repeat lowers to an equality constraint on the one x alias — per
+      // customer the cycle count is Σ_s cnt(c,s)², which the oracle
+      // restates directly.
+      (s, dir) => kqlRun(s, dir,
+        """let E = orders
+          |   | join kind=inner (lineitem) on $left.o_orderkey == $right.l_orderkey
+          |   | where l_quantity == 50
+          |   | project src = strcat('c', tostring(o_custkey)),
+          |       dst = strcat('s', tostring(l_suppkey));
+          |E
+          | | union (E | project src = dst, dst = src)
+          | | make-graph src --> dst
+          | | graph-match (x)-[e1]->(y)-[e2]->(x)
+          |     where x.node_id startswith 'c'
+          |     project cid = x.node_id
+          | | summarize cycles = count() by cid
+          | | order by cycles desc, cid asc
+          | | take 10""".stripMargin),
+      Some("""
+        WITH ce AS (SELECT 'c' || CAST(o_custkey AS VARCHAR) AS cid,
+                           's' || CAST(l_suppkey AS VARCHAR) AS sid,
+                           count(*) AS n
+                    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                    WHERE l_quantity = 50 GROUP BY 1, 2)
+        SELECT cid, CAST(sum(n * n) AS BIGINT) AS cycles
+        FROM ce GROUP BY 1
+        ORDER BY cycles DESC, cid LIMIT 10""")),
+
+    "q_kql_graph_varlen_agg" -> QueryDef(
+      // all(e.qty) over a variable hop: the hop edges' quantities collect
+      // into a per-branch array (array_sum folds it), so path-level
+      // aggregates ride the SAME union-of-chains plan as q_kql_graph_varlen
+      // — no extra shuffle, predicates still pushed to both edge scans.
+      (s, dir) => kqlRun(s, dir,
+        """let E = orders
+          |   | join kind=inner (lineitem) on $left.o_orderkey == $right.l_orderkey
+          |   | where l_quantity >= 48
+          |   | project src = strcat('c', tostring(o_custkey)),
+          |       dst = strcat('s', tostring(l_suppkey)), qty = toint(l_quantity)
+          |   | union (lineitem
+          |       | where l_quantity >= 48
+          |       | project src = strcat('s', tostring(l_suppkey)),
+          |           dst = strcat('p', tostring(l_partkey)), qty = toint(l_quantity));
+          |E
+          | | make-graph src --> dst
+          | | graph-match (x)-[e*1..2]->(y)
+          |     where x.node_id startswith 'c'
+          |     project hops = e_hops, qsum = tolong(array_sum(all(e.qty)))
+          | | summarize paths = count(), total = sum(qsum) by hops
+          | | order by hops asc""".stripMargin),
+      Some("""
+        WITH ce AS (SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                           's' || CAST(l_suppkey AS VARCHAR) AS dst,
+                           CAST(l_quantity AS BIGINT) AS qty
+                    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                    WHERE l_quantity >= 48),
+             se AS (SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                           'p' || CAST(l_partkey AS VARCHAR) AS dst,
+                           CAST(l_quantity AS BIGINT) AS qty
+                    FROM lineitem WHERE l_quantity >= 48)
+        SELECT CAST(1 AS BIGINT) AS hops, CAST(count(*) AS BIGINT) AS paths,
+               CAST(sum(qty) AS BIGINT) AS total
+        FROM ce
+        UNION ALL
+        SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(a.qty + b.qty) AS BIGINT)
+        FROM ce a JOIN se b ON a.dst = b.src
+        ORDER BY hops""")),
+
     "q_kql_dcount_hll" -> QueryDef(
       // KQL's native dcount IS an HLL estimate; this pipeline's dcount is
       // exact by documented choice, and dcount_hll exposes the KQL-faithful

@@ -79,6 +79,79 @@ class GraphMatchSpec extends SparkSuite {
     assert(rows == Seq(("z", 1L), ("z", 2L)))
   }
 
+  test("branching pattern: two paths share a bound node variable") {
+    val out = run(
+      """datatable (s:string, d:string, w:long) [
+        |   'a', 'b', 1, 'a', 'c', 2, 'a', 'd', 3, 'x', 'b', 9 ]
+        | | make-graph s --> d
+        | | graph-match (a)-[e1]->(b), (a)-[e2]->(c)
+        |     where a.node_id == 'a' and e1.w < e2.w
+        |     project b = b.node_id, c = c.node_id
+        | | order by b asc, c asc""".stripMargin)
+    val rows = out.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // unordered pairs with w(e1) < w(e2), both edges out of 'a'
+    assert(rows == Seq(("b", "c"), ("b", "d"), ("c", "d")))
+  }
+
+  test("cycle pattern: a repeated node variable closes the loop") {
+    val out = run(
+      """datatable (s:string, d:string) [
+        |   'a', 'b', 'b', 'a', 'b', 'c', 'c', 'a' ]
+        | | make-graph s --> d
+        | | graph-match (x)-[e1]->(y)-[e2]->(x)
+        |     project x = x.node_id, y = y.node_id
+        | | order by x asc, y asc""".stripMargin)
+    val rows = out.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // 2-cycles: a→b→a and b→a→b (each orientation binds x once)
+    assert(rows == Seq(("a", "b"), ("b", "a")))
+  }
+
+  test("three-hop cycle through a branch point") {
+    val out = run(
+      """datatable (s:string, d:string) [
+        |   'a', 'b', 'b', 'c', 'c', 'a', 'b', 'z' ]
+        | | make-graph s --> d
+        | | graph-match (x)-[e1]->(y)-[e2]->(z)-[e3]->(x)
+        |     where x.node_id == 'a'
+        |     project y = y.node_id, z = z.node_id""".stripMargin)
+    val rows = out.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows == Seq(("b", "c")))
+  }
+
+  test("disconnected second path fails loudly") {
+    val e = intercept[IllegalArgumentException](run(
+      """datatable (s:string, d:string) [ 'a', 'b' ]
+        | | make-graph s --> d
+        | | graph-match (x)-[e1]->(y), (p)-[e2]->(q)
+        |     project x = x.node_id""".stripMargin))
+    assert(e.getMessage.contains("disconnected"))
+  }
+
+  test("repeated edge variable fails loudly") {
+    val e = intercept[IllegalArgumentException](run(
+      """datatable (s:string, d:string) [ 'a', 'b' ]
+        | | make-graph s --> d
+        | | graph-match (x)-[e]->(y)-[e]->(z)""".stripMargin))
+    assert(e.getMessage.contains("edge variable"))
+  }
+
+  test("all()/any() collect a variable hop's edge values per branch") {
+    val out = run(
+      """datatable (s:string, d:string, w:long) [
+        |   'a', 'b', 1, 'b', 'c', 2, 'a', 'd', 7 ]
+        | | make-graph s --> d
+        | | graph-match (x)-[e*1..2]->(y)
+        |     where x.node_id == 'a'
+        |     project dst = y.node_id, hops = e_hops,
+        |       wsum = tolong(array_sum(all(e.w))),
+        |       wmax = tolong(array_sum(any(e.w)))
+        | | order by hops asc, dst asc""".stripMargin)
+    val rows = out.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // 1 hop: a→b (w 1), a→d (w 7); 2 hops: a→b→c (w 1+2)
+    assert(rows == Seq(("b", 1L, 1L, 1L), ("d", 1L, 7L, 7L), ("c", 2L, 3L, 3L)))
+  }
+
   test("variable-length hop without an explicit project fails loudly") {
     intercept[IllegalArgumentException](run(
       """datatable (s:string, d:string) [ 'a', 'b' ]

@@ -385,6 +385,18 @@ class KqlPipelineSpec extends SparkSuite {
     assert(r.toSeq == Seq((0L, "admin"), (1L, "role")))
   }
 
+  test("mv-expand with_itemindex drops rows whose array is empty, like the no-index path") {
+    import spark.implicits._
+    // sequence(0, size-1) on an empty array would step BACKWARDS to [0,-1]
+    // and fabricate two null rows; the guarded lane must yield none
+    val df = Seq((1L, Seq("a", "b")), (2L, Seq.empty[String]), (3L, Seq("c")))
+      .toDF("id", "w")
+    val r = graft.kql.KqlPipeline.run(_ => df,
+      "t | mv-expand with_itemindex = ix w | project id, ix, w | order by id asc, ix asc")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+    assert(r.toSeq == Seq((1L, 0L, "a"), (1L, 1L, "b"), (3L, 0L, "c")))
+  }
+
   test("evaluate pivot with explicit values skips the domain-discovery pass") {
     val r = run(
       """people | project role, score

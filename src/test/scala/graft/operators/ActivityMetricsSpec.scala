@@ -203,6 +203,26 @@ class ActivityMetricsSpec extends SparkSuite {
       ("8.8.8.8", None)))
   }
 
+  test("KQL ipv4_lookup: wide CIDRs (mask < 8) ride the /8 bucket tier, bounded explode") {
+    import spark.implicits._
+    // a /4 spans 2^28 addresses: the /16 tier would explode it to 4096
+    // bucket rows; the /8 tier caps it at 16 — and a /0 default route at 256
+    val facts = Seq(("10.42.1.5", "a"), ("200.1.2.3", "b"), ("17.0.0.1", "c"))
+      .toDF("ip", "tag")
+    val nets = Seq(("0.0.0.0/0", "default"), ("16.0.0.0/4", "wide"),
+      ("10.0.0.0/8", "corp")).toDF("cidr", "net")
+    val out = graft.kql.KqlPipeline.run(
+      Map("facts" -> facts, "nets" -> nets),
+      "facts | evaluate ipv4_lookup(nets, ip, cidr) | project ip, net | order by ip asc")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    // 16.0.0.0/4 covers 16.0.0.0-31.255.255.255, so:
+    //   10.42.1.5 ∈ /0 and /8 → the /8 (longest prefix) wins
+    //   17.0.0.1  ∈ /0 and /4 → the /4 wins
+    //   200.1.2.3 only ∈ /0   → default
+    assert(out.toSeq == Seq(("10.42.1.5", "corp"), ("17.0.0.1", "wide"),
+      ("200.1.2.3", "default")))
+  }
+
   test("KQL autocluster drops segments closed by an equal-count refinement") {
     import spark.implicits._
     // b is functionally dependent on a: every (a, *) segment has an
