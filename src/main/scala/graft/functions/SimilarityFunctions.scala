@@ -466,6 +466,93 @@ object SimilarityFunctions {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** The production ANN composition — IVF coarse routing × PQ-ADC scoring
+    * × exact re-rank, the shape real 100 TB vector search runs:
+    *
+    *   1. INDEX side (one corpus pass; both artifacts persist via
+    *      [[graft.state.IndexStore]]): every vector gets its nearest coarse
+    *      cell AND its m-subspace PQ code.
+    *   2. Each query probes its `nProbe` nearest cells; the candidate set
+    *      is the probed cells' rows ONLY (≈ corpus × nProbe / nCells —
+    *      never the full corpus, unlike flat [[pqTopK]]).
+    *   3. Candidates are scored by ADC against the broadcast Q×m×k
+    *      distance table — m integer lookups + a sum per row, codes only,
+    *      no full-precision reads.
+    *   4. The `shortlist` best per query fetch their float vectors by id
+    *      equi-join and re-rank by exact cosine for the final top-k.
+    *
+    * Spark shape: the corpus shuffles ONCE (the per-(query, neighbor) ADC
+    * sum); cell routing and the distance table ride broadcast joins, and
+    * the full-precision re-rank touches Q × shortlist rows. Recall dials:
+    * nProbe (cells searched) and shortlist (ADC error absorbed).
+    */
+  def ivfpqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Seq[Seq[Double]],
+      cb: Seq[Seq[Seq[Double]]],
+      nProbe: Int = 2,
+      shortlist: Int = 100): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val m    = cb.size
+    val dsub = cb.head.head.size
+    val cbCol = pqCodebookCol(cb)
+    // index pass: coarse cell + PQ code per corpus row (cosine is
+    // norm-invariant, so cell assignment on nv matches ivfTopK's on v)
+    val indexed = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("v"))
+      .withColumn("nv", transform(col("v"), x => x.cast("double") / norm(col("v"))))
+      .select(col("neighbor_id"),
+        nearestCells(col("nv"), centroids, 1).getItem(0).getField("cell").as("cell"),
+        transform(sequence(lit(0), lit(m - 1)),
+          i => pqNearestCell(slice(col("nv"), i * dsub + 1, lit(dsub)), i, cbCol)).as("code"))
+    // query probes (in-plan, same nearestCells ordering as the index side)
+    val qprobes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .select(col("query_id"),
+        explode(nearestCells(col("qv"), centroids, nProbe).getField("cell")).as("cell"))
+    // ADC distance table: query × subspace × codebook cell, driver-built
+    val qs = queries.select(col(idCol), col(vecCol)).collect().map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (r.getLong(0), v.map(_ / n))
+    }
+    val dt = for {
+      (qid, qv) <- qs.toSeq
+      i <- 0 until m
+      (cent, c) <- cb(i).zipWithIndex
+    } yield (qid, i, c,
+      (0 until dsub).map { p => val d = qv(i * dsub + p) - cent(p); d * d }.sum)
+    val dtDf = dt.toDF("query_id", "sub", "pcell", "d")
+    // route → explode codes → ADC sum (a corpus row joins at most nProbe
+    // queries, each (query, neighbor) pair appears exactly once)
+    val scored = indexed
+      .join(broadcast(qprobes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        posexplode(col("code")).as(Seq("sub", "pcell")))
+      .join(broadcast(dtDf), Seq("query_id", "sub", "pcell"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(round(sum(col("d")), 6).as("adist"))
+    val wS = Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id").asc)
+    val cand = scored.withColumn("srank", row_number().over(wS))
+      .filter(col("srank") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact cosine re-rank of the shortlist
+    val qfull = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val rescored = cand
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        Seq("neighbor_id"))
+      .join(broadcast(qfull), Seq("query_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    rescored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
   private val pqCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int, Int), Seq[Seq[Seq[Double]]]]()
 

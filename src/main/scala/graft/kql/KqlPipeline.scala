@@ -175,10 +175,10 @@ object KqlPipeline {
     runPipeline(res, fin)
   }
 
-  /** Run a query whose FINAL operator is `fork` or `facet` — the two ADX
-    * operators that return MULTIPLE result tables and therefore can't fit
-    * [[run]]'s one-DataFrame contract. Returns (name, frame) legs in
-    * declaration order.
+  /** Run a query containing `fork` or `facet` — the two ADX operators
+    * that return MULTIPLE result tables and therefore can't fit [[run]]'s
+    * one-DataFrame contract. Returns (name, frame) legs in declaration
+    * order.
     *
     *  - `… | fork [name =] (sub-pipeline) [name =] (…) …`: each leg's
     *    sub-pipeline applies to the frame-so-far; unnamed legs are
@@ -187,17 +187,27 @@ object KqlPipeline {
     *    its distinct values with `count_` (the ADX facet table shape) —
     *    plus a `query` leg when `with (…)` is given.
     *
+    * Operators AFTER the multi-table split (`… | fork (…) (…) | top 3`)
+    * apply to EVERY leg, each leg keeping its own independent pipeline —
+    * the ADX per-leg continuation shape.
+    *
     * `as` bindings made before the fork are not visible inside legs
     * (documented divergence; bind with `let` instead).
     */
   def runMulti(tables: Map[String, DataFrame], kql: String): Seq[(String, DataFrame)] = {
     val (res, fin) = compileStatements(tables.apply _, kql)
     val segs = splitTopLevel(fin, '|').map(_.trim).filter(_.nonEmpty)
-    require(segs.size >= 2, "runMulti needs a source and a final fork/facet operator")
-    val last = segs.last
+    val idx = segs.indexWhere { s =>
+      val w0 = s.takeWhile(!_.isWhitespace).toLowerCase
+      w0 == "fork" || w0 == "facet" ||
+        (w0 == "evaluate" && s.stripPrefix("evaluate").trim.toLowerCase.startsWith("preview"))
+    }
+    require(idx >= 1, "runMulti needs a source, then a fork/facet/preview operator")
+    val last     = segs(idx)
+    val tailSegs = segs.drop(idx + 1)
     val w = last.takeWhile(!_.isWhitespace).toLowerCase
-    val base = runPipeline(res, segs.init.mkString(" | "))
-    w match {
+    val base = runPipeline(res, segs.take(idx).mkString(" | "))
+    val legsOut: Seq[(String, DataFrame)] = w match {
       case "fork" =>
         val NameEq = """(?s)^([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(\(.*)$""".r
         var rest = last.drop("fork".length).trim
@@ -249,6 +259,8 @@ object KqlPipeline {
           "count" -> base.agg(count(lit(1)).as("Count")))
       case other => fail(s"runMulti's final operator must be fork, facet or evaluate preview, got: '$other'")
     }
+    // per-leg continuation: every segment after the split applies to each leg
+    legsOut.map { case (nm, df) => nm -> tailSegs.foldLeft(df)(applyOp(res)) }
   }
 
   /** The shared statement machinery behind [[run]]/[[runMulti]]: processes

@@ -1148,6 +1148,30 @@ object Surface {
       },
       Some("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 5")),
 
+    "sim_ivfpq_topk" -> QueryDef(
+      // the PRODUCTION ANN composition — IVF coarse routing (16 k-means
+      // cells, 3-probe) × PQ-ADC shortlist (8×16 codebook, 200 candidates
+      // scored from codes only inside the probed cells) × exact cosine
+      // re-rank. Both index artifacts (centroids, codebook) build once and
+      // persist via IndexStore; search touches ≈ 3/16 of the corpus as
+      // codes and Q×200 full-precision rows. GATE: recall@10 vs the
+      // in-plan exact top-k — measured ≥ 0.8 per query at sf0.01 AND sf0.1
+      // (GateProbe, deterministic); gate ≥ 0.5 like the sibling ANN gates.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q   = emb.filter(col("vec_id") < 5)
+        val centroids = SimilarityFunctions.cachedKmeansCentroids(
+          emb, "embedding", "vec_id", k = 16, iters = 2, cacheKey = dir)
+        val cb = SimilarityFunctions.cachedPqTrain(
+          emb, "embedding", "vec_id", m = 8, k = 16, dim = 64, cacheKey = dir)
+        val ann = SimilarityFunctions.ivfpqTopK(emb, q, "vec_id", "embedding",
+          k = 10, centroids, cb, nProbe = 3, shortlist = 200)
+        val exact = SimilarityFunctions.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+        SimilarityFunctions.recallAtK(exact, ann)
+          .select(col("query_id"), (col("recall") >= 0.5).as("recall_ok"))
+      },
+      Some("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 5")),
+
     "embed_label_centroids" -> QueryDef(
       // element-wise label centroids via posexplode + partial-agg mean —
       // the distributed vector aggregation shape (no driver-side vectors)

@@ -230,6 +230,78 @@ object EventStream {
       }
   }
 
+  final case class SequenceHit(user_id: Long, step_us: Seq[Long], duration_us: Long)
+
+  /** Streaming twin of the batch `sequence_detect` plugin (which lowers
+    * onto ScanSteps + gap/span filters): the SAME latest-start state
+    * machine as [[funnelScan]], but the per-step instants ride in state, so
+    * a completion checks ADX's time bounds right in the state function —
+    * adjacent-step gaps ≤ `maxStepUs` and total span ≤ `maxSpanUs`. A
+    * completion that violates the bounds DROPS and the machine resets,
+    * exactly the batch operator's documented divergence (it never retries
+    * an earlier pairing), so a one-drain run reproduces the batch answer
+    * row for row. Emits every step's instant plus ADX's duration column.
+    * Same bounded-state contract as [[funnelScan]]: O(steps) timestamps
+    * per key, EventTimeTimeout frees stalled keys past `horizonMinutes`.
+    */
+  def sequenceDetectStream(
+      events: DataFrame,
+      steps: Seq[(String, Column)],
+      maxStepUs: Long,
+      maxSpanUs: Long,
+      horizonMinutes: Int = 1440): Dataset[SequenceHit] = {
+    require(steps.size >= 2, "sequence_detect needs at least two steps")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val n         = steps.size
+    val horizonMs = horizonMinutes * 60L * 1000L
+    val conds     = array(steps.map { case (_, c) => coalesce(c, lit(false)) }: _*)
+    events
+      .withWatermark("event_time", "10 minutes")
+      .select(col("user_id"), expr("ts div 1000").as("us"), conds.as("conds"),
+        col("event_time"))
+      .filter(array_contains(col("conds"), true))
+      .as[(Long, Long, Seq[Boolean], java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[Option[Long]], SequenceHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (userId, rows, state: GroupState[Seq[Option[Long]]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st     = state.getOption.getOrElse(Seq.fill[Option[Long]](n - 1)(None))
+            var lastUs = Long.MinValue
+            val out    = Seq.newBuilder[SequenceHit]
+            rows.toSeq.sortBy(_._2).foreach { case (_, us, cs, _) =>
+              lastUs = math.max(lastUs, us)
+              val i = (n - 1 to 0 by -1).find(j =>
+                cs(j) && (j == 0 || st(j - 1).isDefined))
+              i.foreach {
+                case j if j == n - 1 =>
+                  // setting step j keeps 0..j-1, so ALL prior instants exist
+                  val times = st.map(_.get) :+ us
+                  val ok = times.sliding(2).forall { case Seq(x, y) => y - x <= maxStepUs } &&
+                    times.last - times.head <= maxSpanUs
+                  if (ok) out += SequenceHit(userId, times, times.last - times.head)
+                  st = Seq.fill[Option[Long]](n - 1)(None)
+                case j =>
+                  st = st.zipWithIndex.map { case (v, k) =>
+                    if (k == j) Some(us) else if (k > j) None else v
+                  }
+              }
+            }
+            if (st.forall(_.isEmpty)) state.remove()
+            else {
+              state.update(st)
+              state.setTimeoutTimestamp(
+                math.max(lastUs / 1000 + horizonMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Streaming exact dedup on a content key with bounded state: first-seen
     * wins inside the watermark horizon — `dropDuplicates` IS the streaming
     * dedup operator (state pruned by the event-time watermark).

@@ -61,6 +61,13 @@ object GateProbe {
       println(f"[probe] clustered p=$planes t=$tables: minRecall=${r.getDouble(0)}%.2f avg=${r.getDouble(1)}%.2f")
     }
 
+    // IVF×PQ composition (sim_ivfpq_topk): recall vs nProbe × shortlist
+    val pqcb = SimilarityFunctions.pqTrain(emb, "embedding", "vec_id",
+      m = 8, k = 16, dim = 64, iters = 2)
+    for (probeN <- Seq(2, 3, 4); sl <- Seq(100, 200))
+      recall(SimilarityFunctions.ivfpqTopK(emb, q, "vec_id", "embedding", 10,
+        km, pqcb, nProbe = probeN, shortlist = sl), s"ivfpq probe=$probeN sl=$sl")
+
     // near-dup gate: which exact cos>=0.45 pairs (both ids < 300) does the
     // OR-LSH find, per nTables?
     val slice = emb.filter(col("vec_id") < 300)

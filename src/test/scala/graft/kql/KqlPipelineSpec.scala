@@ -818,6 +818,23 @@ class KqlPipelineSpec extends SparkSuite {
     assert(bag == """{"n":"Alice","a":30}""")
   }
 
+  test("runMulti: operators after the fork apply to every leg") {
+    val legs = KqlPipeline.runMulti(Map("people" -> people),
+      "people | fork " +
+        "a = (where age >= 30 | project name, score | order by score desc | take 3) " +
+        "b = (summarize s = sum(score) by role) " +
+        "| count")
+    // the trailing `| count` runs per leg, on each leg's own pipeline
+    assert(legs.map(_._1) == Seq("a", "b"))
+    assert(legs(0)._2.head().getLong(0) == 3L)
+    assert(legs(1)._2.head().getLong(0) == 5L) // five distinct roles
+    // and the continuation composes with facet too
+    val f = KqlPipeline.runMulti(Map("people" -> people),
+      "people | facet by role | where count_ > 1 | count")
+    assert(f.map(_._1) == Seq("role"))
+    assert(f(0)._2.head().getLong(0) == 0L) // all five roles are distinct
+  }
+
   test("runMulti: evaluate preview returns the sample and the total count") {
     val legs = KqlPipeline.runMulti(Map("people" -> people),
       "people | where age >= 30 | evaluate preview(2)")

@@ -194,6 +194,29 @@ class PlanSpec extends SparkSuite {
     assert(!s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("ivfpq: cell routing and ADC table ride broadcast joins, no NLJ") {
+    // pin the ANN path ALONE (the registry query also runs the brute-force
+    // exact side of its recall gate, which is an NLJ by design)
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val centroids = graft.functions.SimilarityFunctions.kmeansCentroids(
+      emb, "embedding", "vec_id", k = 4, iters = 1)
+    val cb = graft.functions.SimilarityFunctions.pqTrain(
+      emb, "embedding", "vec_id", m = 8, k = 16, dim = 64, iters = 1)
+    val df = graft.functions.SimilarityFunctions.ivfpqTopK(
+      emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+      k = 5, centroids, cb, nProbe = 2, shortlist = 50)
+    df.collect()
+    val s = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    // the candidate set must come from a broadcast equi-join on the probed
+    // cell ids and the ADC table must broadcast — a shuffle join on either
+    // tiny side, or any nested loop, breaks the one-corpus-shuffle story
+    assert(s.contains("BroadcastHashJoin"), s.linesIterator.take(60).mkString("\n"))
+    assert(!s.contains("CartesianProduct"), s.linesIterator.take(60).mkString("\n"))
+    assert(!s.contains("BroadcastNestedLoopJoin"), s.linesIterator.take(60).mkString("\n"))
+    assert(!s.contains("SortMergeJoin"), s.linesIterator.take(60).mkString("\n"))
+  }
+
   test("diffpatterns: ONE conditional-count cube, totals broadcast") {
     val s = finalPlan("q_kql_diffpatterns")
     assert(s.contains("Expand"), s)

@@ -236,6 +236,50 @@ class EventStreamSpec extends SparkSuite {
     assert(streamed == batch)
   }
 
+  test("streaming sequence_detect equals the batch plugin lowering on one drain") {
+    val src = tmpDir("events-src9"); val ckpt = tmpDir("stream-ckpt9")
+    stageEvents(src)
+    val steps = Seq(
+      "s" -> (col("event_type") === "signup"),
+      "p" -> (col("event_type") === "purchase"))
+    // 3-day adjacent-gap bound, 5-day span bound (µs) — tight enough that
+    // some scanSteps completions DROP, so the bounds are exercised for real
+    val maxStep = 3L * 86400 * 1000000
+    val maxSpan = 5L * 86400 * 1000000
+    val q = EventStream.sequenceDetectStream(
+        EventStream.readEvents(spark, src), steps, maxStep, maxSpan,
+        horizonMinutes = 60 * 24 * 60)
+      .writeStream
+      .format("memory").queryName("seq_hits")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("seq_hits").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).head, r.getSeq[Long](1).last, r.getLong(2)))
+      .toSet
+    assert(streamed.nonEmpty)
+
+    // the batch sequence_detect recipe: ScanSteps, then gap/span filters
+    // and the duration column — applied on the same µs axis
+    val all = graft.operators.ScanSteps.scanSteps(
+      spark.read.parquet(src)
+        .filter(col("event_type").isin("signup", "purchase"))
+        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("us")),
+      Seq("user_id"), "us", ascending = true, steps)
+    val batch = all
+      .filter(col("p_us") - col("s_us") <= maxStep &&
+        col("p_us") - col("s_us") <= maxSpan)
+      .select(col("user_id"), col("s_us"), col("p_us"),
+        (col("p_us") - col("s_us")).as("duration"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch)
+    // the bounds really dropped some completions (non-vacuous)
+    assert(batch.size < all.count())
+  }
+
   test("stream-stream attribution join matches the batch answer") {
     val src = tmpDir("events-src5"); val ckpt = tmpDir("stream-ckpt5")
     stageEvents(src)
