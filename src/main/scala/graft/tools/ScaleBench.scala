@@ -1,0 +1,90 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
+
+/** Scale-proof bench (`ScaleBench <smallDir> <bigDir> [scale]`): times the
+  * headline queries plus the registry's historically most expensive ones at
+  * BOTH data scales in one JVM and prints one JSON line with the per-query
+  * seconds and big/small ratios. With a 10× replica (tools.ScaleData) a
+  * near-linear operator should land around ratio ≤ ~12 (10× data + shuffle
+  * superlinearity + fixed overheads); a quadratic candidate-explosion or a
+  * driver-side bottleneck shows up as a far larger ratio — the dynamic
+  * check behind every "would survive 100×" plan claim.
+  *
+  * Same measurement discipline as [[graft.Bench]]: warm-up pass per scale
+  * (codegen/JIT/footers), then min of two timed runs.
+  */
+object ScaleBench {
+  // headline set + the top of BENCH_LOCAL_r07's cost ranking + the round-8
+  // additions whose scale posture is newly claimed (graph cycle/branch/agg,
+  // IVF×PQ)
+  val Names: Seq[String] = Seq(
+    // headline
+    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+    "q_argmax_latest_event", "q_sessionization", "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    // most expensive at sf0.1 (r7 record)
+    "dedup_substring_spans", "q_kql_ipv4_lookup", "q_kql_graph_varlen",
+    "curate_dedup_keep_best", "q_kql_graph_match", "dedup_clusters",
+    "sim_cosine_neardup", "q18_large_orders", "q10_top_customers",
+    "q_kql_hll_sketches",
+    // round-8 scale-posture queries
+    "q_kql_graph_branch", "q_kql_graph_cycle", "q_kql_graph_varlen_agg",
+    "sim_ivfpq_topk")
+
+  def main(args: Array[String]): Unit = {
+    val small = args(0)
+    val big   = args(1)
+    val scale = if (args.length > 2) args(2).toDouble else 10.0
+    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftSessionExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", 64L * 1024 * 1024)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val queries = Names.map(n => n -> graft.operators.Surface.registry(n).fn)
+
+    def timeAt(dir: String): Map[String, Double] = {
+      queries.foreach { case (name, fn) =>
+        try fn(spark, dir).count()
+        catch { case NonFatal(e) => System.err.println(s"[scalebench] warmup $name @ $dir failed: $e") }
+        finally graft.functions.DedupFunctions.releaseCaches()
+      }
+      queries.map { case (name, fn) =>
+        def timed(): Double =
+          try {
+            val t0 = System.nanoTime()
+            fn(spark, dir).count()
+            (System.nanoTime() - t0) / 1e9
+          } catch {
+            case NonFatal(e) => System.err.println(s"[scalebench] $name @ $dir failed: $e"); -1.0
+          } finally graft.functions.DedupFunctions.releaseCaches()
+        val a = timed()
+        val b = if (a < 0) a else timed()
+        name -> (if (a < 0) -1.0 else if (b < 0) a else math.min(a, b))
+      }.toMap
+    }
+
+    val smallT = timeAt(small)
+    val bigT   = timeAt(big)
+    def d3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val per = Names.map { n =>
+      val s = smallT(n); val b = bigT(n)
+      val r = if (s > 0 && b > 0) b / s else -1.0
+      s""""$n":{"small":${d3(s)},"big":${d3(b)},"ratio":${d3(r)}}"""
+    }.mkString("{", ",", "}")
+    val ratios = Names.map(n => (smallT(n), bigT(n)))
+      .collect { case (s, b) if s > 0 && b > 0 => b / s }
+    val med = ratios.sorted.apply(ratios.size / 2)
+    println(s"""{"queries":$per,"metric":"median_ratio","value":${d3(med)},""" +
+      s""""unit":"x","scale":$scale,"small":"$small","big":"$big"}""")
+    spark.stop()
+  }
+}
