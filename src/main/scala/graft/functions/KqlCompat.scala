@@ -60,6 +60,8 @@ object KqlCompat {
     "toupper("        -> "upper(",
     "replace_string(" -> "replace(",
     "strcat_delim("   -> "concat_ws(",
+    // KQL strcat_array(arr, delim) == Spark array_join(arr, delim)
+    "strcat_array("   -> "array_join(",
     // KQL format_datetime uses the same yyyy/MM/dd/HH/mm/ss tokens as Java
     "format_datetime("-> "date_format(",
     "getyear("        -> "year(",

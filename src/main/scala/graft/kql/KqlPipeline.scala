@@ -488,6 +488,10 @@ object KqlPipeline {
         graphMatch(graph.getOrElse(
           fail("graph-match needs a preceding `make-graph` in the same pipeline")),
           seg.drop("graph-match".length).trim)
+      } else if (w == "graph-shortest-paths") {
+        graphShortestPaths(graph.getOrElse(
+          fail("graph-shortest-paths needs a preceding `make-graph` in the same pipeline")),
+          seg.drop("graph-shortest-paths".length).trim)
       } else applyOp(res)(df, seg)
     }
   }
@@ -691,6 +695,83 @@ object KqlPipeline {
         s"variable-length expansion too large (${combos.size} > 64 chains)")
       combos.map { ls => val (f, m) = chain(ls); projected(f, m) }
         .reduce(_ unionByName _)
+    }
+  }
+
+  /** `graph-shortest-paths [output=any|all] (x)-[e*1..hi]->(y)
+    * [where <pred>] [project <items>]` — per (x, y) pair, the minimum-hop
+    * path(s) of length 1..hi, found by level-synchronous BFS: level h joins
+    * the level-(h−1) frontier with the edge frame, dedupes inside the
+    * level, and anti-joins pairs already reached at a shorter level, so a
+    * pair's paths survive only at their first (= shortest) level. That is
+    * O(hi) joins over frontier-sized frames — never an all-paths
+    * enumeration, unlike graph-match's union-of-chains — and it is the
+    * standard distributed-BFS shape: each level is one shuffle on the
+    * frontier key, prefixes of shortest paths are themselves shortest so
+    * pruning loses nothing. `output=any` (the default) keeps ONE
+    * deterministic path per pair (the lexicographically smallest node
+    * array); `output=all` keeps every distinct shortest path. where/project
+    * see the endpoint node aliases (`x.col`, `y.col`) plus `<e>_hops`
+    * (long) and `<e>_path` (the node-id array, start inclusive). Self-pairs
+    * appear when a genuine cycle closes (hops >= 1); the lower bound must
+    * be 1 (BFS pruning cannot answer "shortest path of length >= lo > 1").
+    */
+  private def graphShortestPaths(g: GraphCtx, rest0: String): DataFrame = {
+    var rest = rest0
+    var outputAll = false
+    """^output\s*=\s*(any|all)\s+""".r.findPrefixMatchOf(rest).foreach { m =>
+      outputAll = m.group(1) == "all"; rest = rest.drop(m.matched.length)
+    }
+    val (beforeProject, projectPart) = splitAtTopLevelKeyword(rest, "project")
+    val (patternStr, wherePart)      = splitAtTopLevelKeyword(beforeProject, "where")
+    val PatRe = ("""^\(\s*([A-Za-z_]\w*)\s*\)\s*-\[\s*([A-Za-z_]\w*)\s*\*\s*""" +
+      """(\d+)\s*\.\.\s*(\d+)\s*\]->\s*\(\s*([A-Za-z_]\w*)\s*\)$""").r
+    val (x, e, lo, hi, y) = patternStr.trim match {
+      case PatRe(a, ev, l, h, b) => (a, ev, l.toInt, h.toInt, b)
+      case _ => fail("graph-shortest-paths needs exactly `(a)-[e*1..n]->(b)`, " +
+        s"got: '${patternStr.trim}'")
+    }
+    require(lo == 1, s"graph-shortest-paths: lower hop bound must be 1, got $lo")
+    require(hi >= 1 && hi <= 8, s"graph-shortest-paths: needs 1 <= hi <= 8, got $hi")
+    require(x != y, "graph-shortest-paths: endpoint variables must be distinct " +
+      "(cycles back to the start already appear as x/y rows with equal ids)")
+
+    val edges = g.edges.select(col(g.src).as("__sp_esrc"), col(g.dst).as("__sp_edst"))
+    // one deterministic path per pair (min array) vs all distinct paths
+    def dedupLevel(df: DataFrame): DataFrame =
+      if (outputAll) df.distinct()
+      else df.groupBy(col("__sp_start"), col("__sp_cur"))
+        .agg(min(col("__sp_path")).as("__sp_path"))
+    var frontier = dedupLevel(edges.select(
+      col("__sp_esrc").as("__sp_start"), col("__sp_edst").as("__sp_cur"),
+      array(col("__sp_esrc"), col("__sp_edst")).as("__sp_path")))
+    var reached = frontier.select(col("__sp_start"), col("__sp_cur"))
+    var acc     = frontier
+    for (_ <- 2 to hi) {
+      val nxt = dedupLevel(frontier.join(edges, col("__sp_cur") === col("__sp_esrc"))
+        .select(col("__sp_start"), col("__sp_edst").as("__sp_cur"),
+          concat(col("__sp_path"), array(col("__sp_edst"))).as("__sp_path")))
+        .join(reached, Seq("__sp_start", "__sp_cur"), "left_anti")
+      acc      = acc.unionByName(nxt)
+      reached  = reached.unionByName(nxt.select(col("__sp_start"), col("__sp_cur")))
+      frontier = nxt
+    }
+    var out = acc
+      .withColumn(s"${e}_hops", (size(col("__sp_path")) - 1).cast("long"))
+      .withColumnRenamed("__sp_path", s"${e}_path")
+      .join(g.nodes.alias(x), col("__sp_start") === col(s"$x.${g.id}"))
+      .join(g.nodes.alias(y), col("__sp_cur") === col(s"$y.${g.id}"))
+    wherePart.foreach(p => out = out.filter(expr(tx(p))))
+    projectPart match {
+      case Some(items) =>
+        val cols = splitTopLevel(items, ',').map(_.trim).filter(_.nonEmpty).map { it =>
+          assignment(it) match {
+            case Some((n2, e2)) => expr(tx(e2)).as(n2)
+            case None           => expr(tx(it))
+          }
+        }
+        out.select(cols: _*)
+      case None => out.drop("__sp_start", "__sp_cur")
     }
   }
 

@@ -3659,6 +3659,60 @@ object Surface {
         FROM ce a JOIN se b ON a.dst = b.src
         ORDER BY hops""")),
 
+    "q_kql_graph_shortest" -> QueryDef(
+      // graph-shortest-paths: level-synchronous BFS with per-level pair
+      // pruning (never the union-of-all-chains plan graph-match uses), so
+      // a customer with BOTH a direct qty-49 edge to a part AND a 2-hop
+      // qty-50 route through a supplier counts once, at distance 1. The
+      // oracle restates shortest-distance-per-pair as a bounded recursive
+      // CTE min-folded per (start, end) pair.
+      (s, dir) => kqlRun(s, dir,
+        """let E = orders
+          |   | join kind=inner (lineitem) on $left.o_orderkey == $right.l_orderkey
+          |   | where l_quantity == 50
+          |   | project src = strcat('c', tostring(o_custkey)),
+          |       dst = strcat('s', tostring(l_suppkey))
+          |   | union (lineitem
+          |       | where l_quantity == 50
+          |       | project src = strcat('s', tostring(l_suppkey)),
+          |           dst = strcat('p', tostring(l_partkey)))
+          |   | union (orders
+          |       | join kind=inner (lineitem) on $left.o_orderkey == $right.l_orderkey
+          |       | where l_quantity == 49
+          |       | project src = strcat('c', tostring(o_custkey)),
+          |           dst = strcat('p', tostring(l_partkey)));
+          |E
+          | | make-graph src --> dst
+          | | graph-shortest-paths (x)-[e*1..3]->(y)
+          |     where x.node_id startswith 'c' and y.node_id startswith 'p'
+          |     project hops = e_hops
+          | | summarize pairs = count() by hops
+          | | order by hops asc""".stripMargin),
+      Some("""
+        WITH RECURSIVE e AS (
+          SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                 's' || CAST(l_suppkey AS VARCHAR) AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          WHERE l_quantity = 50
+          UNION ALL
+          SELECT 's' || CAST(l_suppkey AS VARCHAR),
+                 'p' || CAST(l_partkey AS VARCHAR)
+          FROM lineitem WHERE l_quantity = 50
+          UNION ALL
+          SELECT 'c' || CAST(o_custkey AS VARCHAR),
+                 'p' || CAST(l_partkey AS VARCHAR)
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          WHERE l_quantity = 49),
+        sp AS (
+          SELECT src AS s0, dst AS s1, 1 AS h FROM e
+          UNION
+          SELECT sp.s0, e2.dst, sp.h + 1
+          FROM sp JOIN e e2 ON sp.s1 = e2.src WHERE sp.h < 3)
+        SELECT CAST(mh AS BIGINT) AS hops, count(*) AS pairs
+        FROM (SELECT s0, s1, min(h) AS mh FROM sp GROUP BY 1, 2)
+        WHERE s0 LIKE 'c%' AND s1 LIKE 'p%'
+        GROUP BY 1 ORDER BY 1""")),
+
     "q_kql_dcount_hll" -> QueryDef(
       // KQL's native dcount IS an HLL estimate; this pipeline's dcount is
       // exact by documented choice, and dcount_hll exposes the KQL-faithful

@@ -165,4 +165,64 @@ class GraphMatchSpec extends SparkSuite {
         | | graph-match (x)-[e]->(y)""".stripMargin))
     assert(e.getMessage.contains("make-graph"))
   }
+
+  test("graph-shortest-paths keeps the minimum-hop level per pair") {
+    // a→c directly (1 hop) AND via b (2 hops): only the 1-hop row survives;
+    // a→d is reachable only at 2 hops via b
+    val out = run(
+      """datatable (s:string, d:string) [
+        |   'a', 'b', 'b', 'c', 'a', 'c', 'b', 'd' ]
+        | | make-graph s --> d
+        | | graph-shortest-paths (x)-[e*1..3]->(y)
+        |     where x.node_id == 'a'
+        |     project dst = y.node_id, hops = e_hops
+        | | order by dst asc""".stripMargin)
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("b", 1L), ("c", 1L), ("d", 2L)))
+  }
+
+  test("graph-shortest-paths output=any picks the lexicographically-min path") {
+    // two 2-hop shortest paths a→z (via m1 and m2): any keeps the m1 path
+    val out = run(
+      """datatable (s:string, d:string) [
+        |   'a', 'm1', 'a', 'm2', 'm1', 'z', 'm2', 'z' ]
+        | | make-graph s --> d
+        | | graph-shortest-paths (x)-[e*1..2]->(y)
+        |     where x.node_id == 'a' and y.node_id == 'z'
+        |     project p = strcat_array(e_path, '-')""".stripMargin)
+    assert(out.collect().map(_.getString(0)).toSeq == Seq("a-m1-z"))
+  }
+
+  test("graph-shortest-paths output=all keeps every tied shortest path") {
+    val out = run(
+      """datatable (s:string, d:string) [
+        |   'a', 'm1', 'a', 'm2', 'm1', 'z', 'm2', 'z' ]
+        | | make-graph s --> d
+        | | graph-shortest-paths output=all (x)-[e*1..2]->(y)
+        |     where x.node_id == 'a' and y.node_id == 'z'
+        |     project p = strcat_array(e_path, '-')
+        | | order by p asc""".stripMargin)
+    assert(out.collect().map(_.getString(0)).toSeq == Seq("a-m1-z", "a-m2-z"))
+  }
+
+  test("graph-shortest-paths surfaces genuine cycles as self-pairs") {
+    val out = run(
+      """datatable (s:string, d:string) [ 'a', 'b', 'b', 'a' ]
+        | | make-graph s --> d
+        | | graph-shortest-paths (x)-[e*1..4]->(y)
+        |     where x.node_id == y.node_id
+        |     project n = x.node_id, hops = e_hops
+        | | order by n asc""".stripMargin)
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("a", 2L), ("b", 2L)))
+  }
+
+  test("graph-shortest-paths rejects a non-1 lower bound") {
+    val e = intercept[IllegalArgumentException](run(
+      """datatable (s:string, d:string) [ 'a', 'b' ]
+        | | make-graph s --> d
+        | | graph-shortest-paths (x)-[e*2..3]->(y)
+        |     project n = x.node_id""".stripMargin))
+    assert(e.getMessage.contains("lower hop bound"))
+  }
 }
