@@ -1917,6 +1917,30 @@ object KqlPipeline {
       // and an id has at most ONE active session at any t — so the count of
       // active sessions IS the rolling distinct-id count. Shares the
       // sliding_window_counts explode shape (provably identical result).
+      // `evaluate dcount_intersect(hll_a, hll_b[, hll_c])`: s_i = estimated
+      // distinct count of the intersection of the first i+1 sketch sets, by
+      // inclusion–exclusion over MERGEABLE HLL unions — the sketches stay
+      // mergeable partials all the way (the exact 100 TB shape: no re-scan
+      // of the raw keys, intersection estimated from per-group sketches).
+      // Differences of estimates can dip below zero; clamped at 0 like ADX.
+      case "evaluate" if rest.trim.toLowerCase.startsWith("dcount_intersect") =>
+        val a  = pluginArgs(rest, "dcount_intersect", 2, maxN = 3)
+        val cs = a.map(identArg)
+        def est(u: String) = s"hll_sketch_estimate($u)"
+        def un(x: String, y: String) = s"hll_union($x, $y)"
+        var out = df.withColumn("s0",
+          expr(s"CAST(round(${est(cs(0))}) AS BIGINT)"))
+        out = out.withColumn("s1", greatest(lit(0L), expr(
+          s"CAST(round(${est(cs(0))} + ${est(cs(1))} - ${est(un(cs(0), cs(1)))}) AS BIGINT)")))
+        if (cs.length == 3) {
+          val (x, y, z) = (cs(0), cs(1), cs(2))
+          out = out.withColumn("s2", greatest(lit(0L), expr(
+            s"""CAST(round(${est(x)} + ${est(y)} + ${est(z)}
+               | - ${est(un(x, y))} - ${est(un(x, z))} - ${est(un(y, z))}
+               | + ${est(un(un(x, y), z))}) AS BIGINT)""".stripMargin)))
+        }
+        out.drop(cs: _*)
+
       case "evaluate" if rest.trim.toLowerCase.startsWith("session_count") =>
         val a = pluginArgs(rest, "session_count", 6)
         ActivityMetrics.slidingWindowCounts(df, identArg(a(0)), identArg(a(1)),

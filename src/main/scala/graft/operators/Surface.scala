@@ -3730,6 +3730,40 @@ object Surface {
         SELECT o_orderstatus, count(DISTINCT o_custkey) AS ex, TRUE AS est_ok
         FROM orders GROUP BY 1 ORDER BY 1""")),
 
+    "q_kql_dcount_intersect" -> QueryDef(
+      // dcount_intersect: intersection cardinality from per-group HLL
+      // sketches by inclusion–exclusion over hll_union — the sketches stay
+      // mergeable partials, no re-scan of raw keys. Gate spelled in KQL:
+      // estimates within 15% of the exact intersection computed by dcountif
+      // legs in the same pipeline (at ~730/~350 distinct keys the sketch is
+      // in its near-exact low-cardinality regime); exacts oracle-matched to
+      // keep rows non-vacuous.
+      (s, dir) => kqlRun(s, dir,
+        """orders
+          | | summarize ha = hll(iff(o_orderstatus == 'O', o_custkey, tolong(null))),
+          |             hb = hll(iff(o_orderstatus == 'F', o_custkey, tolong(null)))
+          |   by o_orderpriority
+          | | evaluate dcount_intersect(ha, hb)
+          | | join kind=inner (orders
+          |     | summarize ex0 = dcountif(o_custkey, o_orderstatus == 'O'),
+          |                 exf = dcountif(o_custkey, o_orderstatus == 'F'),
+          |                 exu = dcountif(o_custkey,
+          |                   o_orderstatus == 'O' or o_orderstatus == 'F')
+          |       by o_orderpriority) on o_orderpriority
+          | | extend ex1 = ex0 + exf - exu
+          | | extend s0_ok = abs(s0 - ex0) <= ex0 * 0.15,
+          |          s1_ok = abs(s1 - ex1) <= ex1 * 0.15
+          | | project o_orderpriority, ex0, ex1, s0_ok, s1_ok
+          | | order by o_orderpriority asc""".stripMargin),
+      Some("""
+        SELECT o_orderpriority,
+          count(DISTINCT CASE WHEN o_orderstatus = 'O' THEN o_custkey END) AS ex0,
+          count(DISTINCT CASE WHEN o_orderstatus = 'O' THEN o_custkey END)
+          + count(DISTINCT CASE WHEN o_orderstatus = 'F' THEN o_custkey END)
+          - count(DISTINCT CASE WHEN o_orderstatus IN ('O', 'F') THEN o_custkey END) AS ex1,
+          TRUE AS s0_ok, TRUE AS s1_ok
+        FROM orders GROUP BY 1 ORDER BY 1""")),
+
     "q_kql_stats" -> QueryDef(
       // stdev/variance are float-summation-order sensitive, so cross-engine
       // hash equality is the WRONG gate; per the approximate-operator rule

@@ -1184,4 +1184,23 @@ class KqlPipelineSpec extends SparkSuite {
     assert(row.getLong(r.schema.fieldIndex("b")) == 32L)
     assert(row.getString(r.schema.fieldIndex("alt")) == "y")
   }
+
+  test("dcount_intersect: inclusion-exclusion over 2 and 3 hll sketches") {
+    // sets A = {1..40}, B = {21..60}, C = {31..70}:
+    // |A∩B| = 20, |A∩B∩C| = 10 — at these cardinalities the HLL sketch is
+    // in its near-exact regime, so the estimates land on the nose
+    val r = run(
+      """range x from 1 to 120 step 1
+        | | extend s = iif(x <= 40, 'a', iif(x <= 80, 'b', 'c')),
+        |          v = iif(x <= 40, x, iif(x <= 80, x - 20, x - 50))
+        | | summarize ha = hll(iif(s == 'a', v, tolong(null))),
+        |             hb = hll(iif(s == 'b', v, tolong(null))),
+        |             hc = hll(iif(s == 'c', v, tolong(null)))
+        | | evaluate dcount_intersect(ha, hb, hc)""".stripMargin)
+    val row = r.head()
+    assert(row.getLong(r.schema.fieldIndex("s0")) == 40L)
+    assert(row.getLong(r.schema.fieldIndex("s1")) == 20L)
+    assert(row.getLong(r.schema.fieldIndex("s2")) == 10L)
+    assert(!r.columns.contains("ha"))
+  }
 }
