@@ -245,23 +245,64 @@ object SimilarityFunctions {
       k: Int,
       iters: Int = 2): Seq[Seq[Double]] = {
     var centroids = leadingCentroids(corpus, vecCol, idCol, k)
-    for (_ <- 1 to iters) {
-      val assigned = corpus
-        .select(col(vecCol).as("v"))
-        .withColumn("nv", transform(col("v"), x => x.cast("double") / norm(col("v"))))
-        .withColumn("cell", nearestCells(col("v"), centroids, 1).getItem(0).getField("cell"))
-      val means = assigned
-        .select(col("cell"), posexplode(col("nv")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos")
-        .agg(avg(col("x")).as("m"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (cell, rows) =>
-          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-        }
-      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
-    }
+    for (_ <- 1 to iters)
+      centroids = lloydUpdate(corpus, vecCol, centroids)
     centroids
+  }
+
+  /** One spherical-Lloyd update round: assign each row to its nearest-cosine
+    * centroid, average the UNIT-NORMALIZED members per cell/dimension (one
+    * shuffle; only the k×dim centroid matrix reaches the driver), keep the
+    * previous centroid for cells that lost every member.
+    */
+  private def lloydUpdate(
+      corpus: DataFrame, vecCol: String, centroids: Seq[Seq[Double]]): Seq[Seq[Double]] = {
+    val assigned = corpus
+      .select(col(vecCol).as("v"))
+      .withColumn("nv", transform(col("v"), x => x.cast("double") / norm(col("v"))))
+      .withColumn("cell", nearestCells(col("v"), centroids, 1).getItem(0).getField("cell"))
+    val means = assigned
+      .select(col("cell"), posexplode(col("nv")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos")
+      .agg(avg(col("x")).as("m"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (cell, rows) =>
+        cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }
+    centroids.indices.map(i => means.getOrElse(i, centroids(i)))
+  }
+
+  /** Lloyd-iteration trace for the gated embed_kmeans query: `iters` update
+    * rounds from the leading-k init, measuring the spherical objective
+    * inertia = Σ(1 − cos(x, nearest centroid)) before the first and after
+    * every update — `iters + 1` values. Each measurement and each update is
+    * one distributed pass; the driver only ever holds the k×dim matrix and
+    * the scalar inertias. Lloyd's invariant — both the assignment and the
+    * normalized-mean update improve the cosine objective — makes the trace
+    * non-increasing; the gated query asserts exactly that (an incorrect
+    * mean/assignment lowering would break monotonicity), so the property
+    * check is NOT vacuous re-evaluation of the same expression.
+    */
+  def kmeansTrace(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      iters: Int): (Long, Seq[Double]) = {
+    var centroids = leadingCentroids(corpus, vecCol, idCol, k)
+    val inertias  = Seq.newBuilder[Double]
+    var n = 0L
+    for (i <- 0 to iters) {
+      val best = corpus.select(col(vecCol).as("v"))
+        .withColumn("b", nearestCells(col("v"), centroids, 1).getItem(0))
+      val row = best.agg(count(lit(1)).as("n"),
+        sum(lit(1.0) - col("b.s")).as("inertia")).head()
+      n = row.getLong(0)
+      inertias += row.getDouble(1)
+      if (i < iters) centroids = lloydUpdate(corpus, vecCol, centroids)
+    }
+    (n, inertias.result())
   }
 
   // an IVF quantizer is BUILT ONCE and queried many times — recomputing the

@@ -125,4 +125,16 @@ object TextFunctions {
     */
   def subwordCount(text: Column): Column =
     size(split(text, "\\s+|(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])"))
+
+  /** Start offsets (0-based) of overlapping fixed-stride chunks covering
+    * `text`: 0, stride, 2·stride, … < length — the training-data chunking
+    * lattice (posexplode + substr turns it into one row per chunk; an empty
+    * or null text yields an empty array, so the row vanishes on explode —
+    * guarded explicitly because sequence(0, -1, +step) would throw).
+    * Expression-only: the whole chunking pipeline stays in codegen with
+    * zero shuffles.
+    */
+  def chunkStarts(text: Column, stride: Int): Column =
+    when(length(text) > 0, sequence(lit(0), length(text) - 1, lit(stride)))
+      .otherwise(array().cast("array<int>"))
 }

@@ -1188,6 +1188,30 @@ object Surface {
         FROM embeddings, range(8) AS t(pos)
         GROUP BY 1, 2""")),
 
+    "embed_kmeans" -> QueryDef(
+      // spherical k-means Lloyd trace (SimilarityFunctions.kmeansTrace):
+      // k=8, 3 update rounds from the leading-k init, inertia measured
+      // before the first and after every round — each pass distributed, the
+      // driver holds only the k×dim matrix and the scalar inertias. The
+      // gate is Lloyd's invariant: assignment AND normalized-mean update
+      // both improve the cosine objective, so the inertia trace must be
+      // non-increasing (mono_ok, with an n-scaled FP slack) and strictly
+      // better at the end (improved_ok) — a wrong mean or assignment
+      // lowering breaks monotonicity, so this is not vacuous. n oracle-exact.
+      (s, dir) => {
+        val (n, in) = SimilarityFunctions.kmeansTrace(
+          t(s, dir, "embeddings"), "embedding", "vec_id", k = 8, iters = 3)
+        s.range(1).select(
+          lit(n).as("n"), lit(8L).as("k"), lit(3L).as("iters"),
+          lit(in.zip(in.tail).forall { case (a, b) => b <= a + 1e-6 * n })
+            .as("mono_ok"),
+          lit(in.last < in.head).as("improved_ok"))
+      },
+      Some("""
+        SELECT count(*) AS n, CAST(8 AS BIGINT) AS k, CAST(3 AS BIGINT) AS iters,
+               TRUE AS mono_ok, TRUE AS improved_ok
+        FROM embeddings""")),
+
     "sim_cosine_neardup" -> QueryDef(
       // threshold 0.45 sits just under the corpus's max pairwise cosine
       // (~0.51 at sf0.01) so the result is non-empty — a 0.9 threshold finds
@@ -1331,6 +1355,34 @@ object Surface {
                CAST(${dkHits("en")} AS BIGINT) AS en_hits,
                CAST(${dkHits("de")} AS BIGINT) AS de_hits
         FROM documents""")),
+
+    "text_chunking" -> QueryDef(
+      // overlapping fixed-stride chunking (width 200, stride 150) — the
+      // training-data chunk lattice. Expression-only (chunkStarts sequence +
+      // posexplode + substr), so chunking N docs is one codegen'd map with
+      // ZERO shuffles at any scale; chunks surface as md5 + length, not
+      // text, keeping the dump compact while content-verifying every byte.
+      (s, dir) => {
+        val stride = 150; val width = 200
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("text").as("__txt"),
+            posexplode(graft.functions.TextFunctions.chunkStarts(col("text"), stride))
+              .as(Seq("chunk_ix", "chunk_start")))
+          .select(col("doc_id"), col("chunk_ix").cast("long"),
+            col("chunk_start").cast("long"),
+            length(expr(s"substr(__txt, chunk_start + 1, $width)")).cast("long")
+              .as("chunk_len"),
+            md5(expr(s"substr(__txt, chunk_start + 1, $width)")).as("chunk_md5"))
+          .orderBy(col("doc_id"), col("chunk_ix"))
+      },
+      Some("""
+        SELECT doc_id, CAST(s // 150 AS BIGINT) AS chunk_ix,
+               CAST(s AS BIGINT) AS chunk_start,
+               CAST(length(substr(text, CAST(s AS INT) + 1, 200)) AS BIGINT) AS chunk_len,
+               md5(substr(text, CAST(s AS INT) + 1, 200)) AS chunk_md5
+        FROM (SELECT doc_id, text, unnest(range(0, length(text), 150)) AS s
+              FROM documents WHERE length(text) > 0)
+        ORDER BY doc_id, chunk_ix""")),
 
     "text_fingerprint_rolling" -> QueryDef(
       // native codegen'd Catalyst expression (RollingHash). The hash values

@@ -290,4 +290,34 @@ class FunctionsSpec extends SparkSuite {
     assert(KustoTypes.withTrackingColumns(s).fieldNames.toSeq ==
       Seq("id", KustoTypes.BlobPathColumn, KustoTypes.IngestTsColumn))
   }
+
+  test("chunkStarts: overlap lattice, exact-boundary tail, empty and null text") {
+    import spark.implicits._
+    val rows = Seq("a" * 10, "b" * 4, "c" * 8, "", null)
+      .toDF("text")
+      .select(TextFunctions.chunkStarts($"text", 4).as("s"))
+      .collect().map(r => Option(r.getSeq[Int](0)).map(_.toSeq))
+    // len 10, stride 4 → 0,4,8; len 4 → 0; len 8 → 0,4 (no start AT len);
+    // empty/null → empty array (no throw from sequence(0,-1,+4))
+    assert(rows(0).contains(Seq(0, 4, 8)))
+    assert(rows(1).contains(Seq(0)))
+    assert(rows(2).contains(Seq(0, 4)))
+    assert(rows(3).contains(Seq.empty[Int]))
+    assert(rows(4).contains(Seq.empty[Int]))
+  }
+
+  test("kmeansTrace: inertia non-increasing over Lloyd rounds, n exact") {
+    import spark.implicits._
+    // two tight direction bundles + a stray: the k=2 trace must improve
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f)), (1L, Seq(0.9f, 0.1f, 0f)), (2L, Seq(0.95f, 0f, 0.05f)),
+      (3L, Seq(0f, 1f, 0f)), (4L, Seq(0.1f, 0.9f, 0f)), (5L, Seq(0f, 0.95f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val (n, in) = SimilarityFunctions.kmeansTrace(vecs, "embedding", "vec_id", k = 2, iters = 2)
+    assert(n == 6L)
+    assert(in.length == 3)
+    assert(in.zip(in.tail).forall { case (a, b) => b <= a + 1e-9 })
+    // init = vecs 0,1 (both x-ish): round 1 must split out the y bundle
+    assert(in.last < in.head)
+  }
 }
