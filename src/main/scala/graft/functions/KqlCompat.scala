@@ -394,6 +394,85 @@ object KqlCompat {
         s"(CASE WHEN ${sumSqOf(x)} > 0 AND ${sumSqOf(y)} > 0 THEN " +
           s"$sxy / (sqrt(${sumSqOf(x)}) * sqrt(${sumSqOf(y)})) ELSE CAST(0 AS DOUBLE) END)"
     }
+    // series_fill_const(x, c): nulls → the literal constant
+    s = expandCalls(s, "series_fill_const") {
+      case Seq(x, c) =>
+        s"transform(${asD(x)}, v -> coalesce(v, CAST($c AS DOUBLE)))"
+    }
+    // series_fill_forward(x): each null takes the LAST non-null at or
+    // before it (leading nulls stay null). Per-element backward scan —
+    // O(n²) on an n-point series, grid-sized by design like the other
+    // series fns; __sff_x binds once via let1.
+    s = expandCalls(s, "series_fill_forward") {
+      case Seq(x) =>
+        let1("__sff_x", asD(x),
+          "transform(sequence(0, size(__sff_x) - 1), i -> " +
+            "aggregate(sequence(0, i), CAST(NULL AS DOUBLE), " +
+            "(acc, j) -> coalesce(element_at(__sff_x, j + 1), acc)))")
+    }
+    // series_fill_backward(x): each null takes the FIRST non-null after it
+    // (trailing nulls stay null)
+    s = expandCalls(s, "series_fill_backward") {
+      case Seq(x) =>
+        let1("__sfb_x", asD(x),
+          "transform(sequence(0, size(__sfb_x) - 1), i -> " +
+            "aggregate(sequence(i, size(__sfb_x) - 1), CAST(NULL AS DOUBLE), " +
+            "(acc, j) -> coalesce(acc, element_at(__sfb_x, j + 1))))")
+    }
+    // series_fill_linear(x): interior nulls interpolate linearly between
+    // the nearest non-null neighbors — p + (q − p)·(i − pi)/(qi − pi), the
+    // exact spelling oracles restate — and edge nulls take the nearest
+    // non-null (ADX's default edge behavior). The neighbor indices bind
+    // per element through the one-element-array let trick.
+    s = expandCalls(s, "series_fill_linear") {
+      case Seq(x) =>
+        val pIdx = "aggregate(sequence(0, i), CAST(NULL AS INT), " +
+          "(acc, j) -> IF(element_at(__sfl_x, j + 1) IS NOT NULL, j, acc))"
+        val qIdx = "aggregate(sequence(i, size(__sfl_x) - 1), CAST(NULL AS INT), " +
+          "(acc, j) -> coalesce(acc, IF(element_at(__sfl_x, j + 1) IS NOT NULL, j, CAST(NULL AS INT))))"
+        let1("__sfl_x", asD(x),
+          "transform(sequence(0, size(__sfl_x) - 1), i -> " +
+            s"element_at(transform(array(named_struct('p', $pIdx, 'q', $qIdx)), w -> " +
+            "CASE WHEN element_at(__sfl_x, i + 1) IS NOT NULL THEN element_at(__sfl_x, i + 1) " +
+            "WHEN w.p IS NULL AND w.q IS NULL THEN CAST(NULL AS DOUBLE) " +
+            "WHEN w.p IS NULL THEN element_at(__sfl_x, w.q + 1) " +
+            "WHEN w.q IS NULL THEN element_at(__sfl_x, w.p + 1) " +
+            "ELSE element_at(__sfl_x, w.p + 1) + " +
+            "(element_at(__sfl_x, w.q + 1) - element_at(__sfl_x, w.p + 1)) * " +
+            "CAST(i - w.p AS DOUBLE) / CAST(w.q - w.p AS DOUBLE) END), 1))")
+    }
+    // element-wise series arithmetic: zip_with lanes (null where either
+    // side is null, matching ADX); scalar folds for sum/avg
+    s = expandCalls(s, "series_add") {
+      case Seq(x, y) => s"zip_with(${asD(x)}, ${asD(y)}, (a, b) -> a + b)"
+    }
+    s = expandCalls(s, "series_subtract") {
+      case Seq(x, y) => s"zip_with(${asD(x)}, ${asD(y)}, (a, b) -> a - b)"
+    }
+    s = expandCalls(s, "series_multiply") {
+      case Seq(x, y) => s"zip_with(${asD(x)}, ${asD(y)}, (a, b) -> a * b)"
+    }
+    s = expandCalls(s, "series_divide") {
+      case Seq(x, y) => s"zip_with(${asD(x)}, ${asD(y)}, (a, b) -> a / b)"
+    }
+    s = expandCalls(s, "series_abs") {
+      case Seq(x) => s"transform(${asD(x)}, v -> abs(v))"
+    }
+    s = expandCalls(s, "series_exp") {
+      case Seq(x) => s"transform(${asD(x)}, v -> exp(v))"
+    }
+    s = expandCalls(s, "series_log") {
+      case Seq(x) => s"transform(${asD(x)}, v -> ln(v))"
+    }
+    s = expandCalls(s, "series_sign") {
+      case Seq(x) => s"transform(${asD(x)}, v -> CAST(sign(v) AS DOUBLE))"
+    }
+    s = expandCalls(s, "series_sum") {
+      case Seq(x) => sumOf(x)
+    }
+    s = expandCalls(s, "series_avg") {
+      case Seq(x) => s"(${sumOf(x)} / ${nOf(x)})"
+    }
     // series_periods_detect(x, min_period, max_period, num_periods):
     // top-k candidate periods by NORMALIZED AUTOCORRELATION (divergence
     // from ADX's FFT-based detector, same contract: two arrays, best

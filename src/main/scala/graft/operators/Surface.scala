@@ -2539,6 +2539,114 @@ object Surface {
                CAST(to_json(list(round(m, 6) ORDER BY b)) AS VARCHAR) AS sm_json
         FROM sm GROUP BY 1 ORDER BY 1""")),
 
+    "q_series_fill" -> QueryDef(
+      // the series_fill family over a gappy series (odd daily counts
+      // knocked out to null): fill_forward / fill_backward / fill_const /
+      // fill_linear, each an array HOF lane inside ONE codegen'd projection
+      // — no extra shuffle beyond make-series' own. The oracle restates the
+      // fills as IGNORE NULLS window functions over the same day grid, with
+      // the identical interpolation spelling p + (q−p)·(i−pi)/(qi−pi).
+      (s, dir) => kqlRun(s, dir,
+        """events
+          | | make-series n = count()
+          |     on ts from 1704067200000000000 to 1706659200000000000 step 86400000000000
+          |     by event_type
+          | | extend g = transform(n, v -> if(v % 2 == 1, CAST(NULL AS DOUBLE), CAST(v AS DOUBLE)))
+          | | extend ff = series_fill_forward(g), fb = series_fill_backward(g),
+          |          fc = series_fill_const(g, -1.0), fl = series_fill_linear(g)
+          | | project event_type,
+          |     ff_json = to_json(transform(ff, v -> round(v, 6))),
+          |     fb_json = to_json(transform(fb, v -> round(v, 6))),
+          |     fc_json = to_json(transform(fc, v -> round(v, 6))),
+          |     fl_json = to_json(transform(fl, v -> round(v, 6)))
+          | | order by event_type asc""".stripMargin),
+      Some("""
+        WITH e AS (SELECT event_type, epoch_ns(ts) AS tn FROM events),
+             binned AS (
+               SELECT event_type,
+                      1704067200000000000 + CAST(floor((tn - 1704067200000000000) / 86400000000000) AS BIGINT) * 86400000000000 AS b,
+                      count(*) AS n
+               FROM e
+               WHERE tn >= 1704067200000000000 AND tn < 1706659200000000000
+               GROUP BY 1, 2),
+             grid AS (
+               SELECT k.event_type, g.b, CAST(coalesce(n, 0) AS BIGINT) AS v
+               FROM (SELECT DISTINCT event_type FROM binned) k
+               CROSS JOIN (SELECT unnest(range(1704067200000000000, 1706659200000000000, 86400000000000)) AS b) g
+               LEFT JOIN binned USING (event_type, b)),
+             g2 AS (
+               SELECT event_type, b,
+                      CASE WHEN v % 2 = 1 THEN NULL ELSE CAST(v AS DOUBLE) END AS gv,
+                      row_number() OVER (PARTITION BY event_type ORDER BY b) - 1 AS i
+               FROM grid),
+             f AS (
+               SELECT event_type, b, gv, i,
+                      last_value(gv IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY b
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff,
+                      first_value(gv IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY b
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fb,
+                      coalesce(gv, -1.0) AS fc,
+                      last_value(CASE WHEN gv IS NOT NULL THEN i END IGNORE NULLS)
+                        OVER (PARTITION BY event_type ORDER BY b
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pi,
+                      first_value(CASE WHEN gv IS NOT NULL THEN i END IGNORE NULLS)
+                        OVER (PARTITION BY event_type ORDER BY b
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS qi
+               FROM g2),
+             f2 AS (
+               SELECT event_type, b, ff, fb, fc,
+                      CASE WHEN gv IS NOT NULL THEN gv
+                           WHEN pi IS NULL AND qi IS NULL THEN NULL
+                           WHEN pi IS NULL THEN fb
+                           WHEN qi IS NULL THEN ff
+                           ELSE ff + (fb - ff) * CAST(i - pi AS DOUBLE) / CAST(qi - pi AS DOUBLE)
+                      END AS fl
+               FROM f)
+        SELECT event_type,
+               CAST(to_json(list(round(ff, 6) ORDER BY b)) AS VARCHAR) AS ff_json,
+               CAST(to_json(list(round(fb, 6) ORDER BY b)) AS VARCHAR) AS fb_json,
+               CAST(to_json(list(round(fc, 6) ORDER BY b)) AS VARCHAR) AS fc_json,
+               CAST(to_json(list(round(fl, 6) ORDER BY b)) AS VARCHAR) AS fl_json
+        FROM f2 GROUP BY 1 ORDER BY 1""")),
+
+    "q_series_arith" -> QueryDef(
+      // element-wise series arithmetic lanes (multiply / add / divide) and
+      // scalar folds (series_sum / series_avg) — all zip_with/aggregate
+      // HOFs in one projection; counts are integer-valued so the folds are
+      // fold-order exact-safe cross-engine.
+      (s, dir) => kqlRun(s, dir,
+        """events
+          | | make-series n = count()
+          |     on ts from 1704067200000000000 to 1706659200000000000 step 86400000000000
+          |     by event_type
+          | | extend a2 = series_multiply(n, n),
+          |          d = series_divide(series_add(n, n), transform(n, v -> CAST(v + 1 AS DOUBLE))),
+          |          tot = series_sum(n), mean = round(series_avg(n), 6)
+          | | project event_type, tot, mean,
+          |     a2_json = to_json(transform(a2, v -> round(v, 6))),
+          |     d_json = to_json(transform(d, v -> round(v, 6)))
+          | | order by event_type asc""".stripMargin),
+      Some("""
+        WITH e AS (SELECT event_type, epoch_ns(ts) AS tn FROM events),
+             binned AS (
+               SELECT event_type,
+                      1704067200000000000 + CAST(floor((tn - 1704067200000000000) / 86400000000000) AS BIGINT) * 86400000000000 AS b,
+                      count(*) AS n
+               FROM e
+               WHERE tn >= 1704067200000000000 AND tn < 1706659200000000000
+               GROUP BY 1, 2),
+             grid AS (
+               SELECT k.event_type, g.b, CAST(coalesce(n, 0) AS DOUBLE) AS v
+               FROM (SELECT DISTINCT event_type FROM binned) k
+               CROSS JOIN (SELECT unnest(range(1704067200000000000, 1706659200000000000, 86400000000000)) AS b) g
+               LEFT JOIN binned USING (event_type, b))
+        SELECT event_type,
+               sum(v) AS tot,
+               round(sum(v) / count(*), 6) AS mean,
+               CAST(to_json(list(round(v * v, 6) ORDER BY b)) AS VARCHAR) AS a2_json,
+               CAST(to_json(list(round((v + v) / (v + 1), 6) ORDER BY b)) AS VARCHAR) AS d_json
+        FROM grid GROUP BY 1 ORDER BY 1""")),
+
     "q_series_corr" -> QueryDef(
       // multi-aggregation make-series (n = count(), sv = sum(value) — one
       // shuffle builds both series) + series_pearson_correlation between

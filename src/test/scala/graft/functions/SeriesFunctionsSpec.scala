@@ -159,4 +159,34 @@ class SeriesFunctionsSpec extends SparkSuite {
     assert(r.getSeq[Long](r.fieldIndex("n")) == Seq(1L, 2L, 0L, 1L))
     assert(r.getSeq[Double](r.fieldIndex("sv")) == Seq(10.0, 50.0, -1.0, 40.0))
   }
+
+  test("series_fill family: forward/backward/const/linear with edge nulls") {
+    val x = "dynamic([null, 4, null, null, 10, null])"
+    assert(oneRow(s"series_fill_forward($x)").getSeq[java.lang.Double](0) ==
+      Seq(null, 4.0, 4.0, 4.0, 10.0, 10.0))
+    assert(oneRow(s"series_fill_backward($x)").getSeq[java.lang.Double](0) ==
+      Seq(4.0, 4.0, 10.0, 10.0, 10.0, null))
+    assert(oneRow(s"series_fill_const($x, -1.0)").getSeq[java.lang.Double](0) ==
+      Seq(-1.0, 4.0, -1.0, -1.0, 10.0, -1.0))
+    // interior nulls interpolate (4→10 over 3 steps); edge nulls take the
+    // nearest non-null
+    assert(oneRow(s"series_fill_linear($x)").getSeq[java.lang.Double](0) ==
+      Seq(4.0, 4.0, 6.0, 8.0, 10.0, 10.0))
+    // all-null series stays all-null (no neighbor to take)
+    assert(oneRow("series_fill_linear(dynamic([null, null]))")
+      .getSeq[java.lang.Double](0) == Seq(null, null))
+  }
+
+  test("series arithmetic lanes and folds") {
+    assert(oneRow("series_multiply(dynamic([1, 2, 3]), dynamic([4, 5, 6]))")
+      .getSeq[Double](0) == Seq(4.0, 10.0, 18.0))
+    assert(oneRow("series_subtract(dynamic([5, 5]), dynamic([2, 7]))")
+      .getSeq[Double](0) == Seq(3.0, -2.0))
+    assert(oneRow("series_divide(dynamic([8, 9]), dynamic([2, 3]))")
+      .getSeq[Double](0) == Seq(4.0, 3.0))
+    assert(oneRow("series_sign(dynamic([-3, 0, 9]))")
+      .getSeq[Double](0) == Seq(-1.0, 0.0, 1.0))
+    assert(oneRow("series_sum(dynamic([1, 2, 3]))").getDouble(0) == 6.0)
+    assert(oneRow("series_avg(dynamic([1, 2, 3, 6]))").getDouble(0) == 3.0)
+  }
 }
