@@ -394,6 +394,63 @@ object KqlCompat {
         s"(CASE WHEN ${sumSqOf(x)} > 0 AND ${sumSqOf(y)} > 0 THEN " +
           s"$sxy / (sqrt(${sumSqOf(x)}) * sqrt(${sumSqOf(y)})) ELSE CAST(0 AS DOUBLE) END)"
     }
+    // parse_url(u): typed struct with ADX's member names, built on Spark's
+    // native parse_url extraction. Divergences (documented): Query is the
+    // RAW query string (ADX explodes it into a "Query Parameters" bag) and
+    // Port comes from a userinfo-tolerant regex (a password containing ':'
+    // would defeat it); Username/Password members are not surfaced.
+    s = expandCalls(s, "parse_url") {
+      case Seq(u) =>
+        s"named_struct(" +
+          s"'Scheme', parse_url($u, 'PROTOCOL'), " +
+          s"'Host', parse_url($u, 'HOST'), " +
+          s"'Port', regexp_extract($u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/:]+:([0-9]+)', 1), " +
+          s"'Path', parse_url($u, 'PATH'), " +
+          s"'Query', parse_url($u, 'QUERY'), " +
+          s"'Fragment', parse_url($u, 'REF'))"
+    }
+    // parse_version(v): up-to-4 dotted numeric parts folded into ONE
+    // comparable double — part i weighs 10^(8·(3−i)), missing/non-numeric
+    // parts count 0, so '1.2' == '1.2.0.0' and ordering is component-wise
+    s = expandCalls(s, "parse_version") {
+      case Seq(v) =>
+        s"aggregate(sequence(0, 3), CAST(0 AS DOUBLE), (acc, i) -> acc + " +
+          s"coalesce(try_cast(try_element_at(split($v, '\\\\.'), i + 1) AS DOUBLE), " +
+          s"CAST(0 AS DOUBLE)) * pow(10, 8 * (3 - i)))"
+    }
+    // translate(searchList, replaceList, text): ADX argument order →
+    // Spark's translate(text, from, to)
+    s = expandCalls(s, "translate") {
+      case Seq(from, to, t) => s"translate($t, $from, $to)"
+    }
+    // trim_start/trim_end(regex, text): strip ONE anchored match
+    s = expandCalls(s, "trim_start") {
+      case Seq(re, t) => s"regexp_replace($t, concat('^(?:', $re, ')'), '')"
+    }
+    s = expandCalls(s, "trim_end") {
+      case Seq(re, t) => s"regexp_replace($t, concat('(?:', $re, ')$$'), '')"
+    }
+    s = expandCalls(s, "isascii") {
+      case Seq(t) => s"(($t) RLIKE '^[\\\\x00-\\\\x7F]*$$')"
+    }
+    // indexof_regex(text, regex): 0-based position of the first match,
+    // −1 when none (regexp_instr is 1-based with 0-for-miss — shift aligns
+    // both cases at once)
+    s = expandCalls(s, "indexof_regex") {
+      case Seq(t, re) => s"CAST(regexp_instr($t, $re) - 1 AS BIGINT)"
+    }
+    // regex_quote(t): backslash-escape every regex metacharacter
+    s = expandCalls(s, "regex_quote") {
+      case Seq(t) =>
+        s"regexp_replace($t, '([.^$$|?*+()\\\\[\\\\]{}\\\\\\\\])', '\\\\\\\\$$1')"
+    }
+    // startofweek(t): ADX weeks start SUNDAY. Spelled via Spark's weekday
+    // (Monday=0) — NOT dayofweek, which the KQL rewrite above already owns
+    // (ADX dayofweek is a timespan) and would re-rewrite here.
+    s = expandCalls(s, "startofweek") {
+      case Seq(t) =>
+        s"CAST(date_sub(CAST(($t) AS DATE), pmod(weekday($t) + 1, 7)) AS TIMESTAMP)"
+    }
     // series_fill_const(x, c): nulls → the literal constant
     s = expandCalls(s, "series_fill_const") {
       case Seq(x, c) =>

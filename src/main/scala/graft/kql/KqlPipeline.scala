@@ -492,6 +492,17 @@ object KqlPipeline {
         graphShortestPaths(graph.getOrElse(
           fail("graph-shortest-paths needs a preceding `make-graph` in the same pipeline")),
           seg.drop("graph-shortest-paths".length).trim)
+      } else if (w == "graph-to-table") {
+        // `graph-to-table nodes|edges`: materialize one side of the graph
+        // as a plain frame (ADX's dual-output form is one call per side
+        // here — compose with `fork` legs for both at once)
+        val g = graph.getOrElse(
+          fail("graph-to-table needs a preceding `make-graph` in the same pipeline"))
+        seg.drop("graph-to-table".length).trim.toLowerCase match {
+          case "" | "edges" => g.edges
+          case "nodes"      => g.nodes
+          case other        => fail(s"graph-to-table expects `nodes` or `edges`, got: '$other'")
+        }
       } else applyOp(res)(df, seg)
     }
   }
@@ -736,13 +747,38 @@ object KqlPipeline {
     require(x != y, "graph-shortest-paths: endpoint variables must be distinct " +
       "(cycles back to the start already appear as x/y rows with equal ids)")
 
+    // Seed pushdown — the optimizer move Catalyst cannot see through the
+    // iterative loop: a top-level `and` conjunct whose only qualified refs
+    // are `x.…` (and which never touches `y.…` or the hop columns)
+    // restricts the START set, so BFS explores only from matching seeds
+    // instead of every node. The full predicate still applies at the end
+    // (idempotent for pushed conjuncts), so semantics are unchanged.
+    val DottedRef = """(?<![A-Za-z0-9_.])([A-Za-z_]\w*)\s*\.""".r
+    def conjuncts(p: String): Seq[String] = splitAtTopLevelKeyword(p, "and") match {
+      case (head, Some(tail)) => head.trim +: conjuncts(tail)
+      case (whole, None)      => Seq(whole.trim)
+    }
+    val seedPred: Option[String] = wherePart.flatMap { p =>
+      val pushable = conjuncts(p).filter { c =>
+        val aliases = DottedRef.findAllMatchIn(c).map(_.group(1)).toSet
+        aliases == Set(x) && !c.contains(s"${e}_hops") && !c.contains(s"${e}_path")
+      }
+      if (pushable.isEmpty) None else Some(pushable.mkString(" AND "))
+    }
+    val seeds: Option[DataFrame] = seedPred.map(p =>
+      g.nodes.alias(x).filter(expr(tx(p))).select(col(s"$x.${g.id}").as("__sp_seed")))
+
     val edges = g.edges.select(col(g.src).as("__sp_esrc"), col(g.dst).as("__sp_edst"))
+    val seeded = seeds match {
+      case Some(sd) => edges.join(sd, col("__sp_esrc") === col("__sp_seed"), "left_semi")
+      case None     => edges
+    }
     // one deterministic path per pair (min array) vs all distinct paths
     def dedupLevel(df: DataFrame): DataFrame =
       if (outputAll) df.distinct()
       else df.groupBy(col("__sp_start"), col("__sp_cur"))
         .agg(min(col("__sp_path")).as("__sp_path"))
-    var frontier = dedupLevel(edges.select(
+    var frontier = dedupLevel(seeded.select(
       col("__sp_esrc").as("__sp_start"), col("__sp_edst").as("__sp_cur"),
       array(col("__sp_esrc"), col("__sp_edst")).as("__sp_path")))
     var reached = frontier.select(col("__sp_start"), col("__sp_cur"))

@@ -3660,6 +3660,35 @@ object Surface {
                FALSE AS nan_fin
         FROM lineitem WHERE l_orderkey <= 1000""")),
 
+    "q_kql_scalar_tail3" -> QueryDef(
+      // URL anatomy, comparable versions, regex trims/quoting, ascii
+      // classification, Sunday-based startofweek — constants through the
+      // REAL rewrite+eval path, oracle restates the expected values
+      (s, dir) => kqlRun(s, dir,
+        """print u = parse_url('https://user@example.com:8080/a/b?x=1&y=2#frag')
+          | | project scheme = u.Scheme, host = u.Host, port = u.Port,
+          |     path = u.Path, qry = u.Query, frag = u.Fragment,
+          |     ver_cmp = parse_version('10.2.0.1') > parse_version('2.9.9.9'),
+          |     ver_eq = parse_version('1.2') == parse_version('1.2.0.0'),
+          |     enc = url_encode('a b&c'), dec = url_decode('a%20b%26c'),
+          |     tr = translate('abc', 'xyz', 'aabbcc'),
+          |     t_start = trim_start('[0-9]+', '123abc456'),
+          |     t_end = trim_end('[0-9]+', '123abc456'),
+          |     asc_t = isascii('plain'), asc_f = isascii('café'),
+          |     ir = indexof_regex('hello world', 'o w'),
+          |     ir_none = indexof_regex('abc', 'z+'),
+          |     doy = tolong(dayofyear(datetime(2024-03-01))),
+          |     sow = format_datetime(startofweek(datetime(2024-03-15)), 'yyyy-MM-dd')""".stripMargin),
+      Some("""
+        SELECT 'https' AS scheme, 'example.com' AS host, '8080' AS port,
+               '/a/b' AS path, 'x=1&y=2' AS qry, 'frag' AS frag,
+               TRUE AS ver_cmp, TRUE AS ver_eq,
+               'a+b%26c' AS enc, 'a b&c' AS dec, 'xxyyzz' AS tr,
+               'abc456' AS t_start, '123abc' AS t_end,
+               TRUE AS asc_t, FALSE AS asc_f,
+               CAST(4 AS BIGINT) AS ir, CAST(-1 AS BIGINT) AS ir_none,
+               CAST(61 AS BIGINT) AS doy, '2024-03-10' AS sow""")),
+
     "q_kql_row_rank" -> QueryDef(
       // row_rank_dense over the serialized event stream of one user: the
       // rank bumps when the event type changes — boundary indicator via
@@ -3872,6 +3901,26 @@ object Surface {
         FROM (SELECT s0, s1, min(h) AS mh FROM sp GROUP BY 1, 2)
         WHERE s0 LIKE 'c%' AND s1 LIKE 'p%'
         GROUP BY 1 ORDER BY 1""")),
+
+    "q_kql_graph_to_table" -> QueryDef(
+      // graph-to-table nodes: the implicit node frame IS the distinct
+      // endpoint union — counted whole and per prefix class
+      (s, dir) => kqlRun(s, dir,
+        """lineitem
+          | | where l_quantity == 50
+          | | project src = strcat('s', tostring(l_suppkey)),
+          |     dst = strcat('p', tostring(l_partkey))
+          | | make-graph src --> dst
+          | | graph-to-table nodes
+          | | summarize n_nodes = count(), n_s = countif(node_id startswith 's')""".stripMargin),
+      Some("""
+        WITH e AS (SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                          'p' || CAST(l_partkey AS VARCHAR) AS dst
+                   FROM lineitem WHERE l_quantity = 50),
+             n AS (SELECT src AS node_id FROM e UNION SELECT dst FROM e)
+        SELECT count(*) AS n_nodes,
+               count(CASE WHEN node_id LIKE 's%' THEN 1 END) AS n_s
+        FROM n""")),
 
     "q_kql_dcount_hll" -> QueryDef(
       // KQL's native dcount IS an HLL estimate; this pipeline's dcount is

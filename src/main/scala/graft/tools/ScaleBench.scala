@@ -31,7 +31,11 @@ object ScaleBench {
     "q_kql_hll_sketches",
     // round-8 scale-posture queries
     "q_kql_graph_branch", "q_kql_graph_cycle", "q_kql_graph_varlen_agg",
-    "sim_ivfpq_topk")
+    "sim_ivfpq_topk",
+    // round-8 batch 2: BFS shortest paths, Lloyd iterations, sketch
+    // intersection, chunk lattice — each a newly-claimed scale shape
+    "q_kql_graph_shortest", "embed_kmeans", "q_kql_dcount_intersect",
+    "text_chunking")
 
   def main(args: Array[String]): Unit = {
     val small = args(0)

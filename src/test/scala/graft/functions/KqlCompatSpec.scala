@@ -149,6 +149,47 @@ class KqlCompatSpec extends SparkSuite {
     assert(r.getSeq[Int](5) == Seq(1, 2, 3))        // 0-based inclusive bounds
   }
 
+  test("url/version/regex scalar tail: parse_url, parse_version, trims, quoting") {
+    val r = spark.range(1).selectExpr(
+      KqlCompat.rewrite("parse_url('https://user@example.com:8080/a/b?x=1&y=2#frag')") + " as u",
+      KqlCompat.rewrite("parse_version('10.2.0.1') > parse_version('2.9.9.9')") + " as vc",
+      KqlCompat.rewrite("parse_version('1.2') == parse_version('1.2.0.0')") + " as ve",
+      KqlCompat.rewrite("translate('abc', 'xyz', 'aabbcc')") + " as tr",
+      KqlCompat.rewrite("trim_start('[0-9]+', '123abc456')") + " as ts",
+      KqlCompat.rewrite("trim_end('[0-9]+', '123abc456')") + " as te",
+      KqlCompat.rewrite("isascii('plain')") + " as aa",
+      KqlCompat.rewrite("isascii('café')") + " as ab",
+      KqlCompat.rewrite("indexof_regex('hello world', 'o w')") + " as ir",
+      KqlCompat.rewrite("indexof_regex('abc', 'z+')") + " as irn",
+      KqlCompat.rewrite("regex_quote('a.b*c\\\\d')") + " as rq",
+      KqlCompat.rewrite("url_encode('a b&c')") + " as enc",
+      KqlCompat.rewrite("url_decode('a%20b%26c')") + " as dec").head
+    val u = r.getStruct(0)
+    assert(u.getAs[String]("Scheme") == "https")
+    assert(u.getAs[String]("Host") == "example.com")
+    assert(u.getAs[String]("Port") == "8080")
+    assert(u.getAs[String]("Path") == "/a/b")
+    assert(u.getAs[String]("Query") == "x=1&y=2")
+    assert(u.getAs[String]("Fragment") == "frag")
+    assert(r.getBoolean(1) && r.getBoolean(2))
+    assert(r.getString(3) == "xxyyzz")
+    assert(r.getString(4) == "abc456")
+    assert(r.getString(5) == "123abc")
+    assert(r.getBoolean(6) && !r.getBoolean(7))
+    assert(r.getLong(8) == 4L && r.getLong(9) == -1L)
+    assert(r.getString(10) == "a\\.b\\*c\\\\d")
+    assert(r.getString(11) == "a+b%26c")
+    assert(r.getString(12) == "a b&c")
+  }
+
+  test("startofweek is Sunday-based") {
+    val r = spark.range(1).selectExpr(
+      KqlCompat.rewrite("format_datetime(startofweek(datetime(2024-03-15)), 'yyyy-MM-dd')") + " as w",
+      KqlCompat.rewrite("format_datetime(startofweek(datetime(2024-03-10)), 'yyyy-MM-dd')") + " as w2").head
+    assert(r.getString(0) == "2024-03-10") // Friday → preceding Sunday
+    assert(r.getString(1) == "2024-03-10") // Sunday → itself
+  }
+
   test("typed aliases evaluate with KQL semantics") {
     val df = Seq(("Personal Cluster", 3L)).toDF("offering", "v")
     val r = df.select(

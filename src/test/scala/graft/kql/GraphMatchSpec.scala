@@ -217,6 +217,22 @@ class GraphMatchSpec extends SparkSuite {
     assert(rows == Seq(("a", 2L), ("b", 2L)))
   }
 
+  test("graph-to-table materializes the node and edge sides") {
+    val nodes = run(
+      """datatable (s:string, d:string) [ 'a', 'b', 'b', 'c' ]
+        | | make-graph s --> d
+        | | graph-to-table nodes
+        | | order by node_id asc""".stripMargin)
+    assert(nodes.collect().map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    val edges = run(
+      """datatable (s:string, d:string) [ 'a', 'b', 'b', 'c' ]
+        | | make-graph s --> d
+        | | graph-to-table edges
+        | | order by s asc""".stripMargin)
+    assert(edges.collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("a", "b"), ("b", "c")))
+  }
+
   test("graph-shortest-paths rejects a non-1 lower bound") {
     val e = intercept[IllegalArgumentException](run(
       """datatable (s:string, d:string) [ 'a', 'b' ]
