@@ -511,7 +511,8 @@ object KqlPipeline {
     * `make-graph` declares and `graph-match` joins over.
     */
   private final case class GraphCtx(
-      edges: DataFrame, src: String, dst: String, nodes: DataFrame, id: String)
+      edges: DataFrame, src: String, dst: String, nodes: DataFrame, id: String,
+      implicitNodes: Boolean = false)
 
   /** `make-graph src --> dst [with <nodesRef> on <idCol>]`: the piped frame
     * is the edge list; nodes come from the referenced table/let (or, when
@@ -538,7 +539,7 @@ object KqlPipeline {
       case None =>
         val nodes = df.select(col(src).as("node_id"))
           .union(df.select(col(dst).as("node_id"))).distinct()
-        GraphCtx(df, src, dst, nodes, "node_id")
+        GraphCtx(df, src, dst, nodes, "node_id", implicitNodes = true)
     }
   }
 
@@ -765,13 +766,19 @@ object KqlPipeline {
       }
       if (pushable.isEmpty) None else Some(pushable.mkString(" AND "))
     }
-    val seeds: Option[DataFrame] = seedPred.map(p =>
-      g.nodes.alias(x).filter(expr(tx(p))).select(col(s"$x.${g.id}").as("__sp_seed")))
-
     val edges = g.edges.select(col(g.src).as("__sp_esrc"), col(g.dst).as("__sp_edst"))
-    val seeded = seeds match {
-      case Some(sd) => edges.join(sd, col("__sp_esrc") === col("__sp_seed"), "left_semi")
-      case None     => edges
+    val seeded = seedPred match {
+      case Some(p) if g.implicitNodes =>
+        // implicit nodes carry ONLY the id, which IS the edge source value —
+        // filter the edge scan directly instead of semi-joining the
+        // distinct-endpoint frame (saves a full distinct at every scale)
+        edges.withColumn(g.id, col("__sp_esrc")).alias(x)
+          .filter(expr(tx(p))).drop(g.id)
+      case Some(p) =>
+        edges.join(
+          g.nodes.alias(x).filter(expr(tx(p))).select(col(s"$x.${g.id}").as("__sp_seed")),
+          col("__sp_esrc") === col("__sp_seed"), "left_semi")
+      case None => edges
     }
     // one deterministic path per pair (min array) vs all distinct paths
     def dedupLevel(df: DataFrame): DataFrame =
@@ -792,22 +799,38 @@ object KqlPipeline {
       reached  = reached.unionByName(nxt.select(col("__sp_start"), col("__sp_cur")))
       frontier = nxt
     }
-    var out = acc
+    val bfs = acc
       .withColumn(s"${e}_hops", (size(col("__sp_path")) - 1).cast("long"))
       .withColumnRenamed("__sp_path", s"${e}_path")
-      .join(g.nodes.alias(x), col("__sp_start") === col(s"$x.${g.id}"))
-      .join(g.nodes.alias(y), col("__sp_cur") === col(s"$y.${g.id}"))
-    wherePart.foreach(p => out = out.filter(expr(tx(p))))
+    // implicit nodes have exactly one column — the id, which already rides
+    // in the BFS frame as start/cur — so `x.node_id`/`y.node_id` substitute
+    // textually and BOTH endpoint joins (each a full distinct at scale)
+    // disappear; property-carrying node frames still join per alias
+    def aliasTx(sArg: String): String =
+      if (!g.implicitNodes) sArg
+      else sArg
+        .replaceAll(s"(?<![A-Za-z0-9_])$x\\s*\\.\\s*${g.id}(?![A-Za-z0-9_])", "__sp_start")
+        .replaceAll(s"(?<![A-Za-z0-9_])$y\\s*\\.\\s*${g.id}(?![A-Za-z0-9_])", "__sp_cur")
+    var out =
+      if (g.implicitNodes) bfs
+      else bfs
+        .join(g.nodes.alias(x), col("__sp_start") === col(s"$x.${g.id}"))
+        .join(g.nodes.alias(y), col("__sp_cur") === col(s"$y.${g.id}"))
+    wherePart.foreach(p => out = out.filter(expr(tx(aliasTx(p)))))
     projectPart match {
       case Some(items) =>
         val cols = splitTopLevel(items, ',').map(_.trim).filter(_.nonEmpty).map { it =>
           assignment(it) match {
-            case Some((n2, e2)) => expr(tx(e2)).as(n2)
-            case None           => expr(tx(it))
+            case Some((n2, e2)) => expr(tx(aliasTx(e2))).as(n2)
+            case None           => expr(tx(aliasTx(it)))
           }
         }
         out.select(cols: _*)
-      case None => out.drop("__sp_start", "__sp_cur")
+      case None =>
+        if (g.implicitNodes)
+          out.withColumnRenamed("__sp_start", s"${x}_${g.id}")
+            .withColumnRenamed("__sp_cur", s"${y}_${g.id}")
+        else out.drop("__sp_start", "__sp_cur")
     }
   }
 
@@ -1976,6 +1999,27 @@ object KqlPipeline {
                | + ${est(un(un(x, y), z))}) AS BIGINT)""".stripMargin)))
         }
         out.drop(cs: _*)
+
+      // `evaluate rows_near(cond, numRows[, rowsAfter])`: keep every row
+      // within numRows BEFORE a condition row and numRows (or rowsAfter)
+      // AFTER one — the serialized context-window operator. Lowered as two
+      // ScanOps distance scans (rows-since-last-TRUE forward, rows-to-next-
+      // TRUE backward) in the frame's current global order: 2×(partial fold
+      // + seeded re-walk), P scalars to the driver, zero shuffle, never a
+      // one-partition window.
+      case "evaluate" if rest.trim.toLowerCase.startsWith("rows_near") =>
+        val a      = pluginArgs(rest, "rows_near", 2, maxN = 3)
+        val before = constLong(a(1))
+        val after  = if (a.length > 2) constLong(a(2)) else before
+        require(before >= 0 && after >= 0,
+          s"rows_near bounds must be >= 0, got ($before, $after)")
+        val tagged = df.withColumn("__rn_c",
+          coalesce(expr(tx(a(0))).cast("boolean"), lit(false)))
+        val d = graft.util.ScanOps.distToNextTrue(
+          graft.util.ScanOps.distSinceTrue(tagged, "__rn_c", "__rn_ds"),
+          "__rn_c", "__rn_dn")
+        d.filter(col("__rn_ds") <= after || col("__rn_dn") <= before)
+          .drop("__rn_c", "__rn_ds", "__rn_dn")
 
       case "evaluate" if rest.trim.toLowerCase.startsWith("session_count") =>
         val a = pluginArgs(rest, "session_count", 6)

@@ -3660,6 +3660,27 @@ object Surface {
                FALSE AS nan_fin
         FROM lineitem WHERE l_orderkey <= 1000""")),
 
+    "q_kql_rows_near" -> QueryDef(
+      // rows_near: context rows around error events in one user's
+      // serialized stream — two ScanOps distance scans (since-last /
+      // to-next TRUE), zero shuffle, never a one-partition window; the
+      // oracle restates the window as ROWS BETWEEN after PRECEDING AND
+      // before FOLLOWING over the same order
+      (s, dir) => kqlRun(s, dir,
+        """events
+          | | where user_id == 7
+          | | order by ts asc
+          | | evaluate rows_near(event_type == 'error', 1, 2)
+          | | project event_id, event_type
+          | | order by event_id asc""".stripMargin),
+      Some("""
+        SELECT event_id, event_type
+        FROM (SELECT event_id, event_type,
+                     max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                       OVER (ORDER BY ts ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS nearby
+              FROM events WHERE user_id = 7)
+        WHERE nearby = 1 ORDER BY event_id""")),
+
     "q_kql_scalar_tail3" -> QueryDef(
       // URL anatomy, comparable versions, regex trims/quoting, ascii
       // classification, Sunday-based startofweek — constants through the

@@ -207,4 +207,80 @@ object ScanOps {
     df.sparkSession.createDataFrame(out,
       df.schema.add(outCol, df.schema(idx).dataType, nullable = true))
   }
+
+  /** Append `outCol` = #rows since the most recent TRUE of `condCol` at or
+    * before this row in the current global order (0 on a TRUE row; null
+    * before the first TRUE). Same two-pass shape as [[cumSumRestart]]:
+    * pass 1 folds each partition to (rowCount, distance-at-end), the driver
+    * threads the carry through P scalars, pass 2 re-walks seeded — zero
+    * shuffle.
+    */
+  def distSinceTrue(df: DataFrame, condCol: String, outCol: String): DataFrame = {
+    val cIdx = df.schema.fieldIndex(condCol)
+    require(df.schema(cIdx).dataType == BooleanType,
+      s"distSinceTrue needs a boolean column, got ${df.schema(cIdx).dataType.catalogString}")
+    def condOf(r: Row): Boolean = !r.isNullAt(cIdx) && r.getBoolean(cIdx)
+    val rdd = pinned(df)
+    val partials = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var n = 0L; var dist = Option.empty[Long]
+      it.foreach { r =>
+        dist = if (condOf(r)) Some(0L) else dist.map(_ + 1)
+        n += 1
+      }
+      Iterator((pid, n, dist))
+    }.collect().sortBy(_._1)
+    val seeds = new Array[Option[Long]](partials.length)
+    var carry = Option.empty[Long]
+    partials.foreach { case (pid, n, dist) =>
+      seeds(pid) = carry
+      carry = dist.orElse(carry.map(_ + n))
+    }
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var st = seeds(pid)
+      it.map { r =>
+        st = if (condOf(r)) Some(0L) else st.map(_ + 1)
+        Row.fromSeq(r.toSeq :+ st.map(Long.box).orNull)
+      }
+    }
+    df.sparkSession.createDataFrame(out, df.schema.add(outCol, LongType, nullable = true))
+  }
+
+  /** Mirror of [[distSinceTrue]]: #rows until the NEXT TRUE of `condCol` at
+    * or after this row (0 on a TRUE row; null after the last TRUE). Pass 2
+    * buffers one partition and walks it backwards, seeded with the carry
+    * folded from the right.
+    */
+  def distToNextTrue(df: DataFrame, condCol: String, outCol: String): DataFrame = {
+    val cIdx = df.schema.fieldIndex(condCol)
+    require(df.schema(cIdx).dataType == BooleanType,
+      s"distToNextTrue needs a boolean column, got ${df.schema(cIdx).dataType.catalogString}")
+    def condOf(r: Row): Boolean = !r.isNullAt(cIdx) && r.getBoolean(cIdx)
+    val rdd = pinned(df)
+    val partials = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var n = 0L; var first = Option.empty[Long]
+      it.foreach { r =>
+        if (condOf(r) && first.isEmpty) first = Some(n)
+        n += 1
+      }
+      Iterator((pid, n, first)) // first = 0-based index of first TRUE
+    }.collect().sortBy(_._1)
+    val seeds = new Array[Option[Long]](partials.length)
+    var carry = Option.empty[Long] // dist-to-next-TRUE at the suffix head
+    partials.indices.reverse.foreach { i =>
+      val (_, n, first) = partials(i)
+      seeds(i) = carry
+      carry = first.orElse(carry.map(_ + n))
+    }
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val rows = it.toArray
+      var st   = seeds(pid)
+      val res  = new Array[Row](rows.length)
+      rows.indices.reverse.foreach { i =>
+        st = if (condOf(rows(i))) Some(0L) else st.map(_ + 1)
+        res(i) = Row.fromSeq(rows(i).toSeq :+ st.map(Long.box).orNull)
+      }
+      res.iterator
+    }
+    df.sparkSession.createDataFrame(out, df.schema.add(outCol, LongType, nullable = true))
+  }
 }

@@ -1185,6 +1185,23 @@ class KqlPipelineSpec extends SparkSuite {
     assert(row.getString(r.schema.fieldIndex("alt")) == "y")
   }
 
+  test("rows_near keeps the context window around condition rows") {
+    val r = run(
+      """datatable (i:long, t:string) [
+        |   1, 'a', 2, 'a', 3, 'X', 4, 'a', 5, 'a', 6, 'a', 7, 'X', 8, 'a' ]
+        | | evaluate rows_near(t == 'X', 1)
+        | | project i""".stripMargin)
+    // X at 3 and 7: keep 2,3,4 and 6,7,8 (1 before + 1 after each)
+    assert(r.collect().map(_.getLong(0)).toSeq == Seq(2L, 3L, 4L, 6L, 7L, 8L))
+    val asym = run(
+      """datatable (i:long, t:string) [
+        |   1, 'a', 2, 'a', 3, 'X', 4, 'a', 5, 'a', 6, 'a' ]
+        | | evaluate rows_near(t == 'X', 0, 2)
+        | | project i""".stripMargin)
+    // 0 before, 2 after → 3,4,5
+    assert(asym.collect().map(_.getLong(0)).toSeq == Seq(3L, 4L, 5L))
+  }
+
   test("dcount_intersect: inclusion-exclusion over 2 and 3 hll sketches") {
     // sets A = {1..40}, B = {21..60}, C = {31..70}:
     // |A∩B| = 20, |A∩B∩C| = 10 — at these cardinalities the HLL sketch is

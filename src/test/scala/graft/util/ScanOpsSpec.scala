@@ -57,4 +57,22 @@ class ScanOpsSpec extends SparkSuite {
       (Option(t.getMessage).exists(_.contains("overflow")) || mentions(t.getCause))
     assert(mentions(e), s"unexpected: $e")
   }
+
+  test("distSinceTrue/distToNextTrue match the sequential scan across layouts") {
+    val flags = Seq(false, false, true, false, false, false, true, false, false)
+    val vals  = flags.zipWithIndex.map { case (f, i) => (i.toLong, f) }
+    // sequential references: null before first TRUE / after last TRUE
+    val wantSince = Seq(null, null, 0L, 1L, 2L, 3L, 0L, 1L, 2L)
+    val wantNext  = Seq(2L, 1L, 0L, 3L, 2L, 1L, 0L, null, null)
+    for (parts <- Seq(1, 4, 16)) {
+      val df = vals.toDF("k", "c").repartition(parts).orderBy("k")
+      val got = ScanOps.distToNextTrue(
+        ScanOps.distSinceTrue(df, "c", "ds"), "c", "dn")
+        .orderBy("k").collect()
+      assert(got.map(r => if (r.isNullAt(2)) null else r.getLong(2)).toSeq ==
+        wantSince, s"since parts=$parts")
+      assert(got.map(r => if (r.isNullAt(3)) null else r.getLong(3)).toSeq ==
+        wantNext, s"next parts=$parts")
+    }
+  }
 }
