@@ -134,6 +134,32 @@ object KqlCompat {
     }
     // tohex: KQL emits lowercase hex (Spark's hex is uppercase)
     s = expandCalls(s, "tohex") { case Seq(x) => s"lower(hex($x))" }
+    // n-ary element max/min
+    s = expandCalls(s, "max_of") { case xs if xs.size >= 2 => s"greatest(${xs.mkString(", ")})" }
+    s = expandCalls(s, "min_of") { case xs if xs.size >= 2 => s"least(${xs.mkString(", ")})" }
+    // KQL substring is 0-based (Spark's is 1-based); negative-start and
+    // over-length behavior already agree once shifted
+    s = expandCalls(s, "substring") {
+      case Seq(x, i)      => s"substring($x, ($i) + 1)"
+      case Seq(x, i, len) => s"substring($x, ($i) + 1, $len)"
+    }
+    s = expandCalls(s, "exp2") { case Seq(x) => s"pow(CAST(2 AS DOUBLE), $x)" }
+    s = expandCalls(s, "exp10") { case Seq(x) => s"pow(CAST(10 AS DOUBLE), $x)" }
+    s = expandCalls(s, "cot") { case Seq(x) => s"(CAST(1 AS DOUBLE) / tan($x))" }
+    // totimespan('[d.]hh:mm:ss[.fff]') → a day-time interval (the same
+    // currency bare `1h`-style literals become), built by field split;
+    // malformed input nulls out field-wise (try_cast), matching ADX's
+    // null-on-unparseable contract
+    s = expandCalls(s, "totimespan") {
+      case Seq(x) =>
+        val dh = "split(try_element_at(__tts, 1), '\\\\.')"
+        s"element_at(transform(array(split($x, ':')), __tts -> make_dt_interval(" +
+          s"CASE WHEN size($dh) = 2 THEN try_cast(try_element_at($dh, 1) AS INT) ELSE 0 END, " +
+          s"CASE WHEN size($dh) = 2 THEN try_cast(try_element_at($dh, 2) AS INT) " +
+          s"ELSE try_cast(try_element_at(__tts, 1) AS INT) END, " +
+          s"coalesce(try_cast(try_element_at(__tts, 2) AS INT), 0), " +
+          s"coalesce(try_cast(try_element_at(__tts, 3) AS DOUBLE), CAST(0 AS DOUBLE)))), 1)"
+    }
     // indexof(text, search): 0-based, -1 when absent — instr is 1-based/0
     s = expandCalls(s, "indexof") { case Seq(x, n) => s"(instr($x, $n) - 1)" }
     // array_index_of: 0-based, -1 when absent — array_position is 1-based/0

@@ -3699,7 +3699,12 @@ object Surface {
           |     ir = indexof_regex('hello world', 'o w'),
           |     ir_none = indexof_regex('abc', 'z+'),
           |     doy = tolong(dayofyear(datetime(2024-03-01))),
-          |     sow = format_datetime(startofweek(datetime(2024-03-15)), 'yyyy-MM-dd')""".stripMargin),
+          |     sow = format_datetime(startofweek(datetime(2024-03-15)), 'yyyy-MM-dd'),
+          |     mx = max_of(3, 7, 5), mn = todouble(min_of(3.5, 2.0)),
+          |     sub = substring('abcdef', 2, 3),
+          |     e2 = exp2(10), ct = round(cot(1.0), 6),
+          |     tsp = format_datetime(datetime(2024-01-01) + totimespan('1.02:30:00'),
+          |       'yyyy-MM-dd HH:mm')""".stripMargin),
       Some("""
         SELECT 'https' AS scheme, 'example.com' AS host, '8080' AS port,
                '/a/b' AS path, 'x=1&y=2' AS qry, 'frag' AS frag,
@@ -3708,7 +3713,9 @@ object Surface {
                'abc456' AS t_start, '123abc' AS t_end,
                TRUE AS asc_t, FALSE AS asc_f,
                CAST(4 AS BIGINT) AS ir, CAST(-1 AS BIGINT) AS ir_none,
-               CAST(61 AS BIGINT) AS doy, '2024-03-10' AS sow""")),
+               CAST(61 AS BIGINT) AS doy, '2024-03-10' AS sow,
+               CAST(7 AS INT) AS mx, 2.0 AS mn, 'cde' AS sub,
+               1024.0 AS e2, 0.642093 AS ct, '2024-01-02 02:30' AS tsp""")),
 
     "q_kql_row_rank" -> QueryDef(
       // row_rank_dense over the serialized event stream of one user: the

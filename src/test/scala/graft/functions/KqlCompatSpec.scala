@@ -182,6 +182,20 @@ class KqlCompatSpec extends SparkSuite {
     assert(r.getString(12) == "a b&c")
   }
 
+  test("totimespan parses [d.]hh:mm:ss and nulls out malformed input") {
+    val r = spark.range(1).selectExpr(
+      KqlCompat.rewrite("datetime(2024-01-01) + totimespan('1.02:30:00')") + " as a",
+      KqlCompat.rewrite("datetime(2024-01-01) + totimespan('02:30:00')") + " as b",
+      KqlCompat.rewrite("totimespan('nonsense')") + " as c",
+      KqlCompat.rewrite("substring('abcdef', 0, 2)") + " as s0",
+      KqlCompat.rewrite("max_of(1, 9, 4)") + " as mx").head
+    assert(r.getTimestamp(0).toString.startsWith("2024-01-02 02:30"))
+    assert(r.getTimestamp(1).toString.startsWith("2024-01-01 02:30"))
+    assert(r.isNullAt(2))
+    assert(r.getString(3) == "ab")
+    assert(r.getInt(4) == 9)
+  }
+
   test("startofweek is Sunday-based") {
     val r = spark.range(1).selectExpr(
       KqlCompat.rewrite("format_datetime(startofweek(datetime(2024-03-15)), 'yyyy-MM-dd')") + " as w",
