@@ -273,6 +273,53 @@ object SimilarityFunctions {
     centroids.indices.map(i => means.getOrElse(i, centroids(i)))
   }
 
+  /** Power-iteration PCA trace for the gated embed_pca query: the top
+    * principal direction of the mean-centered corpus, found by `iters`
+    * rounds of v ← C·v / ‖C·v‖ WITHOUT ever materializing the covariance
+    * matrix — each round is one distributed pass computing s = (x−μ)·v per
+    * row and partial-aggregating Σ s·(x−μ) per dimension, so the driver
+    * only ever holds μ, v and the per-round Rayleigh quotients (dim-sized
+    * arrays and scalars; the 100 TB shape for covariance work). Init is the
+    * deterministic uniform unit vector. The Rayleigh quotient of power
+    * iterates on a PSD matrix is monotonically non-decreasing — the gated
+    * query asserts exactly that, which a wrong centering or aggregation
+    * lowering breaks.
+    *
+    * Returns (n, dim, rayleighs) with `iters + 1` Rayleigh values
+    * (variance of the projection onto v, measured before the first and
+    * after every update).
+    */
+  def pcaTrace(corpus: DataFrame, vecCol: String, iters: Int): (Long, Int, Seq[Double]) = {
+    val xd = corpus.select(transform(col(vecCol), x => x.cast("double")).as("v"))
+      .filter(col("v").isNotNull)
+    val dim = xd.select(size(col("v"))).head().getInt(0)
+    val mu = xd.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(avg(col("x")).as("m"))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1)).toSeq
+    val muCol = array(mu.map(lit): _*)
+    var v = Seq.fill(dim)(1.0 / math.sqrt(dim))
+    val rayleighs = Seq.newBuilder[Double]
+    var n = 0L
+    for (t <- 0 to iters) {
+      val vCol = array(v.map(lit): _*)
+      val cent = zip_with(col("v"), muCol, (a, b) => a - b)
+      val s = aggregate(zip_with(cent, vCol, (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x)
+      val scored = xd.select(cent.as("c"), s.as("s"))
+      val row = scored.agg(count(lit(1)).as("n"), avg(col("s") * col("s")).as("r")).head()
+      n = row.getLong(0)
+      rayleighs += row.getDouble(1)
+      if (t < iters) {
+        val w = scored.select(col("s"), posexplode(col("c")).as(Seq("pos", "cv")))
+          .groupBy("pos").agg(sum(col("cv") * col("s")).as("w"))
+          .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+        val norm2 = math.sqrt(w.map(x => x * x).sum)
+        if (norm2 > 0) v = w.map(_ / norm2).toSeq
+      }
+    }
+    (n, dim, rayleighs.result())
+  }
+
   /** Lloyd-iteration trace for the gated embed_kmeans query: `iters` update
     * rounds from the leading-k init, measuring the spherical objective
     * inertia = Σ(1 − cos(x, nearest centroid)) before the first and after

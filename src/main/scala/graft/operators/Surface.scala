@@ -1212,6 +1212,28 @@ object Surface {
                TRUE AS mono_ok, TRUE AS improved_ok
         FROM embeddings""")),
 
+    "embed_pca" -> QueryDef(
+      // top principal direction by power iteration (SimilarityFunctions
+      // .pcaTrace): covariance NEVER materializes — each round is one
+      // distributed pass (s = (x−μ)·v per row, Σ s·(x−μ) per dimension),
+      // driver holds only μ/v/scalars. Gate: the Rayleigh quotient of
+      // power iterates on a PSD matrix is monotonically non-decreasing
+      // (mono_ok, n-free FP slack) and must strictly improve end-to-end
+      // on non-isotropic data (improved_ok); n and dim oracle-exact.
+      (s, dir) => {
+        val (n, dim, rq) = SimilarityFunctions.pcaTrace(
+          t(s, dir, "embeddings"), "embedding", iters = 3)
+        s.range(1).select(
+          lit(n).as("n"), lit(dim.toLong).as("dim"), lit(3L).as("iters"),
+          lit(rq.zip(rq.tail).forall { case (a, b) => b >= a - 1e-9 }).as("mono_ok"),
+          lit(rq.last > rq.head).as("improved_ok"))
+      },
+      Some("""
+        SELECT count(*) AS n, CAST(64 AS BIGINT) AS dim,
+               CAST(3 AS BIGINT) AS iters,
+               TRUE AS mono_ok, TRUE AS improved_ok
+        FROM embeddings""")),
+
     "sim_cosine_neardup" -> QueryDef(
       // threshold 0.45 sits just under the corpus's max pairwise cosine
       // (~0.51 at sf0.01) so the result is non-empty — a 0.9 threshold finds

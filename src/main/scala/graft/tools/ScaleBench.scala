@@ -35,7 +35,7 @@ object ScaleBench {
     // round-8 batch 2: BFS shortest paths, Lloyd iterations, sketch
     // intersection, chunk lattice — each a newly-claimed scale shape
     "q_kql_graph_shortest", "embed_kmeans", "q_kql_dcount_intersect",
-    "text_chunking")
+    "text_chunking", "embed_pca")
 
   def main(args: Array[String]): Unit = {
     val small = args(0)

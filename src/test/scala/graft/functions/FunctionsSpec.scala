@@ -306,6 +306,22 @@ class FunctionsSpec extends SparkSuite {
     assert(rows(4).contains(Seq.empty[Int]))
   }
 
+  test("pcaTrace: Rayleigh non-decreasing, converges to the dominant axis") {
+    import spark.implicits._
+    // variance concentrated on axis 0 (values ±3) with axis-1 noise ±0.1:
+    // power iteration must push the Rayleigh quotient toward ~9
+    val vecs = Seq(
+      Seq(3f, 0.1f, 0f), Seq(-3f, -0.1f, 0f), Seq(3f, -0.1f, 0f),
+      Seq(-3f, 0.1f, 0f), Seq(2.9f, 0f, 0.1f), Seq(-2.9f, 0f, -0.1f))
+      .toDF("embedding")
+    val (n, dim, rq) = SimilarityFunctions.pcaTrace(vecs, "embedding", iters = 4)
+    assert(n == 6L && dim == 3)
+    assert(rq.length == 5)
+    assert(rq.zip(rq.tail).forall { case (a, b) => b >= a - 1e-12 })
+    assert(rq.last > 8.5) // dominant-axis variance ≈ (4·9 + 2·8.41)/6 ≈ 8.8
+    assert(rq.head < 4.0) // uniform init mixes the quiet axes
+  }
+
   test("kmeansTrace: inertia non-increasing over Lloyd rounds, n exact") {
     import spark.implicits._
     // two tight direction bundles + a stray: the k=2 trace must improve
