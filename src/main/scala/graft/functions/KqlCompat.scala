@@ -636,6 +636,11 @@ object KqlCompat {
                 "CASE WHEN i < __f2_s THEN element_at(__f2_b, 3) + element_at(__f2_b, 4) * CAST(i AS DOUBLE) " +
                 "ELSE element_at(__f2_b, 5) + element_at(__f2_b, 6) * CAST(i AS DOUBLE) END))")))
     }
+    // pack_all(): the whole row as a JSON bag — star-struct serialization
+    // (same JSON-string bag currency as bag_pack/bag_unpack)
+    s = expandCalls(s, "pack_all") {
+      case Seq("") => "to_json(struct(*))"
+    }
     // bag_pack('k1', v1, 'k2', v2, …): a JSON bag (bags are JSON strings
     // in this engine — the bag_unpack/extractjson duals). Keys must be
     // string literals (they become struct field names); insertion order is

@@ -1185,6 +1185,14 @@ class KqlPipelineSpec extends SparkSuite {
     assert(row.getString(r.schema.fieldIndex("alt")) == "y")
   }
 
+  test("pack_all serializes the whole row as a JSON bag") {
+    val r = run(
+      """datatable (a:long, b:string) [ 1, 'x' ]
+        | | extend bag = pack_all()
+        | | project bag""".stripMargin)
+    assert(r.head().getString(0) == """{"a":1,"b":"x"}""")
+  }
+
   test("rows_near keeps the context window around condition rows") {
     val r = run(
       """datatable (i:long, t:string) [

@@ -223,4 +223,26 @@ class PlanSpec extends SparkSuite {
     assert(!s.contains("CartesianProduct"), s)
     assert(!s.contains("SortMergeJoin"), s) // cohort totals ride a broadcast
   }
+
+  test("graph-shortest-paths: seeded BFS with no node-frame distincts") {
+    val s = finalPlan("q_kql_graph_shortest")
+    // implicit-node fast path: the seed filter applies to the edge scan
+    // and x/y substitute textually — the distinct-endpoint node frame
+    // must never materialize, so the plan has no aggregate-based distinct
+    // beyond the BFS's own per-level dedups and NO semi join for seeds
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("LeftSemi"), s"seed semi-join should be elided on implicit graphs:\n$s")
+    // the startswith 'c' seed predicate reaches the plan as a filter on
+    // the edge source, applied before any join (pushdown proof: it shows
+    // up as a StartsWith/startswith condition in the tree)
+    assert(s.toLowerCase.contains("startswith"), s)
+  }
+
+  test("rows_near: zero shuffles — distance scans are mapPartitions passes") {
+    val s = finalPlan("q_kql_rows_near")
+    // both distance scans are seeded re-walks over pinned partitions; the
+    // only exchange allowed is the final order-by's range partitioning
+    assert(countShuffles(s) <= 1, s"expected at most the order-by exchange:\n$s")
+    assert(!s.contains("Window"), s"rows_near must not lower to a window:\n$s")
+  }
 }
