@@ -351,4 +351,66 @@ object EventStream {
       .select(p("user_id"), col("purchase_id"), col("click_id"),
         col("purchase_time"), col("click_time"))
   }
+
+  final case class HeavyHitter(
+      window_start_us: Long, key: String, est: Long, max_err: Long)
+
+  /** Streaming heavy hitters per tumbling window with BOUNDED state:
+    * Space-Saving counters (Metwally et al., the public stream-summary
+    * algorithm) — at most `capacity` counters per window REGARDLESS of key
+    * cardinality, where an exact per-window top-k would hold every distinct
+    * key in state (the difference between O(m) and O(keys) at 100 TB). On
+    * overflow the minimum counter is evicted and the newcomer inherits its
+    * count as `max_err`, preserving the classic guarantees: every key with
+    * true count > N/capacity is in the summary, and for each counter
+    * est − max_err ≤ true ≤ est. Estimates are order-dependent (as in any
+    * space-saving deployment); the guarantees are not — the spec asserts
+    * the guarantees against the exact batch counts, never raw equality.
+    * Keyed by window start; EventTimeTimeout emits each window's top-k
+    * snapshot once the watermark passes the window end, then frees the
+    * state.
+    */
+  def heavyHittersStream(
+      events: DataFrame,
+      keyCol: String,
+      windowLenMinutes: Int = 60,
+      capacity: Int = 8,
+      topK: Int = 3): Dataset[HeavyHitter] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val winUs = windowLenMinutes * 60L * 1000000L
+    events
+      .withWatermark("event_time", "10 minutes")
+      .select(expr("ts div 1000").as("us"), col(keyCol).cast("string").as("k"),
+        col("event_time"))
+      .withColumn("w_us", expr(s"us - pmod(us, ${winUs}L)"))
+      .as[(Long, String, java.sql.Timestamp, Long)]
+      .groupByKey(_._4)
+      .flatMapGroupsWithState[Map[String, (Long, Long)], HeavyHitter](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (wStart, rows, state: GroupState[Map[String, (Long, Long)]]) =>
+          if (state.hasTimedOut) {
+            val st = state.getOption.getOrElse(Map.empty[String, (Long, Long)])
+            state.remove()
+            st.toSeq.sortBy { case (k, (c, _)) => (-c, k) }.take(topK)
+              .map { case (k, (c, e)) => HeavyHitter(wStart, k, c, e) }.iterator
+          } else {
+            var st = state.getOption.getOrElse(Map.empty[String, (Long, Long)])
+            // deterministic within a micro-batch: fold in event order
+            rows.toSeq.sortBy(r => (r._1, r._2)).foreach { case (_, k, _, _) =>
+              st.get(k) match {
+                case Some((c, e))               => st += k -> (c + 1, e)
+                case None if st.size < capacity => st += k -> (1L, 0L)
+                case None =>
+                  val (mk, (mc, _)) = st.minBy { case (k2, (c2, _)) => (c2, k2) }
+                  st = st - mk + (k -> (mc + 1, mc))
+              }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(math.max(
+              (wStart + winUs) / 1000, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
 }

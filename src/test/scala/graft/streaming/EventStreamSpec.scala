@@ -341,4 +341,44 @@ class EventStreamSpec extends SparkSuite {
     assert(out.filter(col("c_nationkey").isNotNull).count() == batchMatched)
     assert(batchMatched > 0)
   }
+
+  test("heavy hitters: space-saving guarantees hold vs exact batch counts") {
+    val src = tmpDir("events-src10"); val ckpt = tmpDir("stream-ckpt10")
+    val t0 = 1704067200L * 1000000000L
+    def at(min: Long) = t0 + min * 60L * 1000000000L
+    // window 1 (minutes 0-59): skewed keys — a×30, b×20, c×10, plus 15
+    // distinct singletons; capacity 8 counters, N=75, N/m≈9.4 → a, b, c are
+    // GUARANTEED in the summary. A later batch pushes the watermark past
+    // the window end so the timeout sweep emits the snapshot.
+    val heavy = (1 to 30).map(i => (100L + i, at(i % 50), i.toLong, "a", 1.0, "{}")) ++
+      (1 to 20).map(i => (200L + i, at(i % 50), i.toLong, "b", 1.0, "{}")) ++
+      (1 to 10).map(i => (300L + i, at(i % 50), i.toLong, "c", 1.0, "{}")) ++
+      (1 to 15).map(i => (400L + i, at(i % 50), i.toLong, s"z$i", 1.0, "{}"))
+    writeEventsFile(src, heavy)
+    writeEventsFile(src, Seq((999L, at(200), 999L, "late", 1.0, "{}")))
+
+    val q = EventStream.heavyHittersStream(
+        EventStream.readEvents(spark, src, maxFilesPerTrigger = 1),
+        keyCol = "event_type", windowLenMinutes = 60, capacity = 8, topK = 3)
+      .writeStream
+      .format("memory").queryName("hh")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val rows = spark.table("hh").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .filter(_._1 == t0 / 1000)
+    // the three true heavy keys are identified, in order
+    assert(rows.map(_._2).toSeq == Seq("a", "b", "c"), rows.mkString(", "))
+    val exact = Map("a" -> 30L, "b" -> 20L, "c" -> 10L)
+    rows.foreach { case (_, k, est, err) =>
+      // space-saving invariant: est − err ≤ true ≤ est
+      assert(est >= exact(k) && est - err <= exact(k), s"$k est=$est err=$err")
+    }
+    // bounded state: emitted-and-removed window leaves nothing behind
+    assert(q.lastProgress.stateOperators.head.numRowsTotal <= 1L) // late window only
+  }
 }
