@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.expressions.{BloomContains, GramHashes, RollingHash, TermHas, VectorDot}
+import graft.functions.expressions.{BloomContains, GramHashes, Ipv6Norm, RollingHash, TermHas, VectorDot}
 
 /** Spark plugin entry point: load with
   * `spark.sql.extensions=graft.GraftSessionExtensions` (works with plain
@@ -42,6 +42,13 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 2, "gram_hashes takes exactly two arguments")
         GramHashes(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("ipv6_norm"),
+      new ExpressionInfo(classOf[Ipv6Norm].getName, "ipv6_norm"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "ipv6_norm takes exactly one argument")
+        Ipv6Norm(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("term_has"),

@@ -809,6 +809,35 @@ object KqlCompat {
           s"CAST((($x) div 256) % 256 AS STRING), '.', " +
           s"CAST(($x) % 256 AS STRING))"
     }
+    // ---- IPv6 helpers -------------------------------------------------
+    // parse_ipv6: the native ipv6_norm expression (GraftSessionExtensions)
+    // yields the ADX canonical 8×4-hex colon form, null on malformed input
+    s = expandCalls(s, "parse_ipv6") { case Seq(x) => s"ipv6_norm($x)" }
+    // ipv6_compare(a, b): the canonical form is fixed-width, so ordering IS
+    // lexicographic string ordering; null when either side is malformed
+    s = expandCalls(s, "ipv6_compare") {
+      case Seq(a, b) =>
+        s"(CASE WHEN ipv6_norm($a) IS NULL OR ipv6_norm($b) IS NULL THEN CAST(NULL AS INT) " +
+          s"WHEN ipv6_norm($a) < ipv6_norm($b) THEN -1 " +
+          s"WHEN ipv6_norm($a) > ipv6_norm($b) THEN 1 ELSE 0 END)"
+    }
+    // ipv6_is_match(a, b[, prefix]): equality of the top `prefix` bits.
+    // prefix must be a LITERAL multiple of 4 (one canonical hex nibble = 4
+    // bits) — the common /48 /64 shapes; other literals fail loudly at
+    // rewrite time rather than silently comparing the wrong bits.
+    s = expandCalls(s, "ipv6_is_match") {
+      case Seq(a, b) =>
+        s"(ipv6_norm($a) IS NOT NULL AND ipv6_norm($a) = ipv6_norm($b))"
+      case Seq(a, b, p) if p.trim.matches("\\d+") =>
+        val bits = p.trim.toInt
+        require(bits >= 0 && bits <= 128 && bits % 4 == 0,
+          s"ipv6_is_match prefix must be a multiple of 4 in [0, 128], got $bits")
+        val nib = bits / 4
+        val chars = nib + (nib - 1) / 4 // count the ':' separators spanned
+        if (nib == 0) "(ipv6_norm(" + a + ") IS NOT NULL AND ipv6_norm(" + b + ") IS NOT NULL)"
+        else s"(ipv6_norm($a) IS NOT NULL AND ipv6_norm($b) IS NOT NULL AND " +
+          s"substr(ipv6_norm($a), 1, $chars) = substr(ipv6_norm($b), 1, $chars))"
+    }
     // countof(text, search): non-overlapping plain-text occurrence count
     s = expandCalls(s, "countof") {
       case Seq(x, n) =>

@@ -3682,6 +3682,28 @@ object Surface {
                FALSE AS nan_fin
         FROM lineitem WHERE l_orderkey <= 1000""")),
 
+    "q_kql_ipv6funcs" -> QueryDef(
+      // IPv6 family over the native ipv6_norm expression: canonical
+      // normalization (compression, embedded/plain IPv4), fixed-width
+      // ordering, and nibble-prefix matching — constants through the real
+      // rewrite + codegen path, oracle restates the expected values
+      (s, dir) => kqlRun(s, dir,
+        """print a = parse_ipv6('2001:db8::8a2e:370:7334')
+          | | project a,
+          |     v4 = parse_ipv6('127.0.0.1'),
+          |     bad_null = isnull(parse_ipv6('1::2::3')),
+          |     cmp_eq = ipv6_compare('::1', '0:0:0:0:0:0:0:1'),
+          |     cmp_lt = ipv6_compare('::1', '::2'),
+          |     m48 = ipv6_is_match('2001:db8:0:1::1', '2001:db8:0:2::9', 48),
+          |     m48f = ipv6_is_match('2001:db8:0:1::1', '2001:db9:0:1::1', 48),
+          |     m128 = ipv6_is_match('::1', '0:0::0:1')""".stripMargin),
+      Some("""
+        SELECT '2001:0db8:0000:0000:0000:8a2e:0370:7334' AS a,
+               '0000:0000:0000:0000:0000:ffff:7f00:0001' AS v4,
+               TRUE AS bad_null,
+               CAST(0 AS INT) AS cmp_eq, CAST(-1 AS INT) AS cmp_lt,
+               TRUE AS m48, FALSE AS m48f, TRUE AS m128""")),
+
     "q_kql_rows_near" -> QueryDef(
       // rows_near: context rows around error events in one user's
       // serialized stream — two ScanOps distance scans (since-last /
