@@ -755,6 +755,29 @@ object KqlCompat {
       case Seq(a, b) => s"zip_with($a, $b, (__zl, __zr) -> array(__zl, __zr))"
     }
     s = expandCalls(s, "bag_keys") { case Seq(x) => s"json_object_keys($x)" }
+    // array_shift_right(x, n[, fill]): the mirror of array_shift_left —
+    // drop the last n, pad n fills at the FRONT
+    s = expandCalls(s, "array_shift_right") {
+      case Seq(x, n)       => s"concat(transform(slice($x, 1, $n), __as -> NULL), " +
+        s"slice($x, 1, size($x) - ($n)))"
+      case Seq(x, n, fill) => s"concat(array_repeat($fill, CAST($n AS INT)), " +
+        s"slice($x, 1, size($x) - ($n)))"
+    }
+    // bitwise scalars → Spark's operators/functions (64-bit long semantics,
+    // same as ADX; shifts take the count modulo 64 on both engines)
+    s = expandCalls(s, "binary_and")  { case Seq(a, b) => s"(($a) & ($b))" }
+    s = expandCalls(s, "binary_or")   { case Seq(a, b) => s"(($a) | ($b))" }
+    s = expandCalls(s, "binary_xor")  { case Seq(a, b) => s"(($a) ^ ($b))" }
+    s = expandCalls(s, "binary_not")  { case Seq(a)    => s"(~($a))" }
+    s = expandCalls(s, "binary_shift_left") {
+      case Seq(a, n) => s"shiftleft(CAST($a AS BIGINT), CAST($n AS INT))"
+    }
+    s = expandCalls(s, "binary_shift_right") {
+      case Seq(a, n) => s"shiftright(CAST($a AS BIGINT), CAST($n AS INT))"
+    }
+    s = expandCalls(s, "bitset_count_ones") {
+      case Seq(a) => s"CAST(bit_count(CAST($a AS BIGINT)) AS BIGINT)"
+    }
     // case(p1, v1, p2, v2, …, default) → CASE WHEN; KQL-only spelling (Spark
     // CASE is keyword syntax, never `case(`), so the rewrite can't collide
     s = expandCalls(s, "case") {

@@ -3704,6 +3704,25 @@ object Surface {
                CAST(0 AS INT) AS cmp_eq, CAST(-1 AS INT) AS cmp_lt,
                TRUE AS m48, FALSE AS m48f, TRUE AS m128""")),
 
+    "q_kql_scalar_tail4" -> QueryDef(
+      // bitwise scalars, bag_keys, array_shift_right — constants through
+      // the rewrite path, DuckDB restates with its native bit operators
+      (s, dir) => kqlRun(s, dir,
+        """print b_and = binary_and(12, 10)
+          | | project b_and, b_or = binary_or(12, 10), b_xor = binary_xor(12, 10),
+          |     b_not = binary_not(0),
+          |     sl = binary_shift_left(1, 10), sr = binary_shift_right(1024, 3),
+          |     bc = bitset_count_ones(255),
+          |     keys = to_json(bag_keys('{"b":1,"a":2}')),
+          |     shr = to_json(array_shift_right(dynamic([1, 2, 3, 4]), 1, 0))""".stripMargin),
+      Some("""
+        SELECT 12 & 10 AS b_and, 12 | 10 AS b_or, xor(12, 10) AS b_xor,
+               ~0 AS b_not,
+               CAST(1 << 10 AS BIGINT) AS sl, CAST(1024 >> 3 AS BIGINT) AS sr,
+               CAST(bit_count(CAST(255 AS BIGINT)) AS BIGINT) AS bc,
+               CAST(to_json(json_keys('{"b":1,"a":2}')) AS VARCHAR) AS keys,
+               '[0,1,2,3]' AS shr""")),
+
     "q_kql_rows_near" -> QueryDef(
       // rows_near: context rows around error events in one user's
       // serialized stream — two ScanOps distance scans (since-last /

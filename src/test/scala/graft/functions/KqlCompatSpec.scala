@@ -182,6 +182,22 @@ class KqlCompatSpec extends SparkSuite {
     assert(r.getString(12) == "a b&c")
   }
 
+  test("bitwise scalars and array_shift_right") {
+    val r = spark.range(1).selectExpr(
+      KqlCompat.rewrite("binary_and(12, 10)") + " as a",
+      KqlCompat.rewrite("binary_or(12, 10)") + " as o",
+      KqlCompat.rewrite("binary_xor(12, 10)") + " as x",
+      KqlCompat.rewrite("binary_not(0)") + " as n",
+      KqlCompat.rewrite("binary_shift_left(1, 10)") + " as sl",
+      KqlCompat.rewrite("binary_shift_right(1024, 3)") + " as sr",
+      KqlCompat.rewrite("bitset_count_ones(255)") + " as bc",
+      KqlCompat.rewrite("array_shift_right(dynamic([1, 2, 3, 4]), 1, 0)") + " as ar").head
+    assert(r.getInt(0) == 8 && r.getInt(1) == 14 && r.getInt(2) == 6)
+    assert(r.getInt(3) == -1)
+    assert(r.getLong(4) == 1024L && r.getLong(5) == 128L && r.getLong(6) == 8L)
+    assert(r.getSeq[Int](7) == Seq(0, 1, 2, 3))
+  }
+
   test("totimespan parses [d.]hh:mm:ss and nulls out malformed input") {
     val r = spark.range(1).selectExpr(
       KqlCompat.rewrite("datetime(2024-01-01) + totimespan('1.02:30:00')") + " as a",
