@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.expressions.{BloomContains, GramHashes, Ipv6Norm, RollingHash, TermHas, VectorDot}
+import graft.functions.expressions.{BagMerge, BagRemoveKeys, BloomContains, GramHashes, GzipCompress, GzipDecompress, Ipv6Norm, PercentileTDigest, RollingHash, TDigestAgg, TDigestMergeAgg, TermHas, VectorDot, ZlibCompress, ZlibDecompress}
 
 /** Spark plugin entry point: load with
   * `spark.sql.extensions=graft.GraftSessionExtensions` (works with plain
@@ -49,6 +49,41 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 1, "ipv6_norm takes exactly one argument")
         Ipv6Norm(children.head)
+      }))
+    def unary(name: String, cls: Class[_], mk: org.apache.spark.sql.catalyst.expressions.Expression => org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name),
+        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          require(children.size == 1, s"$name takes exactly one argument")
+          mk(children.head)
+        }))
+    unary("tdigest", classOf[TDigestAgg], TDigestAgg(_))
+    unary("tdigest_merge", classOf[TDigestMergeAgg], TDigestMergeAgg(_))
+    ext.injectFunction((
+      new FunctionIdentifier("percentile_tdigest"),
+      new ExpressionInfo(classOf[PercentileTDigest].getName, "percentile_tdigest"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "percentile_tdigest takes (sketch, percentile)")
+        PercentileTDigest(children.head, children(1))
+      }))
+    unary("zlib_compress_to_base64_string", classOf[ZlibCompress], ZlibCompress(_))
+    unary("zlib_decompress_from_base64_string", classOf[ZlibDecompress], ZlibDecompress(_))
+    unary("gzip_compress_to_base64_string", classOf[GzipCompress], GzipCompress(_))
+    unary("gzip_decompress_from_base64_string", classOf[GzipDecompress], GzipDecompress(_))
+    ext.injectFunction((
+      new FunctionIdentifier("bag_merge"),
+      new ExpressionInfo(classOf[BagMerge].getName, "bag_merge"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size >= 2, "bag_merge takes at least two bags")
+        BagMerge(children)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bag_remove_keys"),
+      new ExpressionInfo(classOf[BagRemoveKeys].getName, "bag_remove_keys"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "bag_remove_keys takes (bag, keys)")
+        BagRemoveKeys(children.head, children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("term_has"),

@@ -134,6 +134,92 @@ object KqlCompat {
     }
     // tohex: KQL emits lowercase hex (Spark's hex is uppercase)
     s = expandCalls(s, "tohex") { case Seq(x) => s"lower(hex($x))" }
+    // string_size: UTF-8 byte length (strlen is CHARACTER count)
+    s = expandCalls(s, "string_size") { case Seq(x) => s"octet_length($x)" }
+    // unicode codepoint round-trips. BMP-limited: Spark's empty-pattern
+    // split yields UTF-16 code units, so astral-plane chars come back as
+    // surrogate pairs (documented divergence; ADX is full-codepoint)
+    s = expandCalls(s, "unicode_codepoints_from_string") {
+      case Seq(x) => s"transform(split($x, ''), __uc -> ascii(__uc))"
+    }
+    s = expandCalls(s, "unicode_codepoints_to_string") {
+      case Seq(x) if !x.trim.matches("\\d+") =>
+        s"array_join(transform($x, __uc -> char(__uc)), '')"
+      case xs if xs.nonEmpty && xs.forall(_.trim.matches("\\d+")) =>
+        xs.map(i => s"char($i)").mkString("concat(", ", ", ")")
+    }
+    // bag_has_key: top-level key membership on the JSON-bag currency
+    s = expandCalls(s, "bag_has_key") {
+      case Seq(b, k) => s"array_contains(json_object_keys($b), $k)"
+    }
+    // format_bytes(size [, precision [, units]]): scale to the largest
+    // binary tier (or the forced one), fixed-point text via a DECIMAL cast
+    // (no locale separators, trailing zeros kept — '1024.00 MB')
+    def fmtBytesTier(sz: String, prec: Int, u: String, d: Long): String =
+      if (d == 1L)
+        s"concat(CAST(round(($sz) * CAST(1 AS DOUBLE), $prec) AS DECIMAL(38,$prec)), ' Bytes')"
+      else
+        s"concat(CAST(round(($sz) / CAST($d AS DOUBLE), $prec) AS DECIMAL(38,$prec)), ' $u')"
+    val byteTiers = Seq("PB" -> 1125899906842624L, "TB" -> 1099511627776L,
+      "GB" -> 1073741824L, "MB" -> 1048576L, "KB" -> 1024L)
+    def fmtBytes(sz: String, p: String, units: Option[String]): String = {
+      val prec = p.trim.toInt
+      units match {
+        case Some(u0) =>
+          val u = u0.trim.stripPrefix("'").stripSuffix("'")
+          fmtBytesTier(sz, prec, u, byteTiers.toMap.getOrElse(u, 1L))
+        case None =>
+          val cases = byteTiers.map { case (u, d) =>
+            s"WHEN ($sz) >= $d THEN ${fmtBytesTier(sz, prec, u, d)}"
+          }.mkString(" ")
+          s"CASE $cases ELSE ${fmtBytesTier(sz, prec, "Bytes", 1L)} END"
+      }
+    }
+    s = expandCalls(s, "format_bytes") {
+      case Seq(x)       => fmtBytes(x, "0", None)
+      case Seq(x, p)    if p.trim.matches("\\d+") => fmtBytes(x, p, None)
+      case Seq(x, p, u) if p.trim.matches("\\d+") &&
+        u.trim.matches("'[A-Za-z]+'") => fmtBytes(x, p, Some(u))
+    }
+    // format_timespan on the day-time-interval timespan currency; the two
+    // ADX workhorse formats. 'hh' is hours-of-day (wraps at 24 when the
+    // format carries no day field — same convention as ADX)
+    s = expandCalls(s, "format_timespan") {
+      case Seq(x, f) if f.trim == "'hh:mm:ss'" || f.trim == "'d.hh:mm:ss'" =>
+        val day  = f.trim == "'d.hh:mm:ss'"
+        val secs = s"CAST(to_unix_timestamp(timestamp'1970-01-01 00:00:00' + ($x)) AS BIGINT)"
+        val core = "concat(lpad(CAST((__fts % 86400) DIV 3600 AS STRING), 2, '0'), ':', " +
+                   "lpad(CAST((__fts % 3600) DIV 60 AS STRING), 2, '0'), ':', " +
+                   "lpad(CAST(__fts % 60 AS STRING), 2, '0'))"
+        val full = if (day) s"concat(CAST(__fts DIV 86400 AS STRING), '.', $core)" else core
+        s"element_at(transform(array($secs), __fts -> $full), 1)"
+    }
+    // parse_path: the ADX path-anatomy bag (sorted keys, same determinism
+    // convention as the bag algebra). AlternateDataStreamName is always ''
+    // (NTFS streams out of scope); both / and \ separate
+    s = expandCalls(s, "parse_path") {
+      case Seq(x) =>
+        // Scala "\\\\\\\\" → SQL-literal \\\\ → regex \\ → one literal
+        // backslash; nsep/ndsep are the matching negated classes
+        val sep  = "[/\\\\\\\\]"   // regex: / or backslash
+        val nsep = "[^/\\\\\\\\]"  // regex: neither / nor backslash
+        val ndsep = "[^./\\\\\\\\]" // regex: none of . / backslash
+        s"element_at(transform(array(CAST($x AS STRING)), __pp -> to_json(named_struct(" +
+          "'AlternateDataStreamName', '', " +
+          s"'DirectoryName', regexp_extract(__pp, '($nsep+)$sep$nsep*$$', 1), " +
+          s"'DirectoryPath', regexp_extract(__pp, '^(.*)$sep$nsep*$$', 1), " +
+          s"'Extension', regexp_extract(__pp, '\\\\.($ndsep*)$$', 1), " +
+          s"'Filename', regexp_extract(__pp, '($nsep*)$$', 1), " +
+          "'RootPath', regexp_extract(__pp, '^([A-Za-z]:|/)', 1), " +
+          "'Scheme', regexp_extract(__pp, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)))), 1)"
+    }
+    // array_split(arr, i): split at 0-based index i → [arr[0..i), arr[i..)]
+    s = expandCalls(s, "array_split") {
+      case Seq(a, i) if i.trim.matches("\\d+") =>
+        val n = i.trim
+        s"element_at(transform(array($a), __as -> array(slice(__as, 1, $n), " +
+          s"slice(__as, ($n) + 1, greatest(size(__as) - ($n), 0)))), 1)"
+    }
     // n-ary element max/min
     s = expandCalls(s, "max_of") { case xs if xs.size >= 2 => s"greatest(${xs.mkString(", ")})" }
     s = expandCalls(s, "min_of") { case xs if xs.size >= 2 => s"least(${xs.mkString(", ")})" }
@@ -188,6 +274,38 @@ object KqlCompat {
     s = expandCalls(s, "series_avg") {
       case Seq(x) =>
         s"(aggregate($x, CAST(0 AS DOUBLE), (acc, v) -> acc + v) / size($x))"
+    }
+    // series_dot_product / series_magnitude: double folds over zip_with
+    // (length mismatch pads nulls → coalesce 0, where ADX errors)
+    def seriesDot(a: String, b: String): String =
+      s"aggregate(zip_with($a, $b, (__dx, __dy) -> CAST(__dx AS DOUBLE) * __dy), " +
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + coalesce(v, CAST(0 AS DOUBLE)))"
+    s = expandCalls(s, "series_dot_product") { case Seq(a, b) => seriesDot(a, b) }
+    s = expandCalls(s, "series_magnitude") { case Seq(a) => s"sqrt(${seriesDot(a, a)})" }
+    // series_iir(x, b, a): direct-form-I IIR filter —
+    //   y[i] = (Σ_j b[j]·x[i−j] − Σ_{k≥1} a[k]·y[i−k]) / a[0]
+    // as an indexed fold carrying the produced prefix (y feedback needs
+    // history, so this cannot be a stateless transform). b=[1], a=[1,−1]
+    // is the classic running-cumsum instance. O(n·(|a|+|b|)) per series.
+    s = expandCalls(s, "series_iir") {
+      case Seq(x, b, a) =>
+        val bterm = "aggregate(sequence(0, size(__sb) - 1), CAST(0 AS DOUBLE), " +
+          "(__bs, __bj) -> __bs + (CASE WHEN __si - __bj >= 0 THEN " +
+          "element_at(__sb, __bj + 1) * element_at(__sx, __si - __bj + 1) " +
+          "ELSE CAST(0 AS DOUBLE) END))"
+        val aterm = "(CASE WHEN size(__sa) > 1 THEN " +
+          "aggregate(sequence(1, size(__sa) - 1), CAST(0 AS DOUBLE), " +
+          "(__as, __ak) -> __as + (CASE WHEN __si - __ak >= 0 THEN " +
+          "element_at(__sa, __ak + 1) * element_at(__ys, __si - __ak + 1) " +
+          "ELSE CAST(0 AS DOUBLE) END)) ELSE CAST(0 AS DOUBLE) END)"
+        // empty-input guard: sequence(0, -1) would step BACKWARDS
+        s"element_at(transform(array($x), __sx -> " +
+          s"element_at(transform(array($b), __sb -> " +
+          s"element_at(transform(array($a), __sa -> " +
+          "CASE WHEN size(__sx) = 0 THEN CAST(array() AS ARRAY<DOUBLE>) ELSE " +
+          "aggregate(sequence(0, size(__sx) - 1), CAST(array() AS ARRAY<DOUBLE>), " +
+          s"(__ys, __si) -> array_append(__ys, ($bterm - $aterm) / element_at(__sa, 1))) " +
+          "END), 1)), 1)), 1)"
     }
     // series_fill_forward/backward: null gaps take the last (next) non-null
     // value — an inlined array fold (DOUBLE result lane, like the other
@@ -652,6 +770,10 @@ object KqlCompat {
           s"${k.trim}, $v"
         }.mkString(", ")
         s"to_json(named_struct($fields))"
+      // dynamic (non-literal) keys: map-backed bag — values coerce to a
+      // common type per call; the to_json text stays the same bag currency
+      case args if args.size >= 2 && args.size % 2 == 0 =>
+        s"to_json(map(${args.mkString(", ")}))"
     }
     // geo scalars: great-circle distance by the haversine closed form on
     // the 6371.0088 km mean-Earth radius (ADX uses a geodesic; documented
@@ -832,6 +954,45 @@ object KqlCompat {
           s"CAST((($x) div 256) % 256 AS STRING), '.', " +
           s"CAST(($x) % 256 AS STRING))"
     }
+    // ipv4_compare / ipv4_is_match / netmask-suffix family: both sides may
+    // carry IP-prefix notation ('a.b.c.d/m'); the effective prefix is the
+    // least of both suffixes and the optional argument (ADX semantics),
+    // compared on the top bits after shifting the rest away
+    def ip4addr(x: String) = ip4(s"element_at(split($x, '/'), 1)")
+    def ip4mask(x: String) =
+      s"coalesce(try_cast(try_element_at(split($x, '/'), 2) AS INT), 32)"
+    def ip4cmp(a: String, b: String, p: Option[String]): String = {
+      val eff = p match {
+        case Some(pp) => s"least(${ip4mask(a)}, ${ip4mask(b)}, $pp)"
+        case None     => s"least(${ip4mask(a)}, ${ip4mask(b)})"
+      }
+      def net(x: String) = s"shiftright(${ip4addr(x)}, 32 - ($eff))"
+      s"(CASE WHEN ${ip4addr(a)} IS NULL OR ${ip4addr(b)} IS NULL THEN CAST(NULL AS INT) " +
+        s"WHEN ${net(a)} < ${net(b)} THEN -1 " +
+        s"WHEN ${net(a)} > ${net(b)} THEN 1 ELSE 0 END)"
+    }
+    s = expandCalls(s, "ipv4_compare") {
+      case Seq(a, b)    => ip4cmp(a, b, None)
+      case Seq(a, b, p) => ip4cmp(a, b, Some(p))
+    }
+    s = expandCalls(s, "ipv4_is_match") {
+      case Seq(a, b)    => s"(${ip4cmp(a, b, None)} = 0)"
+      case Seq(a, b, p) => s"(${ip4cmp(a, b, Some(p))} = 0)"
+    }
+    // ipv4_netmask_suffix: the /m suffix, 32 when absent, null on a
+    // malformed address part
+    s = expandCalls(s, "ipv4_netmask_suffix") {
+      case Seq(x) =>
+        s"(CASE WHEN ${ip4addr(x)} IS NOT NULL THEN ${ip4mask(x)} END)"
+    }
+    s = expandCalls(s, "ipv4_is_in_any_range") {
+      case args if args.size >= 2 =>
+        args.tail.map { r =>
+          val base = ip4(s"element_at(split($r, '/'), 1)")
+          val m    = s"coalesce(try_cast(try_element_at(split($r, '/'), 2) AS INT), 32)"
+          s"(shiftright(${ip4(args.head)}, 32 - $m) = shiftright($base, 32 - $m))"
+        }.mkString("(", " OR ", ")")
+    }
     // ---- IPv6 helpers -------------------------------------------------
     // parse_ipv6: the native ipv6_norm expression (GraftSessionExtensions)
     // yields the ADX canonical 8×4-hex colon form, null on malformed input
@@ -860,6 +1021,32 @@ object KqlCompat {
         if (nib == 0) "(ipv6_norm(" + a + ") IS NOT NULL AND ipv6_norm(" + b + ") IS NOT NULL)"
         else s"(ipv6_norm($a) IS NOT NULL AND ipv6_norm($b) IS NOT NULL AND " +
           s"substr(ipv6_norm($a), 1, $chars) = substr(ipv6_norm($b), 1, $chars))"
+    }
+    // ipv6_is_in_range(ip, 'base/m'): nibble-prefix compare against a
+    // LITERAL range (the canonical form makes it a substr equality; the
+    // same multiple-of-4 prefix contract as ipv6_is_match — non-literal or
+    // off-nibble ranges fail loudly at rewrite time)
+    def ip6InRange(x: String, r0: String): String = {
+      val r = r0.trim
+      require(r.matches("'[^']*'"),
+        s"ipv6_is_in_range range must be a string literal, got: $r")
+      val (base, bits) = r.stripPrefix("'").stripSuffix("'").split('/') match {
+        case Array(b)    => (b, 128)
+        case Array(b, m) => (b, m.toInt)
+        case _ => throw new IllegalArgumentException(s"bad ipv6 range: $r")
+      }
+      require(bits >= 0 && bits <= 128 && bits % 4 == 0,
+        s"ipv6 range prefix must be a multiple of 4 in [0, 128], got $bits")
+      val nib   = bits / 4
+      val chars = nib + (nib - 1) / 4
+      if (nib == 0) s"(ipv6_norm($x) IS NOT NULL)"
+      else s"(ipv6_norm($x) IS NOT NULL AND " +
+        s"substr(ipv6_norm($x), 1, $chars) = substr(ipv6_norm('$base'), 1, $chars))"
+    }
+    s = expandCalls(s, "ipv6_is_in_range") { case Seq(x, r) => ip6InRange(x, r) }
+    s = expandCalls(s, "ipv6_is_in_any_range") {
+      case args if args.size >= 2 =>
+        args.tail.map(r => ip6InRange(args.head, r)).mkString("(", " OR ", ")")
     }
     // countof(text, search): non-overlapping plain-text occurrence count
     s = expandCalls(s, "countof") {

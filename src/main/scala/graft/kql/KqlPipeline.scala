@@ -1201,6 +1201,49 @@ object KqlPipeline {
                     .withColumn(itmp,
                       when(col(ptmp).isNull || col(tmp) =!= col(ptmp), 1L).otherwise(0L))
                   graft.util.ScanOps.cumSum(ind, itmp, name).drop(ptmp, itmp)
+                // row_window_session(ts, maxFromFirst, maxBetween [, restart]):
+                // session-start per row in the serialized order. Idle/restart
+                // segmentation is the distributed lag+cumsum scan pair; the
+                // max-duration subdivision inside each idle-session is a
+                // genuinely sequential recurrence (start_i depends on
+                // start_{i−1}), so each idle-session's ordered rows fold in
+                // one aggregate — bounded by the idle-timeout's natural
+                // session length, the same per-session-fits assumption the
+                // serialized ADX operator makes. Join-back is by exact row id.
+                case "row_window_session" =>
+                  require(args.size == 3 || args.size == 4,
+                    s"row_window_session takes (ts, maxFromFirst, maxBetween [, restart]), got: '$e'")
+                  val maxDur = constLong(args(1))
+                  val idle   = constLong(args(2))
+                  val rtmp = "__graft_rws_restart"
+                  val ptmp = "__graft_rws_prev"
+                  val itmp = "__graft_rws_ind"
+                  val sidc = "__graft_rws_sid"
+                  val ridc = "__graft_rws_rid"
+                  val withRestart = staged2
+                    .withColumn(tmp, col(tmp).cast("long"))
+                    .withColumn(rtmp,
+                      if (args.size == 4) expr(tx(args(3))).cast("boolean") else lit(false))
+                  val ind2 = graft.util.ScanOps.lag1(withRestart, tmp, ptmp)
+                    .withColumn(itmp,
+                      when(col(ptmp).isNull || (col(tmp) - col(ptmp)) > idle || col(rtmp), 1L)
+                        .otherwise(0L))
+                  val withSid = graft.util.ScanOps.cumSum(ind2, itmp, sidc)
+                  val withRid = graft.util.ZipIndex.withRowIndex(withSid, ridc)
+                  val pairs = withRid.groupBy(col(sidc))
+                    .agg(sort_array(collect_list(struct(col(tmp).as("t"), col(ridc).as("r"))))
+                      .as("xs"))
+                    .select(explode(expr(
+                      s"aggregate(xs, " +
+                        "named_struct('st', CAST(NULL AS BIGINT), " +
+                        "'out', CAST(array() AS ARRAY<STRUCT<r: BIGINT, s: BIGINT>>)), " +
+                        s"(acc, x) -> CASE WHEN acc.st IS NULL OR x.t - acc.st > ${maxDur}L " +
+                        "THEN named_struct('st', x.t, 'out', array_append(acc.out, named_struct('r', x.r, 's', x.t))) " +
+                        "ELSE named_struct('st', acc.st, 'out', array_append(acc.out, named_struct('r', x.r, 's', acc.st))) END, " +
+                        "acc -> acc.out)")).as("p"))
+                    .select(col("p.r").as(ridc), col("p.s").as(name))
+                  withRid.join(pairs, Seq(ridc))
+                    .drop(ptmp, rtmp, itmp, sidc, ridc)
               }).drop(tmp)
             case Some((name, e)) => d.withColumn(name, expr(tx(e)))
             case None            => fail(s"extend needs `name = expr`, got: '$item'")
@@ -2554,7 +2597,7 @@ object KqlPipeline {
 
   // serialized-order row functions lowered to ScanOps (argument may be any
   // scalar expression; no nested parens beyond one level of calls)
-  private val RowScanRe = """(?i)(row_cumsum|row_rank_dense|prev|next)\s*\((.*)\)""".r
+  private val RowScanRe = """(?i)(row_cumsum|row_rank_dense|row_window_session|prev|next)\s*\((.*)\)""".r
 
   /** ADX phrase semantics for a needle CONTAINING non-alphanumerics: its
     * alphanumeric terms must appear as ADJACENT terms in the haystack
@@ -2727,6 +2770,20 @@ object KqlPipeline {
       case "dcountif"              => (countDistinct(when(a(1), a(0))), s"dcountif_${slug(args(0))}")
       case "stdev"                 => (stddev_samp(a(0)), s"stdev_${slug(args(0))}")
       case "variance"              => (var_samp(a(0)), s"variance_${slug(args(0))}")
+      case "stdevp"                => (stddev_pop(a(0)), s"stdevp_${slug(args(0))}")
+      case "variancep"             => (var_pop(a(0)), s"variancep_${slug(args(0))}")
+      case "stdevif"               => (stddev_samp(when(a(1), a(0))), s"stdevif_${slug(args(0))}")
+      case "varianceif"            => (var_samp(when(a(1), a(0))), s"varianceif_${slug(args(0))}")
+      // make_bag: fold the group's bags through the native bag_merge —
+      // collect_list is sorted first so the earlier-wins key conflict is
+      // deterministic under any partitioning (ADX leaves it arbitrary)
+      case "make_bag" =>
+        (expr(s"aggregate(sort_array(collect_list(${tx(args(0))})), '{}', " +
+           "(acc, v) -> bag_merge(acc, v))"), s"bag_${slug(args(0))}")
+      case "make_bag_if" =>
+        (expr(s"aggregate(sort_array(collect_list(CASE WHEN ${tx(args(1))} " +
+           s"THEN ${tx(args(0))} END)), '{}', " +
+           "(acc, v) -> bag_merge(acc, v))"), s"bag_${slug(args(0))}")
       // KQL percentile() is an approximation (T-digest); we compute the
       // EXACT percentile (documented divergence, same spirit as dcount) with
       // KQL's nearest-rank-style argument: percentile(x, 95)
@@ -2747,6 +2804,13 @@ object KqlPipeline {
       // partitioning — mergeability IS the 100 TB contract.
       case "hll"                   => (hll_sketch_agg(a(0)), s"hll_${slug(args(0))}")
       case "hll_merge"             => (hll_union_agg(a(0)), s"hll_merge_${slug(args(0))}")
+      // tdigest()/tdigest_merge(): the percentile twin of the HLL pair —
+      // REAL mergeable t-digest sketch columns (DataSketches, k=200; ADX's
+      // percentile estimator), read back via percentile_tdigest(sketch, p)
+      case "tdigest" =>
+        (expr(s"tdigest(CAST(${tx(args(0))} AS DOUBLE))"), s"tdigest_${slug(args(0))}")
+      case "tdigest_merge" =>
+        (expr(s"tdigest_merge(${tx(args(0))})"), s"tdigest_merge_${slug(args(0))}")
       case "sum"                   => (sum(a(0)), s"sum_${slug(args(0))}")
       case "avg"                   => (avg(a(0)), s"avg_${slug(args(0))}")
       case "min"                   => (min(a(0)), s"min_${slug(args(0))}")

@@ -82,6 +82,152 @@ object Surface {
 
   val registry: Map[String, QueryDef] = Map(
 
+    "q_kql_agg_tail" -> QueryDef(
+      // population/conditional second moments: stdevp/variancep and the
+      // masked *if forms — one pass, NULL-masked predicates (no self-join)
+      (s, dir) => kqlRun(s, dir,
+        """lineitem
+          | | where l_orderkey <= 2000
+          | | summarize spx = stdevp(l_quantity), vpx = variancep(l_quantity),
+          |     six = stdevif(l_quantity, l_discount > 0.05),
+          |     vix = varianceif(l_quantity, l_discount > 0.05)
+          |     by rf = l_returnflag
+          | | project rf, sp = round(spx, 6), vp = round(vpx, 6),
+          |     si = round(six, 6), vi = round(vix, 6)
+          | | order by rf asc""".stripMargin),
+      Some("""
+        SELECT l_returnflag AS rf,
+               round(stddev_pop(l_quantity), 6) AS sp,
+               round(var_pop(l_quantity), 6) AS vp,
+               round(stddev_samp(CASE WHEN l_discount > 0.05 THEN l_quantity END), 6) AS si,
+               round(var_samp(CASE WHEN l_discount > 0.05 THEN l_quantity END), 6) AS vi
+        FROM lineitem WHERE l_orderkey <= 2000
+        GROUP BY 1 ORDER BY 1""")),
+
+    "q_kql_make_bag" -> QueryDef(
+      // property-bag algebra: dynamic-key bag_pack, make_bag/make_bag_if
+      // (native bag_merge fold over a sorted collect — deterministic
+      // earlier-wins), bag_remove_keys. Oracle rebuilds the same sorted-key
+      // JSON text with string_agg; empty filtered groups on both sides
+      // collapse to '{}'
+      (s, dir) => kqlRun(s, dir,
+        """events
+          | | where user_id < 60
+          | | extend g = toint(user_id % 3)
+          | | summarize n = count() by g, et = event_type
+          | | extend b = bag_pack(et, n)
+          | | summarize bag = make_bag(b), bag_hi = make_bag_if(b, et != 'view') by g
+          | | extend pruned = bag_remove_keys(bag, pack_array('click'))
+          | | order by g asc""".stripMargin),
+      Some("""
+        WITH c AS (SELECT CAST(user_id % 3 AS INT) AS g, event_type AS et, count(*) AS n
+                   FROM events WHERE user_id < 60 GROUP BY 1, 2)
+        SELECT g,
+               '{' || coalesce(string_agg('"' || et || '":' || n, ',' ORDER BY et), '') || '}' AS bag,
+               '{' || coalesce(string_agg('"' || et || '":' || n, ',' ORDER BY et)
+                               FILTER (WHERE et <> 'view'), '') || '}' AS bag_hi,
+               '{' || coalesce(string_agg('"' || et || '":' || n, ',' ORDER BY et)
+                               FILTER (WHERE et <> 'click'), '') || '}' AS pruned
+        FROM c GROUP BY g ORDER BY g""")),
+
+    "q_kql_scalar_tail5" -> QueryDef(
+      // scalar tail batch 5: byte-length vs char-length, unicode codepoint
+      // round-trips, format_bytes tiers, format_timespan, parse_path
+      // anatomy, array_split, bag_has_key, and the native n-ary bag_merge —
+      // constants through the real rewrite+eval path; oracle restates
+      (s, dir) => kqlRun(s, dir,
+        """print sz = string_size('héllo')
+          | | project sz,
+          |     cps = to_json(unicode_codepoints_from_string('Abc')),
+          |     s2 = unicode_codepoints_to_string(pack_array(72, 105)),
+          |     fb0 = format_bytes(1024),
+          |     fb1 = format_bytes(4783, 1),
+          |     fb3 = format_bytes(1073741824, 2, 'MB'),
+          |     fbb = format_bytes(500),
+          |     ft1 = format_timespan(totimespan('01:02:03'), 'hh:mm:ss'),
+          |     ft2 = format_timespan(totimespan('1.02:03:04'), 'd.hh:mm:ss'),
+          |     pp = parse_path('/usr/local/lib/file.tar.gz'),
+          |     spl = to_json(array_split(dynamic([1, 2, 3, 4, 5]), 2)),
+          |     bhk = bag_has_key(bag_pack('a', 1), 'a'),
+          |     bhk2 = bag_has_key(bag_pack('a', 1), 'b'),
+          |     bm = bag_merge(bag_pack('b', 2, 'a', 1), bag_pack('a', 9, 'c', 3))""".stripMargin),
+      Some("""
+        SELECT 6 AS sz, '[65,98,99]' AS cps, 'Hi' AS s2,
+               '1 KB' AS fb0, '4.7 KB' AS fb1, '1024.00 MB' AS fb3,
+               '500 Bytes' AS fbb,
+               '01:02:03' AS ft1, '1.02:03:04' AS ft2,
+               '{"AlternateDataStreamName":"","DirectoryName":"lib","DirectoryPath":"/usr/local/lib","Extension":"gz","Filename":"file.tar.gz","RootPath":"/","Scheme":""}' AS pp,
+               '[[1,2],[3,4,5]]' AS spl,
+               TRUE AS bhk, FALSE AS bhk2,
+               '{"a":1,"b":2,"c":3}' AS bm""")),
+
+    "q_kql_compression" -> QueryDef(
+      // zlib/gzip base64 codecs (JDK java.util.zip): roundtrip equality,
+      // decode of externally-produced fixed payloads ('hello graft'
+      // compressed with zlib/gzip mtime=0), and null-on-garbage — all
+      // through the native-expression eval path; oracle restates
+      (s, dir) => kqlRun(s, dir,
+        """print rt = zlib_decompress_from_base64_string(
+          |       zlib_compress_to_base64_string('graft zlib roundtrip'))
+          | | project ok1 = rt == 'graft zlib roundtrip',
+          |     dec1 = zlib_decompress_from_base64_string('eJzLSM3JyVdIL0pMKwEAGZgESQ=='),
+          |     ok2 = gzip_decompress_from_base64_string(
+          |       gzip_compress_to_base64_string('graft gzip roundtrip')) == 'graft gzip roundtrip',
+          |     dec2 = gzip_decompress_from_base64_string('H4sIAAAAAAACA8tIzcnJV0gvSkwrAQCC7OE2CwAAAA=='),
+          |     bad1 = isnull(zlib_decompress_from_base64_string('AAAA')),
+          |     bad2 = isnull(gzip_decompress_from_base64_string('AAAA'))""".stripMargin),
+      Some("""
+        SELECT TRUE AS ok1, 'hello graft' AS dec1,
+               TRUE AS ok2, 'hello graft' AS dec2,
+               TRUE AS bad1, TRUE AS bad2""")),
+
+    "q_kql_ipfuncs2" -> QueryDef(
+      // IPv4/IPv6 tail: prefix-aware compare/match (either side may carry
+      // '/m'; effective prefix = least of both + optional arg),
+      // netmask-suffix extraction, and literal-range membership on the
+      // canonical IPv6 form — constants through the rewrite path
+      (s, dir) => kqlRun(s, dir,
+        """print c1 = ipv4_compare('192.168.1.1', '192.168.1.1')
+          | | project c1,
+          |     c2 = ipv4_compare('10.0.0.2', '10.0.0.1'),
+          |     c3 = ipv4_compare('10.0.0.1', '10.0.0.2'),
+          |     c4 = ipv4_compare('192.168.1.1/24', '192.168.1.255'),
+          |     c5 = ipv4_compare('127.0.0.1', '127.0.0.5', 24),
+          |     m1 = ipv4_is_match('192.168.1.1', '192.168.1.255', 24),
+          |     m2 = ipv4_is_match('192.168.1.1', '192.168.2.1', 24),
+          |     m3 = ipv4_is_match('10.1.2.3/16', '10.1.255.255'),
+          |     any4 = ipv4_is_in_any_range('10.1.2.3', '192.168.0.0/16', '10.0.0.0/8'),
+          |     ns1 = ipv4_netmask_suffix('192.168.1.1/24'),
+          |     ns2 = ipv4_netmask_suffix('192.168.1.1'),
+          |     nsb = isnull(ipv4_netmask_suffix('999.1.2.3/8')),
+          |     r1 = ipv6_is_in_range('2001:db8:0:1::1', '2001:db8::/32'),
+          |     r2 = ipv6_is_in_range('2001:db9::1', '2001:db8::/32'),
+          |     r3 = ipv6_is_in_any_range('::1', '2001:db8::/32', '::1/128'),
+          |     bad = isnull(ipv4_compare('300.1.2.3', '1.2.3.4'))""".stripMargin),
+      Some("""
+        SELECT 0 AS c1, 1 AS c2, -1 AS c3, 0 AS c4, 0 AS c5,
+               TRUE AS m1, FALSE AS m2, TRUE AS m3, TRUE AS any4,
+               24 AS ns1, 32 AS ns2, TRUE AS nsb,
+               TRUE AS r1, FALSE AS r2, TRUE AS r3, TRUE AS bad""")),
+
+    "q_series_iir_dot" -> QueryDef(
+      // series_iir (direct-form-I feedback fold: cumsum and damped
+      // instances), series_dot_product, series_magnitude — constants
+      // through the rewrite path, oracle restates closed-form values
+      (s, dir) => kqlRun(s, dir,
+        """print x = dynamic([1.0, 2.0, 3.0, 4.0, 5.0])
+          | | project
+          |     cum = to_json(transform(series_iir(x, dynamic([1.0]), dynamic([1.0, -1.0])), v -> round(v, 6))),
+          |     damp = to_json(transform(series_iir(x, dynamic([1.0]), dynamic([1.0, -0.5])), v -> round(v, 6))),
+          |     dot = round(series_dot_product(x, x), 6),
+          |     dotw = round(series_dot_product(x, dynamic([2.0, 2.0, 2.0, 2.0, 2.0])), 6),
+          |     mag = round(series_magnitude(x), 6)""".stripMargin),
+      Some("""
+        SELECT '[1.0,3.0,6.0,10.0,15.0]' AS cum,
+               '[1.0,2.5,4.25,6.125,8.0625]' AS damp,
+               55.0 AS dot, 30.0 AS dotw,
+               round(sqrt(55.0), 6) AS mag""")),
+
     // ---- TPC-H-ish headline aggregations / joins (A6, §2.d) ---------------
 
     "q1_pricing_summary" -> QueryDef(
@@ -3263,6 +3409,28 @@ object Surface {
                    FROM f JOIN r ON f.ipn BETWEEN r.lo AND r.hi)
         SELECT net, count(*) AS n FROM j WHERE rn = 1
         GROUP BY 1 ORDER BY 1""")),
+
+    "q_kql_tdigest" -> QueryDef(
+      // t-digest percentile sketches, the HLL pattern's percentile twin:
+      // tdigest() per (returnflag, linestatus) fine group → tdigest_merge()
+      // roll-up → percentile_tdigest scalars, tolerance-gated against the
+      // exact percentile from the same run; exact values oracle-match to
+      // keep the row non-vacuous
+      (s, dir) => kqlRun(s, dir,
+        """let ex50 = toscalar(lineitem | summarize percentile(l_quantity, 50));
+          |let ex95 = toscalar(lineitem | summarize percentile(l_quantity, 95));
+          |lineitem
+          | | summarize td = tdigest(l_quantity) by rf = l_returnflag, ls = l_linestatus
+          | | summarize tdm = tdigest_merge(td)
+          | | project p50 = percentile_tdigest(tdm, 50.0), p95 = percentile_tdigest(tdm, 95.0)
+          | | project ok50 = abs(p50 - ex50) <= ex50 * 0.05 + 1.0,
+          |     ok95 = abs(p95 - ex95) <= ex95 * 0.05 + 1.0,
+          |     e50 = round(ex50, 6), e95 = round(ex95, 6)""".stripMargin),
+      Some("""
+        SELECT TRUE AS ok50, TRUE AS ok95,
+               round(quantile_cont(l_quantity, 0.50), 6) AS e50,
+               round(quantile_cont(l_quantity, 0.95), 6) AS e95
+        FROM lineitem""")),
 
     "q_kql_hll_sketches" -> QueryDef(
       // REAL sketch columns end-to-end: hll() per status → pivot the two
