@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.expressions.{BagMerge, BagRemoveKeys, BloomContains, GramHashes, GzipCompress, GzipDecompress, Ipv6Norm, PercentileTDigest, RollingHash, TDigestAgg, TDigestMergeAgg, TermHas, VectorDot, ZlibCompress, ZlibDecompress}
+import graft.functions.expressions.{BagMerge, BagRemoveKeys, BloomContains, GeoPointToGeohash, GeohashCentralPoint, GramHashes, GzipCompress, GzipDecompress, Ipv6Norm, PercentileTDigest, RollingHash, TDigestAgg, TDigestMergeAgg, TermHas, VectorDot, ZlibCompress, ZlibDecompress}
 
 /** Spark plugin entry point: load with
   * `spark.sql.extensions=graft.GraftSessionExtensions` (works with plain
@@ -58,6 +58,15 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
           require(children.size == 1, s"$name takes exactly one argument")
           mk(children.head)
         }))
+    unary("geo_geohash_to_central_point", classOf[GeohashCentralPoint], GeohashCentralPoint(_))
+    ext.injectFunction((
+      new FunctionIdentifier("geo_point_to_geohash"),
+      new ExpressionInfo(classOf[GeoPointToGeohash].getName, "geo_point_to_geohash"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2 || children.size == 3,
+          "geo_point_to_geohash takes (lng, lat [, accuracy])")
+        GeoPointToGeohash(children)
+      }))
     unary("tdigest", classOf[TDigestAgg], TDigestAgg(_))
     unary("tdigest_merge", classOf[TDigestMergeAgg], TDigestMergeAgg(_))
     ext.injectFunction((

@@ -1258,6 +1258,16 @@ object KqlPipeline {
         require(rest.trim.isEmpty, s"`serialize` takes no arguments, got: '$rest'")
         df
 
+      // `consume`: run the pipeline for its side effects and return no
+      // rows (the ADX perf-harness sink). Schema is preserved; the empty
+      // filter keeps Catalyst from pruning upstream work when forced by
+      // an action. Not oracle-registrable (0 rows by contract) — covered
+      // by KqlPipelineSpec instead.
+      case "consume" =>
+        require(rest.trim.isEmpty || rest.trim.toLowerCase.matches("decodeblocks\\s*=\\s*(true|false)"),
+          s"`consume` takes no arguments (or decodeblocks=…), got: '$rest'")
+        df.where(lit(false))
+
       case "project" =>
         df.select(splitTopLevel(rest, ',').map(_.trim).map { item =>
           assignment(item) match {

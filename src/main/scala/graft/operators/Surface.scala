@@ -3410,6 +3410,55 @@ object Surface {
         SELECT net, count(*) AS n FROM j WHERE rn = 1
         GROUP BY 1 ORDER BY 1""")),
 
+    "q_kql_geohash" -> QueryDef(
+      // geohash encode/decode: classic test vectors (ezs42; Tokyo at
+      // accuracy 7; default accuracy 5), central-point GeoJSON bag read
+      // back via extractjson, an encode∘decode fixpoint, and null on
+      // out-of-range coordinates
+      (s, dir) => kqlRun(s, dir,
+        """print c = geo_geohash_to_central_point('ezs42')
+          | | project gh = geo_point_to_geohash(-5.6, 42.6, 5),
+          |     gh7 = geo_point_to_geohash(139.6917, 35.6895, 7),
+          |     ghd = geo_point_to_geohash(-5.6, 42.6),
+          |     clng = round(todouble(extractjson('$.coordinates[0]', c)), 6),
+          |     clat = round(todouble(extractjson('$.coordinates[1]', c)), 6),
+          |     ctype = extractjson('$.type', c),
+          |     roundtrip = geo_point_to_geohash(
+          |       todouble(extractjson('$.coordinates[0]', geo_geohash_to_central_point('xn774c'))),
+          |       todouble(extractjson('$.coordinates[1]', geo_geohash_to_central_point('xn774c'))), 6) == 'xn774c',
+          |     bad = isnull(geo_point_to_geohash(200.0, 10.0))""".stripMargin),
+      Some("""
+        SELECT 'ezs42' AS gh, 'xn774c0' AS gh7, 'ezs42' AS ghd,
+               -5.603027 AS clng, 42.60498 AS clat, 'Point' AS ctype,
+               TRUE AS roundtrip, TRUE AS bad""")),
+
+    "q_kql_row_window_session" -> QueryDef(
+      // row_window_session over one user's serialized stream: idle cut at
+      // 12 h, max-distance-from-first cut at 24 h (both rules bind on this
+      // data — probed: 24 sessions, 4 max-duration cuts). The oracle
+      // restates the sequential recurrence as a recursive CTE
+      (s, dir) => kqlRun(s, dir,
+        """events
+          | | where user_id == 7
+          | | order by ts asc, event_id asc
+          | | extend ss = row_window_session(ts, 86400000000000, 43200000000000)
+          | | summarize n = count(), spanmax = max(ts - ss) by ss
+          | | order by ss asc""".stripMargin),
+      Some("""
+        WITH RECURSIVE ord AS (
+          SELECT row_number() OVER (ORDER BY ts, event_id) AS rn, epoch_ns(ts) AS tsn
+          FROM events WHERE user_id = 7),
+        rec AS (
+          SELECT rn, tsn, tsn AS ss FROM ord WHERE rn = 1
+          UNION ALL
+          SELECT o.rn, o.tsn,
+                 CASE WHEN o.tsn - r.tsn > 43200000000000
+                        OR o.tsn - r.ss > 86400000000000
+                      THEN o.tsn ELSE r.ss END
+          FROM ord o JOIN rec r ON o.rn = r.rn + 1)
+        SELECT ss, count(*) AS n, max(tsn - ss) AS spanmax
+        FROM rec GROUP BY ss ORDER BY ss""")),
+
     "q_kql_tdigest" -> QueryDef(
       // t-digest percentile sketches, the HLL pattern's percentile twin:
       // tdigest() per (returnflag, linestatus) fine group → tdigest_merge()

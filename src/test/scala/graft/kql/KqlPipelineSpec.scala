@@ -1228,4 +1228,26 @@ class KqlPipelineSpec extends SparkSuite {
     assert(row.getLong(r.schema.fieldIndex("s2")) == 10L)
     assert(!r.columns.contains("ha"))
   }
+
+  test("consume returns no rows but preserves the schema") {
+    val r = run("people | where age >= 30 | consume")
+    assert(r.columns.toSeq == people.columns.toSeq)
+    assert(r.count() == 0L)
+  }
+
+  test("row_window_session: idle gap, max-from-first, and restart cuts") {
+    // ts in abstract nanos; idle cut at > 10, max-from-first cut at > 25
+    val r = run(
+      """datatable (ts:long, mark:bool) [
+        |   0, false, 5, false, 12, false, 20, false, 28, false,
+        |   100, false, 105, true, 109, false ]
+        | | order by ts asc
+        | | extend ss = row_window_session(ts, 25, 10, mark)
+        | | project ts, ss""".stripMargin)
+    val got = r.collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
+    // 0,5,12,20 share start 0 (gaps ≤10, span ≤25); 28−0 > 25 → new start;
+    // 100 after a 72 idle gap → new; 105 restarts by mark; 109 rides along
+    assert(got.toSeq == Seq(0L -> 0L, 5L -> 0L, 12L -> 0L, 20L -> 0L,
+      28L -> 28L, 100L -> 100L, 105L -> 105L, 109L -> 105L))
+  }
 }
