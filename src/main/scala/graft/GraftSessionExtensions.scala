@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.expressions.{BagMerge, BagRemoveKeys, BloomContains, GeoPointToGeohash, GeohashCentralPoint, GramHashes, GzipCompress, GzipDecompress, Ipv6Norm, PercentileTDigest, RollingHash, TDigestAgg, TDigestMergeAgg, TermHas, VectorDot, ZlibCompress, ZlibDecompress}
+import graft.functions.expressions.{BagMerge, BagRemoveKeys, BloomContains, GeoPointToGeohash, GeohashCentralPoint, GramHashes, GzipCompress, GzipDecompress, Ipv6Norm, ParseXml, PercentileTDigest, PunycodeDomainFrom, PunycodeDomainTo, RollingHash, TDigestAgg, TDigestMergeAgg, TermHas, VectorDot, ZlibCompress, ZlibDecompress}
 
 /** Spark plugin entry point: load with
   * `spark.sql.extensions=graft.GraftSessionExtensions` (works with plain
@@ -58,6 +58,9 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
           require(children.size == 1, s"$name takes exactly one argument")
           mk(children.head)
         }))
+    unary("parse_xml", classOf[ParseXml], ParseXml(_))
+    unary("punycode_domain_from_string", classOf[PunycodeDomainFrom], PunycodeDomainFrom(_))
+    unary("punycode_domain_to_string", classOf[PunycodeDomainTo], PunycodeDomainTo(_))
     unary("geo_geohash_to_central_point", classOf[GeohashCentralPoint], GeohashCentralPoint(_))
     ext.injectFunction((
       new FunctionIdentifier("geo_point_to_geohash"),

@@ -194,6 +194,71 @@ object KqlCompat {
         val full = if (day) s"concat(CAST(__fts DIV 86400 AS STRING), '.', $core)" else core
         s"element_at(transform(array($secs), __fts -> $full), 1)"
     }
+    // convert_* unit family: LITERAL unit names resolve to factors at
+    // rewrite time (unknown units fail loudly, not silently wrong); the
+    // residual arithmetic is a plain double multiply — codegen'd, exact
+    // same expression text any SQL twin can restate
+    def litUnit(u: String): Option[String] = {
+      val t = u.trim
+      if (t.matches("'[^']*'")) Some(t.stripPrefix("'").stripSuffix("'").toLowerCase)
+      else None
+    }
+    val unitTables: Seq[(String, Map[String, Double])] = Seq(
+      "convert_length" -> Map(
+        "meter" -> 1.0, "kilometer" -> 1000.0, "centimeter" -> 0.01,
+        "millimeter" -> 0.001, "micrometer" -> 1e-6, "nanometer" -> 1e-9,
+        "mile" -> 1609.344, "yard" -> 0.9144, "foot" -> 0.3048,
+        "inch" -> 0.0254, "nauticalmile" -> 1852.0),
+      "convert_mass" -> Map(
+        "kilogram" -> 1.0, "gram" -> 0.001, "milligram" -> 1e-6,
+        "tonne" -> 1000.0, "pound" -> 0.45359237, "ounce" -> 0.028349523125,
+        "stone" -> 6.35029318),
+      "convert_speed" -> Map(
+        "meterpersecond" -> 1.0, "kilometerperhour" -> (1000.0 / 3600.0),
+        "mileperhour" -> (1609.344 / 3600.0), "knot" -> (1852.0 / 3600.0),
+        "footpersecond" -> 0.3048),
+      "convert_volume" -> Map(
+        "cubicmeter" -> 1.0, "liter" -> 0.001, "milliliter" -> 1e-6,
+        "gallon" -> 0.003785411784, "quart" -> 0.000946352946,
+        "pint" -> 0.000473176473, "cubicfoot" -> 0.028316846592,
+        "cubicinch" -> 0.000016387064),
+      "convert_energy" -> Map(
+        "joule" -> 1.0, "kilojoule" -> 1000.0, "calorie" -> 4.184,
+        "kilocalorie" -> 4184.0, "watthour" -> 3600.0,
+        "kilowatthour" -> 3600000.0, "britishthermalunit" -> 1055.05585262),
+      "convert_angle" -> Map(
+        "radian" -> 1.0, "degree" -> (math.Pi / 180.0),
+        "gradian" -> (math.Pi / 200.0), "revolution" -> (2.0 * math.Pi)),
+      "convert_force" -> Map(
+        "newton" -> 1.0, "kilonewton" -> 1000.0,
+        "poundforce" -> 4.4482216152605, "kilogramforce" -> 9.80665))
+    for ((fn, factors) <- unitTables) {
+      s = expandCalls(s, fn) {
+        case Seq(v, f, t) if litUnit(f).isDefined && litUnit(t).isDefined =>
+          val ff = factors.getOrElse(litUnit(f).get,
+            throw new IllegalArgumentException(s"$fn: unknown unit ${f.trim}"))
+          val tf = factors.getOrElse(litUnit(t).get,
+            throw new IllegalArgumentException(s"$fn: unknown unit ${t.trim}"))
+          s"(CAST($v AS DOUBLE) * $ff / $tf)"
+      }
+    }
+    // temperature is affine, not linear — through Kelvin
+    s = expandCalls(s, "convert_temperature") {
+      case Seq(v, f, t) if litUnit(f).isDefined && litUnit(t).isDefined =>
+        val toK: Map[String, String => String] = Map(
+          "kelvin"     -> (x => x),
+          "celsius"    -> (x => s"(($x) + 273.15)"),
+          "fahrenheit" -> (x => s"((($x) + 459.67) * 5.0 / 9.0)"))
+        val fromK: Map[String, String => String] = Map(
+          "kelvin"     -> (k => k),
+          "celsius"    -> (k => s"(($k) - 273.15)"),
+          "fahrenheit" -> (k => s"(($k) * 9.0 / 5.0 - 459.67)"))
+        val ff = toK.getOrElse(litUnit(f).get,
+          throw new IllegalArgumentException(s"convert_temperature: unknown unit ${f.trim}"))
+        val tf = fromK.getOrElse(litUnit(t).get,
+          throw new IllegalArgumentException(s"convert_temperature: unknown unit ${t.trim}"))
+        tf(ff(s"CAST($v AS DOUBLE)"))
+    }
     // parse_path: the ADX path-anatomy bag (sorted keys, same determinism
     // convention as the bag algebra). AlternateDataStreamName is always ''
     // (NTFS streams out of scope); both / and \ separate

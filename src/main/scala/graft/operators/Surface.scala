@@ -3410,6 +3410,44 @@ object Surface {
         SELECT net, count(*) AS n FROM j WHERE rn = 1
         GROUP BY 1 ORDER BY 1""")),
 
+    "q_kql_convert_units" -> QueryDef(
+      // convert_* unit family: literal units resolve to double factors at
+      // rewrite time (affine path for temperature); oracle restates the
+      // closed-form values
+      (s, dir) => kqlRun(s, dir,
+        """print a = round(convert_length(1.0, 'Mile', 'Kilometer'), 6)
+          | | project a,
+          |     b = round(convert_length(12.0, 'Inch', 'Foot'), 6),
+          |     c = round(convert_mass(1.0, 'Pound', 'Gram'), 6),
+          |     d = round(convert_speed(100.0, 'KilometerPerHour', 'MeterPerSecond'), 6),
+          |     e = round(convert_temperature(212.0, 'Fahrenheit', 'Celsius'), 6),
+          |     f = round(convert_temperature(0.0, 'Celsius', 'Kelvin'), 6),
+          |     g = round(convert_volume(1.0, 'Gallon', 'Liter'), 6),
+          |     h = round(convert_energy(1.0, 'KilowattHour', 'Kilojoule'), 6),
+          |     i = round(convert_angle(180.0, 'Degree', 'Radian'), 6),
+          |     j = round(convert_force(1.0, 'PoundForce', 'Newton'), 6)""".stripMargin),
+      Some("""
+        SELECT 1.609344 AS a, 1.0 AS b, 453.59237 AS c, 27.777778 AS d,
+               100.0 AS e, 273.15 AS f, 3.785412 AS g, 3600.0 AS h,
+               3.141593 AS i, 4.448222 AS j""")),
+
+    "q_kql_parse_xml" -> QueryDef(
+      // parse_xml (JDK DOM → bag, xmltodict conventions: @attrs, #text,
+      // repeated tags → arrays, empty → null, XXE-hardened) and the
+      // punycode domain pair (JDK IDN) — constants through the native
+      // expression path; oracle restates
+      (s, dir) => kqlRun(s, dir,
+        """print x = parse_xml('<root a="1"><item>one</item><item>two</item><empty/><note id="n1">hi</note></root>')
+          | | project x,
+          |     second_item = extractjson('$.root.item[1]', x),
+          |     bad = isnull(parse_xml('<broken')),
+          |     pf = punycode_domain_from_string('bücher.example'),
+          |     pt = punycode_domain_to_string('xn--bcher-kva.example')""".stripMargin),
+      Some("""
+        SELECT '{"root":{"@a":"1","item":["one","two"],"empty":null,"note":{"@id":"n1","#text":"hi"}}}' AS x,
+               'two' AS second_item, TRUE AS bad,
+               'xn--bcher-kva.example' AS pf, 'bücher.example' AS pt""")),
+
     "q_kql_geohash" -> QueryDef(
       // geohash encode/decode: classic test vectors (ezs42; Tokyo at
       // accuracy 7; default accuracy 5), central-point GeoJSON bag read
