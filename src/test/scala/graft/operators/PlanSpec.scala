@@ -134,6 +134,16 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("row_window_session: per-session fold + rid equi-join, never an NLJ") {
+    // idle segmentation is the distributed scan pair; the max-duration
+    // subdivision groups by session id and joins back on the exact row id —
+    // both hash exchanges, no cartesian, no global window (the registry
+    // sweep covers the window rule; this pins the join shape)
+    val s = finalPlan("q_kql_row_window_session")
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
   test("interval join: the range join is a HASH join on the bucket id") {
     val s = finalPlan("q_interval_join")
     // the point↔interval join must be an equi (hash) join — a bare non-equi
