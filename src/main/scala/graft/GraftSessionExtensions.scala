@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.expressions.{BagMerge, BagRemoveKeys, BloomContains, GeoPointToGeohash, GeohashCentralPoint, GramHashes, GzipCompress, GzipDecompress, Ipv6Norm, ParseXml, PercentileTDigest, PunycodeDomainFrom, PunycodeDomainTo, RollingHash, TDigestAgg, TDigestMergeAgg, TermHas, VectorDot, ZlibCompress, ZlibDecompress}
+import graft.functions.expressions.{BagMerge, BagRemoveKeys, BloomContains, GeoPointToGeohash, GeohashCentralPoint, GramHashes, GzipCompress, GzipDecompress, Ipv6Norm, ParseXml, PercentileTDigest, PunycodeDomainFrom, PunycodeDomainTo, RollingHash, TDigestAgg, TDigestMergeAgg, TermHas, VectorDot, WelchTest, ZlibCompress, ZlibDecompress}
 
 /** Spark plugin entry point: load with
   * `spark.sql.extensions=graft.GraftSessionExtensions` (works with plain
@@ -58,6 +58,14 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
           require(children.size == 1, s"$name takes exactly one argument")
           mk(children.head)
         }))
+    ext.injectFunction((
+      new FunctionIdentifier("welch_test"),
+      new ExpressionInfo(classOf[WelchTest].getName, "welch_test"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 6,
+          "welch_test takes (mean1, var1, count1, mean2, var2, count2)")
+        WelchTest(children)
+      }))
     unary("parse_xml", classOf[ParseXml], ParseXml(_))
     unary("punycode_domain_from_string", classOf[PunycodeDomainFrom], PunycodeDomainFrom(_))
     unary("punycode_domain_to_string", classOf[PunycodeDomainTo], PunycodeDomainTo(_))

@@ -569,6 +569,53 @@ object KqlCompat {
                     "'trend', __sd_t, " +
                     "'residual', zip_with(__sd_x, __sd_b, (a, b) -> a - b))")))))
     }
+    // series_decompose_forecast(x, points, period): decompose-shaped
+    // baseline extended `points` steps — centered-MA trend and phase-mean
+    // seasonal exactly as series_decompose, a least-squares line over the
+    // DESEASONALIZED history for extrapolation, forecast[i] = line(i) +
+    // seasonal[i mod p] over n+points indexes. Same fixed-period-literal
+    // contract (and documented divergence) as series_decompose.
+    s = expandCalls(s, "series_decompose_forecast") {
+      case Seq(x, ptsStr, pStr) if ptsStr.trim.matches("\\d+") &&
+          pStr.trim.matches("\\d+") && pStr.trim.toInt >= 2 =>
+        val pts = ptsStr.trim.toInt
+        val p   = pStr.trim.toInt
+        val c   = p / 2
+        val at = s"(CASE WHEN i - j + $c >= 0 THEN " +
+          s"try_element_at(__fc_x, CAST(i - j + $c + 1 AS INT)) END)"
+        val num = s"aggregate(sequence(0, ${p - 1}), CAST(0 AS DOUBLE), " +
+          s"(acc, j) -> acc + coalesce($at, CAST(0 AS DOUBLE)))"
+        val den = s"aggregate(sequence(0, ${p - 1}), CAST(0 AS DOUBLE), " +
+          s"(acc, j) -> acc + (CASE WHEN $at IS NOT NULL THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END))"
+        val trend = s"transform(sequence(0, size(__fc_x) - 1), i -> $num / $den)"
+        val pm = s"transform(sequence(0, ${p - 1}), ph -> " +
+          s"aggregate(sequence(0, size(__fc_x) - 1), " +
+          s"named_struct('s', CAST(0 AS DOUBLE), 'c', CAST(0 AS DOUBLE)), " +
+          s"(acc2, k) -> IF(k % $p = ph, " +
+          s"named_struct('s', acc2.s + element_at(__fc_d, k + 1), 'c', acc2.c + 1), acc2), " +
+          s"fin -> fin.s / fin.c))"
+        val dese = s"transform(sequence(0, size(__fc_x) - 1), i -> " +
+          s"element_at(__fc_x, i + 1) - element_at(__fc_p, CAST(i % $p + 1 AS INT)))"
+        val stats = s"aggregate(sequence(0, size(__fc_x) - 1), " +
+          "named_struct('si', CAST(0 AS DOUBLE), 'sii', CAST(0 AS DOUBLE), " +
+          "'sy', CAST(0 AS DOUBLE), 'siy', CAST(0 AS DOUBLE)), " +
+          "(a, i) -> named_struct('si', a.si + i, 'sii', a.sii + CAST(i AS DOUBLE) * i, " +
+          "'sy', a.sy + element_at(__fc_y, i + 1), " +
+          "'siy', a.siy + CAST(i AS DOUBLE) * element_at(__fc_y, i + 1)))"
+        val slope = "((CAST(size(__fc_x) AS DOUBLE) * __fc_s.siy - __fc_s.si * __fc_s.sy) / " +
+          "(CAST(size(__fc_x) AS DOUBLE) * __fc_s.sii - __fc_s.si * __fc_s.si))"
+        val icept = "((__fc_s.sy - __fc_b * __fc_s.si) / CAST(size(__fc_x) AS DOUBLE))"
+        val out = s"transform(sequence(0, size(__fc_x) - 1 + $pts), i -> " +
+          s"__fc_i + __fc_b * i + element_at(__fc_p, CAST(i % $p + 1 AS INT)))"
+        let1("__fc_x", asD(x),
+          let1("__fc_t", trend,
+            let1("__fc_d", "zip_with(__fc_x, __fc_t, (a, b) -> a - b)",
+              let1("__fc_p", pm,
+                let1("__fc_y", dese,
+                  let1("__fc_s", stats,
+                    let1("__fc_b", slope,
+                      let1("__fc_i", icept, out))))))))
+    }
     // series_pearson_correlation(x, y): closed-form Pearson r from six
     // left-to-right folds; 0 when either side is constant (ADX yields NaN —
     // divergence chosen so the value stays comparable/sortable)

@@ -3410,6 +3410,40 @@ object Surface {
         SELECT net, count(*) AS n FROM j WHERE rn = 1
         GROUP BY 1 ORDER BY 1""")),
 
+    "q_kql_welch_test" -> QueryDef(
+      // welch_test p-values: fixed vectors against an independent replica
+      // of the same t-CDF numerics, a significance boolean, null on
+      // count<2, and the engine-side shape — group stats aggregated from
+      // lineitem (A vs N quantities are i.i.d. uniform → expect p ≫ 0.05;
+      // probed: p ≈ 0.087)
+      (s, dir) => kqlRun(s, dir,
+        """let ma = toscalar(lineitem | where l_returnflag == 'A' | summarize avg(todouble(l_quantity)));
+          |let va = toscalar(lineitem | where l_returnflag == 'A' | summarize variance(todouble(l_quantity)));
+          |let na = toscalar(lineitem | where l_returnflag == 'A' | count);
+          |let mn = toscalar(lineitem | where l_returnflag == 'N' | summarize avg(todouble(l_quantity)));
+          |let vn = toscalar(lineitem | where l_returnflag == 'N' | summarize variance(todouble(l_quantity)));
+          |let nn = toscalar(lineitem | where l_returnflag == 'N' | count);
+          |print p1 = round(welch_test(5.0, 2.0, 30, 4.0, 3.0, 40), 6)
+          | | project p1,
+          |     p2 = round(welch_test(10.0, 4.0, 25, 10.5, 5.0, 25), 6),
+          |     p3 = round(welch_test(3.0, 1.0, 50, 3.0, 1.0, 50), 6),
+          |     sig = welch_test(5.0, 2.0, 30, 4.0, 3.0, 40) < 0.05,
+          |     bad = isnull(welch_test(1.0, 1.0, 1, 2.0, 1.0, 30)),
+          |     same = welch_test(ma, va, na, mn, vn, nn) > 0.05""".stripMargin),
+      Some("""
+        SELECT 0.009836 AS p1, 0.408835 AS p2, 1.0 AS p3,
+               TRUE AS sig, TRUE AS bad, TRUE AS same""")),
+
+    "q_series_forecast" -> QueryDef(
+      // series_decompose_forecast over a 12-point season-4 series with a
+      // 0.5/step linear trend, extended 4 points; oracle restates the
+      // values from an independent replica of the same closed-form folds
+      (s, dir) => kqlRun(s, dir,
+        """print f = series_decompose_forecast(dynamic([10.0, 12.5, 11.0, 9.5, 12.0, 14.5, 13.0, 11.5, 14.0, 16.5, 15.0, 13.5]), 4, 4)
+          | | project fc = to_json(transform(f, v -> round(v, 6)))""".stripMargin),
+      Some("""
+        SELECT '[9.769231,12.548563,11.105672,9.996115,11.664336,14.443667,13.000777,11.89122,13.559441,16.338772,14.895882,13.786325,15.454545,18.233877,16.790987,15.68143]' AS fc""")),
+
     "q_kql_convert_units" -> QueryDef(
       // convert_* unit family: literal units resolve to double factors at
       // rewrite time (affine path for temperature); oracle restates the
