@@ -50,6 +50,25 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Watermarked per-window value quantiles — the streaming twin of the
+    * tdigest sketch family. The t-digest TypedImperativeAggregate supports
+    * partial merge, so it runs as a first-class streaming aggregation:
+    * constant state per open window, closed windows emit the p50/p95 read
+    * from the merged sketch and evict. Estimates carry the same ~1%
+    * rank-accuracy contract as the batch family (merge order differs
+    * between runs — gate against the exact answer with tolerance, not
+    * equality).
+    */
+  def windowedQuantiles(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), windowLen))
+      .agg(expr("tdigest(CAST(value AS DOUBLE))").as("td"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("n"),
+        expr("percentile_tdigest(td, 50.0)").as("p50"),
+        expr("percentile_tdigest(td, 95.0)").as("p95"))
+
   /** Sliding-window rolling counts — the streaming twin of the batch
     * `sliding_window_counts` plugin (ActivityMetrics). Spark's native
     * overlapping `window(col, len, slide)` assigns each event to its

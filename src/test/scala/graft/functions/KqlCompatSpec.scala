@@ -230,4 +230,58 @@ class KqlCompatSpec extends SparkSuite {
     assert(r.getString(1) == "Personal Cluster!3")
     assert(r.getInt(2) == 1)
   }
+
+  test("bag algebra: earlier-wins merge, nested values survive, remove/has keys, null lanes") {
+    val r = spark.range(1).selectExpr(
+      """bag_merge('{"b":{"x":[1,2]},"a":1}', '{"a":9,"c":null}')""",
+      """bag_remove_keys('{"a":1,"b":2,"c":3}', array('b', 'zz'))""",
+      KqlCompat.rewrite("""bag_has_key('{"a":1}', 'a')"""),
+      """bag_merge('not json', '{}')""").head
+    assert(r.getString(0) == """{"a":1,"b":{"x":[1,2]},"c":null}""")
+    assert(r.getString(1) == """{"a":1,"c":3}""")
+    assert(r.getBoolean(2))
+    assert(r.isNullAt(3))
+  }
+
+  test("compression codecs round-trip unicode and long input; garbage nulls out") {
+    val r = spark.range(1).selectExpr(
+      "zlib_decompress_from_base64_string(zlib_compress_to_base64_string('héllo wörld ünïcode'))",
+      "length(gzip_decompress_from_base64_string(gzip_compress_to_base64_string(repeat('graft', 10000))))",
+      "zlib_decompress_from_base64_string('!!notbase64!!')").head
+    assert(r.getString(0) == "héllo wörld ünïcode")
+    assert(r.getInt(1) == 50000)
+    assert(r.isNullAt(2))
+  }
+
+  test("format_bytes edge tiers; format_timespan wraps hours without a day field") {
+    val r = spark.range(1).selectExpr(
+      KqlCompat.rewrite("format_bytes(0)"),
+      KqlCompat.rewrite("format_bytes(1125899906842624)"),
+      KqlCompat.rewrite("format_bytes(1536, 1)"),
+      KqlCompat.rewrite("format_timespan(totimespan('25:00:00'), 'hh:mm:ss')"),
+      KqlCompat.rewrite("format_timespan(totimespan('2.00:00:01'), 'd.hh:mm:ss')")).head
+    assert(r.getString(0) == "0 Bytes")
+    assert(r.getString(1) == "1 PB")
+    assert(r.getString(2) == "1.5 KB")
+    assert(r.getString(3) == "01:00:00")
+    assert(r.getString(4) == "2.00:00:01")
+  }
+
+  test("geohash rejects bad accuracy/coords/alphabet; welch_test null lanes") {
+    val r = spark.range(1).selectExpr(
+      "geo_point_to_geohash(0.0, 0.0, 13)",
+      "geo_point_to_geohash(0.0, 91.0)",
+      "geo_geohash_to_central_point('ez!42')",
+      "welch_test(1.0, 1.0, 1, 2.0, 1.0, 30)",
+      "welch_test(1.0, -1.0, 10, 2.0, 1.0, 30)").head
+    (0 to 4).foreach(i => assert(r.isNullAt(i), s"col $i"))
+  }
+
+  test("parse_xml: nesting, and DOCTYPE is rejected (XXE hardening)") {
+    val r = spark.range(1).selectExpr(
+      "parse_xml('<a><b><c>1</c></b></a>')",
+      "parse_xml('<!DOCTYPE foo [<!ENTITY x SYSTEM \"file:///etc/passwd\">]><a>&x;</a>')").head
+    assert(r.getString(0) == """{"a":{"b":{"c":"1"}}}""")
+    assert(r.isNullAt(1))
+  }
 }

@@ -50,6 +50,49 @@ class EventStreamSpec extends SparkSuite {
     assert(streamed <= batchByKey.values.sum)
   }
 
+  test("windowed t-digest quantiles drain within tolerance of exact per-window percentiles") {
+    val src = tmpDir("events-src-td"); val ckpt = tmpDir("stream-ckpt-td")
+    stageEvents(src)
+    val q = EventStream.windowedQuantiles(EventStream.readEvents(spark, src))
+      .writeStream
+      .format("memory").queryName("win_quant")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    // batch twin uses the SAME estimator (t-digest); at these per-window
+    // cardinalities centroids stay uncompressed, so the drained stream
+    // must land within sketch tolerance of the batch read — plus a hard
+    // rank sandwich against exact order statistics
+    val batch = spark.read.parquet(src)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("event_time"), "1 hour"))
+      .agg(expr("percentile_tdigest(tdigest(CAST(value AS DOUBLE)), 50.0)").as("b50"),
+        expr("percentile_tdigest(tdigest(CAST(value AS DOUBLE)), 95.0)").as("b95"),
+        min(col("value").cast("double")).as("vmin"),
+        max(col("value").cast("double")).as("vmax"))
+      .select(col("window.start").as("ws"), col("b50"), col("b95"), col("vmin"), col("vmax"))
+      .collect()
+      .map(r => r.getTimestamp(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+
+    val rows = spark.table("win_quant").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (b50, b95, vmin, vmax) = batch(r.getTimestamp(0))
+      val span = math.max(1.0, vmax - vmin)
+      assert(math.abs(r.getDouble(2) - b50) <= 0.05 * span + 1e-9,
+        s"p50 ${r.getDouble(2)} vs batch tdigest $b50")
+      assert(math.abs(r.getDouble(3) - b95) <= 0.05 * span + 1e-9,
+        s"p95 ${r.getDouble(3)} vs batch tdigest $b95")
+      // hard envelope: estimates can never leave the window's value range
+      assert(r.getDouble(2) >= vmin - 1e-9 && r.getDouble(2) <= vmax + 1e-9)
+      assert(r.getDouble(3) >= vmin - 1e-9 && r.getDouble(3) <= vmax + 1e-9)
+    }
+  }
+
   test("sliding-window rolling counts match the batch twin on closed windows") {
     val src = tmpDir("events-src9"); val ckpt = tmpDir("stream-ckpt9")
     stageEvents(src)
