@@ -1244,6 +1244,19 @@ object KqlCompat {
     * opaque: commas/parens inside them don't count). Calls whose argument
     * count `render` does not accept are left unchanged.
     */
+  /** `column_ifexists(col, default)` — schema-aware, so it expands at the
+    * operator layer (KqlPipeline.applyOp), where the frame's columns are in
+    * hand; the column may be spelled bare or quoted. Pure text-level
+    * resolution: present → the column reference, absent → the default
+    * expression, both then flowing through the normal rewrite.
+    */
+  def columnIfExists(s: String, hasColumn: String => Boolean): String =
+    expandCalls(s, "column_ifexists") {
+      case Seq(c, d) =>
+        val name = c.trim.stripPrefix("'").stripSuffix("'")
+        if (hasColumn(name)) s"`$name`" else d
+    }
+
   private def expandCalls(s0: String, name: String)(
       render: PartialFunction[Seq[String], String]): String = {
     var s    = s0

@@ -1150,7 +1150,15 @@ object KqlPipeline {
   // ---- operator dispatch ---------------------------------------------------
 
   private def applyOp(resolve: String => DataFrame)(df: DataFrame, seg: String): DataFrame = {
-    val (word, rest) = seg.span(c => !c.isWhitespace)
+    val (word, rest0) = seg.span(c => !c.isWhitespace)
+    // column_ifexists resolves against THIS frame's schema, so it expands
+    // here — but only for scalar-expression operators: inside a join's
+    // sub-pipeline the outer columns are the wrong scope
+    val rest =
+      if (rest0.contains("column_ifexists") &&
+          ColumnIfExistsOps(word.toLowerCase))
+        graft.functions.KqlCompat.columnIfExists(rest0, df.columns.contains(_))
+      else rest0
     word.toLowerCase match {
       case "where" | "filter" =>
         df.filter(expr(tx(rest)))
@@ -1161,6 +1169,19 @@ object KqlPipeline {
             case Some((name, e)) if RowNumberRe.matches(e.trim) =>
               val start = "\\d+".r.findFirstIn(e).map(_.toLong).getOrElse(1L)
               rowNumber(d, name, start)
+            // row_number(start, restart): running count through the
+            // restart-aware two-pass scan — 1,2,… resetting to `start`
+            // wherever the boolean holds; never a 1-partition window
+            case Some((name, e)) if RowNumberRestartRe.matches(e.trim) =>
+              val RowNumberRestartRe(startS, restartS) = e.trim
+              val start = startS.toLong
+              val vtmp = "__graft_rn_one"
+              val rtmp = "__graft_rn_restart"
+              val staged = d.withColumn(vtmp, lit(1L))
+                .withColumn(rtmp, expr(tx(restartS)).cast("boolean"))
+              graft.util.ScanOps.cumSumRestart(staged, vtmp, rtmp, name)
+                .withColumn(name, col(name) + lit(start - 1L))
+                .drop(vtmp, rtmp)
             // row_cumsum/prev/next: running sum and row shifts in current
             // order via the two-pass distributed scan / boundary exchange
             // (ScanOps) — never a 1-partition window
@@ -1184,12 +1205,25 @@ object KqlPipeline {
                     staged2.withColumn(rtmp, expr(tx(args(1))).cast("boolean")),
                     tmp, rtmp, name).drop(rtmp)
                 case pn @ ("prev" | "next") =>
-                  require(args.size == 1,
-                    s"$pn with offset/default is supported inside `partition by " +
-                      s"… (order by … | extend …)`, not in the global serialized " +
-                      s"path; got: '$e'")
-                  if (pn == "prev") graft.util.ScanOps.lag1(staged2, tmp, name)
-                  else graft.util.ScanOps.lead1(staged2, tmp, name)
+                  // offset k lowers to k chained boundary-exchange shifts —
+                  // O(k) lightweight passes, never a 1-partition window;
+                  // bounded so a typo can't queue a thousand jobs
+                  val off = if (args.size >= 2) args(1).trim.toInt else 1
+                  require(off >= 1 && off <= 16,
+                    s"$pn offset must be in [1, 16] in the serialized path, got: '$e'")
+                  require(args.size <= 3, s"$pn takes (expr [, offset [, default]]), got: '$e'")
+                  var cur: DataFrame = staged2
+                  var src = tmp
+                  for (i <- 1 to off) {
+                    val dst = if (i == off) name else s"__graft_shift_$i"
+                    cur = if (pn == "prev") graft.util.ScanOps.lag1(cur, src, dst)
+                          else graft.util.ScanOps.lead1(cur, src, dst)
+                    if (src != tmp) cur = cur.drop(src)
+                    src = dst
+                  }
+                  if (args.size == 3)
+                    cur.withColumn(name, coalesce(col(name), expr(tx(args(2)))))
+                  else cur
                 // dense run rank over the serialized order: +1 whenever the
                 // term changes — a boundary indicator through the same
                 // lag + cumsum scans (still no 1-partition window)
@@ -2600,7 +2634,16 @@ object KqlPipeline {
 
   // ---- row_number ----------------------------------------------------------
 
+  private val ColumnIfExistsOps = Set(
+    "where", "filter", "extend", "project", "project-away", "project-keep",
+    "summarize", "order", "sort", "top")
+
   private val RowNumberRe = """(?i)row_number\s*\(\s*(\d+)?\s*\)""".r
+
+  // row_number(start, restart): segment-restarting index — explicit start
+  // per the ADX signature; the restart term is any boolean expression
+  private val RowNumberRestartRe =
+    """(?i)row_number\s*\(\s*(\d+)\s*,\s*(.+)\)""".r
 
   private val ArgStarRe =
     """(?i)(arg_max|arg_min)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*\*\s*\)""".r

@@ -35,7 +35,10 @@ object ScaleBench {
     // round-8 batch 2: BFS shortest paths, Lloyd iterations, sketch
     // intersection, chunk lattice — each a newly-claimed scale shape
     "q_kql_graph_shortest", "embed_kmeans", "q_kql_dcount_intersect",
-    "text_chunking", "embed_pca")
+    "text_chunking", "embed_pca",
+    // round-8 session 3: mergeable t-digest two-level rollup and the
+    // per-session sequential fold + rid join-back — both newly claimed
+    "q_kql_tdigest", "q_kql_row_window_session")
 
   def main(args: Array[String]): Unit = {
     val small = args(0)

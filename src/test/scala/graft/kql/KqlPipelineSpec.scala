@@ -1229,6 +1229,45 @@ class KqlPipelineSpec extends SparkSuite {
     assert(!r.columns.contains("ha"))
   }
 
+  test("global serialized prev/next with offset and default") {
+    val r = run(
+      """datatable (i:long) [ 10, 20, 30, 40, 50 ]
+        | | order by i asc
+        | | extend p2 = prev(i, 2, -1), n2 = next(i, 2, -1), p1 = prev(i)
+        | | project i, p2, n2, p1""".stripMargin)
+    val got = r.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+      if (x.isNullAt(3)) -99L else x.getLong(3))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (10L, -1L, 30L, -99L), (20L, -1L, 40L, 10L), (30L, 10L, 50L, 20L),
+      (40L, 20L, -1L, 30L), (50L, 30L, -1L, 40L)))
+  }
+
+  test("row_number with restart resets the index at segment boundaries") {
+    val r = run(
+      """datatable (i:long, g:string) [
+        |   1, 'a', 2, 'a', 3, 'b', 4, 'b', 5, 'b', 6, 'c' ]
+        | | order by i asc
+        | | extend pg = prev(g, 1, '')
+        | | extend rn = row_number(1, g != pg)
+        | | project i, rn""".stripMargin)
+    val got = r.collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
+    // first row: g != '' → restart (index 1); then 2; 'b' restarts; 'c' restarts
+    assert(got.toSeq == Seq(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 2L, 5L -> 3L, 6L -> 1L))
+  }
+
+  test("column_ifexists resolves present columns and falls back for missing ones") {
+    val r = run(
+      """people
+        | | extend a = column_ifexists(name, 'zz'), b = column_ifexists(nope, 'zz'),
+        |     c = column_ifexists('score', -1.0)
+        | | where column_ifexists(id, 0) == 1
+        | | project a, b, c""".stripMargin)
+    val row = r.head()
+    assert(row.getString(0) == "Alice")
+    assert(row.getString(1) == "zz")
+    assert(row.getDouble(2) == 10.0)
+  }
+
   test("consume returns no rows but preserves the schema") {
     val r = run("people | where age >= 30 | consume")
     assert(r.columns.toSeq == people.columns.toSeq)

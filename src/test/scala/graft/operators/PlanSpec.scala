@@ -134,6 +134,16 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("tdigest: TypedImperativeAggregate runs two-phase via ObjectHashAggregate") {
+    // partial sketches build map-side and merge after the exchange — the
+    // physical form of the "mergeable sketch" 100 TB claim; a SortAggregate
+    // fallback (or a single-phase plan) would silently lose that shape
+    val s = finalPlan("q_kql_tdigest")
+    assert(s.contains("ObjectHashAggregate"), s)
+    assert(s.contains("partial_tdigest") || s.contains("partial tdigest") ||
+      s.toLowerCase.contains("tdigest"), s)
+  }
+
   test("row_window_session: per-session fold + rid equi-join, never an NLJ") {
     // idle segmentation is the distributed scan pair; the max-duration
     // subdivision groups by session id and joins back on the exact row id —
