@@ -2324,7 +2324,33 @@ object KqlPipeline {
           (name, aggSpec, defaultE)
         }
         require(aggClauses.nonEmpty, s"make-series needs at least one aggregation: '$seg'")
-        val (timeCol0, fromRest) = splitAtTopLevelKeyword(onRest, "from") match {
+        // auto-range (ADX: from/to omitted → deduced from the data): one
+        // bounded 1-row min/max aggregate fixes the axis — from = bin(min,
+        // step), to = bin(max, step) + step — then the explicit-range path
+        // runs unchanged. Numeric/epoch-nanos axes only (this engine's
+        // time currency).
+        val onRestEff = splitAtTopLevelKeyword(onRest, "from") match {
+          case (_, Some(_)) => onRest
+          case _ =>
+            val (tPart, stepRest0) = splitAtTopLevelKeyword(onRest, "step") match {
+              case (a, Some(r)) => (a.trim, r)
+              case _            => fail("make-series needs `step <size>`")
+            }
+            val (stepE0, byTail) = splitAtTopLevelKeyword(stepRest0, "by") match {
+              case (a, Some(k)) => (a.trim, s" by $k")
+              case (a, None)    => (a.trim, "")
+            }
+            val stepV = constLong(stepE0)
+            require(stepV > 0, s"make-series step must be positive, got: '$stepE0'")
+            val mm = df.agg(
+              min(expr(tx(tPart)).cast("long")), max(expr(tx(tPart)).cast("long"))).head
+            require(!mm.isNullAt(0),
+              "make-series auto-range needs at least one non-null axis value")
+            val startL = Math.floorDiv(mm.getLong(0), stepV) * stepV
+            val stopL  = Math.floorDiv(mm.getLong(1), stepV) * stepV + stepV
+            s"$tPart from $startL to $stopL step $stepE0$byTail"
+        }
+        val (timeCol0, fromRest) = splitAtTopLevelKeyword(onRestEff, "from") match {
           case (t0, Some(r)) => (t0.trim, r)
           case _             => fail("make-series needs `from <start>`")
         }

@@ -3410,6 +3410,36 @@ object Surface {
         SELECT net, count(*) AS n FROM j WHERE rn = 1
         GROUP BY 1 ORDER BY 1""")),
 
+    "q_kql_make_series_auto" -> QueryDef(
+      // make-series with from/to omitted: the axis is deduced from the
+      // data — from = bin(min ts, 1d), to = bin(max ts, 1d) + 1d (one
+      // bounded 1-row aggregate; probed: 30 daily bins). Oracle rebuilds
+      // the same axis with generate_series and a bins × groups fill
+      (s, dir) => kqlRun(s, dir,
+        """events
+          | | where user_id < 50
+          | | extend et = event_type
+          | | make-series n = count() on ts step 86400000000000 by et
+          | | project et, n_json = to_json(n)
+          | | order by et asc""".stripMargin),
+      Some("""
+        WITH RECURSIVE src AS (SELECT epoch_ns(ts) AS tsn, event_type AS et
+                     FROM events WHERE user_id < 50),
+             rng AS (SELECT (min(tsn) // 86400000000000) * 86400000000000 AS lo,
+                            (max(tsn) // 86400000000000) * 86400000000000
+                              + 86400000000000 AS hi FROM src),
+             bins AS (SELECT lo AS b, hi FROM rng
+                      UNION ALL
+                      SELECT b + 86400000000000, hi FROM bins
+                      WHERE b + 86400000000000 < hi),
+             ets AS (SELECT DISTINCT et FROM src),
+             counts AS (SELECT et, (tsn // 86400000000000) * 86400000000000 AS b,
+                               count(*) AS n FROM src GROUP BY 1, 2)
+        SELECT e.et, CAST(to_json(list(coalesce(c.n, 0) ORDER BY b.b)) AS VARCHAR) AS n_json
+        FROM ets e CROSS JOIN bins b
+        LEFT JOIN counts c ON c.et = e.et AND c.b = b.b
+        GROUP BY e.et ORDER BY e.et""")),
+
     "q_kql_welch_test" -> QueryDef(
       // welch_test p-values: fixed vectors against an independent replica
       // of the same t-CDF numerics, a significance boolean, null on

@@ -1255,6 +1255,15 @@ class KqlPipelineSpec extends SparkSuite {
     assert(got.toSeq == Seq(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 2L, 5L -> 3L, 6L -> 1L))
   }
 
+  test("make-series auto-range deduces the axis from the data") {
+    val r = run(
+      """datatable (t:long, v:long) [ 5, 1, 12, 1, 23, 1, 25, 1 ]
+        | | make-series n = count() on t step 10
+        | | project n_json = to_json(n)""".stripMargin)
+    // min 5 → from 0; max 25 → to 30; bins [0,10,20] → counts [1,1,2]
+    assert(r.head().getString(0) == "[1,1,2]")
+  }
+
   test("column_ifexists resolves present columns and falls back for missing ones") {
     val r = run(
       """people
