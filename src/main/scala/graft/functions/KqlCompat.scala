@@ -311,8 +311,18 @@ object KqlCompat {
           s"coalesce(try_cast(try_element_at(__tts, 2) AS INT), 0), " +
           s"coalesce(try_cast(try_element_at(__tts, 3) AS DOUBLE), CAST(0 AS DOUBLE)))), 1)"
     }
-    // indexof(text, search): 0-based, -1 when absent — instr is 1-based/0
-    s = expandCalls(s, "indexof") { case Seq(x, n) => s"(instr($x, $n) - 1)" }
+    // parse_json/todynamic: the engine's dynamic currency IS JSON text
+    // (bag_pack/pack_all/to_json outputs), so these are identity casts —
+    // downstream access goes through extractjson/bag_keys/mv-expand exactly
+    // as it would on any other bag
+    s = expandCalls(s, "parse_json") { case Seq(x) => s"($x)" }
+    s = expandCalls(s, "todynamic") { case Seq(x) => s"($x)" }
+    // indexof(text, search [, start]): 0-based, -1 when absent — instr/
+    // locate are 1-based/0
+    s = expandCalls(s, "indexof") {
+      case Seq(x, n)     => s"(instr($x, $n) - 1)"
+      case Seq(x, n, st) => s"(locate($n, $x, ($st) + 1) - 1)"
+    }
     // array_index_of: 0-based, -1 when absent — array_position is 1-based/0
     s = expandCalls(s, "array_index_of") {
       case Seq(a, v) => s"(array_position($a, $v) - 1)"

@@ -1501,10 +1501,21 @@ object KqlPipeline {
           case IdxRe(nm, r) => (Some(nm), r)
           case r            => (None, r)
         }
+        // optional trailing `limit N`: at most N expanded rows per input
+        // row — a pre-explode slice, so oversized arrays never inflate the
+        // generator's output
+        val LimitRe = """(?is)^(.*?)\s+limit\s+(\d+)\s*$""".r
+        val (rest3, rowLimit) = rest2.trim match {
+          case LimitRe(r, n) => (r, Some(n.toInt))
+          case r             => (r, None)
+        }
+        // alias keeps arrays_zip's struct-field names stable under the slice
+        def src(c2: String): Column =
+          rowLimit.map(n => slice(col(c2), 1, n).as(c2)).getOrElse(col(c2))
         // each item: `col [to typeof(kqlType)]` — the cast applies to the
         // EXPANDED element (the ADX spelling for typed dynamic arrays)
         val ToTypeRe = """(?is)([A-Za-z_][A-Za-z0-9_]*)\s+to\s+typeof\s*\(\s*([A-Za-z0-9()_,]+)\s*\)""".r
-        val items = splitTopLevel(rest2, ',').map(_.trim).filter(_.nonEmpty).map {
+        val items = splitTopLevel(rest3, ',').map(_.trim).filter(_.nonEmpty).map {
           case ToTypeRe(c2, t2) =>
             val sparkT = KqlTypes.getOrElse(t2.toLowerCase,
               fail(s"mv-expand: unknown typeof '$t2'"))
@@ -1519,23 +1530,23 @@ object KqlPipeline {
             // zip a 0-based position lane in and expand everything together;
             // the lane spans the LONGEST array (arrays_zip null-pads short)
             val tmp = "__graft_mv_zip"
-            val maxLen = cols.map(c2 => size(col(c2)).cast("long"))
+            val maxLen = cols.map(c2 => size(src(c2)).cast("long"))
               .reduce((x, y) => greatest(x, y))
             // empty arrays drop the row (ADX + the no-index path): guard
             // the index lane — sequence(0, -1) would step BACKWARDS to
             // [0, -1] and fabricate two rows; explode(null) yields none
             val zipped = when(maxLen > lit(0L), arrays_zip(
-              (sequence(lit(0L), maxLen - 1).as(idx) +: cols.map(col)): _*))
+              (sequence(lit(0L), maxLen - 1).as(idx) +: cols.map(src)): _*))
             cols.foldLeft(
               df.withColumn(tmp, explode(zipped))
                 .withColumn(idx, col(tmp).getField(idx)))(
               (d, c) => d.withColumn(c, col(tmp).getField(c))).drop(tmp)
           case None if cols.size == 1 =>
-            df.withColumn(cols.head, explode(col(cols.head)))
+            df.withColumn(cols.head, explode(src(cols.head)))
           case None =>
             val tmp = "__graft_mv_zip"
             cols.foldLeft(
-              df.withColumn(tmp, explode(arrays_zip(cols.map(col): _*))))(
+              df.withColumn(tmp, explode(arrays_zip(cols.map(src): _*))))(
               (d, c) => d.withColumn(c, col(tmp).getField(c))).drop(tmp)
         }
         items.foldLeft(expanded) {

@@ -485,7 +485,7 @@ class KqlPipelineSpec extends SparkSuite {
     val row = r.head()
     assert(row.getDouble(0) == 40.0) // Carol 20 + Dave 5 + Eve 15
     assert(row.getDouble(1) == 20.0)
-    assert(row.getLong(2) == 4L)     // admin role, ADMIN, user | guest, guest
+    assert(row.getAs[Number](2).longValue == 4L)     // admin role, ADMIN, user | guest, guest
     assert(math.abs(row.getDouble(3) - 6.519) < 0.01)
     assert(row.getDouble(4) == 15.0)
   }
@@ -1253,6 +1253,35 @@ class KqlPipelineSpec extends SparkSuite {
     val got = r.collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
     // first row: g != '' → restart (index 1); then 2; 'b' restarts; 'c' restarts
     assert(got.toSeq == Seq(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 2L, 5L -> 3L, 6L -> 1L))
+  }
+
+  test("mv-expand limit caps expanded rows per input row") {
+    val r = run(
+      """datatable (k:long) [ 1 ]
+        | | extend a = dynamic([10, 20, 30, 40, 50])
+        | | mv-expand a limit 3
+        | | project a""".stripMargin)
+    assert(r.collect().map(_.getAs[Number](0).longValue).toSeq == Seq(10L, 20L, 30L))
+    val withIdx = run(
+      """datatable (k:long) [ 1 ]
+        | | extend a = dynamic([10, 20, 30])
+        | | mv-expand with_itemindex = ix a limit 2
+        | | project ix, a""".stripMargin)
+    assert(withIdx.collect().map(x =>
+      (x.getAs[Number](0).longValue, x.getAs[Number](1).longValue)).toSeq ==
+      Seq(0L -> 10L, 1L -> 20L))
+  }
+
+  test("parse_json/todynamic are identity on the JSON-text dynamic currency; indexof start") {
+    val r = run(
+      """print b = parse_json('{"a": 1}')
+        | | project v = extractjson('$.a', b),
+        |     w = extractjson('$.a', todynamic(bag_pack('a', 7))),
+        |     ix = indexof('abcabc', 'bc', 2)""".stripMargin)
+    val row = r.head()
+    assert(row.getString(0) == "1")
+    assert(row.getString(1) == "7")
+    assert(row.getAs[Number](2).longValue == 4L)
   }
 
   test("make-series auto-range deduces the axis from the data") {
