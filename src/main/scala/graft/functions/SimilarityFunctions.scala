@@ -52,6 +52,37 @@ object SimilarityFunctions {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** Matryoshka-style truncated-prefix ANN: shortlist on the first
+    * `prefixDim` dimensions (an MRL embedding packs coarse similarity into
+    * the leading coordinates, so the truncated dot is a dim/prefixDim-×
+    * cheaper scoring pass), then exact re-rank of the shortlist on the full
+    * vector. The scale shape: the expensive full-dim scoring touches only
+    * `shortlist` candidates per query instead of the corpus.
+    */
+  def mrlTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      prefixDim: Int,
+      shortlist: Int,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_trunc",
+        cosine(slice(col("qv"), 1, prefixDim), slice(col("cv"), 1, prefixDim)))
+    val w1 = Window.partitionBy("query_id").orderBy(col("cos_trunc").desc, col("neighbor_id"))
+    val short = scored.withColumn("srank", row_number().over(w1))
+      .filter(col("srank") <= shortlist)
+    val w2 = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    short
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
   /** Sign-bit binarization of a ≤64-dim embedding into ONE long: bit i set
     * iff v[i] > 0. 256× compression at dim 64 (float32 → 1 bit/dim) —
     * the extreme end of the compression ladder (float → int8 → PQ 4-bit →

@@ -1251,6 +1251,26 @@ object Surface {
       Some("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
         "WHERE vec_id >= 8 AND vec_id < 48")),
 
+    "sim_mrl_topk" -> QueryDef(
+      // Matryoshka truncation ANN on the clustered happy-path corpus:
+      // shortlist on the 16-dim prefix (4× cheaper scoring), exact re-rank
+      // of 50 candidates on the full 64 dims. GATE: recall@10 ≥ 0.8 per
+      // query vs in-plan brute force (centroid structure survives any
+      // prefix, so the truncated pass keeps same-cluster candidates)
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val corpus = SimilarityFunctions.clusteredCorpus(
+          emb, "vec_id", "embedding", nClusters = 8, nMembers = 400, noiseScale = 0.15)
+        val q     = corpus.filter(col("vec_id") < 8 + 40)
+        val ann   = SimilarityFunctions.mrlTopK(corpus, q, "vec_id", "embedding",
+          prefixDim = 16, shortlist = 50, k = 10)
+        val exact = SimilarityFunctions.bruteForceTopK(corpus, q, "vec_id", "embedding", 10)
+        SimilarityFunctions.recallAtK(exact, ann)
+          .select(col("query_id"), (col("recall") >= 0.8).as("recall_ok"))
+      },
+      Some("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
+        "WHERE vec_id >= 8 AND vec_id < 48")),
+
     "sim_ivf_topk" -> QueryDef(
       // IVF scale path: 16 coarse cells from 2 distributed Lloyd iterations
       // (deterministic leading-vector init), 2-probe, exact ranking within
