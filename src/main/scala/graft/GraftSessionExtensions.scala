@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.expressions.{BagMerge, BagRemoveKeys, BloomContains, GeoPointToGeohash, GeohashCentralPoint, GramHashes, GzipCompress, GzipDecompress, Ipv6Norm, ParseXml, PercentileTDigest, PunycodeDomainFrom, PunycodeDomainTo, RollingHash, TDigestAgg, TDigestMergeAgg, TermHas, VectorDot, WelchTest, ZlibCompress, ZlibDecompress}
+import graft.functions.expressions.{BagMerge, FreqAgg, FreqMergeAgg, FreqTopK, BagRemoveKeys, BloomContains, GeoPointToGeohash, GeohashCentralPoint, GramHashes, GzipCompress, GzipDecompress, Ipv6Norm, ParseXml, PercentileTDigest, PunycodeDomainFrom, PunycodeDomainTo, RollingHash, TDigestAgg, TDigestMergeAgg, TermHas, VectorDot, WelchTest, ZlibCompress, ZlibDecompress}
 
 /** Spark plugin entry point: load with
   * `spark.sql.extensions=graft.GraftSessionExtensions` (works with plain
@@ -77,6 +77,15 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2 || children.size == 3,
           "geo_point_to_geohash takes (lng, lat [, accuracy])")
         GeoPointToGeohash(children)
+      }))
+    unary("freq", classOf[FreqAgg], FreqAgg(_))
+    unary("freq_merge", classOf[FreqMergeAgg], FreqMergeAgg(_))
+    ext.injectFunction((
+      new FunctionIdentifier("freq_topk"),
+      new ExpressionInfo(classOf[FreqTopK].getName, "freq_topk"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "freq_topk takes (sketch, k)")
+        FreqTopK(children.head, children(1))
       }))
     unary("tdigest", classOf[TDigestAgg], TDigestAgg(_))
     unary("tdigest_merge", classOf[TDigestMergeAgg], TDigestMergeAgg(_))

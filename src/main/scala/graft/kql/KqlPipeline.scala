@@ -2897,6 +2897,12 @@ object KqlPipeline {
       // tdigest()/tdigest_merge(): the percentile twin of the HLL pair —
       // REAL mergeable t-digest sketch columns (DataSketches, k=200; ADX's
       // percentile estimator), read back via percentile_tdigest(sketch, p)
+      // freq()/freq_merge(): frequent-items (heavy-hitter) sketches, the
+      // top-k twin of the HLL/t-digest pairs; read via freq_topk(sketch, k)
+      case "freq" =>
+        (expr(s"freq(CAST(${tx(args(0))} AS STRING))"), s"freq_${slug(args(0))}")
+      case "freq_merge" =>
+        (expr(s"freq_merge(${tx(args(0))})"), s"freq_merge_${slug(args(0))}")
       case "tdigest" =>
         (expr(s"tdigest(CAST(${tx(args(0))} AS DOUBLE))"), s"tdigest_${slug(args(0))}")
       case "tdigest_merge" =>

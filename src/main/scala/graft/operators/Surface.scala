@@ -3581,6 +3581,28 @@ object Surface {
         SELECT ss, count(*) AS n, max(tsn - ss) AS spanmax
         FROM rec GROUP BY ss ORDER BY ss""")),
 
+    "q_kql_freq_sketch" -> QueryDef(
+      // frequent-items sketches, the top-k member of the two-level family:
+      // freq() per order-status fine group, freq_merge() roll-up,
+      // freq_topk read. 100 distinct keys keep the maxMapSize-512 sketch
+      // in its exact regime (no evictions), so est == lb == ub == the true
+      // count and the JSON text hash-matches the oracle bit for bit while
+      // the merge path is still fully exercised
+      (s, dir) => kqlRun(s, dir,
+        """orders
+          | | extend ck = tostring(o_custkey % 100)
+          | | summarize f = freq(ck) by st = o_orderstatus
+          | | summarize fm = freq_merge(f)
+          | | project tk = freq_topk(fm, 5)""".stripMargin),
+      Some("""
+        WITH c AS (SELECT CAST(o_custkey % 100 AS VARCHAR) AS ck, count(*) AS n
+                   FROM orders GROUP BY 1),
+             t AS (SELECT ck, n FROM c ORDER BY n DESC, ck LIMIT 5)
+        SELECT '[' || string_agg('{"item":"' || ck || '","est":' || n ||
+                                 ',"lb":' || n || ',"ub":' || n || '}',
+                                 ',' ORDER BY n DESC, ck) || ']' AS tk
+        FROM t""")),
+
     "q_kql_tdigest" -> QueryDef(
       // t-digest percentile sketches, the HLL pattern's percentile twin:
       // tdigest() per (returnflag, linestatus) fine group → tdigest_merge()
