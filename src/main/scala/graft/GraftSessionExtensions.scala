@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.expressions.{BagMerge, FreqAgg, FreqMergeAgg, FreqTopK, BagRemoveKeys, BloomContains, GeoPointToGeohash, GeohashCentralPoint, GramHashes, GzipCompress, GzipDecompress, Ipv6Norm, ParseXml, PercentileTDigest, PunycodeDomainFrom, PunycodeDomainTo, RollingHash, TDigestAgg, TDigestMergeAgg, TermHas, VectorDot, WelchTest, ZlibCompress, ZlibDecompress}
+import graft.functions.expressions.{BagMerge, FreqAgg, FreqMergeAgg, FreqTopK, ThetaAgg, ThetaMergeAgg, ThetaEstimate, ThetaIntersect, ThetaDiff, BagRemoveKeys, BloomContains, GeoPointToGeohash, GeohashCentralPoint, GramHashes, GzipCompress, GzipDecompress, Ipv6Norm, ParseXml, PercentileTDigest, PunycodeDomainFrom, PunycodeDomainTo, RollingHash, TDigestAgg, TDigestMergeAgg, TermHas, VectorDot, WelchTest, ZlibCompress, ZlibDecompress}
 
 /** Spark plugin entry point: load with
   * `spark.sql.extensions=graft.GraftSessionExtensions` (works with plain
@@ -78,6 +78,19 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
           "geo_point_to_geohash takes (lng, lat [, accuracy])")
         GeoPointToGeohash(children)
       }))
+    unary("theta", classOf[ThetaAgg], ThetaAgg(_))
+    unary("theta_merge", classOf[ThetaMergeAgg], ThetaMergeAgg(_))
+    unary("theta_estimate", classOf[ThetaEstimate], ThetaEstimate(_))
+    def binary(name: String, cls: Class[_], mk: (org.apache.spark.sql.catalyst.expressions.Expression, org.apache.spark.sql.catalyst.expressions.Expression) => org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name),
+        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          require(children.size == 2, s"$name takes exactly two arguments")
+          mk(children(0), children(1))
+        }))
+    binary("theta_intersect", classOf[ThetaIntersect], ThetaIntersect(_, _))
+    binary("theta_diff", classOf[ThetaDiff], ThetaDiff(_, _))
     unary("freq", classOf[FreqAgg], FreqAgg(_))
     unary("freq_merge", classOf[FreqMergeAgg], FreqMergeAgg(_))
     ext.injectFunction((

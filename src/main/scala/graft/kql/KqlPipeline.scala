@@ -2899,6 +2899,12 @@ object KqlPipeline {
       // percentile estimator), read back via percentile_tdigest(sketch, p)
       // freq()/freq_merge(): frequent-items (heavy-hitter) sketches, the
       // top-k twin of the HLL/t-digest pairs; read via freq_topk(sketch, k)
+      // theta()/theta_merge(): distinct-count SET-ALGEBRA sketches —
+      // intersect/diff compose as first-class ops (HLL I-E does not)
+      case "theta" =>
+        (expr(s"theta(CAST(${tx(args(0))} AS STRING))"), s"theta_${slug(args(0))}")
+      case "theta_merge" =>
+        (expr(s"theta_merge(${tx(args(0))})"), s"theta_merge_${slug(args(0))}")
       case "freq" =>
         (expr(s"freq(CAST(${tx(args(0))} AS STRING))"), s"freq_${slug(args(0))}")
       case "freq_merge" =>

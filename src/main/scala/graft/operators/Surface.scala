@@ -3581,6 +3581,37 @@ object Surface {
         SELECT ss, count(*) AS n, max(tsn - ss) AS spanmax
         FROM rec GROUP BY ss ORDER BY ss""")),
 
+    "q_kql_theta_sets" -> QueryDef(
+      // theta-sketch set algebra: per-status customer sketches, pivoted
+      // side by side, intersect/diff/estimate scalars plus a theta_merge
+      // union roll-up via toscalar. ~1.5k distincts keep every sketch in
+      // the exact regime (< 4096 entries), so the estimates ARE the true
+      // counts and the oracle recomputes them with plain set SQL
+      (s, dir) => kqlRun(s, dir,
+        """let un = toscalar(orders | where o_orderstatus in ('F', 'O')
+          |   | summarize th = theta(o_custkey) by st = o_orderstatus
+          |   | summarize thm = theta_merge(th)
+          |   | project e = tolong(theta_estimate(thm)));
+          |orders
+          | | where o_orderstatus in ('F', 'O')
+          | | summarize th = theta(o_custkey) by st = o_orderstatus
+          | | evaluate pivot(st, take_any(th))
+          | | project inter_fo = tolong(theta_estimate(theta_intersect(F, O))),
+          |     only_f = tolong(theta_estimate(theta_diff(F, O))),
+          |     nf = tolong(theta_estimate(F)), no = tolong(theta_estimate(O)),
+          |     un_all = un""".stripMargin),
+      Some("""
+        WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+             o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        SELECT CAST((SELECT count(*) FROM f
+                     WHERE o_custkey IN (SELECT o_custkey FROM o)) AS BIGINT) AS inter_fo,
+               CAST((SELECT count(*) FROM f
+                     WHERE o_custkey NOT IN (SELECT o_custkey FROM o)) AS BIGINT) AS only_f,
+               CAST((SELECT count(*) FROM f) AS BIGINT) AS nf,
+               CAST((SELECT count(*) FROM o) AS BIGINT) AS no,
+               CAST((SELECT count(*) FROM
+                     (SELECT * FROM f UNION SELECT * FROM o)) AS BIGINT) AS un_all""")),
+
     "q_kql_freq_sketch" -> QueryDef(
       // frequent-items sketches, the top-k member of the two-level family:
       // freq() per order-status fine group, freq_merge() roll-up,
