@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.expressions.{BagMerge, FreqAgg, FreqMergeAgg, FreqTopK, ThetaAgg, ThetaMergeAgg, ThetaEstimate, ThetaIntersect, ThetaDiff, BagRemoveKeys, BloomContains, GeoPointToGeohash, GeohashCentralPoint, GramHashes, GzipCompress, GzipDecompress, Ipv6Norm, ParseXml, PercentileTDigest, PunycodeDomainFrom, PunycodeDomainTo, RollingHash, TDigestAgg, TDigestMergeAgg, TermHas, VectorDot, WelchTest, ZlibCompress, ZlibDecompress}
+import graft.functions.expressions.{BagMerge, BetaCdf, BottomKValues, GammaFn, LogGammaFn, ParseCsv, FreqAgg, FreqMergeAgg, FreqTopK, SampleBottomKAgg, SampleBottomKMergeAgg, ThetaAgg, ThetaMergeAgg, ThetaEstimate, ThetaIntersect, ThetaDiff, BagRemoveKeys, BloomContains, GeoPointToGeohash, GeohashCentralPoint, GramHashes, GzipCompress, GzipDecompress, Ipv6Norm, ParseXml, PercentileTDigest, PunycodeDomainFrom, PunycodeDomainTo, RollingHash, TDigestAgg, TDigestMergeAgg, TermHas, VectorDot, WelchTest, ZlibCompress, ZlibDecompress}
 
 /** Spark plugin entry point: load with
   * `spark.sql.extensions=graft.GraftSessionExtensions` (works with plain
@@ -93,6 +93,19 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
     binary("theta_diff", classOf[ThetaDiff], ThetaDiff(_, _))
     unary("freq", classOf[FreqAgg], FreqAgg(_))
     unary("freq_merge", classOf[FreqMergeAgg], FreqMergeAgg(_))
+    binary("sample_bottomk", classOf[SampleBottomKAgg], SampleBottomKAgg(_, _))
+    unary("sample_bottomk_merge", classOf[SampleBottomKMergeAgg], SampleBottomKMergeAgg(_))
+    unary("bottomk_values", classOf[BottomKValues], BottomKValues(_))
+    unary("gamma", classOf[GammaFn], GammaFn(_))
+    unary("loggamma", classOf[LogGammaFn], LogGammaFn(_))
+    unary("parse_csv", classOf[ParseCsv], ParseCsv(_))
+    ext.injectFunction((
+      new FunctionIdentifier("beta_cdf"),
+      new ExpressionInfo(classOf[BetaCdf].getName, "beta_cdf"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 3, "beta_cdf takes (x, a, b)")
+        BetaCdf(children(0), children(1), children(2))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("freq_topk"),
       new ExpressionInfo(classOf[FreqTopK].getName, "freq_topk"),

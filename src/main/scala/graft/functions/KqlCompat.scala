@@ -84,7 +84,15 @@ object KqlCompat {
     "strrep("         -> "repeat(",
     // crypto digests: same hex-string output shape on both engines
     "hash_md5("       -> "md5(",
-    "hash_sha1("      -> "sha1("
+    "hash_sha1("      -> "sha1(",
+    // replace_regex(source, pattern, rewrite): same arg order. Capture
+    // references diverge — ADX spells \1 where Spark/Java spells $1
+    // (documented divergence; group-free rewrites are identical)
+    "replace_regex("  -> "regexp_replace(",
+    // datetime_utc_to_local(dt, tz) / datetime_local_to_utc(dt, tz):
+    // same (timestamp, IANA zone) order as Spark's utc converters
+    "datetime_utc_to_local(" -> "from_utc_timestamp(",
+    "datetime_local_to_utc(" -> "to_utc_timestamp("
   )
 
   private val TimeSpan = """(\d+)\s*([dhms])""".r
@@ -1169,6 +1177,13 @@ object KqlCompat {
     s = expandCalls(s, "ipv6_is_in_any_range") {
       case args if args.size >= 2 =>
         args.tail.map(r => ip6InRange(args.head, r)).mkString("(", " OR ", ")")
+    }
+    // strcmp(a, b): three-way string compare, −1/0/1; null-in → null-out
+    // (a bare CASE would fall through null compares to the ELSE 1 arm)
+    s = expandCalls(s, "strcmp") {
+      case Seq(a, b) =>
+        s"(CASE WHEN ($a) IS NULL OR ($b) IS NULL THEN CAST(NULL AS BIGINT) " +
+          s"WHEN ($a) < ($b) THEN -1 WHEN ($a) = ($b) THEN 0 ELSE 1 END)"
     }
     // countof(text, search): non-overlapping plain-text occurrence count
     s = expandCalls(s, "countof") {

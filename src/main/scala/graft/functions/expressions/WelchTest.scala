@@ -72,7 +72,7 @@ object WelchTest {
   }
 
   /** Lanczos log-gamma (g=7, n=9 coefficients). */
-  private def lnGamma(x0: Double): Double = {
+  private[expressions] def lnGamma(x0: Double): Double = {
     val g = Array(
       0.99999999999980993, 676.5203681218851, -1259.1392167224028,
       771.32342877765313, -176.61502916214059, 12.507343278686905,
@@ -86,7 +86,7 @@ object WelchTest {
   }
 
   /** Regularized incomplete beta I_x(a, b), Lentz continued fraction. */
-  private def regIncBeta(a: Double, b: Double, x: Double): Double = {
+  private[expressions] def regIncBeta(a: Double, b: Double, x: Double): Double = {
     if (x <= 0.0) return 0.0
     if (x >= 1.0) return 1.0
     val lbeta = lnGamma(a + b) - lnGamma(a) - lnGamma(b) +

@@ -2913,6 +2913,15 @@ object KqlPipeline {
         (expr(s"tdigest(CAST(${tx(args(0))} AS DOUBLE))"), s"tdigest_${slug(args(0))}")
       case "tdigest_merge" =>
         (expr(s"tdigest_merge(${tx(args(0))})"), s"tdigest_merge_${slug(args(0))}")
+      // sample_bottomk(x, k)/sample_bottomk_merge(): deterministic uniform
+      // distinct sample (k smallest md5 hashes) — the sampling member of
+      // the mergeable sketch suite; read via bottomk_values(sketch)
+      case "sample_bottomk" =>
+        (expr(s"sample_bottomk(CAST(${tx(args(0))} AS STRING), ${args(1).trim.toInt})"),
+          s"sample_bottomk_${slug(args(0))}")
+      case "sample_bottomk_merge" =>
+        (expr(s"sample_bottomk_merge(${tx(args(0))})"),
+          s"sample_bottomk_merge_${slug(args(0))}")
       case "sum"                   => (sum(a(0)), s"sum_${slug(args(0))}")
       case "avg"                   => (avg(a(0)), s"avg_${slug(args(0))}")
       case "min"                   => (min(a(0)), s"min_${slug(args(0))}")

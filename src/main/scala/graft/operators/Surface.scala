@@ -3634,6 +3634,26 @@ object Surface {
                                  ',' ORDER BY n DESC, ck) || ']' AS tk
         FROM t""")),
 
+    "q_kql_bottomk_sample" -> QueryDef(
+      // bottom-k sampling sketch — the uniform-distinct-sample member of
+      // the mergeable suite (HLL count / t-digest quantile / theta sets /
+      // freq top-k / bottom-k sample): per-status sketches roll up through
+      // sample_bottomk_merge and the read is EXACT-deterministic (k
+      // smallest md5 hashes of the distinct domain), so the oracle
+      // re-derives the identical sample with ORDER BY md5(v) LIMIT k —
+      // a sketch whose answer hash-matches bit for bit, merge path included
+      (s, dir) => kqlRun(s, dir,
+        """orders
+          | | extend ck = tostring(o_custkey)
+          | | summarize sk = sample_bottomk(ck, 8) by st = o_orderstatus
+          | | summarize skm = sample_bottomk_merge(sk)
+          | | project sample = bottomk_values(skm)""".stripMargin),
+      Some("""
+        WITH d AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS v FROM orders),
+             t AS (SELECT v, md5(v) AS h FROM d ORDER BY h LIMIT 8)
+        SELECT '[' || string_agg('"' || v || '"', ',' ORDER BY h) || ']' AS sample
+        FROM t""")),
+
     "q_kql_tdigest" -> QueryDef(
       // t-digest percentile sketches, the HLL pattern's percentile twin:
       // tdigest() per (returnflag, linestatus) fine group → tdigest_merge()
@@ -4073,6 +4093,36 @@ object Surface {
                1.0 AS cos_par, TRUE AS inf_flag, TRUE AS fin_flag,
                FALSE AS nan_fin
         FROM lineitem WHERE l_orderkey <= 1000""")),
+
+    "q_kql_math_tail" -> QueryDef(
+      // math/string/CSV scalar tail: gamma family via the WelchTest
+      // Lanczos numerics (DuckDB's gamma/lgamma recompute them exactly),
+      // beta_cdf against its integer-parameter CLOSED FORM I_x(2,2) =
+      // 3x²−2x³, three-way strcmp with null-safe CASE, replace_regex,
+      // RFC-4180 parse_csv (embedded comma), and the IANA-zone datetime
+      // converters (America/New_York straddles UTC−5 in January)
+      (s, dir) => kqlRun(s, dir,
+        """print g1 = round(gamma(7.5), 6), lg = round(loggamma(12.3), 6),
+          |   b1 = round(beta_cdf(0.25, 2.0, 2.0), 6),
+          |   b2 = round(beta_cdf(0.5, 2.0, 2.0), 6),
+          |   sc1 = strcmp('abc', 'abd'), sc2 = strcmp('x', 'x'),
+          |   rr = replace_regex('ab12cd34', '[0-9]+', '#'),
+          |   c0 = parse_csv('a,"b,c",d')[0], c1 = parse_csv('a,"b,c",d')[1],
+          |   c2 = parse_csv('a,"b,c",d')[2],
+          |   lcl = tostring(datetime_utc_to_local(datetime(2024-01-01 12:00:00),
+          |       'America/New_York')),
+          |   utc = tostring(datetime_local_to_utc(datetime(2024-01-01 12:00:00),
+          |       'America/New_York'))""".stripMargin),
+      Some("""
+        SELECT round(gamma(7.5), 6) AS g1,
+               round(lgamma(12.3), 6) AS lg,
+               round(CAST(0.15625 AS DOUBLE), 6) AS b1,
+               round(CAST(0.5 AS DOUBLE), 6) AS b2,
+               CAST(-1 AS BIGINT) AS sc1, CAST(0 AS BIGINT) AS sc2,
+               'ab#cd#' AS rr,
+               'a' AS c0, 'b,c' AS c1, 'd' AS c2,
+               '2024-01-01 07:00:00' AS lcl,
+               '2024-01-01 17:00:00' AS utc""")),
 
     "q_kql_ipv6funcs" -> QueryDef(
       // IPv6 family over the native ipv6_norm expression: canonical
@@ -4635,6 +4685,82 @@ object Surface {
         SELECT t.doc_id, t.term, round(t.tf * ln(CAST(nd AS DOUBLE) / dfreq), 6) AS tfidf
         FROM tf t JOIN df USING (term), n
         ORDER BY tfidf DESC, t.doc_id ASC, t.term ASC LIMIT 30""")),
+
+    "text_bpe_train" -> QueryDef(
+      // BPE subword-tokenizer TRAINING on the corpus (Sennrich 2016) — the
+      // tokenizer-construction step of an LLM pipeline, not a per-row
+      // count. Training runs on the word-frequency table (ONE corpus
+      // groupBy, then vocabulary-sized rounds — sublinear at 100 TB), one
+      // bounded 1-row argmax collect per merge (Lloyd precedent). The
+      // oracle re-derives everything SQL can reach exactly — word count,
+      // base alphabet, and the FIRST merge (round 1 is a plain pair-count
+      // argmax with the same (n desc, pair asc) tie-break) — and the
+      // full-depth invariants gate in-plan: every trained token sequence
+      // concatenates back to its word, and the encoded corpus is strictly
+      // shorter than its character count
+      (s, dir) => graft.functions.BpeFunctions.bpeSummary(t(s, dir, "documents"), 20),
+      Some("""
+        WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        wf AS (SELECT w, count(*) AS f FROM words WHERE w <> '' GROUP BY 1),
+        chars AS (SELECT DISTINCT substr(w, CAST(i AS INT), 1) AS c
+                  FROM (SELECT w, unnest(range(1, len(w) + 1)) AS i FROM wf)),
+        pc AS (SELECT substr(w, CAST(i AS INT), 2) AS p, sum(f) AS n
+               FROM (SELECT w, f, unnest(range(1, len(w))) AS i FROM wf) GROUP BY 1),
+        top AS (SELECT p FROM pc ORDER BY n DESC, p LIMIT 1)
+        SELECT (SELECT count(*) FROM wf) AS n_words,
+               (SELECT count(*) FROM chars) AS base_chars,
+               20 AS n_merges,
+               (SELECT p FROM top) AS top_merge,
+               TRUE AS ok_roundtrip, TRUE AS ok_compress""")),
+
+    "text_bm25_topk" -> QueryDef(
+      // BM25 retrieval over the corpus — the training-pipeline "find the
+      // documents about X" / contamination-search primitive, one grade up
+      // from tf-idf: length-normalized term saturation (k1=1.2, b=0.75)
+      // with the non-negative +1 idf. Shapes: ONE explode pass filtered to
+      // the query's terms BEFORE the groupBy (the shuffled frame is
+      // |terms|·|matching docs|, not the corpus), df via a window on the
+      // tf frame (no second corpus pass), corpus stats as a broadcast
+      // 1-row scalar with avgdl derived from the EXACT integer token sum.
+      // The per-doc score folds term contributions IN TERM ORDER on both
+      // engines (array_sort + aggregate here, sum(… ORDER BY term) there)
+      // so the doubles associate identically and round(6) hash-matches.
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        val d = docs.select(col("doc_id"), size(col("toks")).as("dl"))
+        val n = d.agg(count(lit(1)).as("nd"),
+          (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+        val tf = docs.select(col("doc_id"), explode(col("toks")).as("term"))
+          .filter(col("term").isin("hash", "join", "stream"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+          .join(d, "doc_id")
+          .crossJoin(broadcast(n))
+          .withColumn("c",
+            log(lit(1) + (col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+              (col("tf") * lit(2.2)) /
+              (col("tf") + lit(1.2) * (lit(1) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))))
+          .groupBy("doc_id")
+          .agg(aggregate(array_sort(collect_list(struct(col("term"), col("c")))),
+            lit(0.0), (acc, x) => acc + x.getField("c")).as("raw"))
+          .select(col("doc_id"), round(col("raw"), 6).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id").asc).limit(10)
+      },
+      Some("""
+        WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        d AS (SELECT doc_id, len(toks) AS dl FROM docs),
+        n AS (SELECT count(*) AS nd, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d),
+        w AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM w
+               WHERE term IN ('hash', 'join', 'stream') GROUP BY 1, 2),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        sc AS (SELECT t.doc_id, t.term,
+                ln(1 + (nd - df + 0.5) / (df + 0.5)) *
+                (t.tf * 2.2) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / avgdl)) AS c
+               FROM tf t JOIN df USING (term) JOIN d ON t.doc_id = d.doc_id, n)
+        SELECT doc_id, round(sum(c ORDER BY term), 6) AS bm25
+        FROM sc GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 10""")),
 
     "text_unigram_logloss" -> QueryDef(
       // unigram-LM quality scoring: train the unigram model ON the corpus

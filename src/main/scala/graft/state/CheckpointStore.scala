@@ -242,7 +242,7 @@ object CheckpointStore {
   }
 
   /** RFC-4180-ish record splitter (quotes, embedded commas/newlines/CRLF). */
-  private[state] def splitRecords(text: String): Seq[IndexedSeq[String]] = {
+  private[graft] def splitRecords(text: String): Seq[IndexedSeq[String]] = {
     val records    = Seq.newBuilder[IndexedSeq[String]]
     var fields     = Vector.empty[String]
     val cur        = new StringBuilder

@@ -69,6 +69,23 @@ object EventStream {
         expr("percentile_tdigest(td, 50.0)").as("p50"),
         expr("percentile_tdigest(td, 95.0)").as("p95"))
 
+  /** Watermarked per-window bottom-k distinct sample — the streaming twin
+    * of the sample_bottomk sketch family. Unlike the t-digest twin this
+    * drain is EXACTLY deterministic: the bottom-k-by-md5 sample is
+    * insert-order- and merge-order-independent, so a drained stream equals
+    * the batch answer bit for bit (spec-gated with equality, no tolerance).
+    * Constant state per open window (k values), eviction by watermark.
+    */
+  def windowedSample(
+      events: DataFrame, windowLen: String = "1 hour", k: Int = 8): DataFrame =
+    events
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), windowLen))
+      .agg(expr(s"sample_bottomk(CAST(user_id AS STRING), $k)").as("sk"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("n"),
+        expr("bottomk_values(sk)").as("sample"))
+
   /** Sliding-window rolling counts — the streaming twin of the batch
     * `sliding_window_counts` plugin (ActivityMetrics). Spark's native
     * overlapping `window(col, len, slide)` assigns each event to its

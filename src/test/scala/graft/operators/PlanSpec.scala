@@ -265,4 +265,29 @@ class PlanSpec extends SparkSuite {
     assert(countShuffles(s) <= 1, s"expected at most the order-by exchange:\n$s")
     assert(!s.contains("Window"), s"rows_near must not lower to a window:\n$s")
   }
+
+  test("bottom-k sample: two-phase ObjectHashAggregate like the sketch family") {
+    // partial samples build map-side, merge after the exchange — same
+    // mergeable-sketch physical shape as hll/tdigest/theta/freq
+    val s = finalPlan("q_kql_bottomk_sample")
+    assert(s.contains("ObjectHashAggregate"), s)
+    assert(s.toLowerCase.contains("sample_bottomk"), s)
+  }
+
+  test("bm25: stats broadcast; only the 1-row cross rides an NLJ") {
+    val s = finalPlan("text_bm25_topk")
+    assert(s.contains("BroadcastExchange"), s"corpus stats must broadcast:\n$s")
+    assert(!s.contains("CartesianProduct"), s"bm25 must never cartesian:\n$s")
+    // the single NLJ allowed is the broadcast cross of the 1-row (nd, avgdl)
+    // scalar — the registry-wide broadcast-total pattern; the dl join must
+    // stay a broadcast HASH join. Count in the final-plan TREE only (the
+    // details section also lists initial-plan nodes under other ids)
+    val tree = s.substring(0, math.max(s.indexOf("\n\n(1) "), 0) match {
+      case 0 => s.length; case i => i
+    })
+    val nljIds = "BroadcastNestedLoopJoin[^(]*\\((\\d+)\\)".r
+      .findAllMatchIn(tree).map(_.group(1)).toSet
+    assert(nljIds.size <= 1, s)
+    assert(s.contains("BroadcastHashJoin"), s"dl join must broadcast-hash:\n$s")
+  }
 }

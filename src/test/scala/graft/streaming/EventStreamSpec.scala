@@ -93,6 +93,35 @@ class EventStreamSpec extends SparkSuite {
     }
   }
 
+  test("windowed bottom-k sample drain EQUALS the batch answer exactly") {
+    val src = tmpDir("events-src-bk"); val ckpt = tmpDir("stream-ckpt-bk")
+    stageEvents(src)
+    val q = EventStream.windowedSample(EventStream.readEvents(spark, src))
+      .writeStream
+      .format("memory").queryName("win_sample")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    // the bottom-k-by-md5 sample is merge-order independent, so unlike the
+    // t-digest twin the drained stream matches the batch read bit for bit
+    val batch = spark.read.parquet(src)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("event_time"), "1 hour"))
+      .agg(expr("bottomk_values(sample_bottomk(CAST(user_id AS STRING), 8))").as("sample"))
+      .select(col("window.start").as("ws"), col("sample"))
+      .collect().map(r => r.getTimestamp(0) -> r.getString(1)).toMap
+
+    val rows = spark.table("win_sample").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(batch(r.getTimestamp(0)) == r.getString(2),
+        s"window ${r.getTimestamp(0)}: stream sample != batch sample")
+    }
+  }
+
   test("sliding-window rolling counts match the batch twin on closed windows") {
     val src = tmpDir("events-src9"); val ckpt = tmpDir("stream-ckpt9")
     stageEvents(src)
