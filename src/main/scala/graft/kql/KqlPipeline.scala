@@ -492,6 +492,12 @@ object KqlPipeline {
         graphShortestPaths(graph.getOrElse(
           fail("graph-shortest-paths needs a preceding `make-graph` in the same pipeline")),
           seg.drop("graph-shortest-paths".length).trim)
+      } else if (w == "graph-mark-components") {
+        val g = graph.getOrElse(
+          fail("graph-mark-components needs a preceding `make-graph` in the same pipeline"))
+        graph = Some(g.copy(nodes =
+          markComponents(g, seg.drop("graph-mark-components".length).trim)))
+        df
       } else if (w == "graph-to-table") {
         // `graph-to-table nodes|edges`: materialize one side of the graph
         // as a plain frame (ADX's dual-output form is one call per side
@@ -541,6 +547,71 @@ object KqlPipeline {
           .union(df.select(col(dst).as("node_id"))).distinct()
         GraphCtx(df, src, dst, nodes, "node_id", implicitNodes = true)
     }
+  }
+
+  /** `graph-mark-components [kind = weak] [with_component_id = name]` —
+    * ADX's connected-components operator: every node gains a component id
+    * (the MIN node id reachable over UNDIRECTED edges — deterministic and
+    * restatable by a recursive-closure oracle), and the graph flows on for
+    * `graph-to-table nodes` / further graph operators. Only weak
+    * components exist in ADX; `kind=strong` is rejected loudly.
+    *
+    * Iterative min-label propagation — the DedupFunctions
+    * .connectedComponents recipe (one key shuffle per round, rounds =
+    * component diameter, flat per-round plans) re-expressed for
+    * ARBITRARY node-id types: that implementation's decimal label-sum
+    * convergence signature needs numeric ids, while graph node ids here
+    * are routinely strings ('c123'), so convergence is instead an
+    * is-empty probe of changed labels (labels only ever decrease under
+    * min-propagation — unchanged ⟺ converged).
+    */
+  private def markComponents(g: GraphCtx, rest0: String, maxIters: Int = 25): DataFrame = {
+    var rest = rest0
+    val KindRe = "(?is)^kind\\s*=\\s*([A-Za-z]+)\\s*(.*)$".r
+    rest match {
+      case KindRe(k, tail) =>
+        require(k.equalsIgnoreCase("weak"),
+          s"graph-mark-components: only kind=weak exists (ADX contract), got kind=$k")
+        rest = tail.trim
+      case _ =>
+    }
+    val compCol = rest match {
+      case "" => "ComponentId"
+      case r =>
+        val WithRe = "(?is)^with_component_id\\s*=\\s*([A-Za-z_][A-Za-z0-9_]*)$".r
+        r match {
+          case WithRe(c) => c
+          case _ => fail(s"graph-mark-components: unsupported arguments '$rest0'")
+        }
+    }
+    require(!g.nodes.columns.contains(compCol),
+      s"graph-mark-components: node column '$compCol' already exists")
+    val und = g.edges.select(col(g.src).as("__s"), col(g.dst).as("__d"))
+      .union(g.edges.select(col(g.dst).as("__s"), col(g.src).as("__d")))
+    // localCheckpoint per round: flat plans (the BPE-trainer lesson) and
+    // block lifetime tied to frame reachability — no cache-registry leak
+    var labels = g.nodes.select(col(g.id).as("__id"), col(g.id).as("__lbl"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter      = 0
+    while (!converged && iter < maxIters) {
+      val viaNeighbor = und
+        .join(labels.select(col("__id").as("__d"), col("__lbl")), Seq("__d"))
+        .select(col("__s").as("__id"), col("__lbl"))
+      val next = labels.select(col("__id"), col("__lbl")).union(viaNeighbor)
+        .groupBy("__id").agg(min(col("__lbl")).as("__lbl"))
+        .localCheckpoint(true)
+      converged = next
+        .join(labels.withColumnRenamed("__lbl", "__prev"), Seq("__id"))
+        .filter(col("__lbl") =!= col("__prev")).isEmpty
+      labels = next
+      iter += 1
+    }
+    require(converged,
+      s"graph-mark-components did not converge within $maxIters rounds — a component's " +
+        "diameter exceeds the bound")
+    g.nodes.join(
+      labels.select(col("__id").as(g.id), col("__lbl").as(compCol)), Seq(g.id))
   }
 
   private final case class GraphHop(
@@ -967,21 +1038,39 @@ object KqlPipeline {
     */
   private def unionSource(resolve: String => DataFrame, rest: String): DataFrame = {
     val WithSourceRe = """(?is)\s*withsource\s*=\s*([A-Za-z_][A-Za-z0-9_]*)\s+(.*)""".r
-    val (srcCol, body) = rest match {
-      case WithSourceRe(c, b) => (Some(c), b)
-      case b                  => (None, b)
+    val FuzzyRe      = """(?is)\s*isfuzzy\s*=\s*(true|false)\s+(.*)""".r
+    var body   = rest
+    var srcCol = Option.empty[String]
+    var fuzzy  = false
+    var progress = true
+    while (progress) {
+      progress = false
+      body match {
+        case WithSourceRe(c, b) => srcCol = Some(c); body = b; progress = true
+        case FuzzyRe(v, b)      => fuzzy = v.toBoolean; body = b; progress = true
+        case _                  =>
+      }
     }
     val operands = splitTopLevel(body, ',').map(_.trim).filter(_.nonEmpty)
     require(operands.size >= 2, s"union needs at least two operands, got: '$rest'")
-    val frames = operands.zipWithIndex.map { case (src, i) =>
-      val df = operand(resolve, src)
-      srcCol match {
-        case Some(c) =>
-          val label = if (src.matches("[A-Za-z_][A-Za-z0-9_]*")) src else s"union_arg${i + 1}"
-          df.withColumn(c, lit(label))
-        case None => df
+    val frames = operands.zipWithIndex.flatMap { case (src, i) =>
+      // isfuzzy=true: ADX's resilient union — operands that fail to
+      // resolve (dropped table, bad sub-query reference) are skipped
+      // instead of failing the whole query
+      val dfOpt =
+        if (!fuzzy) Some(operand(resolve, src))
+        else scala.util.Try(operand(resolve, src)).toOption
+      dfOpt.map { df =>
+        srcCol match {
+          case Some(c) =>
+            val label = if (src.matches("[A-Za-z_][A-Za-z0-9_]*")) src else s"union_arg${i + 1}"
+            df.withColumn(c, lit(label))
+          case None => df
+        }
       }
     }
+    require(frames.nonEmpty,
+      s"union isfuzzy=true: every operand failed to resolve: '$rest'")
     frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -1468,16 +1557,29 @@ object KqlPipeline {
 
       case "union" =>
         // `kind=outer` (the default) null-pads name-matched columns;
-        // `kind=inner` keeps only the columns COMMON to every operand
-        val (uKind, rest1) = rest.trim match {
-          case r if r.toLowerCase.startsWith("kind=") =>
-            val (k, t2) = r.drop("kind=".length).span(!_.isWhitespace)
+        // `kind=inner` keeps only the columns COMMON to every operand;
+        // `isfuzzy=true` skips operands that fail to resolve (ADX's
+        // resilient union — the piped frame always survives)
+        var rest1 = rest.trim
+        var uKind = "outer"
+        var fuzzy = false
+        var progress = true
+        while (progress) {
+          progress = false
+          if (rest1.toLowerCase.startsWith("kind=")) {
+            val (k, t2) = rest1.drop("kind=".length).span(!_.isWhitespace)
             require(k == "inner" || k == "outer", s"union kind must be inner|outer, got '$k'")
-            (k, t2.trim)
-          case r => ("outer", r)
+            uKind = k; rest1 = t2.trim; progress = true
+          } else if (rest1.toLowerCase.startsWith("isfuzzy=")) {
+            val (v, t2) = rest1.drop("isfuzzy=".length).span(!_.isWhitespace)
+            require(v == "true" || v == "false", s"union isfuzzy must be true|false, got '$v'")
+            fuzzy = v.toBoolean; rest1 = t2.trim; progress = true
+          }
         }
         val operands = df +: splitTopLevel(rest1, ',').map(_.trim).filter(_.nonEmpty)
-          .map(operand(resolve, _))
+          .flatMap(src =>
+            if (!fuzzy) Some(operand(resolve, src))
+            else scala.util.Try(operand(resolve, src)).toOption)
         if (uKind == "outer")
           operands.reduce(_.unionByName(_, allowMissingColumns = true))
         else {

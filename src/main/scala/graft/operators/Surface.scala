@@ -2093,6 +2093,23 @@ object Surface {
               UNION ALL SELECT 'region', r_name FROM region)
         GROUP BY 1 ORDER BY 1""")),
 
+    "q_kql_union_fuzzy" -> QueryDef(
+      // union isfuzzy=true — ADX's resilient union: operands that fail to
+      // resolve (dropped/renamed tables in a fleet-wide query) are skipped
+      // instead of failing the whole statement; the surviving legs union
+      // normally. Both the source form and the piped-operator form ride
+      // through a missing table here
+      (s, dir) => kqlRun(s, dir,
+        """union isfuzzy=true withsource=src this_table_is_gone, nation
+          | | where isnotempty(n_name)
+          | | union isfuzzy=true (also_not_a_table), (region | project n_name = r_name)
+          | | summarize n = count(), names = countif(isnotempty(n_name))""".stripMargin),
+      Some("""
+        SELECT CAST((SELECT count(*) FROM nation) + (SELECT count(*) FROM region)
+                 AS BIGINT) AS n,
+               CAST((SELECT count(*) FROM nation) + (SELECT count(*) FROM region)
+                 AS BIGINT) AS names""")),
+
     "q_kql_toscalar" -> QueryDef(
       // let x = toscalar(subquery): eager 1×1 evaluation bound as a literal
       // — the ADX threshold-query idiom (exact max keeps both engines
@@ -3128,6 +3145,44 @@ object Surface {
         FROM (SELECT sid, count(*) AS n FROM ce GROUP BY 1) c
         JOIN (SELECT sid, count(*) AS n FROM pe GROUP BY 1) p USING (sid)
         ORDER BY paths DESC, c.sid LIMIT 10""")),
+
+    "q_kql_graph_components" -> QueryDef(
+      // graph-mark-components — ADX's connected-components operator,
+      // completing the graph family (make-graph / graph-match /
+      // graph-shortest-paths / graph-to-table): weak components of the
+      // sparse bulk-shipment graph via iterative min-label propagation
+      // (one key shuffle per round, rounds = component diameter; 55
+      // components, largest 39 nodes at sf0.01 — probed). Component id =
+      // MIN reachable node id, so the recursive-closure oracle re-derives
+      // the exact labeling
+      (s, dir) => kqlRun(s, dir,
+        """orders
+          | | join kind=inner (lineitem) on $left.o_orderkey == $right.l_orderkey
+          | | where l_quantity == 50 and o_orderkey < 3000
+          | | project src = strcat('c', tostring(o_custkey)),
+          |     dst = strcat('s', tostring(l_suppkey))
+          | | make-graph src --> dst
+          | | graph-mark-components with_component_id = comp
+          | | graph-to-table nodes
+          | | summarize n_nodes = count() by comp
+          | | order by n_nodes desc, comp asc
+          | | take 20""".stripMargin),
+      Some("""
+        WITH e0 AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+                           's' || CAST(l_suppkey AS VARCHAR) AS b
+                    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                    WHERE l_quantity = 50 AND o_orderkey < 3000),
+        edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        nodes AS (SELECT DISTINCT a AS id FROM edges),
+        reach AS (
+          WITH RECURSIVE rr(a, b) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT rr.a, e.b FROM rr JOIN edges e ON rr.b = e.a)
+          SELECT * FROM rr),
+        cl AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY 1)
+        SELECT comp, count(*) AS n_nodes FROM cl GROUP BY 1
+        ORDER BY n_nodes DESC, comp LIMIT 20""")),
 
     "q_kql_join_rightanti" -> QueryDef(
       // kind=rightanti: parts never shipped in bulk (no lineitem with

@@ -38,7 +38,12 @@ object ScaleBench {
     "text_chunking", "embed_pca",
     // round-8 session 3: mergeable t-digest two-level rollup and the
     // per-session sequential fold + rid join-back — both newly claimed
-    "q_kql_tdigest", "q_kql_row_window_session")
+    "q_kql_tdigest", "q_kql_row_window_session",
+    // round-8 session 4: BPE vocabulary-frame merge rounds (sublinear
+    // claim), BM25 filtered-explode retrieval, min-label component
+    // propagation, bottom-k mergeable sample rollup
+    "text_bpe_train", "text_bm25_topk", "q_kql_graph_components",
+    "q_kql_bottomk_sample")
 
   def main(args: Array[String]): Unit = {
     val small = args(0)

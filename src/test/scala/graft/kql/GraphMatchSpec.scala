@@ -241,4 +241,36 @@ class GraphMatchSpec extends SparkSuite {
         |     project n = x.node_id""".stripMargin))
     assert(e.getMessage.contains("lower hop bound"))
   }
+
+  test("graph-mark-components: weak components ignore edge direction") {
+    // two components: {1,2,3} (3->2 only reaches 2 backwards — weak) and
+    // {7,8}; isolated node 9 rides in via the explicit node list
+    val out = run(
+      """let N = datatable (id:long) [ 1, 2, 3, 7, 8, 9 ];
+        |datatable (s:long, d:long) [ 1, 2, 3, 2, 7, 8 ]
+        | | make-graph s --> d with N on id
+        | | graph-mark-components with_component_id = comp
+        | | graph-to-table nodes
+        | | order by id asc""".stripMargin)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L), (9L, 9L)))
+  }
+
+  test("graph-mark-components: default column, kind=weak accepted, strong rejected") {
+    val out = run(
+      """datatable (s:string, d:string) [ 'x', 'y' ]
+        | | make-graph s --> d
+        | | graph-mark-components kind = weak
+        | | graph-to-table nodes
+        | | order by node_id asc""".stripMargin)
+    assert(out.columns.toSeq == Seq("node_id", "ComponentId"))
+    assert(out.collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("x", "x"), ("y", "x")))
+    val e = intercept[Exception](run(
+      """datatable (s:string, d:string) [ 'x', 'y' ]
+        | | make-graph s --> d
+        | | graph-mark-components kind = strong
+        | | graph-to-table nodes""".stripMargin))
+    assert(e.getMessage.contains("kind=weak"))
+  }
 }

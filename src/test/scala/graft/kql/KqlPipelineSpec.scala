@@ -743,6 +743,25 @@ class KqlPipelineSpec extends SparkSuite {
     assert(r2.head().getLong(0) == 2L)
   }
 
+  test("union isfuzzy=true skips unresolvable operands, fails when all do") {
+    // source form, missing table skipped; option order with withsource free
+    val r = run(
+      """union isfuzzy=true withsource=src nope_not_here, people
+        | | summarize n = count() by src""".stripMargin)
+    assert(r.collect().map(x => (x.getString(0), x.getLong(1))).toSeq ==
+      Seq(("people", 5L)))
+    // piped-operator form: the piped frame always survives
+    val r2 = run(
+      "people | union isfuzzy=true (still_missing) | count")
+    assert(r2.head().getLong(0) == 5L)
+    // without isfuzzy the same query must fail loudly
+    intercept[Exception](run("people | union (still_missing) | count").collect())
+    // all operands failing is an error even under isfuzzy
+    val e = intercept[Exception](run(
+      "union isfuzzy=true gone_a, gone_b | count"))
+    assert(e.getMessage.contains("every operand failed"))
+  }
+
   test("top-nested with others aggregates the raw remainder into one bucket") {
     val r = run(
       "people | top-nested 2 of age with others = 'REST' by n = count() | order by n desc, age asc")
