@@ -1056,6 +1056,39 @@ object Surface {
                SELECT * FROM r)
         SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY 1""")),
 
+    "curate_quality_lr" -> QueryDef(
+      // in-engine quality-classifier TRAINING (fastText-filter style) as
+      // distributed full-batch logistic regression — the pcaTrace scale
+      // shape: one aggregation pass per round, driver holds d+1 weights.
+      // Label: doc contains the token 'the' (text-derivable, separable —
+      // the capped marker-count feature carries it); the length and
+      // diversity features ride along as noise LR must down-weight. Gates:
+      // convex-loss strict decrease, wide-margin trained accuracy, the
+      // informative weight's sign; exact corpus/class counts cross-check
+      // the label lowering against DuckDB
+      (s, dir) => {
+        val docs  = t(s, dir, "documents")
+        val words = split(col("text"), " ")
+        val feats = Seq(
+          least(size(filter(words, x => x === "the")), lit(3)).cast("double"),
+          size(words).cast("double") / lit(100.0),
+          size(array_distinct(words)).cast("double") / size(words).cast("double"))
+        val label = array_contains(words, "the").cast("int")
+        val (n, nPos, losses, w, acc) =
+          graft.functions.Classifier.logRegTrace(docs, feats, label, 40, 2.0)
+        import s.implicits._
+        Seq((n, nPos, losses.size - 1,
+          losses.head > losses.last + 0.1, acc >= 0.95, w(1) > 0.0))
+          .toDF("n_docs", "n_pos", "n_rounds", "ok_loss_drop", "ok_acc", "ok_weight")
+      },
+      Some("""
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN list_contains(string_split(text, ' '), 'the')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+               40 AS n_rounds,
+               TRUE AS ok_loss_drop, TRUE AS ok_acc, TRUE AS ok_weight
+        FROM documents""")),
+
     "curate_dedup_keep_best" -> QueryDef(
       // the step real pipelines run AFTER near-dup clustering: keep ONE doc
       // per cluster — the highest-quality member (doc_id tie-break). Same

@@ -43,7 +43,7 @@ object ScaleBench {
     // claim), BM25 filtered-explode retrieval, min-label component
     // propagation, bottom-k mergeable sample rollup
     "text_bpe_train", "text_bm25_topk", "q_kql_graph_components",
-    "q_kql_bottomk_sample")
+    "q_kql_bottomk_sample", "curate_quality_lr")
 
   def main(args: Array[String]): Unit = {
     val small = args(0)
