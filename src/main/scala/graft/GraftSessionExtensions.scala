@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.expressions.{BagMerge, BetaCdf, BottomKValues, GammaFn, LogGammaFn, ParseCsv, FreqAgg, FreqMergeAgg, FreqTopK, SampleBottomKAgg, SampleBottomKMergeAgg, ThetaAgg, ThetaMergeAgg, ThetaEstimate, ThetaIntersect, ThetaDiff, BagRemoveKeys, BloomContains, GeoPointToGeohash, GeohashCentralPoint, GramHashes, GzipCompress, GzipDecompress, Ipv6Norm, ParseXml, PercentileTDigest, PunycodeDomainFrom, PunycodeDomainTo, RollingHash, TDigestAgg, TDigestMergeAgg, TermHas, VectorDot, WelchTest, ZlibCompress, ZlibDecompress}
+import graft.functions.expressions.{BagMerge, BetaCdf, BottomKValues, GammaFn, LogGammaFn, ParseCsv, RankTDigest, FreqAgg, FreqMergeAgg, FreqTopK, SampleBottomKAgg, SampleBottomKMergeAgg, ThetaAgg, ThetaMergeAgg, ThetaEstimate, ThetaIntersect, ThetaDiff, BagRemoveKeys, BloomContains, GeoPointToGeohash, GeohashCentralPoint, GramHashes, GzipCompress, GzipDecompress, Ipv6Norm, ParseXml, PercentileTDigest, PunycodeDomainFrom, PunycodeDomainTo, RollingHash, TDigestAgg, TDigestMergeAgg, TermHas, VectorDot, WelchTest, ZlibCompress, ZlibDecompress}
 
 /** Spark plugin entry point: load with
   * `spark.sql.extensions=graft.GraftSessionExtensions` (works with plain
@@ -121,6 +121,13 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 2, "percentile_tdigest takes (sketch, percentile)")
         PercentileTDigest(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("rank_tdigest"),
+      new ExpressionInfo(classOf[RankTDigest].getName, "rank_tdigest"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "rank_tdigest takes (sketch, value)")
+        RankTDigest(children.head, children(1))
       }))
     unary("zlib_compress_to_base64_string", classOf[ZlibCompress], ZlibCompress(_))
     unary("zlib_decompress_from_base64_string", classOf[ZlibDecompress], ZlibDecompress(_))

@@ -704,6 +704,14 @@ object KqlCompat {
     s = expandCalls(s, "trim_end") {
       case Seq(re, t) => s"regexp_replace($t, concat('(?:', $re, ')$$'), '')"
     }
+    // trim(regex, text): one anchored strip at EACH end — the 2-arg ADX
+    // form only (Spark's native 1-arg trim passes through: expandCalls
+    // skips non-matching arities)
+    s = expandCalls(s, "trim") {
+      case Seq(re, t) =>
+        s"regexp_replace(regexp_replace($t, concat('^(?:', $re, ')'), ''), " +
+          s"concat('(?:', $re, ')$$'), '')"
+    }
     s = expandCalls(s, "isascii") {
       case Seq(t) => s"(($t) RLIKE '^[\\\\x00-\\\\x7F]*$$')"
     }
@@ -1058,6 +1066,30 @@ object KqlCompat {
         s"aggregate($octets, CAST(0 AS BIGINT), (acc, v) -> acc * 256 + v) END)"
     }
     s = expandCalls(s, "parse_ipv4") { case Seq(x) => ip4(x) }
+    // has_ipv4 family: a PROPERLY DELIMITED, octet-valid dotted quad
+    // somewhere in the text (the ADX log-scanning predicates). Candidates
+    // come from one regexp pass (non-digit/dot boundaries both sides);
+    // validity is the same ip4 fold as parse_ipv4 applied to the lambda
+    // variable — false when no candidate validates.
+    // delimiter = any non-word, non-dot char (or the string edge): 'a1.2.3.4'
+    // and '1.2.3.4x' are NOT properly delimited, '(1.2.3.4)' is
+    val Ipv4Candidates =
+      s"regexp_extract_all(%s, '(?:^|[^0-9A-Za-z_.])([0-9]{1,3}(?:\\\\.[0-9]{1,3}){3})(?![0-9A-Za-z_.])', 1)"
+    s = expandCalls(s, "has_ipv4") {
+      case Seq(t) =>
+        s"exists(${Ipv4Candidates.format(t)}, c -> (${ip4("c")}) IS NOT NULL)"
+    }
+    s = expandCalls(s, "has_ipv4_prefix") {
+      case Seq(t, p) =>
+        s"exists(${Ipv4Candidates.format(t)}, c -> (${ip4("c")}) IS NOT NULL " +
+          s"AND startswith(c, $p))"
+    }
+    s = expandCalls(s, "has_any_ipv4") {
+      case args if args.size >= 2 =>
+        val list = args.tail.mkString("array(", ", ", ")")
+        s"exists(${Ipv4Candidates.format(args.head)}, c -> (${ip4("c")}) IS NOT NULL " +
+          s"AND array_contains($list, c))"
+    }
     // ipv4_is_private: RFC-1918 ranges 10/8, 172.16/12, 192.168/16
     s = expandCalls(s, "ipv4_is_private") {
       case Seq(x) =>
@@ -1223,6 +1255,11 @@ object KqlCompat {
     }
     // endofday/month/year: last representable instant of the period — µs
     // resolution here (parquet/Spark) vs ADX's 100 ns tick; documented
+    // endofquarter first: interval has no 'quarter' unit, so spell 3 months
+    s = expandCalls(s, "endofquarter") { case Seq(x) =>
+      s"(date_trunc('QUARTER', $x) + interval '3' month - interval '1' microsecond)"
+    }
+    s = expandCalls(s, "startofquarter") { case Seq(x) => s"date_trunc('QUARTER', $x)" }
     for ((fn, unit) <- Seq("endofday" -> "DAY", "endofmonth" -> "MONTH", "endofyear" -> "YEAR"))
       s = expandCalls(s, fn) { case Seq(x) =>
         s"(date_trunc('$unit', $x) + interval '1' ${unit.toLowerCase} - interval '1' microsecond)"

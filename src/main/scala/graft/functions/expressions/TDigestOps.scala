@@ -142,3 +142,38 @@ case class PercentileTDigest(left: Expression, right: Expression)
 
   override def prettyName: String = "percentile_tdigest"
 }
+
+/** `rank_tdigest(sketch, value)` — the inverse read of the pair: the
+  * estimated PERCENTAGE of sketched values ≤ `value` (ADX returns the
+  * rank scaled to 0..100, the percentile_tdigest dual). Null on an empty
+  * sketch, like the quantile read.
+  */
+case class RankTDigest(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean  = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, _: org.apache.spark.sql.types.NumericType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "rank_tdigest takes (tdigest sketch, numeric value)")
+    }
+
+  override def nullSafeEval(sk: Any, v: Any): Any = {
+    val td = TDigestDouble.heapify(Memory.wrap(sk.asInstanceOf[Array[Byte]]))
+    val vd = v match {
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case n: Number                             => n.doubleValue()
+    }
+    if (td.isEmpty) null else td.getRank(vd) * 100.0
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RankTDigest =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "rank_tdigest"
+}

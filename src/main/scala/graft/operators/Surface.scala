@@ -3751,15 +3751,20 @@ object Surface {
       (s, dir) => kqlRun(s, dir,
         """let ex50 = toscalar(lineitem | summarize percentile(l_quantity, 50));
           |let ex95 = toscalar(lineitem | summarize percentile(l_quantity, 95));
+          |let exr = toscalar(lineitem
+          |   | summarize c = countif(l_quantity <= 25.0), n = count()
+          |   | project r = 100.0 * todouble(c) / n);
           |lineitem
           | | summarize td = tdigest(l_quantity) by rf = l_returnflag, ls = l_linestatus
           | | summarize tdm = tdigest_merge(td)
-          | | project p50 = percentile_tdigest(tdm, 50.0), p95 = percentile_tdigest(tdm, 95.0)
+          | | project p50 = percentile_tdigest(tdm, 50.0), p95 = percentile_tdigest(tdm, 95.0),
+          |     rk = rank_tdigest(tdm, 25.0)
           | | project ok50 = abs(p50 - ex50) <= ex50 * 0.05 + 1.0,
           |     ok95 = abs(p95 - ex95) <= ex95 * 0.05 + 1.0,
+          |     ok_rank = abs(rk - exr) <= 5.0,
           |     e50 = round(ex50, 6), e95 = round(ex95, 6)""".stripMargin),
       Some("""
-        SELECT TRUE AS ok50, TRUE AS ok95,
+        SELECT TRUE AS ok50, TRUE AS ok95, TRUE AS ok_rank,
                round(quantile_cont(l_quantity, 0.50), 6) AS e50,
                round(quantile_cont(l_quantity, 0.95), 6) AS e95
         FROM lineitem""")),
@@ -4211,6 +4216,30 @@ object Surface {
                'a' AS c0, 'b,c' AS c1, 'd' AS c2,
                '2024-01-01 07:00:00' AS lcl,
                '2024-01-01 17:00:00' AS utc""")),
+
+    "q_kql_ipv4_text" -> QueryDef(
+      // has_ipv4 family (log-scanning predicates: properly-delimited,
+      // octet-valid dotted quads via ONE regexp pass + the parse_ipv4
+      // fold on each candidate), 2-arg ADX trim, and the quarter
+      // datetime pair — fixture constants through the real rewrite path
+      (s, dir) => kqlRun(s, dir,
+        """print h1 = has_ipv4('src 192.168.1.1 dst'),
+          |   h2 = has_ipv4('bad 999.1.2.3 here'),
+          |   h3 = has_ipv4('edge 10.0.0.255'),
+          |   h4 = has_ipv4('1.2.3.4.5'),
+          |   hp = has_ipv4_prefix('from 118.56.2.9 port', '118.56.'),
+          |   hp2 = has_ipv4_prefix('from 118.56.2.9 port', '119.'),
+          |   ha = has_any_ipv4('saw 10.1.1.1 and 10.1.1.2', '10.1.1.2', '8.8.8.8'),
+          |   ha2 = has_any_ipv4('saw 10.1.1.1 only', '8.8.8.8'),
+          |   tr = trim('[-+]+', '--hello++'),
+          |   tq = tostring(startofquarter(datetime(2024-05-15))),
+          |   eq = tostring(endofquarter(datetime(2024-05-15)))""".stripMargin),
+      Some("""
+        SELECT TRUE AS h1, FALSE AS h2, TRUE AS h3, FALSE AS h4,
+               TRUE AS hp, FALSE AS hp2, TRUE AS ha, FALSE AS ha2,
+               'hello' AS tr,
+               '2024-04-01 00:00:00' AS tq,
+               '2024-06-30 23:59:59.999999' AS eq""")),
 
     "q_kql_ipv6funcs" -> QueryDef(
       // IPv6 family over the native ipv6_norm expression: canonical

@@ -284,4 +284,34 @@ class KqlCompatSpec extends SparkSuite {
     assert(r.getString(0) == """{"a":{"b":{"c":"1"}}}""")
     assert(r.isNullAt(1))
   }
+
+  test("has_ipv4 family: delimiters, octet validity, prefix and list forms") {
+    def b(kql: String): Boolean =
+      spark.range(1).selectExpr(KqlCompat.rewrite(kql)).head.getBoolean(0)
+    assert(b("has_ipv4('a 1.2.3.4 b')"))
+    assert(!b("has_ipv4('a 999.2.3.4 b')"))       // octet out of range
+    assert(!b("has_ipv4('a1.2.3.4 b')"))          // not delimited on the left
+    assert(!b("has_ipv4('1.2.3.4.5')"))           // five parts, never delimited
+    assert(b("has_ipv4('bad 300.1.1.1 ok 8.8.8.8')")) // later candidate wins
+    assert(b("has_ipv4_prefix('x 118.56.2.9 y', '118.56.')"))
+    assert(!b("has_ipv4_prefix('x 118.56.2.9 y', '119.')"))
+    assert(b("has_any_ipv4('x 10.0.0.1 y', '8.8.8.8', '10.0.0.1')"))
+    assert(!b("has_any_ipv4('x 10.0.0.1 y', '8.8.8.8')"))
+  }
+
+  test("2-arg trim strips both ends; Spark's 1-arg trim passes through") {
+    val r = spark.range(1).selectExpr(
+      KqlCompat.rewrite("trim('[-+]+', '--hi++')"),
+      KqlCompat.rewrite("trim('  pad  ')")).head
+    assert(r.getString(0) == "hi")
+    assert(r.getString(1) == "pad")
+  }
+
+  test("quarter boundaries: startofquarter truncates, endofquarter is last us") {
+    val r = spark.range(1).selectExpr(
+      KqlCompat.rewrite("tostring(startofquarter(datetime(2024-05-15)))"),
+      KqlCompat.rewrite("tostring(endofquarter(datetime(2024-11-02)))")).head
+    assert(r.getString(0) == "2024-04-01 00:00:00")
+    assert(r.getString(1) == "2024-12-31 23:59:59.999999")
+  }
 }
