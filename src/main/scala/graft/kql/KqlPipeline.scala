@@ -454,7 +454,12 @@ object KqlPipeline {
     if (parenAt < 0 || stmt.charAt(parenAt) != '(') return skipThis()
     val (sub, tail) = takeGroup(stmt.substring(parenAt), '(', ')')
     val lit = memo.getOrElseUpdate(sub.trim, {
-      val row = runPipeline(resolve, sub.trim).limit(1).collect()
+      // nested toscalar: a let scalar referencing ANOTHER toscalar binding
+      // arrives here as that binding's literal call text — resolve inner
+      // calls first (inner-most evaluates first, memoized as usual) so the
+      // subquery pipeline never parses a raw toscalar token
+      val sub2 = substituteToscalarCalls(resolve, memo, sub.trim)
+      val row = runPipeline(resolve, sub2).limit(1).collect()
       require(row.nonEmpty, s"toscalar subquery returned no rows: '$sub'")
       scalarLiteral(row.head.get(0))
     })

@@ -3752,13 +3752,13 @@ object Surface {
         """let ex50 = toscalar(lineitem | summarize percentile(l_quantity, 50));
           |let ex95 = toscalar(lineitem | summarize percentile(l_quantity, 95));
           |let exr = toscalar(lineitem
-          |   | summarize c = countif(l_quantity <= 25.0), n = count()
+          |   | summarize c = countif(l_quantity <= ex50), n = count()
           |   | project r = 100.0 * todouble(c) / n);
           |lineitem
           | | summarize td = tdigest(l_quantity) by rf = l_returnflag, ls = l_linestatus
           | | summarize tdm = tdigest_merge(td)
           | | project p50 = percentile_tdigest(tdm, 50.0), p95 = percentile_tdigest(tdm, 95.0),
-          |     rk = rank_tdigest(tdm, 25.0)
+          |     rk = rank_tdigest(tdm, ex50)
           | | project ok50 = abs(p50 - ex50) <= ex50 * 0.05 + 1.0,
           |     ok95 = abs(p95 - ex95) <= ex95 * 0.05 + 1.0,
           |     ok_rank = abs(rk - exr) <= 5.0,

@@ -743,6 +743,15 @@ class KqlPipelineSpec extends SparkSuite {
     assert(r2.head().getLong(0) == 2L)
   }
 
+  test("toscalar bindings nest: a let scalar may reference another") {
+    val r = run(
+      """let mx = toscalar(people | summarize max(age));
+        |let over = toscalar(people | where age == mx | count);
+        |people | where age == mx | project name, n_at_max = over""".stripMargin)
+    assert(r.collect().map(x => (x.getString(0), x.getLong(1))).toSeq ==
+      Seq(("dave", 1L))) // max age 40, exactly one person holds it
+  }
+
   test("union isfuzzy=true skips unresolvable operands, fails when all do") {
     // source form, missing table skipped; option order with withsource free
     val r = run(
