@@ -407,8 +407,18 @@ object KqlCompat {
     s = expandCalls(s, "dynamic") {
       case parts if parts.nonEmpty && parts.head.trim.startsWith("[") &&
           parts.last.trim.endsWith("]") =>
+        // every [..] group (outer AND nested — dynamic([[1,2],[3,4]]) ring
+        // literals) becomes array(..), quote-aware
         val joined = parts.mkString(",").trim
-        s"array(${joined.stripPrefix("[").stripSuffix("]")})"
+        val sb  = new StringBuilder
+        var inQ = false
+        joined.foreach {
+          case '\'' => inQ = !inQ; sb += '\''
+          case '[' if !inQ => sb ++= "array("
+          case ']' if !inQ => sb += ')'
+          case c => sb += c
+        }
+        sb.toString
     }
     // ---- series analysis over dynamic arrays --------------------------
     // ADX's series_* analysis family as pure array-HOF rewrites: codegen'd
@@ -929,6 +939,23 @@ object KqlCompat {
           s"pow(sin(radians(($lat2) - ($lat1)) / 2), 2) + " +
           s"cos(radians($lat1)) * cos(radians($lat2)) * " +
           s"pow(sin(radians(($lon2) - ($lon1)) / 2), 2))))"
+    }
+    // geo_point_in_polygon(lng, lat, ring): PLANAR ray casting over the
+    // ring's edges — count edges whose span straddles the point's latitude
+    // and whose crossing sits right of it; odd ⇒ inside (ADX walks
+    // geodesic edges on WGS-84: documented divergence, negligible for
+    // small rings). `ring` is a dynamic [[lng,lat], …] open ring — the
+    // closing edge is implicit (slice-rotate pairs each vertex with its
+    // successor). A horizontal edge makes the straddle test false, so its
+    // zero-division never contributes (double /0 → ±Inf, compares false).
+    s = expandCalls(s, "geo_point_in_polygon") {
+      case Seq(x, y, ring) =>
+        val edges = s"zip_with($ring, " +
+          s"concat(slice($ring, 2, size($ring) - 1), slice($ring, 1, 1)), (a, b) -> " +
+          s"CASE WHEN ((a[1] > ($y)) != (b[1] > ($y))) AND " +
+          s"(($x) < (b[0] - a[0]) * (($y) - a[1]) / (b[1] - a[1]) + a[0]) " +
+          s"THEN 1 ELSE 0 END)"
+        s"(aggregate($edges, 0, (acc, v) -> acc + v) % 2 = 1)"
     }
     // HLL sketch scalars (paired with the hll()/hll_merge() aggregates):
     // dcount_hll over a BINARY sketch column estimates it;

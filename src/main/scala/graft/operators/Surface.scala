@@ -4217,6 +4217,36 @@ object Surface {
                '2024-01-01 07:00:00' AS lcl,
                '2024-01-01 17:00:00' AS utc""")),
 
+    "q_kql_geo_polygon" -> QueryDef(
+      // geo_point_in_polygon over synthetic per-order coordinates: planar
+      // ray casting (edge straddle + crossing test, odd count ⇒ inside)
+      // with the ring as a NESTED dynamic literal — both the [[lng,lat],…]
+      // parse and the zip-rotate edge pairing restate identically in
+      // DuckDB (list_zip + slice), so the boolean is exact per row
+      (s, dir) => kqlRun(s, dir,
+        """orders
+          | | where o_orderkey <= 500
+          | | extend lon = (o_orderkey % 180) * 1.0 - 90.0,
+          |     lat = (o_orderkey % 80) * 1.0 - 40.0
+          | | extend inside = geo_point_in_polygon(lon, lat,
+          |     dynamic([[-30.0, -20.0], [40.0, -25.0], [35.0, 30.0], [-25.0, 35.0]]))
+          | | summarize n_in = countif(inside), n = count()""".stripMargin),
+      Some("""
+        WITH f AS (SELECT o_orderkey,
+                     (o_orderkey % 180) * 1.0 - 90.0 AS x,
+                     (o_orderkey % 80) * 1.0 - 40.0 AS y
+                   FROM orders WHERE o_orderkey <= 500),
+        p AS (SELECT [[-30.0, -20.0], [40.0, -25.0], [35.0, 30.0], [-25.0, 35.0]] AS poly),
+        e AS (SELECT x, y,
+                list_sum(list_transform(list_zip(poly, list_concat(poly[2:], [poly[1]])),
+                  q -> CASE WHEN ((q[1][2] > y) != (q[2][2] > y))
+                             AND (x < (q[2][1] - q[1][1]) * (y - q[1][2])
+                                      / (q[2][2] - q[1][2]) + q[1][1])
+                       THEN 1 ELSE 0 END)) % 2 = 1 AS inside
+              FROM f, p)
+        SELECT CAST(sum(CASE WHEN inside THEN 1 ELSE 0 END) AS BIGINT) AS n_in,
+               CAST(count(*) AS BIGINT) AS n FROM e""")),
+
     "q_kql_ipv4_text" -> QueryDef(
       // has_ipv4 family (log-scanning predicates: properly-delimited,
       // octet-valid dotted quads via ONE regexp pass + the parse_ipv4

@@ -307,6 +307,27 @@ class KqlCompatSpec extends SparkSuite {
     assert(r.getString(1) == "pad")
   }
 
+  test("nested dynamic literals and planar point-in-polygon") {
+    // unit square (0,0)-(1,1): centre in, outside point out, and the
+    // ray-casting parity survives a concave ring
+    def b(kql: String): Boolean =
+      spark.range(1).selectExpr(KqlCompat.rewrite(kql)).head.getBoolean(0)
+    val sq = "dynamic([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])"
+    assert(b(s"geo_point_in_polygon(0.5, 0.5, $sq)"))
+    assert(!b(s"geo_point_in_polygon(1.5, 0.5, $sq)"))
+    assert(!b(s"geo_point_in_polygon(-0.5, 0.5, $sq)"))
+    // concave "C": the notch (2, 1) is outside, the arm (0.5, 0.5) inside
+    val c = "dynamic([[0.0, 0.0], [3.0, 0.0], [3.0, 0.4], [1.0, 0.4], " +
+      "[1.0, 1.6], [3.0, 1.6], [3.0, 2.0], [0.0, 2.0]])"
+    assert(!b(s"geo_point_in_polygon(2.0, 1.0, $c)"))
+    assert(b(s"geo_point_in_polygon(0.5, 0.5, $c)"))
+    // nested dynamic parses to array(array(...)): size probes
+    val n = spark.range(1)
+      .selectExpr(KqlCompat.rewrite("array_length(dynamic([[1, 2], [3, 4], [5, 6]]))"))
+      .head.getInt(0)
+    assert(n == 3)
+  }
+
   test("quarter boundaries: startofquarter truncates, endofquarter is last us") {
     val r = spark.range(1).selectExpr(
       KqlCompat.rewrite("tostring(startofquarter(datetime(2024-05-15)))"),
