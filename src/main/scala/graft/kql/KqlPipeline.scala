@@ -2758,21 +2758,47 @@ object KqlPipeline {
 
   private def applyParse(df: DataFrame, rest: String, seg: String,
       filterMatches: Boolean): DataFrame = {
-    val body = rest.trim
+    var body = rest.trim
+    // `parse [kind=simple|regex] Col with …` — under kind=regex the quoted
+    // pattern chunks are RAW regular expressions instead of quoted literals
+    // (the ADX contract); captures are unchanged
+    val KindRe = """(?is)^kind\s*=\s*([A-Za-z]+)\s+(.*)$""".r
+    val kind = body match {
+      case KindRe(k, t) =>
+        require(k.equalsIgnoreCase("simple") || k.equalsIgnoreCase("regex"),
+          s"parse kind must be simple|regex, got '$k'")
+        body = t.trim; k.toLowerCase
+      case _ => "simple"
+    }
     val withIdx = body.toLowerCase.indexOf(" with ")
     require(withIdx > 0, s"expected `parse <col> with <pattern>`, got: '$seg'")
     val src   = body.substring(0, withIdx).trim
     val parts = parsePattern(body.substring(withIdx + 6))
     val regex = "^" + parts.map {
-      case Left(litText) => java.util.regex.Pattern.quote(litText)
+      case Left(litText) =>
+        if (kind == "regex") litText else java.util.regex.Pattern.quote(litText)
       case Right("*")    => "(?:.*?)" // skip, no capture
       case Right(_)      => "(.*?)"
     }.mkString + "$" // last capture extends to end of value
-    val names = parts.collect { case Right(n) if n != "*" => n }
-    require(names.distinct.size == names.size, "parse capture names must be unique")
+    // captures may be typed (`name:long`): extract as string, then the ADX
+    // null-on-failure cast (lazy capture + surrounding anchors still bound
+    // the text; the type does not narrow the match itself — documented)
+    val caps = parts.collect { case Right(t) if t != "*" => t }.map { t =>
+      t.split(":", 2) match {
+        case Array(n, tpe) => (n.trim, Some(tpe.trim.toLowerCase))
+        case Array(n)      => (n.trim, None)
+      }
+    }
+    require(caps.map(_._1).distinct.size == caps.size,
+      "parse capture names must be unique")
     val base = if (filterMatches) df.filter(col(src).rlike(regex)) else df
-    names.zipWithIndex.foldLeft(base) { case (d, (n, i)) =>
-      d.withColumn(n, regexp_extract(col(src), regex, i + 1))
+    caps.zipWithIndex.foldLeft(base) { case (d, ((n, tpe), i)) =>
+      val raw = regexp_extract(col(src), regex, i + 1)
+      d.withColumn(n, tpe match {
+        case Some(t) => raw.try_cast(KqlTypes.getOrElse(t,
+          fail(s"parse: unsupported capture type '$t' for '$n'")))
+        case None    => raw
+      })
     }
   }
 
@@ -3046,6 +3072,10 @@ object KqlPipeline {
       // take_any: an arbitrary (here: first non-null — deterministic per
       // partition order) exemplar value
       case "take_any" | "any"      => (first(a(0), ignoreNulls = true), slug(args(0)))
+      // take_anyif(x, pred): the predicate masks to NULL, which first()
+      // skips — same one-pass shape as the other *if aggregates
+      case "take_anyif"            => (first(when(a(1), a(0)), ignoreNulls = true),
+                                        slug(args(0)))
       // percentilew(x, weight, p): weighted percentile — Spark's percentile
       // takes an exact frequency argument (KQL's is T-digest approximate;
       // same documented divergence as percentile)

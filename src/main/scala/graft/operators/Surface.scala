@@ -2405,6 +2405,28 @@ object Surface {
           SELECT 'supplier', count(*) FROM supplier WHERE s_acctbal > 9000.0
         ) ORDER BY src""")),
 
+    "q_kql_parse_regex" -> QueryDef(
+      // parse kind=regex with TYPED captures: pattern chunks are raw
+      // regular expressions, the numeric capture lands as a LONG through
+      // the null-on-failure cast, and take_anyif picks a predicate-masked
+      // exemplar in the same aggregation pass
+      (s, dir) => kqlRun(s, dir,
+        """orders
+          | | where o_orderkey <= 200
+          | | extend line = strcat('id=', tostring(o_orderkey), ';  status: ',
+          |     o_orderstatus, ' !')
+          | | parse kind=regex line with 'id=' k:long ';\s+status:\s+' st ' !'
+          | | summarize n = count(), ks = sum(k),
+          |     any_even = take_anyif(k, k % 2 == 0) by st
+          | | project st, n, ks, even_ok = any_even % 2 == 0
+          | | order by st asc""".stripMargin),
+      Some("""
+        SELECT o_orderstatus AS st, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS ks,
+               TRUE AS even_ok
+        FROM orders WHERE o_orderkey <= 200
+        GROUP BY 1 ORDER BY 1""")),
+
     "q_kql_parse_kv" -> QueryDef(
       // `parse-kv`: key-value extraction via ONE codegen'd str_to_map per
       // row + per-key cast. The kv string is built in-plan from orders

@@ -743,6 +743,22 @@ class KqlPipelineSpec extends SparkSuite {
     assert(r2.head().getLong(0) == 2L)
   }
 
+  test("parse kind=regex: raw regex chunks, typed captures, null on bad cast") {
+    val r = run(
+      """people
+        | | extend line = strcat('u=', name, ' #', tostring(id))
+        | | parse kind=regex line with 'u=' who '\s*#' num:long
+        | | where id == 1 | project who, num""".stripMargin)
+    assert(r.head.getString(0) == "Alice" && r.head.getLong(1) == 1L)
+    // a typed capture that fails its cast comes back null (ADX contract)
+    val r2 = run(
+      """people | where id == 1
+        | | extend line = 'v=abc'
+        | | parse line with 'v=' v:long
+        | | project bad = isnull(v)""".stripMargin)
+    assert(r2.head.getBoolean(0))
+  }
+
   test("toscalar bindings nest: a let scalar may reference another") {
     val r = run(
       """let mx = toscalar(people | summarize max(age));
