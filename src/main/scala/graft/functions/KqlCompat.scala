@@ -707,6 +707,14 @@ object KqlCompat {
     s = expandCalls(s, "translate") {
       case Seq(from, to, t) => s"translate($t, $from, $to)"
     }
+    // replace_strings(text, lookups, rewrites): sequential plain-text
+    // replacements — a left fold over the zipped pair arrays, so later
+    // rules see earlier rules' output (the ADX contract)
+    s = expandCalls(s, "replace_strings") {
+      case Seq(t, lookups, rewrites) =>
+        s"aggregate(zip_with($lookups, $rewrites, (l, r) -> named_struct('l', l, 'r', r)), " +
+          s"CAST(($t) AS STRING), (acc, p) -> replace(acc, p.l, p.r))"
+    }
     // trim_start/trim_end(regex, text): strip ONE anchored match
     s = expandCalls(s, "trim_start") {
       case Seq(re, t) => s"regexp_replace($t, concat('^(?:', $re, ')'), '')"

@@ -3082,6 +3082,13 @@ object KqlPipeline {
       case "percentilew" =>
         (expr(s"percentile(${tx(args(0))}, ${args(2).trim.toDouble / 100.0}, ${tx(args(1))})"),
           s"percentile_${slug(args(0))}_${slug(args(2))}")
+      // percentilesw(x, w, p1, p2, …): the weighted multi-percentile — ONE
+      // percentile pass returning the array (same exact-vs-tdigest
+      // divergence note as percentile/percentilew)
+      case "percentilesw" if args.size >= 3 =>
+        val ps = args.drop(2).map(_.trim.toDouble / 100.0).mkString("array(", ", ", ")")
+        (expr(s"percentile(${tx(args(0))}, $ps, ${tx(args(1))})"),
+          s"percentiles_${slug(args(0))}")
       case "binary_all_and"        => (expr(s"bit_and(${tx(args(0))})"),
                                         s"binary_all_and_${slug(args(0))}")
       case "binary_all_or"         => (expr(s"bit_or(${tx(args(0))})"),

@@ -5264,6 +5264,30 @@ object Surface {
                max(top_w) AS mx
         FROM per""")),
 
+    "q_kql_percentilew" -> QueryDef(
+      // weighted percentile family: percentilew + percentilesw lower to ONE
+      // exact percentile pass with the weight as frequency — equivalent to
+      // repeating each row weight times, which is exactly how the oracle
+      // restates it (unnest(range(w)) expansion, then type-7 quantiles);
+      // replace_strings' sequential fold rides as a fixture
+      (s, dir) => kqlRun(s, dir,
+        """lineitem
+          | | where l_orderkey <= 2000
+          | | summarize pw = percentilew(l_quantity, l_linenumber, 50),
+          |     pa = percentilesw(l_quantity, l_linenumber, 25, 75)
+          | | project pw = round(pw, 6),
+          |     pws = to_json(transform(pa, v -> round(v, 6))),
+          |     rs = replace_strings('A-B-C', dynamic(['A', 'C']), dynamic(['X', 'Y']))""".stripMargin),
+      Some("""
+        WITH src AS (SELECT l_quantity AS q, l_linenumber AS w
+                     FROM lineitem WHERE l_orderkey <= 2000),
+        ex AS (SELECT q FROM (SELECT q, unnest(range(w)) FROM src))
+        SELECT round(quantile_cont(q, 0.50), 6) AS pw,
+               to_json([round(quantile_cont(q, 0.25), 6),
+                        round(quantile_cont(q, 0.75), 6)]) AS pws,
+               'X-B-Y' AS rs
+        FROM ex""")),
+
     "q_kql_percentiles" -> QueryDef(
       // percentiles(x, p…): one EXACT interpolated percentile column per p
       // (KQL's is T-digest approximate — documented divergence)
