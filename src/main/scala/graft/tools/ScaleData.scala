@@ -83,10 +83,14 @@ object ScaleData {
       if (i == 0) d
       else d.withColumn("text",
         array_join(transform(split(col("text"), " "), w => concat(lit(s"c$i"), w)), " ")))
-    replicate("embeddings", Seq("vec_id" -> vecS), (d, i) =>
-      if (i == 0) d
+    // rotation wraps modulo the vector dimension (copies may exceed 64;
+    // copy 64 would otherwise ask slice for a negative length)
+    replicate("embeddings", Seq("vec_id" -> vecS), (d, i) => {
+      val r = i % 64
+      if (r == 0) d
       else d.withColumn("embedding",
-        concat(slice(col("embedding"), i + 1, 64 - i), slice(col("embedding"), 1, i))))
+        concat(slice(col("embedding"), r + 1, 64 - r), slice(col("embedding"), 1, r)))
+    })
 
     spark.stop()
   }
