@@ -4972,6 +4972,62 @@ object Surface {
         SELECT doc_id, n AS n_words, round(ln(t) - s / n, 6) AS logloss
         FROM per, tot""")),
 
+    "curate_logloss_buckets" -> QueryDef(
+      // perplexity-bucketed curation — the LM-quality binning step real
+      // pipelines run before mixing: per-doc unigram-LM logloss (the
+      // text_unigram_logloss recipe), quartile BOUNDARIES as broadcast
+      // scalars, bucket by comparison — never a global-order window
+      // (ntile would be a 1-task WindowExec; boundary comparisons are
+      // cross-engine safe because an interpolated quartile lies strictly
+      // between two consecutive data values, so last-ulp wiggle cannot
+      // cross a doc). Boundaries and comparisons run on the ROUNDED
+      // logloss both sides
+      (s, dir) => {
+        val docs  = t(s, dir, "documents")
+        val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        val tf    = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tfd"))
+        val cnt   = sum(col("tfd")).over(Window.partitionBy("w"))
+        val tot   = tf.agg(sum(col("tfd")).cast("double").as("t"))
+        val ll = tf.withColumn("cnt", cnt)
+          .groupBy("doc_id")
+          .agg(sum(col("tfd")).as("n"),
+            sum(col("tfd") * log(col("cnt").cast("double"))).as("s"))
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"), round(log(col("t")) - col("s") / col("n"), 6).as("logloss"))
+        val qs = ll.agg(expr("percentile(logloss, array(0.25, 0.5, 0.75))").as("q"))
+        ll.crossJoin(broadcast(qs))
+          .select(col("doc_id"), col("logloss"),
+            (lit(1) + (col("logloss") > col("q").getItem(0)).cast("int")
+                    + (col("logloss") > col("q").getItem(1)).cast("int")
+                    + (col("logloss") > col("q").getItem(2)).cast("int")).as("bucket"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            round(min(col("logloss")), 6).as("lo"),
+            round(max(col("logloss")), 6).as("hi"))
+          .orderBy("bucket")
+      },
+      Some("""
+        WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                       FROM documents),
+        tf AS (SELECT doc_id, w, count(*) AS tfd FROM words GROUP BY 1, 2),
+        vocab AS (SELECT w, CAST(sum(tfd) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+        tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM vocab),
+        per AS (SELECT doc_id, CAST(sum(tfd) AS BIGINT) AS n,
+                       sum(tfd * ln(CAST(cnt AS DOUBLE))) AS s
+                FROM tf JOIN vocab USING (w) GROUP BY 1),
+        ll AS (SELECT doc_id, round(ln(t) - s / n, 6) AS logloss FROM per, tot),
+        q AS (SELECT quantile_cont(logloss, 0.25) AS q1,
+                     quantile_cont(logloss, 0.50) AS q2,
+                     quantile_cont(logloss, 0.75) AS q3 FROM ll),
+        bk AS (SELECT doc_id, logloss,
+                 1 + CASE WHEN logloss > q1 THEN 1 ELSE 0 END
+                   + CASE WHEN logloss > q2 THEN 1 ELSE 0 END
+                   + CASE WHEN logloss > q3 THEN 1 ELSE 0 END AS bucket
+               FROM ll, q)
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+               round(min(logloss), 6) AS lo, round(max(logloss), 6) AS hi
+        FROM bk GROUP BY 1 ORDER BY 1""")),
+
     "q_kql_row_cumsum" -> QueryDef(
       // row_cumsum through the KQL surface: two-pass distributed scan
       // (ScanOps.cumSum) — per-partition partials + offset walk, exact Long
