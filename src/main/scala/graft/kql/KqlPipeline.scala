@@ -453,16 +453,23 @@ object KqlPipeline {
     val parenAt = stmt.indexWhere(!_.isWhitespace, idx + 8)
     if (parenAt < 0 || stmt.charAt(parenAt) != '(') return skipThis()
     val (sub, tail) = takeGroup(stmt.substring(parenAt), '(', ')')
-    val lit = memo.getOrElseUpdate(sub.trim, {
-      // nested toscalar: a let scalar referencing ANOTHER toscalar binding
-      // arrives here as that binding's literal call text — resolve inner
-      // calls first (inner-most evaluates first, memoized as usual) so the
-      // subquery pipeline never parses a raw toscalar token
-      val sub2 = substituteToscalarCalls(resolve, memo, sub.trim)
-      val row = runPipeline(resolve, sub2).limit(1).collect()
-      require(row.nonEmpty, s"toscalar subquery returned no rows: '$sub'")
-      scalarLiteral(row.head.get(0))
-    })
+    // nested toscalar: a let scalar referencing ANOTHER toscalar binding
+    // arrives here as that binding's literal call text — resolve inner
+    // calls first (inner-most evaluates first, memoized as usual) so the
+    // subquery pipeline never parses a raw toscalar token. Explicit
+    // get/update rather than getOrElseUpdate: the recursion mutates the
+    // SAME memo while the default is being computed
+    val key = sub.trim
+    val lit = memo.get(key) match {
+      case Some(v) => v
+      case None =>
+        val sub2 = substituteToscalarCalls(resolve, memo, key)
+        val row  = runPipeline(resolve, sub2).limit(1).collect()
+        require(row.nonEmpty, s"toscalar subquery returned no rows: '$sub'")
+        val v = scalarLiteral(row.head.get(0))
+        memo(key) = v
+        v
+    }
     stmt.substring(0, idx) + lit + substituteToscalarCalls(resolve, memo, tail)
   }
 
