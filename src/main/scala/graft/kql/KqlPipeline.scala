@@ -2036,6 +2036,24 @@ object KqlPipeline {
       // frame's CURRENT global order via ZipIndex (a per-partition count job
       // + zero-shuffle map — never a single-partition window); the wide→long
       // turn itself is Spark's built-in unpivot, one codegen'd pass.
+      case "evaluate" if rest.trim.toLowerCase.startsWith("schema_merge") =>
+        // `evaluate schema_merge()`: unify a union of getschema outputs —
+        // one row per ColumnName, ordinal = first appearance, type kept
+        // when every occurrence agrees and widened to 'dynamic' on
+        // conflict (the ADX contract). One groupBy; no driver work.
+        val (inner, tail) = takeGroup(rest.trim.drop("schema_merge".length), '(', ')')
+        require(inner.trim.isEmpty && tail.trim.isEmpty,
+          s"schema_merge takes no arguments, got: '$rest'")
+        Seq("ColumnName", "ColumnOrdinal", "ColumnType").foreach(c =>
+          require(df.columns.contains(c),
+            s"schema_merge expects getschema-shaped input; missing column '$c'"))
+        df.groupBy(col("ColumnName"))
+          .agg(
+            min(col("ColumnOrdinal")).as("ColumnOrdinal"),
+            when(countDistinct(col("ColumnType")) === 1, first(col("ColumnType")))
+              .otherwise(lit("dynamic")).as("ColumnType"))
+          .select(col("ColumnName"), col("ColumnOrdinal"), col("ColumnType"))
+
       case "evaluate" if rest.trim.toLowerCase.startsWith("narrow") =>
         val (inner, tail) = takeGroup(rest.trim.drop("narrow".length), '(', ')')
         require(inner.trim.isEmpty && tail.trim.isEmpty,

@@ -5101,6 +5101,24 @@ object Surface {
         SELECT event_type, ub, n, s FROM r WHERE rk <= 3
         ORDER BY event_type, s DESC, ub""")),
 
+    "q_kql_schema_merge" -> QueryDef(
+      // evaluate schema_merge over a union of getschema outputs: agreeing
+      // columns keep their type, conflicting ones widen to 'dynamic',
+      // ordinal = first appearance — ONE groupBy over the schema frames
+      (s, dir) => kqlRun(s, dir,
+        """let A = nation | getschema;
+          |let B = nation | extend n_name = tolong(n_nationkey) | getschema;
+          |union A, B
+          | | evaluate schema_merge()
+          | | order by ColumnOrdinal asc, ColumnName asc""".stripMargin),
+      Some("""
+        SELECT * FROM (VALUES
+          ('n_nationkey', CAST(0 AS BIGINT), 'int'),
+          ('n_name',      CAST(1 AS BIGINT), 'dynamic'),
+          ('n_regionkey', CAST(2 AS BIGINT), 'int'))
+          t(ColumnName, ColumnOrdinal, ColumnType)
+        ORDER BY ColumnOrdinal, ColumnName""")),
+
     "q_kql_bag_unpack" -> QueryDef(
       // evaluate bag_unpack: dynamic-bag spread with one inference pass +
       // from_json star-expand; k infers as LONG from the JSON integers
