@@ -1266,7 +1266,34 @@ object KqlPipeline {
 
       case "extend" =>
         splitTopLevel(rest, ',').map(_.trim).foldLeft(df) { (d, item) =>
-          assignment(item) match {
+          item match {
+            // `(s1, s2[, …]) = array_sort_asc|desc(a, b[, …])` — ADX's
+            // tuple-returning sort: the FIRST array orders (stably, nulls
+            // last), every other array permutes to match. ONE sorted index
+            // array drives all outputs (sort (null-rank, key, original
+            // index) structs, then gather each array through the index) —
+            // any arity, any mix of element types, no repeated sorting.
+            case TupleSortRe(namesS, dir, inner) =>
+              val names = namesS.split(",").map(_.trim)
+              val arrs  = splitTopLevel(inner, ',').map(_.trim).map(a => tx(a))
+              require(names.size == arrs.size && names.size >= 2,
+                s"tuple array_sort_$dir needs as many names as arrays (≥2): '$item'")
+              val a0 = arrs.head
+              val z  = "__graft_srt"
+              val keyed = s"transform(sequence(0, size($a0) - 1), i -> " +
+                s"named_struct('n', CAST(try_element_at($a0, i + 1) IS NULL AS INT), " +
+                s"'k', try_element_at($a0, i + 1), 'i', i))"
+              val sortedIdx =
+                if (dir.equalsIgnoreCase("asc")) s"array_sort($keyed)"
+                else s"array_sort($keyed, (l, r) -> " +
+                  "CASE WHEN l.n < r.n THEN -1 WHEN l.n > r.n THEN 1 " +
+                  "WHEN l.k > r.k THEN -1 WHEN l.k < r.k THEN 1 " +
+                  "WHEN l.i < r.i THEN -1 ELSE 1 END)"
+              val d2 = d.withColumn(z, expr(sortedIdx))
+              names.zip(arrs).foldLeft(d2) { case (dd, (n, a)) =>
+                dd.withColumn(n, expr(s"transform($z, p -> try_element_at($a, p.i + 1))"))
+              }.drop(z)
+            case _ => assignment(item) match {
             case Some((name, e)) if RowNumberRe.matches(e.trim) =>
               val start = "\\d+".r.findFirstIn(e).map(_.toLong).getOrElse(1L)
               rowNumber(d, name, start)
@@ -1382,6 +1409,7 @@ object KqlPipeline {
               }).drop(tmp)
             case Some((name, e)) => d.withColumn(name, expr(tx(e)))
             case None            => fail(s"extend needs `name = expr`, got: '$item'")
+          }
           }
         }
 
@@ -2834,6 +2862,10 @@ object KqlPipeline {
     "summarize", "order", "sort", "top")
 
   private val RowNumberRe = """(?i)row_number\s*\(\s*(\d+)?\s*\)""".r
+
+  // `(s1, s2[, …]) = array_sort_asc|desc(a, b[, …])` in extend
+  private val TupleSortRe =
+    """(?is)^\(\s*([A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)+)\s*\)\s*=\s*array_sort_(asc|desc)\s*\((.*)\)\s*$""".r
 
   // row_number(start, restart): segment-restarting index — explicit start
   // per the ADX signature; the restart term is any boolean expression

@@ -5119,6 +5119,20 @@ object Surface {
           t(ColumnName, ColumnOrdinal, ColumnType)
         ORDER BY ColumnOrdinal, ColumnName""")),
 
+    "q_kql_array_sort_tuple" -> QueryDef(
+      // tuple-returning array_sort_asc/desc: the first array orders
+      // (stable, nulls last), companions permute through ONE sorted index
+      // array — fixture constants through the real extend lowering
+      (s, dir) => kqlRun(s, dir,
+        """print seed = 1
+          | | extend (sq, sp) = array_sort_asc(dynamic([3, 1, 2]), dynamic(['c', 'a', 'b']))
+          | | extend (dq, dp) = array_sort_desc(dynamic([3, 1, 2]), dynamic(['c', 'a', 'b']))
+          | | project sq = to_json(sq), sp = to_json(sp),
+          |     dq = to_json(dq), dp = to_json(dp)""".stripMargin),
+      Some("""
+        SELECT '[1,2,3]' AS sq, '["a","b","c"]' AS sp,
+               '[3,2,1]' AS dq, '["c","b","a"]' AS dp""")),
+
     "q_kql_bag_unpack" -> QueryDef(
       // evaluate bag_unpack: dynamic-bag spread with one inference pass +
       // from_json star-expand; k infers as LONG from the JSON integers

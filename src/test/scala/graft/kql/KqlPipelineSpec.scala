@@ -743,6 +743,26 @@ class KqlPipelineSpec extends SparkSuite {
     assert(r2.head().getLong(0) == 2L)
   }
 
+  test("tuple array_sort_asc/desc: first array orders, the rest permute") {
+    val r = run(
+      """people | where id == 1
+        | | extend (sq, sp) = array_sort_asc(dynamic([3, 1, 2]), dynamic(['c', 'a', 'b']))
+        | | extend (dq, dp, di) = array_sort_desc(dynamic([3, 1, 2]),
+        |     dynamic(['c', 'a', 'b']), dynamic([30, 10, 20]))
+        | | project sq, sp, dq, dp, di""".stripMargin).head
+    assert(r.getSeq[Long](0) == Seq(1L, 2L, 3L))
+    assert(r.getSeq[String](1) == Seq("a", "b", "c"))
+    assert(r.getSeq[Long](2) == Seq(3L, 2L, 1L))
+    assert(r.getSeq[String](3) == Seq("c", "b", "a"))
+    assert(r.getSeq[Long](4) == Seq(30L, 20L, 10L))
+    // nulls sort LAST in both directions; ties keep original order (stable)
+    val r2 = run(
+      """people | where id == 1
+        | | extend (a, b) = array_sort_asc(dynamic(['x', '', 'x']), dynamic([1, 2, 3]))
+        | | project b""".stripMargin).head
+    assert(r2.getSeq[Long](0) == Seq(2L, 1L, 3L)) // '' < 'x'; the tied x's keep 1 then 3
+  }
+
   test("parse kind=regex: raw regex chunks, typed captures, null on bad cast") {
     val r = run(
       """people
