@@ -92,7 +92,14 @@ object KqlCompat {
     // datetime_utc_to_local(dt, tz) / datetime_local_to_utc(dt, tz):
     // same (timestamp, IANA zone) order as Spark's utc converters
     "datetime_utc_to_local(" -> "from_utc_timestamp(",
-    "datetime_local_to_utc(" -> "to_utc_timestamp("
+    "datetime_local_to_utc(" -> "to_utc_timestamp(",
+    // aliases ADX keeps for compatibility
+    "extract_json("    -> "extractjson(",
+    "pack_dictionary(" -> "bag_pack(",
+    // epoch → datetime family (nanos needs a division — expandCalls below)
+    "unixtime_seconds_todatetime("      -> "timestamp_seconds(",
+    "unixtime_milliseconds_todatetime(" -> "timestamp_millis(",
+    "unixtime_microseconds_todatetime(" -> "timestamp_micros("
   )
 
   private val TimeSpan = """(\d+)\s*([dhms])""".r
@@ -1244,6 +1251,18 @@ object KqlCompat {
     s = expandCalls(s, "ipv6_is_in_any_range") {
       case args if args.size >= 2 =>
         args.tail.map(r => ip6InRange(args.head, r)).mkString("(", " OR ", ")")
+    }
+    // unixtime_nanoseconds_todatetime: truncates to the engine's µs
+    // resolution (ADX keeps 100 ns ticks — documented divergence)
+    s = expandCalls(s, "unixtime_nanoseconds_todatetime") {
+      case Seq(x) => s"timestamp_micros(CAST($x AS BIGINT) DIV 1000)"
+    }
+    // make_timespan(h, m) / (h, m, s) / (d, h, m, s) → DAY-TIME interval,
+    // the same currency totimespan and the bare-timespan literals use
+    s = expandCalls(s, "make_timespan") {
+      case Seq(h, m)         => s"make_dt_interval(0, $h, $m, 0)"
+      case Seq(h, m, sec)    => s"make_dt_interval(0, $h, $m, $sec)"
+      case Seq(d, h, m, sec) => s"make_dt_interval($d, $h, $m, $sec)"
     }
     // strcmp(a, b): three-way string compare, −1/0/1; null-in → null-out
     // (a bare CASE would fall through null compares to the ELSE 1 arm)

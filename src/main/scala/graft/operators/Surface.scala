@@ -5119,6 +5119,27 @@ object Surface {
           t(ColumnName, ColumnOrdinal, ColumnType)
         ORDER BY ColumnOrdinal, ColumnName""")),
 
+    "q_kql_unixtime" -> QueryDef(
+      // epoch→datetime family at every resolution (nanos truncate to the
+      // engine's µs — documented), make_timespan arities equality-gated
+      // against totimespan, and the extract_json/pack_dictionary aliases
+      (s, dir) => kqlRun(s, dir,
+        """print s = tostring(unixtime_seconds_todatetime(1700000000)),
+          |   ms = tostring(unixtime_milliseconds_todatetime(1700000000123)),
+          |   us = tostring(unixtime_microseconds_todatetime(1700000000123456)),
+          |   ns = tostring(unixtime_nanoseconds_todatetime(1700000000123456789)),
+          |   mt_ok = make_timespan(1, 2, 3) == totimespan('01:02:03'),
+          |   mt4_ok = make_timespan(2, 1, 30, 15.0) == totimespan('2.01:30:15'),
+          |   ej = extract_json('$.a', '{"a": 7}'),
+          |   pd = pack_dictionary('k', 42)""".stripMargin),
+      Some("""
+        SELECT '2023-11-14 22:13:20' AS s,
+               '2023-11-14 22:13:20.123' AS ms,
+               '2023-11-14 22:13:20.123456' AS us,
+               '2023-11-14 22:13:20.123456' AS ns,
+               TRUE AS mt_ok, TRUE AS mt4_ok,
+               '7' AS ej, '{"k":42}' AS pd""")),
+
     "q_kql_array_sort_tuple" -> QueryDef(
       // tuple-returning array_sort_asc/desc: the first array orders
       // (stable, nulls last), companions permute through ONE sorted index
