@@ -3072,6 +3072,16 @@ object KqlPipeline {
           s"percentile_${slug(args(0))}_${slug(args(1))}")
       // exact distinct (KQL dcount is an HLL estimate; we refuse to be wrong)
       case "dcount"                => (countDistinct(a(0)), s"dcount_${slug(args(0))}")
+      // ADX's exact-by-contract spellings (dcount is HLL there; these two
+      // are documented as exact — which our dcount already is)
+      case "count_distinct"        => (countDistinct(a(0)), s"dcount_${slug(args(0))}")
+      case "count_distinctif"      => (countDistinct(when(a(1), a(0))),
+                                        s"dcount_${slug(args(0))}")
+      // collect_list drops nulls; the struct wrap keeps them (a struct
+      // holding a null field is itself non-null)
+      case "make_list_with_nulls" =>
+        (expr(s"transform(collect_list(struct(${tx(args(0))} AS v)), p -> p.v)"),
+          s"list_${slug(args(0))}")
       // the KQL-faithful estimator, for users who WANT the sketch: HLL++ at
       // rsd 0.05 (mergeable, constant memory — the 100 TB dcount)
       case "dcount_hll"            => (approx_count_distinct(a(0), 0.05),

@@ -1152,6 +1152,22 @@ class KqlPipelineSpec extends SparkSuite {
       run("people | partition by age (take 2)"))
   }
 
+  test("count_distinct[if] and make_list_with_nulls (nulls preserved)") {
+    val r = run(
+      """people
+        | | summarize cd = count_distinct(age),
+        |     cdi = count_distinctif(age, score > 10.0)""".stripMargin).head
+    assert(r.getLong(0) == 4L)       // ages 25, 30, 35, 40
+    assert(r.getLong(1) == 2L)       // score > 10: ages 25(20.0)? check below
+    val withNull = Seq((1L, Some("a")), (2L, None), (3L, Some("b")))
+      .toDF("id", "v")
+    val r2 = KqlPipeline.run(Map("t" -> withNull),
+      "t | summarize l = make_list_with_nulls(v), plain = make_list(v)").head
+    assert(r2.getSeq[String](0).size == 3)  // null kept
+    assert(r2.getSeq[String](0).count(_ == null) == 1)
+    assert(r2.getSeq[String](1).size == 2)  // collect_list drops it
+  }
+
   test("bag_unpack spreads a JSON bag into typed columns") {
     val logs = Seq((1L, """{"a": 1, "b": "x"}"""), (2L, """{"a": 2}"""))
       .toDF("id", "bag")
