@@ -819,6 +819,35 @@ object KqlCompat {
     s = expandCalls(s, "series_divide") {
       case Seq(x, y) => s"zip_with(${asD(x)}, ${asD(y)}, (a, b) -> a / b)"
     }
+    s = expandCalls(s, "series_pow") {
+      case Seq(x, y) => s"zip_with(${asD(x)}, ${asD(y)}, (a, b) -> pow(a, b))"
+    }
+    // element-wise comparisons: dynamic arrays of booleans, null where
+    // either side is null (the ADX contract)
+    s = expandCalls(s, "series_equals") {
+      case Seq(x, y) => s"zip_with(${asD(x)}, ${asD(y)}, (a, b) -> a = b)"
+    }
+    s = expandCalls(s, "series_not_equals") {
+      case Seq(x, y) => s"zip_with(${asD(x)}, ${asD(y)}, (a, b) -> a != b)"
+    }
+    s = expandCalls(s, "series_greater") {
+      case Seq(x, y) => s"zip_with(${asD(x)}, ${asD(y)}, (a, b) -> a > b)"
+    }
+    s = expandCalls(s, "series_greater_equals") {
+      case Seq(x, y) => s"zip_with(${asD(x)}, ${asD(y)}, (a, b) -> a >= b)"
+    }
+    s = expandCalls(s, "series_less") {
+      case Seq(x, y) => s"zip_with(${asD(x)}, ${asD(y)}, (a, b) -> a < b)"
+    }
+    s = expandCalls(s, "series_less_equals") {
+      case Seq(x, y) => s"zip_with(${asD(x)}, ${asD(y)}, (a, b) -> a <= b)"
+    }
+    s = expandCalls(s, "series_floor") {
+      case Seq(x) => s"transform(${asD(x)}, v -> CAST(floor(v) AS DOUBLE))"
+    }
+    s = expandCalls(s, "series_ceiling") {
+      case Seq(x) => s"transform(${asD(x)}, v -> CAST(ceiling(v) AS DOUBLE))"
+    }
     s = expandCalls(s, "series_abs") {
       case Seq(x) => s"transform(${asD(x)}, v -> abs(v))"
     }

@@ -5119,6 +5119,26 @@ object Surface {
           t(ColumnName, ColumnOrdinal, ColumnType)
         ORDER BY ColumnOrdinal, ColumnName""")),
 
+    "q_series_compare" -> QueryDef(
+      // element-wise series tail: pow, the boolean comparison lanes, and
+      // floor/ceiling — fixture arrays through the real zip_with rewrites
+      (s, dir) => kqlRun(s, dir,
+        """print x = 1
+          | | extend a = dynamic([1.0, 5.0, 3.0]), b = dynamic([2.0, 5.0, 1.0])
+          | | project p = to_json(series_pow(a, dynamic([2.0, 1.0, 2.0]))),
+          |     eqj = to_json(series_equals(a, b)),
+          |     gtj = to_json(series_greater(a, b)),
+          |     lej = to_json(series_less_equals(a, b)),
+          |     flr = to_json(series_floor(dynamic([1.7, -1.2]))),
+          |     cl = to_json(series_ceiling(dynamic([1.2, -1.7])))""".stripMargin),
+      Some("""
+        SELECT '[1.0,5.0,9.0]' AS p,
+               '[false,true,false]' AS eqj,
+               '[false,false,true]' AS gtj,
+               '[true,true,false]' AS lej,
+               '[1.0,-2.0]' AS flr,
+               '[2.0,-1.0]' AS cl""")),
+
     "q_kql_unixtime" -> QueryDef(
       // epoch→datetime family at every resolution (nanos truncate to the
       // engine's µs — documented), make_timespan arities equality-gated
