@@ -967,6 +967,18 @@ object KqlCompat {
       case args if args.size >= 2 && args.size % 2 == 0 =>
         s"to_json(map(${args.mkString(", ")}))"
     }
+    // bag_set_key(bag, key, value): set/overwrite one key — the new pair
+    // merges FIRST and bag_merge is earlier-wins, so it replaces
+    s = expandCalls(s, "bag_set_key") {
+      case Seq(b, k, v) => s"bag_merge(to_json(map($k, $v)), $b)"
+    }
+    // bag_zip(keys, values): parallel arrays → bag; keys stringify (the
+    // ADX contract), extra keys pair with null via the null-padded zip
+    s = expandCalls(s, "bag_zip") {
+      case Seq(k, v) =>
+        s"to_json(map_from_entries(zip_with($k, $v, " +
+          s"(kk, vv) -> struct(CAST(kk AS STRING) AS key, vv AS value))))"
+    }
     // geo scalars: great-circle distance by the haversine closed form on
     // the 6371.0088 km mean-Earth radius (ADX uses a geodesic; documented
     // divergence — haversine restates identically in any SQL engine, which

@@ -5119,6 +5119,20 @@ object Surface {
           t(ColumnName, ColumnOrdinal, ColumnType)
         ORDER BY ColumnOrdinal, ColumnName""")),
 
+    "q_kql_bag_tail" -> QueryDef(
+      // bag_set_key (overwrite + insert through earlier-wins bag_merge,
+      // sorted-key bag currency) and bag_zip (parallel arrays → bag,
+      // input order) — fixtures through the real rewrite path
+      (s, dir) => kqlRun(s, dir,
+        """print b = bag_pack('a', 1, 'z', 2)
+          | | project s1 = bag_set_key(b, 'a', 9),
+          |     s2 = bag_set_key(b, 'm', 5),
+          |     z = bag_zip(dynamic(['k1', 'k2']), dynamic([10, 20]))""".stripMargin),
+      Some("""
+        SELECT '{"a":9,"z":2}' AS s1,
+               '{"a":1,"m":5,"z":2}' AS s2,
+               '{"k1":10,"k2":20}' AS z""")),
+
     "q_series_compare" -> QueryDef(
       // element-wise series tail: pow, the boolean comparison lanes, and
       // floor/ceiling — fixture arrays through the real zip_with rewrites
