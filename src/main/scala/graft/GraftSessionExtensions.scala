@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.expressions.{BagMerge, BetaCdf, BottomKValues, GammaFn, LogGammaFn, ParseCsv, RankTDigest, FreqAgg, FreqMergeAgg, FreqTopK, SampleBottomKAgg, SampleBottomKMergeAgg, ThetaAgg, ThetaMergeAgg, ThetaEstimate, ThetaIntersect, ThetaDiff, BagRemoveKeys, BloomContains, GeoPointToGeohash, GeohashCentralPoint, GramHashes, GzipCompress, GzipDecompress, Ipv6Norm, ParseXml, PercentileTDigest, PunycodeDomainFrom, PunycodeDomainTo, RollingHash, TDigestAgg, TDigestMergeAgg, TermHas, VectorDot, WelchTest, ZlibCompress, ZlibDecompress}
+import graft.functions.expressions.{BagMerge, BetaCdf, BottomKValues, GammaFn, LogGammaFn, ParseCsv, RankTDigest, FreqAgg, FreqMergeAgg, FreqTopK, SampleBottomKAgg, SampleBottomKMergeAgg, ThetaAgg, ThetaMergeAgg, ThetaEstimate, ThetaIntersect, ThetaDiff, BagRemoveKeys, BloomContains, DynamicToJson, GeoPointToGeohash, GeohashCentralPoint, GramHashes, GzipCompress, GzipDecompress, Ipv6Norm, ParseXml, PercentileTDigest, PunycodeDomainFrom, PunycodeDomainTo, RollingHash, TDigestAgg, TDigestMergeAgg, TermHas, VectorDot, WelchTest, ZlibCompress, ZlibDecompress}
 
 /** Spark plugin entry point: load with
   * `spark.sql.extensions=graft.GraftSessionExtensions` (works with plain
@@ -140,6 +140,7 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size >= 2, "bag_merge takes at least two bags")
         BagMerge(children)
       }))
+    unary("dynamic_to_json", classOf[DynamicToJson], DynamicToJson(_))
     ext.injectFunction((
       new FunctionIdentifier("bag_remove_keys"),
       new ExpressionInfo(classOf[BagRemoveKeys].getName, "bag_remove_keys"),

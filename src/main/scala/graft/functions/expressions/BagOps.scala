@@ -138,4 +138,66 @@ object BagOps {
     while (it2.hasNext) { val e = it2.next(); out.set[com.fasterxml.jackson.databind.JsonNode](e.getKey, e.getValue) }
     UTF8String.fromString(mapper.writeValueAsString(out))
   }
+
+  /** RECURSIVELY canonicalize a JSON node: object keys sort at every
+    * depth, array order is preserved, scalars pass through — the
+    * dynamic_to_json normal form.
+    */
+  private def canonical(
+      node: com.fasterxml.jackson.databind.JsonNode): com.fasterxml.jackson.databind.JsonNode =
+    node match {
+      case obj: ObjectNode =>
+        val sorted = new java.util.TreeMap[String, com.fasterxml.jackson.databind.JsonNode]()
+        val it = obj.fields()
+        while (it.hasNext) { val e = it.next(); sorted.put(e.getKey, canonical(e.getValue)): Unit }
+        val out = mapper.createObjectNode()
+        val it2 = sorted.entrySet().iterator()
+        while (it2.hasNext) {
+          val e = it2.next()
+          out.set[com.fasterxml.jackson.databind.JsonNode](e.getKey, e.getValue)
+        }
+        out
+      case arr: com.fasterxml.jackson.databind.node.ArrayNode =>
+        val out = mapper.createArrayNode()
+        val it = arr.elements()
+        while (it.hasNext) out.add(canonical(it.next())): Unit
+        out
+      case other => other
+    }
+
+  /** dynamic_to_json: canonical JSON text (recursive sorted keys). A
+    * non-JSON input string is treated as a string VALUE and JSON-quoted —
+    * the ADX behavior for scalar dynamics.
+    */
+  def dynamicToJson(x: UTF8String): UTF8String = {
+    val node = try mapper.readTree(x.toString) catch { case _: Exception => null }
+    if (node == null)
+      UTF8String.fromString(mapper.writeValueAsString(
+        mapper.getNodeFactory.textNode(x.toString)))
+    else UTF8String.fromString(mapper.writeValueAsString(canonical(node)))
+  }
+}
+
+/** `dynamic_to_json(x)` — canonical JSON text with keys sorted at every
+  * nesting depth (ADX's normalization scalar; bag_merge/bag_remove_keys
+  * sort only the top level they rebuild).
+  */
+case class DynamicToJson(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean  = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "dynamic_to_json takes a dynamic (JSON text) argument")
+
+  override def nullSafeEval(v: Any): Any =
+    BagOps.dynamicToJson(v.asInstanceOf[UTF8String])
+
+  override protected def withNewChildInternal(newChild: Expression): DynamicToJson =
+    copy(child = newChild)
+
+  override def prettyName: String = "dynamic_to_json"
 }

@@ -5127,11 +5127,15 @@ object Surface {
         """print b = bag_pack('a', 1, 'z', 2)
           | | project s1 = bag_set_key(b, 'a', 9),
           |     s2 = bag_set_key(b, 'm', 5),
-          |     z = bag_zip(dynamic(['k1', 'k2']), dynamic([10, 20]))""".stripMargin),
+          |     z = bag_zip(dynamic(['k1', 'k2']), dynamic([10, 20])),
+          |     cj = dynamic_to_json('{"z": {"q": 1, "b": [2, {"y": 3, "a": 4}]}, "a": 5}'),
+          |     cs = dynamic_to_json('plain')""".stripMargin),
       Some("""
         SELECT '{"a":9,"z":2}' AS s1,
                '{"a":1,"m":5,"z":2}' AS s2,
-               '{"k1":10,"k2":20}' AS z""")),
+               '{"k1":10,"k2":20}' AS z,
+               '{"a":5,"z":{"b":[2,{"a":4,"y":3}],"q":1}}' AS cj,
+               '"plain"' AS cs""")),
 
     "q_series_compare" -> QueryDef(
       // element-wise series tail: pow, the boolean comparison lanes, and
