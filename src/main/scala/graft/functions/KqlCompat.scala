@@ -416,13 +416,18 @@ object KqlCompat {
           parts.last.trim.endsWith("]") =>
         // every [..] group (outer AND nested — dynamic([[1,2],[3,4]]) ring
         // literals) becomes array(..), quote-aware
+        // quote-aware for BOTH quote styles: JSON-style dynamic literals
+        // may double-quote string elements ("a[b"), and a bracket inside
+        // either kind of string must pass through verbatim
         val joined = parts.mkString(",").trim
-        val sb  = new StringBuilder
-        var inQ = false
+        val sb   = new StringBuilder
+        var inQ  = false
+        var inDq = false
         joined.foreach {
-          case '\'' => inQ = !inQ; sb += '\''
-          case '[' if !inQ => sb ++= "array("
-          case ']' if !inQ => sb += ')'
+          case '\'' if !inDq => inQ = !inQ; sb += '\''
+          case '"'  if !inQ  => inDq = !inDq; sb += '"'
+          case '[' if !inQ && !inDq => sb ++= "array("
+          case ']' if !inQ && !inDq => sb += ')'
           case c => sb += c
         }
         sb.toString
@@ -973,11 +978,14 @@ object KqlCompat {
       case Seq(b, k, v) => s"bag_merge(to_json(map($k, $v)), $b)"
     }
     // bag_zip(keys, values): parallel arrays → bag; keys stringify (the
-    // ADX contract), extra keys pair with null via the null-padded zip
+    // ADX contract), extra keys pair with null, extra VALUES are dropped.
+    // Iterate over the keys array with its index (not zip_with: a longer
+    // values array would null-pad the key side and map_from_entries
+    // throws on a null map key where ADX just drops the extras).
     s = expandCalls(s, "bag_zip") {
       case Seq(k, v) =>
-        s"to_json(map_from_entries(zip_with($k, $v, " +
-          s"(kk, vv) -> struct(CAST(kk AS STRING) AS key, vv AS value))))"
+        s"to_json(map_from_entries(transform($k, " +
+          s"(kk, i) -> struct(CAST(kk AS STRING) AS key, try_element_at($v, i + 1) AS value))))"
     }
     // geo scalars: great-circle distance by the haversine closed form on
     // the 6371.0088 km mean-Earth radius (ADX uses a geodesic; documented

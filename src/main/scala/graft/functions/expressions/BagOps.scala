@@ -97,6 +97,13 @@ object BagOps {
 
   private val mapper = new ObjectMapper()
 
+  // Strict reader for dynamic_to_json: without FAIL_ON_TRAILING_TOKENS a
+  // non-JSON string with a valid JSON prefix ('123abc') would parse as the
+  // prefix token and silently drop the tail; ADX treats it as a string
+  // value ('"123abc"').
+  private val strictReader = mapper.reader()
+    .`with`(com.fasterxml.jackson.databind.DeserializationFeature.FAIL_ON_TRAILING_TOKENS)
+
   /** Merge JSON-object texts, earlier argument wins; sorted-key output.
     * Null result on any non-object argument.
     */
@@ -170,7 +177,7 @@ object BagOps {
     * the ADX behavior for scalar dynamics.
     */
   def dynamicToJson(x: UTF8String): UTF8String = {
-    val node = try mapper.readTree(x.toString) catch { case _: Exception => null }
+    val node = try strictReader.readTree(x.toString) catch { case _: Exception => null }
     if (node == null)
       UTF8String.fromString(mapper.writeValueAsString(
         mapper.getNodeFactory.textNode(x.toString)))

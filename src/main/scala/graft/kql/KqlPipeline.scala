@@ -134,6 +134,13 @@ import graft.operators.ActivityMetrics
   * only a NON-literal multi-term needle keeps the never-matches contract.
   * `//` comments are stripped so multi-line pipelines read naturally.
   */
+/** A table name in the pipeline failed to resolve (dropped table, bad
+  * reference). `union isfuzzy=true` tolerates exactly this failure and
+  * nothing else — semantic errors in resolvable operands still propagate.
+  */
+final class UnresolvedTableException(val table: String, cause: Throwable)
+    extends RuntimeException(s"KQL pipeline: unresolved table reference '$table'", cause)
+
 object KqlPipeline {
 
   /** Parse and run `kql` against tables provided by `resolve`.
@@ -568,9 +575,10 @@ object KqlPipeline {
     * `graph-to-table nodes` / further graph operators. Only weak
     * components exist in ADX; `kind=strong` is rejected loudly.
     *
-    * Iterative min-label propagation — the DedupFunctions
-    * .connectedComponents recipe (one key shuffle per round, rounds =
-    * component diameter, flat per-round plans) re-expressed for
+    * Iterative min-label propagation WITH pointer jumping — the
+    * DedupFunctions.connectedComponents recipe (one key shuffle per round,
+    * flat per-round plans) accelerated by relabeling through the label's
+    * own label each round (rounds = log2(diameter)), re-expressed for
     * ARBITRARY node-id types: that implementation's decimal label-sum
     * convergence signature needs numeric ids, while graph node ids here
     * are routinely strings ('c123'), so convergence is instead an
@@ -610,7 +618,16 @@ object KqlPipeline {
       val viaNeighbor = und
         .join(labels.select(col("__id").as("__d"), col("__lbl")), Seq("__d"))
         .select(col("__s").as("__id"), col("__lbl"))
-      val next = labels.select(col("__id"), col("__lbl")).union(viaNeighbor)
+      // pointer-jumping: every label is itself a node id in the same
+      // component, so relabeling through the LABEL'S OWN label halves the
+      // remaining pointer-chain each round — rounds grow with
+      // log(diameter), not diameter, so maxIters=25 covers components of
+      // diameter ~2^25 (a long-chain component at large SF no longer
+      // aborts; the loud non-convergence failure stays as a true backstop)
+      val viaJump = labels.join(
+          labels.select(col("__id").as("__lbl"), col("__lbl").as("__lbl2")), Seq("__lbl"))
+        .select(col("__id"), col("__lbl2").as("__lbl"))
+      val next = labels.select(col("__id"), col("__lbl")).union(viaNeighbor).union(viaJump)
         .groupBy("__id").agg(min(col("__lbl")).as("__lbl"))
         .localCheckpoint(true)
       converged = next
@@ -620,8 +637,8 @@ object KqlPipeline {
       iter += 1
     }
     require(converged,
-      s"graph-mark-components did not converge within $maxIters rounds — a component's " +
-        "diameter exceeds the bound")
+      s"graph-mark-components did not converge within $maxIters pointer-doubling rounds — " +
+        "a component's diameter exceeds ~2^" + maxIters)
     g.nodes.join(
       labels.select(col("__id").as(g.id), col("__lbl").as(compCol)), Seq(g.id))
   }
@@ -955,9 +972,21 @@ object KqlPipeline {
       runPipeline(resolve, trimmed.substring(1, trimmed.length - 1))
     else {
       require(!trimmed.contains(' '), s"expected a table name or (sub-pipeline), got: '$trimmed'")
-      resolve(trimmed)
+      resolveRef(resolve, trimmed)
     }
   }
+
+  /** Resolve a table reference, tagging failure with the dedicated
+    * [[UnresolvedTableException]] so `union isfuzzy=true` can tolerate
+    * EXACTLY unresolved references (dropped table, bad name) while
+    * analysis errors inside resolvable operands — a typo'd column, a
+    * malformed sub-pipeline — still fail the query (the ADX contract).
+    */
+  private def resolveRef(resolve: String => DataFrame, name: String): DataFrame =
+    try resolve(name)
+    catch {
+      case scala.util.control.NonFatal(e) => throw new UnresolvedTableException(name, e)
+    }
 
   // ---- source operators ----------------------------------------------------
 
@@ -982,7 +1011,7 @@ object KqlPipeline {
     if (!isSource(seg)) {
       require(!seg.contains(' '),
         s"first pipeline segment must be a table name or source operator, got: '$seg'")
-      resolve(seg)
+      resolveRef(resolve, seg)
     } else word match {
       case "externaldata" => externalData(seg.drop("externaldata".length))
       case "datatable"    => datatable(seg.drop("datatable".length))
@@ -1067,11 +1096,14 @@ object KqlPipeline {
     require(operands.size >= 2, s"union needs at least two operands, got: '$rest'")
     val frames = operands.zipWithIndex.flatMap { case (src, i) =>
       // isfuzzy=true: ADX's resilient union — operands that fail to
-      // resolve (dropped table, bad sub-query reference) are skipped
-      // instead of failing the whole query
+      // RESOLVE (dropped table, bad sub-query reference) are skipped;
+      // analysis errors in resolvable operands (typo'd column, malformed
+      // stage) still fail the whole query, as in ADX
       val dfOpt =
         if (!fuzzy) Some(operand(resolve, src))
-        else scala.util.Try(operand(resolve, src)).toOption
+        else
+          try Some(operand(resolve, src))
+          catch { case _: UnresolvedTableException => None }
       dfOpt.map { df =>
         srcCol match {
           case Some(c) =>
@@ -1619,7 +1651,10 @@ object KqlPipeline {
         val operands = df +: splitTopLevel(rest1, ',').map(_.trim).filter(_.nonEmpty)
           .flatMap(src =>
             if (!fuzzy) Some(operand(resolve, src))
-            else scala.util.Try(operand(resolve, src)).toOption)
+            else
+              // only unresolved references are skipped — see unionSource
+              try Some(operand(resolve, src))
+              catch { case _: UnresolvedTableException => None })
         if (uKind == "outer")
           operands.reduce(_.unionByName(_, allowMissingColumns = true))
         else {

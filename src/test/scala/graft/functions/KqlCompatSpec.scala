@@ -328,6 +328,33 @@ class KqlCompatSpec extends SparkSuite {
     assert(n == 3)
   }
 
+  test("bag_zip drops extra values, null-pads extra keys (ADX contract)") {
+    val r = spark.range(1).selectExpr(
+      // values longer than keys: extras DROPPED, never a null map key
+      KqlCompat.rewrite("bag_zip(dynamic(['a', 'b']), dynamic([1, 2, 3]))") + " as more_vals",
+      // keys longer than values: extras pair with null
+      KqlCompat.rewrite("bag_zip(dynamic(['a', 'b', 'c']), dynamic([1]))") + " as more_keys").head
+    assert(r.getString(0) == """{"a":1,"b":2}""")
+    assert(r.getString(1) == """{"a":1,"b":null,"c":null}""")
+  }
+
+  test("dynamic([..]) bracket rewrite is double-quote aware") {
+    // a double-quoted element containing brackets must pass through verbatim
+    val r = spark.range(1).selectExpr(
+      KqlCompat.rewrite("""array_length(dynamic(["a[b", "c]d"]))""") + " as n",
+      KqlCompat.rewrite("""dynamic(["x[1]"])[0]""") + " as s").head
+    assert(r.getInt(0) == 2)
+    assert(r.getString(1) == "x[1]")
+  }
+
+  test("dynamic_to_json quotes a non-JSON string with a valid JSON prefix") {
+    val r = spark.range(1).selectExpr(
+      KqlCompat.rewrite("dynamic_to_json('123abc')") + " as trail",
+      KqlCompat.rewrite("dynamic_to_json('123')") + " as num").head
+    assert(r.getString(0) == "\"123abc\"") // string VALUE, not the '123' prefix token
+    assert(r.getString(1) == "123")
+  }
+
   test("quarter boundaries: startofquarter truncates, endofquarter is last us") {
     val r = spark.range(1).selectExpr(
       KqlCompat.rewrite("tostring(startofquarter(datetime(2024-05-15)))"),

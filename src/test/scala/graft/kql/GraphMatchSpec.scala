@@ -256,6 +256,20 @@ class GraphMatchSpec extends SparkSuite {
     assert(rows == Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L), (9L, 9L)))
   }
 
+  test("graph-mark-components: long-chain component converges (pointer jumping)") {
+    // a 60-node path has diameter 59 — far beyond the 25-round backstop of
+    // plain min-label propagation; pointer jumping converges in ~log2(59)
+    val edges = (1 until 60).map(i => s"$i, ${i + 1}").mkString(", ")
+    val out = run(
+      s"""datatable (s:long, d:long) [ $edges ]
+         | | make-graph s --> d
+         | | graph-mark-components with_component_id = comp
+         | | graph-to-table nodes
+         | | summarize n = count(), comps = count_distinct(comp), mn = min(comp)""".stripMargin)
+    val r = out.head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((60L, 1L, 1L)))
+  }
+
   test("graph-mark-components: default column, kind=weak accepted, strong rejected") {
     val out = run(
       """datatable (s:string, d:string) [ 'x', 'y' ]

@@ -805,6 +805,12 @@ class KqlPipelineSpec extends SparkSuite {
     val e = intercept[Exception](run(
       "union isfuzzy=true gone_a, gone_b | count"))
     assert(e.getMessage.contains("every operand failed"))
+    // isfuzzy tolerates ONLY unresolved references: a semantic error in a
+    // RESOLVABLE operand (typo'd column) still fails the whole query
+    intercept[Exception](run(
+      "union isfuzzy=true people, (people | where no_such_col > 1) | count").collect())
+    intercept[Exception](run(
+      "people | union isfuzzy=true (people | project no_such_col) | count").collect())
   }
 
   test("top-nested with others aggregates the raw remainder into one bucket") {
