@@ -17,8 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object DedupFunctions {
 
-  private val MersennePrime = (1L << 61) - 1
-  private val ParamBound    = 1L << 31
+  // Universal-hash modulus for the minhash permutations: 2^31-1 (Mersenne).
+  // The modulus must be SMALL relative to the a*h product (~2^62) so the
+  // reduction wraps ~2^31 times and genuinely scrambles base-hash order.
+  // The previous 2^61-1 modulus wrapped a*h at most twice, leaving every
+  // "permutation" nearly order-preserving in h — all 64 functions tracked
+  // the same base-hash minimum, collapsing signature independence (a
+  // measured A⊂B pair with |B|=58 agreed on only 14/64 components where
+  // ~63/64 is expected). a*h+b stays < 2^62: ANSI-overflow-safe.
+  private val SigPrime   = (1L << 31) - 1
+  private val ParamBound = 1L << 31
 
   // persisted shingle-set frames, released via releaseCaches(): long-lived
   // sessions (Bench runs every query 3×) would otherwise accumulate cached
@@ -67,7 +75,7 @@ object DedupFunctions {
       s => pmod(hash(s).cast("long"), lit(ParamBound)))
     val params = hashParams(numHashes, seed)
     array(params.map { case (a, b) =>
-      array_min(transform(base, h => pmod(h * a + b, lit(MersennePrime))))
+      array_min(transform(base, h => pmod(h * a + b, lit(SigPrime))))
     }: _*)
   }
 
@@ -123,9 +131,9 @@ object DedupFunctions {
       .select(col("id"), explode(col("shset")).as("s"))
       .withColumn("h", pmod(hash(col("s")).cast("long"), lit(ParamBound)))
     val sigs = sh.groupBy("id").agg(
-      min(pmod(col("h") * params.head._1 + params.head._2, lit(MersennePrime))).as("m0"),
+      min(pmod(col("h") * params.head._1 + params.head._2, lit(SigPrime))).as("m0"),
       params.zipWithIndex.tail.map { case ((a, b), i) =>
-        min(pmod(col("h") * a + b, lit(MersennePrime))).as(s"m$i")
+        min(pmod(col("h") * a + b, lit(SigPrime))).as(s"m$i")
       }: _*)
 
     val withSig = sigs.withColumn("sig", array((0 until numHashes).map(i => col(s"m$i")): _*))

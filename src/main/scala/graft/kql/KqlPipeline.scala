@@ -114,7 +114,10 @@ import graft.operators.ActivityMetrics
   * }}}
   * Predicates: `has`/`!has`/`hasprefix`/`hassuffix`/`contains`/`startswith`/
   * `endswith`/`=~`/`!~`/`matches regex`/`in~`/`!in`/`between (a .. b)`/
-  * `has_any (…)`/`has_all (…)`.
+  * `has_any (…)`/`has_all (…)`, plus the case-SENSITIVE family
+  * `has_cs`/`contains_cs`/`startswith_cs`/`endswith_cs`/`hasprefix_cs`/
+  * `hassuffix_cs` (and their `!` negations) — same term-boundary contracts,
+  * no case fold.
   * Join semantics: bare `| join` defaults to `innerunique` (left deduped on
   * the keys, surviving row unspecified) exactly as in ADX; `kind=inner`
   * opts into the plain non-deduplicating join. Divergence: bare-key `on k`
@@ -2929,6 +2932,10 @@ object KqlPipeline {
     else None
   }
 
+  // case-sensitive phrase regex for has_cs (identical shape, no (?i))
+  private def phraseRegexCs(needle: String): Option[String] =
+    phraseRegex(needle).map(_.stripPrefix("(?i)"))
+
   /** Global row index in the frame's CURRENT order (spell an `order by`
     * first) — zipWithIndex over the range-partitioned sort; see
     * [[graft.util.ZipIndex]] for why this beats a 1-partition window.
@@ -3259,7 +3266,8 @@ object KqlPipeline {
   private val InfixOperand =
     """[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*(?:\((?:[^()']|'[^']*')*\))?|'(?:[^']|'')*'|\((?:[^()']|'[^']*')*\)"""
   private val InfixRe =
-    s"""($InfixOperand)\\s+(!?)(hasprefix|hassuffix|has|contains|startswith|endswith)\\s+($InfixOperand)""".r
+    (s"""($InfixOperand)\\s+(!?)(hasprefix_cs|hassuffix_cs|hasprefix|hassuffix|has_cs|has|""" +
+      s"""contains_cs|contains|startswith_cs|startswith|endswith_cs|endswith)\\s+($InfixOperand)""").r
   private val CiEqRe = s"""($InfixOperand)\\s*(=~|!~)\\s*($InfixOperand)""".r
   private val MatchesRe = s"""($InfixOperand)\\s+matches\\s+regex\\s+($InfixOperand)""".r
   // list-typed predicates: `x in~ (…)`, `x !in (…)`, `x between (a .. b)`,
@@ -3268,6 +3276,8 @@ object KqlPipeline {
     s"""($InfixOperand)\\s+(!?)(in~|in|has_any|has_all|between)\\s*\\(([^()]*(?:\\([^()]*\\)[^()]*)*)\\)""".r
 
   private def termArray(l: String): String = s"split(lower($l), '[^0-9a-z]+')"
+  // case-sensitive term split (the *_cs family): same boundaries, no fold
+  private def termArrayCs(l: String): String = s"split($l, '[^0-9A-Za-z]+')"
 
   // A match starting INSIDE a string literal is left untouched; a match
   // starting outside may legitimately span into one (`col has 'term'` — the
@@ -3352,13 +3362,31 @@ object KqlPipeline {
               case None      => s"array_contains(${termArray(l)}, lower($rhs))"
             }
           }
+          // case-SENSITIVE whole-term match (ADX has_cs): identical term
+          // boundaries, no case fold on either side; a multi-term literal
+          // needle takes the adjacent-term phrase regex, sans (?i)
+          case "has_cs" =>
+            val t = rhs.trim
+            val multiTermLit = t.length >= 3 && t.head == '\'' && t.last == '\'' &&
+              !graft.functions.expressions.TermHas.isAsciiAlnum(t.substring(1, t.length - 1))
+            (if (multiTermLit) phraseRegexCs(t.substring(1, t.length - 1)) else None) match {
+              case Some(pat) => s"($l RLIKE '$pat')"
+              case None      => s"array_contains(${termArrayCs(l)}, $rhs)"
+            }
           case "contains"   => s"contains(lower($l), lower($rhs))"
           case "startswith" => s"startswith(lower($l), lower($rhs))"
           case "endswith"   => s"endswith(lower($l), lower($rhs))"
+          // _cs variants: the byte-exact spellings (no lower() on either
+          // side) — Spark's contains/startswith/endswith are case-sensitive
+          case "contains_cs"   => s"contains($l, $rhs)"
+          case "startswith_cs" => s"startswith($l, $rhs)"
+          case "endswith_cs"   => s"endswith($l, $rhs)"
           // term-PREFIX / term-SUFFIX match (ADX hasprefix/hassuffix):
           // any alphanumeric term starts/ends with the needle
           case "hasprefix"  => s"exists(${termArray(l)}, t -> startswith(t, lower($rhs)))"
           case "hassuffix"  => s"exists(${termArray(l)}, t -> endswith(t, lower($rhs)))"
+          case "hasprefix_cs" => s"exists(${termArrayCs(l)}, t -> startswith(t, $rhs))"
+          case "hassuffix_cs" => s"exists(${termArrayCs(l)}, t -> endswith(t, $rhs))"
         }
         if (neg == "!") s"(NOT $core)" else core
       }

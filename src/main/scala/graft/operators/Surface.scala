@@ -1149,6 +1149,82 @@ object Surface {
                mq AS best_quality
         FROM j WHERE rn = 1""")),
 
+    "dedup_pipeline_full" -> QueryDef(
+      // THE end-to-end dedup composition over the ENTIRE corpus — no
+      // doc_id bound anywhere: minhash-LSH edges (word 5-grams, exact-
+      // verified at jaccard >= 0.8) -> connected components (min-label
+      // propagation) -> keep-best-per-cluster (quality score, doc_id
+      // tie-break). This is the C4/RefinedWeb fuzzy-dedup recipe as ONE
+      // declarative plan, every stage the bucketed/sublinear scale shape:
+      // LSH shuffles on (band, bandHash), components shuffle on node id,
+      // keep-best is one partial-friendly groupBy.
+      //
+      // Band geometry: 64 hashes as 16 bands x 4 rows (not the 8x8 used by
+      // dedup_minhash_lsh's recall study). Rows=4 centers the S-curve at
+      // (1/16)^(1/4) ~ 0.5, so a pair at the 0.8 exact threshold collides
+      // in >= 1 band with p ~ 1-(1-0.8^4)^16 ~ 0.9998 and the corpus's
+      // weakest real pair (0.875) with p ~ 1-7e-7 — the LSH edge set
+      // EQUALS the exact >= 0.8 pair set with overwhelming margin, which
+      // is what lets the DuckDB twin restate the whole pipeline from the
+      // exact pair graph (recursive-CTE closure). Seeded + deterministic.
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val edges = DedupFunctions.minHashNearDups(docs, "doc_id", "text",
+            numHashes = 64, bands = 16, threshold = 0.8, wordGrams = 5)
+          .select(col("id_a"), col("id_b"))
+        val clusters = DedupFunctions.connectedComponents(
+            docs.select(col("doc_id").as("id")), edges)
+          .select(col("id").as("doc_id"), col("cluster_id"))
+        val scored = docs.select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("q"))
+        clusters.join(scored, Seq("doc_id"))
+          .groupBy(col("cluster_id"))
+          .agg(
+            count(lit(1)).as("n_members"),
+            max_by(col("doc_id"), struct(col("q"), -col("doc_id"))).as("kept_doc"),
+            max(col("q")).as("best_quality"))
+      },
+      Some(s"""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             gr AS (SELECT DISTINCT doc_id,
+                      unnest(list_transform(range(1, greatest(len(w) - 4, 0) + 1),
+                             i -> list_aggregate(list_slice(w, CAST(i AS INT), CAST(i + 4 AS INT)),
+                                                 'string_agg', ' '))) AS g
+                    FROM tok),
+             sz AS (SELECT doc_id, count(*) AS n FROM gr GROUP BY 1),
+             it AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                    FROM gr a JOIN gr b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+             e0 AS (SELECT doc_a, doc_b
+                    FROM it JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+                    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+             edges AS (SELECT doc_a AS a, doc_b AS b FROM e0
+                       UNION SELECT doc_b, doc_a FROM e0),
+             reach AS (
+               WITH RECURSIVE r(a, b) AS (
+                 SELECT doc_id, doc_id FROM documents
+                 UNION
+                 SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a)
+               SELECT * FROM r),
+             cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY 1),
+             q AS (SELECT doc_id,
+                     round((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' '))) * 0.5
+                           + (CASE WHEN (CAST(length(text) AS DOUBLE) - (len(string_split(text, ' ')) - 1.0)) / len(string_split(text, ' ')) >= 3
+                                     AND (CAST(length(text) AS DOUBLE) - (len(string_split(text, ' ')) - 1.0)) / len(string_split(text, ' ')) <= 10
+                                   THEN 1.0 ELSE 0.0 END) * 0.2
+                           + least(CAST(${dkHits("en")} AS DOUBLE) / len(string_split(text, ' ')) * 10.0, 1.0) * 0.3,
+                           6) AS q
+                   FROM documents),
+             j AS (SELECT cl.cluster_id, cl.doc_id, q.q,
+                          row_number() OVER (PARTITION BY cluster_id
+                                             ORDER BY q.q DESC, cl.doc_id) AS rn,
+                          count(*) OVER (PARTITION BY cluster_id) AS cnt,
+                          max(q.q) OVER (PARTITION BY cluster_id) AS mq
+                   FROM cl JOIN q USING (doc_id))
+        SELECT cluster_id, cnt AS n_members, doc_id AS kept_doc,
+               mq AS best_quality
+        FROM j WHERE rn = 1"""),
+      headline = true),
+
     "dedup_minhash_lsh" -> QueryDef(
       // RefinedWeb/C4-style document dedup: minhash over word 5-grams,
       // jaccard ≥ 0.8 — word grams keep candidate density sane on corpora
@@ -5299,6 +5375,46 @@ object Surface {
           AND len(list_filter(string_split_regex(lower(c_name), '[^0-9a-z]+'),
                               t -> t LIKE 'customer%')) > 0
         GROUP BY 1 ORDER BY 1""")),
+
+    "q_kql_predicates_cs" -> QueryDef(
+      // the case-SENSITIVE predicate family (has_cs/contains_cs/
+      // startswith_cs/endswith_cs/hasprefix_cs/hassuffix_cs + !has_cs):
+      // identical term-boundary contracts to the ci forms, no case fold.
+      // Each countif pairs a matching-case needle with its lowercase twin
+      // so the oracle pins that the fold really is gone; the multi-term
+      // has_cs literal exercises the case-sensitive phrase regex.
+      (s, dir) => kqlRun(s, dir,
+        """customer
+          | | summarize
+          |     n_sw_cs = countif(c_name startswith_cs 'Customer'),
+          |     n_sw_lc = countif(c_name startswith_cs 'customer'),
+          |     n_ct_cs = countif(c_mktsegment contains_cs 'ING'),
+          |     n_ct_lc = countif(c_mktsegment contains_cs 'ing'),
+          |     n_has_cs = countif(c_mktsegment has_cs 'BUILDING'),
+          |     n_has_lc = countif(c_mktsegment has_cs 'building'),
+          |     n_hp_cs = countif(c_name hasprefix_cs 'Cust'),
+          |     n_hp_lc = countif(c_name hasprefix_cs 'cust'),
+          |     n_hs_cs = countif(c_mktsegment hassuffix_cs 'ERY'),
+          |     n_hs_lc = countif(c_mktsegment hassuffix_cs 'ery'),
+          |     n_ew_cs = countif(c_mktsegment endswith_cs 'RE'),
+          |     n_phrase = countif(c_name has_cs 'Customer#000000042'),
+          |     n_neg = countif(c_name !has_cs 'Customer')""".stripMargin),
+      Some("""
+        SELECT
+          count(*) FILTER (starts_with(c_name, 'Customer')) AS n_sw_cs,
+          count(*) FILTER (starts_with(c_name, 'customer')) AS n_sw_lc,
+          count(*) FILTER (contains(c_mktsegment, 'ING')) AS n_ct_cs,
+          count(*) FILTER (contains(c_mktsegment, 'ing')) AS n_ct_lc,
+          count(*) FILTER (list_contains(string_split_regex(c_mktsegment, '[^0-9A-Za-z]+'), 'BUILDING')) AS n_has_cs,
+          count(*) FILTER (list_contains(string_split_regex(c_mktsegment, '[^0-9A-Za-z]+'), 'building')) AS n_has_lc,
+          count(*) FILTER (len(list_filter(string_split_regex(c_name, '[^0-9A-Za-z]+'), t -> starts_with(t, 'Cust'))) > 0) AS n_hp_cs,
+          count(*) FILTER (len(list_filter(string_split_regex(c_name, '[^0-9A-Za-z]+'), t -> starts_with(t, 'cust'))) > 0) AS n_hp_lc,
+          count(*) FILTER (len(list_filter(string_split_regex(c_mktsegment, '[^0-9A-Za-z]+'), t -> ends_with(t, 'ERY'))) > 0) AS n_hs_cs,
+          count(*) FILTER (len(list_filter(string_split_regex(c_mktsegment, '[^0-9A-Za-z]+'), t -> ends_with(t, 'ery'))) > 0) AS n_hs_lc,
+          count(*) FILTER (ends_with(c_mktsegment, 'RE')) AS n_ew_cs,
+          count(*) FILTER (regexp_matches(c_name, '(^|[^0-9A-Za-z])Customer[^0-9A-Za-z]+000000042([^0-9A-Za-z]|$)')) AS n_phrase,
+          count(*) FILTER (NOT list_contains(string_split_regex(c_name, '[^0-9A-Za-z]+'), 'Customer')) AS n_neg
+        FROM customer""")),
 
     "q_kql_top_nested" -> QueryDef(
       // hierarchical top-k: level 1 by sort-limit, level 2 ranked by a

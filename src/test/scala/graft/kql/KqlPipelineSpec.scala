@@ -648,6 +648,28 @@ class KqlPipelineSpec extends SparkSuite {
     assert(run("people | where name matches regex '^[A-Z]' | count").head().getLong(0) == 3L)
   }
 
+  test("case-sensitive predicate family (_cs): no case fold, same term boundaries") {
+    assert(run("people | where role has_cs 'admin' | count").head().getLong(0) == 1L)
+    assert(run("people | where role has_cs 'ADMIN' | count").head().getLong(0) == 1L)
+    // still whole-term: a term prefix is not a match
+    assert(run("people | where role has_cs 'adm' | count").head().getLong(0) == 0L)
+    assert(run("people | where role contains_cs 'ADM' | count").head().getLong(0) == 1L)
+    assert(run("people | where role contains_cs 'adm' | count").head().getLong(0) == 1L)
+    assert(run("people | where name startswith_cs 'alice' | count").head().getLong(0) == 0L)
+    assert(run("people | where name startswith_cs 'Alice' | count").head().getLong(0) == 1L)
+    assert(run("people | where name endswith_cs 'OB' | count").head().getLong(0) == 0L)
+    assert(run("people | where name endswith_cs 'ob' | count").head().getLong(0) == 1L)
+    assert(run("people | where role hasprefix_cs 'gue' | count").head().getLong(0) == 2L)
+    assert(run("people | where role hasprefix_cs 'GUE' | count").head().getLong(0) == 0L)
+    assert(run("people | where role hassuffix_cs 'ole' | count").head().getLong(0) == 1L)
+    assert(run("people | where role hassuffix_cs 'OLE' | count").head().getLong(0) == 0L)
+    // negation composes
+    assert(run("people | where role !has_cs 'ADMIN' | count").head().getLong(0) == 4L)
+    // multi-term literal needle: adjacent-term phrase, case-sensitive
+    assert(run("people | where role has_cs 'admin role' | count").head().getLong(0) == 1L)
+    assert(run("people | where role has_cs 'Admin role' | count").head().getLong(0) == 0L)
+  }
+
   // ---- new operators -------------------------------------------------------
 
   test("parse-where keeps only matching rows") {
