@@ -216,7 +216,9 @@ object DedupFunctions {
   // ONE exact-Jaccard core for every gram kind — the union-denominator and
   // hash-collision posture live here and nowhere else
   private def jaccardPairsFromGrams(grams: DataFrame, threshold: Double): DataFrame = {
-    val sh    = grams.select(col("id"), xxhash64(col("g")).as("g"))
+    // the hashed gram frame is read THREE times (sizes + both sides of the
+    // self-join) — materialize once under the releaseCaches lifecycle
+    val sh    = trackPersist(grams.select(col("id"), xxhash64(col("g")).as("g")))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id"))
@@ -243,8 +245,12 @@ object DedupFunctions {
     * @return (id, cluster_id = min id reachable), one row per node.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIters: Int = 20): DataFrame = {
-    val und = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // materialize the undirected edge frame ONCE: `edges` is typically the
+    // output of a whole LSH/exact-pair pipeline, and the per-round neighbor
+    // join would otherwise re-run that entire DAG every iteration
+    val und = trackPersist(
+      edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst"))))
     var labels = nodes.select(col("id"), col("id").as("cluster_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // convergence via the label-sum signature: per-node labels only ever
