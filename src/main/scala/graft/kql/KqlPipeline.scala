@@ -828,8 +828,10 @@ object KqlPipeline {
     * array); `output=all` keeps every distinct shortest path. where/project
     * see the endpoint node aliases (`x.col`, `y.col`) plus `<e>_hops`
     * (long) and `<e>_path` (the node-id array, start inclusive). Self-pairs
-    * appear when a genuine cycle closes (hops >= 1); the lower bound must
-    * be 1 (BFS pruning cannot answer "shortest path of length >= lo > 1").
+    * appear when a genuine cycle closes (hops >= 1). A lower bound lo > 1
+    * answers "shortest qualifying walk of length in [lo, hi]": levels below
+    * lo expand unpruned (a pair's shorter reach must not mask its first
+    * reach at >= lo), first-reach pruning starts at level lo.
     */
   private def graphShortestPaths(g: GraphCtx, rest0: String): DataFrame = {
     var rest = rest0
@@ -846,8 +848,14 @@ object KqlPipeline {
       case _ => fail("graph-shortest-paths needs exactly `(a)-[e*1..n]->(b)`, " +
         s"got: '${patternStr.trim}'")
     }
-    require(lo == 1, s"graph-shortest-paths: lower hop bound must be 1, got $lo")
-    require(hi >= 1 && hi <= 8, s"graph-shortest-paths: needs 1 <= hi <= 8, got $hi")
+    // lo > 1 = "shortest qualifying walk of length >= lo": expansion keeps
+    // EVERY walk below lo (no pruning — a pair reached at level 1 may only
+    // qualify via a longer route), then prunes first-reach from level lo
+    // on. hi caps the BFS rounds — each is one frontier-sized shuffle, so
+    // 32 is a cost guard, not an expressiveness limit (ADX accepts
+    // arbitrary bounds; a deeper request fails loudly here).
+    require(lo >= 1 && hi >= lo && hi <= 32,
+      s"graph-shortest-paths: needs 1 <= lo <= hi <= 32, got *$lo..$hi")
     require(x != y, "graph-shortest-paths: endpoint variables must be distinct " +
       "(cycles back to the start already appear as x/y rows with equal ids)")
 
@@ -891,17 +899,33 @@ object KqlPipeline {
     var frontier = dedupLevel(seeded.select(
       col("__sp_esrc").as("__sp_start"), col("__sp_edst").as("__sp_cur"),
       array(col("__sp_esrc"), col("__sp_edst")).as("__sp_path")))
-    var reached = frontier.select(col("__sp_start"), col("__sp_cur"))
-    var acc     = frontier
-    for (_ <- 2 to hi) {
-      val nxt = dedupLevel(frontier.join(edges, col("__sp_cur") === col("__sp_esrc"))
+    // acc/reached start at level lo: below it every walk keeps extending
+    // unpruned (a pair's sub-lo reach must not block its first QUALIFYING
+    // reach), from lo on the standard first-reach anti-join prunes. The
+    // shortest-prefix argument survives the shift: if (s,u) is pruned at
+    // level l' >= lo, any longer route through u would give (s,t) a
+    // qualifying walk shorter than its supposed minimum — contradiction.
+    var reached = if (lo <= 1) frontier.select(col("__sp_start"), col("__sp_cur")) else null
+    var acc     = if (lo <= 1) frontier else null
+    for (level <- 2 to hi) {
+      val expanded = dedupLevel(frontier.join(edges, col("__sp_cur") === col("__sp_esrc"))
         .select(col("__sp_start"), col("__sp_edst").as("__sp_cur"),
           concat(col("__sp_path"), array(col("__sp_edst"))).as("__sp_path")))
-        .join(reached, Seq("__sp_start", "__sp_cur"), "left_anti")
-      acc      = acc.unionByName(nxt)
-      reached  = reached.unionByName(nxt.select(col("__sp_start"), col("__sp_cur")))
+      val nxt =
+        if (reached == null) expanded
+        else expanded.join(reached, Seq("__sp_start", "__sp_cur"), "left_anti")
+      if (level >= lo) {
+        if (acc == null) {
+          acc     = nxt
+          reached = nxt.select(col("__sp_start"), col("__sp_cur"))
+        } else {
+          acc     = acc.unionByName(nxt)
+          reached = reached.unionByName(nxt.select(col("__sp_start"), col("__sp_cur")))
+        }
+      }
       frontier = nxt
     }
+    require(acc != null, s"graph-shortest-paths: internal — no level reached lo=$lo")
     val bfs = acc
       .withColumn(s"${e}_hops", (size(col("__sp_path")) - 1).cast("long"))
       .withColumnRenamed("__sp_path", s"${e}_path")

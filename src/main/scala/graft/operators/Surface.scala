@@ -4681,6 +4681,60 @@ object Surface {
         WHERE s0 LIKE 'c%' AND s1 LIKE 'p%'
         GROUP BY 1 ORDER BY 1""")),
 
+    "q_kql_graph_shortest_lo" -> QueryDef(
+      // graph-shortest-paths with a lower hop bound: *2..3 = "shortest
+      // qualifying WALK of length >= 2" — a customer with a direct (1-hop)
+      // edge to a part still counts at 2 if a 2-hop route exists; levels
+      // below lo expand unpruned so the sub-lo reach cannot mask it.
+      // Oracle: recursive walk enumeration min-folded per pair over h >= 2.
+      (s, dir) => kqlRun(s, dir,
+        """let E = orders
+          |   | join kind=inner (lineitem) on $left.o_orderkey == $right.l_orderkey
+          |   | where l_quantity == 50
+          |   | project src = strcat('c', tostring(o_custkey)),
+          |       dst = strcat('s', tostring(l_suppkey))
+          |   | union (lineitem
+          |       | where l_quantity == 50
+          |       | project src = strcat('s', tostring(l_suppkey)),
+          |           dst = strcat('p', tostring(l_partkey)))
+          |   | union (orders
+          |       | join kind=inner (lineitem) on $left.o_orderkey == $right.l_orderkey
+          |       | where l_quantity == 49
+          |       | project src = strcat('c', tostring(o_custkey)),
+          |           dst = strcat('p', tostring(l_partkey)));
+          |E
+          | | make-graph src --> dst
+          | | graph-shortest-paths (x)-[e*2..3]->(y)
+          |     where x.node_id startswith 'c' and y.node_id startswith 'p'
+          |     project hops = e_hops, src0 = x.node_id, dst0 = y.node_id
+          | | summarize pairs = count(), nsrc = dcount(src0), ndst = dcount(dst0) by hops
+          | | order by hops asc""".stripMargin),
+      Some("""
+        WITH RECURSIVE e AS (
+          SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                 's' || CAST(l_suppkey AS VARCHAR) AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          WHERE l_quantity = 50
+          UNION ALL
+          SELECT 's' || CAST(l_suppkey AS VARCHAR),
+                 'p' || CAST(l_partkey AS VARCHAR)
+          FROM lineitem WHERE l_quantity = 50
+          UNION ALL
+          SELECT 'c' || CAST(o_custkey AS VARCHAR),
+                 'p' || CAST(l_partkey AS VARCHAR)
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          WHERE l_quantity = 49),
+        sp AS (
+          SELECT src AS s0, dst AS s1, 1 AS h FROM e
+          UNION
+          SELECT sp.s0, e2.dst, sp.h + 1
+          FROM sp JOIN e e2 ON sp.s1 = e2.src WHERE sp.h < 3)
+        SELECT CAST(mh AS BIGINT) AS hops, count(*) AS pairs,
+               count(DISTINCT s0) AS nsrc, count(DISTINCT s1) AS ndst
+        FROM (SELECT s0, s1, min(h) AS mh FROM sp WHERE h >= 2 GROUP BY 1, 2)
+        WHERE s0 LIKE 'c%' AND s1 LIKE 'p%'
+        GROUP BY 1 ORDER BY 1""")),
+
     "q_kql_graph_to_table" -> QueryDef(
       // graph-to-table nodes: the implicit node frame IS the distinct
       // endpoint union — counted whole and per prefix class

@@ -233,13 +233,36 @@ class GraphMatchSpec extends SparkSuite {
       Seq(("a", "b"), ("b", "c")))
   }
 
-  test("graph-shortest-paths rejects a non-1 lower bound") {
+  test("graph-shortest-paths lo>1: shortest qualifying walk, sub-lo reach does not mask") {
+    // a→c directly (1 hop) and via b (2 hops); with *2..3 the 1-hop reach
+    // must NOT suppress the 2-hop qualifying walk. a→b qualifies only via
+    // the 3-hop walk a→c? no edge c→b — so a→b (1 hop only) disappears.
+    // d is first reachable at 2 (via b) — kept at 2.
+    val out = run(
+      """datatable (s:string, d:string) [
+        |   'a', 'b', 'b', 'c', 'a', 'c', 'b', 'd' ]
+        | | make-graph s --> d
+        | | graph-shortest-paths (x)-[e*2..3]->(y)
+        |     where x.node_id == 'a'
+        |     project dst = y.node_id, hops = e_hops
+        | | order by dst asc""".stripMargin)
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("c", 2L), ("d", 2L)))
+    // cycle: with *2..4 a self-pair appears at its cycle length
+    val cyc = run(
+      """datatable (s:string, d:string) [ 'a', 'b', 'b', 'c', 'c', 'a' ]
+        | | make-graph s --> d
+        | | graph-shortest-paths (x)-[e*2..4]->(y)
+        |     where x.node_id == 'a' and y.node_id == 'a'
+        |     project hops = e_hops""".stripMargin)
+    assert(cyc.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // bounds validation stays loud
     val e = intercept[IllegalArgumentException](run(
       """datatable (s:string, d:string) [ 'a', 'b' ]
         | | make-graph s --> d
-        | | graph-shortest-paths (x)-[e*2..3]->(y)
+        | | graph-shortest-paths (x)-[e*3..2]->(y)
         |     project n = x.node_id""".stripMargin))
-    assert(e.getMessage.contains("lower hop bound"))
+    assert(e.getMessage.contains("1 <= lo <= hi"))
   }
 
   test("graph-mark-components: weak components ignore edge direction") {
