@@ -678,6 +678,16 @@ object KqlPipeline {
     * ADX's predicate forms all(e, pred)/any(e, pred) are not parsed).
     * Because the union flattens the per-branch aliases, a pattern WITH a
     * variable hop requires an explicit `project`.
+    *
+    * SCALE CROSSOVER (pinned by PlanSpec "graph-match varlen"): the chain
+    * union enumerates PATHS — that is the ADX contract, and queries that
+    * aggregate per path (`all(e.col)` folds, path counts) need it. Path
+    * volume grows with avg-degree^hi, so on dense graphs at hi > 4 the
+    * union legs dominate; the hi <= 8 bound is that cost guard. When the
+    * question is pair REACHABILITY (no per-path aggregates, multiplicity
+    * irrelevant), use `graph-shortest-paths` instead: level-synchronous
+    * BFS, one frontier shuffle per level, first-reach pruning — the same
+    * answer set at O(hi) joins regardless of path multiplicity.
     */
   private def graphMatch(g: GraphCtx, rest: String): DataFrame = {
     val (beforeProject, projectPart) = splitAtTopLevelKeyword(rest, "project")

@@ -244,6 +244,20 @@ class PlanSpec extends SparkSuite {
     assert(!s.contains("SortMergeJoin"), s) // cohort totals ride a broadcast
   }
 
+  test("graph-match varlen: bounded union of fixed chains, edge filters pushed") {
+    val s = finalPlan("q_kql_graph_varlen_agg")
+    // *1..2 must plan as a UNION of exactly the 2 fixed chains — the
+    // documented path-enumeration contract (path multiplicity matters for
+    // all(e.qty) folds); pair-reachability questions take the BFS operator
+    // (see the graph-match scaladoc crossover note)
+    assert(s.contains("Union"), s)
+    // the qty >= 48 step predicate must reach the lineitem scans of BOTH
+    // chain legs — pushdown is what keeps each leg ~2% of the edge table
+    val pushed = s.linesIterator.count(_.contains("GreaterThanOrEqual(l_quantity,48"))
+    assert(pushed >= 2, s"edge predicate not pushed into both chain legs:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
   test("graph-shortest-paths: seeded BFS with no node-frame distincts") {
     val s = finalPlan("q_kql_graph_shortest")
     // implicit-node fast path: the seed filter applies to the edge scan
