@@ -1,0 +1,93 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.deltalog.TestDelta
+import graft.engine.{MirrorConfig, MirrorOrchestrator}
+import graft.sink.MirrorTable
+import graft.streaming.StreamMirror
+
+/** Scale-proof for the STREAMING mirror path (`sbt "Test/runMain
+  * graft.tools.StreamScale [rows] [commits]"`): builds one Delta source of
+  * `commits` commits totalling `rows` rows, then drains the SAME data
+  * twice — once through the batch mirror (MirrorOrchestrator.runOnce, the
+  * reference's poll-loop shape) and once through StreamMirror
+  * (foreachBatch exactly-once sink, Trigger.AvailableNow, one micro-batch
+  * per source file) — timing both and asserting the drained row sets are
+  * IDENTICAL (drain-equals-batch at scale, not just in the unit spec).
+  * Prints one JSON line for the BENCH_SF record.
+  *
+  * Lives in test scope because the Delta fixture writer (TestDelta) does.
+  */
+object StreamScale {
+  def main(args: Array[String]): Unit = {
+    val rows    = if (args.nonEmpty) args(0).toLong else 600000L
+    val commits = if (args.length > 1) args(1).toInt else 20
+    val cpus    = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftSessionExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = java.nio.file.Files.createTempDirectory("streamscale").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType),
+      StructField("tag", StringType)))
+
+    def payload(lo: Long, hi: Long) =
+      spark.range(lo, hi).toDF("id")
+        .withColumn("v", col("id") * 0.5)
+        .withColumn("tag", concat(lit("t"), pmod(col("id"), lit(97))))
+
+    val src = new TestDelta(spark, s"$base/src", "ss")
+    src.init(schema)
+    val per = rows / commits
+    (0 until commits).foreach { i =>
+      src.addCommit(payload(i * per, if (i == commits - 1) rows else (i + 1) * per))
+    }
+
+    // batch mirror drain of every commit
+    val cfg = MirrorConfig(
+      deltaTableUrl = src.dir, mirrorDir = s"$base/mirror-batch",
+      mirrorTableName = "ss", checkpointDir = s"$base/state-batch")
+    val orch = new MirrorOrchestrator(spark, cfg)
+    val t0 = System.nanoTime()
+    orch.runOnce()
+    val batchSec = (System.nanoTime() - t0) / 1e9
+
+    // streaming drain of the same data files: one micro-batch per source
+    // file (maxFilesPerTrigger=1 matches one commit = one staged publish)
+    val mirror2 = new MirrorTable(spark, s"$base/mirror-stream", "ss2")
+    mirror2.ensureSchema(schema, Nil)
+    val events = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"${src.dir}/part-*.parquet")
+    val t1 = System.nanoTime()
+    val q = StreamMirror.start(events, mirror2, s"$base/ckpt")
+    q.awaitTermination()
+    val streamSec = (System.nanoTime() - t1) / 1e9
+
+    // drain-equals-batch at scale: identical row multisets on the source
+    // columns (ids are unique, so count + both-way anti-joins pin equality)
+    val a = orch.table.snapshot().select("id", "v", "tag")
+    val b = mirror2.snapshot().select("id", "v", "tag")
+    val (na, nb) = (a.count(), b.count())
+    val onlyA = a.except(b).count()
+    val onlyB = b.except(a).count()
+    val equal = na == rows && nb == rows && onlyA == 0 && onlyB == 0
+    require(equal,
+      s"stream drain != batch mirror: batch=$na stream=$nb onlyBatch=$onlyA onlyStream=$onlyB")
+
+    def d3(v: Double) = f"$v%.3f"
+    println(s"""{"what":"stream-vs-batch mirror drain","rows":$rows,"commits":$commits,""" +
+      s""""batch_sec":${d3(batchSec)},"stream_sec":${d3(streamSec)},""" +
+      s""""stream_over_batch":${d3(streamSec / batchSec)},"drain_equals_batch":$equal}""")
+    spark.stop()
+  }
+}
