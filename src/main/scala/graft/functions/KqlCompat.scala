@@ -1004,22 +1004,40 @@ object KqlCompat {
           s"cos(radians($lat1)) * cos(radians($lat2)) * " +
           s"pow(sin(radians(($lon2) - ($lon1)) / 2), 2))))"
     }
-    // geo_point_in_polygon(lng, lat, ring): PLANAR ray casting over the
-    // ring's edges — count edges whose span straddles the point's latitude
-    // and whose crossing sits right of it; odd ⇒ inside (ADX walks
-    // geodesic edges on WGS-84: documented divergence, negligible for
-    // small rings). `ring` is a dynamic [[lng,lat], …] open ring — the
-    // closing edge is implicit (slice-rotate pairs each vertex with its
-    // successor). A horizontal edge makes the straddle test false, so its
-    // zero-division never contributes (double /0 → ±Inf, compares false).
+    // geo_point_in_polygon(lng, lat, ring): GEODESIC containment via the
+    // gnomonic projection centered at the query point — great circles map
+    // to straight LINES under gnomonic projection, so planar ray casting
+    // over the PROJECTED vertices is exactly the spherical-geodesic edge
+    // test (a great-circle edge between two mid-latitude vertices bulges
+    // poleward; the planar shortcut got those rows wrong). Valid while
+    // every ring vertex lies in the open hemisphere around the point
+    // (projection denominator c > 0); beyond that the answer is
+    // unspecified-but-deterministic, and identical in the DuckDB twin
+    // (same closed form, same operation order). `ring` is a dynamic
+    // [[lng,lat], …] open ring — the closing edge is implicit
+    // (slice-rotate pairs each vertex with its successor). The projected
+    // point itself sits at the ORIGIN, so the crossing test is against
+    // x=0/y=0; an edge parallel to the ray makes the straddle test false,
+    // so its zero-division never contributes (double /0 → ±Inf, compares
+    // false). The projection binds ONCE through the let1 trick —
+    // interpreted HOF eval recomputes every textual copy.
     s = expandCalls(s, "geo_point_in_polygon") {
       case Seq(x, y, ring) =>
-        val edges = s"zip_with($ring, " +
-          s"concat(slice($ring, 2, size($ring) - 1), slice($ring, 1, 1)), (a, b) -> " +
-          s"CASE WHEN ((a[1] > ($y)) != (b[1] > ($y))) AND " +
-          s"(($x) < (b[0] - a[0]) * (($y) - a[1]) / (b[1] - a[1]) + a[0]) " +
-          s"THEN 1 ELSE 0 END)"
-        s"(aggregate($edges, 0, (acc, v) -> acc + v) % 2 = 1)"
+        // c = sin φ sin φv + cos φ cos φv cos(λv − λ); X = cos φv sin(λv − λ) / c
+        // Y = (cos φ sin φv − sin φ cos φv cos(λv − λ)) / c
+        val c = s"(sin(radians($y)) * sin(radians(v[1])) + " +
+          s"cos(radians($y)) * cos(radians(v[1])) * cos(radians(v[0]) - radians($x)))"
+        val proj = s"transform($ring, v -> array(" +
+          s"(cos(radians(v[1])) * sin(radians(v[0]) - radians($x))) / $c, " +
+          s"(cos(radians($y)) * sin(radians(v[1])) - " +
+          s"sin(radians($y)) * cos(radians(v[1])) * cos(radians(v[0]) - radians($x))) / $c))"
+        val edges = "zip_with(__gp_r, " +
+          "concat(slice(__gp_r, 2, size(__gp_r) - 1), slice(__gp_r, 1, 1)), (a, b) -> " +
+          "CASE WHEN ((a[1] > 0.0D) != (b[1] > 0.0D)) AND " +
+          "(0.0D < (b[0] - a[0]) * (0.0D - a[1]) / (b[1] - a[1]) + a[0]) " +
+          "THEN 1 ELSE 0 END)"
+        let1("__gp_r", proj,
+          s"(aggregate($edges, 0, (acc, v) -> acc + v) % 2 = 1)")
     }
     // HLL sketch scalars (paired with the hll()/hll_merge() aggregates):
     // dcount_hll over a BINARY sketch column estimates it;

@@ -4317,11 +4317,14 @@ object Surface {
                '2024-01-01 17:00:00' AS utc""")),
 
     "q_kql_geo_polygon" -> QueryDef(
-      // geo_point_in_polygon over synthetic per-order coordinates: planar
-      // ray casting (edge straddle + crossing test, odd count ⇒ inside)
-      // with the ring as a NESTED dynamic literal — both the [[lng,lat],…]
-      // parse and the zip-rotate edge pairing restate identically in
-      // DuckDB (list_zip + slice), so the boolean is exact per row
+      // geo_point_in_polygon over synthetic per-order coordinates:
+      // GEODESIC containment — gnomonic projection centered at each query
+      // point (great circles → straight lines) followed by planar ray
+      // casting from the origin. The ring spans ±40°, where geodesic
+      // edges bulge poleward by several degrees vs the planar shortcut,
+      // so this pins real spherical behavior; the projection and crossing
+      // test restate identically in DuckDB (same closed form, same
+      // operation order), so the boolean is exact per row
       (s, dir) => kqlRun(s, dir,
         """orders
           | | where o_orderkey <= 500
@@ -4336,13 +4339,20 @@ object Surface {
                      (o_orderkey % 80) * 1.0 - 40.0 AS y
                    FROM orders WHERE o_orderkey <= 500),
         p AS (SELECT [[-30.0, -20.0], [40.0, -25.0], [35.0, 30.0], [-25.0, 35.0]] AS poly),
+        pr AS (SELECT x, y,
+                list_transform(poly, v ->
+                  [ (cos(radians(v[2])) * sin(radians(v[1]) - radians(x))) /
+                    (sin(radians(y)) * sin(radians(v[2])) + cos(radians(y)) * cos(radians(v[2])) * cos(radians(v[1]) - radians(x))),
+                    (cos(radians(y)) * sin(radians(v[2])) - sin(radians(y)) * cos(radians(v[2])) * cos(radians(v[1]) - radians(x))) /
+                    (sin(radians(y)) * sin(radians(v[2])) + cos(radians(y)) * cos(radians(v[2])) * cos(radians(v[1]) - radians(x))) ]) AS r
+               FROM f, p),
         e AS (SELECT x, y,
-                list_sum(list_transform(list_zip(poly, list_concat(poly[2:], [poly[1]])),
-                  q -> CASE WHEN ((q[1][2] > y) != (q[2][2] > y))
-                             AND (x < (q[2][1] - q[1][1]) * (y - q[1][2])
+                list_sum(list_transform(list_zip(r, list_concat(r[2:], [r[1]])),
+                  q -> CASE WHEN ((q[1][2] > 0.0) != (q[2][2] > 0.0))
+                             AND (0.0 < (q[2][1] - q[1][1]) * (0.0 - q[1][2])
                                       / (q[2][2] - q[1][2]) + q[1][1])
                        THEN 1 ELSE 0 END)) % 2 = 1 AS inside
-              FROM f, p)
+              FROM pr)
         SELECT CAST(sum(CASE WHEN inside THEN 1 ELSE 0 END) AS BIGINT) AS n_in,
                CAST(count(*) AS BIGINT) AS n FROM e""")),
 

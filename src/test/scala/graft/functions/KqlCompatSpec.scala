@@ -307,9 +307,10 @@ class KqlCompatSpec extends SparkSuite {
     assert(r.getString(1) == "pad")
   }
 
-  test("nested dynamic literals and planar point-in-polygon") {
+  test("nested dynamic literals and geodesic point-in-polygon") {
     // unit square (0,0)-(1,1): centre in, outside point out, and the
-    // ray-casting parity survives a concave ring
+    // ray-casting parity survives a concave ring (tiny rings: gnomonic
+    // projection ≈ planar, so the classic fixtures hold unchanged)
     def b(kql: String): Boolean =
       spark.range(1).selectExpr(KqlCompat.rewrite(kql)).head.getBoolean(0)
     val sq = "dynamic([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])"
@@ -321,6 +322,16 @@ class KqlCompatSpec extends SparkSuite {
       "[1.0, 1.6], [3.0, 1.6], [3.0, 2.0], [0.0, 2.0]])"
     assert(!b(s"geo_point_in_polygon(2.0, 1.0, $c)"))
     assert(b(s"geo_point_in_polygon(0.5, 0.5, $c)"))
+    // GEODESIC edges, not planar: the 45°N edge between lon ±30° bulges
+    // to ~49.1°N at lon 0 (great-circle vertex: tan φ = tan 45° / cos 30°).
+    // (0, 47) sits UNDER the bulge — planar ray casting would call it
+    // inside the [45,60] "rectangle"; geodesically it is OUTSIDE.
+    val rect = "dynamic([[-30.0, 45.0], [30.0, 45.0], [30.0, 60.0], [-30.0, 60.0]])"
+    assert(!b(s"geo_point_in_polygon(0.0, 47.0, $rect)"))
+    assert(b(s"geo_point_in_polygon(0.0, 50.0, $rect)"))   // above the bulge
+    assert(b(s"geo_point_in_polygon(0.0, 62.0, $rect)"))   // top edge bulges to ~63.4°N
+    assert(!b(s"geo_point_in_polygon(0.0, 64.0, $rect)"))
+    assert(!b(s"geo_point_in_polygon(40.0, 50.0, $rect)")) // east of the ring
     // nested dynamic parses to array(array(...)): size probes
     val n = spark.range(1)
       .selectExpr(KqlCompat.rewrite("array_length(dynamic([[1, 2], [3, 4], [5, 6]]))"))
