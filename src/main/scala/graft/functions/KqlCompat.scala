@@ -695,6 +695,24 @@ object KqlCompat {
     // RAW query string (ADX explodes it into a "Query Parameters" bag) and
     // Port comes from a userinfo-tolerant regex (a password containing ':'
     // would defeat it); Username/Password members are not surfaced.
+    // parse_urlquery(u): the ADX query-parameter bag —
+    // {"Query Parameters": {k: v, …}} in the engine's sorted-key bag
+    // currency. Parameters fold through bag_merge (earlier occurrence of a
+    // duplicate key wins — documented; ADX leaves the case unspecified);
+    // keys/values percent-decode, with malformed escapes passing through
+    // verbatim (try_url_decode null → raw). Expands BEFORE parse_url so
+    // the emitted 2-arg Spark-native parse_url survives (1-arg ADX form
+    // only is rewritten below).
+    s = expandCalls(s, "parse_urlquery") {
+      case Seq(u) =>
+        val dec = (x: String) => s"coalesce(try_url_decode($x), $x)"
+        // a URL with no query string yields NULL from the extractor — ADX
+        // returns the empty bag, so coalesce before splitting
+        val pairs = s"filter(split(coalesce(parse_url($u, 'QUERY'), ''), '&'), p -> p != '')"
+        s"concat('{\"Query Parameters\":', aggregate($pairs, '{}', (acc, p) -> " +
+          s"bag_merge(acc, to_json(map(${dec("split(p, '=')[0]")}, " +
+          s"${dec("coalesce(try_element_at(split(p, '='), 2), '')")})))), '}')"
+    }
     s = expandCalls(s, "parse_url") {
       case Seq(u) =>
         s"named_struct(" +
@@ -996,6 +1014,45 @@ object KqlCompat {
     s = expandCalls(s, "geo_point_in_circle") {
       case Seq(lon, lat, clon, clat, r) =>
         s"(geo_distance_2points($lon, $lat, $clon, $clat) <= ($r))"
+    }
+    // geo_line_length(line): meters along the geodesic polyline — the sum
+    // of great-circle segment lengths. Expands BEFORE geo_distance_2points
+    // so the emitted per-segment call is picked up by that expansion (the
+    // in_circle pattern). line = dynamic [[lng,lat], …].
+    s = expandCalls(s, "geo_line_length") {
+      case Seq(line) =>
+        s"aggregate(zip_with(slice($line, 1, size($line) - 1), " +
+          s"slice($line, 2, size($line) - 1), " +
+          "(a, b) -> geo_distance_2points(a[0], a[1], b[0], b[1])), " +
+          "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    }
+    // geo_polygon_area(ring): spherical area in m² on the 6371008.8 m
+    // mean-Earth sphere (same radius as geo_distance_2points; ADX's WGS-84
+    // ellipsoid differs by <0.3% — documented divergence). EXACT geodesic
+    // form: fan-triangulate from vertex 1 and sum signed spherical
+    // excesses via the Eriksson/van-Oosterom formula
+    //   E = 2·atan2(a·(b×c), 1 + a·b + b·c + c·a)
+    // over unit vectors — valid for non-convex rings (signs cancel),
+    // orientation-free via abs(). Ring is the open [[lng,lat], …] form.
+    s = expandCalls(s, "geo_polygon_area") {
+      case Seq(ring) =>
+        def v(i: String)              = s"element_at(__ga_v, $i)"
+        def dot(p: String, q: String) =
+          s"($p[0] * $q[0] + $p[1] * $q[1] + $p[2] * $q[2])"
+        def det(p: String, q: String, r: String) =
+          s"($p[0] * ($q[1] * $r[2] - $q[2] * $r[1]) + " +
+            s"$p[1] * ($q[2] * $r[0] - $q[0] * $r[2]) + " +
+            s"$p[2] * ($q[0] * $r[1] - $q[1] * $r[0]))"
+        val uv = s"transform($ring, p -> array(" +
+          "cos(radians(p[1])) * cos(radians(p[0])), " +
+          "cos(radians(p[1])) * sin(radians(p[0])), sin(radians(p[1]))))"
+        val (a, b, c) = (v("1"), v("i"), v("i + 1"))
+        let1("__ga_v", uv,
+          "(CASE WHEN size(__ga_v) < 3 THEN CAST(0 AS DOUBLE) ELSE " +
+            "abs(aggregate(sequence(2, size(__ga_v) - 1), CAST(0 AS DOUBLE), " +
+            s"(acc, i) -> acc + 2 * atan2(${det(a, b, c)}, " +
+            s"1 + ${dot(a, b)} + ${dot(b, c)} + ${dot(c, a)}))) " +
+            "* 6371008.8 * 6371008.8 END)")
     }
     s = expandCalls(s, "geo_distance_2points") {
       case Seq(lon1, lat1, lon2, lat2) =>

@@ -4356,6 +4356,46 @@ object Surface {
         SELECT CAST(sum(CASE WHEN inside THEN 1 ELSE 0 END) AS BIGINT) AS n_in,
                CAST(count(*) AS BIGINT) AS n FROM e""")),
 
+    "q_kql_geo_measures" -> QueryDef(
+      // geo_line_length (haversine segment fold) and geo_polygon_area
+      // (fan-triangulated spherical excess, Eriksson atan2 form) over
+      // per-order synthetic triangles — both closed forms restate
+      // verbatim in DuckDB (same operation order), so the rounded sums
+      // are exact across engines
+      (s, dir) => kqlRun(s, dir,
+        """orders
+          | | where o_orderkey <= 200
+          | | extend lon1 = (o_orderkey % 90) * 1.0, lat1 = (o_orderkey % 45) * 1.0
+          | | extend lon2 = lon1 + 5.0, lat2 = lat1 - 3.0,
+          |     lon3 = lon1 - 4.0, lat3 = lat1 + 6.0
+          | | extend len = geo_line_length(dynamic([[lon1, lat1], [lon2, lat2], [lon3, lat3]])),
+          |     area = geo_polygon_area(dynamic([[lon1, lat1], [lon2, lat2], [lon3, lat3]]))
+          | | summarize sl = sum(len), sa = sum(area), n = count()
+          | | project total_len_km = round(sl / 1000.0, 3),
+          |     total_area_1e9m2 = round(sa / 1000000000.0, 3), n""".stripMargin),
+      Some("""
+        WITH f AS (SELECT o_orderkey,
+                     (o_orderkey % 90) * 1.0 AS lon1, (o_orderkey % 45) * 1.0 AS lat1
+                   FROM orders WHERE o_orderkey <= 200),
+        g AS (SELECT o_orderkey, lon1, lat1,
+                     lon1 + 5.0 AS lon2, lat1 - 3.0 AS lat2,
+                     lon1 - 4.0 AS lon3, lat1 + 6.0 AS lat3 FROM f),
+        m AS (SELECT
+          (2.0 * 6371008.8 * asin(sqrt(pow(sin(radians((lat2) - (lat1)) / 2), 2) + cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(radians((lon2) - (lon1)) / 2), 2))))
+          + (2.0 * 6371008.8 * asin(sqrt(pow(sin(radians((lat3) - (lat2)) / 2), 2) + cos(radians(lat2)) * cos(radians(lat3)) * pow(sin(radians((lon3) - (lon2)) / 2), 2)))) AS len,
+          abs(2 * atan2(
+            (cos(radians(lat1))*cos(radians(lon1))) * ((cos(radians(lat2))*sin(radians(lon2))) * sin(radians(lat3)) - sin(radians(lat2)) * (cos(radians(lat3))*sin(radians(lon3))))
+            + (cos(radians(lat1))*sin(radians(lon1))) * (sin(radians(lat2)) * (cos(radians(lat3))*cos(radians(lon3))) - (cos(radians(lat2))*cos(radians(lon2))) * sin(radians(lat3)))
+            + sin(radians(lat1)) * ((cos(radians(lat2))*cos(radians(lon2))) * (cos(radians(lat3))*sin(radians(lon3))) - (cos(radians(lat2))*sin(radians(lon2))) * (cos(radians(lat3))*cos(radians(lon3)))),
+            1 + ((cos(radians(lat1))*cos(radians(lon1)))*(cos(radians(lat2))*cos(radians(lon2))) + (cos(radians(lat1))*sin(radians(lon1)))*(cos(radians(lat2))*sin(radians(lon2))) + sin(radians(lat1))*sin(radians(lat2)))
+              + ((cos(radians(lat2))*cos(radians(lon2)))*(cos(radians(lat3))*cos(radians(lon3))) + (cos(radians(lat2))*sin(radians(lon2)))*(cos(radians(lat3))*sin(radians(lon3))) + sin(radians(lat2))*sin(radians(lat3)))
+              + ((cos(radians(lat3))*cos(radians(lon3)))*(cos(radians(lat1))*cos(radians(lon1))) + (cos(radians(lat3))*sin(radians(lon3)))*(cos(radians(lat1))*sin(radians(lon1))) + sin(radians(lat3))*sin(radians(lat1)))
+          )) * 6371008.8 * 6371008.8 AS area
+          FROM g)
+        SELECT round(sum(len) / 1000.0, 3) AS total_len_km,
+               round(sum(area) / 1000000000.0, 3) AS total_area_1e9m2,
+               CAST(count(*) AS BIGINT) AS n FROM m""")),
+
     "q_kql_ipv4_text" -> QueryDef(
       // has_ipv4 family (log-scanning predicates: properly-delimited,
       // octet-valid dotted quads via ONE regexp pass + the parse_ipv4
@@ -4465,10 +4505,12 @@ object Surface {
           |     sub = substring('abcdef', 2, 3),
           |     e2 = exp2(10), ct = round(cot(1.0), 6),
           |     tsp = format_datetime(datetime(2024-01-01) + totimespan('1.02:30:00'),
-          |       'yyyy-MM-dd HH:mm')""".stripMargin),
+          |       'yyyy-MM-dd HH:mm'),
+          |     uq = parse_urlquery('https://e.com/p?b=2&a=1%203')""".stripMargin),
       Some("""
         SELECT 'https' AS scheme, 'example.com' AS host, '8080' AS port,
                '/a/b' AS path, 'x=1&y=2' AS qry, 'frag' AS frag,
+               '{"Query Parameters":{"a":"1 3","b":"2"}}' AS uq,
                TRUE AS ver_cmp, TRUE AS ver_eq,
                'a+b%26c' AS enc, 'a b&c' AS dec, 'xxyyzz' AS tr,
                'abc456' AS t_start, '123abc' AS t_end,

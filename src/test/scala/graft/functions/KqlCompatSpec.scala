@@ -366,6 +366,33 @@ class KqlCompatSpec extends SparkSuite {
     assert(r.getString(1) == "123")
   }
 
+  test("parse_urlquery: decoded parameter bag in ADX shape") {
+    val r = spark.range(1).selectExpr(
+      KqlCompat.rewrite("parse_urlquery('https://e.com/p?x=1&y=a%20b')") + " as q",
+      KqlCompat.rewrite("parse_urlquery('https://e.com/p?x=1&x=2')") + " as dup",
+      KqlCompat.rewrite("parse_urlquery('https://e.com/p')") + " as empty").head
+    assert(r.getString(0) == """{"Query Parameters":{"x":"1","y":"a b"}}""")
+    assert(r.getString(1) == """{"Query Parameters":{"x":"1"}}""") // earlier wins
+    assert(r.getString(2) == """{"Query Parameters":{}}""")
+  }
+
+  test("geo_line_length and geo_polygon_area: geodesic closed forms") {
+    val r = spark.range(1).selectExpr(
+      // two 1-degree equator segments: 2 * R * pi/180
+      KqlCompat.rewrite(
+        "round(geo_line_length(dynamic([[0.0, 0.0], [1.0, 0.0], [2.0, 0.0]])))") + " as len",
+      // octant (0,0)-(90,0)-(0,90): exactly 1/8 of the sphere = pi/2 * R^2
+      KqlCompat.rewrite(
+        "abs(geo_polygon_area(dynamic([[0.0, 0.0], [90.0, 0.0], [0.0, 90.0]])) " +
+          "/ (pi() / 2.0 * 6371008.8 * 6371008.8) - 1.0) < 1e-12") + " as oct_ok",
+      // degenerate 2-vertex ring: area 0
+      KqlCompat.rewrite(
+        "geo_polygon_area(dynamic([[0.0, 0.0], [1.0, 1.0]])) == 0.0") + " as degen").head
+    assert(r.getDouble(0) == math.round(2 * 6371008.8 * math.Pi / 180).toDouble)
+    assert(r.getBoolean(1))
+    assert(r.getBoolean(2))
+  }
+
   test("quarter boundaries: startofquarter truncates, endofquarter is last us") {
     val r = spark.range(1).selectExpr(
       KqlCompat.rewrite("tostring(startofquarter(datetime(2024-05-15)))"),
