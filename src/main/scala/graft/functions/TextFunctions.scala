@@ -17,6 +17,25 @@ object TextFunctions {
 
   def distinctTokenCount(text: Column): Column = size(array_distinct(split(text, " ")))
 
+  /** Shannon entropy (bits) of the TOKEN distribution: −Σ p log2 p over
+    * distinct tokens — the information-density quality signal (low entropy
+    * = boilerplate/repetition, bounded above by log2(n_tokens)). Takes a
+    * PRE-MATERIALIZED token-array column (the wordNGrams rule: a split
+    * inside the lambda would re-tokenize per element). Distinct tokens are
+    * SORTED before the fold so the floating-point summation order is
+    * deterministic and restatable engine-to-engine (array_distinct order
+    * is first-occurrence in Spark but unspecified in DuckDB's
+    * list_distinct). Pure per-row expressions: zero shuffle at any scale.
+    */
+  def tokenEntropy(tok: Column): Column = {
+    val n = size(tok).cast("double")
+    val terms = transform(array_sort(array_distinct(tok)), x => {
+      val p = size(filter(tok, y => y === x)).cast("double") / n
+      p * log2(p)
+    })
+    -aggregate(terms, lit(0.0), (acc, v) => acc + v)
+  }
+
   /** Distinct-token ratio in [0,1]: low values flag boilerplate/repetition —
     * the standard cheap repetition-quality signal in pretraining curation.
     * Pure array expressions over one scan: zero shuffle at any corpus size.

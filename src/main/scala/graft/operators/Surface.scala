@@ -1056,6 +1056,27 @@ object Surface {
                SELECT * FROM r)
         SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY 1""")),
 
+    "text_entropy" -> QueryDef(
+      // per-document token-entropy quality signal (−Σ p log2 p, bits) with
+      // its log2(n) ceiling — sorted-distinct fold keeps the double
+      // summation order identical in DuckDB (list_reduce left fold there,
+      // aggregate left fold here), so the rounded values are exact
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("_tok", split(col("text"), " "))
+        .select(col("doc_id"),
+          round(TextFunctions.tokenEntropy(col("_tok")), 6).as("h"),
+          round(log2(size(col("_tok")).cast("double")), 6).as("h_max")),
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        SELECT doc_id,
+          round(-list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(list_sort(list_distinct(w)),
+              x -> (CAST(len(list_filter(w, y -> y = x)) AS DOUBLE) / len(w))
+                   * log2(CAST(len(list_filter(w, y -> y = x)) AS DOUBLE) / len(w)))),
+            (a, b) -> a + b), 6) AS h,
+          round(log2(CAST(len(w) AS DOUBLE)), 6) AS h_max
+        FROM t""")),
+
     "curate_quality_lr" -> QueryDef(
       // in-engine quality-classifier TRAINING (fastText-filter style) as
       // distributed full-batch logistic regression — the pcaTrace scale
