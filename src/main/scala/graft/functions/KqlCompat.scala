@@ -609,6 +609,25 @@ object KqlCompat {
                     "'trend', __sd_t, " +
                     "'residual', zip_with(__sd_x, __sd_b, (a, b) -> a - b))")))))
     }
+    // series_seasonal(x, period): the seasonal component ALONE — per-phase
+    // means of the RAW series repeated along it (ADX's fixed-period form;
+    // the autodetecting no-period overload is not parsed, same
+    // literal-period contract as series_decompose). The (sum, count) fold
+    // runs in index order, so the result restates exactly in SQL engines.
+    s = expandCalls(s, "series_seasonal") {
+      case Seq(x, pStr) if pStr.trim.matches("\\d+") && pStr.trim.toInt >= 1 =>
+        val p = pStr.trim.toInt
+        val pm = s"transform(sequence(0, ${p - 1}), ph -> " +
+          s"aggregate(sequence(0, size(__ss_x) - 1), " +
+          s"named_struct('s', CAST(0 AS DOUBLE), 'c', CAST(0 AS DOUBLE)), " +
+          s"(acc2, k) -> IF(k % $p = ph, " +
+          s"named_struct('s', acc2.s + element_at(__ss_x, k + 1), 'c', acc2.c + 1), acc2), " +
+          s"fin -> fin.s / fin.c))"
+        let1("__ss_x", asD(x),
+          let1("__ss_p", pm,
+            s"transform(sequence(0, size(__ss_x) - 1), m -> " +
+              s"element_at(__ss_p, CAST(m % $p + 1 AS INT)))"))
+    }
     // series_decompose_forecast(x, points, period): decompose-shaped
     // baseline extended `points` steps — centered-MA trend and phase-mean
     // seasonal exactly as series_decompose, a least-squares line over the

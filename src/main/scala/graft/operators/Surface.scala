@@ -3039,6 +3039,41 @@ object Surface {
                round(sum(svv), 2) AS svs
         FROM grid GROUP BY 1 ORDER BY 1""")),
 
+    "q_series_seasonal" -> QueryDef(
+      // series_seasonal: per-phase means of the raw series repeated along
+      // it (week-of-7 phases over the daily grid). Counts are integers, so
+      // the phase sums are exact in double regardless of fold order and
+      // the DuckDB avg() restates them exactly
+      (s, dir) => kqlRun(s, dir,
+        """events
+          | | make-series n = count()
+          |     on ts from 1704067200000000000 to 1706659200000000000 step 86400000000000
+          |     by event_type
+          | | extend sz = series_seasonal(n, 7)
+          | | project event_type, s_json = to_json(transform(sz, v -> round(v, 6)))
+          | | order by event_type asc""".stripMargin),
+      Some("""
+        WITH e AS (SELECT event_type, epoch_ns(ts) AS tn FROM events),
+             binned AS (
+               SELECT event_type,
+                      1704067200000000000 + CAST(floor((tn - 1704067200000000000) / 86400000000000) AS BIGINT) * 86400000000000 AS b,
+                      count(*) AS n
+               FROM e
+               WHERE tn >= 1704067200000000000 AND tn < 1706659200000000000
+               GROUP BY 1, 2),
+             grid AS (
+               SELECT k.event_type, g.b,
+                      CAST(coalesce(n, 0) AS DOUBLE) AS v,
+                      CAST(((g.b - 1704067200000000000) / 86400000000000) % 7 AS INT) AS ph
+               FROM (SELECT DISTINCT event_type FROM binned) k
+               CROSS JOIN (SELECT unnest(range(1704067200000000000, 1706659200000000000, 86400000000000)) AS b) g
+               LEFT JOIN binned USING (event_type, b)),
+             pm AS (SELECT event_type, ph, avg(v) AS m FROM grid GROUP BY 1, 2)
+        SELECT g.event_type,
+               CAST(to_json(list(round(m, 6) ORDER BY g.b)) AS VARCHAR) AS s_json
+        FROM grid g JOIN pm USING (event_type, ph)
+        GROUP BY 1 ORDER BY 1""")),
+
     "q_series_decompose" -> QueryDef(
       // classical additive decomposition, period 7 (weekly) over the daily
       // grid: trend (centered MA-7, renormalized edges), per-phase seasonal

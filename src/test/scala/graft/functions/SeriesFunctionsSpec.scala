@@ -189,4 +189,16 @@ class SeriesFunctionsSpec extends SparkSuite {
     assert(oneRow("series_sum(dynamic([1, 2, 3]))").getDouble(0) == 6.0)
     assert(oneRow("series_avg(dynamic([1, 2, 3, 6]))").getDouble(0) == 3.0)
   }
+
+  test("series_seasonal repeats the per-phase means of the raw series") {
+    // exact period: the series IS its seasonal component
+    assert(oneRow("series_seasonal(dynamic([1, 2, 3, 1, 2, 3]), 3)")
+      .getSeq[Double](0) == Seq(1.0, 2.0, 3.0, 1.0, 2.0, 3.0))
+    // noisy phases average: phase0 (1+3)/2, phase1 (2+2)/2, phase2 3
+    assert(oneRow("series_seasonal(dynamic([1, 2, 3, 3, 2, 3]), 3)")
+      .getSeq[Double](0) == Seq(2.0, 2.0, 3.0, 2.0, 2.0, 3.0))
+    // length not a multiple of the period: trailing phases use fewer samples
+    assert(oneRow("series_seasonal(dynamic([4, 6, 8, 10, 12]), 2)")
+      .getSeq[Double](0) == Seq(8.0, 8.0, 8.0, 8.0, 8.0))
+  }
 }
