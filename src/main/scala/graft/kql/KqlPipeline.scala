@@ -1432,6 +1432,22 @@ object KqlPipeline {
                     .withColumn(itmp,
                       when(col(ptmp).isNull || col(tmp) =!= col(ptmp), 1L).otherwise(0L))
                   graft.util.ScanOps.cumSum(ind, itmp, name).drop(ptmp, itmp)
+                // min run rank: the row number of the current run's FIRST
+                // row — rank_min = rid − rows-since-run-start, both already
+                // scan-shaped (global row index + distSinceTrue), so no new
+                // machinery and still no 1-partition window
+                case "row_rank_min" =>
+                  require(args.size == 1, s"row_rank_min takes (term), got: '$e'")
+                  val ptmp = "__graft_scan_prev"
+                  val btmp = "__graft_scan_boundary"
+                  val rtmp = "__graft_scan_rid"
+                  val dtmp = "__graft_scan_dist"
+                  val ind = graft.util.ScanOps.lag1(
+                      rowNumber(staged2, rtmp, 1L), tmp, ptmp)
+                    .withColumn(btmp, col(ptmp).isNull || col(tmp) =!= col(ptmp))
+                  graft.util.ScanOps.distSinceTrue(ind, btmp, dtmp)
+                    .withColumn(name, col(rtmp) - col(dtmp))
+                    .drop(ptmp, btmp, rtmp, dtmp)
                 // row_window_session(ts, maxFromFirst, maxBetween [, restart]):
                 // session-start per row in the serialized order. Idle/restart
                 // segmentation is the distributed lag+cumsum scan pair; the
@@ -2022,6 +2038,18 @@ object KqlPipeline {
                                 when(col(ptmp).isNull || arg0 =!= col(ptmp), 1L)
                                   .otherwise(0L)).over(wCum))
                               .drop(ptmp)
+                          case "row_rank_min" =>
+                            // rank_min = running max of the run-start row
+                            // numbers (start rids only ever increase)
+                            require(args.size == 1, s"row_rank_min takes (term), got: '$e'")
+                            val ptmp = "__graft_rrm_prev"
+                            val rtmp = "__graft_rrm_rid"
+                            d2.withColumn(ptmp, lag(arg0, 1).over(w))
+                              .withColumn(rtmp, row_number().over(w).cast("long"))
+                              .withColumn(name, max(
+                                when(col(ptmp).isNull || arg0 =!= col(ptmp), col(rtmp)))
+                                .over(wCum))
+                              .drop(ptmp, rtmp)
                         }
                       case Some((name, e)) => d2.withColumn(name, expr(tx(e)))
                       case None => fail(s"extend needs `name = expr`, got: '$item'")
@@ -2949,7 +2977,7 @@ object KqlPipeline {
 
   // serialized-order row functions lowered to ScanOps (argument may be any
   // scalar expression; no nested parens beyond one level of calls)
-  private val RowScanRe = """(?i)(row_cumsum|row_rank_dense|row_window_session|prev|next)\s*\((.*)\)""".r
+  private val RowScanRe = """(?i)(row_cumsum|row_rank_dense|row_rank_min|row_window_session|prev|next)\s*\((.*)\)""".r
 
   /** ADX phrase semantics for a needle CONTAINING non-alphanumerics: its
     * alphanumeric terms must appear as ADJACENT terms in the haystack

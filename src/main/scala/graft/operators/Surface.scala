@@ -4577,25 +4577,30 @@ object Surface {
                1024.0 AS e2, 0.642093 AS ct, '2024-01-02 02:30' AS tsp""")),
 
     "q_kql_row_rank" -> QueryDef(
-      // row_rank_dense over the serialized event stream of one user: the
-      // rank bumps when the event type changes — boundary indicator via
-      // the lag + cumsum scan pair, no 1-partition window
+      // row_rank_dense + row_rank_min over the serialized event stream of
+      // one user: dense bumps when the event type changes (lag + cumsum
+      // scans), min is the run-start row number (global row index minus
+      // rows-since-boundary via distSinceTrue) — no 1-partition window
       (s, dir) => kqlRun(s, dir,
         """events
           | | where user_id == 7
           | | order by ts asc
           | | extend r = row_rank_dense(event_type)
-          | | project event_id, event_type, r
+          | | extend rm = row_rank_min(event_type)
+          | | project event_id, event_type, r, rm
           | | order by event_id asc""".stripMargin),
       Some("""
-        SELECT event_id, event_type,
-               CAST(sum(CASE WHEN prev IS NULL OR event_type <> prev
-                             THEN 1 ELSE 0 END)
-                 OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS r
-        FROM (SELECT event_id, ts, event_type,
-                     lag(event_type) OVER (ORDER BY ts) AS prev
-              FROM events WHERE user_id = 7)
-        ORDER BY event_id""")),
+        WITH b AS (SELECT event_id, ts, event_type,
+                          lag(event_type) OVER (ORDER BY ts) AS prev,
+                          row_number() OVER (ORDER BY ts) AS rid
+                   FROM events WHERE user_id = 7),
+             r AS (SELECT *, CAST(sum(CASE WHEN prev IS NULL OR event_type <> prev
+                                           THEN 1 ELSE 0 END)
+                     OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS r
+                   FROM b)
+        SELECT event_id, event_type, r,
+               CAST(min(rid) OVER (PARTITION BY r) AS BIGINT) AS rm
+        FROM r ORDER BY event_id""")),
 
     "q_kql_graph_varlen" -> QueryDef(
       // variable-length graph-match on the TPC-H bulk-shipment graph:

@@ -335,6 +335,27 @@ class KqlPipelineSpec extends SparkSuite {
       ("b", 1L, 5L, -99L, 7L, 1L), ("b", 2L, 12L, 5L, -1L, 2L)))
   }
 
+  test("row_rank_min: run-start row number, grouped and serialized") {
+    // grouped (partition by): per-key windows
+    val r = run(
+      """datatable (g:string, t:long, v:long) [
+        |  'a', 1, 10,  'a', 2, 10,  'a', 3, 20,  'a', 4, 10,
+        |  'b', 1, 5,   'b', 2, 5
+        |]
+        | | partition by g (order by t asc | extend rm = row_rank_min(v))
+        | | order by g asc, t asc | project g, t, rm""".stripMargin)
+    assert(r.collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq ==
+      Seq(("a", 1L, 1L), ("a", 2L, 1L), ("a", 3L, 3L), ("a", 4L, 4L),
+        ("b", 1L, 1L), ("b", 2L, 1L)))
+    // serialized (global): distSinceTrue path
+    val s = run(
+      """datatable (t:long, v:long) [ 1, 7, 2, 7, 3, 9, 4, 9, 5, 7 ]
+        | | order by t asc | serialize
+        | | extend rm = row_rank_min(v) | project t, rm""".stripMargin)
+    assert(s.collect().map(x => (x.getLong(0), x.getLong(1))).toSeq ==
+      Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (5L, 5L)))
+  }
+
   test("row_cumsum with a restart condition resets the running sum") {
     val r = run(
       """datatable (t:long, v:long, rst:bool) [
