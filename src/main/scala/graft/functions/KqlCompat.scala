@@ -1293,6 +1293,24 @@ object KqlCompat {
         val m    = s"coalesce(try_cast(try_element_at(split($r, '/'), 2) AS INT), 32)"
         s"(shiftright(${ip4(x)}, 32 - $m) = shiftright($base, 32 - $m))"
     }
+    // ipv4_compare / ipv4_is_match / netmask-suffix family: both sides may
+    // carry IP-prefix notation ('a.b.c.d/m'); the effective prefix is the
+    // least of both suffixes and the optional argument (ADX semantics),
+    // compared on the top bits after shifting the rest away
+    def ip4addr(x: String) = ip4(s"element_at(split($x, '/'), 1)")
+    def ip4mask(x: String) =
+      s"coalesce(try_cast(try_element_at(split($x, '/'), 2) AS INT), 32)"
+    // format_ipv4_mask(ip, prefix): CIDR text of the masked network —
+    // address bits below the effective prefix (least of the argument and
+    // the ip's own '/m' suffix) zero out, '/prefix' rides along. Expands
+    // BEFORE format_ipv4 so the emitted inner call is picked up there.
+    s = expandCalls(s, "format_ipv4_mask") {
+      case Seq(x, p) =>
+        val eff    = s"least(${ip4mask(x)}, CAST($p AS INT))"
+        val masked = s"shiftleft(shiftright(${ip4addr(x)}, 32 - $eff), 32 - $eff)"
+        s"(CASE WHEN ${ip4addr(x)} IS NOT NULL AND ($p) >= 0 AND ($p) <= 32 THEN " +
+          s"concat(format_ipv4($masked), '/', CAST($eff AS STRING)) END)"
+    }
     // format_ipv4: numeric → dotted quad
     s = expandCalls(s, "format_ipv4") {
       case Seq(x) =>
@@ -1301,13 +1319,6 @@ object KqlCompat {
           s"CAST((($x) div 256) % 256 AS STRING), '.', " +
           s"CAST(($x) % 256 AS STRING))"
     }
-    // ipv4_compare / ipv4_is_match / netmask-suffix family: both sides may
-    // carry IP-prefix notation ('a.b.c.d/m'); the effective prefix is the
-    // least of both suffixes and the optional argument (ADX semantics),
-    // compared on the top bits after shifting the rest away
-    def ip4addr(x: String) = ip4(s"element_at(split($x, '/'), 1)")
-    def ip4mask(x: String) =
-      s"coalesce(try_cast(try_element_at(split($x, '/'), 2) AS INT), 32)"
     def ip4cmp(a: String, b: String, p: Option[String]): String = {
       val eff = p match {
         case Some(pp) => s"least(${ip4mask(a)}, ${ip4mask(b)}, $pp)"
@@ -1344,6 +1355,22 @@ object KqlCompat {
     // parse_ipv6: the native ipv6_norm expression (GraftSessionExtensions)
     // yields the ADX canonical 8×4-hex colon form, null on malformed input
     s = expandCalls(s, "parse_ipv6") { case Seq(x) => s"ipv6_norm($x)" }
+    // parse_ipv6_mask(ip, prefix): canonical form with the bits below the
+    // prefix zeroed. Same LITERAL multiple-of-4 prefix contract as
+    // ipv6_is_match (one canonical hex nibble = 4 bits): the kept head is
+    // a substr and the zeroed tail is a rewrite-time constant.
+    s = expandCalls(s, "parse_ipv6_mask") {
+      case Seq(x, p) if p.trim.matches("\\d+") =>
+        val bits = p.trim.toInt
+        require(bits >= 0 && bits <= 128 && bits % 4 == 0,
+          s"parse_ipv6_mask prefix must be a multiple of 4 in [0, 128], got $bits")
+        val nib      = bits / 4
+        val chars    = if (nib == 0) 0 else nib + (nib - 1) / 4
+        val template = Seq.fill(8)("0000").mkString(":")
+        val suffix   = template.substring(chars)
+        if (nib == 0) s"(CASE WHEN ipv6_norm($x) IS NOT NULL THEN '$template' END)"
+        else s"concat(substr(ipv6_norm($x), 1, $chars), '$suffix')"
+    }
     // ipv6_compare(a, b): the canonical form is fixed-width, so ordering IS
     // lexicographic string ordering; null when either side is malformed
     s = expandCalls(s, "ipv6_compare") {

@@ -4468,13 +4468,20 @@ object Surface {
           |   ha2 = has_any_ipv4('saw 10.1.1.1 only', '8.8.8.8'),
           |   tr = trim('[-+]+', '--hello++'),
           |   tq = tostring(startofquarter(datetime(2024-05-15))),
-          |   eq = tostring(endofquarter(datetime(2024-05-15)))""".stripMargin),
+          |   eq = tostring(endofquarter(datetime(2024-05-15))),
+          |   fm = format_ipv4_mask('192.165.12.17', 24),
+          |   fm2 = format_ipv4_mask('192.165.12.17/20', 24),
+          |   pm6 = parse_ipv6_mask('2001:db8:abcd:12:ffff::1', 64),
+          |   pm6v4 = parse_ipv6_mask('192.168.1.5', 128)""".stripMargin),
       Some("""
         SELECT TRUE AS h1, FALSE AS h2, TRUE AS h3, FALSE AS h4,
                TRUE AS hp, FALSE AS hp2, TRUE AS ha, FALSE AS ha2,
                'hello' AS tr,
                '2024-04-01 00:00:00' AS tq,
-               '2024-06-30 23:59:59.999999' AS eq""")),
+               '2024-06-30 23:59:59.999999' AS eq,
+               '192.165.12.0/24' AS fm, '192.165.0.0/20' AS fm2,
+               '2001:0db8:abcd:0012:0000:0000:0000:0000' AS pm6,
+               '0000:0000:0000:0000:0000:ffff:c0a8:0105' AS pm6v4""")),
 
     "q_kql_ipv6funcs" -> QueryDef(
       // IPv6 family over the native ipv6_norm expression: canonical

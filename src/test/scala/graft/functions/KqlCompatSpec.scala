@@ -393,6 +393,24 @@ class KqlCompatSpec extends SparkSuite {
     assert(r.getBoolean(2))
   }
 
+  test("format_ipv4_mask and parse_ipv6_mask: masked network text") {
+    val r = spark.range(1).selectExpr(
+      KqlCompat.rewrite("format_ipv4_mask('192.165.12.17', 24)") + " as m24",
+      KqlCompat.rewrite("format_ipv4_mask('192.165.12.17/20', 24)") + " as m20", // least wins
+      KqlCompat.rewrite("format_ipv4_mask('1.2.3.4', 32)") + " as m32",
+      KqlCompat.rewrite("format_ipv4_mask('not an ip', 24)") + " as bad",
+      KqlCompat.rewrite("parse_ipv6_mask('2001:db8:abcd:12:ffff::1', 64)") + " as p64",
+      KqlCompat.rewrite("parse_ipv6_mask('192.168.1.5', 128)") + " as p128",
+      KqlCompat.rewrite("parse_ipv6_mask('nope', 64)") + " as pbad").head
+    assert(r.getString(0) == "192.165.12.0/24")
+    assert(r.getString(1) == "192.165.0.0/20")
+    assert(r.getString(2) == "1.2.3.4/32")
+    assert(r.isNullAt(3))
+    assert(r.getString(4) == "2001:0db8:abcd:0012:0000:0000:0000:0000")
+    assert(r.getString(5) == "0000:0000:0000:0000:0000:ffff:c0a8:0105")
+    assert(r.isNullAt(6))
+  }
+
   test("quarter boundaries: startofquarter truncates, endofquarter is last us") {
     val r = spark.range(1).selectExpr(
       KqlCompat.rewrite("tostring(startofquarter(datetime(2024-05-15)))"),
