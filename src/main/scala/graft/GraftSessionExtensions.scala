@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.expressions.{BagMerge, BetaCdf, BottomKValues, GammaFn, LogGammaFn, ParseCsv, RankTDigest, FreqAgg, FreqMergeAgg, FreqTopK, SampleBottomKAgg, SampleBottomKMergeAgg, ThetaAgg, ThetaMergeAgg, ThetaEstimate, ThetaIntersect, ThetaDiff, BagRemoveKeys, BloomContains, DynamicToJson, GeoPointToGeohash, GeohashCentralPoint, GramHashes, GzipCompress, GzipDecompress, Ipv6Norm, ParseXml, PercentileTDigest, PunycodeDomainFrom, PunycodeDomainTo, RollingHash, TDigestAgg, TDigestMergeAgg, TermHas, VectorDot, WelchTest, ZlibCompress, ZlibDecompress}
+import graft.functions.expressions.{BagMerge, BetaCdf, BottomKValues, GammaFn, LogGammaFn, ParseCsv, RankTDigest, FreqAgg, FreqMergeAgg, FreqTopK, SampleBottomKAgg, SampleBottomKMergeAgg, ThetaAgg, ThetaMergeAgg, ThetaEstimate, ThetaIntersect, ThetaDiff, BagRemoveKeys, BloomContains, DynamicToJson, GeoPointToGeohash, GeohashCentralPoint, GramHashes, GzipCompress, GzipDecompress, Ipv6Norm, ParseXml, PercentileTDigest, PunycodeDomainFrom, PunycodeDomainTo, PunycodeEncode, PunycodeDecode, RollingHash, TDigestAgg, TDigestMergeAgg, TermHas, VectorDot, WelchTest, ZlibCompress, ZlibDecompress}
 
 /** Spark plugin entry point: load with
   * `spark.sql.extensions=graft.GraftSessionExtensions` (works with plain
@@ -69,6 +69,9 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
     unary("parse_xml", classOf[ParseXml], ParseXml(_))
     unary("punycode_domain_from_string", classOf[PunycodeDomainFrom], PunycodeDomainFrom(_))
     unary("punycode_domain_to_string", classOf[PunycodeDomainTo], PunycodeDomainTo(_))
+    // raw RFC 3492 bootstring (no IDNA pre-processing, no xn-- prefix)
+    unary("punycode_from_string", classOf[PunycodeEncode], PunycodeEncode(_))
+    unary("punycode_to_string", classOf[PunycodeDecode], PunycodeDecode(_))
     unary("geo_geohash_to_central_point", classOf[GeohashCentralPoint], GeohashCentralPoint(_))
     ext.injectFunction((
       new FunctionIdentifier("geo_point_to_geohash"),

@@ -4569,11 +4569,15 @@ object Surface {
           |     e2 = exp2(10), ct = round(cot(1.0), 6),
           |     tsp = format_datetime(datetime(2024-01-01) + totimespan('1.02:30:00'),
           |       'yyyy-MM-dd HH:mm'),
-          |     uq = parse_urlquery('https://e.com/p?b=2&a=1%203')""".stripMargin),
+          |     uq = parse_urlquery('https://e.com/p?b=2&a=1%203'),
+          |     pc = punycode_from_string('münchen'),
+          |     pcd = punycode_to_string('bcher-kva'),
+          |     pcbad = isnull(punycode_to_string('zzz999'))""".stripMargin),
       Some("""
         SELECT 'https' AS scheme, 'example.com' AS host, '8080' AS port,
                '/a/b' AS path, 'x=1&y=2' AS qry, 'frag' AS frag,
                '{"Query Parameters":{"a":"1 3","b":"2"}}' AS uq,
+               'mnchen-3ya' AS pc, 'bücher' AS pcd, TRUE AS pcbad,
                TRUE AS ver_cmp, TRUE AS ver_eq,
                'a+b%26c' AS enc, 'a b&c' AS dec, 'xxyyzz' AS tr,
                'abc456' AS t_start, '123abc' AS t_end,
