@@ -43,7 +43,11 @@ object ScaleBench {
     // claim), BM25 filtered-explode retrieval, min-label component
     // propagation, bottom-k mergeable sample rollup
     "text_bpe_train", "text_bm25_topk", "q_kql_graph_components",
-    "q_kql_bottomk_sample", "curate_quality_lr")
+    "q_kql_bottomk_sample", "curate_quality_lr",
+    // round-9 newly-claimed scale shapes: the full-corpus dedup
+    // composition (LSH edges -> components -> keep-best as one plan) and
+    // the lower-bounded BFS (unpruned sub-lo levels)
+    "dedup_pipeline_full", "q_kql_graph_shortest_lo")
 
   def main(args: Array[String]): Unit = {
     val small = args(0)
