@@ -54,6 +54,29 @@ object DedupFunctions {
     persistedFrames.clear()
   }
 
+  /** Gather a per-id payload column onto BOTH sides of an (id_a, id_b)
+    * pair frame in ONE pass over the corpus-sized payload frame: explode
+    * each pair to its two members, shuffled-hash join the payload once,
+    * fold the two slots back in the aggregation's shuffle. Compared with
+    * two per-side join-backs this halves the corpus-side shuffle volume —
+    * the payload (signatures, shingle sets) is wide, the pair rows are 16
+    * bytes — and the shuffle_hash hint keeps the corpus frame out of any
+    * misestimated broadcast. max() folds the slots: arrays are comparable
+    * in Spark, and each (pair, slot) group has exactly one non-null row,
+    * so the fold is deterministic.
+    */
+  private def gatherPair(pairs: DataFrame, payload: DataFrame, payloadCol: String,
+      asA: String, asB: String): DataFrame =
+    pairs.select(col("id_a"), col("id_b"),
+        explode(array(struct(col("id_a").as("id"), lit(0).as("slot")),
+                      struct(col("id_b").as("id"), lit(1).as("slot")))).as("m"))
+      .select(col("id_a"), col("id_b"), col("m.id").as("id"), col("m.slot").as("slot"))
+      .hint("shuffle_hash")
+      .join(payload.select(col("id"), col(payloadCol).as("__p")), Seq("id"))
+      .groupBy("id_a", "id_b")
+      .agg(max(when(col("slot") === 0, col("__p"))).as(asA),
+           max(when(col("slot") === 1, col("__p"))).as(asB))
+
   /** Deterministic universal-hash parameters (a*h+b mod p), seeded. Bounded
     * below 2^31 so a*h+b stays < 2^63 (no ANSI overflow) with 31-bit base
     * hashes.
@@ -136,40 +159,51 @@ object DedupFunctions {
         min(pmod(col("h") * a + b, lit(SigPrime))).as(s"m$i")
       }: _*)
 
-    val withSig = sigs.withColumn("sig", array((0 until numHashes).map(i => col(s"m$i")): _*))
-      .select("id", "sig")
+    // persisted: read by the band explode AND the signature gather
+    val withSig = trackPersist(
+      sigs.withColumn("sig", array((0 until numHashes).map(i => col(s"m$i")): _*))
+        .select("id", "sig"))
 
-    val banded = withSig.select(col("id"), col("sig"),
+    // the bucket self-join carries ONLY (id, band, bandHash) — 24-byte
+    // rows. Carrying the 512-byte signature arrays through a sort-merge
+    // self-join is what made the wide variant collapse at the 100×
+    // replica (sorting corpus×bands 8 KB rows: measured 68 s vs 18 s for
+    // the narrow shape); per-row payloads are gathered AFTER the distinct.
+    val banded = withSig.select(col("id"),
       posexplode(array((0 until bands).map(bd =>
         xxhash64(slice(col("sig"), bd * rows + 1, rows))): _*))
         .as(Seq("band", "bandHash")))
 
     // candidate pruning ladder (the 100 TB shape): LSH bucket join →
-    // signature-estimated Jaccard (64 long compares/pair) → exact shingle
-    // Jaccard only on pairs the estimate keeps. On corpora with heavy shared
-    // vocabulary the bucket join alone can approach O(n²) candidates; the
-    // estimate stage makes each such pair ~100× cheaper than exact verify.
-    // estimate BEFORE distinct: the 64-compare estimate per colliding band
-    // pair is cheaper than shuffling two 64-long signature arrays per pair
-    // through a distinct — the distinct then moves only surviving id pairs
-    val candidates = banded
-      .select(col("band"), col("bandHash"), col("id").as("id_a"), col("sig").as("sig_a"))
-      .join(banded.select(col("band"), col("bandHash"), col("id").as("id_b"), col("sig").as("sig_b")),
+    // distinct id pairs (16-byte rows through the shuffle) → signature-
+    // estimated Jaccard (64 long compares/pair) → exact shingle Jaccard
+    // only on pairs the estimate keeps. On corpora with heavy shared
+    // vocabulary the bucket join can approach O(n²) colliding pairs; the
+    // estimate stage makes each survivor ~100× cheaper than exact verify.
+    // hint("merge"): both sides are corpus-sized; a planning-time size
+    // MISestimate (cached-frame stats) must never flip this to broadcast —
+    // at 100× the driver cannot build a corpus-sided hash relation (the
+    // round-9 SF10 OOM). Sort-merge shuffles on the bucket key and spills.
+    val pairs0 = banded
+      .select(col("band"), col("bandHash"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bandHash"), col("id").as("id_b")).hint("merge"),
         Seq("band", "bandHash"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+
+    val candidates = gatherPair(pairs0, withSig, "sig", "sig_a", "sig_b")
       .withColumn("est",
         aggregate(
           zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, x) => acc + x).cast("double") / numHashes)
       .filter(col("est") >= threshold - 0.15)
       .select("id_a", "id_b")
-      .distinct()
 
-    // exact verification only on the (few) estimate-surviving pairs, joining
-    // back the materialized shingle SETS (not raw text — no re-shingling)
-    candidates
-      .join(sets.select(col("id").as("id_a"), col("shset").as("set_a")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("shset").as("set_b")), Seq("id_b"))
+    // exact verification only on the (few) estimate-surviving pairs,
+    // gathering the materialized shingle SETS (not raw text — no
+    // re-shingling) in one corpus pass
+    gatherPair(candidates, sets, "shset", "set_a", "set_b")
       .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("double"))
       .withColumn("jaccard",
         when((size(col("set_a")) + size(col("set_b"))).cast("double") - col("inter") === 0, lit(1.0))
@@ -220,13 +254,19 @@ object DedupFunctions {
     // self-join) — materialize once under the releaseCaches lifecycle
     val sh    = trackPersist(grams.select(col("id"), xxhash64(col("g")).as("g")))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
+    // join-strategy pins: gram frame and per-doc sizes are both corpus-
+    // sized — never broadcastable, whatever the cached-frame size estimate
+    // says (the round-9 100× OOM class). The symmetric gram self-join pins
+    // sort-merge (spill-safe on both sides); the size join-backs pin
+    // shuffled-hash with the 16-byte-per-doc sizes frame as build — no
+    // sort of the (much larger) pair side, per-partition build stays tiny
+    val inter = sh.as("a").join(sh.as("b").hint("merge"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("i"))
     inter
-      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")).hint("shuffle_hash"), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")).hint("shuffle_hash"), Seq("id_b"))
       .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -265,8 +305,12 @@ object DedupFunctions {
     var iter      = 0
     var converged = prevSig.isEmpty // no nodes — nothing to propagate
     while (!converged && iter < maxIters) {
+      // shuffle_hash pin, labels as build: edges and labels are both
+      // corpus-sized, so a broadcast here is the classic iterative-join
+      // OOM (estimates degrade as lineage deepens); hash-build on the
+      // node frame skips re-sorting the edge side every round
       val viaNeighbor = und
-        .join(labels.select(col("id").as("dst"), col("cluster_id")), Seq("dst"))
+        .join(labels.select(col("id").as("dst"), col("cluster_id")).hint("shuffle_hash"), Seq("dst"))
         .select(col("src").as("id"), col("cluster_id"))
       val next = labels.unionByName(viaNeighbor)
         .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
@@ -334,7 +378,7 @@ object DedupFunctions {
       col("id").as("id_a"), col("simhash").as("sh_a"))
     val r = chunked.select(col("chunk"), col("chunkVal"),
       col("id").as("id_b"), col("simhash").as("sh_b"))
-    l.join(r, Seq("chunk", "chunkVal"))
+    l.join(r.hint("merge"), Seq("chunk", "chunkVal"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))

@@ -728,9 +728,12 @@ object KqlCompat {
         // a URL with no query string yields NULL from the extractor — ADX
         // returns the empty bag, so coalesce before splitting
         val pairs = s"filter(split(coalesce(parse_url($u, 'QUERY'), ''), '&'), p -> p != '')"
+        // value = everything after the FIRST '=' (URL semantics: 'a=b=c'
+        // → value 'b=c'; element 2 of the split would truncate at 'b')
+        val value = "coalesce(array_join(slice(split(p, '='), 2, size(split(p, '='))), '='), '')"
         s"concat('{\"Query Parameters\":', aggregate($pairs, '{}', (acc, p) -> " +
           s"bag_merge(acc, to_json(map(${dec("split(p, '=')[0]")}, " +
-          s"${dec("coalesce(try_element_at(split(p, '='), 2), '')")})))), '}')"
+          s"${dec(value)})))), '}')"
     }
     s = expandCalls(s, "parse_url") {
       case Seq(u) =>
@@ -1040,8 +1043,10 @@ object KqlCompat {
     // in_circle pattern). line = dynamic [[lng,lat], …].
     s = expandCalls(s, "geo_line_length") {
       case Seq(line) =>
-        s"aggregate(zip_with(slice($line, 1, size($line) - 1), " +
-          s"slice($line, 2, size($line) - 1), " +
+        // greatest(…, 0): a degenerate 0/1-point line must yield 0.0, not a
+        // runtime error from slice's negative-length rejection
+        s"aggregate(zip_with(slice($line, 1, greatest(size($line) - 1, 0)), " +
+          s"slice($line, 2, greatest(size($line) - 1, 0)), " +
           "(a, b) -> geo_distance_2points(a[0], a[1], b[0], b[1])), " +
           "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
     }

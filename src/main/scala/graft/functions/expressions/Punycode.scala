@@ -25,7 +25,7 @@ object Punycode {
   private val InitialBias = 72
   private val InitialN = 128
 
-  private def adapt(delta0: Int, numPoints: Int, firstTime: Boolean): Int = {
+  private def adapt(delta0: Long, numPoints: Int, firstTime: Boolean): Int = {
     var delta = if (firstTime) delta0 / Damp else delta0 / 2
     delta += delta / numPoints
     var k = 0
@@ -33,7 +33,8 @@ object Punycode {
       delta /= Base - TMin
       k += Base
     }
-    k + ((Base - TMin + 1) * delta) / (delta + Skew)
+    // value bounded by k + 35 — the Long division result always fits Int
+    (k + ((Base - TMin + 1) * delta) / (delta + Skew)).toInt
   }
 
   private def encodeDigit(d: Int): Char =
@@ -53,13 +54,18 @@ object Punycode {
     val basicLen = sb.length
     if (basicLen > 0) sb.append('-')
     var n     = InitialN
-    var delta = 0
+    // delta/q run in Long: (m-n)*(h+1) reaches ~2^52 in the worst case
+    // (0x10FFFF step times a 2^31-length prefix) — an Int here silently
+    // wraps on large ASCII-then-astral inputs (RFC 3492 §6.4 requires
+    // encoders to handle overflow; Long headroom makes it unreachable for
+    // any JVM String)
+    var delta = 0L
     var bias  = InitialBias
     var h     = basicLen
     while (h < cps.length) {
       var m = Int.MaxValue
       cps.foreach(c => if (c >= n && c < m) m = c)
-      delta += (m - n) * (h + 1) // overflow impossible at String lengths
+      delta += (m - n).toLong * (h + 1)
       n = m
       cps.foreach { c =>
         if (c < n) delta += 1
@@ -71,12 +77,12 @@ object Punycode {
             val t = if (k <= bias) TMin else if (k >= bias + TMax) TMax else k - bias
             if (q < t) done = true
             else {
-              sb.append(encodeDigit(t + (q - t) % (Base - t)))
+              sb.append(encodeDigit((t + (q - t) % (Base - t)).toInt))
               q = (q - t) / (Base - t)
               k += Base
             }
           }
-          sb.append(encodeDigit(q))
+          sb.append(encodeDigit(q.toInt))
           bias = adapt(delta, h + 1, h == basicLen)
           delta = 0
           h += 1

@@ -60,18 +60,43 @@ object ScaleBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftSessionExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", 64L * 1024 * 1024)
+      // STATIC broadcast threshold stays at Spark's 10 MB default: at the
+      // 100× replica, planning-time size estimates on cached/derived frames
+      // undercount by orders of magnitude, and a misestimated broadcast of
+      // a corpus-sided frame is a driver OOM (the round-9 SF10 failure).
+      // Runtime-measured broadcasts stay generous: AQE converts shuffle
+      // joins to broadcast at up to 64 MB of ACTUAL size — safe by
+      // construction, since the size is known before the build.
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", 64L * 1024 * 1024)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val queries = Names.map(n => n -> graft.operators.Surface.registry(n).fn)
+    // SPARK_GRAFT_SCALE_ONLY=prefix1,prefix2 — targeted re-runs while
+    // iterating on one query's scale posture (full suite for records)
+    val names = sys.env.get("SPARK_GRAFT_SCALE_ONLY") match {
+      case Some(ps) =>
+        val prefixes = ps.split(",").map(_.trim).filter(_.nonEmpty)
+        Names.filter(n => prefixes.exists(n.startsWith))
+      case None => Names
+    }
+    val queries = names.map(n => n -> graft.operators.Surface.registry(n).fn)
+
+    // between queries, drop EVERYTHING still pinned to executor memory:
+    // the dedup shingle caches AND any localCheckpoint blocks iterative
+    // operators left behind (mark-components, BPE) — accumulated blocks
+    // are what made 100× suite membership differ run-to-run (GC-pressure
+    // stage deaths on otherwise-healthy queries)
+    def releaseAll(): Unit = {
+      graft.functions.DedupFunctions.releaseCaches()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
 
     def timeAt(dir: String): Map[String, Double] = {
       queries.foreach { case (name, fn) =>
         try fn(spark, dir).count()
         catch { case NonFatal(e) => System.err.println(s"[scalebench] warmup $name @ $dir failed: $e") }
-        finally graft.functions.DedupFunctions.releaseCaches()
+        finally releaseAll()
       }
       queries.map { case (name, fn) =>
         def timed(): Double =
@@ -81,7 +106,7 @@ object ScaleBench {
             (System.nanoTime() - t0) / 1e9
           } catch {
             case NonFatal(e) => System.err.println(s"[scalebench] $name @ $dir failed: $e"); -1.0
-          } finally graft.functions.DedupFunctions.releaseCaches()
+          } finally releaseAll()
         val a = timed()
         val b = if (a < 0) a else timed()
         name -> (if (a < 0) -1.0 else if (b < 0) a else math.min(a, b))
@@ -91,16 +116,26 @@ object ScaleBench {
     val smallT = timeAt(small)
     val bigT   = timeAt(big)
     def d3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    val per = Names.map { n =>
+    val per = names.map { n =>
       val s = smallT(n); val b = bigT(n)
       val r = if (s > 0 && b > 0) b / s else -1.0
       s""""$n":{"small":${d3(s)},"big":${d3(b)},"ratio":${d3(r)}}"""
     }.mkString("{", ",", "}")
-    val ratios = Names.map(n => (smallT(n), bigT(n)))
+    val ratios = names.map(n => (smallT(n), bigT(n)))
       .collect { case (s, b) if s > 0 && b > 0 => b / s }
     val med = ratios.sorted.apply(ratios.size / 2)
+    // a query that threw ANYWHERE is a named failure in the record and a
+    // nonzero exit — a -1 must never again be summarizable as a success
+    val failed = names.filter(n => smallT(n) < 0 || bigT(n) < 0)
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
     println(s"""{"queries":$per,"metric":"median_ratio","value":${d3(med)},""" +
-      s""""unit":"x","scale":$scale,"small":"$small","big":"$big"}""")
+      s""""unit":"x","scale":$scale,"small":"$small","big":"$big",""" +
+      f""""failed":$failedJson,"driver_heap_gb":$heapGb%.1f}""")
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[scalebench] FAILED queries: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -288,6 +288,45 @@ class PlanSpec extends SparkSuite {
     assert(s.toLowerCase.contains("sample_bottomk"), s)
   }
 
+  test("dedup pipeline: no corpus-sided BroadcastExchange at the 64 MB bench threshold") {
+    // the round-9 SF10 failure mode: at 100× a planning-time size
+    // MISestimate on a cached corpus frame flipped a join-back to
+    // broadcast and OOM'd the driver. The merge/shuffle_hash hints in
+    // DedupFunctions must keep EVERY executed plan of the full pipeline —
+    // including each connected-components round — broadcast-free, however
+    // generous the threshold. Capture all executed plans via a listener.
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 64L * 1024 * 1024)
+    spark.listenerManager.register(listener)
+    try {
+      Surface.registry("dedup_pipeline_full").fn(spark, sf).collect()
+      // listener delivery is async — wait for the queue to quiesce
+      var last = -1
+      var same = 0
+      while (same < 3) {
+        Thread.sleep(200)
+        if (plans.size == last) same += 1 else { same = 0; last = plans.size }
+      }
+      assert(!plans.isEmpty, "listener captured no plans")
+      plans.forEach { p =>
+        assert(!p.contains("BroadcastExchange"),
+          s"corpus-sided broadcast leaked into the dedup pipeline:\n${p.take(4000)}")
+      }
+    } finally {
+      spark.listenerManager.unregister(listener)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      graft.functions.DedupFunctions.releaseCaches()
+    }
+  }
+
   test("bm25: stats broadcast; only the 1-row cross rides an NLJ") {
     val s = finalPlan("text_bm25_topk")
     assert(s.contains("BroadcastExchange"), s"corpus stats must broadcast:\n$s")
