@@ -7,6 +7,17 @@ import org.apache.spark.sql.SparkSession
   * prints ONE JSON line with per-query seconds.
   */
 object Bench {
+  /** Release every executor-memory hold between queries: the dedup shingle
+    * caches AND any localCheckpoint blocks iterative operators left behind
+    * (mark-components, BPE, connected components). Long suites otherwise
+    * accumulate blocks until GC pressure fails unrelated stages — the
+    * round-9 100× membership-instability lesson.
+    */
+  def releaseAll(spark: SparkSession): Unit = {
+    graft.functions.DedupFunctions.releaseCaches()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -34,7 +45,7 @@ object Bench {
     queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).count()
       catch { case NonFatal(e) => System.err.println(s"[bench] warmup $name failed: $e") }
-      finally graft.functions.DedupFunctions.releaseCaches()
+      finally graft.Bench.releaseAll(spark)
     }
 
     // min of two timed runs: a single sample is hostage to whatever else the
@@ -48,7 +59,7 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         } catch {
           case NonFatal(e) => System.err.println(s"[bench] $name failed: $e"); -1.0
-        } finally graft.functions.DedupFunctions.releaseCaches()
+        } finally graft.Bench.releaseAll(spark)
       val a = timed()
       // don't re-run a deterministic failure; keep the good sample if only
       // the second attempt hiccups

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.expressions.{BagMerge, BetaCdf, BottomKValues, GammaFn, LogGammaFn, ParseCsv, RankTDigest, FreqAgg, FreqMergeAgg, FreqTopK, SampleBottomKAgg, SampleBottomKMergeAgg, ThetaAgg, ThetaMergeAgg, ThetaEstimate, ThetaIntersect, ThetaDiff, BagRemoveKeys, BloomContains, DynamicToJson, GeoPointToGeohash, GeohashCentralPoint, GramHashes, GzipCompress, GzipDecompress, Ipv6Norm, ParseXml, PercentileTDigest, PunycodeDomainFrom, PunycodeDomainTo, PunycodeEncode, PunycodeDecode, RollingHash, TDigestAgg, TDigestMergeAgg, TermHas, VectorDot, WelchTest, ZlibCompress, ZlibDecompress}
+import graft.functions.expressions.{BagMerge, BetaCdf, BottomKValues, GammaFn, LogGammaFn, ParseCsv, RankTDigest, FreqAgg, FreqMergeAgg, FreqTopK, SampleBottomKAgg, SampleBottomKMergeAgg, ThetaAgg, ThetaMergeAgg, ThetaEstimate, ThetaIntersect, ThetaDiff, BagRemoveKeys, BloomContains, DynamicToJson, GeoPointToGeohash, GeohashCentralPoint, GramHashes, GzipCompress, GzipDecompress, Ipv6Norm, ParseXml, PercentileTDigest, PunycodeDomainFrom, PunycodeDomainTo, PunycodeEncode, PunycodeDecode, RollingHash, S2CellCentralPoint, GeoPointToS2Cell, TDigestAgg, TDigestMergeAgg, TermHas, VectorDot, WelchTest, ZlibCompress, ZlibDecompress}
 
 /** Spark plugin entry point: load with
   * `spark.sql.extensions=graft.GraftSessionExtensions` (works with plain
@@ -80,6 +80,17 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2 || children.size == 3,
           "geo_point_to_geohash takes (lng, lat [, accuracy])")
         GeoPointToGeohash(children)
+      }))
+    // S2 cell family — the bucketed geo-join primitive (cell token as a
+    // plain equi-join key; ADX's standard scalable geo aggregation path)
+    unary("geo_s2cell_to_central_point", classOf[S2CellCentralPoint], S2CellCentralPoint(_))
+    ext.injectFunction((
+      new FunctionIdentifier("geo_point_to_s2cell"),
+      new ExpressionInfo(classOf[GeoPointToS2Cell].getName, "geo_point_to_s2cell"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2 || children.size == 3,
+          "geo_point_to_s2cell takes (lng, lat [, level])")
+        GeoPointToS2Cell(children)
       }))
     unary("theta", classOf[ThetaAgg], ThetaAgg(_))
     unary("theta_merge", classOf[ThetaMergeAgg], ThetaMergeAgg(_))

@@ -292,18 +292,9 @@ object DedupFunctions {
       edges.select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst"))))
     var labels = nodes.select(col("id"), col("id").as("cluster_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // convergence via the label-sum signature: per-node labels only ever
-    // DECREASE under min-propagation, so an unchanged sum ⟺ no label moved —
-    // one tiny aggregate per round instead of a join-and-compare job. The
-    // sum runs in DECIMAL(38,0): a LongType sum overflows (ANSI error) with
-    // xxhash64-scale ids or billions of nodes. Null sum = empty node set.
-    def signature(df: DataFrame): Option[java.math.BigDecimal] =
-      Option(df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head()
-        .getAs[java.math.BigDecimal](0))
-    var prevSig   = signature(labels)
+      .localCheckpoint(true)
+    var converged = false
     var iter      = 0
-    var converged = prevSig.isEmpty // no nodes — nothing to propagate
     while (!converged && iter < maxIters) {
       // shuffle_hash pin, labels as build: edges and labels are both
       // corpus-sized, so a broadcast here is the classic iterative-join
@@ -312,24 +303,34 @@ object DedupFunctions {
       val viaNeighbor = und
         .join(labels.select(col("id").as("dst"), col("cluster_id")).hint("shuffle_hash"), Seq("dst"))
         .select(col("src").as("id"), col("cluster_id"))
-      val next = labels.unionByName(viaNeighbor)
-        .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sig = signature(next)
-      labels.unpersist(blocking = false)
-      labels = next
-      converged = sig == prevSig
-      prevSig = sig
+      // pointer-jumping: a label is itself a node id of the same
+      // component, so relabeling through the label's OWN label halves the
+      // remaining chain — log(diameter) rounds, not diameter (the
+      // graph-mark-components trade, same shape)
+      val viaJump = labels.join(
+          labels.select(col("id").as("cluster_id"), col("cluster_id").as("jump"))
+            .hint("shuffle_hash"),
+          Seq("cluster_id"))
+        .select(col("id"), col("jump").as("cluster_id"))
+      // the convergence probe rides the min-aggregation's own shuffle: the
+      // self leg carries its old label, max() recovers it per node (one
+      // non-null per group), and "no label moved" is a cheap scan of the
+      // checkpointed frame — no separate per-round aggregate job
+      val next = labels.select(col("id"), col("cluster_id"), col("cluster_id").as("old"))
+        .unionByName(viaNeighbor.withColumn("old", lit(null).cast(labels.schema("cluster_id").dataType)))
+        .unionByName(viaJump.withColumn("old", lit(null).cast(labels.schema("cluster_id").dataType)))
+        .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"), max(col("old")).as("prev"))
+        .localCheckpoint(true)
+      converged = next.filter(col("cluster_id") =!= col("prev")).isEmpty
+      labels = next.select("id", "cluster_id")
       iter += 1
     }
     // silently returning unconverged labels would split one component into
-    // several clusters with no hint why — refuse instead
+    // several clusters with no hint why — refuse instead. An EMPTY node
+    // frame converges in one probe (isEmpty of an empty diff is true).
     require(converged,
       s"connectedComponents did not converge within $maxIters rounds — a component's " +
         "diameter exceeds the bound; raise maxIters")
-    // hand the final frame to the releaseCaches() lifecycle: it must stay
-    // cached until the caller's action runs, then be reclaimable
-    persistedFrames.synchronized { persistedFrames += labels }
     labels
   }
 

@@ -43,6 +43,42 @@ object KqlCompat {
   /** KQL `bin` on numbers: floor to a multiple of `size`. */
   def bin(c: Column, size: Column): Column = floor(c / size) * size
 
+  /** Point-to-great-circle-ARC distance in RADIANS as engine-neutral SQL
+    * text over unit-vector component spellings (a = segment start, b =
+    * end, p = query point). n = a×b is the great-circle normal; the foot
+    * of the perpendicular lies within the arc iff p sits on the b-side of
+    * the plane through (n, a) AND the a-side of the plane through (n, b)
+    * — then the distance is the cross-track asin(|p·n|/|n|); otherwise
+    * the nearer endpoint wins, via the well-conditioned chord form
+    * 2·asin(‖p−q‖/2). Degenerate a=b segments (|n|=0) fall back to the
+    * endpoint distance. Public so oracle twins restate the IDENTICAL
+    * arithmetic (the geo_polygon_area bit-parity discipline).
+    */
+  def segmentDistanceSql(ax: String, ay: String, az: String,
+      bx: String, by: String, bz: String,
+      px: String, py: String, pz: String): String = {
+    val nx = s"(($ay)*($bz) - ($az)*($by))"
+    val ny = s"(($az)*($bx) - ($ax)*($bz))"
+    val nz = s"(($ax)*($by) - ($ay)*($bx))"
+    val nn = s"($nx*$nx + $ny*$ny + $nz*$nz)"
+    val pn = s"(($px)*$nx + ($py)*$ny + ($pz)*$nz)"
+    val c1x = s"($ny*($az) - $nz*($ay))"
+    val c1y = s"($nz*($ax) - $nx*($az))"
+    val c1z = s"($nx*($ay) - $ny*($ax))"
+    val c2x = s"(($by)*$nz - ($bz)*$ny)"
+    val c2y = s"(($bz)*$nx - ($bx)*$nz)"
+    val c2z = s"(($bx)*$ny - ($by)*$nx)"
+    val within = s"(($c1x*($px) + $c1y*($py) + $c1z*($pz)) >= 0 AND " +
+      s"($c2x*($px) + $c2y*($py) + $c2z*($pz)) >= 0)"
+    def endp(qx: String, qy: String, qz: String) =
+      s"(2 * asin(least(CAST(1.0 AS DOUBLE), sqrt(" +
+        s"(($px)-($qx))*(($px)-($qx)) + (($py)-($qy))*(($py)-($qy)) + " +
+        s"(($pz)-($qz))*(($pz)-($qz))) / 2)))"
+    val dEnds = s"least(${endp(ax, ay, az)}, ${endp(bx, by, bz)})"
+    s"(CASE WHEN $nn = 0 THEN $dEnds WHEN $within THEN " +
+      s"asin(least(CAST(1.0 AS DOUBLE), abs($pn) / sqrt($nn))) ELSE $dEnds END)"
+  }
+
   // ---- textual rewrite for expression strings -----------------------------
 
   // plain spelling swaps: KQL name → Spark name with identical call shape
@@ -149,6 +185,20 @@ object KqlCompat {
     }
     // tohex: KQL emits lowercase hex (Spark's hex is uppercase)
     s = expandCalls(s, "tohex") { case Seq(x) => s"lower(hex($x))" }
+    // toguid: canonical lowercase 8-4-4-4-12, accepting the hyphenated and
+    // bare-32-hex spellings (brace/paren wrappers are not accepted —
+    // documented); anything else is NULL, the to*-conversion contract.
+    // Surfaced as the canonical STRING (the engine's guid currency).
+    s = expandCalls(s, "toguid") {
+      case Seq(x) =>
+        val t = s"lower(trim($x))"
+        s"(CASE WHEN regexp_like($t, '^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$$') THEN $t " +
+          s"WHEN regexp_like($t, '^[0-9a-f]{32}$$') THEN concat(" +
+          // substr, not substring: the KQL substring rewrite (0-based -> 
+          // 1-based) runs AFTER this expansion and would double-shift
+          s"substr($t, 1, 8), '-', substr($t, 9, 4), '-', substr($t, 13, 4), '-', " +
+          s"substr($t, 17, 4), '-', substr($t, 21, 12)) ELSE NULL END)"
+    }
     // string_size: UTF-8 byte length (strlen is CHARACTER count)
     s = expandCalls(s, "string_size") { case Seq(x) => s"octet_length($x)" }
     // unicode codepoint round-trips. BMP-limited: Spark's empty-pattern
@@ -1041,6 +1091,29 @@ object KqlCompat {
     // of great-circle segment lengths. Expands BEFORE geo_distance_2points
     // so the emitted per-segment call is picked up by that expansion (the
     // in_circle pattern). line = dynamic [[lng,lat], …].
+    // geo_distance_point_to_line(lng, lat, line): meters from the point
+    // to the nearest point of the geodesic polyline — per segment the
+    // great-circle cross-track distance when the perpendicular foot lands
+    // within the arc, else the nearer endpoint distance (unit-vector
+    // closed form, engine-neutral: see segmentDistanceSql, which oracle
+    // twins restate with identical arithmetic). line = dynamic
+    // [[lng,lat], …]; fewer than 2 points → NULL.
+    s = expandCalls(s, "geo_distance_point_to_line") {
+      case Seq(x, y, line) =>
+        val uv = s"transform($line, q -> array(" +
+          "cos(radians(q[1])) * cos(radians(q[0])), " +
+          "cos(radians(q[1])) * sin(radians(q[0])), sin(radians(q[1]))))"
+        val px = s"(cos(radians($y)) * cos(radians($x)))"
+        val py = s"(cos(radians($y)) * sin(radians($x)))"
+        val pz = s"(sin(radians($y)))"
+        def vc(which: String, i: Int) = s"element_at(__gl2_v, $which)[$i]"
+        val seg = segmentDistanceSql(
+          vc("i - 1", 0), vc("i - 1", 1), vc("i - 1", 2),
+          vc("i", 0), vc("i", 1), vc("i", 2), px, py, pz)
+        let1("__gl2_v", uv,
+          s"(CASE WHEN size(__gl2_v) < 2 THEN CAST(NULL AS DOUBLE) ELSE " +
+            s"array_min(transform(sequence(2, size(__gl2_v)), i -> $seg)) * 6371008.8 END)")
+    }
     s = expandCalls(s, "geo_line_length") {
       case Seq(line) =>
         // greatest(…, 0): a degenerate 0/1-point line must yield 0.0, not a

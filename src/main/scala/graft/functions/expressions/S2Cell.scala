@@ -1,0 +1,203 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, NumericType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** S2 cell scalars — ADX `geo_point_to_s2cell(lng, lat [, level])` and
+  * `geo_s2cell_to_central_point(token)` (GeoJSON Point bag, the geohash
+  * twin's currency). The S2 cell id is ADX's standard SCALABLE geo-join
+  * primitive: the token is a fixed-size prefix-coded Hilbert-curve address,
+  * so "same cell at level L" is a plain equi-join key — geo joins bucket
+  * instead of cross-joining (the ipv4_lookup shape on the sphere).
+  *
+  * Public S2 geometry algorithm (s2geometry.io): lat/lng → unit XYZ →
+  * cube face + (u,v) → quadratic (s,t) → 30-bit (i,j) → Hilbert curve
+  * position → 64-bit id `face(3) ‖ pos(2·level) ‖ 1 ‖ 0…`; token = hex
+  * with trailing zeros stripped. Levels 0..30; default 11 (ADX default).
+  * Null on out-of-range coordinates / level, or a malformed token — the
+  * scalar-surface try-null convention.
+  *
+  * Reference behavior: mirror-lake-kusto exposes ADX's geo scalars to its
+  * query layer; cell functions per ADX docs (level default 11). Verified
+  * against structural vectors (face centers encode to tokens 1/3/5/7/9/b,
+  * center∘encode is a fixpoint at every level, child-center lands in the
+  * parent cell).
+  */
+object S2Cell {
+  private val MaxLevel = 30
+  // canonical S2 Hilbert lookup tables: swap=1, invert=2
+  private val IJ2Pos = Array(Array(0, 1, 3, 2), Array(0, 3, 1, 2), Array(2, 3, 1, 0), Array(2, 1, 3, 0))
+  private val Pos2IJ = Array(Array(0, 1, 3, 2), Array(0, 2, 3, 1), Array(3, 2, 0, 1), Array(3, 1, 0, 2))
+  private val Pos2Or = Array(1, 0, 0, 3)
+
+  private def stFromUv(u: Double): Double =
+    if (u >= 0) 0.5 * math.sqrt(1 + 3 * u) else 1 - 0.5 * math.sqrt(1 - 3 * u)
+
+  private def uvFromSt(s: Double): Double =
+    if (s >= 0.5) (4 * s * s - 1) / 3 else (1 - 4 * (1 - s) * (1 - s)) / 3
+
+  /** Leaf-level cell id truncated to `level`; requires valid inputs. */
+  def cellId(lng: Double, lat: Double, level: Int): Long = {
+    val laR = math.toRadians(lat); val loR = math.toRadians(lng)
+    val x = math.cos(laR) * math.cos(loR)
+    val y = math.cos(laR) * math.sin(loR)
+    val z = math.sin(laR)
+    val ax = math.abs(x); val ay = math.abs(y); val az = math.abs(z)
+    val face =
+      if (ax >= ay && ax >= az) { if (x > 0) 0 else 3 }
+      else if (ay >= ax && ay >= az) { if (y > 0) 1 else 4 }
+      else { if (z > 0) 2 else 5 }
+    val (u, v) = face match {
+      case 0 => (y / x, z / x)
+      case 1 => (-x / y, z / y)
+      case 2 => (-x / z, -y / z)
+      case 3 => (z / x, y / x)
+      case 4 => (z / y, -x / y)
+      case _ => (-y / z, -x / z)
+    }
+    def ij(c: Double): Long =
+      math.min(math.max(math.floor(stFromUv(c) * (1L << MaxLevel)).toLong, 0L), (1L << MaxLevel) - 1)
+    val i = ij(u); val j = ij(v)
+    var bits = face & 1 // SWAP_MASK of the face cell
+    var pos  = 0L
+    var k    = MaxLevel - 1
+    while (k >= 0) {
+      val ijBits = ((((i >> k) & 1) << 1) | ((j >> k) & 1)).toInt
+      val p = IJ2Pos(bits)(ijBits)
+      pos = (pos << 2) | p
+      bits ^= Pos2Or(p)
+      k -= 1
+    }
+    val leaf = (face.toLong << 61) | (pos << 1) | 1L
+    val lsb  = 1L << (2 * (MaxLevel - level))
+    (leaf & -lsb) | lsb
+  }
+
+  /** Hex token: 16 digits with trailing zeros stripped (S2 convention). */
+  def token(id: Long): String = {
+    val h = f"$id%016x"
+    var end = h.length
+    while (end > 1 && h.charAt(end - 1) == '0') end -= 1
+    h.substring(0, end)
+  }
+
+  /** Token → id, or 0 if malformed (bad hex, bad length, invalid cell:
+    * face > 5 or an odd trailing-zero count). 0 is never a valid id, and
+    * face-4/5 ids have the sign bit set — the sentinel must not be
+    * signed-negative.
+    */
+  def idFromToken(t: String): Long = {
+    if (t.isEmpty || t.length > 16 || !t.forall(c => Character.digit(c, 16) >= 0)) return 0L
+    val id = java.lang.Long.parseUnsignedLong((t + "0" * (16 - t.length)), 16)
+    if (id == 0L) return 0L
+    val face = (id >>> 61).toInt
+    if (face > 5) return 0L
+    val tz = java.lang.Long.numberOfTrailingZeros(id)
+    if (tz % 2 != 0 || tz > 2 * MaxLevel) return 0L
+    id
+  }
+
+  /** (lng, lat) of the cell center; requires a valid id. */
+  def centralPoint(id: Long): (Double, Double) = {
+    val face  = (id >>> 61).toInt
+    val level = MaxLevel - java.lang.Long.numberOfTrailingZeros(id) / 2
+    val pos   = (id >>> 1) & ((1L << 60) - 1)
+    var bits  = face & 1
+    var i = 0L; var j = 0L
+    var k = MaxLevel - 1
+    while (k >= 0) {
+      val p = ((pos >> (2 * k)) & 3).toInt
+      val ijBits = Pos2IJ(bits)(p)
+      i = (i << 1) | (ijBits >> 1)
+      j = (j << 1) | (ijBits & 1)
+      bits ^= Pos2Or(p)
+      k -= 1
+    }
+    // any leaf extending the cell's Hilbert prefix lies inside the cell —
+    // mask to the cell's corner, center is corner + half-size in si/ti
+    val sz = 1L << (MaxLevel - level)
+    val si = 2 * (i & -sz) + sz
+    val ti = 2 * (j & -sz) + sz
+    val u = uvFromSt(si.toDouble / (1L << 31))
+    val v = uvFromSt(ti.toDouble / (1L << 31))
+    val (x, y, z) = face match {
+      case 0 => (1.0, u, v)
+      case 1 => (-u, 1.0, v)
+      case 2 => (-u, -v, 1.0)
+      case 3 => (-1.0, -v, -u)
+      case 4 => (v, -1.0, -u)
+      case _ => (v, u, -1.0)
+    }
+    (math.toDegrees(math.atan2(y, x)), math.toDegrees(math.atan2(z, math.sqrt(x * x + y * y))))
+  }
+}
+
+case class GeoPointToS2Cell(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean  = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.size < 2 || children.size > 3)
+      TypeCheckResult.TypeCheckFailure("geo_point_to_s2cell takes (lng, lat [, level])")
+    else if (!children.forall(_.dataType.isInstanceOf[NumericType]))
+      TypeCheckResult.TypeCheckFailure("geo_point_to_s2cell arguments must be numeric")
+    else TypeCheckResult.TypeCheckSuccess
+
+  private def num(v: Any): Double = v match {
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case n: Number                             => n.doubleValue()
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val lng = children(0).eval(input)
+    val lat = children(1).eval(input)
+    if (lng == null || lat == null) return null
+    val level = if (children.size == 3) {
+      val l = children(2).eval(input)
+      if (l == null) return null
+      num(l).toInt
+    } else 11 // ADX default
+    val lngD = num(lng); val latD = num(lat)
+    if (level < 0 || level > 30 ||
+        lngD < -180 || lngD > 180 || latD < -90 || latD > 90 ||
+        lngD.isNaN || latD.isNaN) null
+    else UTF8String.fromString(S2Cell.token(S2Cell.cellId(lngD, latD, level)))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): GeoPointToS2Cell =
+    copy(children = newChildren)
+
+  override def prettyName: String = "geo_point_to_s2cell"
+}
+
+case class S2CellCentralPoint(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean  = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("geo_s2cell_to_central_point argument must be a string")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val id = S2Cell.idFromToken(input.asInstanceOf[UTF8String].toString)
+    if (id == 0L) null
+    else {
+      val (lng, lat) = S2Cell.centralPoint(id)
+      UTF8String.fromString(s"""{"type":"Point","coordinates":[$lng,$lat]}""")
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): S2CellCentralPoint =
+    copy(child = newChild)
+
+  override def prettyName: String = "geo_s2cell_to_central_point"
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{DedupFunctions, Multimodal, SimilarityFunctions, TextFunctions}
+import graft.functions.{DedupFunctions, KqlCompat, Multimodal, SimilarityFunctions, TextFunctions}
 import graft.functions.expressions.BloomContains
 
 /** The driver-facing query surface: one entry per operator family of
@@ -160,6 +160,34 @@ object Surface {
                '[[1,2],[3,4,5]]' AS spl,
                TRUE AS bhk, FALSE AS bhk2,
                '{"a":1,"b":2,"c":3}' AS bm""")),
+
+    "q_kql_scalar_tail6" -> QueryDef(
+      // scalar tail batch 6 — the cast tail: toguid (hyphenated + bare-hex
+      // canonicalization, null on garbage) and todecimal (Kusto's decimal
+      // is the reference's money type — TransactionLogEntry.cs:325 —
+      // mapped to decimal(38,18) per the §1.2 money discipline; exact
+      // decimal addition, null on unparseable). Decimals surface through
+      // tostring so both engines compare the canonical 18-digit rendering.
+      (s, dir) => kqlRun(s, dir,
+        """print g1 = toguid('74BE27DE-1E4E-49D4-B4D1-5E0D9A6C2A9F')
+          | | project g1,
+          |     g2 = toguid('74be27de1e4e49d4b4d15e0d9a6c2a9f'),
+          |     g3 = isnull(toguid('not-a-guid')),
+          |     g4 = isnull(toguid('74be27de-1e4e-49d4-b4d1-5e0d9a6c2a9')),
+          |     d1 = tostring(todecimal('123.4567890123456789')),
+          |     d2 = tostring(todecimal('0.1') + todecimal('0.2')),
+          |     d3 = isnull(todecimal('abc')),
+          |     d4 = tostring(todecimal(25))""".stripMargin),
+      Some("""
+        SELECT '74be27de-1e4e-49d4-b4d1-5e0d9a6c2a9f' AS g1,
+               '74be27de-1e4e-49d4-b4d1-5e0d9a6c2a9f' AS g2,
+               TRUE AS g3, TRUE AS g4,
+               '123.456789012345678900' AS d1,
+               -- decimal(38,18) + decimal(38,18) promotes to (38,17) under
+               -- Spark's precision capping — 17 fractional digits here
+               '0.30000000000000000' AS d2,
+               TRUE AS d3,
+               '25.000000000000000000' AS d4""")),
 
     "q_kql_compression" -> QueryDef(
       // zlib/gzip base64 codecs (JDK java.util.zip): roundtrip equality,
@@ -3802,6 +3830,66 @@ object Surface {
                -5.603027 AS clng, 42.60498 AS clat, 'Point' AS ctype,
                TRUE AS roundtrip, TRUE AS bad""")),
 
+    "q_kql_geo_s2" -> QueryDef(
+      // S2 cell family: canonical tokens (Paris level-5 '47e4', SF Bay
+      // level-14 '8085809f', Tokyo level-11 '60188cc', face-0 center '1' —
+      // well-known S2 region prefixes double as external validation of the
+      // Hilbert tables), ADX's default level 11, the central-point GeoJSON
+      // bag read back via extractjson, a center∘encode fixpoint, the
+      // child-center-lands-in-parent containment law, and null on bad
+      // coordinates / malformed tokens. S2CellSpec pins the algorithm's
+      // structural invariants; this row pins the SQL surface.
+      (s, dir) => kqlRun(s, dir,
+        """print c = geo_s2cell_to_central_point('47e4'),
+          |      p14 = geo_s2cell_to_central_point(geo_point_to_s2cell(2.3522, 48.8566, 14))
+          | | project t11 = geo_point_to_s2cell(139.6917, 35.6895, 11),
+          |     tdef = geo_point_to_s2cell(139.6917, 35.6895) == geo_point_to_s2cell(139.6917, 35.6895, 11),
+          |     tsf = geo_point_to_s2cell(-122.4194, 37.7749, 14),
+          |     f0 = geo_point_to_s2cell(0.0, 0.0, 0),
+          |     clng = round(todouble(extractjson('$.coordinates[0]', c)), 6),
+          |     clat = round(todouble(extractjson('$.coordinates[1]', c)), 6),
+          |     ctype = extractjson('$.type', c),
+          |     rt = geo_point_to_s2cell(todouble(extractjson('$.coordinates[0]', c)),
+          |       todouble(extractjson('$.coordinates[1]', c)), 5) == '47e4',
+          |     parent = geo_point_to_s2cell(todouble(extractjson('$.coordinates[0]', p14)),
+          |       todouble(extractjson('$.coordinates[1]', p14)), 5) == geo_point_to_s2cell(2.3522, 48.8566, 5),
+          |     bad = isnull(geo_point_to_s2cell(200.0, 10.0)),
+          |     badlv = isnull(geo_point_to_s2cell(10.0, 10.0, 31)),
+          |     badtok = isnull(geo_s2cell_to_central_point('zzz'))""".stripMargin),
+      Some("""
+        SELECT '60188cc' AS t11, TRUE AS tdef, '8085809f' AS tsf, '1' AS f0,
+               1.38061 AS clng, 48.710894 AS clat, 'Point' AS ctype,
+               TRUE AS rt, TRUE AS parent, TRUE AS bad, TRUE AS badlv,
+               TRUE AS badtok""")),
+
+    "q_kql_geo_s2join" -> QueryDef(
+      // the SCALE story for geo: S2 cell tokens as a bucketed equi-join
+      // key. Synthetic per-customer coordinates (exact integer arithmetic,
+      // reproducible in any engine), level-4 cells, self-join on the cell
+      // token — the plan is ONE shuffle on a short string key, never a
+      // distance cross-join (the ipv4_lookup shape on the sphere). The
+      // oracle cannot re-derive cell ids, so the output is the q_sketch
+      // tolerance-boolean pattern: every same-cell pair must lie within
+      // the level-4 cell's max diagonal (~950 km measured; 1100 km bound),
+      // and the pair set must be non-empty (probed: 2014 pairs at sf0.01).
+      (s, dir) => {
+        val c = t(s, dir, "customer").select(col("c_custkey").as("k"),
+            ((col("c_custkey") * 7919 % 14000) / lit(100.0) - 70.0).as("lat"),
+            ((col("c_custkey") * 104729 % 36000) / lit(100.0) - 180.0).as("lng"))
+          .withColumn("cell", expr("geo_point_to_s2cell(lng, lat, 4)"))
+        val pairs = c.as("a")
+          .join(c.as("b").hint("merge"),
+            col("a.cell") === col("b.cell") && col("a.k") < col("b.k"))
+          .select(expr("2.0 * 6371008.8 * asin(sqrt(" +
+            "pow(sin(radians(b.lat - a.lat) / 2), 2) + " +
+            "cos(radians(a.lat)) * cos(radians(b.lat)) * " +
+            "pow(sin(radians(b.lng - a.lng) / 2), 2)))").as("d"))
+        pairs.agg(
+          (count(lit(1)) > 0).as("nonvacuous"),
+          (max(col("d")) <= 1100000.0).as("all_within_cell_diag"))
+      },
+      Some("SELECT TRUE AS nonvacuous, TRUE AS all_within_cell_diag")),
+
     "q_kql_row_window_session" -> QueryDef(
       // row_window_session over one user's serialized stream: idle cut at
       // 12 h, max-distance-from-first cut at 24 h (both rules bind on this
@@ -4456,6 +4544,51 @@ object Surface {
         SELECT round(sum(len) / 1000.0, 3) AS total_len_km,
                round(sum(area) / 1000000000.0, 3) AS total_area_1e9m2,
                CAST(count(*) AS BIGINT) AS n FROM m""")),
+
+    "q_kql_geo_line_dist" -> QueryDef(
+      // geo_distance_point_to_line: per-order synthetic 3-point polyline
+      // and a nearby query point — per segment, cross-track distance when
+      // the perpendicular foot is within the arc, else nearer-endpoint
+      // (unit-vector closed form). The oracle restates the IDENTICAL
+      // arithmetic via KqlCompat.segmentDistanceSql — both engines
+      // evaluate the same trig text, so the rounded sum matches exactly
+      // (the geo_measures discipline). A 1-point line is NULL.
+      (s, dir) => kqlRun(s, dir,
+        """orders
+          | | where o_orderkey <= 200
+          | | extend lon1 = (o_orderkey % 90) * 1.0, lat1 = (o_orderkey % 45) * 1.0
+          | | extend lon2 = lon1 + 5.0, lat2 = lat1 - 3.0,
+          |     lon3 = lon1 - 4.0, lat3 = lat1 + 6.0,
+          |     px = lon1 + 2.0, py = lat1 + 1.0
+          | | extend d = geo_distance_point_to_line(px, py,
+          |       dynamic([[lon1, lat1], [lon2, lat2], [lon3, lat3]])),
+          |     dn = geo_distance_point_to_line(px, py, dynamic([[lon1, lat1]]))
+          | | summarize sd = sum(d), n = count(), nnull = sum(iff(isnull(dn), 1, 0))
+          | | project total_d_km = round(sd / 1000.0, 3), n, nnull""".stripMargin),
+      Some {
+        def comp(lon: String, lat: String): (String, String, String) =
+          (s"(cos(radians($lat)) * cos(radians($lon)))",
+           s"(cos(radians($lat)) * sin(radians($lon)))",
+           s"(sin(radians($lat)))")
+        val (p1, p2, p3) = comp("px", "py")
+        val (a1, a2, a3) = comp("lon1", "lat1")
+        val (b1, b2, b3) = comp("lon2", "lat2")
+        val (c1, c2, c3) = comp("lon3", "lat3")
+        val seg1 = KqlCompat.segmentDistanceSql(a1, a2, a3, b1, b2, b3, p1, p2, p3)
+        val seg2 = KqlCompat.segmentDistanceSql(b1, b2, b3, c1, c2, c3, p1, p2, p3)
+        s"""
+        WITH f AS (SELECT o_orderkey,
+                     (o_orderkey % 90) * 1.0 AS lon1, (o_orderkey % 45) * 1.0 AS lat1
+                   FROM orders WHERE o_orderkey <= 200),
+        g AS (SELECT o_orderkey, lon1, lat1,
+                     lon1 + 5.0 AS lon2, lat1 - 3.0 AS lat2,
+                     lon1 - 4.0 AS lon3, lat1 + 6.0 AS lat3,
+                     lon1 + 2.0 AS px, lat1 + 1.0 AS py FROM f),
+        m AS (SELECT least($seg1, $seg2) * 6371008.8 AS d FROM g)
+        SELECT round(sum(d) / 1000.0, 3) AS total_d_km,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS nnull FROM m"""
+      }),
 
     "q_kql_ipv4_text" -> QueryDef(
       // has_ipv4 family (log-scanning predicates: properly-delimited,

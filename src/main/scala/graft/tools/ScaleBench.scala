@@ -87,10 +87,7 @@ object ScaleBench {
     // operators left behind (mark-components, BPE) — accumulated blocks
     // are what made 100× suite membership differ run-to-run (GC-pressure
     // stage deaths on otherwise-healthy queries)
-    def releaseAll(): Unit = {
-      graft.functions.DedupFunctions.releaseCaches()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-    }
+    def releaseAll(): Unit = graft.Bench.releaseAll(spark)
 
     def timeAt(dir: String): Map[String, Double] = {
       queries.foreach { case (name, fn) =>
