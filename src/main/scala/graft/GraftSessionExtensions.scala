@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.expressions.{BagMerge, BetaCdf, BottomKValues, GammaFn, LogGammaFn, ParseCsv, RankTDigest, FreqAgg, FreqMergeAgg, FreqTopK, SampleBottomKAgg, SampleBottomKMergeAgg, ThetaAgg, ThetaMergeAgg, ThetaEstimate, ThetaIntersect, ThetaDiff, BagRemoveKeys, BloomContains, DynamicToJson, GeoPointToGeohash, GeohashCentralPoint, GramHashes, GzipCompress, GzipDecompress, Ipv6Norm, ParseXml, PercentileTDigest, PunycodeDomainFrom, PunycodeDomainTo, PunycodeEncode, PunycodeDecode, RollingHash, S2CellCentralPoint, GeoPointToS2Cell, TDigestAgg, TDigestMergeAgg, TermHas, VectorDot, WelchTest, ZlibCompress, ZlibDecompress}
+import graft.functions.expressions.{BagMerge, BetaCdf, BottomKValues, GammaFn, LogGammaFn, ParseCsv, RankTDigest, FreqAgg, FreqMergeAgg, FreqTopK, SampleBottomKAgg, SampleBottomKMergeAgg, ThetaAgg, ThetaMergeAgg, ThetaEstimate, ThetaIntersect, ThetaDiff, BagRemoveKeys, BloomContains, DynamicToJson, GeoPointToGeohash, GeohashCentralPoint, GeohashNeighbors, GeoS2CellNeighbors, GramHashes, GzipCompress, GzipDecompress, Ipv4RangeToCidr, Ipv6Norm, ParseXml, PercentileTDigest, PunycodeDomainFrom, PunycodeDomainTo, PunycodeEncode, PunycodeDecode, RollingHash, S2CellCentralPoint, GeoPointToS2Cell, SeriesFitPoly, TDigestAgg, TDigestMergeAgg, TermHas, VectorDot, WelchTest, ZlibCompress, ZlibDecompress}
 
 /** Spark plugin entry point: load with
   * `spark.sql.extensions=graft.GraftSessionExtensions` (works with plain
@@ -84,6 +84,16 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
     // S2 cell family — the bucketed geo-join primitive (cell token as a
     // plain equi-join key; ADX's standard scalable geo aggregation path)
     unary("geo_s2cell_to_central_point", classOf[S2CellCentralPoint], S2CellCentralPoint(_))
+    unary("geo_s2cell_neighbors", classOf[GeoS2CellNeighbors], GeoS2CellNeighbors(_))
+    ext.injectFunction((
+      new FunctionIdentifier("series_fit_poly"),
+      new ExpressionInfo(classOf[SeriesFitPoly].getName, "series_fit_poly"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1 || children.size == 2,
+          "series_fit_poly takes (y [, degree])")
+        SeriesFitPoly(children)
+      }))
+    unary("geo_geohash_neighbors", classOf[GeohashNeighbors], GeohashNeighbors(_))
     ext.injectFunction((
       new FunctionIdentifier("geo_point_to_s2cell"),
       new ExpressionInfo(classOf[GeoPointToS2Cell].getName, "geo_point_to_s2cell"),
@@ -103,6 +113,7 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
           require(children.size == 2, s"$name takes exactly two arguments")
           mk(children(0), children(1))
         }))
+    binary("ipv4_range_to_cidr_list", classOf[Ipv4RangeToCidr], Ipv4RangeToCidr(_, _))
     binary("theta_intersect", classOf[ThetaIntersect], ThetaIntersect(_, _))
     binary("theta_diff", classOf[ThetaDiff], ThetaDiff(_, _))
     unary("freq", classOf[FreqAgg], FreqAgg(_))

@@ -172,6 +172,30 @@ object KqlCompat {
       }
       seg
     }
+    // base64_encode_fromguid / base64_decode_toguid: .NET GUID byte order
+    // (Data1/2/3 little-endian, Data4 as-is — the reference's guid wire
+    // shape). Expand BEFORE toguid so the emitted calls are rewritten (the
+    // in_circle pattern); null propagates from toguid/the base64 guard.
+    // each expansion BINDS its argument once (the single-element
+    // transform-array trick): the argument text is often itself a nested
+    // expansion, and a 9-fold textual copy of a nested copy analyzed to a
+    // 100 KB expression tree (3 s of analysis on a constants fixture)
+    def reorder(h: String) =
+      s"concat(substr($h, 7, 2), substr($h, 5, 2), substr($h, 3, 2), substr($h, 1, 2), " +
+        s"substr($h, 11, 2), substr($h, 9, 2), substr($h, 15, 2), substr($h, 13, 2), " +
+        s"substr($h, 17, 16))"
+    s = expandCalls(s, "base64_encode_fromguid") {
+      case Seq(x) =>
+        s"element_at(transform(array(replace(toguid($x), '-', '')), " +
+          s"__bg -> base64(unhex(${reorder("__bg")}))), 1)"
+    }
+    s = expandCalls(s, "base64_decode_toguid") {
+      case Seq(x) =>
+        s"element_at(transform(array($x), __bd -> " +
+          s"CASE WHEN regexp_like(__bd, '^[A-Za-z0-9+/]{22}==$$') THEN " +
+          s"element_at(transform(array(lower(hex(unbase64(__bd)))), " +
+          s"__bh -> toguid(${reorder("__bh")})), 1) ELSE NULL END), 1)"
+    }
     // ADX to* conversions yield NULL on failure; under Spark's ANSI mode a
     // plain cast of e.g. toint('abc') would THROW — try_cast restores the
     // KQL contract (tostring keeps cast: a cast to string cannot fail)
@@ -185,19 +209,34 @@ object KqlCompat {
     }
     // tohex: KQL emits lowercase hex (Spark's hex is uppercase)
     s = expandCalls(s, "tohex") { case Seq(x) => s"lower(hex($x))" }
+    // has_any_index(source, values): 0-based index of the FIRST value that
+    // matches source as a whole TERM (the `has` split), -1 when none or
+    // the list is empty. The term table binds once; the terms come from a
+    // runtime array, so this spells the term split inline (the native
+    // term_has is literal-only by contract).
+    s = expandCalls(s, "has_any_index") {
+      case Seq(src, l) =>
+        s"element_at(transform(array(split(lower($src), '[^0-9a-z]+')), __ht -> " +
+          s"coalesce(try_element_at(filter(transform($l, (__he, __hi) -> " +
+          s"CASE WHEN array_contains(__ht, lower(CAST(__he AS STRING))) THEN __hi ELSE -1 END), " +
+          s"__hv -> __hv >= 0), 1), -1)), 1)"
+    }
     // toguid: canonical lowercase 8-4-4-4-12, accepting the hyphenated and
     // bare-32-hex spellings (brace/paren wrappers are not accepted —
     // documented); anything else is NULL, the to*-conversion contract.
     // Surfaced as the canonical STRING (the engine's guid currency).
     s = expandCalls(s, "toguid") {
       case Seq(x) =>
-        val t = s"lower(trim($x))"
-        s"(CASE WHEN regexp_like($t, '^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$$') THEN $t " +
-          s"WHEN regexp_like($t, '^[0-9a-f]{32}$$') THEN concat(" +
-          // substr, not substring: the KQL substring rewrite (0-based -> 
+        // the argument binds ONCE (single-element transform-array) — the
+        // 8-fold copy of a nested-expansion argument is an analysis-time
+        // expression-tree explosion
+        s"element_at(transform(array(lower(trim($x))), __tg -> " +
+          s"CASE WHEN regexp_like(__tg, '^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$$') THEN __tg " +
+          s"WHEN regexp_like(__tg, '^[0-9a-f]{32}$$') THEN concat(" +
+          // substr, not substring: the KQL substring rewrite (0-based ->
           // 1-based) runs AFTER this expansion and would double-shift
-          s"substr($t, 1, 8), '-', substr($t, 9, 4), '-', substr($t, 13, 4), '-', " +
-          s"substr($t, 17, 4), '-', substr($t, 21, 12)) ELSE NULL END)"
+          s"substr(__tg, 1, 8), '-', substr(__tg, 9, 4), '-', substr(__tg, 13, 4), '-', " +
+          s"substr(__tg, 17, 4), '-', substr(__tg, 21, 12)) ELSE NULL END), 1)"
     }
     // string_size: UTF-8 byte length (strlen is CHARACTER count)
     s = expandCalls(s, "string_size") { case Seq(x) => s"octet_length($x)" }
@@ -846,12 +885,36 @@ object KqlCompat {
       case Seq(t) =>
         s"regexp_replace($t, '([.^$$|?*+()\\\\[\\\\]{}\\\\\\\\])', '\\\\\\\\$$1')"
     }
+    // endofweek(t): the Sunday-start week's last representable instant —
+    // expands BEFORE startofweek so the emitted call is picked up (the
+    // in_circle pattern); µs resolution, the endofday discipline
+    s = expandCalls(s, "endofweek") {
+      case Seq(t) =>
+        s"(startofweek($t) + interval '7' day - interval '1' microsecond)"
+    }
     // startofweek(t): ADX weeks start SUNDAY. Spelled via Spark's weekday
     // (Monday=0) — NOT dayofweek, which the KQL rewrite above already owns
     // (ADX dayofweek is a timespan) and would re-rewrite here.
     s = expandCalls(s, "startofweek") {
       case Seq(t) =>
         s"CAST(date_sub(CAST(($t) AS DATE), pmod(weekday($t) + 1, 7)) AS TIMESTAMP)"
+    }
+    // array_iif(cond, then, else): element-wise conditional over dynamics —
+    // result length = |cond|, numeric/boolean conditions (nonzero = true,
+    // null = false), missing then/else elements yield null (ADX contract)
+    s = expandCalls(s, "array_iif") {
+      case Seq(c, t, e) =>
+        s"transform(sequence(1, size($c)), __ai -> " +
+          s"if(coalesce(try_cast(try_element_at($c, __ai) as boolean), false), " +
+          s"try_element_at($t, __ai), try_element_at($e, __ai)))"
+    }
+    // beta_pdf(x, a, b) = x^(a-1)(1-x)^(b-1) · Γ(a+b)/(Γ(a)Γ(b)) — the
+    // beta_cdf sibling, via the native gamma (DuckDB's gamma recomputes
+    // the Lanczos numerics; callers round)
+    s = expandCalls(s, "beta_pdf") {
+      case Seq(x, a, b) =>
+        s"(pow($x, ($a) - 1) * pow(1 - ($x), ($b) - 1) * " +
+          s"gamma(($a) + ($b)) / (gamma($a) * gamma($b)))"
     }
     // series_fill_const(x, c): nulls → the literal constant
     s = expandCalls(s, "series_fill_const") {

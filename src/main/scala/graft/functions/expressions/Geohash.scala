@@ -110,6 +110,60 @@ object Geohash {
     UTF8String.fromString(sb.toString)
   }
 
+  /** Cell bounds (lngLo, lngHi, latLo, latHi), or null on a malformed
+    * hash — the decode loop shared by centralPoint and neighbors.
+    */
+  def bounds(h: String): Array[Double] = {
+    if (h.isEmpty || h.length > 12) return null
+    var lngLo = -180.0; var lngHi = 180.0
+    var latLo = -90.0;  var latHi = 90.0
+    var even = true
+    var i = 0
+    while (i < h.length) {
+      val c = h.charAt(i)
+      val v = if (c < 128) B32Idx(c.toInt) else -1
+      if (v < 0) return null
+      var b = 4
+      while (b >= 0) {
+        val on = ((v >> b) & 1) == 1
+        if (even) {
+          val mid = (lngLo + lngHi) / 2
+          if (on) lngLo = mid else lngHi = mid
+        } else {
+          val mid = (latLo + latHi) / 2
+          if (on) latLo = mid else latHi = mid
+        }
+        even = !even
+        b -= 1
+      }
+      i += 1
+    }
+    Array(lngLo, lngHi, latLo, latHi)
+  }
+
+  /** The (up to 8) adjacent cells at the same accuracy — east/west wrap
+    * across the antimeridian; steps past a pole are dropped (polar cells
+    * have fewer than 8). Distinct, self excluded, or null on a malformed
+    * hash.
+    */
+  def neighbors(hash: UTF8String): Seq[UTF8String] = {
+    if (hash == null) return null
+    val h = hash.toString.toLowerCase
+    val b = bounds(h)
+    if (b == null) return null
+    val w = b(1) - b(0); val ht = b(3) - b(2)
+    val clng = (b(0) + b(1)) / 2; val clat = (b(2) + b(3)) / 2
+    val out = for {
+      di <- -1 to 1; dj <- -1 to 1; if di != 0 || dj != 0
+      lat = clat + dj * ht; if lat > -90.0 && lat < 90.0
+    } yield {
+      var lng = clng + di * w
+      if (lng > 180.0) lng -= 360.0 else if (lng < -180.0) lng += 360.0
+      encode(lng, lat, h.length)
+    }
+    out.filter(_ != null).distinct.filterNot(_.toString == h)
+  }
+
   /** GeoJSON Point at the cell center, or null on a malformed hash. */
   def centralPoint(hash: UTF8String): UTF8String = {
     if (hash == null) return null
@@ -142,4 +196,32 @@ object Geohash {
     val lat = (latLo + latHi) / 2
     UTF8String.fromString(s"""{"type":"Point","coordinates":[$lng,$lat]}""")
   }
+}
+
+/** `geo_geohash_neighbors(hash)` — the up-to-8 same-accuracy adjacent
+  * cells (east/west antimeridian wrap; polar rows have fewer), sorted for
+  * determinism. Null on a malformed hash.
+  */
+case class GeohashNeighbors(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("geo_geohash_neighbors argument must be a string")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val ns = Geohash.neighbors(input.asInstanceOf[UTF8String])
+    if (ns == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      ns.sortBy(_.toString).toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GeohashNeighbors =
+    copy(child = newChild)
+
+  override def prettyName: String = "geo_geohash_neighbors"
 }

@@ -43,9 +43,14 @@ object S2Cell {
   /** Leaf-level cell id truncated to `level`; requires valid inputs. */
   def cellId(lng: Double, lat: Double, level: Int): Long = {
     val laR = math.toRadians(lat); val loR = math.toRadians(lng)
-    val x = math.cos(laR) * math.cos(loR)
-    val y = math.cos(laR) * math.sin(loR)
-    val z = math.sin(laR)
+    cellIdFromXyz(
+      math.cos(laR) * math.cos(loR),
+      math.cos(laR) * math.sin(loR),
+      math.sin(laR), level)
+  }
+
+  /** Cell id of the (not necessarily unit) direction vector at `level`. */
+  def cellIdFromXyz(x: Double, y: Double, z: Double, level: Int): Long = {
     val ax = math.abs(x); val ay = math.abs(y); val az = math.abs(z)
     val face =
       if (ax >= ay && ax >= az) { if (x > 0) 0 else 3 }
@@ -101,8 +106,18 @@ object S2Cell {
     id
   }
 
-  /** (lng, lat) of the cell center; requires a valid id. */
-  def centralPoint(id: Long): (Double, Double) = {
+  private def faceUvToXyz(face: Int, u: Double, v: Double): (Double, Double, Double) =
+    face match {
+      case 0 => (1.0, u, v)
+      case 1 => (-u, 1.0, v)
+      case 2 => (-u, -v, 1.0)
+      case 3 => (-1.0, -v, -u)
+      case 4 => (v, -1.0, -u)
+      case _ => (v, u, -1.0)
+    }
+
+  /** Decode (face, level, leaf i, leaf j) from a valid id. */
+  private def faceLevelIJ(id: Long): (Int, Int, Long, Long) = {
     val face  = (id >>> 61).toInt
     val level = MaxLevel - java.lang.Long.numberOfTrailingZeros(id) / 2
     val pos   = (id >>> 1) & ((1L << 60) - 1)
@@ -117,6 +132,12 @@ object S2Cell {
       bits ^= Pos2Or(p)
       k -= 1
     }
+    (face, level, i, j)
+  }
+
+  /** (lng, lat) of the cell center; requires a valid id. */
+  def centralPoint(id: Long): (Double, Double) = {
+    val (face, level, i, j) = faceLevelIJ(id)
     // any leaf extending the cell's Hilbert prefix lies inside the cell —
     // mask to the cell's corner, center is corner + half-size in si/ti
     val sz = 1L << (MaxLevel - level)
@@ -124,15 +145,33 @@ object S2Cell {
     val ti = 2 * (j & -sz) + sz
     val u = uvFromSt(si.toDouble / (1L << 31))
     val v = uvFromSt(ti.toDouble / (1L << 31))
-    val (x, y, z) = face match {
-      case 0 => (1.0, u, v)
-      case 1 => (-u, 1.0, v)
-      case 2 => (-u, -v, 1.0)
-      case 3 => (-1.0, -v, -u)
-      case 4 => (v, -1.0, -u)
-      case _ => (v, u, -1.0)
-    }
+    val (x, y, z) = faceUvToXyz(face, u, v)
     (math.toDegrees(math.atan2(y, x)), math.toDegrees(math.atan2(z, math.sqrt(x * x + y * y))))
+  }
+
+  /** The (up to 8) edge- and vertex-adjacent cells at the same level —
+    * distinct, self excluded. Cross-face neighbors resolve by extending
+    * the quadratic ST transform beyond [0,1]: the overflowed (u,v) leaves
+    * the face square, and the XYZ it maps to re-derives the adjacent
+    * face's cell. At cube corners diagonal steps coincide with edge
+    * neighbors (deduped) — corner cells have fewer than 8.
+    */
+  def neighbors(id: Long): Seq[Long] = {
+    val (face, level, i, j) = faceLevelIJ(id)
+    val sz   = 1L << (MaxLevel - level)
+    val imin = i & -sz
+    val jmin = j & -sz
+    val out = for {
+      di <- -1 to 1; dj <- -1 to 1; if di != 0 || dj != 0
+    } yield {
+      val si = 2 * (imin + di * sz) + sz // may overflow [0, 2^31) — wraps
+      val ti = 2 * (jmin + dj * sz) + sz
+      val u = uvFromSt(si.toDouble / (1L << 31))
+      val v = uvFromSt(ti.toDouble / (1L << 31))
+      val (x, y, z) = faceUvToXyz(face, u, v)
+      cellIdFromXyz(x, y, z, level)
+    }
+    out.distinct.filterNot(_ == id)
   }
 }
 
@@ -200,4 +239,36 @@ case class S2CellCentralPoint(child: Expression)
     copy(child = newChild)
 
   override def prettyName: String = "geo_s2cell_to_central_point"
+}
+
+/** `geo_s2cell_neighbors(token)` — the up-to-8 same-level adjacent cell
+  * tokens (lexicographically sorted for determinism; ADX leaves the order
+  * unspecified), as an array usable directly in explode-based cover joins.
+  * Null on a malformed token.
+  */
+case class GeoS2CellNeighbors(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("geo_s2cell_neighbors argument must be a string")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val id = S2Cell.idFromToken(input.asInstanceOf[UTF8String].toString)
+    if (id == 0L) null
+    else {
+      val toks = S2Cell.neighbors(id).map(S2Cell.token).sorted
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        toks.map(UTF8String.fromString))
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GeoS2CellNeighbors =
+    copy(child = newChild)
+
+  override def prettyName: String = "geo_s2cell_neighbors"
 }

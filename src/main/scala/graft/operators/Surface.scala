@@ -189,6 +189,32 @@ object Surface {
                TRUE AS d3,
                '25.000000000000000000' AS d4""")),
 
+    "q_kql_scalar_tail7" -> QueryDef(
+      // scalar tail batch 7: guid↔base64 (.NET GUID byte order — Data1/2/3
+      // little-endian; vectors cross-checked against Python's
+      // uuid.bytes_le), Sunday-anchored endofweek (µs-resolution last
+      // instant), dayofyear passthrough, element-wise array_iif (numeric
+      // conditions, short-else null fill), beta_pdf via the native gamma
+      (s, dir) => kqlRun(s, dir,
+        """print b64 = base64_encode_fromguid('74be27de-1e4e-49d4-b4d1-5e0d9a6c2a9f')
+          | | project b64,
+          |     b64rt = base64_decode_toguid(base64_encode_fromguid('74BE27DE-1E4E-49D4-B4D1-5E0D9A6C2A9F')),
+          |     b64bad = isnull(base64_decode_toguid('!!notbase64!!')),
+          |     eow = format_datetime(endofweek(datetime(2024-03-15)), 'yyyy-MM-dd HH:mm:ss'),
+          |     sow = format_datetime(startofweek(datetime(2024-03-17)), 'yyyy-MM-dd'),
+          |     doy = dayofyear(datetime(2024-03-01)),
+          |     aiif = to_json(array_iif(dynamic([true, false, true]), dynamic([1, 2, 3]), dynamic([9, 8, 7]))),
+          |     aiif2 = to_json(array_iif(dynamic([1, 0]), dynamic([10, 20]), dynamic([30]))),
+          |     bp = round(beta_pdf(0.3, 2.0, 5.0), 6)""".stripMargin),
+      Some("""
+        SELECT '3ie+dE4e1Em00V4Nmmwqnw==' AS b64,
+               '74be27de-1e4e-49d4-b4d1-5e0d9a6c2a9f' AS b64rt,
+               TRUE AS b64bad,
+               '2024-03-16 23:59:59' AS eow, '2024-03-17' AS sow,
+               61 AS doy,
+               '[1,8,3]' AS aiif, '[10,null]' AS aiif2,
+               round(pow(0.3, 1.0) * pow(0.7, 4.0) * gamma(7.0) / (gamma(2.0) * gamma(5.0)), 6) AS bp""")),
+
     "q_kql_compression" -> QueryDef(
       // zlib/gzip base64 codecs (JDK java.util.zip): roundtrip equality,
       // decode of externally-produced fixed payloads ('hello graft'
@@ -2807,6 +2833,32 @@ object Surface {
                CAST(len(l) AS BIGINT) AS s_len
         FROM ser ORDER BY event_type""")),
 
+    "q_series_fit_poly" -> QueryDef(
+      // series_fit_poly (native normal-equations solver, ascending
+      // coefficients): an EXACT quadratic series recovers its coefficients
+      // to 6 decimals with rsquare 1; on a real event series the degree-1
+      // fit must agree with series_fit_line_dynamic's slope (arithmetic
+      // identity) and degree 2 can never fit worse than degree 1 (nested
+      // models); an underdetermined fit (n <= degree) is null.
+      (s, dir) => kqlRun(s, dir,
+        """events
+          | | make-series n = count()
+          |     on ts from 1704067200000000000 to 1706659200000000000 step 86400000000000
+          | | extend f2 = series_fit_poly(n, 2), f1 = series_fit_poly(n, 1),
+          |     fl = series_fit_line_dynamic(n),
+          |     q = series_fit_poly(dynamic([2.0, 4.0, 4.0, 2.0, -2.0, -8.0, -16.0, -26.0]), 2)
+          | | project rsq = round(q.rsquare, 6),
+          |     c0 = round(q.coefficients[0], 6), c1 = round(q.coefficients[1], 6),
+          |     c2 = round(q.coefficients[2], 6),
+          |     fit_last = round(q.poly_fit[7], 6),
+          |     deg1_is_line = abs(f1.coefficients[1] - fl.slope) < 1e-9
+          |         and abs(f1.coefficients[0] - fl.interception) < 1e-9,
+          |     nested_no_worse = f2.rsquare >= f1.rsquare - 1e-12,
+          |     under = isnull(series_fit_poly(dynamic([1.0, 2.0]), 3))""".stripMargin),
+      Some("""
+        SELECT 1.0 AS rsq, 2.0 AS c0, 3.0 AS c1, -1.0 AS c2, -26.0 AS fit_last,
+               TRUE AS deg1_is_line, TRUE AS nested_no_worse, TRUE AS under""")),
+
     "q_series_fit_line" -> QueryDef(
       // series_fit_line_dynamic: least-squares trend over the implicit
       // 0..n−1 axis; oracle restates it through DuckDB's regr_* aggregates
@@ -3861,6 +3913,55 @@ object Surface {
                1.38061 AS clng, 48.710894 AS clat, 'Point' AS ctype,
                TRUE AS rt, TRUE AS parent, TRUE AS bad, TRUE AS badlv,
                TRUE AS badtok""")),
+
+    "q_kql_ipfuncs3" -> QueryDef(
+      // ipv4_range_to_cidr_list (greedy largest-aligned-block range
+      // summarization, native) — vectors cross-checked against Python
+      // ipaddress.summarize_address_range — and has_any_index (first
+      // whole-term match over a runtime term list, -1 on none/empty)
+      (s, dir) => kqlRun(s, dir,
+        """print cl = to_json(ipv4_range_to_cidr_list('192.168.1.5', '192.168.1.20'))
+          | | project cl,
+          |     cl24 = to_json(ipv4_range_to_cidr_list('10.0.0.0', '10.0.0.255')),
+          |     cl0 = to_json(ipv4_range_to_cidr_list('0.0.0.0', '255.255.255.255')),
+          |     cl1 = to_json(ipv4_range_to_cidr_list('1.2.3.4', '1.2.3.4')),
+          |     clbad = isnull(ipv4_range_to_cidr_list('1.2.3.400', '1.2.3.4')),
+          |     clrev = isnull(ipv4_range_to_cidr_list('2.0.0.0', '1.0.0.0')),
+          |     hai = has_any_index('quick brown fox', dynamic(['wolf', 'fox', 'brown'])),
+          |     hai2 = has_any_index('quick brown fox', dynamic(['wolf'])),
+          |     haisub = has_any_index('administrators', dynamic(['admin']))""".stripMargin),
+      Some("""
+        SELECT '["192.168.1.5/32","192.168.1.6/31","192.168.1.8/29","192.168.1.16/30","192.168.1.20/32"]' AS cl,
+               '["10.0.0.0/24"]' AS cl24, '["0.0.0.0/0"]' AS cl0,
+               '["1.2.3.4/32"]' AS cl1, TRUE AS clbad, TRUE AS clrev,
+               1 AS hai, -1 AS hai2, -1 AS haisub""")),
+
+    "q_kql_geo_neighbors" -> QueryDef(
+      // cell adjacency — the cover-join primitive (expand one side by its
+      // neighbor ring, equi-join on the token: catches pairs straddling a
+      // cell boundary with NO distance cross-join). Gated structurally:
+      // face cell '1' has exactly the 4 edge faces as neighbors (exact
+      // token list), a mid-face level-5 cell has 8 with MUTUAL adjacency
+      // (each neighbor's neighbor ring contains the original — a strong
+      // correctness law covering the cross-face ST-overflow wrap), the
+      // geohash twin is mutual too, the top polar row keeps 5 of 8, and
+      // malformed tokens are null.
+      (s, dir) => kqlRun(s, dir,
+        """print tok5 = geo_point_to_s2cell(2.3522, 48.8566, 5)
+          | | extend nbp = geo_s2cell_neighbors(tok5)
+          | | project nb0 = to_json(geo_s2cell_neighbors('1')),
+          |     n8 = array_length(nbp) == 8,
+          |     mutual = forall(nbp, n -> array_contains(geo_s2cell_neighbors(n), tok5)),
+          |     ghn = array_length(geo_geohash_neighbors('ezs42')) == 8,
+          |     ghmutual = forall(geo_geohash_neighbors('ezs42'),
+          |       h -> array_contains(geo_geohash_neighbors(h), 'ezs42')),
+          |     ghpolar = array_length(geo_geohash_neighbors(geo_point_to_geohash(10.0, 89.9, 4))) == 5,
+          |     bad = isnull(geo_s2cell_neighbors('zzz')),
+          |     ghbad = isnull(geo_geohash_neighbors('aaa'))""".stripMargin),
+      Some("""
+        SELECT '["3","5","9","b"]' AS nb0, TRUE AS n8, TRUE AS mutual,
+               TRUE AS ghn, TRUE AS ghmutual, TRUE AS ghpolar,
+               TRUE AS bad, TRUE AS ghbad""")),
 
     "q_kql_geo_s2join" -> QueryDef(
       // the SCALE story for geo: S2 cell tokens as a bucketed equi-join

@@ -47,7 +47,9 @@ object ScaleBench {
     // round-9 newly-claimed scale shapes: the full-corpus dedup
     // composition (LSH edges -> components -> keep-best as one plan) and
     // the lower-bounded BFS (unpruned sub-lo levels)
-    "dedup_pipeline_full", "q_kql_graph_shortest_lo")
+    "dedup_pipeline_full", "q_kql_graph_shortest_lo",
+    // round-10: the bucketed geo join (S2 cell token as equi-join key)
+    "q_kql_geo_s2join")
 
   def main(args: Array[String]): Unit = {
     val small = args(0)

@@ -41,6 +41,27 @@ class S2CellSpec extends SparkSuite {
     }
   }
 
+  test("neighbors: counts, symmetry, level preservation") {
+    // face cells: 4 edge-adjacent faces (diagonals coincide — deduped)
+    assert(S2Cell.neighbors(S2Cell.idFromToken("1")).map(S2Cell.token).sorted
+      === Seq("3", "5", "9", "b"))
+    val rnd = new scala.util.Random(11)
+    (1 to 200).foreach { _ =>
+      val lng = rnd.nextDouble() * 360 - 180
+      val lat = rnd.nextDouble() * 170 - 85
+      val id = S2Cell.cellId(lng, lat, 8)
+      val ns = S2Cell.neighbors(id)
+      assert(ns.size >= 7 && ns.size <= 8, s"($lng,$lat): ${ns.size}")
+      assert(ns.distinct.size == ns.size)
+      ns.foreach { n =>
+        // same level, and adjacency is symmetric (covers the cross-face wrap)
+        assert(java.lang.Long.numberOfTrailingZeros(n) ===
+          java.lang.Long.numberOfTrailingZeros(id))
+        assert(S2Cell.neighbors(n).contains(id), s"asymmetric at ($lng,$lat)")
+      }
+    }
+  }
+
   test("token round-trips through idFromToken; malformed tokens rejected") {
     val id = S2Cell.cellId(12.34, 56.78, 13)
     assert(S2Cell.idFromToken(S2Cell.token(id)) === id)

@@ -327,6 +327,15 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("geo s2 join: cell-token equi-join — no cartesian, no NLJ") {
+    // the geo scale story: same-cell pairing is ONE shuffle on the token
+    // key; any distance-based pairing would surface as a nested-loop
+    val s = finalPlan("q_kql_geo_s2join")
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+    assert(s.contains("SortMergeJoin"), s"expected the pinned token equi-join:\n$s")
+  }
+
   test("bm25: stats broadcast; only the 1-row cross rides an NLJ") {
     val s = finalPlan("text_bm25_topk")
     assert(s.contains("BroadcastExchange"), s"corpus stats must broadcast:\n$s")
