@@ -105,13 +105,13 @@ object Punycode {
     // code points as a growable buffer (inserts by CODE POINT index)
     val cps = new java.util.ArrayList[Integer]()
     basic.foreach(c => cps.add(c.toInt): Unit)
-    var n    = InitialN
-    var i    = 0
+    var n    = InitialN.toLong
+    var i    = 0L
     var bias = InitialBias
     var j    = 0
     while (j < tail.length) {
       val oldi = i
-      var w    = 1
+      var w    = 1L
       var k    = Base
       var done = false
       while (!done) {
@@ -119,14 +119,16 @@ object Punycode {
         val d = decodeDigit(tail.charAt(j))
         j += 1
         if (d < 0) return null
-        // overflow guard: i and w stay far below Int.MaxValue for any
-        // realistic string; reject rather than wrap
-        if (d > (Int.MaxValue - i) / w) return null
+        // Long accumulators, matching the encoder's headroom: a long
+        // ASCII prefix before an astral code point legitimately pushes
+        // delta past Int range (the round-10 encoder fix must round-trip);
+        // guard the LONG bound and reject rather than wrap
+        if (d > (Long.MaxValue - i) / w) return null
         i += d * w
         val t = if (k <= bias) TMin else if (k >= bias + TMax) TMax else k - bias
         if (d < t) done = true
         else {
-          if (w > Int.MaxValue / (Base - t)) return null
+          if (w > Long.MaxValue / (Base - t)) return null
           w *= Base - t
           k += Base
         }
@@ -135,7 +137,7 @@ object Punycode {
       n += i / (cps.size + 1)
       if (n > 0x10FFFF) return null
       i %= cps.size + 1
-      cps.add(i, n)
+      cps.add(i.toInt, n.toInt)
       i += 1
     }
     val sb = new java.lang.StringBuilder

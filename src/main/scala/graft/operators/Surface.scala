@@ -4809,6 +4809,8 @@ object Surface {
           |     tsp = format_datetime(datetime(2024-01-01) + totimespan('1.02:30:00'),
           |       'yyyy-MM-dd HH:mm'),
           |     uq = parse_urlquery('https://e.com/p?b=2&a=1%203'),
+          |     uq2 = parse_urlquery('https://e.com/p?a=b=c&k'),
+          |     gl0 = geo_line_length(dynamic([[1.0, 2.0]])),
           |     pc = punycode_from_string('münchen'),
           |     pcd = punycode_to_string('bcher-kva'),
           |     pcbad = isnull(punycode_to_string('zzz999'))""".stripMargin),
@@ -4816,6 +4818,10 @@ object Surface {
         SELECT 'https' AS scheme, 'example.com' AS host, '8080' AS port,
                '/a/b' AS path, 'x=1&y=2' AS qry, 'frag' AS frag,
                '{"Query Parameters":{"a":"1 3","b":"2"}}' AS uq,
+               -- value = everything after the FIRST '=' ('b=c'); a bare
+               -- key keeps an empty value; degenerate 1-point line is 0.0
+               '{"Query Parameters":{"a":"b=c","k":""}}' AS uq2,
+               0.0 AS gl0,
                'mnchen-3ya' AS pc, 'bücher' AS pcd, TRUE AS pcbad,
                TRUE AS ver_cmp, TRUE AS ver_eq,
                'a+b%26c' AS enc, 'a b&c' AS dec, 'xxyyzz' AS tr,

@@ -33,4 +33,13 @@ class PunycodeSpec extends SparkSuite {
     assert(r.getString(2) == "ünïcödé")
     assert(r.isNullAt(3))
   }
+
+  test("encoder survives a long ASCII prefix before an astral code point") {
+    // (m - n) * (h + 1) reaches ~2^42 here — an Int delta silently wrapped
+    // (the round-9 ADVICE finding); Long arithmetic must round-trip it
+    val s = "a" * 3000 + new String(Character.toChars(0x10FFFF))
+    val enc = Punycode.encode(s)
+    assert(enc != null && enc.nonEmpty)
+    assert(Punycode.decode(enc) === s)
+  }
 }
