@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.expressions.{BagMerge, BetaCdf, BottomKValues, GammaFn, LogGammaFn, ParseCsv, RankTDigest, FreqAgg, FreqMergeAgg, FreqTopK, SampleBottomKAgg, SampleBottomKMergeAgg, ThetaAgg, ThetaMergeAgg, ThetaEstimate, ThetaIntersect, ThetaDiff, BagRemoveKeys, BloomContains, DynamicToJson, GeoPointToGeohash, GeohashCentralPoint, GeohashNeighbors, GeoS2CellNeighbors, GramHashes, GzipCompress, GzipDecompress, Ipv4RangeToCidr, Ipv6Norm, ParseXml, PercentileTDigest, PunycodeDomainFrom, PunycodeDomainTo, PunycodeEncode, PunycodeDecode, RollingHash, S2CellCentralPoint, GeoPointToS2Cell, SeriesFitPoly, TDigestAgg, TDigestMergeAgg, TermHas, VectorDot, WelchTest, ZlibCompress, ZlibDecompress}
+import graft.functions.expressions.{BagMerge, BetaCdf, BetaInv, BottomKValues, GammaFn, LogGammaFn, ParseCsv, RankTDigest, FreqAgg, FreqMergeAgg, FreqTopK, SampleBottomKAgg, SampleBottomKMergeAgg, ThetaAgg, ThetaMergeAgg, ThetaEstimate, ThetaIntersect, ThetaDiff, BagRemoveKeys, BloomContains, DynamicToJson, GeoPointToGeohash, GeohashCentralPoint, GeohashNeighbors, GeoS2CellNeighbors, GeoS2CellToPolygon, GeoPolygonToS2Cells, GramHashes, GzipCompress, GzipDecompress, Ipv4RangeToCidr, Ipv6Norm, ParseXml, PercentileTDigest, PunycodeDomainFrom, PunycodeDomainTo, PunycodeEncode, PunycodeDecode, RollingHash, S2CellCentralPoint, GeoPointToS2Cell, SeriesFft, SeriesIfft, SeriesFitPoly, TDigestAgg, TDigestMergeAgg, TermHas, VectorDot, WelchTest, ZlibCompress, ZlibDecompress}
 
 /** Spark plugin entry point: load with
   * `spark.sql.extensions=graft.GraftSessionExtensions` (works with plain
@@ -85,6 +85,28 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
     // plain equi-join key; ADX's standard scalable geo aggregation path)
     unary("geo_s2cell_to_central_point", classOf[S2CellCentralPoint], S2CellCentralPoint(_))
     unary("geo_s2cell_neighbors", classOf[GeoS2CellNeighbors], GeoS2CellNeighbors(_))
+    unary("geo_s2cell_to_polygon", classOf[GeoS2CellToPolygon], GeoS2CellToPolygon(_))
+    ext.injectFunction((
+      new FunctionIdentifier("geo_polygon_to_s2cells"),
+      new ExpressionInfo(classOf[GeoPolygonToS2Cells].getName, "geo_polygon_to_s2cells"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1 || children.size == 2,
+          "geo_polygon_to_s2cells takes (polygon [, level])")
+        GeoPolygonToS2Cells(children)
+      }))
+    Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression, Class[_])](
+      ("series_fft", SeriesFft(_), classOf[SeriesFft]),
+      ("series_ifft", SeriesIfft(_), classOf[SeriesIfft])
+    ).foreach { case (nm, mk, cls) =>
+      ext.injectFunction((
+        new FunctionIdentifier(nm),
+        new ExpressionInfo(cls.getName, nm),
+        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          require(children.size == 1 || children.size == 2,
+            s"$nm takes (x_real [, x_imag])")
+          mk(children)
+        }))
+    }
     ext.injectFunction((
       new FunctionIdentifier("series_fit_poly"),
       new ExpressionInfo(classOf[SeriesFitPoly].getName, "series_fit_poly"),
@@ -130,6 +152,13 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 3, "beta_cdf takes (x, a, b)")
         BetaCdf(children(0), children(1), children(2))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("beta_inv"),
+      new ExpressionInfo(classOf[BetaInv].getName, "beta_inv"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 3, "beta_inv takes (p, a, b)")
+        BetaInv(children(0), children(1), children(2))
       }))
     ext.injectFunction((
       new FunctionIdentifier("freq_topk"),

@@ -1582,10 +1582,24 @@ object KqlCompat {
         s"(CASE WHEN ($a) IS NULL OR ($b) IS NULL THEN CAST(NULL AS BIGINT) " +
           s"WHEN ($a) < ($b) THEN -1 WHEN ($a) = ($b) THEN 0 ELSE 1 END)"
     }
-    // countof(text, search): non-overlapping plain-text occurrence count
+    // countof(text, search [, kind]): non-overlapping occurrence count —
+    // kind 'normal' (default, plain text) or 'regex' (pattern matches)
     s = expandCalls(s, "countof") {
       case Seq(x, n) =>
         s"CAST((length($x) - length(replace($x, $n, ''))) / length($n) AS BIGINT)"
+      case Seq(x, n, k) if k == "'normal'" =>
+        s"CAST((length($x) - length(replace($x, $n, ''))) / length($n) AS BIGINT)"
+      case Seq(x, n, k) if k == "'regex'" =>
+        s"CAST(size(regexp_extract_all($x, $n, 0)) AS BIGINT)"
+    }
+    // new_guid() / rand([n]): the nondeterministic tail. rand() is a real
+    // in [0,1); rand(n) is a uniform integer in [0,n) (the ADX forms).
+    // Correctness is gated by PROPERTY booleans (range, format, inequality
+    // of two draws) — the values themselves are not reproducible anywhere.
+    s = expandCalls(s, "new_guid") { case Seq("") => "uuid()" }
+    s = expandCalls(s, "rand") {
+      case Seq("") => "rand()"
+      case Seq(n)  => s"CAST(floor(rand() * ($n)) AS BIGINT)"
     }
     // split(x, d, i): KQL's indexed form is 0-based — `get` is too, and
     // yields NULL out of bounds exactly like KQL (never an ANSI error).

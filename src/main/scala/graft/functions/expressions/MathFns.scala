@@ -74,6 +74,41 @@ case class BetaCdf(first: Expression, second: Expression, third: Expression)
   override def prettyName: String = "beta_cdf"
 }
 
+/** `beta_inv(p, a, b)` — the inverse of `beta_cdf`, ADX's beta quantile.
+  * 80 bisection steps on the monotone I_x(a, b) pin the root to an
+  * interval below double ulp — deterministic across JVMs (no
+  * Newton-step divergence cases to special-case). Domain: 0 ≤ p ≤ 1,
+  * a > 0, b > 0; null outside, endpoints exact.
+  */
+case class BetaInv(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback with DoubleIn {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean  = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(first, second, third).forall(_.dataType.isInstanceOf[NumericType]))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("beta_inv takes (p, a, b) numerics")
+  override def nullSafeEval(pv: Any, av: Any, bv: Any): Any = {
+    val (p, a, b) = (num(pv), num(av), num(bv))
+    if (p < 0.0 || p > 1.0 || a <= 0.0 || b <= 0.0) null
+    else if (p == 0.0) java.lang.Double.valueOf(0.0)
+    else if (p == 1.0) java.lang.Double.valueOf(1.0)
+    else {
+      var lo = 0.0; var hi = 1.0
+      var i = 0
+      while (i < 80) {
+        val mid = (lo + hi) / 2
+        if (WelchTest.regIncBeta(a, b, mid) < p) lo = mid else hi = mid
+        i += 1
+      }
+      java.lang.Double.valueOf((lo + hi) / 2)
+    }
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): BetaInv = copy(f, s, t)
+  override def prettyName: String = "beta_inv"
+}
+
 /** `parse_csv(line)` — ADX's CSV record splitter: one line (RFC-4180
   * quoting: embedded commas, doubled quotes) → array of field strings.
   * Reuses the checkpoint store's record splitter — the same dialect the

@@ -173,6 +173,130 @@ object S2Cell {
     }
     out.distinct.filterNot(_ == id)
   }
+
+  private def xyzOf(lng: Double, lat: Double): (Double, Double, Double) = {
+    val laR = math.toRadians(lat); val loR = math.toRadians(lng)
+    (math.cos(laR) * math.cos(loR), math.cos(laR) * math.sin(loR), math.sin(laR))
+  }
+
+  private def lngLatOf(x: Double, y: Double, z: Double): (Double, Double) =
+    (math.toDegrees(math.atan2(y, x)),
+     math.toDegrees(math.atan2(z, math.sqrt(x * x + y * y))))
+
+  /** Corner/edge-sampled lat-lng box of the cell: 4 corners plus 4 samples
+    * along each boundary edge in (s,t) space. Returns (latMin, latMax,
+    * lngMin, lngMax, wraps) where wraps = the raw lng span exceeds 180°
+    * (the cell straddles the antimeridian, so the naive box is the
+    * complement of the cell's true lng range).
+    */
+  private def cellBox(id: Long): (Double, Double, Double, Double, Boolean) = {
+    val (face, level, i, j) = faceLevelIJ(id)
+    val sz = 1L << (MaxLevel - level)
+    val i0 = i & -sz; val j0 = j & -sz
+    var laMin = 91.0; var laMax = -91.0; var loMin = 181.0; var loMax = -181.0
+    val per = 4
+    var e = 0
+    while (e <= per) {
+      val f = e.toDouble / per
+      val pts = Array(
+        (i0 + f * sz, j0.toDouble), (i0 + f * sz, (j0 + sz).toDouble),
+        (i0.toDouble, j0 + f * sz), ((i0 + sz).toDouble, j0 + f * sz))
+      pts.foreach { case (ii, jj) =>
+        val u = uvFromSt(2.0 * ii / (1L << 31))
+        val v = uvFromSt(2.0 * jj / (1L << 31))
+        val (x, y, z) = faceUvToXyz(face, u, v)
+        val (lo, la)  = lngLatOf(x, y, z)
+        if (la < laMin) laMin = la; if (la > laMax) laMax = la
+        if (lo < loMin) loMin = lo; if (lo > loMax) loMax = lo
+      }
+      e += 1
+    }
+    (laMin, laMax, loMin, loMax, loMax - loMin > 180.0)
+  }
+
+  /** Conservative S2 covering of a geodesic polygon: every cell at `level`
+    * whose padded corner/edge-sampled lat-lng box intersects the polygon's
+    * padded sampled box. CONSERVATIVE by construction — a point inside the
+    * polygon always lands in a covered cell (the covering is a superset of
+    * the true intersection set), so `explode(cover) ⋈ cell(point)` plus an
+    * exact geo_point_in_polygon refine never drops a match; extra cells
+    * only add refine work. Geodesic edge bulge is handled by sampling each
+    * polygon edge on its great circle (65 points per edge) plus the
+    * curvature pad. None on: fewer than 3 vertices, out-of-range inputs,
+    * a vertex box spanning >180° lng (antimeridian crossing unsupported —
+    * documented), a padded box touching a pole, or a covering larger than
+    * 4096 cells (pick a coarser level; ADX likewise caps covering size).
+    */
+  def cover(lngs: Array[Double], lats: Array[Double], level: Int): Option[Seq[Long]] = {
+    val n = lngs.length
+    if (n < 3 || level < 0 || level > MaxLevel) return None
+    if (lngs.exists(l => l < -180 || l > 180 || l.isNaN) ||
+        lats.exists(l => l < -90 || l > 90 || l.isNaN)) return None
+    if (lngs.max - lngs.min > 180.0) return None
+    var laMin = 91.0; var laMax = -91.0; var loMin = 181.0; var loMax = -181.0
+    var e = 0
+    while (e < n) {
+      val (x1, y1, z1) = xyzOf(lngs(e), lats(e))
+      val (x2, y2, z2) = xyzOf(lngs((e + 1) % n), lats((e + 1) % n))
+      var s = 0
+      while (s <= 64) {
+        val f = s / 64.0
+        // chord point direction ≡ a great-circle point between the vertices
+        val x = x1 + f * (x2 - x1); val y = y1 + f * (y2 - y1); val z = z1 + f * (z2 - z1)
+        val (lo, la) = lngLatOf(x, y, z)
+        if (la < laMin) laMin = la; if (la > laMax) laMax = la
+        if (lo < loMin) loMin = lo; if (lo > loMax) loMax = lo
+        s += 1
+      }
+      e += 1
+    }
+    // pad: edge-sample slack (0.5°) + cell-boundary curvature beyond the
+    // sampled cell box, which halves per level from the ~10° face-cell case
+    val pad = 0.5 + 27.0 / (1L << math.min(level, 20)).toDouble
+    laMin -= pad; laMax += pad; loMin -= pad; loMax += pad
+    if (laMax >= 90.0 || laMin <= -90.0) return None
+    val seed = cellId(
+      math.max(-180.0, math.min(180.0, (loMin + loMax) / 2)),
+      (laMin + laMax) / 2, level)
+    def hits(id: Long): Boolean = {
+      val (cLaMin, cLaMax, cLoMin, cLoMax, wraps) = cellBox(id)
+      val latOk = cLaMin - pad <= laMax && cLaMax + pad >= laMin
+      if (!latOk) false
+      else if (wraps) loMin <= cLoMin + pad || loMax >= cLoMax - pad
+      else cLoMin - pad <= loMax && cLoMax + pad >= loMin
+    }
+    val seen     = scala.collection.mutable.HashSet[Long](seed)
+    val included = scala.collection.mutable.ArrayBuffer[Long]()
+    val queue    = scala.collection.mutable.Queue[Long](seed)
+    while (queue.nonEmpty) {
+      val c = queue.dequeue()
+      if (hits(c)) {
+        included += c
+        if (included.size > 4096) return None
+        neighbors(c).foreach(nb => if (seen.add(nb)) queue.enqueue(nb))
+      }
+    }
+    Some(included.toSeq.sorted)
+  }
+
+  /** GeoJSON Polygon of the cell boundary: the 4 cube corners in CCW (s,t)
+    * order, ring closed (geodesic edges between corners are implied — the
+    * GeoJSON convention ADX uses for geo_s2cell_to_polygon).
+    */
+  def cellPolygon(id: Long): String = {
+    val (face, level, i, j) = faceLevelIJ(id)
+    val sz = 1L << (MaxLevel - level)
+    val i0 = i & -sz; val j0 = j & -sz
+    val corners = Array((i0, j0), (i0 + sz, j0), (i0 + sz, j0 + sz), (i0, j0 + sz))
+    val ll = corners.map { case (ii, jj) =>
+      val u = uvFromSt(2.0 * ii / (1L << 31))
+      val v = uvFromSt(2.0 * jj / (1L << 31))
+      val (x, y, z) = faceUvToXyz(face, u, v)
+      lngLatOf(x, y, z)
+    }
+    val ring = (ll :+ ll.head).map { case (lo, la) => s"[$lo,$la]" }.mkString(",")
+    s"""{"type":"Polygon","coordinates":[[$ring]]}"""
+  }
 }
 
 case class GeoPointToS2Cell(children: Seq[Expression])
@@ -271,4 +395,112 @@ case class GeoS2CellNeighbors(child: Expression)
     copy(child = newChild)
 
   override def prettyName: String = "geo_s2cell_neighbors"
+}
+
+/** `geo_polygon_to_s2cells(polygon [, level])` — conservative S2 covering
+  * of a geodesic polygon as an array of cell tokens (sorted; deterministic).
+  * THE scalable polygon-join primitive: explode the covering into a
+  * (poly, cell) dim, equi-join points on their own cell token, then refine
+  * with the exact geo_point_in_polygon — candidate generation is a bucketed
+  * hash join (broadcastable dim), never a points×polygons cross join.
+  * Polygon = dynamic [[lng,lat], …] (open ring). Null on <3 vertices,
+  * antimeridian-crossing or pole-touching boxes, bad level, or a covering
+  * past 4096 cells (ADX likewise nulls oversized coverings — use a coarser
+  * level). Covering membership is engine-specific; ours is a documented
+  * conservative superset, which is exactly what join correctness needs
+  * (the refine drops the extras).
+  */
+case class GeoPolygonToS2Cells(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def polyOk(t: DataType): Boolean = t match {
+      case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.ArrayType(e, _), _) =>
+        e.isInstanceOf[NumericType]
+      case _ => false
+    }
+    if (children.size < 1 || children.size > 2)
+      TypeCheckResult.TypeCheckFailure("geo_polygon_to_s2cells takes (polygon [, level])")
+    else if (!polyOk(children.head.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        "geo_polygon_to_s2cells polygon must be an array of [lng, lat] arrays")
+    else if (children.size == 2 && !children(1).dataType.isInstanceOf[NumericType])
+      TypeCheckResult.TypeCheckFailure("geo_polygon_to_s2cells level must be numeric")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  private def num(v: Any): Double = v match {
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case n: Number                             => n.doubleValue()
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val p = children.head.eval(input)
+    if (p == null) return null
+    val level = if (children.size == 2) {
+      val l = children(1).eval(input)
+      if (l == null) return null
+      num(l).toInt
+    } else 11 // the ADX cell-level default
+    val arr   = p.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val inner = children.head.dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+    val n    = arr.numElements()
+    val lngs = new Array[Double](n)
+    val lats = new Array[Double](n)
+    var k = 0
+    while (k < n) {
+      val row = arr.get(k, inner)
+      if (row == null) return null
+      val pt = row.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      if (pt.numElements() < 2) return null
+      lngs(k) = num(pt.get(0, inner.elementType))
+      lats(k) = num(pt.get(1, inner.elementType))
+      k += 1
+    }
+    S2Cell.cover(lngs, lats, level) match {
+      case None => null
+      case Some(ids) =>
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          ids.map(id => UTF8String.fromString(S2Cell.token(id))))
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): GeoPolygonToS2Cells =
+    copy(children = newChildren)
+
+  override def prettyName: String = "geo_polygon_to_s2cells"
+}
+
+/** `geo_s2cell_to_polygon(token)` — GeoJSON Polygon of the cell's 4 cube
+  * corners (CCW, closed ring); null on a malformed token. The render/refine
+  * twin of the covering.
+  */
+case class GeoS2CellToPolygon(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean  = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("geo_s2cell_to_polygon argument must be a string")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val id = S2Cell.idFromToken(input.asInstanceOf[UTF8String].toString)
+    if (id == 0L) null
+    else UTF8String.fromString(S2Cell.cellPolygon(id))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GeoS2CellToPolygon =
+    copy(child = newChild)
+
+  override def prettyName: String = "geo_s2cell_to_polygon"
 }

@@ -205,7 +205,13 @@ object Surface {
           |     doy = dayofyear(datetime(2024-03-01)),
           |     aiif = to_json(array_iif(dynamic([true, false, true]), dynamic([1, 2, 3]), dynamic([9, 8, 7]))),
           |     aiif2 = to_json(array_iif(dynamic([1, 0]), dynamic([10, 20]), dynamic([30]))),
-          |     bp = round(beta_pdf(0.3, 2.0, 5.0), 6)""".stripMargin),
+          |     bp = round(beta_pdf(0.3, 2.0, 5.0), 6),
+          |     bi_u = round(beta_inv(0.42, 1.0, 1.0), 9),
+          |     bi_sq = round(beta_inv(0.25, 2.0, 1.0), 9),
+          |     bi_co = round(beta_inv(0.75, 1.0, 2.0), 9),
+          |     bi_rt = abs(beta_cdf(beta_inv(0.3, 2.0, 5.0), 2.0, 5.0) - 0.3)
+          |       < 0.000000001,
+          |     bi_bad = isnull(beta_inv(1.5, 2.0, 5.0))""".stripMargin),
       Some("""
         SELECT '3ie+dE4e1Em00V4Nmmwqnw==' AS b64,
                '74be27de-1e4e-49d4-b4d1-5e0d9a6c2a9f' AS b64rt,
@@ -213,7 +219,33 @@ object Surface {
                '2024-03-16 23:59:59' AS eow, '2024-03-17' AS sow,
                61 AS doy,
                '[1,8,3]' AS aiif, '[10,null]' AS aiif2,
-               round(pow(0.3, 1.0) * pow(0.7, 4.0) * gamma(7.0) / (gamma(2.0) * gamma(5.0)), 6) AS bp""")),
+               round(pow(0.3, 1.0) * pow(0.7, 4.0) * gamma(7.0) / (gamma(2.0) * gamma(5.0)), 6) AS bp,
+               -- closed-form quantiles: uniform inv = p; cdf x² → √p;
+               -- cdf 1-(1-x)² → 1-√(1-p)
+               0.42 AS bi_u, 0.5 AS bi_sq, 0.5 AS bi_co,
+               TRUE AS bi_rt, TRUE AS bi_bad""")),
+
+    "q_kql_nondet" -> QueryDef(
+      // the nondeterministic scalar tail — new_guid() and rand([n]). The
+      // draws are irreproducible by definition, so the gate is PROPERTY
+      // booleans: range containment over 200 rows of draws, the RFC-4122
+      // v4 textual shape, distinctness of 200 guid draws, and two guids in
+      // one row differing. (The q_sketch tolerance-boolean pattern, with
+      // probability-1 properties instead of tolerances.)
+      (s, dir) => kqlRun(s, dir,
+        """range i from 1 to 200 step 1
+          | | extend r = rand(), ri = rand(1000), g = new_guid(), g2 = new_guid()
+          | | summarize r_in = countif(r >= 0.0 and r < 1.0),
+          |     ri_in = countif(ri >= 0 and ri < 1000),
+          |     fmt_in = countif(g matches regex
+          |       '^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$'),
+          |     uq = dcount(g), pr = countif(g != g2)
+          | | project r_ok = r_in == 200, ri_ok = ri_in == 200,
+          |     fmt_ok = fmt_in == 200, uniq_ok = uq == 200,
+          |     pair_ok = pr == 200""".stripMargin),
+      Some("""
+        SELECT TRUE AS r_ok, TRUE AS ri_ok, TRUE AS fmt_ok,
+               TRUE AS uniq_ok, TRUE AS pair_ok""")),
 
     "q_kql_compression" -> QueryDef(
       // zlib/gzip base64 codecs (JDK java.util.zip): roundtrip equality,
@@ -1716,6 +1748,73 @@ object Surface {
                  '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g')) AS scrubbed_len
         FROM base""")),
 
+    "curate_pii_redact_full" -> QueryDef(
+      // Luhn-gated full PII redaction — the deep training-data scrub pass
+      // (curate_pii_scrub's email/phone counting sibling goes the last
+      // mile here): email → SSN → phone → IPv4 by shared-dialect regex
+      // (Java/RE2 common subset, global replace in both engines), then
+      // credit-card candidates (13–19 digit runs) validated by an in-plan
+      // Luhn fold (double every 2nd digit from the right, fold >9 to −9,
+      // sum % 10) and replaced only when the checksum holds — the invalid
+      // twin number survives verbatim, pinning the gate both ways. The
+      // corpus has no real PII, so rows synthesize deterministic PII from
+      // doc_id (identical arithmetic in the oracle); md5 of the redacted
+      // text makes the compare byte-exact. At scale this is one narrow
+      // projection pass — no shuffle, no UDF; the HOF fold touches only
+      // the few digit-run candidates per row.
+      (s, dir) => {
+        val f = t(s, dir, "documents").where(col("doc_id") < 40)
+          .select(col("doc_id"), concat(
+            substring(col("text"), 1, 40), lit(" reach user"),
+            col("doc_id").cast("string"),
+            lit("@mail.example.org call 415-555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+            lit(" ssn 078-05-1120 ip 10."),
+            pmod(col("doc_id"), lit(250)).cast("string"),
+            lit(".3.77 card 4111111111111111 bad 4111111111111112 end")).as("t0"))
+        val luhnFold =
+          """aggregate(regexp_extract_all(t4, '\\d{13,19}', 0), t4, (acc, c) ->
+            | CASE WHEN aggregate(sequence(1, length(c)), 0, (sm, i) ->
+            |   sm + CASE WHEN i % 2 = 0
+            |        THEN CASE WHEN 2 * CAST(substr(reverse(c), i, 1) AS INT) > 9
+            |             THEN 2 * CAST(substr(reverse(c), i, 1) AS INT) - 9
+            |             ELSE 2 * CAST(substr(reverse(c), i, 1) AS INT) END
+            |        ELSE CAST(substr(reverse(c), i, 1) AS INT) END) % 10 = 0
+            | THEN replace(acc, c, '<CC>') ELSE acc END)""".stripMargin
+        f.withColumn("t1", regexp_replace(col("t0"),
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"))
+          .withColumn("t2", regexp_replace(col("t1"), "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"))
+          .withColumn("t3", regexp_replace(col("t2"), "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>"))
+          .withColumn("t4", regexp_replace(col("t3"), "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"))
+          .withColumn("red", expr(luhnFold))
+          .select(col("doc_id"), md5(col("red")).as("h"),
+            length(col("red")).cast("long").as("len"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH f AS (
+          SELECT doc_id,
+            substr(text, 1, 40) || ' reach user' || doc_id || '@mail.example.org call 415-555-' ||
+            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ssn 078-05-1120 ip 10.' ||
+            (doc_id % 250) || '.3.77 card 4111111111111111 bad 4111111111111112 end' AS t
+          FROM documents WHERE doc_id < 40),
+        r1 AS (SELECT doc_id,
+          regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t FROM f),
+        r2 AS (SELECT doc_id, regexp_replace(t, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS t FROM r1),
+        r3 AS (SELECT doc_id, regexp_replace(t, '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS t FROM r2),
+        r4 AS (SELECT doc_id, regexp_replace(t, '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS t FROM r3),
+        r5 AS (SELECT doc_id,
+          list_reduce(list_concat([t], regexp_extract_all(t, '\d{13,19}')),
+            (acc, c) -> CASE WHEN list_sum(list_transform(generate_series(1, length(c)),
+                i -> CASE WHEN i % 2 = 0
+                     THEN CASE WHEN 2 * CAST(substr(reverse(c), i, 1) AS INT) > 9
+                          THEN 2 * CAST(substr(reverse(c), i, 1) AS INT) - 9
+                          ELSE 2 * CAST(substr(reverse(c), i, 1) AS INT) END
+                     ELSE CAST(substr(reverse(c), i, 1) AS INT) END)) % 10 = 0
+              THEN replace(acc, c, '<CC>') ELSE acc END) AS t FROM r4)
+        SELECT doc_id, md5(t) AS h, CAST(length(t) AS BIGINT) AS len
+        FROM r5 ORDER BY doc_id""")),
+
     "text_langid" -> QueryDef(
       (s, dir) => t(s, dir, "documents").select(
         col("doc_id"),
@@ -2741,15 +2840,18 @@ object Surface {
         """documents
           | | extend band = case(doc_id % 3 == 0, 'a', doc_id % 3 == 1, 'b', 'c'),
           |          first_w = split(text, ' ', 0),
-          |          n_e = countof(text, 'e')
-          | | summarize n = count(), d = dcount(first_w), se = sum(n_e) by band
+          |          n_e = countof(text, 'e'),
+          |          n_re = countof(text, 'e+', 'regex')
+          | | summarize n = count(), d = dcount(first_w), se = sum(n_e),
+          |     sre = sum(n_re) by band
           | | order by band asc""".stripMargin),
       Some("""
         SELECT CASE WHEN doc_id % 3 = 0 THEN 'a'
                     WHEN doc_id % 3 = 1 THEN 'b' ELSE 'c' END AS band,
                count(*) AS n,
                count(DISTINCT string_split(text, ' ')[1]) AS d,
-               CAST(sum(CAST((length(text) - length(replace(text, 'e', ''))) / 1 AS BIGINT)) AS BIGINT) AS se
+               CAST(sum(CAST((length(text) - length(replace(text, 'e', ''))) / 1 AS BIGINT)) AS BIGINT) AS se,
+               CAST(sum(len(regexp_extract_all(text, 'e+'))) AS BIGINT) AS sre
         FROM documents GROUP BY 1 ORDER BY 1""")),
 
     "q_kql_make_series" -> QueryDef(
@@ -3991,6 +4093,97 @@ object Surface {
       },
       Some("SELECT TRUE AS nonvacuous, TRUE AS all_within_cell_diag")),
 
+    "q_kql_geo_s2cover" -> QueryDef(
+      // geo_polygon_to_s2cells unit surface: covering size pinned (the BFS
+      // is deterministic — 81 level-6 cells, probed), every vertex's own
+      // cell and an interior cell are members (the conservative-superset
+      // contract), degenerate ring and out-of-range level are null, and
+      // geo_s2cell_to_polygon's face-0 corner pins the exact cube-corner
+      // closed form (atan2(-1,1), atan2(-1,√2) → -45°, -35.2644°)
+      (s, dir) => kqlRun(s, dir,
+        """print c = geo_polygon_to_s2cells(
+          |     dynamic([[-3.0, -2.0], [4.0, -2.5], [3.5, 3.0], [-2.5, 3.5]]), 6)
+          | | extend pj = geo_s2cell_to_polygon('1')
+          | | project n = array_length(c),
+          |     hasv = set_has_element(c, geo_point_to_s2cell(-3.0, -2.0, 6))
+          |       and set_has_element(c, geo_point_to_s2cell(4.0, -2.5, 6))
+          |       and set_has_element(c, geo_point_to_s2cell(3.5, 3.0, 6))
+          |       and set_has_element(c, geo_point_to_s2cell(-2.5, 3.5, 6))
+          |       and set_has_element(c, geo_point_to_s2cell(0.5, 0.5, 6)),
+          |     inv2 = isnull(geo_polygon_to_s2cells(dynamic([[0.0, 0.0], [1.0, 1.0]]), 6)),
+          |     invl = isnull(geo_polygon_to_s2cells(
+          |       dynamic([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]]), 31)),
+          |     c00 = round(todouble(extractjson('$.coordinates[0][0][0]', pj)), 4),
+          |     c01 = round(todouble(extractjson('$.coordinates[0][0][1]', pj)), 4)""".stripMargin),
+      Some("""
+        SELECT CAST(81 AS BIGINT) AS n, TRUE AS hasv, TRUE AS inv2, TRUE AS invl,
+               -45.0 AS c00, -35.2644 AS c01""")),
+
+    "q_kql_geo_s2cover_join" -> QueryDef(
+      // THE scalable polygon-join shape: cover each polygon with level-5 S2
+      // cells (a small dim — mv-expand of the covering), equi-join points on
+      // their own cell token with a BROADCAST hint (at 100 TB the fact side
+      // streams through map-side, zero shuffle of the corpus), then refine
+      // candidates with the exact geodesic geo_point_in_polygon. Both sides
+      // also keep a 3000 km centroid-ball guard — the gnomonic ray cast is
+      // only faithful within ~90° of every vertex, and the guard (identical
+      // haversine text in both engines) pins the domain without needing
+      // cells, so the oracle can compute the points×polygons refine
+      // DIRECTLY: any cell the covering dropped would surface as a count
+      // mismatch. This row proves the conservative-superset contract on
+      // real data, not just plan shape. Probed: 26/12/24 matches at sf0.01.
+      (s, dir) => kqlRun(s, dir,
+        """let polys = datatable(pid: long, poly: dynamic, clng: real, clat: real) [
+          |  1, dynamic([[-15.0, -10.0], [15.0, -12.0], [12.0, 14.0], [-12.0, 16.0]]), 0.0, 2.0,
+          |  2, dynamic([[105.0, 15.0], [135.0, 12.0], [132.0, 38.0], [108.0, 40.0]]), 120.0, 26.25,
+          |  3, dynamic([[-125.0, 32.0], [-95.0, 30.0], [-98.0, 55.0], [-122.0, 57.0]]), -110.0, 43.5];
+          |let cells = polys
+          | | extend polya = from_json(poly, 'array<array<double>>')
+          | | extend cs = geo_polygon_to_s2cells(polya, 5)
+          | | mv-expand cs to typeof(string)
+          | | project pid, polya, clng, clat, cell = cs;
+          |customer
+          | | extend lat = (c_custkey * 7919 % 14000) / 100.0 - 70.0,
+          |     lng = (c_custkey * 104729 % 36000) / 100.0 - 180.0
+          | | extend cell = geo_point_to_s2cell(lng, lat, 5)
+          | | join kind=inner hint.strategy=broadcast (cells) on cell
+          | | where geo_distance_2points(lng, lat, clng, clat) <= 3000000.0
+          |     and geo_point_in_polygon(lng, lat, polya)
+          | | summarize n = count(), sk = sum(c_custkey) by pid
+          | | order by pid asc""".stripMargin),
+      Some("""
+        WITH pts AS (SELECT c_custkey AS k,
+                       (c_custkey * 7919 % 14000) / 100.0 - 70.0 AS y,
+                       (c_custkey * 104729 % 36000) / 100.0 - 180.0 AS x
+                     FROM customer),
+        polys AS (SELECT * FROM (VALUES
+          (1, [[-15.0, -10.0], [15.0, -12.0], [12.0, 14.0], [-12.0, 16.0]], 0.0, 2.0),
+          (2, [[105.0, 15.0], [135.0, 12.0], [132.0, 38.0], [108.0, 40.0]], 120.0, 26.25),
+          (3, [[-125.0, 32.0], [-95.0, 30.0], [-98.0, 55.0], [-122.0, 57.0]], -110.0, 43.5)
+        ) AS t(pid, poly, clng, clat)),
+        near AS (SELECT pid, poly, k, x, y FROM pts, polys
+                 WHERE (2.0 * 6371008.8 * asin(sqrt(
+                       pow(sin(radians((clat) - (y)) / 2), 2) +
+                       cos(radians(y)) * cos(radians(clat)) *
+                       pow(sin(radians((clng) - (x)) / 2), 2)))) <= 3000000.0),
+        pr AS (SELECT pid, k, x, y,
+                list_transform(poly, v ->
+                  [ (cos(radians(v[2])) * sin(radians(v[1]) - radians(x))) /
+                    (sin(radians(y)) * sin(radians(v[2])) + cos(radians(y)) * cos(radians(v[2])) * cos(radians(v[1]) - radians(x))),
+                    (cos(radians(y)) * sin(radians(v[2])) - sin(radians(y)) * cos(radians(v[2])) * cos(radians(v[1]) - radians(x))) /
+                    (sin(radians(y)) * sin(radians(v[2])) + cos(radians(y)) * cos(radians(v[2])) * cos(radians(v[1]) - radians(x))) ]) AS r
+               FROM near),
+        e AS (SELECT pid, k,
+                list_sum(list_transform(list_zip(r, list_concat(r[2:], [r[1]])),
+                  q -> CASE WHEN ((q[1][2] > 0.0) != (q[2][2] > 0.0))
+                             AND (0.0 < (q[2][1] - q[1][1]) * (0.0 - q[1][2])
+                                      / (q[2][2] - q[1][2]) + q[1][1])
+                       THEN 1 ELSE 0 END)) % 2 = 1 AS inside
+              FROM pr)
+        SELECT CAST(pid AS BIGINT) AS pid, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(k) AS BIGINT) AS sk
+        FROM e WHERE inside GROUP BY pid ORDER BY pid""")),
+
     "q_kql_row_window_session" -> QueryDef(
       // row_window_session over one user's serialized stream: idle cut at
       // 12 h, max-distance-from-first cut at 24 h (both rules bind on this
@@ -4210,6 +4403,31 @@ object Surface {
         FROM b WHERE last_a IS NOT NULL AND (prev_b IS NULL OR last_a > prev_b)
           AND purchase_us - last_a <= 604800000000
         ORDER BY user_id, purchase_us""")),
+
+    "q_series_fft" -> QueryDef(
+      // series_fft / series_ifft: numpy-checked spectral pins on a radix-2
+      // (n=8) AND a Bluestein (n=6) vector, the ifft∘fft round-trip, and
+      // Parseval (Σ|X|²/n = Σx²) — all computed through the REAL rewrite +
+      // native-expression path. The [re, im] pair returns as [0]/[1] of one
+      // array (ADX's tuple assignment has no Spark analog — documented).
+      (s, dir) => kqlRun(s, dir,
+        """print x = dynamic([1.0, 2.0, 3.0, 4.0, 0.0, -1.0, -2.0, 1.0]),
+          |    y = dynamic([2.0, 1.0, -1.0, 0.5, 3.0, -2.0])
+          | | extend f = series_fft(x), g = series_fft(y)
+          | | extend rt = series_ifft(f[0], f[1])
+          | | project re1 = round(todouble(f[0][1]), 6),
+          |     im1 = round(todouble(f[1][1]), 6),
+          |     gre2 = round(todouble(g[0][2]), 6),
+          |     gim2 = round(todouble(g[1][2]), 6),
+          |     rt_ok = todouble(array_sort(series_abs(series_subtract(rt[0], x)))[7])
+          |       < 0.000000001,
+          |     rti_ok = todouble(array_sort(series_abs(rt[1]))[7]) < 0.000000001,
+          |     pv_ok = abs((series_dot_product(f[0], f[0])
+          |       + series_dot_product(f[1], f[1])) / 8.0
+          |       - series_dot_product(x, x)) < 0.000000001""".stripMargin),
+      Some("""
+        SELECT 1.0 AS re1, -9.242641 AS im1, 2.0 AS gre2, -6.062178 AS gim2,
+               TRUE AS rt_ok, TRUE AS rti_ok, TRUE AS pv_ok""")),
 
     "q_series_periods" -> QueryDef(
       // series_periods_detect: top-2 candidate periods of the daily count

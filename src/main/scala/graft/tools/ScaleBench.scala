@@ -49,7 +49,12 @@ object ScaleBench {
     // the lower-bounded BFS (unpruned sub-lo levels)
     "dedup_pipeline_full", "q_kql_graph_shortest_lo",
     // round-10: the bucketed geo join (S2 cell token as equi-join key)
-    "q_kql_geo_s2join")
+    "q_kql_geo_s2join",
+    // round-10 session 2: the covering-based polygon join (explode the S2
+    // covering into a broadcast dim, equi-join points on their cell, exact
+    // geodesic refine on candidates only; the fact side scales, the dim
+    // does not — ratio should track the point count)
+    "q_kql_geo_s2cover_join")
 
   def main(args: Array[String]): Unit = {
     val small = args(0)

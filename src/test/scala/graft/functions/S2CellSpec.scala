@@ -71,4 +71,55 @@ class S2CellSpec extends SparkSuite {
     Seq("", "zzz", "X", "0", "12345678901234567", "2000000000000000" /* odd tz */)
       .foreach(t => assert(S2Cell.idFromToken(t) === 0L, t))
   }
+
+  test("polygon covering is a conservative superset: sampled inner points' cells are covered") {
+    val polys = Seq(
+      (Array(-3.0, 4.0, 3.5, -2.5), Array(-2.0, -2.5, 3.0, 3.5), 6),
+      (Array(-15.0, 15.0, 12.0, -12.0), Array(-10.0, -12.0, 14.0, 16.0), 5),
+      (Array(105.0, 135.0, 132.0, 108.0), Array(15.0, 12.0, 38.0, 40.0), 5),
+      (Array(-125.0, -95.0, -98.0, -122.0), Array(32.0, 30.0, 55.0, 57.0), 5))
+    val rnd = new scala.util.Random(11)
+    polys.foreach { case (lngs, lats, lv) =>
+      val cov = S2Cell.cover(lngs, lats, lv)
+      assert(cov.isDefined && cov.get.nonEmpty)
+      info(s"cover size at level $lv: ${cov.get.size}")
+      val toks = cov.get.map(S2Cell.token).toSet
+      assert(toks.size === cov.get.size) // distinct, and sorted-determinism
+      assert(cov.get === cov.get.sorted)
+      // vertices and 300 random convex combinations of vertices (all inside
+      // the sampled vertex box, hence inside the covering contract's domain)
+      val pts = lngs.zip(lats).toSeq ++ (1 to 300).map { _ =>
+        val w  = Array.fill(lngs.length)(rnd.nextDouble())
+        val ws = w.sum
+        (lngs.zip(w).map(p => p._1 * p._2).sum / ws,
+         lats.zip(w).map(p => p._1 * p._2).sum / ws)
+      }
+      pts.foreach { case (lo, la) =>
+        assert(toks.contains(S2Cell.token(S2Cell.cellId(lo, la, lv))),
+          s"point ($lo,$la) cell missing at level $lv")
+      }
+    }
+  }
+
+  test("polygon covering rejects degenerate / oversized / out-of-range input") {
+    assert(S2Cell.cover(Array(0.0, 1.0), Array(0.0, 1.0), 6).isEmpty)
+    assert(S2Cell.cover(Array(0.0, 1.0, 1.0), Array(0.0, 0.0, 1.0), 31).isEmpty)
+    assert(S2Cell.cover(Array(-170.0, 170.0, 0.0), Array(0.0, 0.0, 10.0), 5).isEmpty,
+      "antimeridian-spanning vertex box")
+    assert(S2Cell.cover(Array(-40.0, 40.0, 0.0), Array(40.0, 40.0, 89.8), 5).isEmpty,
+      "pole-touching padded box")
+    // 30°-wide polygon at level 12 → far past the 4096-cell cap
+    assert(S2Cell.cover(Array(-15.0, 15.0, 12.0, -12.0),
+      Array(-10.0, -12.0, 14.0, 16.0), 12).isEmpty)
+  }
+
+  test("cell polygon: face-0 corners are the exact cube corners, ring closed") {
+    val gj = S2Cell.cellPolygon(S2Cell.idFromToken("1"))
+    assert(gj.startsWith("""{"type":"Polygon","coordinates":[[["""))
+    // corner (s,t)=(0,0) → xyz (1,-1,-1) → lng atan2(-1,1) = -45°,
+    // lat atan2(-1,√2) ≈ -35.26438968°
+    assert(gj.contains("[-45.0,-35.264389682754654]"))
+    val ring = gj.split("\\[\\[\\[")(1).split("\\]\\]\\]")(0).split("\\],\\[")
+    assert(ring.length === 5 && ring.head === ring.last)
+  }
 }
