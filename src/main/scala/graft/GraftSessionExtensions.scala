@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.expressions.{BagMerge, BetaCdf, BetaInv, BottomKValues, GammaFn, LogGammaFn, ParseCsv, RankTDigest, FreqAgg, FreqMergeAgg, FreqTopK, SampleBottomKAgg, SampleBottomKMergeAgg, ThetaAgg, ThetaMergeAgg, ThetaEstimate, ThetaIntersect, ThetaDiff, BagRemoveKeys, BloomContains, DynamicToJson, GeoPointToGeohash, GeohashCentralPoint, GeohashNeighbors, GeoS2CellNeighbors, GeoS2CellToPolygon, GeoPolygonToS2Cells, GramHashes, GzipCompress, GzipDecompress, Ipv4RangeToCidr, Ipv6Norm, ParseXml, PercentileTDigest, PunycodeDomainFrom, PunycodeDomainTo, PunycodeEncode, PunycodeDecode, RollingHash, S2CellCentralPoint, GeoPointToS2Cell, SeriesFft, SeriesIfft, SeriesFitPoly, TDigestAgg, TDigestMergeAgg, TermHas, VectorDot, WelchTest, ZlibCompress, ZlibDecompress}
+import graft.functions.expressions.{BagMerge, BetaCdf, BetaInv, BottomKValues, GammaFn, LogGammaFn, ParseCsv, RankTDigest, FreqAgg, FreqMergeAgg, FreqTopK, SampleBottomKAgg, SampleBottomKMergeAgg, ThetaAgg, ThetaMergeAgg, ThetaEstimate, ThetaIntersect, ThetaDiff, BagRemoveKeys, BloomContains, DynamicToJson, GeoPointToGeohash, GeohashCentralPoint, GeohashNeighbors, GeohashToPolygon, ParseCommandLine, Base64DecodeToArray, Base64EncodeFromArray, GeoS2CellNeighbors, GeoS2CellToPolygon, GeoPolygonToS2Cells, GramHashes, GzipCompress, GzipDecompress, Ipv4RangeToCidr, Ipv6Norm, ParseXml, PercentileTDigest, PunycodeDomainFrom, PunycodeDomainTo, PunycodeEncode, PunycodeDecode, RollingHash, S2CellCentralPoint, GeoPointToS2Cell, SeriesFft, SeriesIfft, SeriesFitPoly, TDigestAgg, TDigestMergeAgg, TermHas, VectorDot, WelchTest, ZlibCompress, ZlibDecompress}
 
 /** Spark plugin entry point: load with
   * `spark.sql.extensions=graft.GraftSessionExtensions` (works with plain
@@ -146,6 +146,10 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
     unary("gamma", classOf[GammaFn], GammaFn(_))
     unary("loggamma", classOf[LogGammaFn], LogGammaFn(_))
     unary("parse_csv", classOf[ParseCsv], ParseCsv(_))
+    binary("parse_command_line", classOf[ParseCommandLine], ParseCommandLine(_, _))
+    unary("base64_decode_toarray", classOf[Base64DecodeToArray], Base64DecodeToArray(_))
+    unary("base64_encode_fromarray", classOf[Base64EncodeFromArray], Base64EncodeFromArray(_))
+    unary("geo_geohash_to_polygon", classOf[GeohashToPolygon], GeohashToPolygon(_))
     ext.injectFunction((
       new FunctionIdentifier("beta_cdf"),
       new ExpressionInfo(classOf[BetaCdf].getName, "beta_cdf"),

@@ -1012,6 +1012,15 @@ object KqlCompat {
     s = expandCalls(s, "series_exp") {
       case Seq(x) => s"transform(${asD(x)}, v -> exp(v))"
     }
+    // element-wise trig family — ADX's remaining series_* scalars;
+    // asin/acos outside [-1,1] yield NaN (libm convention; ADX nulls —
+    // test with isnan(), documented divergence)
+    s = expandCalls(s, "series_sin")  { case Seq(x) => s"transform(${asD(x)}, v -> sin(v))" }
+    s = expandCalls(s, "series_cos")  { case Seq(x) => s"transform(${asD(x)}, v -> cos(v))" }
+    s = expandCalls(s, "series_tan")  { case Seq(x) => s"transform(${asD(x)}, v -> tan(v))" }
+    s = expandCalls(s, "series_asin") { case Seq(x) => s"transform(${asD(x)}, v -> asin(v))" }
+    s = expandCalls(s, "series_acos") { case Seq(x) => s"transform(${asD(x)}, v -> acos(v))" }
+    s = expandCalls(s, "series_atan") { case Seq(x) => s"transform(${asD(x)}, v -> atan(v))" }
     s = expandCalls(s, "series_log") {
       case Seq(x) => s"transform(${asD(x)}, v -> ln(v))"
     }
@@ -1161,6 +1170,156 @@ object KqlCompat {
     // closed form, engine-neutral: see segmentDistanceSql, which oracle
     // twins restate with identical arithmetic). line = dynamic
     // [[lng,lat], …]; fewer than 2 points → NULL.
+    // ---- round-10 batch 5: polygon/line predicates & centroids ----------
+    // All on unit vectors, same discipline as segmentDistanceSql: shared
+    // closed-form text, engine-neutral, so DuckDB oracles can restate (or
+    // pin literals computed through the identical arithmetic).
+    //
+    // geo_intersects_2polygons(p1, p2): boundaries cross, or one ring's
+    // first vertex sits inside the other (covers full containment).
+    // Expands BEFORE intersects_2lines / point_in_polygon (re-rewrite).
+    s = expandCalls(s, "geo_intersects_2polygons") {
+      case Seq(p1, p2) =>
+        s"(CASE WHEN size($p1) < 3 OR size($p2) < 3 THEN CAST(NULL AS BOOLEAN) ELSE (" +
+          s"geo_intersects_2lines(concat($p1, slice($p1, 1, 1)), concat($p2, slice($p2, 1, 1))) " +
+          s"OR geo_point_in_polygon(element_at($p1, 1)[0], element_at($p1, 1)[1], $p2) " +
+          s"OR geo_point_in_polygon(element_at($p2, 1)[0], element_at($p2, 1)[1], $p1)) END)"
+    }
+    // geo_intersects_line_with_polygon(line, ring): an edge crosses the
+    // boundary, or the line starts inside (covers fully-interior lines).
+    s = expandCalls(s, "geo_intersects_line_with_polygon") {
+      case Seq(line, ring) =>
+        s"(CASE WHEN size($line) < 2 OR size($ring) < 3 THEN CAST(NULL AS BOOLEAN) ELSE (" +
+          s"geo_intersects_2lines($line, concat($ring, slice($ring, 1, 1))) " +
+          s"OR geo_point_in_polygon(element_at($line, 1)[0], element_at($line, 1)[1], $ring)) END)"
+    }
+    // geo_intersects_2lines(l1, l2): any great-circle segment pair crosses.
+    // Per pair (A→B, C→D) with edge-plane normals n1 = A×B, n2 = C×D the
+    // test is the S2-style straddle pair — sign(n1·C)·sign(n1·D) < 0 AND
+    // sign(n2·A)·sign(n2·B) < 0 — PLUS the same-intersection-point guard
+    // (the two great circles meet at ±t, t = n1×n2; both straddle tests
+    // can pass with the arcs around OPPOSITE points — e.g. one arc near
+    // the antimeridian): t must fall in the same hemisphere as both arc
+    // midpoints. Valid for minor arcs (< 180°, the ADX-realistic domain);
+    // measure-zero touches/collinear overlaps report false (documented).
+    s = expandCalls(s, "geo_intersects_2lines") {
+      case Seq(l1, l2) =>
+        def uv(l: String) = s"transform($l, p -> array(" +
+          "cos(radians(p[1])) * cos(radians(p[0])), " +
+          "cos(radians(p[1])) * sin(radians(p[0])), sin(radians(p[1]))))"
+        // per segment: [nx, ny, nz, mx, my, mz] — edge normal + midpoint sum
+        def segs(v: String) =
+          s"zip_with(slice($v, 1, size($v) - 1), slice($v, 2, size($v) - 1), (p, q) -> array(" +
+            "p[1]*q[2] - p[2]*q[1], p[2]*q[0] - p[0]*q[2], p[0]*q[1] - p[1]*q[0], " +
+            "p[0]+q[0], p[1]+q[1], p[2]+q[2]))"
+        val cond =
+          "((w.p[0]*w.c[0] + w.p[1]*w.c[1] + w.p[2]*w.c[2]) * " +
+            "(w.p[0]*w.d[0] + w.p[1]*w.d[1] + w.p[2]*w.d[2]) < 0 AND " +
+          "(w.q[0]*w.a[0] + w.q[1]*w.a[1] + w.q[2]*w.a[2]) * " +
+            "(w.q[0]*w.b[0] + w.q[1]*w.b[1] + w.q[2]*w.b[2]) < 0 AND " +
+          "element_at(transform(array(array(" +
+            "w.p[1]*w.q[2] - w.p[2]*w.q[1], " +
+            "w.p[2]*w.q[0] - w.p[0]*w.q[2], " +
+            "w.p[0]*w.q[1] - w.p[1]*w.q[0])), t -> " +
+            "(t[0]*w.p[3] + t[1]*w.p[4] + t[2]*w.p[5]) * " +
+            "(t[0]*w.q[3] + t[1]*w.q[4] + t[2]*w.q[5]) > 0), 1))"
+        val body =
+          "exists(sequence(1, size(__x2a)), i -> " +
+            "exists(transform(sequence(1, size(__x2b)), j -> named_struct(" +
+              "'a', element_at(__xva, i), 'b', element_at(__xva, i + 1), " +
+              "'c', element_at(__xvb, j), 'd', element_at(__xvb, j + 1), " +
+              s"'p', element_at(__x2a, i), 'q', element_at(__x2b, j))), w -> $cond))"
+        s"(CASE WHEN size($l1) < 2 OR size($l2) < 2 THEN CAST(NULL AS BOOLEAN) ELSE " +
+          let1("__xva", uv(l1),
+            let1("__xvb", uv(l2),
+              let1("__x2a", segs("__xva"),
+                let1("__x2b", segs("__xvb"), body)))) + " END)"
+    }
+    // geo_polygon_perimeter(ring): meters around the closed geodesic ring —
+    // geo_line_length over ring + first vertex re-appended (expand-before
+    // re-rewrite, the in_circle pattern). Degenerate ring → NULL.
+    s = expandCalls(s, "geo_polygon_perimeter") {
+      case Seq(ring) =>
+        s"(CASE WHEN size($ring) < 3 THEN CAST(NULL AS DOUBLE) " +
+          s"ELSE geo_line_length(concat($ring, slice($ring, 1, 1))) END)"
+    }
+    // geo_distance_point_to_polygon(lng, lat, ring): 0 inside (geodesic
+    // containment), else distance to the nearest boundary point — the
+    // point_to_line machinery over the closed ring.
+    s = expandCalls(s, "geo_distance_point_to_polygon") {
+      case Seq(x, y, ring) =>
+        s"(CASE WHEN size($ring) < 3 THEN CAST(NULL AS DOUBLE) " +
+          s"WHEN geo_point_in_polygon($x, $y, $ring) THEN CAST(0.0 AS DOUBLE) " +
+          s"ELSE geo_distance_point_to_line($x, $y, concat($ring, slice($ring, 1, 1))) END)"
+    }
+    // geo_polygon_centroid(ring): GeoJSON Point at the spherical centroid.
+    // Vector-area identity: ∫∫ r dA over the interior equals ½ Σ n̂ᵢθᵢ over
+    // the boundary arcs (n̂ = unit edge-plane normal, θ = arc angle), so the
+    // centroid direction is the normalized weighted normal sum — exact for
+    // any simple spherical polygon, no small-area approximation. The ½ and
+    // the area divisor cancel in the normalization.
+    s = expandCalls(s, "geo_polygon_centroid") {
+      case Seq(ring) =>
+        val uv = s"transform($ring, p -> array(" +
+          "cos(radians(p[1])) * cos(radians(p[0])), " +
+          "cos(radians(p[1])) * sin(radians(p[0])), sin(radians(p[1]))))"
+        def ab(c: String) = s"element_at(__gc_v, $c)"
+        val (a, b) = (ab("i"), ab("(i % size(__gc_v)) + 1"))
+        val cross = s"array($a[1]*$b[2] - $a[2]*$b[1], $a[2]*$b[0] - $a[0]*$b[2], " +
+          s"$a[0]*$b[1] - $a[1]*$b[0], $a[0]*$b[0] + $a[1]*$b[1] + $a[2]*$b[2])"
+        val cn = "sqrt(c[0]*c[0] + c[1]*c[1] + c[2]*c[2])"
+        val weighted = s"transform(sequence(1, size(__gc_v)), i -> " +
+          s"element_at(transform(array($cross), c -> CASE WHEN $cn > 0 THEN array(" +
+          s"c[0] / $cn * atan2($cn, c[3]), c[1] / $cn * atan2($cn, c[3]), " +
+          s"c[2] / $cn * atan2($cn, c[3])) " +
+          "ELSE array(CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)) END), 1))"
+        def sum(i: Int) = s"aggregate(__gc_w, CAST(0 AS DOUBLE), (acc, w) -> acc + w[$i])"
+        s"(CASE WHEN size($ring) < 3 THEN CAST(NULL AS STRING) ELSE " +
+          let1("__gc_v", uv,
+            let1("__gc_w", weighted,
+              let1("__gc_s", s"array(${sum(0)}, ${sum(1)}, ${sum(2)})",
+                let1("__gc_m",
+                  "sqrt(__gc_s[0]*__gc_s[0] + __gc_s[1]*__gc_s[1] + __gc_s[2]*__gc_s[2])",
+                  "CASE WHEN __gc_m = 0 THEN CAST(NULL AS STRING) ELSE " +
+                    "concat('{\"type\":\"Point\",\"coordinates\":[', " +
+                    "CAST(degrees(atan2(__gc_s[1], __gc_s[0])) AS STRING), ',', " +
+                    "CAST(degrees(asin(__gc_s[2] / __gc_m)) AS STRING), ']}') END")))) +
+          " END)"
+    }
+    // geo_line_centroid(line): GeoJSON Point at the polyline's centroid —
+    // per arc a→b with d = a·b, ∫ r ds = a·sinθ + û·(1−cosθ) where
+    // û ⟂ a in the arc plane; sinθ = √(1−d²), cosθ = d (no trig calls).
+    s = expandCalls(s, "geo_line_centroid") {
+      case Seq(line) =>
+        val uv = s"transform($line, p -> array(" +
+          "cos(radians(p[1])) * cos(radians(p[0])), " +
+          "cos(radians(p[1])) * sin(radians(p[0])), sin(radians(p[1]))))"
+        def v(c: String) = s"element_at(__lc_v, $c)"
+        val (a, b) = (v("i - 1"), v("i"))
+        val d = s"least(CAST(1.0 AS DOUBLE), greatest(CAST(-1.0 AS DOUBLE), " +
+          s"$a[0]*$b[0] + $a[1]*$b[1] + $a[2]*$b[2]))"
+        val bound = s"array($a[0], $a[1], $a[2], $b[0], $b[1], $b[2], $d)"
+        val un = "sqrt((w[3]-w[6]*w[0])*(w[3]-w[6]*w[0]) + " +
+          "(w[4]-w[6]*w[1])*(w[4]-w[6]*w[1]) + (w[5]-w[6]*w[2])*(w[5]-w[6]*w[2]))"
+        def comp(i: Int) =
+          s"w[$i]*sqrt(1 - w[6]*w[6]) + (w[${i + 3}]-w[6]*w[$i]) / $un * (1 - w[6])"
+        val weighted = s"transform(sequence(2, size(__lc_v)), i -> " +
+          s"element_at(transform(array($bound), w -> CASE WHEN $un > 0 THEN " +
+          s"array(${comp(0)}, ${comp(1)}, ${comp(2)}) " +
+          "ELSE array(CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)) END), 1))"
+        def sum(i: Int) = s"aggregate(__lc_w, CAST(0 AS DOUBLE), (acc, w) -> acc + w[$i])"
+        s"(CASE WHEN size($line) < 2 THEN CAST(NULL AS STRING) ELSE " +
+          let1("__lc_v", uv,
+            let1("__lc_w", weighted,
+              let1("__lc_s", s"array(${sum(0)}, ${sum(1)}, ${sum(2)})",
+                let1("__lc_m",
+                  "sqrt(__lc_s[0]*__lc_s[0] + __lc_s[1]*__lc_s[1] + __lc_s[2]*__lc_s[2])",
+                  "CASE WHEN __lc_m = 0 THEN CAST(NULL AS STRING) ELSE " +
+                    "concat('{\"type\":\"Point\",\"coordinates\":[', " +
+                    "CAST(degrees(atan2(__lc_s[1], __lc_s[0])) AS STRING), ',', " +
+                    "CAST(degrees(asin(__lc_s[2] / __lc_m)) AS STRING), ']}') END")))) +
+          " END)"
+    }
     s = expandCalls(s, "geo_distance_point_to_line") {
       case Seq(x, y, line) =>
         val uv = s"transform($line, q -> array(" +

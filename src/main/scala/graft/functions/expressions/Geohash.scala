@@ -196,6 +196,17 @@ object Geohash {
     val lat = (latLo + latHi) / 2
     UTF8String.fromString(s"""{"type":"Point","coordinates":[$lng,$lat]}""")
   }
+
+  private[expressions] def b32IdxOf(c: Char): Int = B32Idx(c.toInt)
+
+  /** GeoJSON Polygon of the cell rectangle, or null on a malformed hash. */
+  def cellPolygon(hash: UTF8String): UTF8String = {
+    val b = GeohashBounds.boundsOf(hash)
+    if (b == null) return null
+    val (w, e, s, n) = (b(0), b(1), b(2), b(3))
+    UTF8String.fromString(
+      s"""{"type":"Polygon","coordinates":[[[$w,$s],[$e,$s],[$e,$n],[$w,$n],[$w,$s]]]}""")
+  }
 }
 
 /** `geo_geohash_neighbors(hash)` — the up-to-8 same-accuracy adjacent
@@ -224,4 +235,62 @@ case class GeohashNeighbors(child: Expression)
     copy(child = newChild)
 
   override def prettyName: String = "geo_geohash_neighbors"
+}
+
+/** `geo_geohash_to_polygon(hash)` — the GeoJSON Polygon of the cell
+  * rectangle (closed ring, counter-clockwise from the south-west corner:
+  * the same ring convention as `geo_s2cell_to_polygon`). The bounds come
+  * from the identical range-bisection walk as `centralPoint`; null on a
+  * malformed hash.
+  */
+case class GeohashToPolygon(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean  = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("geo_geohash_to_polygon argument must be a string")
+
+  override protected def nullSafeEval(input: Any): Any =
+    Geohash.cellPolygon(input.asInstanceOf[UTF8String])
+
+  override protected def withNewChildInternal(newChild: Expression): GeohashToPolygon =
+    copy(child = newChild)
+
+  override def prettyName: String = "geo_geohash_to_polygon"
+}
+
+object GeohashBounds {
+  /** (lngLo, lngHi, latLo, latHi) of the cell, or null on malformed. */
+  def boundsOf(hash: UTF8String): Array[Double] = {
+    if (hash == null) return null
+    val h = hash.toString.toLowerCase
+    if (h.isEmpty || h.length > 12) return null
+    var lngLo = -180.0; var lngHi = 180.0
+    var latLo = -90.0;  var latHi = 90.0
+    var even = true
+    var i = 0
+    while (i < h.length) {
+      val c = h.charAt(i)
+      val v = if (c < 128) Geohash.b32IdxOf(c) else -1
+      if (v < 0) return null
+      var b = 4
+      while (b >= 0) {
+        val on = ((v >> b) & 1) == 1
+        if (even) {
+          val mid = (lngLo + lngHi) / 2
+          if (on) lngLo = mid else lngHi = mid
+        } else {
+          val mid = (latLo + latHi) / 2
+          if (on) latLo = mid else latHi = mid
+        }
+        even = !even
+        b -= 1
+      }
+      i += 1
+    }
+    Array(lngLo, lngHi, latLo, latHi)
+  }
 }

@@ -4184,6 +4184,133 @@ object Surface {
                CAST(sum(k) AS BIGINT) AS sk
         FROM e WHERE inside GROUP BY pid ORDER BY pid""")),
 
+    "q_kql_geo_shapes" -> QueryDef(
+      // round-10 batch 5 shape scalars: perimeter (geo_line_length over the
+      // closed ring), point-to-polygon distance (0 inside by geodesic
+      // containment, else nearest boundary point via the shared
+      // segmentDistanceSql text), spherical centroids (vector-area
+      // identity ∫∫r dA = ½Σn̂θ — see KqlCompat), the geohash cell
+      // polygon, and degenerate-input null guards. Pins computed through a
+      // python mirror of the identical unit-vector arithmetic (probe
+      // showed DuckDB bit-parity to 12+ digits; pinned at 3–6 decimals).
+      (s, dir) => kqlRun(s, dir,
+        """print poly = dynamic([[-3.0, -2.0], [4.0, -2.5], [3.5, 3.0], [-2.5, 3.5]])
+          | | extend pc = geo_polygon_centroid(poly),
+          |     lc = geo_line_centroid(dynamic([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0]])),
+          |     gh = geo_geohash_to_polygon('ezs42')
+          | | project perim = round(geo_polygon_perimeter(poly), 3),
+          |     dpp_in = geo_distance_point_to_polygon(0.5, 0.5, poly) == 0.0,
+          |     dpp_out = round(geo_distance_point_to_polygon(10.0, 0.0, poly), 3),
+          |     pcx = round(todouble(extractjson('$.coordinates[0]', pc)), 6),
+          |     pcy = round(todouble(extractjson('$.coordinates[1]', pc)), 6),
+          |     lcx = round(todouble(extractjson('$.coordinates[0]', lc)), 6),
+          |     lcy = round(todouble(extractjson('$.coordinates[1]', lc)), 6),
+          |     ghw = round(todouble(extractjson('$.coordinates[0][0][0]', gh)), 4),
+          |     ghs = round(todouble(extractjson('$.coordinates[0][0][1]', gh)), 4),
+          |     ghe = round(todouble(extractjson('$.coordinates[0][2][0]', gh)), 4),
+          |     ghn = round(todouble(extractjson('$.coordinates[0][2][1]', gh)), 4),
+          |     inv_p = isnull(geo_polygon_perimeter(dynamic([[0.0, 0.0], [1.0, 1.0]]))),
+          |     inv_c = isnull(geo_polygon_centroid(dynamic([[0.0, 0.0], [1.0, 1.0]]))),
+          |     inv_gh = isnull(geo_geohash_to_polygon('ALO'))""".stripMargin),
+      Some("""
+        SELECT 2676342.954 AS perim, TRUE AS dpp_in, 689587.823 AS dpp_out,
+               0.492462 AS pcx, 0.42989 AS pcy, 7.495231 AS lcx, 2.502379 AS lcy,
+               -5.625 AS ghw, 42.583 AS ghs, -5.5811 AS ghe, 42.627 AS ghn,
+               TRUE AS inv_p, TRUE AS inv_c, TRUE AS inv_gh""")),
+
+    "q_kql_geo_intersects" -> QueryDef(
+      // great-circle segment/polygon intersection predicates over a
+      // datatable of validated cases — including the antipodal-lune trap
+      // (both straddle tests pass around OPPOSITE intersection points of
+      // the two great circles; the same-hemisphere guard must reject it).
+      // Polygon/line composites exercise the boundary-cross and the
+      // containment (first-vertex-inside) legs separately.
+      (s, dir) => kqlRun(s, dir,
+        """let cases = datatable(nm: string, ax: real, ay: real, bx: real, by: real,
+          |                      cx: real, cy: real, dx: real, dy: real, exp: bool) [
+          |  'crossX',    0.0, -5.0, 0.0, 5.0, -5.0, 0.0, 5.0, 0.0, true,
+          |  'parallel',  0.0, 0.0, 10.0, 0.0, 0.0, 1.0, 10.0, 1.0, false,
+          |  'noTouch',   0.0, -5.0, 0.0, 5.0, 1.0, 0.0, 5.0, 0.0, false,
+          |  'antipodal', 0.0, -5.0, 0.0, 5.0, 175.0, 0.0, -175.0, 0.0, false,
+          |  'diag',     -3.0, -3.0, 4.0, 5.0, -3.0, 5.0, 4.0, -4.0, true,
+          |  'nearMiss', -3.0, -3.0, 4.0, 5.0, 5.0, 6.0, 9.0, 9.0, false,
+          |  'highLat',  10.0, 60.0, 20.0, 60.0, 15.0, 55.0, 15.0, 65.0, true,
+          |  'farApart', 100.0, 30.0, 110.0, 30.0, -50.0, -20.0, -40.0, -20.0, false];
+          |cases
+          | | extend got = geo_intersects_2lines(
+          |     pack_array(pack_array(ax, ay), pack_array(bx, by)),
+          |     pack_array(pack_array(cx, cy), pack_array(dx, dy)))
+          | | summarize n = count(), ok = countif(got == exp)
+          | | project lines_ok = n == 8 and ok == 8,
+          |     poly_overlap = geo_intersects_2polygons(
+          |       dynamic([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]]),
+          |       dynamic([[2.0, 2.0], [6.0, 2.0], [6.0, 6.0], [2.0, 6.0]])),
+          |     poly_disjoint = geo_intersects_2polygons(
+          |       dynamic([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]]),
+          |       dynamic([[10.0, 10.0], [14.0, 10.0], [14.0, 14.0], [10.0, 14.0]])) == false,
+          |     poly_contained = geo_intersects_2polygons(
+          |       dynamic([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]]),
+          |       dynamic([[4.0, 4.0], [6.0, 4.0], [6.0, 6.0], [4.0, 6.0]])),
+          |     lp_cross = geo_intersects_line_with_polygon(
+          |       dynamic([[-5.0, 2.0], [5.0, 2.0]]),
+          |       dynamic([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]])),
+          |     lp_inside = geo_intersects_line_with_polygon(
+          |       dynamic([[1.0, 1.0], [2.0, 2.0]]),
+          |       dynamic([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]])),
+          |     lp_out = geo_intersects_line_with_polygon(
+          |       dynamic([[8.0, 8.0], [9.0, 9.0]]),
+          |       dynamic([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]])) == false,
+          |     inv = isnull(geo_intersects_2lines(dynamic([[0.0, 0.0]]),
+          |       dynamic([[1.0, 1.0], [2.0, 2.0]])))""".stripMargin),
+      Some("""
+        SELECT TRUE AS lines_ok, TRUE AS poly_overlap, TRUE AS poly_disjoint,
+               TRUE AS poly_contained, TRUE AS lp_cross, TRUE AS lp_inside,
+               TRUE AS lp_out, TRUE AS inv""")),
+
+    "q_kql_cmdline_bytes" -> QueryDef(
+      // parse_command_line (Windows/MSVCRT argv rules: quoted spans keep
+      // whitespace, 2n backslashes before a quote emit n + delimiter,
+      // 2n+1 emit n + literal quote, lone backslashes are literal) and the
+      // base64 byte-array codecs. Backslashes enter via codepoint 92 —
+      // engine-unambiguous (KQL and Spark disagree on string-literal
+      // escape processing; the oracle pins plain literals).
+      (s, dir) => kqlRun(s, dir,
+        """print bs = unicode_codepoints_to_string(pack_array(92))
+          | | extend a = parse_command_line('x.exe a "b c"  d', 'windows'),
+          |     b = parse_command_line(strcat('say ', bs, '"lit', bs, '" now'), 'windows'),
+          |     c = parse_command_line(strcat('a', bs, bs, '"b c" t'), 'windows'),
+          |     d = parse_command_line(strcat('dir c:', bs, 'tmp'), 'windows')
+          | | project a1 = strcat_array(a, '|'), b1 = strcat_array(b, '|'),
+          |     c1 = strcat_array(c, '|'), d1 = strcat_array(d, '|'),
+          |     bad_kind = isnull(parse_command_line('x y', 'linux')),
+          |     blank = isnull(parse_command_line('  ', 'windows')),
+          |     n = array_length(base64_decode_toarray('AQID')),
+          |     sm = tolong(array_sum(base64_decode_toarray('AQID'))),
+          |     rt = base64_encode_fromarray(base64_decode_toarray('SGVsbG8=')) == 'SGVsbG8=',
+          |     b64bad = isnull(base64_decode_toarray('!not base64!')),
+          |     oob = isnull(base64_encode_fromarray(dynamic([72, 300])))""".stripMargin),
+      Some("""
+        SELECT 'x.exe|a|b c|d' AS a1, 'say|"lit"|now' AS b1, 'a\b c|t' AS c1,
+               'dir|c:\tmp' AS d1, TRUE AS bad_kind, TRUE AS blank,
+               CAST(3 AS BIGINT) AS n, CAST(6 AS BIGINT) AS sm, TRUE AS rt,
+               TRUE AS b64bad, TRUE AS oob""")),
+
+    "q_series_trig" -> QueryDef(
+      // the element-wise trig family over one probe vector; literal pins
+      // at 6 decimals (identical double libm values both engines)
+      (s, dir) => kqlRun(s, dir,
+        """print x = dynamic([0.0, 0.5, 1.0])
+          | | project s = round(todouble(series_sin(x)[1]), 6),
+          |     c = round(todouble(series_cos(x)[1]), 6),
+          |     t = round(todouble(series_tan(x)[1]), 6),
+          |     an = round(todouble(series_asin(x)[1]), 6),
+          |     ac = round(todouble(series_acos(x)[1]), 6),
+          |     at = round(todouble(series_atan(x)[1]), 6),
+          |     dom = isnan(todouble(series_asin(dynamic([2.0]))[0]))""".stripMargin),
+      Some("""
+        SELECT 0.479426 AS s, 0.877583 AS c, 0.546302 AS t, 0.523599 AS an,
+               1.047198 AS ac, 0.463648 AS at, TRUE AS dom""")),
+
     "q_kql_row_window_session" -> QueryDef(
       // row_window_session over one user's serialized stream: idle cut at
       // 12 h, max-distance-from-first cut at 24 h (both rules bind on this
