@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.expressions.{BagMerge, BetaCdf, BetaInv, BottomKValues, GammaFn, LogGammaFn, ParseCsv, RankTDigest, FreqAgg, FreqMergeAgg, FreqTopK, SampleBottomKAgg, SampleBottomKMergeAgg, ThetaAgg, ThetaMergeAgg, ThetaEstimate, ThetaIntersect, ThetaDiff, BagRemoveKeys, BloomContains, DynamicToJson, GeoPointToGeohash, GeohashCentralPoint, GeohashNeighbors, GeohashToPolygon, ParseCommandLine, Base64DecodeToArray, Base64EncodeFromArray, GeoS2CellNeighbors, GeoS2CellToPolygon, GeoPolygonToS2Cells, GramHashes, GzipCompress, GzipDecompress, Ipv4RangeToCidr, Ipv6Norm, ParseXml, PercentileTDigest, PunycodeDomainFrom, PunycodeDomainTo, PunycodeEncode, PunycodeDecode, RollingHash, S2CellCentralPoint, GeoPointToS2Cell, SeriesFft, SeriesIfft, SeriesFitPoly, TDigestAgg, TDigestMergeAgg, TermHas, VectorDot, WelchTest, ZlibCompress, ZlibDecompress}
+import graft.functions.expressions.{BagMerge, BetaCdf, BetaInv, BottomKValues, GammaFn, LogGammaFn, ParseCsv, RankTDigest, FreqAgg, FreqMergeAgg, FreqTopK, SampleBottomKAgg, SampleBottomKMergeAgg, ThetaAgg, ThetaMergeAgg, ThetaEstimate, ThetaIntersect, ThetaDiff, BagRemoveKeys, BloomContains, DynamicToJson, GeoPointToGeohash, GeohashCentralPoint, GeohashNeighbors, GeohashToPolygon, ParseCommandLine, Base64DecodeToArray, Base64EncodeFromArray, GeoS2CellNeighbors, GeoS2CellToPolygon, GeoPolygonToS2Cells, GeoLineToS2Cells, GeoClosestPointOnLine, GramHashes, GzipCompress, GzipDecompress, Ipv4RangeToCidr, Ipv6Norm, ParseXml, PercentileTDigest, PunycodeDomainFrom, PunycodeDomainTo, PunycodeEncode, PunycodeDecode, RollingHash, S2CellCentralPoint, GeoPointToS2Cell, SeriesFft, SeriesIfft, SeriesFitPoly, TDigestAgg, TDigestMergeAgg, TermHas, VectorDot, WelchTest, ZlibCompress, ZlibDecompress}
 
 /** Spark plugin entry point: load with
   * `spark.sql.extensions=graft.GraftSessionExtensions` (works with plain
@@ -86,6 +86,21 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
     unary("geo_s2cell_to_central_point", classOf[S2CellCentralPoint], S2CellCentralPoint(_))
     unary("geo_s2cell_neighbors", classOf[GeoS2CellNeighbors], GeoS2CellNeighbors(_))
     unary("geo_s2cell_to_polygon", classOf[GeoS2CellToPolygon], GeoS2CellToPolygon(_))
+    ext.injectFunction((
+      new FunctionIdentifier("geo_line_to_s2cells"),
+      new ExpressionInfo(classOf[GeoLineToS2Cells].getName, "geo_line_to_s2cells"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size >= 1 && children.size <= 3,
+          "geo_line_to_s2cells takes (line [, level [, radius]])")
+        GeoLineToS2Cells(children)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("geo_closest_point_on_line"),
+      new ExpressionInfo(classOf[GeoClosestPointOnLine].getName, "geo_closest_point_on_line"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 3, "geo_closest_point_on_line takes (lng, lat, line)")
+        GeoClosestPointOnLine(children)
+      }))
     ext.injectFunction((
       new FunctionIdentifier("geo_polygon_to_s2cells"),
       new ExpressionInfo(classOf[GeoPolygonToS2Cells].getName, "geo_polygon_to_s2cells"),

@@ -59,7 +59,7 @@ object BpeFunctions {
     * flat one-project frame — constant cost per merge.
     */
   def trainVocab(docs: DataFrame, nMerges: Int): (DataFrame, Seq[(String, String)]) = {
-    require(nMerges > 0, "BPE: nMerges must be positive")
+    require(nMerges >= 0, "BPE: nMerges must be non-negative") // 0 = character vocabulary
     val wf = docs
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")

@@ -279,6 +279,66 @@ object S2Cell {
     Some(included.toSeq.sorted)
   }
 
+  /** Conservative covering of a geodesic polyline, optionally buffered by
+    * `radiusM` meters. Per segment, great-circle samples at ≤ half the
+    * level's MINIMUM cell edge (S2 kMinEdge ≈ 0.943·2^-level rad) — so
+    * consecutive samples land in the same or an adjacent cell — and every
+    * sample contributes its cell plus all neighbors (covers any cell the
+    * arc merely grazes between samples). The radius buffer is
+    * ceil(r / minEdge) neighbor-BFS layers: each layer advances ≥ one
+    * minimum cell edge in every direction, so the reach is ≥ r.
+    * Superset-by-construction (the join contract — refine drops extras);
+    * > 4096 cells or degenerate input → None.
+    */
+  def coverLine(lngs: Array[Double], lats: Array[Double], level: Int,
+      radiusM: Double): Option[Seq[Long]] = {
+    val n = lngs.length
+    if (n < 2 || level < 0 || level > MaxLevel || radiusM < 0 || radiusM.isNaN)
+      return None
+    if (lngs.exists(l => l < -180 || l > 180 || l.isNaN) ||
+        lats.exists(l => l < -90 || l > 90 || l.isNaN)) return None
+    val minEdge = 0.943 / (1L << math.min(level, 30)).toDouble // radians
+    val base    = scala.collection.mutable.LinkedHashSet[Long]()
+    var e = 0
+    while (e < n - 1) {
+      val (x1, y1, z1) = xyzOf(lngs(e), lats(e))
+      val (x2, y2, z2) = xyzOf(lngs(e + 1), lats(e + 1))
+      val dotv  = math.max(-1.0, math.min(1.0, x1 * x2 + y1 * y2 + z1 * z2))
+      val theta = math.acos(dotv)
+      val steps = math.max(1L, math.ceil(theta / (minEdge / 2)).toLong)
+      if (steps > (1L << 20)) return None // line too long for this level
+      var s = 0L
+      while (s <= steps) {
+        val f = s.toDouble / steps
+        val x = x1 + f * (x2 - x1); val y = y1 + f * (y2 - y1); val z = z1 + f * (z2 - z1)
+        val (lo, la) = lngLatOf(x, y, z)
+        val id = cellId(lo, la, level)
+        if (base.add(id)) {
+          if (base.size > 4096) return None
+          neighbors(id).foreach { nb =>
+            if (base.add(nb) && base.size > 4096) return None
+          }
+        }
+        s += 1
+      }
+      e += 1
+    }
+    // buffer: k neighbor-BFS layers reach ≥ k · minEdge in every direction
+    val layers = math.ceil(radiusM / (minEdge * 6371008.8)).toInt
+    var frontier: Set[Long] = base.toSet
+    var k = 0
+    while (k < layers) {
+      val next = scala.collection.mutable.HashSet[Long]()
+      frontier.foreach { id =>
+        neighbors(id).foreach { nb => if (base.add(nb)) next += nb }
+      }
+      if (base.size > 4096) return None
+      frontier = next.toSet
+      k += 1
+    }
+    Some(base.toSeq.sorted)
+  }
+
   /** GeoJSON Polygon of the cell boundary: the 4 cube corners in CCW (s,t)
     * order, ring closed (geodesic edges between corners are implied — the
     * GeoJSON convention ADX uses for geo_s2cell_to_polygon).
@@ -503,4 +563,200 @@ case class GeoS2CellToPolygon(child: Expression)
     copy(child = newChild)
 
   override def prettyName: String = "geo_s2cell_to_polygon"
+}
+
+/** `geo_line_to_s2cells(line [, level [, radius_m]])` — conservative S2
+  * covering of a geodesic polyline (see [[S2Cell.coverLine]]): the
+  * bucketed-equi-join primitive for "points near a route" joins, with the
+  * optional meter radius buffering the covering so a distance-`r` refine
+  * loses no candidates. Null on degenerate input / out-of-range level /
+  * coverings past the 4096-cell cap.
+  */
+case class GeoLineToS2Cells(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def lineOk(t: DataType): Boolean = t match {
+      case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.ArrayType(e, _), _) =>
+        e.isInstanceOf[NumericType]
+      case _ => false
+    }
+    if (children.size < 1 || children.size > 3)
+      TypeCheckResult.TypeCheckFailure("geo_line_to_s2cells takes (line [, level [, radius]])")
+    else if (!lineOk(children.head.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        "geo_line_to_s2cells line must be an array of [lng, lat] arrays")
+    else if (!children.tail.forall(_.dataType.isInstanceOf[NumericType]))
+      TypeCheckResult.TypeCheckFailure("geo_line_to_s2cells level/radius must be numeric")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  private def num(v: Any): Double = v match {
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case n: Number                             => n.doubleValue()
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val p = children.head.eval(input)
+    if (p == null) return null
+    val level = if (children.size >= 2) {
+      val l = children(1).eval(input)
+      if (l == null) return null
+      num(l).toInt
+    } else 11
+    val radius = if (children.size == 3) {
+      val r = children(2).eval(input)
+      if (r == null) return null
+      num(r)
+    } else 0.0
+    val arr   = p.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val inner = children.head.dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+    val n    = arr.numElements()
+    val lngs = new Array[Double](n)
+    val lats = new Array[Double](n)
+    var k = 0
+    while (k < n) {
+      val row = arr.get(k, inner)
+      if (row == null) return null
+      val pt = row.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      if (pt.numElements() < 2) return null
+      lngs(k) = num(pt.get(0, inner.elementType))
+      lats(k) = num(pt.get(1, inner.elementType))
+      k += 1
+    }
+    S2Cell.coverLine(lngs, lats, level, radius) match {
+      case None => null
+      case Some(ids) =>
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          ids.map(id => UTF8String.fromString(S2Cell.token(id))))
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): GeoLineToS2Cells =
+    copy(children = newChildren)
+
+  override def prettyName: String = "geo_line_to_s2cells"
+}
+
+/** `geo_closest_point_on_line(lng, lat, line)` — GeoJSON Point of the
+  * nearest point of the geodesic polyline: per segment the perpendicular
+  * foot when it lands within the arc (the projection of p onto the edge
+  * plane, normalized), else the nearer endpoint — the same unit-vector
+  * closed form as the geo_distance_point_to_line expansion, so
+  * geo_distance_2points(closest, p) == geo_distance_point_to_line(p, line)
+  * to double precision (the in-plan gate q_kql_geo_closest asserts it).
+  * Null on < 2 line points or out-of-range input.
+  */
+case class GeoClosestPointOnLine(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean  = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def lineOk(t: DataType): Boolean = t match {
+      case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.ArrayType(e, _), _) =>
+        e.isInstanceOf[NumericType]
+      case _ => false
+    }
+    if (children.size != 3)
+      TypeCheckResult.TypeCheckFailure("geo_closest_point_on_line takes (lng, lat, line)")
+    else if (!children.take(2).forall(_.dataType.isInstanceOf[NumericType]))
+      TypeCheckResult.TypeCheckFailure("geo_closest_point_on_line lng/lat must be numeric")
+    else if (!lineOk(children(2).dataType))
+      TypeCheckResult.TypeCheckFailure(
+        "geo_closest_point_on_line line must be an array of [lng, lat] arrays")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  private def num(v: Any): Double = v match {
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case n: Number                             => n.doubleValue()
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val lngV = children(0).eval(input)
+    val latV = children(1).eval(input)
+    val lineV = children(2).eval(input)
+    if (lngV == null || latV == null || lineV == null) return null
+    val plng = num(lngV); val plat = num(latV)
+    if (plng < -180 || plng > 180 || plat < -90 || plat > 90 ||
+        plng.isNaN || plat.isNaN) return null
+    val arr   = lineV.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val inner = children(2).dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+    val n = arr.numElements()
+    if (n < 2) return null
+    val vx = new Array[Double](n); val vy = new Array[Double](n); val vz = new Array[Double](n)
+    var k = 0
+    while (k < n) {
+      val row = arr.get(k, inner)
+      if (row == null) return null
+      val pt = row.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      if (pt.numElements() < 2) return null
+      val lo = num(pt.get(0, inner.elementType)); val la = num(pt.get(1, inner.elementType))
+      if (lo < -180 || lo > 180 || la < -90 || la > 90 || lo.isNaN || la.isNaN) return null
+      val rl = math.toRadians(lo); val rt = math.toRadians(la)
+      vx(k) = math.cos(rt) * math.cos(rl); vy(k) = math.cos(rt) * math.sin(rl)
+      vz(k) = math.sin(rt)
+      k += 1
+    }
+    val prl = math.toRadians(plng); val prt = math.toRadians(plat)
+    val px = math.cos(prt) * math.cos(prl); val py = math.cos(prt) * math.sin(prl)
+    val pz = math.sin(prt)
+    var bestD = Double.MaxValue
+    var bx = 0.0; var by = 0.0; var bz = 1.0
+    def chordDist(qx: Double, qy: Double, qz: Double): Double = {
+      val dx = px - qx; val dy = py - qy; val dz = pz - qz
+      2 * math.asin(math.min(1.0, math.sqrt(dx * dx + dy * dy + dz * dz) / 2))
+    }
+    var i = 1
+    while (i < n) {
+      val ax = vx(i - 1); val ay = vy(i - 1); val az = vz(i - 1)
+      val cx2 = vx(i); val cy2 = vy(i); val cz2 = vz(i)
+      val nx = ay * cz2 - az * cy2; val ny = az * cx2 - ax * cz2; val nz = ax * cy2 - ay * cx2
+      val nn = nx * nx + ny * ny + nz * nz
+      val pn = px * nx + py * ny + pz * nz
+      // within-arc: p on the inner side of both great circles through the
+      // endpoints perpendicular to the edge plane (same test as the SQL)
+      val c1x = ny * az - nz * ay; val c1y = nz * ax - nx * az; val c1z = nx * ay - ny * ax
+      val c2x = cy2 * nz - cz2 * ny; val c2y = cz2 * nx - cx2 * nz; val c2z = cx2 * ny - cy2 * nx
+      val within = (c1x * px + c1y * py + c1z * pz) >= 0 &&
+        (c2x * px + c2y * py + c2z * pz) >= 0
+      if (nn > 0 && within) {
+        val d = math.asin(math.min(1.0, math.abs(pn) / math.sqrt(nn)))
+        if (d < bestD) {
+          // foot of perpendicular: p projected onto the edge plane
+          val fx = px * nn - pn * nx; val fy = py * nn - pn * ny; val fz = pz * nn - pn * nz
+          val fm = math.sqrt(fx * fx + fy * fy + fz * fz)
+          if (fm > 0) { bestD = d; bx = fx / fm; by = fy / fm; bz = fz / fm }
+        }
+      } else {
+        val dA = chordDist(ax, ay, az)
+        if (dA < bestD) { bestD = dA; bx = ax; by = ay; bz = az }
+        val dB = chordDist(cx2, cy2, cz2)
+        if (dB < bestD) { bestD = dB; bx = cx2; by = cy2; bz = cz2 }
+      }
+      i += 1
+    }
+    val lng = math.toDegrees(math.atan2(by, bx))
+    val lat = math.toDegrees(math.asin(math.max(-1.0, math.min(1.0, bz))))
+    UTF8String.fromString(s"""{"type":"Point","coordinates":[$lng,$lat]}""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): GeoClosestPointOnLine =
+    copy(children = newChildren)
+
+  override def prettyName: String = "geo_closest_point_on_line"
 }

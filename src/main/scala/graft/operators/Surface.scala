@@ -4311,6 +4311,115 @@ object Surface {
         SELECT 0.479426 AS s, 0.877583 AS c, 0.546302 AS t, 0.523599 AS an,
                1.047198 AS ac, 0.463648 AS at, TRUE AS dom""")),
 
+    "q_kql_geo_closest" -> QueryDef(
+      // geo_closest_point_on_line: python-mirror pins for the three foot
+      // cases (interior foot on the meridian segment — note the geodesic
+      // bulge, lat 5.003 for a point at lat 5 — interior foot on the
+      // equator segment, and the endpoint case), PLUS the cross-impl
+      // consistency gate: the native's closest point must reproduce the
+      // expansion's geo_distance_point_to_line to sub-meter agreement.
+      (s, dir) => kqlRun(s, dir,
+        """print line = dynamic([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0]])
+          | | extend c1 = geo_closest_point_on_line(12.0, 5.0, line),
+          |     c2 = geo_closest_point_on_line(5.0, 3.0, line),
+          |     c3 = geo_closest_point_on_line(-4.0, -1.0, line)
+          | | project c1x = round(todouble(extractjson('$.coordinates[0]', c1)), 6),
+          |     c1y = round(todouble(extractjson('$.coordinates[1]', c1)), 6),
+          |     c2x = round(todouble(extractjson('$.coordinates[0]', c2)), 6),
+          |     c2y = round(todouble(extractjson('$.coordinates[1]', c2)), 6),
+          |     c3x = round(todouble(extractjson('$.coordinates[0]', c3)), 6),
+          |     c3y = round(todouble(extractjson('$.coordinates[1]', c3)), 6),
+          |     agree = abs(geo_distance_2points(
+          |         todouble(extractjson('$.coordinates[0]', c1)),
+          |         todouble(extractjson('$.coordinates[1]', c1)), 12.0, 5.0)
+          |       - geo_distance_point_to_line(12.0, 5.0, line)) < 1.0,
+          |     inv = isnull(geo_closest_point_on_line(0.0, 0.0, dynamic([[1.0, 1.0]])))""".stripMargin),
+      Some("""
+        SELECT 10.0 AS c1x, 5.003032 AS c1y, 5.0 AS c2x, 0.0 AS c2y,
+               0.0 AS c3x, 0.0 AS c3y, TRUE AS agree, TRUE AS inv""")),
+
+    "q_kql_geo_s2line_join" -> QueryDef(
+      // "points near a route" at scale: cover the polyline with level-5 S2
+      // cells BUFFERED by the query radius (geo_line_to_s2cells layers the
+      // covering outward by ceil(r / min-cell-edge) neighbor rings, so no
+      // candidate within r can sit in an uncovered cell), mv-expand into a
+      // broadcast dim, equi-join points on their own cell token, exact
+      // refine with geo_distance_point_to_line ≤ r. The ORACLE computes
+      // the refine DIRECTLY over all points (identical segmentDistanceSql
+      // text, literal route) — a covering that dropped a reachable cell
+      // would surface as a count mismatch, gating the buffer contract on
+      // real data. Probed: 9 matches at sf0.01.
+      (s, dir) => kqlRun(s, dir,
+        """let route = dynamic([[-60.0, 10.0], [-45.0, 25.0], [-30.0, 20.0], [-15.0, 35.0]]);
+          |let cells = print c = geo_line_to_s2cells(route, 5, 500000.0)
+          | | mv-expand c to typeof(string)
+          | | project cell = c;
+          |customer
+          | | extend lat = (c_custkey * 7919 % 14000) / 100.0 - 70.0,
+          |     lng = (c_custkey * 104729 % 36000) / 100.0 - 180.0
+          | | extend cell = geo_point_to_s2cell(lng, lat, 5)
+          | | join kind=inner hint.strategy=broadcast (cells) on cell
+          | | extend d = geo_distance_point_to_line(lng, lat, route)
+          | | where d <= 500000.0
+          | | summarize n = count(), sk = sum(c_custkey), sd = sum(d)
+          | | project n, sk, skm = round(sd / 1000.0, 3)""".stripMargin),
+      Some {
+        def comp(lon: String, lat: String): (String, String, String) =
+          (s"(cos(radians($lat)) * cos(radians($lon)))",
+           s"(cos(radians($lat)) * sin(radians($lon)))",
+           s"(sin(radians($lat)))")
+        val route = Seq((-60.0, 10.0), (-45.0, 25.0), (-30.0, 20.0), (-15.0, 35.0))
+        val p = comp("x", "y")
+        val segs = route.sliding(2).map { w =>
+          val a = comp(w(0)._1.toString, w(0)._2.toString)
+          val b = comp(w(1)._1.toString, w(1)._2.toString)
+          KqlCompat.segmentDistanceSql(a._1, a._2, a._3, b._1, b._2, b._3, p._1, p._2, p._3)
+        }.toSeq
+        val d = s"least(${segs.mkString(", ")}) * 6371008.8"
+        s"""
+        WITH pts AS (SELECT c_custkey AS k,
+                       (c_custkey * 7919 % 14000) / 100.0 - 70.0 AS y,
+                       (c_custkey * 104729 % 36000) / 100.0 - 180.0 AS x
+                     FROM customer)
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS sk,
+               round(sum($d) / 1000.0, 3) AS skm
+        FROM pts WHERE $d <= 500000.0"""
+      }),
+
+    "text_bpe_encode" -> QueryDef(
+      // BPE ENCODING with a trained vocabulary — the apply side of
+      // text_bpe_train (train once on the word-frequency table, broadcast
+      // the word→tokens map, ONE stateless corpus pass). Gated by exact
+      // algebra: zero merges tokenizes to characters (per-doc token count
+      // == the SQL-computable word-character count), and token counts are
+      // MONOTONE non-increasing in merge depth (5- and 20-merge vocabs).
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sub  = docs.where(col("doc_id") < 300)
+        val enc = Seq(0, 5, 20).map { k =>
+          val (vocab, _) = graft.functions.BpeFunctions.trainVocab(docs, k)
+          graft.functions.BpeFunctions.encodeTokenCounts(sub, vocab)
+            .withColumnRenamed("n_tokens", s"t$k")
+        }
+        val chars = sub.select(col("doc_id"),
+            explode(split(col("text"), " ")).as("w"))
+          .where(col("w") =!= "")
+          .groupBy("doc_id").agg(sum(length(col("w"))).cast("long").as("chars"))
+        chars.join(enc(0), Seq("doc_id")).join(enc(1), Seq("doc_id"))
+          .join(enc(2), Seq("doc_id"))
+          .select(col("doc_id"), col("chars"),
+            (col("t0") === col("chars")).as("ok0"),
+            (col("t5") <= col("t0")).as("mono5"),
+            (col("t20") <= col("t5")).as("mono20"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                       FROM documents WHERE doc_id < 300)
+        SELECT doc_id, CAST(sum(len(w)) AS BIGINT) AS chars,
+               TRUE AS ok0, TRUE AS mono5, TRUE AS mono20
+        FROM words WHERE w <> '' GROUP BY doc_id ORDER BY doc_id""")),
+
     "q_kql_row_window_session" -> QueryDef(
       // row_window_session over one user's serialized stream: idle cut at
       // 12 h, max-distance-from-first cut at 24 h (both rules bind on this

@@ -54,7 +54,10 @@ object ScaleBench {
     // covering into a broadcast dim, equi-join points on their cell, exact
     // geodesic refine on candidates only; the fact side scales, the dim
     // does not — ratio should track the point count)
-    "q_kql_geo_s2cover_join")
+    "q_kql_geo_s2cover_join",
+    // round-10 session 2: the radius-buffered line covering join ("points
+    // near a route") and the trained-vocabulary corpus encode pass
+    "q_kql_geo_s2line_join", "text_bpe_encode")
 
   def main(args: Array[String]): Unit = {
     val small = args(0)

@@ -86,6 +86,40 @@ class GeoShapesSpec extends SparkSuite {
     }
   }
 
+  test("line covering: buffered covering contains every point within radius") {
+    import graft.functions.expressions.S2Cell
+    val lngs = Array(-60.0, -45.0, -30.0, -15.0)
+    val lats = Array(10.0, 25.0, 20.0, 35.0)
+    val rM   = 500000.0
+    val cover = S2Cell.coverLine(lngs, lats, 5, rM).get.toSet
+    assert(cover.nonEmpty && cover.size <= 4096)
+    // random points near the route: every point within rM of ANY vertex
+    // (a subset of within-rM-of-the-line) must land in a covered cell
+    val rnd = new scala.util.Random(19)
+    var tested = 0
+    (1 to 4000).foreach { _ =>
+      val k   = rnd.nextInt(4)
+      val dLa = (rnd.nextDouble() * 2 - 1) * 4.0
+      val dLo = (rnd.nextDouble() * 2 - 1) * 4.0
+      val (lo, la) = (lngs(k) + dLo, lats(k) + dLa)
+      val dM = { // haversine to the vertex
+        val h = math.sin(math.toRadians(la - lats(k)) / 2)
+        val g = math.sin(math.toRadians(lo - lngs(k)) / 2)
+        2 * 6371008.8 * math.asin(math.sqrt(h * h +
+          math.cos(math.toRadians(la)) * math.cos(math.toRadians(lats(k))) * g * g))
+      }
+      if (dM <= rM) {
+        tested += 1
+        assert(cover.contains(S2Cell.cellId(lo, la, 5)), s"($lo,$la) dist $dM")
+      }
+    }
+    assert(tested > 500, s"probe count $tested")
+    // unbuffered covering is a subset of the buffered one
+    assert(S2Cell.coverLine(lngs, lats, 5, 0.0).get.toSet.subsetOf(cover))
+    assert(S2Cell.coverLine(Array(1.0), Array(1.0), 5, 0.0).isEmpty, "degenerate")
+    assert(S2Cell.coverLine(lngs, lats, 31, 0.0).isEmpty, "bad level")
+  }
+
   test("polygon centroid of an equator-symmetric square is its center") {
     val q = graft.functions.KqlCompat.rewrite(
       "geo_polygon_centroid(array(array(9.0D, -1.0D), array(11.0D, -1.0D), " +
