@@ -117,7 +117,8 @@ object KqlCompat {
     "set_intersect("  -> "array_intersect(",
     "set_union("      -> "array_union(",
     "set_difference(" -> "array_except(",
-    "strrep("         -> "repeat(",
+    // strrep is an expandCalls case (NOT `-> repeat(` — the round-10 KQL
+    // `repeat` expansion would array-ify the renamed call on re-rewrite)
     // crypto digests: same hex-string output shape on both engines
     "hash_md5("       -> "md5(",
     "hash_sha1("      -> "sha1(",
@@ -1015,6 +1016,32 @@ object KqlCompat {
     // element-wise trig family — ADX's remaining series_* scalars;
     // asin/acos outside [-1,1] yield NaN (libm convention; ADX nulls —
     // test with isnan(), documented divergence)
+    // repeat(value, count): dynamic array of `count` copies (negative →
+    // empty, the array_repeat convention; ADX errors — documented)
+    s = expandCalls(s, "repeat") {
+      case Seq(v, n) => s"array_repeat($v, CAST($n AS INT))"
+    }
+    // SCALAR range(start, stop [, step]) — the dynamic-array form (the
+    // `range` OPERATOR is a pipeline source, handled upstream; expandCalls
+    // only matches `range(`). Stop is inclusive like ADX; real steps
+    // supported via index arithmetic; step 0 / wrong-signed step → NULL.
+    s = expandCalls(s, "range") {
+      case Seq(a, b) =>
+        s"(CASE WHEN ($b) < ($a) THEN NULL ELSE " +
+          s"transform(sequence(CAST(0 AS BIGINT), CAST(floor(($b) - ($a)) AS BIGINT)), " +
+          s"__ri -> ($a) + __ri) END)"
+      case Seq(a, b, c) =>
+        s"(CASE WHEN ($c) = 0 OR (($b) - ($a)) / ($c) < 0 THEN NULL ELSE " +
+          s"transform(sequence(CAST(0 AS BIGINT), CAST(floor((($b) - ($a)) / ($c)) AS BIGINT)), " +
+          s"__ri -> ($a) + __ri * ($c)) END)"
+    }
+    // strrep(value, multiplier): string repetition. NOT emitted as Spark
+    // `repeat(` — rewrite() re-runs expansions to a fixpoint, so the KQL
+    // `repeat` expansion above would array-ify it on the next pass (the
+    // round-10 substring trap).
+    s = expandCalls(s, "strrep") {
+      case Seq(v, n) => s"array_join(array_repeat($v, CAST($n AS INT)), '')"
+    }
     s = expandCalls(s, "series_sin")  { case Seq(x) => s"transform(${asD(x)}, v -> sin(v))" }
     s = expandCalls(s, "series_cos")  { case Seq(x) => s"transform(${asD(x)}, v -> cos(v))" }
     s = expandCalls(s, "series_tan")  { case Seq(x) => s"transform(${asD(x)}, v -> tan(v))" }

@@ -225,6 +225,23 @@ object Surface {
                0.42 AS bi_u, 0.5 AS bi_sq, 0.5 AS bi_co,
                TRUE AS bi_rt, TRUE AS bi_bad""")),
 
+    "q_kql_scalar_tail8" -> QueryDef(
+      // repeat (dynamic-array replication), SCALAR range (inclusive stop,
+      // real steps, null on zero/wrong-signed step), strrep (string
+      // repetition — expansion-ordered after `repeat` so the emitted Spark
+      // repeat( survives)
+      (s, dir) => kqlRun(s, dir,
+        """print r1 = to_json(repeat(7, 3)), r2 = to_json(repeat('x', 0)),
+          |     rg = to_json(range(1, 10, 2)),
+          |     rg2n = array_length(range(2.0, 3.0, 0.25)),
+          |     rg2v = todouble(range(2.0, 3.0, 0.25)[3]) == 2.75,
+          |     rg3 = to_json(range(5, 8)), rgn = isnull(range(1, 10, -1)),
+          |     sr = strrep('ab', 3)""".stripMargin),
+      Some("""
+        SELECT '[7,7,7]' AS r1, '[]' AS r2, '[1,3,5,7,9]' AS rg,
+               CAST(5 AS BIGINT) AS rg2n, TRUE AS rg2v, '[5,6,7,8]' AS rg3,
+               TRUE AS rgn, 'ababab' AS sr""")),
+
     "q_kql_nondet" -> QueryDef(
       // the nondeterministic scalar tail — new_guid() and rand([n]). The
       // draws are irreproducible by definition, so the gate is PROPERTY
@@ -4419,6 +4436,137 @@ object Surface {
         SELECT doc_id, CAST(sum(len(w)) AS BIGINT) AS chars,
                TRUE AS ok0, TRUE AS mono5, TRUE AS mono20
         FROM words WHERE w <> '' GROUP BY doc_id ORDER BY doc_id""")),
+
+    "q_kql_geo_densify" -> QueryDef(
+      // geo_line_densify / geo_polygon_densify: spacing-based great-circle
+      // densification. Gates are CONSERVATION laws — inserted points lie ON
+      // each segment's great circle, so the densified length telescopes to
+      // the original and the densified ring encloses the identical
+      // spherical area (relative 1e-9); endpoints preserved; point counts
+      // pinned from the spacing arithmetic (10° arc / 100 km → 12 steps).
+      (s, dir) => kqlRun(s, dir,
+        """print line = dynamic([[0.0, 0.0], [10.0, 0.0]]),
+          |      poly = dynamic([[0.0, 0.0], [5.0, 0.0], [5.0, 5.0], [0.0, 5.0]])
+          | | extend dl = geo_line_densify(line, 100000.0),
+          |     dp = geo_polygon_densify(poly, 200000.0)
+          | | extend lc = from_json(extractjson('$.coordinates', dl), 'array<array<double>>'),
+          |     rc = from_json(extractjson('$.coordinates[0]', dp), 'array<array<double>>')
+          | | extend rco = array_slice(rc, 0, array_length(rc) - 2)
+          | | project np_line = array_length(lc), np_ring = array_length(rc),
+          |     ends_ok = todouble(lc[0][0]) == 0.0 and todouble(lc[0][1]) == 0.0
+          |       and todouble(lc[array_length(lc) - 1][0]) == 10.0
+          |       and todouble(lc[array_length(lc) - 1][1]) == 0.0,
+          |     ring_closed = todouble(rc[0][0]) == todouble(rc[array_length(rc) - 1][0])
+          |       and todouble(rc[0][1]) == todouble(rc[array_length(rc) - 1][1]),
+          |     len_ok = abs(geo_line_length(lc) - geo_line_length(line)) < 0.001,
+          |     area_ok = abs(geo_polygon_area(rco) - geo_polygon_area(poly))
+          |       / geo_polygon_area(poly) < 0.000000001,
+          |     inv_tol = isnull(geo_line_densify(line, -5.0)),
+          |     inv_shape = isnull(geo_polygon_densify(dynamic([[0.0, 0.0], [1.0, 1.0]]), 1000.0))""".stripMargin),
+      Some("""
+        SELECT CAST(13 AS BIGINT) AS np_line, CAST(13 AS BIGINT) AS np_ring,
+               TRUE AS ends_ok, TRUE AS ring_closed, TRUE AS len_ok,
+               TRUE AS area_ok, TRUE AS inv_tol, TRUE AS inv_shape""")),
+
+    "curate_temperature_mix" -> QueryDef(
+      // temperature-scaled mixture sampling (T = 2) — the data-mixing step
+      // of a multilingual training pipeline: per-language sampling shares
+      // p_l ∝ sqrt(char-weight) rebalance the corpus toward low-resource
+      // languages (raw en share 43.6% → 30.3% at sf0.01), then a
+      // DETERMINISTIC within-language pick (overflow-free 31-bit hash
+      // rank ≤ floor(p_l · 200)) keeps the selection reproducible across
+      // engines and partitionings. Scale shape: the weight/share frames are
+      // per-language scalars (broadcast); the corpus pass is one
+      // hash-filter — no shuffle beyond the language-partitioned rank.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, dir, "documents")
+        val w = docs.groupBy("lang")
+          .agg(sum(col("n_chars")).cast("double").as("wt"))
+        val tot = w.agg(sum(sqrt(col("wt"))).as("sw"))
+        val kl = w.crossJoin(broadcast(tot))
+          .select(col("lang"),
+            floor(sqrt(col("wt")) / col("sw") * 200).cast("long").as("kl"))
+        val ranked = docs.withColumn("h",
+            pmod(pmod(col("doc_id"), lit(2147483647L)) * 506952114L, lit(2147483647L)))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))).cast("long"))
+        ranked.join(broadcast(kl), Seq("lang")).where(col("rn") <= col("kl"))
+          .groupBy("lang").agg(count(lit(1)).as("k"),
+            sum(col("n_chars")).cast("long").as("chars_kept"))
+          .orderBy("lang")
+      },
+      Some("""
+        WITH w AS (SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS wt
+                   FROM documents GROUP BY lang),
+        kl AS (SELECT lang,
+                 CAST(floor(sqrt(wt) / (SELECT sum(sqrt(wt)) FROM w) * 200) AS BIGINT) AS kl
+               FROM w),
+        r AS (SELECT d.lang, d.n_chars,
+                row_number() OVER (PARTITION BY d.lang
+                  ORDER BY ((d.doc_id % 2147483647) * 506952114) % 2147483647,
+                           d.doc_id) AS rn
+              FROM documents d)
+        SELECT lang, CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n_chars) AS BIGINT) AS chars_kept
+        FROM r JOIN kl USING (lang) WHERE r.rn <= kl.kl
+        GROUP BY lang ORDER BY lang""")),
+
+    "curate_url_canon" -> QueryDef(
+      // URL-canonicalization dedup — the crawl-curation step: synthesize 5
+      // surface variants per canonical page (scheme/host case, default
+      // port, query-param order, utm_* tracking junk) from doc_id, then
+      // canonicalize with the SCALAR surface alone (extract + replace_regex
+      // + trim + array_sort_asc + strcat_array) and group: 500 docs → 100
+      // canonical pages, every class exactly 5. One projection pass + one
+      // small-key groupBy at any scale.
+      (s, dir) => kqlRun(s, dir,
+        """documents
+          | | project doc_id, g = tolong((doc_id - doc_id % 5) / 5), v = doc_id % 5
+          | | extend url = strcat(
+          |     iff(doc_id % 2 == 0, 'HTTP', 'http'), '://',
+          |     iff(doc_id % 4 < 2, 'WWW.Site', 'www.site'), tostring(g),
+          |     '.Example.COM', iff(doc_id % 3 == 0, ':80', ''), '/docs/item?',
+          |     case(v == 1, strcat('b=2&a=', tostring(g)),
+          |          v == 2, strcat('a=', tostring(g), '&b=2&utm_source=x'),
+          |          v == 3, strcat('utm_campaign=y&a=', tostring(g), '&b=2'),
+          |          v == 4, strcat('a=', tostring(g), '&utm_x=1&b=2'),
+          |          strcat('a=', tostring(g), '&b=2')))
+          | | extend canon = strcat(
+          |     tolower(extract('^([A-Za-z]+)://', 1, url)), '://',
+          |     tolower(extract('^[A-Za-z]+://([^/:?]+)', 1, url)),
+          |     extract('^[A-Za-z]+://[^/:?]+(:[0-9]+)?([^?]*)', 2, url), '?',
+          |     strcat_array(array_sort_asc(split(trim('&',
+          |       replace_regex(extract('[?](.*)$', 1, url), '(^|&)utm_[^&]*', '')),
+          |       '&')), '&'))
+          | | summarize nd = count() by canon
+          | | summarize n_canon = count(), n5 = countif(nd == 5), smp = min(canon)
+          | | project n_canon, all5 = n5 == n_canon, smp""".stripMargin),
+      Some("""
+        WITH f AS (SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS v FROM documents),
+        u AS (SELECT doc_id,
+                (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END) || '://' ||
+                (CASE WHEN doc_id % 4 < 2 THEN 'WWW.Site' ELSE 'www.site' END) || g ||
+                '.Example.COM' ||
+                (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END) || '/docs/item?' ||
+                (CASE v WHEN 1 THEN 'b=2&a=' || g
+                        WHEN 2 THEN 'a=' || g || '&b=2&utm_source=x'
+                        WHEN 3 THEN 'utm_campaign=y&a=' || g || '&b=2'
+                        WHEN 4 THEN 'a=' || g || '&utm_x=1&b=2'
+                        ELSE 'a=' || g || '&b=2' END) AS url
+              FROM f),
+        c AS (SELECT lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://' ||
+                lower(regexp_extract(url, '^[A-Za-z]+://([^/:?]+)', 1)) ||
+                regexp_extract(url, '^[A-Za-z]+://[^/:?]+(:[0-9]+)?([^?]*)', 2) || '?' ||
+                array_to_string(list_sort(string_split(trim(
+                  regexp_replace(regexp_extract(url, '[?](.*)$', 1),
+                    '(^|&)utm_[^&]*', '', 'g'), '&'), '&')), '&') AS canon
+              FROM u),
+        d AS (SELECT canon, count(*) AS nd FROM c GROUP BY canon)
+        SELECT CAST(count(*) AS BIGINT) AS n_canon,
+               (count(*) FILTER (WHERE nd = 5)) = count(*) AS all5,
+               min(canon) AS smp
+        FROM d""")),
 
     "q_kql_row_window_session" -> QueryDef(
       // row_window_session over one user's serialized stream: idle cut at

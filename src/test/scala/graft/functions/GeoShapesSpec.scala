@@ -120,6 +120,30 @@ class GeoShapesSpec extends SparkSuite {
     assert(S2Cell.coverLine(lngs, lats, 31, 0.0).isEmpty, "bad level")
   }
 
+  test("densify: spacing bound holds, endpoints exact, point count matches arithmetic") {
+    import graft.functions.expressions.GeoDensify
+    val pts = GeoDensify.densify(
+      Array(0.0, 10.0, 10.0), Array(0.0, 0.0, 10.0), 100000.0, close = false).get
+    // every consecutive gap ≤ tolerance (haversine)
+    def hav(a: (Double, Double), b: (Double, Double)): Double = {
+      val h = math.sin(math.toRadians(b._2 - a._2) / 2)
+      val g = math.sin(math.toRadians(b._1 - a._1) / 2)
+      2 * 6371008.8 * math.asin(math.sqrt(h * h +
+        math.cos(math.toRadians(a._2)) * math.cos(math.toRadians(b._2)) * g * g))
+    }
+    pts.sliding(2).foreach { w =>
+      assert(hav(w(0), w(1)) <= 100000.0 + 1e-6, s"${w(0)} -> ${w(1)}")
+    }
+    assert(pts.head === ((0.0, 0.0)) && pts.last === ((10.0, 10.0)))
+    // closed ring: first == last, same spacing bound
+    val ring = GeoDensify.densify(
+      Array(0.0, 5.0, 5.0, 0.0), Array(0.0, 0.0, 5.0, 5.0), 200000.0, close = true).get
+    assert(ring.head === ring.last)
+    ring.sliding(2).foreach { w => assert(hav(w(0), w(1)) <= 200000.0 + 1e-6) }
+    assert(GeoDensify.densify(Array(0.0, 1.0), Array(0.0, 1.0), 0.0, close = false).isEmpty)
+    assert(GeoDensify.densify(Array(0.0, 1.0), Array(0.0, 1.0), 1000.0, close = true).isEmpty)
+  }
+
   test("polygon centroid of an equator-symmetric square is its center") {
     val q = graft.functions.KqlCompat.rewrite(
       "geo_polygon_centroid(array(array(9.0D, -1.0D), array(11.0D, -1.0D), " +
