@@ -336,6 +336,19 @@ class PlanSpec extends SparkSuite {
     assert(s.contains("SortMergeJoin"), s"expected the pinned token equi-join:\n$s")
   }
 
+  test("geo covering joins: the covering dim broadcasts — the point side never shuffles for the join") {
+    // the polygon-covering and route-covering joins are the 100 TB geo
+    // shapes: only the mv-expanded covering (a few hundred rows) may
+    // broadcast; the fact side streams map-side through a BroadcastHashJoin
+    Seq("q_kql_geo_s2cover_join", "q_kql_geo_s2line_join").foreach { q =>
+      val s = finalPlan(q)
+      assert(s.contains("BroadcastHashJoin"), s"$q: covering dim must broadcast:\n$s")
+      assert(!s.contains("CartesianProduct"), s"$q cartesian:\n$s")
+      assert(!s.contains("BroadcastNestedLoopJoin"), s"$q NLJ:\n$s")
+      assert(!s.contains("SortMergeJoin"), s"$q: the cell equi-join must not sort-merge the fact side:\n$s")
+    }
+  }
+
   test("bm25: stats broadcast; only the 1-row cross rides an NLJ") {
     val s = finalPlan("text_bm25_topk")
     assert(s.contains("BroadcastExchange"), s"corpus stats must broadcast:\n$s")
