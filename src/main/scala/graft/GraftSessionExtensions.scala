@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.expressions.{BagMerge, BetaCdf, BetaInv, BottomKValues, GammaFn, LogGammaFn, ParseCsv, RankTDigest, FreqAgg, FreqMergeAgg, FreqTopK, SampleBottomKAgg, SampleBottomKMergeAgg, ThetaAgg, ThetaMergeAgg, ThetaEstimate, ThetaIntersect, ThetaDiff, BagRemoveKeys, BloomContains, DynamicToJson, GeoPointToGeohash, GeohashCentralPoint, GeohashNeighbors, GeohashToPolygon, ParseCommandLine, Base64DecodeToArray, Base64EncodeFromArray, GeoS2CellNeighbors, GeoS2CellToPolygon, GeoPolygonToS2Cells, GeoLineToS2Cells, GeoClosestPointOnLine, GeoLineDensify, GeoPolygonDensify, GramHashes, GzipCompress, GzipDecompress, Ipv4RangeToCidr, Ipv6Norm, ParseXml, PercentileTDigest, PunycodeDomainFrom, PunycodeDomainTo, PunycodeEncode, PunycodeDecode, RollingHash, S2CellCentralPoint, GeoPointToS2Cell, SeriesFft, SeriesIfft, SeriesFitPoly, TDigestAgg, TDigestMergeAgg, TermHas, VectorDot, WelchTest, ZlibCompress, ZlibDecompress}
+import graft.functions.expressions.{BagMerge, BetaCdf, BetaInv, BottomKValues, GammaFn, LogGammaFn, ParseCsv, RankTDigest, FreqAgg, FreqMergeAgg, FreqTopK, SampleBottomKAgg, SampleBottomKMergeAgg, ThetaAgg, ThetaMergeAgg, ThetaEstimate, ThetaIntersect, ThetaDiff, BagRemoveKeys, BloomContains, DynamicToJson, GeoPointToGeohash, GeohashCentralPoint, GeohashNeighbors, GeohashToPolygon, ParseCommandLine, Base64DecodeToArray, Base64EncodeFromArray, GeoS2CellNeighbors, GeoS2CellToPolygon, GeoPolygonToS2Cells, GeoLineToS2Cells, GeoClosestPointOnLine, GeoLineDensify, GeoPolygonDensify, GeoLineSimplify, GeoPolygonSimplify, GeoPointBuffer, GramHashes, GzipCompress, GzipDecompress, Ipv4RangeToCidr, Ipv6Norm, ParseXml, PercentileTDigest, PunycodeDomainFrom, PunycodeDomainTo, PunycodeEncode, PunycodeDecode, RollingHash, S2CellCentralPoint, GeoPointToS2Cell, SeriesFft, SeriesIfft, SeriesFitPoly, TDigestAgg, TDigestMergeAgg, TermHas, VectorDot, WelchTest, ZlibCompress, ZlibDecompress}
 
 /** Spark plugin entry point: load with
   * `spark.sql.extensions=graft.GraftSessionExtensions` (works with plain
@@ -94,9 +94,19 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
           "geo_line_to_s2cells takes (line [, level [, radius]])")
         GeoLineToS2Cells(children)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("geo_point_buffer"),
+      new ExpressionInfo(classOf[GeoPointBuffer].getName, "geo_point_buffer"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 3 || children.size == 4,
+          "geo_point_buffer takes (lng, lat, radius [, tolerance])")
+        GeoPointBuffer(children)
+      }))
     Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression, Class[_])](
       ("geo_line_densify", GeoLineDensify(_), classOf[GeoLineDensify]),
-      ("geo_polygon_densify", GeoPolygonDensify(_), classOf[GeoPolygonDensify])
+      ("geo_polygon_densify", GeoPolygonDensify(_), classOf[GeoPolygonDensify]),
+      ("geo_line_simplify", GeoLineSimplify(_), classOf[GeoLineSimplify]),
+      ("geo_polygon_simplify", GeoPolygonSimplify(_), classOf[GeoPolygonSimplify])
     ).foreach { case (nm, mk, cls) =>
       ext.injectFunction((
         new FunctionIdentifier(nm),

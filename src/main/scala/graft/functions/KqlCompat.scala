@@ -1149,6 +1149,15 @@ object KqlCompat {
     // in this engine — the bag_unpack/extractjson duals). Keys must be
     // string literals (they become struct field names); insertion order is
     // preserved, matching json_object on the oracle side.
+    // bag_pack_columns(c1, c2, …): the column NAMES become the keys —
+    // args must be plain identifiers. Emits bag_pack (expanded by the
+    // next statement — fixpoint-safe: same-pass sequencing suffices and
+    // re-expansion of to_json/named_struct is a no-op).
+    s = expandCalls(s, "bag_pack_columns") {
+      case args if args.nonEmpty &&
+          args.forall(_.trim.matches("[A-Za-z_][A-Za-z0-9_]*")) =>
+        s"bag_pack(${args.map(a => s"'${a.trim}', ${a.trim}").mkString(", ")})"
+    }
     s = expandCalls(s, "bag_pack") {
       case args if args.size >= 2 && args.size % 2 == 0 &&
           args.grouped(2).forall(p => p.head.trim.matches("'[^']*'")) =>

@@ -153,3 +153,68 @@ case class GeoPolygonDensify(children: Seq[Expression]) extends GeoDensifyBase {
       newChildren: IndexedSeq[Expression]): GeoPolygonDensify = copy(children = newChildren)
   override def prettyName: String = "geo_polygon_densify"
 }
+
+/** `geo_point_buffer(lng, lat, radius_m [, tolerance_m])` — the GeoJSON
+  * Polygon of the geodesic circle around the point: n vertices on the
+  * exact radius (spherical direct formula), n chosen so the chord sagitta
+  * stays under the tolerance (default radius/100, min 8 vertices, cap
+  * 4096). Gates ride the inverse formulas: every vertex is at haversine
+  * distance exactly r (mutually-inverse closed forms, double noise only)
+  * and the enclosed spherical area approaches the spherical-cap area
+  * 2πR²(1−cos(r/R)) from below at the sagitta rate.
+  */
+case class GeoPointBuffer(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean  = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.size < 3 || children.size > 4)
+      TypeCheckResult.TypeCheckFailure("geo_point_buffer takes (lng, lat, radius [, tolerance])")
+    else if (!children.forall(_.dataType.isInstanceOf[NumericType]))
+      TypeCheckResult.TypeCheckFailure("geo_point_buffer arguments must be numeric")
+    else TypeCheckResult.TypeCheckSuccess
+
+  private def num(v: Any): Double = v match {
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case n: Number                             => n.doubleValue()
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) return null
+    val lng = num(vs(0)); val lat = num(vs(1)); val r = num(vs(2))
+    val R   = 6371008.8
+    val tol = if (children.size == 4) num(vs(3)) else r / 100.0
+    if (lng < -180 || lng > 180 || lat < -90 || lat > 90 ||
+        lng.isNaN || lat.isNaN || r <= 0 || r.isNaN || tol <= 0 || tol.isNaN ||
+        r >= math.Pi * R / 2) return null // cap at the quarter-circumference
+    // sagitta of a chord over angle 2π/n on the r-circle: r(1 − cos(π/n)) ≤ tol
+    val frac = 1.0 - tol / r
+    val n = math.min(4096L, math.max(8L,
+      if (frac <= 0) 8L else math.ceil(math.Pi / math.acos(frac)).toLong)).toInt
+    val la1 = math.toRadians(lat); val lo1 = math.toRadians(lng)
+    val dR  = r / R
+    val pts = (0 until n).map { k =>
+      // CCW from north: the spherical direct (destination-point) formula
+      val th  = -2.0 * math.Pi * k / n
+      val la2 = math.asin(math.sin(la1) * math.cos(dR) +
+        math.cos(la1) * math.sin(dR) * math.cos(th))
+      val lo2 = lo1 + math.atan2(
+        math.sin(th) * math.sin(dR) * math.cos(la1),
+        math.cos(dR) - math.sin(la1) * math.sin(la2))
+      var lngD = math.toDegrees(lo2)
+      if (lngD > 180) lngD -= 360 else if (lngD < -180) lngD += 360
+      s"[$lngD,${math.toDegrees(la2)}]"
+    }
+    UTF8String.fromString(
+      s"""{"type":"Polygon","coordinates":[[${pts.mkString(",")},${pts.head}]]}""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): GeoPointBuffer =
+    copy(children = newChildren)
+
+  override def prettyName: String = "geo_point_buffer"
+}

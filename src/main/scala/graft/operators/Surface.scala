@@ -4568,6 +4568,75 @@ object Surface {
                min(canon) AS smp
         FROM d""")),
 
+    "q_kql_geo_simplify" -> QueryDef(
+      // Douglas–Peucker simplification, gated by the simplify∘densify
+      // identity: densify inserts points ON each great circle (cross-track
+      // ≈ 0 → all dropped at 1 m tolerance), so the round-trip recovers
+      // EXACTLY the original vertices; at 50 km tolerance the ±0.1°
+      // (≈11 km) wiggles vanish but the corner survives; a collinear ring
+      // collapsing below 3 vertices nulls.
+      (s, dir) => kqlRun(s, dir,
+        """print line = dynamic([[0.0, 0.0], [3.0, 0.1], [6.0, -0.1], [10.0, 0.0], [10.0, 10.0]]),
+          |      poly = dynamic([[0.0, 0.0], [5.0, 0.0], [5.0, 5.0], [0.0, 5.0]])
+          | | extend dense = from_json(extractjson('$.coordinates',
+          |       geo_line_densify(line, 50000.0)), 'array<array<double>>'),
+          |     pdense = from_json(extractjson('$.coordinates[0]',
+          |       geo_polygon_densify(poly, 200000.0)), 'array<array<double>>')
+          | | extend rt = from_json(extractjson('$.coordinates',
+          |       geo_line_simplify(dense, 1.0)), 'array<array<double>>'),
+          |     prt = from_json(extractjson('$.coordinates[0]',
+          |       geo_polygon_simplify(array_slice(pdense, 0, array_length(pdense) - 2), 1.0)),
+          |       'array<array<double>>'),
+          |     coarse = from_json(extractjson('$.coordinates',
+          |       geo_line_simplify(line, 50000.0)), 'array<array<double>>')
+          | | project n_dense = array_length(dense) >= 20,
+          |     rt_n = array_length(rt),
+          |     rt_ok = todouble(rt[1][0]) == 3.0 and todouble(rt[1][1]) == 0.1
+          |       and todouble(rt[2][0]) == 6.0 and todouble(rt[2][1]) == -0.1,
+          |     prt_n = array_length(prt),
+          |     coarse_n = array_length(coarse),
+          |     corner_kept = todouble(coarse[1][0]) == 10.0 and todouble(coarse[1][1]) == 0.0,
+          |     inv = isnull(geo_polygon_simplify(
+          |       dynamic([[0.0, 0.0], [1.0, 0.0], [2.0, 0.0]]), 500000.0))""".stripMargin),
+      Some("""
+        SELECT TRUE AS n_dense, CAST(5 AS BIGINT) AS rt_n, TRUE AS rt_ok,
+               CAST(5 AS BIGINT) AS prt_n, CAST(3 AS BIGINT) AS coarse_n,
+               TRUE AS corner_kept, TRUE AS inv""")),
+
+    "q_kql_geo_buffer" -> QueryDef(
+      // geo_point_buffer: vertex count pinned from the sagitta arithmetic
+      // (default tolerance r/100 → ceil(π/acos(0.99)) = 23 vertices + ring
+      // close), every vertex at haversine distance exactly r (the direct
+      // and inverse spherical formulas are mutual inverses — double noise
+      // only), enclosed area within 2% of the spherical cap 2πR²(1−cos(r/R))
+      (s, dir) => kqlRun(s, dir,
+        """print b = geo_point_buffer(30.0, 40.0, 100000.0)
+          | | extend rc = from_json(extractjson('$.coordinates[0]', b), 'array<array<double>>')
+          | | extend rco = array_slice(rc, 0, array_length(rc) - 2)
+          | | extend ar0 = geo_polygon_area(rco)
+          | | mv-expand rco
+          | | extend d = geo_distance_2points(30.0, 40.0, todouble(rco[0]), todouble(rco[1]))
+          | | summarize nv = count(), mx = max(abs(d - 100000.0)),
+          |     closed = countif(todouble(rc[0][0]) == todouble(rc[array_length(rc) - 1][0])),
+          |     ar = take_any(ar0)
+          | | project nv, rad_ok = mx < 0.001, closed_ok = closed == nv,
+          |     area_ok = abs(ar / (2.0 * 3.14159265358979 * 6371008.8 * 6371008.8
+          |       * (1.0 - cos(100000.0 / 6371008.8))) - 1.0) < 0.02,
+          |     inv = isnull(geo_point_buffer(0.0, 0.0, -1.0))""".stripMargin),
+      Some("""
+        SELECT CAST(23 AS BIGINT) AS nv, TRUE AS rad_ok, TRUE AS closed_ok,
+               TRUE AS area_ok, TRUE AS inv""")),
+
+    "q_kql_bag_pack_cols" -> QueryDef(
+      // bag_pack_columns: the column NAMES become the bag keys (identifier
+      // args only — restated literally in the oracle)
+      (s, dir) => kqlRun(s, dir,
+        """print a = 7, b = 'x', c = 1.5
+          | | project j = bag_pack_columns(a, b, c),
+          |     k = to_json(bag_keys(bag_pack_columns(a, b)))""".stripMargin),
+      Some("""
+        SELECT '{"a":7,"b":"x","c":1.5}' AS j, '["a","b"]' AS k""")),
+
     "q_kql_row_window_session" -> QueryDef(
       // row_window_session over one user's serialized stream: idle cut at
       // 12 h, max-distance-from-first cut at 24 h (both rules bind on this

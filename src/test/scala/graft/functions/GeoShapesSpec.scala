@@ -144,6 +144,75 @@ class GeoShapesSpec extends SparkSuite {
     assert(GeoDensify.densify(Array(0.0, 1.0), Array(0.0, 1.0), 1000.0, close = true).isEmpty)
   }
 
+  test("simplify: every dropped point is within tolerance of the kept chain") {
+    import graft.functions.expressions.GeoSimplify
+    val rnd = new scala.util.Random(23)
+    (1 to 20).foreach { _ =>
+      val n = rnd.nextInt(30) + 5
+      var lng = rnd.nextDouble() * 100 - 50
+      var lat = rnd.nextDouble() * 80 - 40
+      val lngs = Array.fill(n) { lng += rnd.nextDouble() * 2; lng }
+      val lats = Array.fill(n) { lat += rnd.nextDouble() * 2 - 1; lat }
+      val tol = 20000.0 + rnd.nextDouble() * 200000
+      val kept = GeoSimplify.simplify(lngs, lats, tol, close = false).get
+      assert(kept.head === ((lngs(0), lats(0))) && kept.last === ((lngs(n - 1), lats(n - 1))))
+      // D-P invariant: every original point within tol of the simplified chain
+      val keptLngs = kept.map(_._1); val keptLats = kept.map(_._2)
+      (0 until n).foreach { i =>
+        val d = minDistToChain(lngs(i), lats(i), keptLngs, keptLats)
+        assert(d <= tol + 1e-6, s"point $i dist $d tol $tol")
+      }
+    }
+  }
+
+  private def minDistToChain(plng: Double, plat: Double,
+      lngs: Array[(Double)], lats: Array[Double]): Double = {
+    def xyz(lo: Double, la: Double) = {
+      val rl = math.toRadians(lo); val rt = math.toRadians(la)
+      Array(math.cos(rt) * math.cos(rl), math.cos(rt) * math.sin(rl), math.sin(rt))
+    }
+    val p = xyz(plng, plat)
+    (1 until lngs.length).map { i =>
+      val a = xyz(lngs(i - 1), lats(i - 1)); val b = xyz(lngs(i), lats(i))
+      val nx = a(1)*b(2)-a(2)*b(1); val ny = a(2)*b(0)-a(0)*b(2); val nz = a(0)*b(1)-a(1)*b(0)
+      val nn = nx*nx + ny*ny + nz*nz
+      def chord(q: Array[Double]) = {
+        val dx = p(0)-q(0); val dy = p(1)-q(1); val dz = p(2)-q(2)
+        2 * math.asin(math.min(1.0, math.sqrt(dx*dx + dy*dy + dz*dz) / 2))
+      }
+      val ends = math.min(chord(a), chord(b))
+      if (nn == 0) ends
+      else {
+        val c1 = Array(ny*a(2)-nz*a(1), nz*a(0)-nx*a(2), nx*a(1)-ny*a(0))
+        val c2 = Array(b(1)*nz-b(2)*ny, b(2)*nx-b(0)*nz, b(0)*ny-b(1)*nx)
+        val within = c1(0)*p(0)+c1(1)*p(1)+c1(2)*p(2) >= 0 &&
+          c2(0)*p(0)+c2(1)*p(1)+c2(2)*p(2) >= 0
+        if (within) math.asin(math.min(1.0, math.abs(p(0)*nx+p(1)*ny+p(2)*nz) / math.sqrt(nn)))
+        else ends
+      }
+    }.min * 6371008.8
+  }
+
+  test("point buffer: vertices on the exact radius at every tolerance") {
+    val rows = spark.sql(
+      """SELECT geo_point_buffer(10.0, 55.0, 250000.0, 500.0) AS b,
+        |geo_point_buffer(-170.0, -30.0, 50000.0) AS wrap""".stripMargin).head()
+    Seq(rows.getString(0), rows.getString(1)).zip(Seq((10.0, 55.0, 250000.0), (-170.0, -30.0, 50000.0))).foreach {
+      case (js, (clng, clat, r)) =>
+        val ring = js.split("\\[\\[\\[")(1).split("\\]\\]\\]")(0)
+          .split("\\],\\[").map(_.split(",").map(_.toDouble))
+        assert(ring.length >= 9)
+        ring.foreach { v =>
+          val h = math.sin(math.toRadians(v(1) - clat) / 2)
+          val g = math.sin(math.toRadians(v(0) - clng) / 2)
+          val d = 2 * 6371008.8 * math.asin(math.sqrt(h * h +
+            math.cos(math.toRadians(clat)) * math.cos(math.toRadians(v(1))) * g * g))
+          assert(math.abs(d - r) < 0.001, s"vertex ${v.toSeq} dist $d want $r")
+          assert(v(0) >= -180 && v(0) <= 180, "antimeridian wrap")
+        }
+    }
+  }
+
   test("polygon centroid of an equator-symmetric square is its center") {
     val q = graft.functions.KqlCompat.rewrite(
       "geo_polygon_centroid(array(array(9.0D, -1.0D), array(11.0D, -1.0D), " +
