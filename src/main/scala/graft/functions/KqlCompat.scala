@@ -1570,6 +1570,21 @@ object KqlCompat {
     // hash_sha256 / base64: Spark spells these sha2(x, 256) and
     // base64/unbase64 over BINARY
     s = expandCalls(s, "hash_sha256") { case Seq(x) => s"sha2($x, 256)" }
+    // hash(source [, mod]) / hash_combine(h1, h2, …) / hash_many(v1, v2, …):
+    // ADX's general-purpose xxhash64 family. Spark's xxhash64 (seed 42)
+    // stands in for ADX's XXH64 — same algorithm family, different seed
+    // constant, so VALUES diverge from ADX (documented); determinism,
+    // mod-range, and spread are the contract and the gates.
+    s = expandCalls(s, "hash_combine") {
+      case args if args.size >= 2 => s"xxhash64(${args.mkString(", ")})"
+    }
+    s = expandCalls(s, "hash_many") {
+      case args if args.size >= 2 => s"xxhash64(${args.mkString(", ")})"
+    }
+    s = expandCalls(s, "hash") {
+      case Seq(x)    => s"xxhash64($x)"
+      case Seq(x, m) => s"pmod(xxhash64($x), $m)"
+    }
     s = expandCalls(s, "base64_encode_tostring") {
       case Seq(x) => s"base64(CAST($x AS BINARY))"
     }

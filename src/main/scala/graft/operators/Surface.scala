@@ -4637,6 +4637,32 @@ object Surface {
       Some("""
         SELECT '{"a":7,"b":"x","c":1.5}' AS j, '["a","b"]' AS k""")),
 
+    "q_kql_hash" -> QueryDef(
+      // hash / hash_combine / hash_many (xxhash64, Spark seed 42 — value
+      // constants diverge from ADX's XXH64 seed, documented): the contract
+      // gates are determinism, mod-range containment, spread (≥ 99%
+      // distinct over 1.5k names), combine≠plain independence, and one
+      // engine-stable literal pin (xxhash64 is seed-fixed by spec).
+      (s, dir) => kqlRun(s, dir,
+        """customer
+          | | extend h = hash(c_name), hm = hash(c_name, 100),
+          |     hc = hash_combine(hash(c_name), hash(c_custkey)),
+          |     h2 = hash_many(c_name, c_custkey)
+          | | summarize n = count(), d = dcount(h),
+          |     inrange = countif(hm >= 0 and hm < 100),
+          |     det = countif(h == hash(c_name)),
+          |     cdet = countif(hc == hash_combine(hash(c_name), hash(c_custkey))),
+          |     mdet = countif(h2 == hash_many(c_name, c_custkey)),
+          |     indep = countif(hc != h2)
+          | | project spread_ok = d * 100 >= n * 99, inrange_ok = inrange == n,
+          |     det_ok = det == n and cdet == n and mdet == n,
+          |     indep_ok = indep == n,
+          |     pin = hash('graft') == -4815631219266125053,
+          |     pin_mod = hash('graft', 1000) == 947""".stripMargin),
+      Some("""
+        SELECT TRUE AS spread_ok, TRUE AS inrange_ok, TRUE AS det_ok,
+               TRUE AS indep_ok, TRUE AS pin, TRUE AS pin_mod""")),
+
     "q_kql_row_window_session" -> QueryDef(
       // row_window_session over one user's serialized stream: idle cut at
       // 12 h, max-distance-from-first cut at 24 h (both rules bind on this
