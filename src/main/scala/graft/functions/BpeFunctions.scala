@@ -82,8 +82,11 @@ object BpeFunctions {
       else {
         val (l, r) = (top(0).getString(0), top(0).getString(1))
         merges += ((l, r))
+        val prev = cur
         cur = cur.withColumn("toks", mergePass(col("toks"), l, r))
           .localCheckpoint(true)
+        // eager checkpoint materialized the new round — drop the old blocks
+        graft.util.Checkpoints.release(prev)
       }
     }
     (cur, merges.toSeq)

@@ -77,6 +77,36 @@ object DedupFunctions {
       .agg(max(when(col("slot") === 0, col("__p"))).as(asA),
            max(when(col("slot") === 1, col("__p"))).as(asB))
 
+  /** Prune `big` down to rows whose `key` (LongType) is plausibly in
+    * `small`'s `key` set, via a Bloom filter built from `small` — BEFORE
+    * any exchange, so a mostly-non-matching corpus side never shuffles
+    * (measured: ~91% of 50-char gram occurrences are corpus-singletons, so
+    * the substring-span hits join was exchanging 11× more rows than
+    * needed). The filter is conservative (no false negatives); callers
+    * MUST keep the exact join after it — false positives (rate `fpp`) are
+    * removed there, so results are bit-identical.
+    *
+    * Driver/executor footprint: the bloom is ~10 bits per distinct key at
+    * 2% fpp (12 MB per 10^7 keys), built with one treeAggregate over
+    * `small` (no shuffle) and shipped once per executor as a broadcast.
+    * At 100 TB the `small` side is the already-aggregated duplicate-key
+    * set — orders of magnitude below the corpus side this protects.
+    * `small` is evaluated twice (count + bloom build): cache it first if
+    * it is expensive.
+    */
+  def bloomSemiPrefilter(big: DataFrame, small: DataFrame, key: String,
+      fpp: Double = 0.02): DataFrame = {
+    val n = small.count()
+    if (n == 0) big.filter(lit(false))
+    else {
+      val bf  = small.stat.bloomFilter(key, math.max(n, 1000L), fpp)
+      val bfB = big.sparkSession.sparkContext.broadcast(bf)
+      val mightContain =
+        udf((h: java.lang.Long) => h != null && bfB.value.mightContainLong(h))
+      big.filter(mightContain(col(key)))
+    }
+  }
+
   /** Deterministic universal-hash parameters (a*h+b mod p), seeded. Bounded
     * below 2^31 so a*h+b stays < 2^63 (no ANSI overflow) with 31-bit base
     * hashes.
@@ -322,6 +352,9 @@ object DedupFunctions {
         .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"), max(col("old")).as("prev"))
         .localCheckpoint(true)
       converged = next.filter(col("cluster_id") =!= col("prev")).isEmpty
+      // `next` is materialized (eager checkpoint), so the prior round's
+      // blocks are dead — release them here, not at session teardown
+      graft.util.Checkpoints.release(labels)
       labels = next.select("id", "cluster_id")
       iter += 1
     }

@@ -384,7 +384,9 @@ case class GeoPointToS2Cell(children: Seq[Expression])
     val level = if (children.size == 3) {
       val l = children(2).eval(input)
       if (l == null) return null
-      num(l).toInt
+      val lv = num(l)
+      if (lv.isNaN || lv.isInfinite) return null // NaN would truncate to 0
+      lv.toInt
     } else 11 // ADX default
     val lngD = num(lng); val latD = num(lat)
     if (level < 0 || level > 30 ||
@@ -505,7 +507,9 @@ case class GeoPolygonToS2Cells(children: Seq[Expression])
     val level = if (children.size == 2) {
       val l = children(1).eval(input)
       if (l == null) return null
-      num(l).toInt
+      val lv = num(l)
+      if (lv.isNaN || lv.isInfinite) return null // NaN would truncate to 0
+      lv.toInt
     } else 11 // the ADX cell-level default
     val arr   = p.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val inner = children.head.dataType
@@ -607,7 +611,9 @@ case class GeoLineToS2Cells(children: Seq[Expression])
     val level = if (children.size >= 2) {
       val l = children(1).eval(input)
       if (l == null) return null
-      num(l).toInt
+      val lv = num(l)
+      if (lv.isNaN || lv.isInfinite) return null // NaN would truncate to 0
+      lv.toInt
     } else 11
     val radius = if (children.size == 3) {
       val r = children(2).eval(input)

@@ -149,6 +149,9 @@ abstract class SeriesFftBase extends Expression with CodegenFallback {
     else TypeCheckResult.TypeCheckSuccess
   }
 
+  // Null on an element null (matching SeriesFitPoly): a gap in a binned
+  // series must surface as a null spectrum, not silently become a zero
+  // sample — callers wanting 0-fill should series_fill first.
   private def toDoubles(a: ArrayData, t: DataType): Array[Double] = {
     val et  = t.asInstanceOf[ArrayType].elementType
     val n   = a.numElements()
@@ -156,10 +159,10 @@ abstract class SeriesFftBase extends Expression with CodegenFallback {
     var i = 0
     while (i < n) {
       val v = a.get(i, et)
-      out(i) = v match {
-        case null                                      => 0.0
-        case d: org.apache.spark.sql.types.Decimal     => d.toDouble
-        case x: Number                                 => x.doubleValue()
+      v match {
+        case null                                      => return null
+        case d: org.apache.spark.sql.types.Decimal     => out(i) = d.toDouble
+        case x: Number                                 => out(i) = x.doubleValue()
       }
       i += 1
     }
@@ -170,12 +173,13 @@ abstract class SeriesFftBase extends Expression with CodegenFallback {
     val r0 = children.head.eval(input)
     if (r0 == null) return null
     val xr = toDoubles(r0.asInstanceOf[ArrayData], children.head.dataType)
+    if (xr == null) return null
     val xi = if (children.size == 2) {
       val i0 = children(1).eval(input)
       if (i0 == null) return null
       toDoubles(i0.asInstanceOf[ArrayData], children(1).dataType)
     } else new Array[Double](xr.length)
-    if (xi.length != xr.length) return null
+    if (xi == null || xi.length != xr.length) return null
     val (re, im) = Fft.transform(xr, xi, invert)
     new GenericArrayData(Array[Any](
       new GenericArrayData(re.map(v => v: Any)),

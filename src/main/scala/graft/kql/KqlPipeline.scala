@@ -644,6 +644,8 @@ object KqlPipeline {
         .groupBy("__id").agg(min(col("__lbl")).as("__lbl"), max(col("__old")).as("__prev"))
         .localCheckpoint(true)
       converged = next.filter(col("__lbl") =!= col("__prev")).isEmpty
+      // release round N-1's checkpoint blocks now that round N materialized
+      graft.util.Checkpoints.release(labels)
       labels = next.select(col("__id"), col("__lbl"))
       iter += 1
     }

@@ -5958,26 +5958,38 @@ object Surface {
       // native sliding Karp–Rabin expression) emits ALL window hashes in
       // one O(n) pass — the xxhash64(substring(…)) spelling re-reads every
       // char 50× and was the pipeline's hot loop — and the gram string
-      // never leaves its row, so both shuffles move 8-byte keys (a 64-bit
+      // never leaves its row, so every exchange moves 8-byte keys (a 64-bit
       // collision only perturbs the candidate set — the oracle equality at
-      // test scale proves none occur); distinct (hash, doc) before the
-      // ≥2-docs count keeps the agg partial-friendly; span merging via
-      // lead() over a window PARTITIONED by doc.
+      // test scale proves none occur). Two shuffle prunes (this was the
+      // suite's largest shuffle, trending 27×→38× at the 100× replica):
+      //  (1) "in ≥2 docs" is min(doc)≠max(doc) — ONE partial-friendly
+      //      groupBy(h) pass instead of distinct(h,doc)+count (two full
+      //      exchanges of near-corpus cardinality);
+      //  (2) the hits join pre-filters grams through a Bloom filter of the
+      //      duplicate-hash set BEFORE its exchange — singleton grams
+      //      (measured ~91% of occurrences) never shuffle; the exact join
+      //      that follows removes the bloom's false positives.
+      // Span merging via lead() over a window PARTITIONED by doc.
       (s, dir) => {
         val docs = t(s, dir, "documents")
           .filter(length(col("text")) >= 50)
           .select(col("doc_id"), col("text"))
-        // persisted: the gram frame feeds BOTH the duplicate-hash derivation
-        // and the hits join, and exchange reuse does not span the two;
-        // released by the bench/verify lifecycle (releaseCaches)
-        val grams = DedupFunctions.cached(docs
+        // deliberately NOT persisted: the gram frame is consumed twice
+        // (dup derivation + hits join) but recomputing the native rolling
+        // hash is cheaper than materializing a corpus×50-row cache —
+        // measured at the 100× replica: 41.5 s uncached vs 56.4 s cached
+        val grams = docs
           .select(col("doc_id"),
             posexplode(graft.functions.expressions.GramHashes.gramHashes(col("text"), 50))
-              .as(Seq("pos", "h"))))
-        val dup = grams.select("h", "doc_id").distinct()
-          .groupBy("h").agg(count(lit(1)).as("nd"))
-          .filter(col("nd") >= 2).select("h")
-        val hits = grams.join(dup, "h").select(col("doc_id"), col("pos"))
+              .as(Seq("pos", "h")))
+        // cached: consumed three times (count + bloom build + exact join),
+        // and each recompute would re-aggregate the corpus-sized gram frame
+        val dup = DedupFunctions.cached(
+          grams.groupBy("h")
+            .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+            .filter(col("d0") =!= col("d1")).select("h"))
+        val hits = DedupFunctions.bloomSemiPrefilter(grams, dup, "h")
+          .join(dup, "h").select(col("doc_id"), col("pos"))
         val w = Window.partitionBy("doc_id").orderBy("pos")
         hits.withColumn("nxt", lead(col("pos"), 1).over(w))
           .groupBy("doc_id")

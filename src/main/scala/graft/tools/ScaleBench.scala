@@ -90,6 +90,11 @@ object ScaleBench {
         Names.filter(n => prefixes.exists(n.startsWith))
       case None => Names
     }
+    if (names.isEmpty) {
+      System.err.println(s"[scalebench] SPARK_GRAFT_SCALE_ONLY matched no query names " +
+        s"(have: ${Names.mkString(", ")})")
+      sys.exit(2)
+    }
     val queries = names.map(n => n -> graft.operators.Surface.registry(n).fn)
 
     // between queries, drop EVERYTHING still pinned to executor memory:
@@ -130,7 +135,9 @@ object ScaleBench {
     }.mkString("{", ",", "}")
     val ratios = names.map(n => (smallT(n), bigT(n)))
       .collect { case (s, b) if s > 0 && b > 0 => b / s }
-    val med = ratios.sorted.apply(ratios.size / 2)
+    // every selected query failing must still reach the failure JSON +
+    // named-failure exit below, not die on an empty-median index
+    val med = if (ratios.isEmpty) -1.0 else ratios.sorted.apply(ratios.size / 2)
     // a query that threw ANYWHERE is a named failure in the record and a
     // nonzero exit — a -1 must never again be summarizable as a success
     val failed = names.filter(n => smallT(n) < 0 || bigT(n) < 0)
