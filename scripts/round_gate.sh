@@ -53,3 +53,34 @@ echo "full per-query bench written to $(printf 'BENCH_LOCAL_r%02d.json' "$ROUND"
 
 echo "== bench regression vs previous round =="
 python3 scripts/bench_diff.py "$BENCH_LINE" 1.5
+
+echo "== 10x scale smoke (5 heaviest SF10 queries) =="
+# Scale posture must not drift between the big per-round SF10 efforts: time
+# the suite's historically heaviest queries at the 10x replica and fail
+# loudly if any one's big-side seconds regress >2x vs the committed SF1
+# record. ~2 min budget; skipped only if the replica cannot be built.
+SMOKE="dedup_substring_spans,dedup_pipeline_full,q_kql_graph_shortest,q_kql_graph_varlen_agg,text_bpe_train"
+if [ ! -d /tmp/sf1x10 ]; then
+  sbt -batch "runMain graft.tools.ScaleData /root/testdata/sf0.1 /tmp/sf1x10 10" >/dev/null
+fi
+SMOKE_LINE=$(SPARK_GRAFT_SCALE_ONLY="$SMOKE" \
+  sbt -batch "runMain graft.tools.ScaleBench /root/testdata/sf0.1 /tmp/sf1x10 10" \
+  | grep '"queries"' | sed 's/^\[info\] *//')
+echo "$SMOKE_LINE"
+python3 - "$SMOKE_LINE" <<'PY'
+import json, sys, glob
+smoke = json.loads(sys.argv[1])
+ref_file = sorted(glob.glob('BENCH_SF1_r*.json'))[-1]
+ref = json.load(open(ref_file))['queries']
+bad = []
+for name, rec in smoke['queries'].items():
+    big, refbig = rec['big'], ref.get(name, {}).get('big')
+    if big < 0:
+        bad.append(f"{name}: FAILED at 10x")
+    elif refbig and big > 2.0 * refbig:
+        bad.append(f"{name}: {big:.2f}s vs committed {refbig:.2f}s (>2x)")
+if bad:
+    print("10x SMOKE REGRESSION vs " + ref_file + ":\n  " + "\n  ".join(bad))
+    sys.exit(1)
+print(f"10x smoke OK vs {ref_file}")
+PY
