@@ -4284,6 +4284,71 @@ object Surface {
                TRUE AS poly_contained, TRUE AS lp_cross, TRUE AS lp_inside,
                TRUE AS lp_out, TRUE AS inv""")),
 
+    "q_kql_geo_intersection" -> QueryDef(
+      // GEOMETRY-VALUED clipping (round-11: the last implementable geo gap):
+      // spherical Greiner-Hormann intersection/union of two polygons, the
+      // crossing points of two polylines, and a polyline clipped to a ring
+      // (GeoClip.scala). Gated by conservation laws computed IN-PLAN with
+      // the pre-existing geo_polygon_area / geo_line_length expansions over
+      // the parsed result coordinates: inclusion-exclusion
+      // area(A∩B)+area(A∪B) == area(A)+area(B) (exact to 1e-4 relative;
+      // the mirror shows residual 0.0), containment A∩C == C for C inside
+      // A, disjoint -> empty GeometryCollection. Literal pins from
+      // scripts/geo_clip_mirror.py (same double arithmetic, margins
+      // >= 2e-2 from every rounding boundary).
+      (s, dir) => kqlRun(s, dir,
+        """print a = dynamic([[-3.0, -2.0], [4.0, -2.5], [3.5, 3.0], [-2.5, 3.5]]),
+          |      b = dynamic([[1.0, 0.0], [8.0, 0.5], [7.0, 6.0], [0.5, 5.0]]),
+          |      c = dynamic([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]]),
+          |      d = dynamic([[20.0, 20.0], [24.0, 20.0], [24.0, 24.0], [20.0, 24.0]])
+          | | extend ii = geo_intersection_2polygons(a, b),
+          |     uu = geo_union_2polygons(a, b),
+          |     cc = geo_intersection_2polygons(a, c),
+          |     dd = geo_intersection_2polygons(a, d),
+          |     lw = geo_intersection_line_with_polygon(dynamic([[-5.0, 2.0], [5.0, 2.0]]), a),
+          |     mw = geo_intersection_line_with_polygon(
+          |       dynamic([[-5.0, 0.0], [0.0, 0.0], [0.0, 10.0], [2.0, 10.0], [2.0, 0.0], [8.0, 0.0]]), a),
+          |     pp = geo_intersection_2lines(dynamic([[-3.0, -3.0], [4.0, 5.0]]),
+          |       dynamic([[-3.0, 5.0], [4.0, -4.0]]))
+          | | extend ri = from_json(extractjson('$.coordinates[0]', ii), 'array<array<double>>'),
+          |     ru = from_json(extractjson('$.coordinates[0]', uu), 'array<array<double>>'),
+          |     rc = from_json(extractjson('$.coordinates[0]', cc), 'array<array<double>>')
+          | | extend ai = geo_polygon_area(ri), au = geo_polygon_area(ru),
+          |     aa = geo_polygon_area(a), ab = geo_polygon_area(b)
+          | | project it = extractjson('$.type', ii) == 'Polygon',
+          |     iv_n = tolong(array_length(ri)) - 1,
+          |     ai_km2 = round(ai / 1000000.0, 3),
+          |     au_km2 = round(au / 1000000.0, 3),
+          |     incl_excl = abs((ai + au) - (aa + ab)) < 0.0001 * (aa + ab),
+          |     iv_x = round(todouble(extractjson('$.coordinates[0][0][0]', ii)), 6),
+          |     iv_y = round(todouble(extractjson('$.coordinates[0][0][1]', ii)), 6),
+          |     cont_ok = abs(geo_polygon_area(rc) - geo_polygon_area(c)) < 1.0,
+          |     dis_ok = extractjson('$.type', dd) == 'GeometryCollection'
+          |       and array_length(from_json(extractjson('$.geometries', dd), 'array<string>')) == 0,
+          |     lw_t = extractjson('$.type', lw) == 'LineString',
+          |     lp_len_km = round(geo_line_length(
+          |       from_json(extractjson('$.coordinates', lw), 'array<array<double>>')) / 1000.0, 3),
+          |     mw_t = extractjson('$.type', mw) == 'MultiLineString',
+          |     mw_n = tolong(array_length(
+          |       from_json(extractjson('$.coordinates', mw), 'array<array<array<double>>>'))),
+          |     mp_len_km = round((geo_line_length(
+          |         from_json(extractjson('$.coordinates[0]', mw), 'array<array<double>>')) +
+          |       geo_line_length(
+          |         from_json(extractjson('$.coordinates[1]', mw), 'array<array<double>>'))) / 1000.0, 3),
+          |     pp_t = extractjson('$.type', pp) == 'Point',
+          |     ll_x = round(todouble(extractjson('$.coordinates[0]', pp)), 6),
+          |     ll_y = round(todouble(extractjson('$.coordinates[1]', pp)), 6),
+          |     inv1 = isnull(geo_intersection_2polygons(dynamic([[0.0, 0.0], [1.0, 1.0]]), a)),
+          |     inv2 = isnull(geo_intersection_2lines(dynamic([[0.0, 0.0]]),
+          |       dynamic([[1.0, 1.0], [2.0, 2.0]])))""".stripMargin),
+      Some("""
+        SELECT TRUE AS it, CAST(4 AS BIGINT) AS iv_n, 104084.002 AS ai_km2,
+               783148.224 AS au_km2, TRUE AS incl_excl,
+               3.754849 AS iv_x, 0.197194 AS iv_y, TRUE AS cont_ok, TRUE AS dis_ok,
+               TRUE AS lw_t, 691.958 AS lp_len_km, TRUE AS mw_t,
+               CAST(2 AS BIGINT) AS mw_n, 1224.864 AS mp_len_km, TRUE AS pp_t,
+               0.293507 AS ll_x, 0.770224 AS ll_y, TRUE AS inv1, TRUE AS inv2""")),
+
     "q_kql_cmdline_bytes" -> QueryDef(
       // parse_command_line (Windows/MSVCRT argv rules: quoted spans keep
       // whitespace, 2n backslashes before a quote emit n + delimiter,
