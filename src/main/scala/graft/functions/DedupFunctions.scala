@@ -260,7 +260,8 @@ object DedupFunctions {
     jaccardPairsFromGrams(
       df.select(col(idCol).as("id"), split(col(textCol), " ").as("tok"))
         .select(col("id"),
-          explode(array_distinct(TextFunctions.wordNGrams(col("tok"), wordGrams))).as("g")),
+          array_distinct(TextFunctions.wordNGrams(col("tok"), wordGrams)).as("_set"))
+        .select(col("id"), size(col("_set")).as("n"), explode(col("_set")).as("g")),
       threshold)
 
   /** [[exactJaccardPairs]] over character `k`-shingles instead of word
@@ -274,29 +275,32 @@ object DedupFunctions {
       threshold: Double): DataFrame =
     jaccardPairsFromGrams(
       df.select(col(idCol).as("id"),
-        explode(array_distinct(TextFunctions.shingles(col(textCol), k))).as("g")),
+          array_distinct(TextFunctions.shingles(col(textCol), k)).as("_set"))
+        .select(col("id"), size(col("_set")).as("n"), explode(col("_set")).as("g")),
       threshold)
 
   // ONE exact-Jaccard core for every gram kind — the union-denominator and
-  // hash-collision posture live here and nowhere else
+  // hash-collision posture live here and nowhere else. `grams` carries the
+  // per-doc DISTINCT gram count `n` on every row (computed in the same
+  // projection that explodes the gram set — zero extra shuffle), so the
+  // union denominator needs no separate sizes aggregation and no join-backs:
+  // min() recovers the per-doc constant inside the pair groupBy itself.
+  // Cost: +8 bytes/side on the self-join rows — three exchanges cheaper.
   private def jaccardPairsFromGrams(grams: DataFrame, threshold: Double): DataFrame = {
-    // the hashed gram frame is read THREE times (sizes + both sides of the
-    // self-join) — materialize once under the releaseCaches lifecycle
-    val sh    = trackPersist(grams.select(col("id"), xxhash64(col("g")).as("g")))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    // join-strategy pins: gram frame and per-doc sizes are both corpus-
-    // sized — never broadcastable, whatever the cached-frame size estimate
-    // says (the round-9 100× OOM class). The symmetric gram self-join pins
-    // sort-merge (spill-safe on both sides); the size join-backs pin
-    // shuffled-hash with the 16-byte-per-doc sizes frame as build — no
-    // sort of the (much larger) pair side, per-partition build stays tiny
-    val inter = sh.as("a").join(sh.as("b").hint("merge"),
+    // the hashed gram frame is read TWICE (both sides of the self-join) —
+    // materialize once under the releaseCaches lifecycle (measured: a
+    // repartition(g) here to parallelize the self-join costs more in
+    // fixed stage overhead than the single-task sort-merge it replaces
+    // at bounded inputs, and at scale AQE sizes the exchange itself)
+    val sh = trackPersist(grams.select(col("id"), col("n"), xxhash64(col("g")).as("g")))
+    // join-strategy pin: the gram frame is corpus-sized — never
+    // broadcastable, whatever the cached-frame size estimate says (the
+    // round-9 100× OOM class). The symmetric gram self-join pins sort-merge
+    // (spill-safe on both sides).
+    sh.as("a").join(sh.as("b").hint("merge"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("n").as("na")).hint("shuffle_hash"), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")).hint("shuffle_hash"), Seq("id_b"))
+      .agg(count(lit(1)).as("i"), min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
       .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -318,10 +322,28 @@ object DedupFunctions {
     // materialize the undirected edge frame ONCE: `edges` is typically the
     // output of a whole LSH/exact-pair pipeline, and the per-round neighbor
     // join would otherwise re-run that entire DAG every iteration
+    // NOT pre-partitioned on the join key: a repartition(dst) before the
+    // persist would let every round's join skip the edge-side exchange, but
+    // cached plans keep their partition count (AQE cannot coalesce them —
+    // canChangeCachedPlanOutputPartitioning defaults false), so small edge
+    // frames would pay full-width scan stages every round; the per-round
+    // exchange of this SMALL pair-list frame is AQE-coalesced and cheaper
+    // at every scale the pair detectors can emit
     val und = trackPersist(
       edges.select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst"))))
-    var labels = nodes.select(col("id"), col("id").as("cluster_id"))
+    // round 1 fused into initialization: with labels₀(id)=id the first
+    // round's pointer-jump leg is the identity and its neighbor leg is
+    // exactly "adopt min(id, min neighbor id)" — one aggregation + left
+    // join here replaces a full 3-way union round (for the dominant
+    // pair-shaped near-dup components this IS the fixpoint, so the loop
+    // only runs the confirming round). shuffle_hash pin: the min-neighbor
+    // frame is corpus-sized — same never-broadcast posture as the loop
+    val minNbr = und.groupBy(col("src").as("id")).agg(min(col("dst")).as("_nbr"))
+    var labels = nodes.select(col("id"))
+      .join(minNbr.hint("shuffle_hash"), Seq("id"), "left")
+      .select(col("id"),
+        least(col("id"), coalesce(col("_nbr"), col("id"))).as("cluster_id"))
       .localCheckpoint(true)
     var converged = false
     var iter      = 0
@@ -336,19 +358,28 @@ object DedupFunctions {
       // pointer-jumping: a label is itself a node id of the same
       // component, so relabeling through the label's OWN label halves the
       // remaining chain — log(diameter) rounds, not diameter (the
-      // graph-mark-components trade, same shape)
-      val viaJump = labels.join(
-          labels.select(col("id").as("cluster_id"), col("cluster_id").as("jump"))
-            .hint("shuffle_hash"),
-          Seq("cluster_id"))
-        .select(col("id"), col("jump").as("cluster_id"))
+      // graph-mark-components trade, same shape). Skipped for the first
+      // two loop rounds: after the fused min-neighbor init, a jump can
+      // only beat the neighbor leg on components of diameter ≥ 5, so the
+      // dominant shallow near-dup clusters never pay its exchange; deep
+      // chains still get the log-scaling from round 3 on (maxIters
+      // unchanged — the backstop still covers ~2^maxIters diameters)
+      val nullOld = lit(null).cast(labels.schema("cluster_id").dataType)
+      val legs = Seq(
+        labels.select(col("id"), col("cluster_id"), col("cluster_id").as("old")),
+        viaNeighbor.withColumn("old", nullOld)) ++
+        (if (iter < 2) Nil else Seq(
+          labels.join(
+              labels.select(col("id").as("cluster_id"), col("cluster_id").as("jump"))
+                .hint("shuffle_hash"),
+              Seq("cluster_id"))
+            .select(col("id"), col("jump").as("cluster_id"))
+            .withColumn("old", nullOld)))
       // the convergence probe rides the min-aggregation's own shuffle: the
       // self leg carries its old label, max() recovers it per node (one
       // non-null per group), and "no label moved" is a cheap scan of the
       // checkpointed frame — no separate per-round aggregate job
-      val next = labels.select(col("id"), col("cluster_id"), col("cluster_id").as("old"))
-        .unionByName(viaNeighbor.withColumn("old", lit(null).cast(labels.schema("cluster_id").dataType)))
-        .unionByName(viaJump.withColumn("old", lit(null).cast(labels.schema("cluster_id").dataType)))
+      val next = legs.reduce(_.unionByName(_))
         .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"), max(col("old")).as("prev"))
         .localCheckpoint(true)
       converged = next.filter(col("cluster_id") =!= col("prev")).isEmpty

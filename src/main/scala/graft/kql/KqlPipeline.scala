@@ -609,11 +609,27 @@ object KqlPipeline {
     }
     require(!g.nodes.columns.contains(compCol),
       s"graph-mark-components: node column '$compCol' already exists")
+    // materialized once: the checkpoint keeps each round's join from
+    // re-deriving g.edges (previously re-run every round); blocks are
+    // released after convergence (the returned labels are themselves
+    // checkpointed — no lineage back). Deliberately NOT pre-partitioned on
+    // __d — cached partition counts are AQE-opaque, so a repartition here
+    // would force full-width scan stages every round on small graphs
     val und = g.edges.select(col(g.src).as("__s"), col(g.dst).as("__d"))
       .union(g.edges.select(col(g.dst).as("__s"), col(g.src).as("__d")))
+      .localCheckpoint(true)
     // localCheckpoint per round: flat plans (the BPE-trainer lesson) and
-    // block lifetime tied to frame reachability — no cache-registry leak
-    var labels = g.nodes.select(col(g.id).as("__id"), col(g.id).as("__lbl"))
+    // block lifetime tied to frame reachability — no cache-registry leak.
+    // Round 1 fused into initialization: with labels₀(id)=id the first
+    // round's pointer-jump leg is the identity and its neighbor leg is
+    // exactly "adopt min(id, min neighbor id)" — one aggregation + left
+    // join replaces a full 3-way union round (min is defined for string
+    // node ids too, same ordering the loop's min-propagation uses)
+    val minNbr = und.groupBy(col("__s").as("__id")).agg(min(col("__d")).as("__nbr"))
+    var labels = g.nodes.select(col(g.id).as("__id"))
+      .join(minNbr.hint("shuffle_hash"), Seq("__id"), "left")
+      .select(col("__id"),
+        least(col("__id"), coalesce(col("__nbr"), col("__id"))).as("__lbl"))
       .localCheckpoint(true)
     var converged = false
     var iter      = 0
@@ -627,20 +643,25 @@ object KqlPipeline {
       // remaining pointer-chain each round — rounds grow with
       // log(diameter), not diameter, so maxIters=25 covers components of
       // diameter ~2^25 (a long-chain component at large SF no longer
-      // aborts; the loud non-convergence failure stays as a true backstop)
-      val viaJump = labels.join(
-          labels.select(col("__id").as("__lbl"), col("__lbl").as("__lbl2")).hint("shuffle_hash"),
-          Seq("__lbl"))
-        .select(col("__id"), col("__lbl2").as("__lbl"))
+      // aborts; the loud non-convergence failure stays as a true backstop).
+      // Skipped for the first two loop rounds: after the fused
+      // min-neighbor init a jump only beats the neighbor leg on components
+      // of diameter ≥ 5, so shallow graphs never pay its exchange
+      val legs = Seq(
+        labels.select(col("__id"), col("__lbl"), col("__lbl").as("__old")),
+        viaNeighbor.select(col("__id"), col("__lbl"), lblNull.as("__old"))) ++
+        (if (iter < 2) Nil else Seq(
+          labels.join(
+              labels.select(col("__id").as("__lbl"), col("__lbl").as("__lbl2")).hint("shuffle_hash"),
+              Seq("__lbl"))
+            .select(col("__id"), col("__lbl2").as("__lbl"), lblNull.as("__old"))))
       // convergence probe rides the SAME shuffle as the min-aggregation:
       // the self leg carries its old label as __old, max(__old) recovers it
       // per node (exactly one self row per id; the other legs contribute
       // null), and "no label moved" is a cheap scan of the checkpointed
       // frame — no per-round join-and-compare job (that probe cost +46%
       // local time in the round-9 record)
-      val next = labels.select(col("__id"), col("__lbl"), col("__lbl").as("__old"))
-        .union(viaNeighbor.select(col("__id"), col("__lbl"), lblNull.as("__old")))
-        .union(viaJump.select(col("__id"), col("__lbl"), lblNull.as("__old")))
+      val next = legs.reduce(_.union(_))
         .groupBy("__id").agg(min(col("__lbl")).as("__lbl"), max(col("__old")).as("__prev"))
         .localCheckpoint(true)
       converged = next.filter(col("__lbl") =!= col("__prev")).isEmpty
@@ -649,6 +670,7 @@ object KqlPipeline {
       labels = next.select(col("__id"), col("__lbl"))
       iter += 1
     }
+    graft.util.Checkpoints.release(und)
     require(converged,
       s"graph-mark-components did not converge within $maxIters pointer-doubling rounds — " +
         "a component's diameter exceeds ~2^" + maxIters)

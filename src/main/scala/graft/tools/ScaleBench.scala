@@ -143,8 +143,13 @@ object ScaleBench {
     val failed = names.filter(n => smallT(n) < 0 || bigT(n) < 0)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
+    // `timed` names every query measured THIS run: the committed
+    // BENCH_SF*_r{N}.json records must keep their `notes` keys a subset of
+    // it (1:1, per-query) so a copy-pasted or stale note can't ride along
+    val timedJson = names.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"queries":$per,"metric":"median_ratio","value":${d3(med)},""" +
       s""""unit":"x","scale":$scale,"small":"$small","big":"$big",""" +
+      s""""timed":$timedJson,""" +
       f""""failed":$failedJson,"driver_heap_gb":$heapGb%.1f}""")
     spark.stop()
     if (failed.nonEmpty) {
