@@ -4349,6 +4349,53 @@ object Surface {
                CAST(2 AS BIGINT) AS mw_n, 1224.864 AS mp_len_km, TRUE AS pp_t,
                0.293507 AS ll_x, 0.770224 AS ll_y, TRUE AS inv1, TRUE AS inv2""")),
 
+    "q_kql_geo_shape_buffer" -> QueryDef(
+      // GEOMETRY-VALUED offset buffers (round 11, closing the constructive
+      // geo family): geo_line_buffer / geo_polygon_buffer as spherical
+      // offset curves (GeoBuffer.scala — per-segment direct-formula offset
+      // chords, sagitta-bounded convex arcs, exact concave chord
+      // crossings). Every gate is computed IN-PLAN against closed-form
+      // expectations: Steiner's formula area(buffer(line,r)) ≈ 2·r·len +
+      // π·r² and area(buffer(poly,r)) ≈ A + P·r + π·r² (spherical
+      // corrections O((r/R)²) ≈ 6e-5 at r = 50 km, gates at 1–2%), the
+      // distance contract via geodesic point-in-polygon probes at 0.8r /
+      // 1.3r perpendicular offsets (equator-aligned shapes make the
+      // offsets closed-form: deg = f·r/R·180/π), and the null guards.
+      (s, dir) => kqlRun(s, dir,
+        """print ln = dynamic([[10.0, 0.0], [12.0, 0.0]]),
+          |      sq = dynamic([[10.0, -1.0], [12.0, -1.0], [12.0, 1.0], [10.0, 1.0]]),
+          |      r = 50000.0, la8 = 0.35971172, la13 = 0.58453155
+          | | extend lb = geo_line_buffer(ln, r, 250.0), pb = geo_polygon_buffer(sq, r, 250.0)
+          | | extend lr = from_json(extractjson('$.coordinates[0]', lb), 'array<array<double>>'),
+          |     pr = from_json(extractjson('$.coordinates[0]', pb), 'array<array<double>>')
+          | | extend la = geo_polygon_area(lr), pa = geo_polygon_area(pr),
+          |     lexp = 2.0 * r * geo_line_length(ln) + 3.141592653589793 * r * r,
+          |     pexp = geo_polygon_area(sq) + geo_polygon_perimeter(sq) * r
+          |       + 3.141592653589793 * r * r
+          | | project lb_t = extractjson('$.type', lb) == 'Polygon',
+          |     lb_area_ok = abs(la - lexp) < 0.01 * lexp,
+          |     lb_nv_ok = array_length(lr) between (20 .. 2000),
+          |     lb_mid_in = geo_point_in_polygon(11.0, 0.0, lr),
+          |     lb_08_in = geo_point_in_polygon(11.0, la8, lr),
+          |     lb_13_out = not(geo_point_in_polygon(11.0, la13, lr)),
+          |     lb_cap_in = geo_point_in_polygon(12.0 + la8, 0.0, lr),
+          |     lb_cap_out = not(geo_point_in_polygon(12.0 + la13, 0.0, lr)),
+          |     pb_area_ok = abs(pa - pexp) < 0.02 * pexp,
+          |     pb_corners_in = geo_point_in_polygon(10.0, -1.0, pr)
+          |       and geo_point_in_polygon(12.0, -1.0, pr)
+          |       and geo_point_in_polygon(12.0, 1.0, pr)
+          |       and geo_point_in_polygon(10.0, 1.0, pr),
+          |     pb_out = not(geo_point_in_polygon(12.0 + la13, 1.0 + la13, pr)),
+          |     inv1 = isnull(geo_line_buffer(dynamic([[0.0, 0.0]]), 100.0)),
+          |     inv2 = isnull(geo_polygon_buffer(sq, -5.0)),
+          |     inv3 = isnull(geo_line_buffer(ln, 100.0, 0.0))""".stripMargin),
+      Some("""
+        SELECT TRUE AS lb_t, TRUE AS lb_area_ok, TRUE AS lb_nv_ok,
+               TRUE AS lb_mid_in, TRUE AS lb_08_in, TRUE AS lb_13_out,
+               TRUE AS lb_cap_in, TRUE AS lb_cap_out, TRUE AS pb_area_ok,
+               TRUE AS pb_corners_in, TRUE AS pb_out, TRUE AS inv1,
+               TRUE AS inv2, TRUE AS inv3""")),
+
     "q_kql_cmdline_bytes" -> QueryDef(
       // parse_command_line (Windows/MSVCRT argv rules: quoted spans keep
       // whitespace, 2n backslashes before a quote emit n + delimiter,
