@@ -3190,6 +3190,15 @@ object KqlPipeline {
       case "variancep"             => (var_pop(a(0)), s"variancep_${slug(args(0))}")
       case "stdevif"               => (stddev_samp(when(a(1), a(0))), s"stdevif_${slug(args(0))}")
       case "varianceif"            => (var_samp(when(a(1), a(0))), s"varianceif_${slug(args(0))}")
+      // two-column second moments: the *if forms mask BOTH operands with
+      // the predicate, so a masked row contributes to neither sum (covar
+      // skips a pair when either side is NULL — one pass, no self-join)
+      case "covariance"            => (covar_samp(a(0), a(1)), s"covariance_${slug(args(0))}")
+      case "covariancep"           => (covar_pop(a(0), a(1)), s"covariancep_${slug(args(0))}")
+      case "covarianceif" =>
+        (covar_samp(when(a(2), a(0)), when(a(2), a(1))), s"covarianceif_${slug(args(0))}")
+      case "covariancepif" =>
+        (covar_pop(when(a(2), a(0)), when(a(2), a(1))), s"covariancepif_${slug(args(0))}")
       // make_bag: fold the group's bags through the native bag_merge —
       // collect_list is sorted first so the earlier-wins key conflict is
       // deterministic under any partitioning (ADX leaves it arbitrary)

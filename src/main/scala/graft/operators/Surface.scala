@@ -104,6 +104,34 @@ object Surface {
         FROM lineitem WHERE l_orderkey <= 2000
         GROUP BY 1 ORDER BY 1""")),
 
+    "q_kql_covariance" -> QueryDef(
+      // the two-column second-moment family: covariance/covariancep and
+      // the masked *if forms (both operands NULL-masked by the predicate,
+      // so a masked row contributes to neither sum — one pass, partial
+      // aggregation applies). round(.,4) pins are boundary-safe: probed
+      // margins >= 9e-6 vs double summation-order noise ~1e-8
+      (s, dir) => kqlRun(s, dir,
+        """lineitem
+          | | where l_orderkey <= 2000
+          | | summarize csx = covariance(l_quantity, l_extendedprice),
+          |     cpx = covariancep(l_quantity, l_extendedprice),
+          |     cix = covarianceif(l_quantity, l_extendedprice, l_discount > 0.05),
+          |     cpix = covariancepif(l_quantity, l_extendedprice, l_discount > 0.05)
+          |     by rf = l_returnflag
+          | | project rf, cs = round(csx, 4), cp = round(cpx, 4),
+          |     ci = round(cix, 4), cpi = round(cpix, 4)
+          | | order by rf asc""".stripMargin),
+      Some("""
+        SELECT l_returnflag AS rf,
+               round(covar_samp(l_quantity, l_extendedprice), 4) AS cs,
+               round(covar_pop(l_quantity, l_extendedprice), 4) AS cp,
+               round(covar_samp(CASE WHEN l_discount > 0.05 THEN l_quantity END,
+                                CASE WHEN l_discount > 0.05 THEN l_extendedprice END), 4) AS ci,
+               round(covar_pop(CASE WHEN l_discount > 0.05 THEN l_quantity END,
+                               CASE WHEN l_discount > 0.05 THEN l_extendedprice END), 4) AS cpi
+        FROM lineitem WHERE l_orderkey <= 2000
+        GROUP BY 1 ORDER BY 1""")),
+
     "q_kql_make_bag" -> QueryDef(
       // property-bag algebra: dynamic-key bag_pack, make_bag/make_bag_if
       // (native bag_merge fold over a sorted collect — deterministic
@@ -4513,6 +4541,81 @@ object Surface {
         SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS sk,
                round(sum($d) / 1000.0, 3) AS skm
         FROM pts WHERE $d <= 500000.0"""
+      }),
+
+    "q_kql_geo_buffer_contract" -> QueryDef(
+      // the round-11 offset buffer CROSS-VALIDATED on corpus points: the
+      // buffered ring's membership must agree with the INDEPENDENT exact
+      // geodesic distance (geo_distance_point_to_polygon) everywhere
+      // outside a ±15 km band around the 500 km radius (3× the 5 km
+      // sagitta tolerance — chords cut inward ≤ sagitta, never outward,
+      // so disagreement outside the band is a construction bug). The
+      // buffer ring rides a broadcast 1-row frame (computed once, not per
+      // row); the ORACLE recomputes both distance counts from scratch
+      // (identical segmentDistanceSql + gnomonic ray-cast texts, the
+      // s2cover/s2line discipline), so n_in/n_out have independent DuckDB
+      // bite while the ring-agreement booleans gate in-plan. Probed:
+      // 31 in / 29 out / 0 in-band at sf0.01.
+      (s, dir) => kqlRun(s, dir,
+        """let poly = dynamic([[-15.0, -10.0], [15.0, -12.0], [12.0, 14.0], [-12.0, 16.0]]);
+          |let buf = print b = geo_polygon_buffer(poly, 500000.0, 5000.0)
+          | | project __k = 1, br = from_json(extractjson('$.coordinates[0]', b), 'array<array<double>>');
+          |customer
+          | | extend lat = (c_custkey * 7919 % 14000) / 100.0 - 70.0,
+          |     lng = (c_custkey * 104729 % 36000) / 100.0 - 180.0
+          | | where geo_distance_2points(lng, lat, 0.0, 2.0) <= 3000000.0
+          | | extend __k = 1
+          | | join kind=inner hint.strategy=broadcast (buf) on __k
+          | | extend d = geo_distance_point_to_polygon(lng, lat, poly)
+          | | extend inb = geo_point_in_polygon(lng, lat, br)
+          | | summarize n_in = countif(d <= 485000.0),
+          |     n_out = countif(d >= 515000.0),
+          |     mis_lo = countif(d <= 485000.0 and not(inb)),
+          |     mis_hi = countif(d >= 515000.0 and inb)
+          | | project n_in, n_out, ok_lo = mis_lo == 0, ok_hi = mis_hi == 0""".stripMargin),
+      Some {
+        def comp(lon: String, lat: String): (String, String, String) =
+          (s"(cos(radians($lat)) * cos(radians($lon)))",
+           s"(cos(radians($lat)) * sin(radians($lon)))",
+           s"(sin(radians($lat)))")
+        val poly = Seq((-15.0, -10.0), (15.0, -12.0), (12.0, 14.0), (-12.0, 16.0))
+        val p = comp("x", "y")
+        val segs = (0 until 4).map { i =>
+          val a = comp(poly(i)._1.toString, poly(i)._2.toString)
+          val b = comp(poly((i + 1) % 4)._1.toString, poly((i + 1) % 4)._2.toString)
+          KqlCompat.segmentDistanceSql(a._1, a._2, a._3, b._1, b._2, b._3, p._1, p._2, p._3)
+        }
+        val dmin    = s"least(${segs.mkString(", ")}) * 6371008.8"
+        val polyLit = poly.map(v => s"[${v._1}, ${v._2}]").mkString(", ")
+        s"""
+        WITH pts AS (SELECT c_custkey AS k,
+                       (c_custkey * 7919 % 14000) / 100.0 - 70.0 AS y,
+                       (c_custkey * 104729 % 36000) / 100.0 - 180.0 AS x
+                     FROM customer),
+        guard AS (SELECT * FROM pts
+                  WHERE (2.0 * 6371008.8 * asin(sqrt(
+                        pow(sin(radians(2.0 - (y)) / 2), 2) +
+                        cos(radians(y)) * cos(radians(2.0)) *
+                        pow(sin(radians(0.0 - (x)) / 2), 2)))) <= 3000000.0),
+        pr AS (SELECT k, x, y,
+                list_transform([$polyLit], v ->
+                  [ (cos(radians(v[2])) * sin(radians(v[1]) - radians(x))) /
+                    (sin(radians(y)) * sin(radians(v[2])) + cos(radians(y)) * cos(radians(v[2])) * cos(radians(v[1]) - radians(x))),
+                    (cos(radians(y)) * sin(radians(v[2])) - sin(radians(y)) * cos(radians(v[2])) * cos(radians(v[1]) - radians(x))) /
+                    (sin(radians(y)) * sin(radians(v[2])) + cos(radians(y)) * cos(radians(v[2])) * cos(radians(v[1]) - radians(x))) ]) AS r
+               FROM guard),
+        e AS (SELECT k, list_sum(list_transform(list_zip(r, list_concat(r[2:], [r[1]])),
+                q -> CASE WHEN ((q[1][2] > 0.0) != (q[2][2] > 0.0))
+                           AND (0.0 < (q[2][1] - q[1][1]) * (0.0 - q[1][2])
+                                    / (q[2][2] - q[1][2]) + q[1][1])
+                     THEN 1 ELSE 0 END)) % 2 = 1 AS inside
+              FROM pr),
+        d AS (SELECT g.k, CASE WHEN e.inside THEN 0.0 ELSE $dmin END AS dist
+              FROM guard g JOIN e ON g.k = e.k)
+        SELECT CAST(count(*) FILTER (dist <= 485000.0) AS BIGINT) AS n_in,
+               CAST(count(*) FILTER (dist >= 515000.0) AS BIGINT) AS n_out,
+               TRUE AS ok_lo, TRUE AS ok_hi
+        FROM d"""
       }),
 
     "text_bpe_encode" -> QueryDef(
