@@ -57,7 +57,11 @@ object ScaleBench {
     "q_kql_geo_s2cover_join",
     // round-10 session 2: the radius-buffered line covering join ("points
     // near a route") and the trained-vocabulary corpus encode pass
-    "q_kql_geo_s2line_join", "text_bpe_encode")
+    "q_kql_geo_s2line_join", "text_bpe_encode",
+    // round-11: the offset-buffer contract — one corpus pass against a
+    // broadcast 1-row ring, refined by the exact per-point distance; the
+    // newly-claimed constructive-geo scale shape
+    "q_kql_geo_buffer_contract")
 
   def main(args: Array[String]): Unit = {
     val small = args(0)
