@@ -357,6 +357,86 @@ object GeoClip {
       s"""{"type":"MultiLineString","coordinates":[$body]}"""
     }
   }
+
+  /** N-ary union by pairwise folding: each incoming ring merges with every
+    * accumulated ring it crosses (keeping the LARGEST traversal ring as
+    * the merged outer boundary — interior holes are dropped, same no-holes
+    * posture as the pair clip), swallows accumulated rings it contains,
+    * and is itself swallowed by a containing ring. A merge restarts the
+    * scan because the merged boundary can newly cross earlier rings.
+    * O(n²) ring-pair probes — shapes are per-row scalars here, never
+    * corpora. None only on the loud non-convergence guard.
+    */
+  private def unionRings(
+      input: Seq[Array[Array[Double]]]): Option[Array[Array[Array[Double]]]] = {
+    val acc = scala.collection.mutable.ArrayBuffer.empty[Array[Array[Double]]]
+    var guard = 0
+    for (r0 <- input) {
+      var cur: Array[Array[Double]] = r0
+      var i = 0
+      while (cur != null && i < acc.length) {
+        guard += 1
+        if (guard > 100000) return None
+        val a = acc(i)
+        clipCrossings(a, cur, intersectionOp = false) match {
+          case Some(rings) if rings.nonEmpty =>
+            acc.remove(i)
+            cur = rings.maxBy(r => math.abs(signedOmega(r)))
+            i = 0
+          case Some(_) => i += 1 // degenerate traversal: keep both
+          case None =>
+            // exact duplicates first: identical rings share every great
+            // circle, so no transversal crossing exists and the interior
+            // probe would test a BOUNDARY vertex (undefined winding) —
+            // vertex-multiset equality keeps union idempotent instead
+            val dup = a.length == cur.length && a.forall(v =>
+              cur.exists(w => math.abs(v(0) - w(0)) < 1e-12 &&
+                math.abs(v(1) - w(1)) < 1e-12 && math.abs(v(2) - w(2)) < 1e-12))
+            if (dup) acc.remove(i)                      // keep cur, drop a
+            else if (pointInRing(a(0), cur)) acc.remove(i)   // a swallowed
+            else if (pointInRing(cur(0), a)) cur = null      // cur swallowed
+            else i += 1
+        }
+      }
+      if (cur != null) acc += cur
+    }
+    Some(acc.toArray)
+  }
+
+  /** `geo_union_polygons_array` core: rings in, Polygon/MultiPolygon (or
+    * empty GeometryCollection) GeoJSON out; null on any malformed ring.
+    */
+  def unionPolygonsArray(shapes: Seq[(Array[Double], Array[Double])]): String = {
+    if (shapes.isEmpty) return emptyGeo
+    val rings = shapes.map { case (lo, la) => ringOf(lo, la) }
+    if (rings.exists(_.isEmpty)) return null
+    unionRings(rings.map(_.get)) match {
+      case Some(rs) => polysJson(rs)
+      case None     => null
+    }
+  }
+
+  /** `geo_simplify_polygons_array` core: per-ring spherical Douglas–Peucker
+    * (GeoSimplify.simplify, close=true) over every polygon; null if ANY
+    * ring is malformed or collapses below a triangle. Rings simplify
+    * INDEPENDENTLY — the ADX joint shared-border constraint is a
+    * documented divergence (same per-shape posture as the rest of the
+    * family).
+    */
+  def simplifyPolygonsArray(shapes: Seq[(Array[Double], Array[Double])],
+      tolM: Double): String = {
+    if (shapes.isEmpty) return emptyGeo
+    val outs = shapes.map { case (lo, la) => GeoSimplify.simplify(lo, la, tolM, close = true) }
+    if (outs.exists(_.isEmpty)) return null
+    val ringsTxt = outs.map { o =>
+      // simplify(close=true) re-appends the start vertex — already closed
+      s"[[${o.get.map { case (x, y) => s"[$x,$y]" }.mkString(",")}]]"
+    }
+    if (ringsTxt.size == 1)
+      s"""{"type":"Polygon","coordinates":${ringsTxt.head.drop(1).dropRight(1)}}"""
+    else
+      s"""{"type":"MultiPolygon","coordinates":[${ringsTxt.mkString(",")}]}"""
+  }
 }
 
 /** Shared shape-pair expression plumbing: two array<array<numeric>> args. */

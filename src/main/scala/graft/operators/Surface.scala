@@ -4424,6 +4424,59 @@ object Surface {
                TRUE AS pb_corners_in, TRUE AS pb_out, TRUE AS inv1,
                TRUE AS inv2, TRUE AS inv3""")),
 
+    "q_kql_geo_poly_arrays" -> QueryDef(
+      // the ARRAY forms of the clip/simplify family:
+      // geo_union_polygons_array (n-ary fold of the spherical pair clip —
+      // disjoint additivity, swallow, duplicate idempotence, and the
+      // cross-implementation equality with geo_union_2polygons on a
+      // crossing pair, all gated in-plan via geo_polygon_area) and
+      // geo_simplify_polygons_array (per-ring spherical Douglas–Peucker;
+      // vertex counts must MATCH the single-ring geo_polygon_simplify —
+      // cross-impl equality again). Independent-ring simplify is the
+      // documented divergence from ADX's shared-border constraint.
+      (s, dir) => kqlRun(s, dir,
+        """print a = dynamic([[-4.0, -3.0], [4.0, -3.0], [4.0, 3.0], [-4.0, 3.0]]),
+          |      b = dynamic([[-1.0, -1.0], [7.0, -1.0], [7.0, 5.0], [-1.0, 5.0]]),
+          |      d = dynamic([[20.0, 4.0], [26.0, 4.0], [26.0, 8.0], [20.0, 8.0]]),
+          |      c = dynamic([[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0]]),
+          |      z = dynamic([[0.0, 0.0], [2.0, 0.001], [4.0, -0.001], [6.0, 0.0], [6.0, 5.0], [0.0, 5.0]])
+          | | extend ud = geo_union_polygons_array(pack_array(a, d)),
+          |     ux = geo_union_polygons_array(pack_array(a, b)),
+          |     uc = geo_union_polygons_array(pack_array(a, c)),
+          |     up = geo_union_polygons_array(pack_array(a, a)),
+          |     sa = geo_simplify_polygons_array(pack_array(z, d), 2000.0)
+          | | extend r1 = from_json(extractjson('$.coordinates[0][0]', ud), 'array<array<double>>'),
+          |     r2 = from_json(extractjson('$.coordinates[1][0]', ud), 'array<array<double>>'),
+          |     rx = from_json(extractjson('$.coordinates[0]', ux), 'array<array<double>>'),
+          |     rc = from_json(extractjson('$.coordinates[0]', uc), 'array<array<double>>'),
+          |     rp = from_json(extractjson('$.coordinates[0]', up), 'array<array<double>>'),
+          |     rz = from_json(extractjson('$.coordinates[0][0]', sa), 'array<array<double>>'),
+          |     zp = from_json(extractjson('$.coordinates[0]',
+          |       geo_polygon_simplify(z, 2000.0)), 'array<array<double>>'),
+          |     px = from_json(extractjson('$.coordinates[0]',
+          |       geo_union_2polygons(a, b)), 'array<array<double>>')
+          | | project ud_t = extractjson('$.type', ud) == 'MultiPolygon',
+          |     ud_add = abs(geo_polygon_area(r1) + geo_polygon_area(r2)
+          |       - (geo_polygon_area(a) + geo_polygon_area(d)))
+          |       < 0.000001 * (geo_polygon_area(a) + geo_polygon_area(d)),
+          |     ux_t = extractjson('$.type', ux) == 'Polygon',
+          |     ux_pair = abs(geo_polygon_area(rx) - geo_polygon_area(px))
+          |       < 0.000000001 * geo_polygon_area(px),
+          |     uc_ok = abs(geo_polygon_area(rc) - geo_polygon_area(a))
+          |       < 0.000000001 * geo_polygon_area(a),
+          |     up_ok = abs(geo_polygon_area(rp) - geo_polygon_area(a))
+          |       < 0.000000001 * geo_polygon_area(a),
+          |     sa_t = extractjson('$.type', sa) == 'MultiPolygon',
+          |     sa_n = tolong(array_length(rz)),
+          |     sa_match = array_length(rz) == array_length(zp),
+          |     inv1 = isnull(geo_union_polygons_array(pack_array(dynamic([[0.0, 0.0], [1.0, 1.0]])))),
+          |     inv2 = isnull(geo_simplify_polygons_array(pack_array(a), -5.0))""".stripMargin),
+      Some("""
+        SELECT TRUE AS ud_t, TRUE AS ud_add, TRUE AS ux_t, TRUE AS ux_pair,
+               TRUE AS uc_ok, TRUE AS up_ok, TRUE AS sa_t,
+               CAST(5 AS BIGINT) AS sa_n, TRUE AS sa_match,
+               TRUE AS inv1, TRUE AS inv2""")),
+
     "q_kql_cmdline_bytes" -> QueryDef(
       // parse_command_line (Windows/MSVCRT argv rules: quoted spans keep
       // whitespace, 2n backslashes before a quote emit n + delimiter,
