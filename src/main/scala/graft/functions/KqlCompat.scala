@@ -1416,6 +1416,18 @@ object KqlCompat {
           s"cos(radians($lat1)) * cos(radians($lat2)) * " +
           s"pow(sin(radians(($lon2) - ($lon1)) / 2), 2))))"
     }
+    // geo_azimuth(lng1, lat1, lng2, lat2): initial great-circle bearing at
+    // point 1 toward point 2, radians clockwise from north in [0, 2π) —
+    // the standard atan2 form, engine-neutral SQL (same libm bit-parity
+    // discipline as geo_distance_2points). Antipodal/coincident points
+    // yield the formula's own atan2(0, 0) = 0, matching the closed form.
+    s = expandCalls(s, "geo_azimuth") {
+      case Seq(lon1, lat1, lon2, lat2) =>
+        val az = s"atan2(sin(radians(($lon2) - ($lon1))) * cos(radians($lat2)), " +
+          s"cos(radians($lat1)) * sin(radians($lat2)) - " +
+          s"sin(radians($lat1)) * cos(radians($lat2)) * cos(radians(($lon2) - ($lon1))))"
+        s"(($az + 2.0 * pi()) % (2.0 * pi()))"
+    }
     // geo_point_in_polygon(lng, lat, ring): GEODESIC containment via the
     // gnomonic projection centered at the query point — great circles map
     // to straight LINES under gnomonic projection, so planar ray casting

@@ -4424,6 +4424,36 @@ object Surface {
                TRUE AS pb_corners_in, TRUE AS pb_out, TRUE AS inv1,
                TRUE AS inv2, TRUE AS inv3""")),
 
+    "q_kql_geo_azimuth" -> QueryDef(
+      // geo_azimuth: initial great-circle bearing, radians clockwise from
+      // north in [0, 2π). Cardinal directions pin the quadrant convention
+      // exactly (east = π/2, north = 0, west = 3π/2, south = π); the
+      // mid-latitude case is restated in DuckDB through the IDENTICAL
+      // atan2 arithmetic (libm bit-parity, the geo_distance discipline);
+      // plus the forward/back relation az(a,b) vs az(b,a) differs from π
+      // by the great-circle convergence (strictly between 0 and π here)
+      (s, dir) => kqlRun(s, dir,
+        """print e = geo_azimuth(0.0, 0.0, 10.0, 0.0),
+          |      n = geo_azimuth(0.0, 0.0, 0.0, 10.0),
+          |      w = geo_azimuth(0.0, 0.0, -10.0, 0.0),
+          |      sx = geo_azimuth(0.0, 10.0, 0.0, -10.0),
+          |      m = geo_azimuth(10.0, 50.0, 30.0, 55.0),
+          |      bk = geo_azimuth(30.0, 55.0, 10.0, 50.0)
+          | | project e6 = round(e, 6), n6 = round(n, 6), w6 = round(w, 6),
+          |     s6 = round(sx, 6), m6 = round(m, 6),
+          |     conv_ok = abs(bk - m - 3.141592653589793) > 0.0
+          |       and abs(bk - m) < 3.141592653589793 * 1.5""".stripMargin),
+      Some("""
+        WITH az AS (SELECT
+          (atan2(sin(radians((30.0) - (10.0))) * cos(radians(55.0)),
+                 cos(radians(50.0)) * sin(radians(55.0)) -
+                 sin(radians(50.0)) * cos(radians(55.0)) * cos(radians((30.0) - (10.0))))
+           + 2.0 * pi()) % (2.0 * pi()) AS m)
+        SELECT round(pi() / 2.0, 6) AS e6, 0.0 AS n6,
+               round(3.0 * pi() / 2.0, 6) AS w6, round(pi(), 6) AS s6,
+               round(m, 6) AS m6, TRUE AS conv_ok
+        FROM az""")),
+
     "q_kql_geo_poly_arrays" -> QueryDef(
       // the ARRAY forms of the clip/simplify family:
       // geo_union_polygons_array (n-ary fold of the spherical pair clip —
