@@ -336,7 +336,18 @@ object KqlCompat {
         "gradian" -> (math.Pi / 200.0), "revolution" -> (2.0 * math.Pi)),
       "convert_force" -> Map(
         "newton" -> 1.0, "kilonewton" -> 1000.0,
-        "poundforce" -> 4.4482216152605, "kilogramforce" -> 9.80665))
+        "poundforce" -> 4.4482216152605, "kilogramforce" -> 9.80665),
+      "convert_power" -> Map(
+        "watt" -> 1.0, "milliwatt" -> 0.001, "kilowatt" -> 1000.0,
+        "megawatt" -> 1e6, "gigawatt" -> 1e9,
+        "mechanicalhorsepower" -> 745.69987158227022,
+        "metrichorsepower" -> 735.49875),
+      "convert_pressure" -> Map(
+        "pascal" -> 1.0, "kilopascal" -> 1000.0, "megapascal" -> 1e6,
+        "bar" -> 1e5, "millibar" -> 100.0, "atmosphere" -> 101325.0,
+        "poundforcepersquareinch" -> 6894.757293168361,
+        "torr" -> (101325.0 / 760.0),
+        "millimeterofmercury" -> 133.322387415))
     for ((fn, factors) <- unitTables) {
       s = expandCalls(s, fn) {
         case Seq(v, f, t) if litUnit(f).isDefined && litUnit(t).isDefined =>

@@ -3984,11 +3984,16 @@ object Surface {
           |     g = round(convert_volume(1.0, 'Gallon', 'Liter'), 6),
           |     h = round(convert_energy(1.0, 'KilowattHour', 'Kilojoule'), 6),
           |     i = round(convert_angle(180.0, 'Degree', 'Radian'), 6),
-          |     j = round(convert_force(1.0, 'PoundForce', 'Newton'), 6)""".stripMargin),
+          |     j = round(convert_force(1.0, 'PoundForce', 'Newton'), 6),
+          |     k = round(convert_power(1.0, 'MechanicalHorsepower', 'Watt'), 6),
+          |     l = round(convert_power(2500.0, 'Kilowatt', 'Megawatt'), 6),
+          |     m = round(convert_pressure(1.0, 'Atmosphere', 'Bar'), 6),
+          |     n = round(convert_pressure(760.0, 'Torr', 'Kilopascal'), 6)""".stripMargin),
       Some("""
         SELECT 1.609344 AS a, 1.0 AS b, 453.59237 AS c, 27.777778 AS d,
                100.0 AS e, 273.15 AS f, 3.785412 AS g, 3600.0 AS h,
-               3.141593 AS i, 4.448222 AS j""")),
+               3.141593 AS i, 4.448222 AS j, 745.699872 AS k, 2.5 AS l,
+               1.01325 AS m, 101.325 AS n""")),
 
     "q_kql_parse_xml" -> QueryDef(
       // parse_xml (JDK DOM → bag, xmltodict conventions: @attrs, #text,
