@@ -42,7 +42,12 @@ def main():
     if stray:
         sys.exit(f"FATAL: notes for queries not timed this run: {stray}")
 
-    ratios = sorted(v["ratio"] for v in r1["queries"].values())
+    # -1.0 failure sentinels must not skew the headline stats (failures are
+    # already named in `failed`; ScaleBench's own contract keeps sentinels
+    # out of every summary)
+    ratios = sorted(v["ratio"] for v in r1["queries"].values() if v["ratio"] > 0)
+    if not ratios:
+        sys.exit("FATAL: no successful queries in the run")
     rec = {
         "round": int(rnd),
         "what": what,
@@ -59,9 +64,9 @@ def main():
         r2 = load_line(run2)
         if sorted(r2["queries"]) != sorted(r1["queries"]):
             sys.exit("FATAL: run membership differs between the two runs")
-        rs2 = sorted(v["ratio"] for v in r2["queries"].values())
+        rs2 = sorted(v["ratio"] for v in r2["queries"].values() if v["ratio"] > 0)
         rec["second_run"] = {
-            "median_ratio": rs2[len(rs2) // 2],
+            "median_ratio": rs2[len(rs2) // 2] if rs2 else -1.0,
             "failed": r2.get("failed", []),
             "queries": r2["queries"],
         }

@@ -54,18 +54,24 @@ echo "full per-query bench written to $(printf 'BENCH_LOCAL_r%02d.json' "$ROUND"
 echo "== bench regression vs previous round =="
 python3 scripts/bench_diff.py "$BENCH_LINE" 1.5
 
-echo "== 10x scale smoke (5 heaviest SF10 queries) =="
+echo "== 10x scale smoke (6 heaviest SF10 queries) =="
 # Scale posture must not drift between the big per-round SF10 efforts: time
 # the suite's historically heaviest queries at the 10x replica and fail
 # loudly if any one's big-side seconds regress >2x vs the committed SF1
-# record. ~2 min budget; skipped only if the replica cannot be built.
+# record. ~2-3 min budget; skipped only if the replica cannot be built.
+# SPARK_GRAFT_SCALE_ONLY is PREFIX matching, so q_kql_graph_shortest also
+# selects q_kql_graph_shortest_lo — deliberate, both are top-cost.
 SMOKE="dedup_substring_spans,dedup_pipeline_full,q_kql_graph_shortest,q_kql_graph_varlen_agg,text_bpe_train"
 if [ ! -d /tmp/sf1x10 ]; then
   sbt -batch "runMain graft.tools.ScaleData /root/testdata/sf0.1 /tmp/sf1x10 10" >/dev/null
 fi
+# A ScaleBench nonzero exit (a query failed at 10x) must NOT abort the
+# substitution under set -e: the python reporter below is what names the
+# failure and fails the gate — capture the line regardless.
 SMOKE_LINE=$(SPARK_GRAFT_SCALE_ONLY="$SMOKE" \
   sbt -batch "runMain graft.tools.ScaleBench /root/testdata/sf0.1 /tmp/sf1x10 10" \
-  | grep '"queries"' | sed 's/^\[info\] *//')
+  | grep '"queries"' | sed 's/^\[info\] *//' || true)
+if [ -z "$SMOKE_LINE" ]; then echo "10x SMOKE PRODUCED NO RECORD"; exit 1; fi
 echo "$SMOKE_LINE"
 python3 - "$SMOKE_LINE" <<'PY'
 import json, sys, glob

@@ -269,6 +269,15 @@ object GeoClip {
       case (Some(x), Some(y)) => (x, y)
       case _                  => return null
     }
+    // identical rings first (same guard as unionRings): every edge pair
+    // shares a great circle so no transversal crossing exists, and the
+    // containment fallback would probe a BOUNDARY vertex whose winding
+    // sits exactly on the ±π decision line — FP noise would decide.
+    // A∩A = A∪A = A by definition.
+    val dup = ra.length == rb.length && ra.forall(v =>
+      rb.exists(w => math.abs(v(0) - w(0)) < 1e-12 &&
+        math.abs(v(1) - w(1)) < 1e-12 && math.abs(v(2) - w(2)) < 1e-12))
+    if (dup) return polysJson(Array(ra))
     clipCrossings(ra, rb, intersectionOp) match {
       case Some(rings) => polysJson(rings)
       case None        =>
@@ -429,11 +438,14 @@ object GeoClip {
     val outs = shapes.map { case (lo, la) => GeoSimplify.simplify(lo, la, tolM, close = true) }
     if (outs.exists(_.isEmpty)) return null
     val ringsTxt = outs.map { o =>
-      // simplify(close=true) re-appends the start vertex — already closed
+      // simplify(close=true) re-appends the start vertex — already closed.
+      // Each entry is "[[ring]]" — one polygon's array-of-rings — which is
+      // EXACTLY a Polygon's coordinates value (depth 3), so the single-
+      // polygon branch emits it verbatim
       s"[[${o.get.map { case (x, y) => s"[$x,$y]" }.mkString(",")}]]"
     }
     if (ringsTxt.size == 1)
-      s"""{"type":"Polygon","coordinates":${ringsTxt.head.drop(1).dropRight(1)}}"""
+      s"""{"type":"Polygon","coordinates":${ringsTxt.head}}"""
     else
       s"""{"type":"MultiPolygon","coordinates":[${ringsTxt.mkString(",")}]}"""
   }

@@ -4504,12 +4504,17 @@ object Surface {
           |     sa_t = extractjson('$.type', sa) == 'MultiPolygon',
           |     sa_n = tolong(array_length(rz)),
           |     sa_match = array_length(rz) == array_length(zp),
+          |     s1_t = extractjson('$.type', geo_simplify_polygons_array(pack_array(c), 100.0))
+          |       == 'Polygon',
+          |     s1_n = tolong(array_length(from_json(extractjson('$.coordinates[0]',
+          |       geo_simplify_polygons_array(pack_array(c), 100.0)), 'array<array<double>>'))),
           |     inv1 = isnull(geo_union_polygons_array(pack_array(dynamic([[0.0, 0.0], [1.0, 1.0]])))),
           |     inv2 = isnull(geo_simplify_polygons_array(pack_array(a), -5.0))""".stripMargin),
       Some("""
         SELECT TRUE AS ud_t, TRUE AS ud_add, TRUE AS ux_t, TRUE AS ux_pair,
                TRUE AS uc_ok, TRUE AS up_ok, TRUE AS sa_t,
                CAST(5 AS BIGINT) AS sa_n, TRUE AS sa_match,
+               TRUE AS s1_t, CAST(5 AS BIGINT) AS s1_n,
                TRUE AS inv1, TRUE AS inv2""")),
 
     "q_kql_cmdline_bytes" -> QueryDef(

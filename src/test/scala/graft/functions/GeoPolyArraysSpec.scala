@@ -88,6 +88,30 @@ class GeoPolyArraysSpec extends AnyFunSuite {
       Seq((Array(0.0, 1.0), Array(0.0, 0.0))), 10.0) == null)
   }
 
+  test("single-polygon simplify emits depth-3 Polygon coordinates (the r11 review bug)") {
+    val sq  = quad(20, 0, 3, 3)
+    val out = GeoClip.simplifyPolygonsArray(Seq(sq), 100.0)
+    assert(out.contains("\"type\":\"Polygon\""))
+    // the parsed ring must carry the square's vertices — a depth-2
+    // emission parses as zero rings (or one garbage "ring" of scalars)
+    val rs = rings(out)
+    assert(rs.size == 1 && rs(0).length == 5, s"bad coordinates nesting:\n$out")
+    assert(math.abs(areaOf(out) - ringArea(sq)) < 1e-9 * ringArea(sq))
+  }
+
+  test("pair clip on IDENTICAL rings: A∩A = A∪A = A (boundary-vertex probe guard)") {
+    val a = quad(0, 0, 4, 3)
+    for (op <- Seq(true, false)) {
+      val out = GeoClip.clipPolygons(a._1, a._2, a._1, a._2, intersectionOp = op)
+      assert(rings(out).size == 1, s"op=$op produced:\n$out")
+      assert(math.abs(areaOf(out) - ringArea(a)) < 1e-9 * ringArea(a), s"op=$op")
+    }
+    // rotation of the vertex list is the same ring — still a duplicate
+    val rot = (Array(4.0, 4.0, -4.0, -4.0), Array(-3.0, 3.0, 3.0, -3.0))
+    val out = GeoClip.clipPolygons(a._1, a._2, rot._1, rot._2, intersectionOp = false)
+    assert(rings(out).size == 1 && math.abs(areaOf(out) - ringArea(a)) < 1e-9 * ringArea(a))
+  }
+
   test("simplify array matches the per-ring simplifier") {
     val zig = (Array(0.0, 2.0, 4.0, 6.0, 6.0, 0.0),
                Array(0.0, 0.001, -0.001, 0.0, 5.0, 5.0))
