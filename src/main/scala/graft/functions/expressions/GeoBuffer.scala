@@ -240,39 +240,20 @@ abstract class GeoBufferBase extends Expression with CodegenFallback {
     else TypeCheckResult.TypeCheckSuccess
   }
 
-  private def num(v: Any): Double = v match {
-    case d: org.apache.spark.sql.types.Decimal => d.toDouble
-    case n: Number                             => n.doubleValue()
-  }
-
   override def eval(input: InternalRow): Any = {
     val p = children.head.eval(input)
     if (p == null) return null
     val rv = children(1).eval(input)
     if (rv == null) return null
-    val r = num(rv)
+    val r = ShapeArg.num(rv)
     val tol = if (children.size == 3) {
       val t = children(2).eval(input)
       if (t == null) return null
-      num(t)
+      ShapeArg.num(t)
     } else r / 100.0
-    val arr = p.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val inner = children.head.dataType.asInstanceOf[ArrayType]
-      .elementType.asInstanceOf[ArrayType]
-    val n    = arr.numElements()
-    val lngs = new Array[Double](n)
-    val lats = new Array[Double](n)
-    var k = 0
-    while (k < n) {
-      val row = arr.get(k, inner)
-      if (row == null) return null
-      val pt = row.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      if (pt.numElements() < 2) return null
-      lngs(k) = num(pt.get(0, inner.elementType))
-      lats(k) = num(pt.get(1, inner.elementType))
-      k += 1
-    }
-    run(lngs, lats, r, tol) match {
+    val c = ShapeArg.coords(children.head.dataType.asInstanceOf[ArrayType], p)
+    if (c == null) return null
+    run(c._1, c._2, r, tol) match {
       case None      => null
       case Some(pts) => GeoBuffer.json(pts)
     }

@@ -473,36 +473,12 @@ abstract class GeoClipBase extends Expression with CodegenFallback {
     else TypeCheckResult.TypeCheckSuccess
   }
 
-  private def num(v: Any): Double = v match {
-    case d: org.apache.spark.sql.types.Decimal => d.toDouble
-    case n: Number                             => n.doubleValue()
-  }
-
-  private def coords(child: Expression, v: Any): (Array[Double], Array[Double]) = {
-    val arr   = v.asInstanceOf[ArrayData]
-    val inner = child.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[ArrayType]
-    val n     = arr.numElements()
-    val lngs  = new Array[Double](n)
-    val lats  = new Array[Double](n)
-    var k = 0
-    while (k < n) {
-      val row = arr.get(k, inner)
-      if (row == null) return null
-      val pt = row.asInstanceOf[ArrayData]
-      if (pt.numElements() < 2) return null
-      lngs(k) = num(pt.get(0, inner.elementType))
-      lats(k) = num(pt.get(1, inner.elementType))
-      k += 1
-    }
-    (lngs, lats)
-  }
-
   override def eval(input: InternalRow): Any = {
     val va = children(0).eval(input)
     val vb = children(1).eval(input)
     if (va == null || vb == null) return null
-    val ca = coords(children(0), va)
-    val cb = coords(children(1), vb)
+    val ca = ShapeArg.coords(children(0).dataType.asInstanceOf[ArrayType], va)
+    val cb = ShapeArg.coords(children(1).dataType.asInstanceOf[ArrayType], vb)
     if (ca == null || cb == null) return null
     val out = run(ca._1, ca._2, cb._1, cb._2)
     if (out == null) null else UTF8String.fromString(out)

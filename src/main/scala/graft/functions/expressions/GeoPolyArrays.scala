@@ -44,42 +44,25 @@ abstract class GeoPolyArrayBase extends Expression with CodegenFallback {
     else TypeCheckResult.TypeCheckSuccess
   }
 
-  private def num(v: Any): Double = v match {
-    case d: org.apache.spark.sql.types.Decimal => d.toDouble
-    case n: Number                             => n.doubleValue()
-  }
-
   override def eval(input: InternalRow): Any = {
     val p = children.head.eval(input)
     if (p == null) return null
     val tol = if (children.size == 2) {
       val t = children(1).eval(input)
       if (t == null) return null
-      num(t)
+      ShapeArg.num(t)
     } else 0.0
     val outer = p.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val ringT = children.head.dataType.asInstanceOf[ArrayType]
       .elementType.asInstanceOf[ArrayType]
-    val ptT = ringT.elementType.asInstanceOf[ArrayType]
     val shapes = scala.collection.mutable.ArrayBuffer.empty[(Array[Double], Array[Double])]
     var i = 0
     while (i < outer.numElements()) {
       val ringRaw = outer.get(i, ringT)
       if (ringRaw == null) return null
-      val ring = ringRaw.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      val lngs = new Array[Double](ring.numElements())
-      val lats = new Array[Double](ring.numElements())
-      var k = 0
-      while (k < ring.numElements()) {
-        val ptRaw = ring.get(k, ptT)
-        if (ptRaw == null) return null
-        val pt = ptRaw.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-        if (pt.numElements() < 2) return null
-        lngs(k) = num(pt.get(0, ptT.elementType))
-        lats(k) = num(pt.get(1, ptT.elementType))
-        k += 1
-      }
-      shapes += ((lngs, lats))
+      val c = ShapeArg.coords(ringT, ringRaw)
+      if (c == null) return null
+      shapes += c
       i += 1
     }
     val out = run(shapes.toSeq, tol)

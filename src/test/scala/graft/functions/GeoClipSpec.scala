@@ -10,36 +10,13 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class GeoClipSpec extends AnyFunSuite {
 
+  import GeoJsonTestUtil.{areaOf, quad, rings}
+
   private def ring(pts: (Double, Double)*): (Array[Double], Array[Double]) =
     (pts.map(_._1).toArray, pts.map(_._2).toArray)
 
-  /** Rings of a Polygon/MultiPolygon GeoJSON as [lng,lat] arrays (first
-    * ring of each polygon; the clipper emits no holes). */
-  private def rings(json: String): Seq[Array[(Double, Double)]] = {
-    if (json.contains("GeometryCollection")) return Seq.empty
-    val coords = json.split("\"coordinates\":")(1).dropRight(1)
-    val ringRe = "\\[(\\[-?[0-9.Ee-]+,-?[0-9.Ee-]+\\],?)+\\]".r
-    ringRe.findAllIn(coords).map { r =>
-      r.drop(1).dropRight(1).split("\\],\\[").map { p =>
-        val xy = p.replaceAll("[\\[\\]]", "").split(",")
-        (xy(0).toDouble, xy(1).toDouble)
-      }
-    }.toSeq
-  }
-
-  private def areaOf(json: String): Double =
-    rings(json).map { r =>
-      val open = r.dropRight(1) // closed GeoJSON ring -> open
-      GeoClip.areaM2(open.map { case (lo, la) => GeoClip.xyz(lo, la) })
-    }.sum
-
   private def ringArea(lngs: Array[Double], lats: Array[Double]): Double =
     GeoClip.areaM2(lngs.indices.map(i => GeoClip.xyz(lngs(i), lats(i))).toArray)
-
-  // a quad centered at (clng, clat) with half-extents ex/ey degrees
-  private def quad(clng: Double, clat: Double, ex: Double, ey: Double) =
-    ring((clng - ex, clat - ey), (clng + ex, clat - ey), (clng + ex, clat + ey),
-      (clng - ex, clat + ey))
 
   test("inclusion-exclusion: area(I) + area(U) == area(A) + area(B) across latitudes") {
     val cases = Seq(

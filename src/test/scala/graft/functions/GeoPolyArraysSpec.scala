@@ -10,28 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class GeoPolyArraysSpec extends AnyFunSuite {
 
-  private def quad(clng: Double, clat: Double, ex: Double, ey: Double)
-      : (Array[Double], Array[Double]) =
-    (Array(clng - ex, clng + ex, clng + ex, clng - ex),
-     Array(clat - ey, clat - ey, clat + ey, clat + ey))
-
-  private def rings(json: String): Seq[Array[(Double, Double)]] = {
-    if (json.contains("GeometryCollection")) return Seq.empty
-    val coords = json.split("\"coordinates\":")(1).dropRight(1)
-    val ringRe = "\\[(\\[-?[0-9.Ee-]+,-?[0-9.Ee-]+\\],?)+\\]".r
-    ringRe.findAllIn(coords).map { r =>
-      r.drop(1).dropRight(1).split("\\],\\[").map { p =>
-        val xy = p.replaceAll("[\\[\\]]", "").split(",")
-        (xy(0).toDouble, xy(1).toDouble)
-      }
-    }.toSeq
-  }
-
-  private def areaOf(json: String): Double =
-    rings(json).map { r =>
-      val open = r.dropRight(1)
-      GeoClip.areaM2(open.map { case (lo, la) => GeoClip.xyz(lo, la) })
-    }.sum
+  import GeoJsonTestUtil.{areaOf, quad, rings}
 
   private def ringArea(s: (Array[Double], Array[Double])): Double =
     GeoClip.areaM2(s._1.indices.map(i => GeoClip.xyz(s._1(i), s._2(i))).toArray)
