@@ -62,8 +62,13 @@ echo "== 10x scale smoke (6 heaviest SF10 queries) =="
 # SPARK_GRAFT_SCALE_ONLY is PREFIX matching, so q_kql_graph_shortest also
 # selects q_kql_graph_shortest_lo — deliberate, both are top-cost.
 SMOKE="dedup_substring_spans,dedup_pipeline_full,q_kql_graph_shortest,q_kql_graph_varlen_agg,text_bpe_train"
-if [ ! -d /tmp/sf1x10 ]; then
+# completion marker: a partially-built replica from an interrupted prior run
+# would silently skew smoke timings / fail queries — rebuild unless _SUCCESS
+# (written only after ScaleData finishes) is present.
+if [ ! -f /tmp/sf1x10/_SUCCESS ]; then
+  rm -rf /tmp/sf1x10
   sbt -batch "runMain graft.tools.ScaleData /root/testdata/sf0.1 /tmp/sf1x10 10" >/dev/null
+  touch /tmp/sf1x10/_SUCCESS
 fi
 # A ScaleBench nonzero exit (a query failed at 10x) must NOT abort the
 # substitution under set -e: the python reporter below is what names the

@@ -88,22 +88,26 @@ object DedupFunctions {
     *
     * Driver/executor footprint: the bloom is ~10 bits per distinct key at
     * 2% fpp (12 MB per 10^7 keys), built with one treeAggregate over
-    * `small` (no shuffle) and shipped once per executor as a broadcast.
-    * At 100 TB the `small` side is the already-aggregated duplicate-key
-    * set — orders of magnitude below the corpus side this protects.
-    * `small` is evaluated twice (count + bloom build): cache it first if
-    * it is expensive.
+    * `small` (no shuffle) and embedded in the plan as a BINARY LITERAL
+    * probed by the native `bloom_contains` expression (BloomContains.scala
+    * — deserialized once per executor via addReferenceObj, primitive-long
+    * per-row probe inside whole-stage codegen; the literal ships inside
+    * the stage's task-binary torrent broadcast and is released with the
+    * stage, so repeated invocations leak nothing). At 100 TB the `small`
+    * side is the already-aggregated duplicate-key set — orders of
+    * magnitude below the corpus side this protects. `small` is evaluated
+    * twice (count + bloom build): cache it first if it is expensive.
+    * Requires [[graft.GraftSessionExtensions]] on the session (every
+    * graft builder configures it).
     */
   def bloomSemiPrefilter(big: DataFrame, small: DataFrame, key: String,
       fpp: Double = 0.02): DataFrame = {
     val n = small.count()
     if (n == 0) big.filter(lit(false))
     else {
-      val bf  = small.stat.bloomFilter(key, math.max(n, 1000L), fpp)
-      val bfB = big.sparkSession.sparkContext.broadcast(bf)
-      val mightContain =
-        udf((h: java.lang.Long) => h != null && bfB.value.mightContainLong(h))
-      big.filter(mightContain(col(key)))
+      val bf = small.stat.bloomFilter(key, math.max(n, 1000L), fpp)
+      big.filter(graft.functions.expressions.BloomContains.bloomContains(
+        lit(graft.functions.expressions.BloomContains.serialize(bf)), col(key)))
     }
   }
 

@@ -28,7 +28,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * Divergences (documented): collinear-overlap edges and vertex-touching
   * crossings are not split exactly (measure-zero configurations; ADX uses
   * planar WGS-84 clipping); empty results are
-  * `{"type":"GeometryCollection","geometries":[]}`.
+  * `{"type":"GeometryCollection","geometries":[]}`. The PAIR clip emits
+  * hole-forming traversal rings (negative winding, e.g. two horseshoes
+  * union-closing an annulus) as interior rings per RFC 7946; the n-ary
+  * array fold (`unionRings`) keeps its documented no-holes posture.
   * Null on malformed shapes (ring < 3 vertices, line < 2, NaN or
   * out-of-range coordinates), matching the rest of the geo surface.
   */
@@ -78,6 +81,10 @@ object GeoClip {
   }
 
   def areaM2(ring: Array[Array[Double]]): Double = math.abs(signedOmega(ring)) * R * R
+
+  /** Signed spherical area (m²): positive CCW, negative CW — lets a
+    * hole-aware caller fold Polygon rings with plain addition. */
+  def signedAreaM2(ring: Array[Array[Double]]): Double = signedOmega(ring) * R * R
 
   /** Tangent-plane winding test: total azimuth winding of the ring seen
     * from p is +-2pi inside, ~0 outside. Robust away from the boundary. */
@@ -255,12 +262,35 @@ object GeoClip {
   }
 
   private def polysJson(rings: Array[Array[Array[Double]]]): String =
-    if (rings.isEmpty) emptyGeo
-    else if (rings.length == 1) s"""{"type":"Polygon","coordinates":[${ringJson(rings(0))}]}"""
-    else {
-      val body = rings.map(r => s"[${ringJson(r)}]").mkString(",")
+    polysJsonHoled(rings.map(r => (r, Array.empty[Array[Array[Double]]])))
+
+  /** Polygon/MultiPolygon with interior rings: each entry is
+    * (outer, holes). RFC 7946 orientation is preserved as passed in
+    * (outers CCW, holes CW — the GH traversal already traces holes CW). */
+  private def polysJsonHoled(
+      polys: Array[(Array[Array[Double]], Array[Array[Array[Double]]])]): String =
+    if (polys.isEmpty) emptyGeo
+    else if (polys.length == 1) {
+      val body = (polys(0)._1 +: polys(0)._2).map(r => ringJson(r)).mkString(",")
+      s"""{"type":"Polygon","coordinates":[$body]}"""
+    } else {
+      val body = polys
+        .map { case (o, hs) => s"[${(o +: hs).map(r => ringJson(r)).mkString(",")}]" }
+        .mkString(",")
       s"""{"type":"MultiPolygon","coordinates":[$body]}"""
     }
+
+  /** Classify GH traversal rings by winding: positive signedOmega rings
+    * are boundaries, negative ones are HOLES (the traversal legitimately
+    * produces the hole loop when a union closes around a void — e.g. two
+    * horseshoes forming an annulus). Each hole is attached as an interior
+    * ring of the outer that contains it; a hole contained by no outer
+    * (not constructible from a two-ring clip) is dropped rather than
+    * inflating the result as an island. */
+  private def holedJson(rings: Array[Array[Array[Double]]]): String = {
+    val (outers, holes) = rings.partition(r => signedOmega(r) >= 0)
+    polysJsonHoled(outers.map(o => (o, holes.filter(h => pointInRing(h(0), o)))))
+  }
 
   /** Polygon/polygon clip -> GeoJSON, or null on malformed input. */
   def clipPolygons(aLngs: Array[Double], aLats: Array[Double],
@@ -279,7 +309,7 @@ object GeoClip {
         math.abs(v(1) - w(1)) < 1e-12 && math.abs(v(2) - w(2)) < 1e-12))
     if (dup) return polysJson(Array(ra))
     clipCrossings(ra, rb, intersectionOp) match {
-      case Some(rings) => polysJson(rings)
+      case Some(rings) => holedJson(rings)
       case None        =>
         val aInB = pointInRing(ra(0), rb)
         val bInA = pointInRing(rb(0), ra)

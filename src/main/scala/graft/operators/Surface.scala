@@ -4517,6 +4517,41 @@ object Surface {
                TRUE AS s1_t, CAST(5 AS BIGINT) AS s1_n,
                TRUE AS inv1, TRUE AS inv2""")),
 
+    "q_kql_geo_union_holes" -> QueryDef(
+      // round 12: hole-forming union pinned at the ORACLE level (the
+      // round-11 advice finding). A U-shaped ring plus a bar closing its
+      // notch from above union-enclose a void; the GH traversal traces
+      // that void as a negative-winding loop which MUST surface as an
+      // RFC-7946 interior ring — emitting it as an island inflates
+      // area(A∪B) by 2x the hole and silently breaks inclusion-exclusion.
+      // Gates in-plan: single Polygon with exactly 2 rings, the void
+      // center sits inside BOTH the outer and the hole ring (i.e. it is
+      // excluded from the union region), intersection is the two disjoint
+      // arm overlaps, and inclusion-exclusion holds with the hole
+      // SUBTRACTED (1e-6 relative).
+      (s, dir) => kqlRun(s, dir,
+        """print a = dynamic([[-4.0, -4.0], [4.0, -4.0], [4.0, 4.0], [2.0, 4.0],
+          |        [2.0, -2.0], [-2.0, -2.0], [-2.0, 4.0], [-4.0, 4.0]]),
+          |      b = dynamic([[-5.0, 1.0], [5.0, 1.0], [5.0, 5.0], [-5.0, 5.0]])
+          | | extend uu = geo_union_2polygons(a, b), ii = geo_intersection_2polygons(a, b)
+          | | extend outer = from_json(extractjson('$.coordinates[0]', uu), 'array<array<double>>'),
+          |     hole = from_json(extractjson('$.coordinates[1]', uu), 'array<array<double>>'),
+          |     i1 = from_json(extractjson('$.coordinates[0][0]', ii), 'array<array<double>>'),
+          |     i2 = from_json(extractjson('$.coordinates[1][0]', ii), 'array<array<double>>')
+          | | project uu_t = extractjson('$.type', uu) == 'Polygon',
+          |     uu_nrings = tolong(array_length(from_json(
+          |       extractjson('$.coordinates', uu), 'array<array<array<double>>>'))),
+          |     ii_t = extractjson('$.type', ii) == 'MultiPolygon',
+          |     void_in_outer = geo_point_in_polygon(0.0, 0.0, outer),
+          |     void_in_hole = geo_point_in_polygon(0.0, 0.0, hole),
+          |     incl_excl = abs(((geo_polygon_area(outer) - geo_polygon_area(hole))
+          |         + geo_polygon_area(i1) + geo_polygon_area(i2))
+          |       - (geo_polygon_area(a) + geo_polygon_area(b)))
+          |       < 0.000001 * (geo_polygon_area(a) + geo_polygon_area(b))""".stripMargin),
+      Some("""
+        SELECT TRUE AS uu_t, CAST(2 AS BIGINT) AS uu_nrings, TRUE AS ii_t,
+               TRUE AS void_in_outer, TRUE AS void_in_hole, TRUE AS incl_excl""")),
+
     "q_kql_cmdline_bytes" -> QueryDef(
       // parse_command_line (Windows/MSVCRT argv rules: quoted spans keep
       // whitespace, 2n backslashes before a quote emit n + delimiter,

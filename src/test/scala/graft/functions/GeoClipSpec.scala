@@ -78,6 +78,36 @@ class GeoClipSpec extends AnyFunSuite {
     assert(rings(u).head.length == 13, "union of the cross is a 12-gon")
   }
 
+  test("hole-forming union: U-shape + closing bar emit the void as an interior ring") {
+    // A is a U (notch open to the north), B is a bar closing the notch
+    // from above: their union encloses a void, which the GH traversal
+    // traces as a CW loop. The emitter must attach it as an interior
+    // ring (RFC 7946), not an island — an island would inflate the area
+    // by 2x the hole and break inclusion-exclusion.
+    val (alg, alt) = ring((-4.0, -4.0), (4.0, -4.0), (4.0, 4.0), (2.0, 4.0),
+      (2.0, -2.0), (-2.0, -2.0), (-2.0, 4.0), (-4.0, 4.0))
+    val (blg, blt) = ring((-5.0, 1.0), (5.0, 1.0), (5.0, 5.0), (-5.0, 5.0))
+    val u = GeoClip.clipPolygons(alg, alt, blg, blt, intersectionOp = false)
+    assert(u.contains("\"Polygon\"") && !u.contains("MultiPolygon"),
+      s"one outer with a hole, got $u")
+    val ur = rings(u)
+    assert(ur.size == 2, s"outer + hole, got ${ur.size} rings")
+    def signed(r: Array[(Double, Double)]): Double =
+      GeoClip.signedAreaM2(r.dropRight(1).map { case (lo, la) => GeoClip.xyz(lo, la) })
+    assert(signed(ur(0)) > 0, "outer ring CCW")
+    assert(signed(ur(1)) < 0, "hole ring CW (RFC 7946)")
+    // the void's center must be inside the hole ring
+    val hole = ur(1).dropRight(1).map { case (lo, la) => GeoClip.xyz(lo, la) }
+    assert(GeoClip.pointInRing(GeoClip.xyz(0.0, 0.0), hole), "void center in hole")
+    // intersection is the two arm overlaps — and inclusion-exclusion must
+    // hold with the hole SUBTRACTED (areaOf folds signed ring areas)
+    val i = GeoClip.clipPolygons(alg, alt, blg, blt, intersectionOp = true)
+    assert(rings(i).size == 2, "two disjoint arm overlaps")
+    val lhs = areaOf(i) + areaOf(u)
+    val rhs = ringArea(alg, alt) + ringArea(blg, blt)
+    assert(math.abs(lhs - rhs) < 1e-6 * rhs, s"incl-excl with hole: $lhs vs $rhs")
+  }
+
   test("line clipped to ring: length conserved, inside/outside degenerate cases") {
     val (alg, alt) = quad(0, 0, 4, 4)
     val clipped = GeoClip.clipLineWithPolygon(

@@ -7,8 +7,9 @@ package graft.functions.expressions
   */
 object GeoJsonTestUtil {
 
-  /** Rings of a Polygon/MultiPolygon GeoJSON as [lng,lat] arrays (first
-    * ring of each polygon; the clippers emit no holes). */
+  /** ALL rings of a Polygon/MultiPolygon GeoJSON as [lng,lat] arrays —
+    * interior rings included, in emission order (outer first, its CW
+    * holes after it). */
   def rings(json: String): Seq[Array[(Double, Double)]] = {
     if (json.contains("GeometryCollection")) return Seq.empty
     val coords = json.split("\"coordinates\":")(1).dropRight(1)
@@ -21,11 +22,13 @@ object GeoJsonTestUtil {
     }.toSeq
   }
 
-  /** Total spherical area (m²) of every ring in the GeoJSON. */
+  /** Total spherical area (m²) of the GeoJSON: SIGNED sum over rings, so
+    * CW interior rings (holes) subtract — identical to the old |area| sum
+    * on hole-free output where every ring is CCW. */
   def areaOf(json: String): Double =
     rings(json).map { r =>
       val open = r.dropRight(1) // closed GeoJSON ring -> open
-      GeoClip.areaM2(open.map { case (lo, la) => GeoClip.xyz(lo, la) })
+      GeoClip.signedAreaM2(open.map { case (lo, la) => GeoClip.xyz(lo, la) })
     }.sum
 
   /** A quad centered at (clng, clat) with half-extents ex/ey degrees. */
