@@ -6,8 +6,15 @@ import sys, json, glob, os
 import duckdb
 import pandas as pd
 
-sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+args = sys.argv[1:]
+record_path = None
+if "--record" in args:
+    i = args.index("--record")
+    record_path = args[i + 1]
+    del args[i:i + 2]
+sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+out_dir = args[1] if len(args) > 1 else "/tmp/verify_out"
+record = {}
 
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
@@ -21,6 +28,7 @@ fails = []
 for name in sorted(oracles):
     if not os.path.isdir(os.path.join(out_dir, name)):
         print(f"{name:28s} NO-SPARK-DUMP (query failed in Verify?)")
+        record[name] = "NO-SPARK-DUMP"
         fails.append(name)
 for name in sorted(os.listdir(out_dir)):
     d = os.path.join(out_dir, name)
@@ -29,16 +37,19 @@ for name in sorted(os.listdir(out_dir)):
     spark_df = pd.concat([pd.read_parquet(f) for f in glob.glob(f"{d}/*.parquet")])
     if name not in oracles:
         print(f"{name:28s} rows-only: {len(spark_df)} rows")
+        record[name] = f"rows-only:{len(spark_df)}"
         continue
     try:
         oracle_df = con.execute(oracles[name]).fetchdf()
     except Exception as e:
         print(f"{name:28s} ORACLE-ERROR: {e}")
+        record[name] = f"ORACLE-ERROR: {str(e)[:200]}"
         fails.append(name); continue
     a = spark_df.reindex(sorted(spark_df.columns), axis=1)
     b = oracle_df.reindex(sorted(oracle_df.columns), axis=1)
     if list(a.columns) != list(b.columns):
         print(f"{name:28s} SCHEMA-MISMATCH spark={list(a.columns)} oracle={list(b.columns)}")
+        record[name] = "SCHEMA-MISMATCH"
         fails.append(name); continue
     # normalize dtypes the way a value-hash would see them
     for c in a.columns:
@@ -49,11 +60,13 @@ for name in sorted(os.listdir(out_dir)):
     b = b.sort_values(by=list(b.columns)).reset_index(drop=True)
     if len(a) != len(b):
         print(f"{name:28s} ROWCOUNT spark={len(a)} oracle={len(b)}")
+        record[name] = f"ROWCOUNT spark={len(a)} oracle={len(b)}"
         fails.append(name); continue
     try:
         pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
     except AssertionError as e:
         print(f"{name:28s} VALUE-MISMATCH: {str(e).splitlines()[-1][:160]}")
+        record[name] = f"VALUE-MISMATCH: {str(e).splitlines()[-1][:160]}"
         fails.append(name); continue
     # dtype-kind check: the driver's value hash is dtype-sensitive (int64 vs
     # float64 from e.g. DuckDB HUGEINT diverge even when values match), so a
@@ -64,8 +77,18 @@ for name in sorted(os.listdir(out_dir)):
     if kind_bad:
         detail = {c: f"spark={a[c].dtype} oracle={b[c].dtype}" for c in kind_bad}
         print(f"{name:28s} DTYPE-MISMATCH {detail}")
+        record[name] = f"DTYPE-MISMATCH {detail}"
         fails.append(name); continue
     print(f"{name:28s} OK ({len(a)} rows)")
+    record[name] = f"OK:{len(a)}"
+
+if record_path:
+    ok = sum(1 for v in record.values() if v.startswith("OK:"))
+    with open(record_path, "w") as f:
+        json.dump({"sf_dir": sf_dir, "queries": len(record), "ok": ok,
+                   "failures": fails, "per_query": record}, f, indent=1)
+        f.write("\n")
+    print(f"record written to {record_path}")
 
 print(f"\n{len(fails)} failures: {fails}" if fails else "\nALL MATCH")
 sys.exit(1 if fails else 0)

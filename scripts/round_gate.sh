@@ -54,6 +54,9 @@ echo "full per-query bench written to $(printf 'BENCH_LOCAL_r%02d.json' "$ROUND"
 echo "== bench regression vs previous round =="
 python3 scripts/bench_diff.py "$BENCH_LINE" 1.5
 
+echo "== SURVEY transcription block (quote these lines verbatim) =="
+python3 scripts/survey_numbers.py "$ROUND" || true
+
 echo "== 10x scale smoke (6 heaviest SF10 queries) =="
 # Scale posture must not drift between the big per-round SF10 efforts: time
 # the suite's historically heaviest queries at the 10x replica and fail

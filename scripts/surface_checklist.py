@@ -26,6 +26,7 @@ SOURCES = [
     ROOT / "src/main/scala/graft/kql/KqlPipeline.scala",
     ROOT / "src/main/scala/graft/functions/KqlCompat.scala",
     ROOT / "src/main/scala/graft/operators/Surface.scala",
+    ROOT / "src/main/scala/graft/GraftSessionExtensions.scala",
 ]
 EXPR_DIR = ROOT / "src/main/scala/graft/functions/expressions"
 
@@ -163,6 +164,14 @@ IMPOSSIBLE = {
     "infer_storage_schema": "probes external storage blobs; zero-egress sandbox",
 }
 
+# Implemented because Spark SQL evaluates the identical name with identical
+# semantics (rewrite() is a no-op on them) — each one oracle-pinned by
+# q_kql_scalar_passthrough so the claim is checked, not assumed.
+PASSTHROUGH = """
+acos atan ceiling current_database dayofyear degrees exp floor isnan isnotnull
+isnull log log10 log2 not pi radians round sign tan url_encode
+""".split()
+
 DIVERGENT = {
     # name: documented divergence (implemented, behavior differs at the operator)
     "reduce": "deterministic prefix/suffix grouping instead of ADX's opaque similarity heuristic (documented at the operator)",
@@ -173,16 +182,31 @@ DIVERGENT = {
     "geo_simplify_polygons_array": "per-ring simplify; ADX preserves shared borders (documented at the operator)",
     "rand": "Spark-seeded deterministic stream, not ADX's nondeterministic rand (oracle requires determinism)",
     "new_guid": "deterministic UUID from a seeded stream (oracle requires determinism)",
+    # round-12 straggler batch (q_kql_scalar/dynamic/geo_stragglers pins)
+    "gettype": "STATIC column type mapped to KQL names, not ADX's per-row dynamic probe (documented at the expansion)",
+    "estimate_data_size": "per-type width heuristic (strings by bytes, dynamics by serialized text); ADX's estimate is engine-specific too",
+    "bin_auto": "query_bin_auto_size binds as a column/let, not a query property (no query-property plane in a library engine)",
+    "isutf8": "JVM strings are definitionally valid — true iff non-null",
+    "url_encode": "Spark form-encoding: '+' for space and UPPERCASE hex (ADX prints lowercase) — spelling divergence only",
+    "series_fit_line": "tuple multi-assignment form not supported; use series_fit_line_dynamic (same fit, bag output)",
+    "series_fit_2lines": "tuple multi-assignment form not supported; use series_fit_2lines_dynamic",
+    "series_stats": "tuple multi-assignment form not supported; use series_stats_dynamic",
+    "series_periods_validate": "scores via the detector's normalized autocorrelation, not ADX's FFT scorer (same contract)",
+    "extent_id": "mirror-plane analog: the MLK_BlobPath lineage column (MirrorTable) — no Kusto extent identity in a lake engine",
+    "extent_tags": "mirror-plane analog: add.tags through the checkpoint fold (MirrorTable.liveFiles)",
+    "ingestion_time": "mirror-plane analog: the MLK_IngestTs column stamped at staging",
+    "geo_angle": "angle convention documented at the expansion: CW at p2 from ray p2->p1 to ray p2->p3 in [0, 2pi)",
+    "percentrank_tdigest": "fraction [0,1] = rank_tdigest/100 (the pair's percentage read scaled)",
 }
 
 # names whose registration token differs from the docs name
+_CASTS = 'for (t <- Seq("string", "int", "long", "double", "bool", "real", "decimal"))'
 ALIASES = {
-    "iff": '"iif"',            # single expansion handles both spellings
-    "limit": '"take"',
-    "order": '"order"',
-    "ceiling": '"ceiling"',
     "percentiles": '"percentile"',   # multi-arg form of the same expansion
-    "R": '"autocluster"',      # placeholder never used; R is impossible anyway
+    "ago": "ago\\\\(",           # regex-rewritten (ago(1d) -> interval)
+    # the to* cast family expands via one dynamic loop in KqlCompat
+    "tobool": _CASTS, "todecimal": _CASTS, "todouble": _CASTS,
+    "toint": _CASTS, "tolong": _CASTS, "toreal": _CASTS, "tostring": _CASTS,
 }
 
 
@@ -217,6 +241,8 @@ def main() -> int:
         for n in sorted(set(names)):
             if n in IMPOSSIBLE:
                 imp.append(n)
+            elif n in PASSTHROUGH:
+                impl.append(n)
             elif n in DIVERGENT:
                 div.append(n)
             elif grep_hit(n, hay):

@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Emit the round's SURVEY-ready closing-numbers block from COMMITTED
+records only (BENCH_LOCAL_r{N}, BENCH_SF1_r{N}, BENCH_SF10_r{N},
+BENCH_META_r{N} when present) — the r11 verdict's transcription-discipline
+ask: SURVEY prose quotes these lines verbatim instead of hand-typed
+numbers that can drift from the records.
+
+Usage: survey_numbers.py [round]   (default: newest BENCH_LOCAL on disk)
+"""
+import glob
+import json
+import sys
+
+
+def load(path):
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def main():
+    if len(sys.argv) > 1:
+        rnd = int(sys.argv[1])
+    else:
+        files = sorted(glob.glob("BENCH_LOCAL_r*.json"))
+        if not files:
+            sys.exit("no BENCH_LOCAL_r*.json found")
+        rnd = int(files[-1].rsplit("_r", 1)[1].split(".")[0])
+    tag = f"r{rnd:02d}"
+
+    local = load(f"BENCH_LOCAL_{tag}.json")
+    if local:
+        qs = local["queries"]
+        total = sum(qs.values()) if all(
+            isinstance(v, (int, float)) for v in qs.values()) else local.get("value")
+        print(f"BENCH_LOCAL_{tag}: {total:.1f} s / {len(qs)} queries "
+              f"(max {max(qs, key=qs.get)} {max(qs.values()):.2f} s)")
+    for name, label in ((f"BENCH_SF1_{tag}.json", "SF1 (10x)"),
+                        (f"BENCH_SF10_{tag}.json", "SF10 (100x)")):
+        rec = load(name)
+        if not rec:
+            continue
+        line = (f"{label}: {len(rec['timed'])} queries, median "
+                f"{rec['median_ratio']}x, max {rec['max_ratio']}x, "
+                f"failed={rec['failed']}")
+        second = rec.get("second_run")
+        if second:
+            line += f"; run-2 median {second['median_ratio']}x, failed={second['failed']}"
+        print(line)
+    meta = load(f"BENCH_META_{tag}.json")
+    if meta:
+        ph = meta["phases"]
+        print(f"BENCH_META_{tag}: bootstrap {ph['bootstrap_full_snapshot']['adds']} adds "
+              f"{ph['bootstrap_full_snapshot']['sec']:.1f} s "
+              f"({ph['bootstrap_full_snapshot']['heap_after_gb']:.2f} GB after GC), "
+              f"delta {ph['delta_vs_90pct_applied']:.1f} s, "
+              f"coalesce {ph['coalesce_10_slices']:.1f} s, "
+              f"E2E {meta['n_blobs']} blobs {ph['e2e_first_mirror_batch']['sec']:.1f} s, "
+              f"heap peak {meta['heap_peak_gb']:.2f} GB / {meta['driver_heap_gb']:.0f} GB")
+
+
+if __name__ == "__main__":
+    main()

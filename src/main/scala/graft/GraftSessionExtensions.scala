@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.expressions.{BagMerge, BetaCdf, BetaInv, BottomKValues, GammaFn, LogGammaFn, ParseCsv, RankTDigest, FreqAgg, FreqMergeAgg, FreqTopK, SampleBottomKAgg, SampleBottomKMergeAgg, ThetaAgg, ThetaMergeAgg, ThetaEstimate, ThetaIntersect, ThetaDiff, BagRemoveKeys, BloomContains, DynamicToJson, GeoPointToGeohash, GeohashCentralPoint, GeohashNeighbors, GeohashToPolygon, ParseCommandLine, Base64DecodeToArray, Base64EncodeFromArray, GeoS2CellNeighbors, GeoS2CellToPolygon, GeoPolygonToS2Cells, GeoLineToS2Cells, GeoClosestPointOnLine, GeoLineDensify, GeoPolygonDensify, GeoLineSimplify, GeoPolygonSimplify, GeoPointBuffer, GeoLineBuffer, GeoPolygonBuffer, GeoIntersection2Polygons, GeoUnion2Polygons, GeoIntersection2Lines, GeoIntersectionLineWithPolygon, GeoUnionPolygonsArray, GeoSimplifyPolygonsArray, GramHashes, GzipCompress, GzipDecompress, Ipv4RangeToCidr, Ipv6Norm, ParseXml, PercentileTDigest, PunycodeDomainFrom, PunycodeDomainTo, PunycodeEncode, PunycodeDecode, RollingHash, S2CellCentralPoint, GeoPointToS2Cell, SeriesFft, SeriesIfft, SeriesFitPoly, TDigestAgg, TDigestMergeAgg, TermHas, VectorDot, WelchTest, ZlibCompress, ZlibDecompress}
+import graft.functions.expressions.{BagMerge, BetaCdf, BetaInv, BottomKValues, GammaFn, LogGammaFn, ParseCsv, RankTDigest, FreqAgg, FreqMergeAgg, FreqTopK, SampleBottomKAgg, SampleBottomKMergeAgg, ThetaAgg, ThetaMergeAgg, ThetaEstimate, ThetaIntersect, ThetaDiff, BagRemoveKeys, BloomContains, DynamicToJson, GeoPointToGeohash, GeohashCentralPoint, GeohashNeighbors, GeohashToPolygon, ParseCommandLine, Base64DecodeToArray, Base64EncodeFromArray, GeoS2CellNeighbors, GeoS2CellToPolygon, GeoPolygonToS2Cells, GeoLineToS2Cells, GeoClosestPointOnLine, GeoLineDensify, GeoPolygonDensify, GeoLineSimplify, GeoPolygonSimplify, GeoPointBuffer, GeoLineBuffer, GeoPolygonBuffer, GeoIntersection2Polygons, GeoUnion2Polygons, GeoIntersection2Lines, GeoIntersectionLineWithPolygon, GeoUnionPolygonsArray, GeoSimplifyPolygonsArray, GeoUnionLinesArray, GeoS2CellParent, GeoS2CellChildren, TreePath, BuildSchemaAgg, GramHashes, GzipCompress, GzipDecompress, Ipv4RangeToCidr, Ipv6Norm, ParseXml, PercentileTDigest, PunycodeDomainFrom, PunycodeDomainTo, PunycodeEncode, PunycodeDecode, RollingHash, S2CellCentralPoint, GeoPointToS2Cell, SeriesFft, SeriesIfft, SeriesFitPoly, TDigestAgg, TDigestMergeAgg, TermHas, VectorDot, WelchTest, ZlibCompress, ZlibDecompress}
 
 /** Spark plugin entry point: load with
   * `spark.sql.extensions=graft.GraftSessionExtensions` (works with plain
@@ -130,9 +130,22 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
           mk(children)
         }))
     }
+    unary("geo_s2cell_children", classOf[GeoS2CellChildren], GeoS2CellChildren(_))
+    unary("treepath", classOf[TreePath], TreePath(_))
+    unary("buildschema", classOf[BuildSchemaAgg], BuildSchemaAgg(_))
+    ext.injectFunction((
+      new FunctionIdentifier("geo_s2cell_parent"),
+      new ExpressionInfo(classOf[GeoS2CellParent].getName, "geo_s2cell_parent"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1 || children.size == 2,
+          "geo_s2cell_parent takes (token [, level])")
+        GeoS2CellParent(children)
+      }))
     Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression, Class[_], String)](
       ("geo_union_polygons_array", GeoUnionPolygonsArray(_),
         classOf[GeoUnionPolygonsArray], "(polygons)"),
+      ("geo_union_lines_array", GeoUnionLinesArray(_),
+        classOf[GeoUnionLinesArray], "(lines)"),
       ("geo_simplify_polygons_array", GeoSimplifyPolygonsArray(_),
         classOf[GeoSimplifyPolygonsArray], "(polygons [, tolerance_m])")
     ).foreach { case (nm, mk, cls, sig) =>

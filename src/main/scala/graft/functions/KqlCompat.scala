@@ -133,6 +133,8 @@ object KqlCompat {
     // aliases ADX keeps for compatibility
     "extract_json("    -> "extractjson(",
     "pack_dictionary(" -> "bag_pack(",
+    // make_string is the deprecated ADX alias of the codepoints builder
+    "make_string("     -> "unicode_codepoints_to_string(",
     // epoch → datetime family (nanos needs a division — expandCalls below)
     "unixtime_seconds_todatetime("      -> "timestamp_seconds(",
     "unixtime_milliseconds_todatetime(" -> "timestamp_millis(",
@@ -375,6 +377,130 @@ object KqlCompat {
           throw new IllegalArgumentException(s"convert_temperature: unknown unit ${t.trim}"))
         tf(ff(s"CAST($v AS DOUBLE)"))
     }
+    // ---- round-12 remaining-surface stragglers (surface_checklist.py) ----
+    // around(x, center, delta): closed-interval membership. Works for any
+    // type whose +/- Spark supports — numeric directly, datetime with a
+    // timespan delta (the bare-timespan literal rewrite below turns 1d
+    // into an interval before Spark sees it).
+    s = expandCalls(s, "around") {
+      case Seq(x, c, d) => s"(($x) >= ($c) - ($d) AND ($x) <= ($c) + ($d))"
+    }
+    // datetime_part(part, dt): LITERAL part names resolve at rewrite time
+    // (unknown parts fail loudly). Sub-second parts follow ADX's
+    // full-prefix convention (01:02:03.7654321 → millisecond 765,
+    // microsecond 765432); nanosecond is microsecond*1000 — this engine's
+    // timestamps carry microsecond precision (documented).
+    s = expandCalls(s, "datetime_part") {
+      case Seq(p, x) if litUnit(p).isDefined =>
+        val ts = s"cast(($x) as timestamp)"
+        val us = s"((unix_micros($ts) % 1000000 + 1000000) % 1000000)"
+        litUnit(p).get match {
+          case "year"         => s"year($ts)"
+          case "quarter"      => s"quarter($ts)"
+          case "month"        => s"month($ts)"
+          case "week_of_year" => s"weekofyear($ts)"
+          case "day"          => s"day($ts)"
+          case "dayofyear"    => s"dayofyear($ts)"
+          case "hour"         => s"hour($ts)"
+          case "minute"       => s"minute($ts)"
+          case "second"       => s"cast(floor(second($ts)) as int)"
+          case "millisecond"  => s"cast(floor($us / 1000) as int)"
+          case "microsecond"  => s"cast($us as int)"
+          case "nanosecond"   => s"cast($us * 1000 as long)"
+          case other => throw new IllegalArgumentException(
+            s"datetime_part: unknown part '$other'")
+        }
+    }
+    // estimate_data_size(c1, c2, …): per-column byte estimate summed —
+    // strings/dynamics by their serialized length, fixed-width types by
+    // width (typeof() is a plan-time constant per column, so the CASE
+    // folds). ADX's own estimate is heuristic too; exact per-engine byte
+    // counts are not comparable and not the point.
+    s = expandCalls(s, "estimate_data_size") {
+      case args if args.nonEmpty =>
+        def sz(a: String) =
+          s"(CASE WHEN ($a) IS NULL THEN 0 " +
+            s"WHEN typeof($a) = 'string' THEN octet_length($a) " +
+            s"WHEN typeof($a) = 'boolean' THEN 1 " +
+            s"WHEN typeof($a) IN ('int', 'float', 'date') THEN 4 " +
+            s"WHEN typeof($a) LIKE 'array%' OR typeof($a) LIKE 'map%' " +
+            // NOT to_json: Spark type-checks every CASE branch, so to_json
+            // on a then-unreachable string arg still fails analysis; the
+            // string cast is valid for all types and length-equivalent
+            s"OR typeof($a) LIKE 'struct%' THEN octet_length(CAST($a AS STRING)) " +
+            s"ELSE 8 END)"
+        args.map(sz).mkString("(", " + ", ")")
+    }
+    // gettype(x): ADX's dynamic runtime-type probe mapped onto this
+    // engine's STATIC column types (KQL long/real/bool/datetime/timespan/
+    // array/dictionary spellings). Divergence, documented: a dynamic
+    // column here is typed at parse time, so gettype reports that static
+    // type, not a per-row JSON type.
+    s = expandCalls(s, "gettype") {
+      case Seq(x) =>
+        s"(CASE WHEN ($x) IS NULL THEN 'null' " +
+          s"WHEN typeof($x) = 'string' THEN 'string' " +
+          s"WHEN typeof($x) = 'bigint' THEN 'long' " +
+          s"WHEN typeof($x) IN ('int', 'smallint', 'tinyint') THEN 'int' " +
+          s"WHEN typeof($x) IN ('double', 'float') OR typeof($x) LIKE 'decimal%' THEN 'real' " +
+          s"WHEN typeof($x) = 'boolean' THEN 'bool' " +
+          s"WHEN typeof($x) IN ('timestamp', 'date') THEN 'datetime' " +
+          s"WHEN typeof($x) LIKE 'interval%' THEN 'timespan' " +
+          s"WHEN typeof($x) LIKE 'array%' THEN 'array' " +
+          s"WHEN typeof($x) LIKE 'map%' OR typeof($x) LIKE 'struct%' THEN 'dictionary' " +
+          s"ELSE typeof($x) END)"
+    }
+    // isutf8(s): a JVM string is definitionally encodable as valid UTF-8,
+    // so the byte-validity probe ADX runs cannot fail here — true for any
+    // non-null string (documented).
+    s = expandCalls(s, "isutf8") { case Seq(x) => s"(($x) IS NOT NULL)" }
+    // erfc BEFORE erf: its expansion emits erf(…) for the later pass
+    s = expandCalls(s, "erfc") { case Seq(x) => s"(1.0 - erf($x))" }
+    // erf: Abramowitz–Stegun 7.1.26 (|eps| ≤ 1.5e-7), odd extension;
+    // the argument and 1/(1+px) each bind ONCE via the single-element
+    // transform trick. Same double arithmetic restated in any SQL twin.
+    s = expandCalls(s, "erf") {
+      case Seq(x) =>
+        s"element_at(transform(array(CAST($x AS DOUBLE)), __ex -> " +
+          s"sign(__ex) * element_at(transform(array(1.0 / (1.0 + 0.3275911 * abs(__ex))), " +
+          s"__t -> 1.0 - (((((1.061405429 * __t - 1.453152027) * __t) + 1.421413741) * __t " +
+          s"- 0.284496736) * __t + 0.254829592) * __t * exp(-(__ex * __ex))), 1)), 1)"
+    }
+    // series_product: multiplicative fold; a null element nulls the
+    // product (the series-family null convention, see series_sum)
+    s = expandCalls(s, "series_product") {
+      case Seq(x) => s"aggregate($x, CAST(1.0 AS DOUBLE), (acc, v) -> acc * CAST(v AS DOUBLE))"
+    }
+    // percentile_array_tdigest(sketch, percentiles): map the native
+    // percentile_tdigest read over the array (or over listed percentiles)
+    s = expandCalls(s, "percentile_array_tdigest") {
+      case Seq(d, arr) => s"transform($arr, __pp -> percentile_tdigest($d, __pp))"
+      case args if args.size > 2 =>
+        s"transform(array(${args.tail.mkString(", ")}), " +
+          s"__pp -> percentile_tdigest(${args.head}, __pp))"
+    }
+    // percentrank_tdigest: rank as a FRACTION [0,1] — the native
+    // rank_tdigest read (a percentage) scaled down
+    s = expandCalls(s, "percentrank_tdigest") {
+      case Seq(d, v) => s"(rank_tdigest($d, $v) / 100.0)"
+    }
+    // geo_angle(p1, p2, p3): spherical angle at p2, measured CLOCKWISE
+    // from the ray p2→p1 to the ray p2→p3, in [0, 2π) — pure azimuth
+    // arithmetic (geo_azimuth expands later in this pass). Null
+    // propagates from either azimuth (coincident or invalid points).
+    s = expandCalls(s, "geo_angle") {
+      case Seq(x1, y1, x2, y2, x3, y3) =>
+        s"pmod(geo_azimuth($x2, $y2, $x3, $y3) - geo_azimuth($x2, $y2, $x1, $y1) " +
+          "+ 2.0 * pi(), 2.0 * pi())"
+    }
+    // url_decode: null on malformed %-sequences (the to*-conversion
+    // contract); url_encode is Spark's own (form-encoding, '+' for space,
+    // UPPERCASE hex — ADX emits lowercase, a spelling divergence only);
+    // the _component form keeps spaces as %20 per RFC 3986.
+    s = expandCalls(s, "url_decode") { case Seq(x) => s"try_url_decode($x)" }
+    s = expandCalls(s, "url_encode_component") {
+      case Seq(x) => s"replace(url_encode($x), '+', '%20')"
+    }
     // parse_path: the ADX path-anatomy bag (sorted keys, same determinism
     // convention as the bag algebra). AlternateDataStreamName is always ''
     // (NTFS streams out of scope); both / and \ separate
@@ -509,10 +635,14 @@ object KqlCompat {
       case Seq(x) => s"reverse(${ffill(s"reverse($x)")})"
     }
     // dynamic([…]) array literal → array(…). Bag literals (dynamic({…}))
-    // stay unsupported here (bag columns arrive as JSON strings instead —
-    // see KqlPipeline bag_unpack). expandCalls splits the bracket commas at
-    // depth 1, so rejoin before unwrapping.
+    // become JSON STRING literals — the engine's dynamic currency is JSON
+    // text (bag_keys/bag_pack/treepath/… all read it), so a bag literal
+    // IS its JSON. expandCalls splits the bracket commas at depth 1, so
+    // rejoin before unwrapping.
     s = expandCalls(s, "dynamic") {
+      case parts if parts.nonEmpty && parts.head.trim.startsWith("{") &&
+          parts.last.trim.endsWith("}") =>
+        "'" + parts.mkString(",").trim.replace("'", "''") + "'"
       case parts if parts.nonEmpty && parts.head.trim.startsWith("[") &&
           parts.last.trim.endsWith("]") =>
         // every [..] group (outer AND nested — dynamic([[1,2],[3,4]]) ring
@@ -1095,6 +1225,29 @@ object KqlCompat {
                     "'periods', transform(__spd_t, __pp -> element_at(__pp, 2)), " +
                     "'scores', transform(__spd_t, __pp -> round(-element_at(__pp, 1), 6)))")))))
     }
+    // series_periods_validate(x, period1, …): the detector's dual — score
+    // the GIVEN candidate periods with the SAME normalized-autocorrelation
+    // read as series_periods_detect (same divergence note: ADX scores via
+    // its FFT detector), input order preserved. Out-of-range or
+    // non-positive periods score 0, matching the detector's guard.
+    s = expandCalls(s, "series_periods_validate") {
+      case args if args.size >= 2 =>
+        val num = s"aggregate(sequence(1, size(__spv_c) - __pl), CAST(0 AS DOUBLE), " +
+          "(acc, i) -> acc + element_at(__spv_c, i) * element_at(__spv_c, i + __pl))"
+        val score = s"element_at(transform(array(CAST(__pld AS INT)), __pl -> " +
+          s"round(CASE WHEN __spv_d > 0 AND __pl >= 1 AND size(__spv_c) - __pl >= 1 " +
+          s"THEN $num / __spv_d ELSE CAST(0 AS DOUBLE) END, 6)), 1)"
+        val periods = args.tail.map(p => s"CAST($p AS DOUBLE)")
+          .mkString("array(", ", ", ")")
+        let1("__spv_x", asD(args.head),
+          let1("__spv_m", s"${foldD("__spv_x")} / size(__spv_x)",
+            let1("__spv_c", "transform(__spv_x, v -> v - __spv_m)",
+              let1("__spv_d",
+                "aggregate(__spv_c, CAST(0 AS DOUBLE), (acc, v) -> acc + v * v)",
+                let1("__spv_p", periods,
+                  "named_struct('periods', __spv_p, " +
+                    s"'scores', transform(__spv_p, __pld -> $score))")))))
+    }
     // series_fit_2lines_dynamic(x): best two-segment linear fit — for every
     // split s (2..n−2), closed-form least squares on [0,s) and [s,n) from
     // six per-segment folds (Σx/Σx² are index closed forms; Σy/Σxy/Σy² are
@@ -1608,6 +1761,11 @@ object KqlCompat {
       case Seq(x)    => s"xxhash64($x)"
       case Seq(x, m) => s"pmod(xxhash64($x), $m)"
     }
+    // hash_xxhash64 IS this engine's hash() (both read Spark's xxhash64)
+    s = expandCalls(s, "hash_xxhash64") {
+      case Seq(x)    => s"xxhash64($x)"
+      case Seq(x, m) => s"pmod(xxhash64($x), $m)"
+    }
     s = expandCalls(s, "base64_encode_tostring") {
       case Seq(x) => s"base64(CAST($x AS BINARY))"
     }
@@ -1625,6 +1783,14 @@ object KqlCompat {
         s"aggregate($octets, CAST(0 AS BIGINT), (acc, v) -> acc * 256 + v) END)"
     }
     s = expandCalls(s, "parse_ipv4") { case Seq(x) => ip4(x) }
+    // parse_ipv4_mask(ip, prefix): the numeric network address — the
+    // parsed quad with the host bits below `prefix` cleared. Null outside
+    // prefix 0..32 or on a malformed quad (the parse_ipv4 contract).
+    s = expandCalls(s, "parse_ipv4_mask") {
+      case Seq(x, p) =>
+        s"(CASE WHEN try_cast($p AS INT) BETWEEN 0 AND 32 THEN " +
+          s"(${ip4(x)}) & (4294967295 - (shiftleft(CAST(1 AS BIGINT), 32 - try_cast($p AS INT)) - 1)) END)"
+    }
     // has_ipv4 family: a PROPERLY DELIMITED, octet-valid dotted quad
     // somewhere in the text (the ADX log-scanning predicates). Candidates
     // come from one regexp pass (non-digit/dot boundaries both sides);
@@ -1648,6 +1814,17 @@ object KqlCompat {
         val list = args.tail.mkString("array(", ", ", ")")
         s"exists(${Ipv4Candidates.format(args.head)}, c -> (${ip4("c")}) IS NOT NULL " +
           s"AND array_contains($list, c))"
+    }
+    // has_any_ipv4_prefix(text, prefix1, …): a properly delimited, valid
+    // quad whose TEXT starts with any listed prefix (the has_ipv4_prefix
+    // contract, any-folded). Also accepts a single dynamic array arg.
+    s = expandCalls(s, "has_any_ipv4_prefix") {
+      case args if args.size >= 2 =>
+        val list =
+          if (args.size == 2 && !args(1).trim.startsWith("'")) args(1)
+          else args.tail.mkString("array(", ", ", ")")
+        s"exists(${Ipv4Candidates.format(args.head)}, c -> (${ip4("c")}) IS NOT NULL " +
+          s"AND exists($list, __px -> startswith(c, __px)))"
     }
     // ipv4_is_private: RFC-1918 ranges 10/8, 172.16/12, 192.168/16
     s = expandCalls(s, "ipv4_is_private") {
@@ -1880,6 +2057,12 @@ object KqlCompat {
     s = expandCalls(s, "isnotempty") { case Seq(x) => s"(coalesce(cast(($x) as string), '') != '')" }
     for ((fn, unit) <- Seq("startofday" -> "DAY", "startofmonth" -> "MONTH", "startofyear" -> "YEAR"))
       s = expandCalls(s, fn) { case Seq(x) => s"date_trunc('$unit', $x)" }
+    // bin_auto(x): ADX resolves the size from the query property
+    // query_bin_auto_size; this engine's analog is a column/let binding of
+    // that exact name in scope (documented divergence: a query property
+    // plane does not exist in a library engine). Expands BEFORE bin so
+    // the emitted call is picked up below.
+    s = expandCalls(s, "bin_auto") { case Seq(x) => s"bin($x, query_bin_auto_size)" }
     s = expandCalls(s, "bin") {
       case Seq(x, n) => n.trim match {
         case TimeSpan(q, u) =>

@@ -442,6 +442,22 @@ object GeoClip {
     Some(acc.toArray)
   }
 
+  /** `geo_union_lines_array` core: validated polylines in →
+    * LineString/MultiLineString (empty array → empty GeometryCollection)
+    * GeoJSON out; null on any malformed line (the family's null
+    * contract). The 1-D union of polylines IS the collection — lines have
+    * no interior to merge — so coordinates pass through verbatim.
+    */
+  def unionLinesArray(shapes: Seq[(Array[Double], Array[Double])]): String = {
+    if (shapes.isEmpty) return emptyGeo
+    if (shapes.exists { case (lo, la) => lineOf(lo, la).isEmpty }) return null
+    val coords = shapes.map { case (lo, la) =>
+      lo.indices.map(i => s"[${lo(i)},${la(i)}]").mkString("[", ",", "]")
+    }
+    if (coords.size == 1) s"""{"type":"LineString","coordinates":${coords.head}}"""
+    else s"""{"type":"MultiLineString","coordinates":[${coords.mkString(",")}]}"""
+  }
+
   /** `geo_union_polygons_array` core: rings in, Polygon/MultiPolygon (or
     * empty GeometryCollection) GeoJSON out; null on any malformed ring.
     */

@@ -93,3 +93,18 @@ case class GeoSimplifyPolygonsArray(children: Seq[Expression]) extends GeoPolyAr
       newChildren: IndexedSeq[Expression]): GeoSimplifyPolygonsArray = copy(children = newChildren)
   override def prettyName: String = "geo_simplify_polygons_array"
 }
+
+/** `geo_union_lines_array(lines)` — the polyline twin of the array union:
+  * input array<array<[lng,lat]>>, output LineString/MultiLineString
+  * GeoJSON (GeoClip.unionLinesArray — a 1-D union is the validated
+  * collection itself), null on any malformed line.
+  */
+case class GeoUnionLinesArray(children: Seq[Expression]) extends GeoPolyArrayBase {
+  override protected def fnName   = "geo_union_lines_array"
+  override protected def maxArgs  = 1
+  override protected def run(shapes: Seq[(Array[Double], Array[Double])], tol: Double): String =
+    GeoClip.unionLinesArray(shapes)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): GeoUnionLinesArray = copy(children = newChildren)
+  override def prettyName: String = "geo_union_lines_array"
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.types.{DataType, NumericType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, NumericType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** S2 cell scalars — ADX `geo_point_to_s2cell(lng, lat [, level])` and
@@ -80,6 +80,24 @@ object S2Cell {
     val leaf = (face.toLong << 61) | (pos << 1) | 1L
     val lsb  = 1L << (2 * (MaxLevel - level))
     (leaf & -lsb) | lsb
+  }
+
+  /** Level encoded in the id (position of its lsb). Valid ids only. */
+  def levelOf(id: Long): Int =
+    MaxLevel - java.lang.Long.numberOfTrailingZeros(id) / 2
+
+  /** Ancestor id at `level` (≤ the id's own level): position bits below
+    * the target level cleared, target lsb set. */
+  def parentId(id: Long, level: Int): Long = {
+    val lsb = 1L << (2 * (MaxLevel - level))
+    (id & -lsb) | lsb
+  }
+
+  /** The four child ids one level finer: ±lsb/4 and ±3·lsb/4 around the
+    * parent center. Caller guarantees level < MaxLevel. */
+  def childIds(id: Long): Array[Long] = {
+    val clsb = (id & -id) >>> 2
+    Array(id - 3 * clsb, id - clsb, id + clsb, id + 3 * clsb)
   }
 
   /** Hex token: 16 digits with trailing zeros stripped (S2 convention). */
@@ -765,4 +783,79 @@ case class GeoClosestPointOnLine(children: Seq[Expression])
     copy(children = newChildren)
 
   override def prettyName: String = "geo_closest_point_on_line"
+}
+
+/** `geo_s2cell_parent(token [, level])` — the containing cell's token at
+  * `level` (default: one level coarser). Pure id arithmetic on the public
+  * S2 cell-id layout (s2geometry.io: 3 face bits, 2 bits per level, trailing
+  * one at the level's lsb): parent = clear the position bits below the
+  * target level and set its lsb. Null on a malformed token, a level
+  * outside [0, cell level], or a non-integral level.
+  */
+case class GeoS2CellParent(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean  = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.head.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure("geo_s2cell_parent token must be a string")
+    else if (children.size == 2 && !children(1).dataType.isInstanceOf[NumericType])
+      TypeCheckResult.TypeCheckFailure("geo_s2cell_parent level must be numeric")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def eval(input: InternalRow): Any = {
+    val t = children.head.eval(input)
+    if (t == null) return null
+    val id = S2Cell.idFromToken(t.asInstanceOf[UTF8String].toString)
+    if (id == 0L) return null
+    val cur = S2Cell.levelOf(id)
+    val target = if (children.size == 2) {
+      val l = children(1).eval(input)
+      if (l == null) return null
+      val d = ShapeArg.num(l)
+      if (d != math.floor(d) || d.isNaN) return null
+      d.toInt
+    } else cur - 1
+    if (target < 0 || target > cur) null
+    else UTF8String.fromString(S2Cell.token(S2Cell.parentId(id, target)))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): GeoS2CellParent = copy(children = newChildren)
+
+  override def prettyName: String = "geo_s2cell_parent"
+}
+
+/** `geo_s2cell_children(token)` — the four child tokens one level finer,
+  * sorted (deterministic). Child ids sit at ±lsb/4 and ±3·lsb/4 around the
+  * parent center (the id layout's subdivision step). Null on a malformed
+  * token or a leaf cell (level 30 has no children).
+  */
+case class GeoS2CellChildren(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("geo_s2cell_children token must be a string")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val id = S2Cell.idFromToken(input.asInstanceOf[UTF8String].toString)
+    if (id == 0L || S2Cell.levelOf(id) >= 30) null
+    else {
+      val toks = S2Cell.childIds(id).map(S2Cell.token).sorted
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        toks.map(UTF8String.fromString))
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GeoS2CellChildren =
+    copy(child = newChild)
+
+  override def prettyName: String = "geo_s2cell_children"
 }

@@ -3190,6 +3190,7 @@ object KqlPipeline {
       case "variancep"             => (var_pop(a(0)), s"variancep_${slug(args(0))}")
       case "stdevif"               => (stddev_samp(when(a(1), a(0))), s"stdevif_${slug(args(0))}")
       case "varianceif"            => (var_samp(when(a(1), a(0))), s"varianceif_${slug(args(0))}")
+      case "variancepif"           => (var_pop(when(a(1), a(0))), s"variancepif_${slug(args(0))}")
       // two-column second moments: the *if forms mask BOTH operands with
       // the predicate, so a masked row contributes to neither sum (covar
       // skips a pair when either side is NULL — one pass, no self-join)
@@ -3238,6 +3239,10 @@ object KqlPipeline {
       // order independent, so results are deterministic under any
       // partitioning — mergeability IS the 100 TB contract.
       case "hll"                   => (hll_sketch_agg(a(0)), s"hll_${slug(args(0))}")
+      // hll_if: the predicate masks rows to NULL, which the sketch agg
+      // ignores — the standard *if shape over the same mergeable sketch
+      case "hll_if"                => (hll_sketch_agg(when(a(1), a(0))),
+                                        s"hll_if_${slug(args(0))}")
       case "hll_merge"             => (hll_union_agg(a(0)), s"hll_merge_${slug(args(0))}")
       // tdigest()/tdigest_merge(): the percentile twin of the HLL pair —
       // REAL mergeable t-digest sketch columns (DataSketches, k=200; ADX's
@@ -3307,6 +3312,10 @@ object KqlPipeline {
                                         s"binary_all_or_${slug(args(0))}")
       case "binary_all_xor"        => (expr(s"bit_xor(${tx(args(0))})"),
                                         s"binary_all_xor_${slug(args(0))}")
+      // buildschema: native mergeable schema-induction aggregate
+      // (BuildSchema.scala via GraftSessionExtensions)
+      case "buildschema"           => (expr(s"buildschema(${tx(args(0))})"),
+                                        s"schema_${slug(args(0))}")
       case other                   => fail(s"unsupported aggregate: '$other'")
     }
     val name = nameOpt.getOrElse(defName)

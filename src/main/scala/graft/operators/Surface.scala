@@ -4552,6 +4552,207 @@ object Surface {
         SELECT TRUE AS uu_t, CAST(2 AS BIGINT) AS uu_nrings, TRUE AS ii_t,
                TRUE AS void_in_outer, TRUE AS void_in_hole, TRUE AS incl_excl""")),
 
+    "q_kql_scalar_passthrough" -> QueryDef(
+      // round-12 remaining-surface audit (scripts/surface_checklist.py):
+      // the ADX scalar names that pass through UNREWRITTEN because Spark
+      // SQL evaluates the identical name with identical semantics — this
+      // query pins every one at the oracle so "passthrough" is a checked
+      // claim, not an assumption. log is NATURAL log on both engines;
+      // current_database pins the library engine's catalog answer.
+      (s, dir) => kqlRun(s, dir,
+        """print x = 0.5, d = datetime(2024-03-15)
+          | | project ac = round(acos(x), 6), at = round(atan(x), 6),
+          |     ce = ceiling(todouble(4.2)), fl = floor(todouble(4.8)),
+          |     dg = round(degrees(1.0), 6), rd = round(radians(90.0), 6),
+          |     ex = round(exp(1.0), 6), ln_ok = round(log(exp(2.0)), 6),
+          |     l10 = round(log10(1000.0), 6), l2 = round(log2(8.0), 6),
+          |     pi6 = round(pi(), 6), sg = sign(-3.5), tn = round(tan(0.0), 6),
+          |     nn = isnan(acos(2.0)), nl = isnull(missing_col_stand_in),
+          |     nnl = isnotnull(x), ng = not(x > 1.0),
+          |     doy = dayofyear(d), cdb = current_database() == 'default',
+          |     ue = url_encode('hello world/x')""".stripMargin
+          .replace("missing_col_stand_in", "iff(x > 1.0, x, todouble(null))")),
+      Some("""
+        SELECT round(acos(0.5), 6) AS ac, round(atan(0.5), 6) AS at,
+               CAST(5 AS BIGINT) AS ce, CAST(4 AS BIGINT) AS fl,
+               round(degrees(1.0), 6) AS dg, round(radians(90.0), 6) AS rd,
+               round(exp(1.0), 6) AS ex, 2.0 AS ln_ok, 3.0 AS l10, 3.0 AS l2,
+               round(pi(), 6) AS pi6, -1.0 AS sg, 0.0 AS tn,
+               TRUE AS nn, TRUE AS nl, TRUE AS nnl, TRUE AS ng,
+               CAST(75 AS INT) AS doy, TRUE AS cdb,
+               'hello+world%2Fx' AS ue""")),
+
+    "q_kql_scalar_stragglers" -> QueryDef(
+      // round-12 newly-implemented scalar stragglers, each oracle-pinned:
+      // around (numeric + datetime/timespan), datetime_part (ADX
+      // full-prefix sub-second convention; nanosecond is µs*1000 at this
+      // engine's precision), erf/erfc (Abramowitz-Stegun 7.1.26, same
+      // doubles restatable anywhere), series_product,
+      // series_periods_validate (the detector's scoring dual — period-4
+      // signal scores high, off-period low), hash_xxhash64 == hash()
+      // (both are xxhash64), bin_auto via the query_bin_auto_size binding
+      // (documented divergence: bound as a column, not a query property),
+      // make_string (deprecated alias of unicode_codepoints_to_string),
+      // and isutf8 (JVM strings are always valid — true iff non-null).
+      (s, dir) => kqlRun(s, dir,
+        """print ts = datetime(2024-03-15 01:02:03.765432),
+          |      wave = dynamic([0.0, 1.0, 2.0, 3.0, 0.0, 1.0, 2.0, 3.0,
+          |                      0.0, 1.0, 2.0, 3.0, 0.0, 1.0, 2.0, 3.0])
+          | | extend query_bin_auto_size = todouble(10.0)
+          | | extend spv = series_periods_validate(wave, 4, 7)
+          | | extend spv_s = spv.scores, spv_p = spv.periods
+          | | project ar1 = around(5.1, 5.0, 0.2), ar2 = around(5.4, 5.0, 0.2) == false,
+          |     ar3 = around(datetime(2024-01-10), datetime(2024-01-12), 3d),
+          |     dp_y = datetime_part('year', ts), dp_q = datetime_part('quarter', ts),
+          |     dp_w = datetime_part('week_of_year', ts),
+          |     dp_ms = datetime_part('millisecond', ts),
+          |     dp_us = datetime_part('microsecond', ts),
+          |     dp_ns = datetime_part('nanosecond', ts),
+          |     erf0 = round(erf(0.0), 6), erf1 = round(erf(1.0), 6),
+          |     erf_odd = erf(-1.0) == -erf(1.0),
+          |     erfc1 = round(erfc(1.0), 6),
+          |     sp = series_product(dynamic([2.0, 3.0, 4.0])),
+          |     spv_hi = todouble(spv_s[0]) > 0.5,
+          |     spv_rank = todouble(spv_s[0]) > todouble(spv_s[1]),
+          |     spv_p0 = todouble(spv_p[0]),
+          |     hx_eq = hash_xxhash64('abc') == hash('abc'),
+          |     hx_mod = hash_xxhash64('abc', 100) between (0 .. 99),
+          |     ba = bin_auto(todouble(23.0)),
+          |     ms = make_string(dynamic([72, 105])),
+          |     u8 = isutf8('abc'), u8n = isutf8(tostring(todouble(null))) == false""".stripMargin),
+      Some("""
+        SELECT TRUE AS ar1, TRUE AS ar2, TRUE AS ar3,
+               CAST(2024 AS INT) AS dp_y, CAST(1 AS INT) AS dp_q,
+               CAST(11 AS INT) AS dp_w, CAST(765 AS INT) AS dp_ms,
+               CAST(765432 AS INT) AS dp_us, CAST(765432000 AS BIGINT) AS dp_ns,
+               0.0 AS erf0, 0.842701 AS erf1, TRUE AS erf_odd, 0.157299 AS erfc1,
+               24.0 AS sp, TRUE AS spv_hi, TRUE AS spv_rank, 4.0 AS spv_p0,
+               TRUE AS hx_eq, TRUE AS hx_mod, 20.0 AS ba, 'Hi' AS ms,
+               TRUE AS u8, TRUE AS u8n""")),
+
+    "q_kql_dynamic_stragglers" -> QueryDef(
+      // the dynamic-plane stragglers: treepath (ADX bracket spelling,
+      // arrays contribute [] once — pinned as exact JSON), gettype (the
+      // STATIC-type mapping, documented divergence from ADX's per-row
+      // dynamic probe), estimate_data_size (string bytes + fixed widths),
+      // parse_ipv4_mask / has_any_ipv4_prefix (the quad algebra), and the
+      // url codec trio (url_encode is Spark-uppercase hex — spelling
+      // divergence documented at the expansion).
+      (s, dir) => kqlRun(s, dir,
+        """print doc = dynamic({"a": {"b": 1, "c": [5, {"d": 2}]}})
+          | | project tp = tostring(to_json(treepath(doc))),
+          |     gt_s = gettype('x'), gt_i = gettype(5), gt_r = gettype(5.5),
+          |     gt_b = gettype(true), gt_d = gettype(datetime(2024-01-01)),
+          |     gt_a = gettype(pack_array(1, 2)), gt_n = gettype(todouble(null)),
+          |     eds = estimate_data_size('abc', 5, 5.5, true),
+          |     pm = parse_ipv4_mask('192.168.1.77', 24),
+          |     pm_bad = isnull(parse_ipv4_mask('192.168.1.77', 40)),
+          |     hap = has_any_ipv4_prefix('src 192.168.1.5 dst', '10.', '192.168.'),
+          |     hap_no = has_any_ipv4_prefix('src 192.168.1.5 dst', '172.') == false,
+          |     ud = url_decode('a%20b%2Fc'), ud_bad = isnull(url_decode('%zz')),
+          |     uc = url_encode_component('hello world/x')""".stripMargin),
+      Some("""
+        SELECT '["[''a'']","[''a''][''b'']","[''a''][''c'']","[''a''][''c''][]","[''a''][''c''][][''d'']"]' AS tp,
+               'string' AS gt_s, 'int' AS gt_i, 'real' AS gt_r, 'bool' AS gt_b,
+               'datetime' AS gt_d, 'array' AS gt_a, 'null' AS gt_n,
+               CAST(16 AS BIGINT) AS eds,
+               CAST(3232235776 AS BIGINT) AS pm, TRUE AS pm_bad,
+               TRUE AS hap, TRUE AS hap_no,
+               'a b/c' AS ud, TRUE AS ud_bad, 'hello%20world%2Fx' AS uc""")),
+
+    "q_kql_geo_stragglers" -> QueryDef(
+      // the geo stragglers: geo_angle (CW angle at p2 from ray p2→p1 to
+      // ray p2→p3 — west→north is π/2, a straight continuation is π, the
+      // convention documented at the expansion), geo_s2cell_parent /
+      // geo_s2cell_children CROSS-VALIDATED against geo_point_to_s2cell
+      // (the parent at level L must equal the point's own L-cell; the
+      // point's (L+1)-cell must be among the four children, whose parents
+      // all fold back), and geo_union_lines_array (type + additive
+      // geo_line_length conservation, null guard).
+      (s, dir) => kqlRun(s, dir,
+        """print p = dynamic([-122.3, 47.6]),
+          |      l1 = dynamic([[0.0, 0.0], [2.0, 0.0]]),
+          |      l2 = dynamic([[10.0, 10.0], [10.0, 12.0], [11.0, 12.0]])
+          | | extend t10 = geo_point_to_s2cell(p[0], p[1], 10),
+          |     ch = geo_s2cell_children(geo_point_to_s2cell(p[0], p[1], 10)),
+          |     ul = geo_union_lines_array(pack_array(l1, l2)),
+          |     u1 = geo_union_lines_array(pack_array(l1))
+          | | project a_right = round(geo_angle(-10.0, 0.0, 0.0, 0.0, 0.0, 10.0), 6),
+          |     a_straight = round(geo_angle(-10.0, 0.0, 0.0, 0.0, 10.0, 0.0), 6),
+          |     par8 = geo_s2cell_parent(t10, 8) == geo_point_to_s2cell(p[0], p[1], 8),
+          |     par_def = geo_s2cell_parent(t10) == geo_point_to_s2cell(p[0], p[1], 9),
+          |     par_bad = isnull(geo_s2cell_parent(t10, 11)),
+          |     ch_n = tolong(array_length(ch)),
+          |     ch_has = set_has_element(ch, geo_point_to_s2cell(p[0], p[1], 11)),
+          |     ch_fold = array_length(set_difference(
+          |       pack_array(geo_s2cell_parent(tostring(ch[0]), 10),
+          |         geo_s2cell_parent(tostring(ch[1]), 10),
+          |         geo_s2cell_parent(tostring(ch[2]), 10),
+          |         geo_s2cell_parent(tostring(ch[3]), 10)), pack_array(t10))) == 0,
+          |     ul_t = extractjson('$.type', ul) == 'MultiLineString',
+          |     u1_t = extractjson('$.type', u1) == 'LineString',
+          |     ul_len_ok = abs(
+          |       geo_line_length(from_json(extractjson('$.coordinates[0]', ul), 'array<array<double>>'))
+          |       + geo_line_length(from_json(extractjson('$.coordinates[1]', ul), 'array<array<double>>'))
+          |       - (geo_line_length(l1) + geo_line_length(l2))) < 0.000001,
+          |     ul_bad = isnull(geo_union_lines_array(pack_array(dynamic([[0.0, 0.0]]))))""".stripMargin),
+      Some("""
+        SELECT round(pi() / 2.0, 6) AS a_right, round(pi(), 6) AS a_straight,
+               TRUE AS par8, TRUE AS par_def, TRUE AS par_bad,
+               CAST(4 AS BIGINT) AS ch_n, TRUE AS ch_has, TRUE AS ch_fold,
+               TRUE AS ul_t, TRUE AS u1_t, TRUE AS ul_len_ok, TRUE AS ul_bad""")),
+
+    "q_kql_sketch_if_reads" -> QueryDef(
+      // the predicated sketch/moment twins over a real table: hll_if
+      // (mergeable sketch with the *if NULL-mask — read back via
+      // dcount_hll and tolerance-gated IN-PLAN against the exact
+      // dcountif, the approximate-operator discipline), variancepif
+      // (cross-checked in-plan against its sumif/countif moment identity
+      // at 1e-9 relative), and the t-digest array/rank reads
+      // (percentile_array_tdigest against per-percentile exact answers;
+      // percentrank_tdigest must put ~25% of mass under the exact p25).
+      (s, dir) => kqlRun(s, dir,
+        """lineitem
+          | | summarize h = hll_if(l_orderkey, l_quantity > 25),
+          |     x = dcountif(l_orderkey, l_quantity > 25),
+          |     vp = variancepif(todouble(l_quantity), l_discount > 0.05),
+          |     s1 = sumif(todouble(l_quantity), l_discount > 0.05),
+          |     s2 = sumif(todouble(l_quantity) * todouble(l_quantity), l_discount > 0.05),
+          |     nf = countif(l_discount > 0.05),
+          |     td = tdigest(todouble(l_extendedprice)),
+          |     p25 = percentile(todouble(l_extendedprice), 25),
+          |     p75 = percentile(todouble(l_extendedprice), 75)
+          | | project hll_ok = abs(dcount_hll(h) - x) <= 0.1 * x,
+          |     vp_ok = abs(vp - (s2 / nf - (s1 / nf) * (s1 / nf))) <= 0.000000001 * vp,
+          |     pa_ok = abs(todouble(percentile_array_tdigest(td, dynamic([25.0, 75.0]))[0]) - p25)
+          |         <= 0.02 * p25
+          |       and abs(todouble(percentile_array_tdigest(td, dynamic([25.0, 75.0]))[1]) - p75)
+          |         <= 0.02 * p75,
+          |     pr_ok = abs(percentrank_tdigest(td, p25) - 0.25) <= 0.02""".stripMargin),
+      Some("""
+        SELECT TRUE AS hll_ok, TRUE AS vp_ok, TRUE AS pa_ok, TRUE AS pr_ok""")),
+
+    "q_kql_buildschema" -> QueryDef(
+      // buildschema: schema induction over dynamic values as a native
+      // mergeable TypedImperativeAggregate (BuildSchema.scala) — per-row
+      // JSON type trees merged commutatively, same-path alternatives as a
+      // SORTED option array, arrays in ADX's `indexer` spelling. The
+      // exact merged-schema JSON is pinned (object keys and option lists
+      // both sort, so the text is deterministic under any partitioning —
+      // the mergeability contract), plus a group-level shape over a real
+      // column: every documents.meta value is a flat dictionary whose
+      // field types are all scalar strings/longs.
+      (s, dir) => kqlRun(s, dir,
+        """datatable (d: string) [
+          |  '{"a": {"b": 1}}',
+          |  '{"a": {"b": "x", "c": [5]}}',
+          |  '{"a": true}'
+          |]
+          | | summarize s = buildschema(todynamic(d))
+          | | project s""".stripMargin),
+      Some("""
+        SELECT '{"a":["bool",{"b":["long","string"],"c":{"`indexer`":"long"}}]}' AS s""")),
+
     "q_kql_cmdline_bytes" -> QueryDef(
       // parse_command_line (Windows/MSVCRT argv rules: quoted spans keep
       // whitespace, 2n backslashes before a quote emit n + delimiter,

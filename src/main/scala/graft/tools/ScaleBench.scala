@@ -107,25 +107,43 @@ object ScaleBench {
     // are what made 100× suite membership differ run-to-run (GC-pressure
     // stage deaths on otherwise-healthy queries)
     def releaseAll(): Unit = graft.Bench.releaseAll(spark)
+    // Between queries, also compact: the r11 double-run showed 25-95%
+    // big-side spread on the heaviest iterative queries (pipeline_full,
+    // graph_match, ipv4_lookup) that per-query min-of-two did NOT absorb —
+    // the draw is old-gen state accumulated from WHICH queries ran before,
+    // not noise within a query. An explicit collect between queries (never
+    // inside a timed window) resets that state so each query starts from
+    // the same heap.
+    def resetHeap(): Unit = { releaseAll(); System.gc() }
 
-    def timeAt(dir: String): Map[String, Double] = {
+    // GC seconds observed inside a timed window — the committed per-query
+    // allocation-pressure evidence (sum over all collector beans).
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long =
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime.max(0L)).sum
+
+    def timeAt(dir: String): Map[String, (Double, Double)] = {
       queries.foreach { case (name, fn) =>
         try fn(spark, dir).count()
         catch { case NonFatal(e) => System.err.println(s"[scalebench] warmup $name @ $dir failed: $e") }
-        finally releaseAll()
+        finally resetHeap()
       }
       queries.map { case (name, fn) =>
-        def timed(): Double =
+        def timed(): (Double, Double) =
           try {
+            val g0 = gcMillis()
             val t0 = System.nanoTime()
             fn(spark, dir).count()
-            (System.nanoTime() - t0) / 1e9
+            ((System.nanoTime() - t0) / 1e9, (gcMillis() - g0) / 1e3)
           } catch {
-            case NonFatal(e) => System.err.println(s"[scalebench] $name @ $dir failed: $e"); -1.0
-          } finally releaseAll()
+            case NonFatal(e) =>
+              System.err.println(s"[scalebench] $name @ $dir failed: $e"); (-1.0, -1.0)
+          } finally resetHeap()
         val a = timed()
-        val b = if (a < 0) a else timed()
-        name -> (if (a < 0) -1.0 else if (b < 0) a else math.min(a, b))
+        val b = if (a._1 < 0) a else timed()
+        name -> (if (a._1 < 0) (-1.0, -1.0) else if (b._1 < 0) a
+                 else if (a._1 <= b._1) a else b)
       }.toMap
     }
 
@@ -133,18 +151,18 @@ object ScaleBench {
     val bigT   = timeAt(big)
     def d3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     val per = names.map { n =>
-      val s = smallT(n); val b = bigT(n)
+      val (s, _)  = smallT(n); val (b, bg) = bigT(n)
       val r = if (s > 0 && b > 0) b / s else -1.0
-      s""""$n":{"small":${d3(s)},"big":${d3(b)},"ratio":${d3(r)}}"""
+      s""""$n":{"small":${d3(s)},"big":${d3(b)},"ratio":${d3(r)},"gc_big":${d3(bg)}}"""
     }.mkString("{", ",", "}")
-    val ratios = names.map(n => (smallT(n), bigT(n)))
+    val ratios = names.map(n => (smallT(n)._1, bigT(n)._1))
       .collect { case (s, b) if s > 0 && b > 0 => b / s }
     // every selected query failing must still reach the failure JSON +
     // named-failure exit below, not die on an empty-median index
     val med = if (ratios.isEmpty) -1.0 else ratios.sorted.apply(ratios.size / 2)
     // a query that threw ANYWHERE is a named failure in the record and a
     // nonzero exit — a -1 must never again be summarizable as a success
-    val failed = names.filter(n => smallT(n) < 0 || bigT(n) < 0)
+    val failed = names.filter(n => smallT(n)._1 < 0 || bigT(n)._1 < 0)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
     // `timed` names every query measured THIS run: the committed

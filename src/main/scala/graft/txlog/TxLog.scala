@@ -22,9 +22,18 @@ final case class TxLog(
 
   def allItems: Seq[TransactionItem] = adds ++ removes ++ metadata ++ stagingTable
 
-  def tableName: String = allItems.head.tableName
-  def startTxId: Long   = allItems.head.startTxId
-  def endTxId: Long     = allItems.head.endTxId
+  // O(1), NOT allItems.head: allItems concatenates every stream, so an
+  // accessor built on it copies O(n) items PER CALL — at 10⁶ add-files the
+  // checkpoint-delta's per-item tx-range stamp turned that into 10¹¹
+  // element copies (261 s measured, tools.TxProfile round 12). All three
+  // fields are range-constant across the log's items by construction.
+  private def firstItem: TransactionItem =
+    adds.headOption.orElse(removes.headOption).orElse(metadata).orElse(stagingTable)
+      .getOrElse(throw new IllegalStateException("There are no items"))
+
+  def tableName: String = firstItem.tableName
+  def startTxId: Long   = firstItem.startTxId
+  def endTxId: Long     = firstItem.endTxId
 
   /** Fold a later log into this one (J1: add⋉remove annihilation).
     *

@@ -51,10 +51,12 @@ class RewriteCollisionSpec extends AnyFunSuite {
   test("rename targets claimed by an expandCalls handler are exactly the canonicalization chains") {
     // Reviewed-safe: these renames are alias -> canonical-KQL-name with the
     // SAME semantics, deliberately fed into the canonical name's expansion
-    // (extract_json -> extractjson, pack_dictionary -> bag_pack). A rename
-    // whose target is meant as a SPARK function must never appear here —
-    // that is the strrep->repeat corruption class.
-    val intendedChains = Set("extractjson", "bag_pack")
+    // (extract_json -> extractjson, pack_dictionary -> bag_pack,
+    // make_string -> unicode_codepoints_to_string: the deprecated ADX
+    // alias feeds the canonical codepoints expansion). A rename whose
+    // target is meant as a SPARK function must never appear here — that
+    // is the strrep->repeat corruption class.
+    val intendedChains = Set("extractjson", "bag_pack", "unicode_codepoints_to_string")
     assert(renameTargets.intersect(handlerPos.keySet) == intendedChains,
       "rename-target/expandCalls collision set changed — review whether the " +
         "target is meant as Spark (corruption: make it an expandCalls case, " +
@@ -81,12 +83,17 @@ class RewriteCollisionSpec extends AnyFunSuite {
     //    emitted 1-arg Spark trim untouched).
     // A NEW name here means an expansion now emits a call some later
     // handler claims — decide chain vs corruption before allowlisting.
+    // Round-12 additions, each an intended chain: geo_angle emits
+    // geo_azimuth (azimuth arithmetic composed through the later azimuth
+    // expansion), erfc emits erf (the complement riding the later A-S
+    // polynomial), bin_auto emits bin (the query_bin_auto_size binding
+    // fed into the later bin flooring).
     val reviewed = Set(
-      "bag_pack", "format_ipv4", "geo_distance_2points",
-      "geo_distance_point_to_line", "geo_intersects_2lines",
-      "geo_line_length", "geo_point_in_polygon", "parse_url",
-      "series_decompose", "series_outliers", "split", "startofweek",
-      "toguid", "trim")
+      "bag_pack", "bin", "erf", "format_ipv4", "geo_azimuth",
+      "geo_distance_2points", "geo_distance_point_to_line",
+      "geo_intersects_2lines", "geo_line_length", "geo_point_in_polygon",
+      "parse_url", "series_decompose", "series_outliers", "split",
+      "startofweek", "toguid", "trim")
 
     // exclude the literals that ARE the maps (rename pairs, handler args)
     val excluded =
