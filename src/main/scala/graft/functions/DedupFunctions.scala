@@ -52,7 +52,15 @@ object DedupFunctions {
   def releaseCaches(): Unit = persistedFrames.synchronized {
     persistedFrames.foreach(_.unpersist(blocking = false))
     persistedFrames.clear()
+    liveBloomBroadcasts.foreach(_.destroy())
+    liveBloomBroadcasts.clear()
   }
+
+  // broadcasts handed to in-flight BloomContainsBc plans; destroyed with
+  // the per-query releaseCaches sweep (Bench/ScaleBench call it between
+  // queries), never accumulated across a session — the r11 advice leak
+  private val liveBloomBroadcasts =
+    scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.broadcast.Broadcast[Array[Byte]]]
 
   /** Gather a per-id payload column onto BOTH sides of an (id_a, id_b)
     * pair frame in ONE pass over the corpus-sized payload frame: explode
@@ -105,9 +113,24 @@ object DedupFunctions {
     val n = small.count()
     if (n == 0) big.filter(lit(false))
     else {
-      val bf = small.stat.bloomFilter(key, math.max(n, 1000L), fpp)
-      big.filter(graft.functions.expressions.BloomContains.bloomContains(
-        lit(graft.functions.expressions.BloomContains.serialize(bf)), col(key)))
+      val bf    = small.stat.bloomFilter(key, math.max(n, 1000L), fpp)
+      val bytes = graft.functions.expressions.BloomContains.serialize(bf)
+      if (bytes.length <= 256 * 1024)
+        // small bloom: a plan literal — zero lifecycle, cheap to hash
+        big.filter(graft.functions.expressions.BloomContains.bloomContains(
+          lit(bytes), col(key)))
+      else {
+        // large bloom: Catalyst hashes/compares Literal byte arrays BY
+        // CONTENT during canonicalization, so a multi-MB literal taxes
+        // every analysis pass (measured on the 100x dedup corpus) —
+        // broadcast it and probe through the Broadcast-backed expression;
+        // the handle is destroyed by the next releaseCaches sweep
+        val bc = big.sparkSession.sparkContext.broadcast(bytes)
+        persistedFrames.synchronized { liveBloomBroadcasts += bc }
+        big.filter(org.apache.spark.sql.graftbridge.GraftColumnBridge.column(
+          graft.functions.expressions.BloomContainsBc(
+            org.apache.spark.sql.graftbridge.GraftColumnBridge.expression(col(key)), bc)))
+      }
     }
   }
 

@@ -107,7 +107,11 @@ object TextFunctions {
     val avgTokLen = (nChars - (nTok - lit(1.0))) / nTok
     val lenOk     = when(avgTokLen >= 3 && avgTokLen <= 10, lit(1.0)).otherwise(lit(0.0))
     val stopRatio = least(langHits(text, "en").cast("double") / nTok * 10.0, lit(1.0))
-    round(diversity * 0.5 + lenOk * 0.2 + stopRatio * 0.3, 6)
+    // NOT round(x, 6): Spark rounds the double's DECIMAL repr half-up while
+    // DuckDB rounds the binary double, so an exact .xxxxx5 tie diverges by
+    // 1 ulp of the 6th decimal (3 docs at sf0.1 landed on it). floor of the
+    // same double arithmetic is bit-deterministic on both engines.
+    floor((diversity * 0.5 + lenOk * 0.2 + stopRatio * 0.3) * 1e6 + 0.5) / 1e6
   }
 
   /** Canonical-form document fingerprint: md5 over lower-cased,

@@ -85,3 +85,51 @@ object BloomContains {
     bos.toByteArray
   }
 }
+
+/** Broadcast-backed variant of the probe for LARGE blooms: the serialized
+  * filter rides a Spark broadcast (one torrent ship per executor, O(1)
+  * driver refs) instead of a plan literal. A multi-MB literal is hashed
+  * and equality-compared BY CONTENT in every Catalyst canonicalization
+  * pass — at the 100x dedup corpus the ~10 MB gram bloom made analysis a
+  * measurable part of dedup_substring_spans' wall time; the broadcast
+  * handle hashes in O(1). Same conservative-probe contract: callers keep
+  * the exact join after it. Constructed programmatically (Column wrapper
+  * below), never registered in SQL — a broadcast cannot be spelled in
+  * text.
+  */
+case class BloomContainsBc(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    bloomBc: org.apache.spark.broadcast.Broadcast[Array[Byte]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean  = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bloom_contains_bc probes long values, got ${child.dataType.catalogString}")
+
+  @transient private lazy val bloom: BloomFilter =
+    BloomFilter.readFrom(new ByteArrayInputStream(bloomBc.value))
+
+  override def nullSafeEval(v: Any): Any = bloom.mightContainLong(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // deserialize ONCE per task-instance into a mutable slot; per-row work
+    // is a single primitive-long probe inside whole-stage codegen
+    val bcRef = ctx.addReferenceObj("graftBloomBc", bloomBc,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val bfClass = classOf[BloomFilter].getName
+    val bfVar = ctx.addMutableState(bfClass, "graftBloomBcFilter",
+      v => s"""$v = $bfClass.readFrom(
+         new java.io.ByteArrayInputStream((byte[]) $bcRef.value()));""".stripMargin)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $bfVar.mightContainLong($v);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): BloomContainsBc =
+    copy(child = newChild)
+
+  override def prettyName: String = "bloom_contains_bc"
+}

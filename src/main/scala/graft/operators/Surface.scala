@@ -997,9 +997,13 @@ object Surface {
         ev.select(
             concat(lit("events:"), col("event_type")).as("grp"),
             col("exact_users").as("exact_count"),
-            // HLL++ is exact in sparse mode (low cardinality) — tight 5%
+            // 3σ at rsd=0.05, same band as the lineitem side: the sparse
+            // "exact at low cardinality" premise only held at sf0.01
+            // (~150 distinct users); at sf0.1 (1,500) the estimator is in
+            // its dense regime and a 5% band is a coin flip (the sf0.1
+            // sweep caught exactly that — CORRECTNESS_SF01_r12)
             (abs(col("approx_users") - col("exact_users"))
-              <= col("exact_users").cast("double") * 0.05).as("within_tol"))
+              <= col("exact_users").cast("double") * 0.15).as("within_tol"))
           .unionByName(li.select(
             concat(lit("lineitem:"), col("grp")).as("grp"),
             col("exact_keys").as("exact_count"),
@@ -1286,12 +1290,11 @@ object Surface {
                SELECT * FROM r),
              cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY 1),
              q AS (SELECT doc_id,
-                     round((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' '))) * 0.5
+                     floor(((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' '))) * 0.5
                            + (CASE WHEN (CAST(length(text) AS DOUBLE) - (len(string_split(text, ' ')) - 1.0)) / len(string_split(text, ' ')) >= 3
                                      AND (CAST(length(text) AS DOUBLE) - (len(string_split(text, ' ')) - 1.0)) / len(string_split(text, ' ')) <= 10
                                    THEN 1.0 ELSE 0.0 END) * 0.2
-                           + least(CAST(${dkHits("en")} AS DOUBLE) / len(string_split(text, ' ')) * 10.0, 1.0) * 0.3,
-                           6) AS q
+                           + least(CAST(${dkHits("en")} AS DOUBLE) / len(string_split(text, ' ')) * 10.0, 1.0) * 0.3) * 1000000 + 0.5) / 1000000 AS q
                    FROM documents WHERE doc_id < 300),
              j AS (SELECT cl.cluster_id, cl.doc_id, q.q,
                           row_number() OVER (PARTITION BY cluster_id
@@ -1363,12 +1366,11 @@ object Surface {
                SELECT * FROM r),
              cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY 1),
              q AS (SELECT doc_id,
-                     round((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' '))) * 0.5
+                     floor(((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' '))) * 0.5
                            + (CASE WHEN (CAST(length(text) AS DOUBLE) - (len(string_split(text, ' ')) - 1.0)) / len(string_split(text, ' ')) >= 3
                                      AND (CAST(length(text) AS DOUBLE) - (len(string_split(text, ' ')) - 1.0)) / len(string_split(text, ' ')) <= 10
                                    THEN 1.0 ELSE 0.0 END) * 0.2
-                           + least(CAST(${dkHits("en")} AS DOUBLE) / len(string_split(text, ' ')) * 10.0, 1.0) * 0.3,
-                           6) AS q
+                           + least(CAST(${dkHits("en")} AS DOUBLE) / len(string_split(text, ' ')) * 10.0, 1.0) * 0.3) * 1000000 + 0.5) / 1000000 AS q
                    FROM documents),
              j AS (SELECT cl.cluster_id, cl.doc_id, q.q,
                           row_number() OVER (PARTITION BY cluster_id
@@ -1945,12 +1947,11 @@ object Surface {
         col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality")),
       Some(s"""
         SELECT doc_id,
-               round((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' '))) * 0.5
+               floor(((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' '))) * 0.5
                      + (CASE WHEN (CAST(length(text) AS DOUBLE) - (len(string_split(text, ' ')) - 1.0)) / len(string_split(text, ' ')) >= 3
                                AND (CAST(length(text) AS DOUBLE) - (len(string_split(text, ' ')) - 1.0)) / len(string_split(text, ' ')) <= 10
                              THEN 1.0 ELSE 0.0 END) * 0.2
-                     + least(CAST(${dkHits("en")} AS DOUBLE) / len(string_split(text, ' ')) * 10.0, 1.0) * 0.3,
-                     6) AS quality
+                     + least(CAST(${dkHits("en")} AS DOUBLE) / len(string_split(text, ' ')) * 10.0, 1.0) * 0.3) * 1000000 + 0.5) / 1000000 AS quality
         FROM documents""")),
 
     // ---- training-data extensions: corpus curation -------------------------
@@ -5237,33 +5238,54 @@ object Surface {
     "q_kql_theta_sets" -> QueryDef(
       // theta-sketch set algebra: per-status customer sketches, pivoted
       // side by side, intersect/diff/estimate scalars plus a theta_merge
-      // union roll-up via toscalar. ~1.5k distincts keep every sketch in
-      // the exact regime (< 4096 entries), so the estimates ARE the true
-      // counts and the oracle recomputes them with plain set SQL
+      // union roll-up via toscalar. Round 12 (caught by the sf0.1
+      // full-registry sweep): the original oracle pinned the RAW estimates
+      // as exact counts, which only holds inside the < 4096-entry exact
+      // regime — at sf0.1 (~14.5k distincts) the sketch estimates by
+      // design. Now gated the approximate-operator way: the EXACT counts
+      // (one per-custkey flag pass) are the pinned outputs, and the
+      // estimates assert tolerance booleans in-plan (5% on point
+      // estimates/union at k=4096 rsd≈1.6%; 10% on intersect/diff where
+      // the error compounds).
       (s, dir) => kqlRun(s, dir,
         """let un = toscalar(orders | where o_orderstatus in ('F', 'O')
           |   | summarize th = theta(o_custkey) by st = o_orderstatus
           |   | summarize thm = theta_merge(th)
           |   | project e = tolong(theta_estimate(thm)));
+          |let flags = orders | where o_orderstatus in ('F', 'O')
+          |   | summarize hasF = max(iff(o_orderstatus == 'F', 1, 0)),
+          |       hasO = max(iff(o_orderstatus == 'O', 1, 0)) by o_custkey;
+          |let xi = toscalar(flags | summarize c = countif(hasF == 1 and hasO == 1)
+          |   | project v = tolong(c));
+          |let xf = toscalar(flags | summarize c = countif(hasF == 1) | project v = tolong(c));
+          |let xo = toscalar(flags | summarize c = countif(hasO == 1) | project v = tolong(c));
+          |let xu = toscalar(flags | summarize c = count() | project v = tolong(c));
           |orders
           | | where o_orderstatus in ('F', 'O')
           | | summarize th = theta(o_custkey) by st = o_orderstatus
           | | evaluate pivot(st, take_any(th))
-          | | project inter_fo = tolong(theta_estimate(theta_intersect(F, O))),
-          |     only_f = tolong(theta_estimate(theta_diff(F, O))),
-          |     nf = tolong(theta_estimate(F)), no = tolong(theta_estimate(O)),
-          |     un_all = un""".stripMargin),
+          | | project exact_inter = xi, exact_only_f = xf - xi,
+          |     exact_f = xf, exact_o = xo, exact_un = xu,
+          |     ok_inter = abs(tolong(theta_estimate(theta_intersect(F, O))) - xi)
+          |       <= 0.1 * xi,
+          |     ok_only_f = abs(tolong(theta_estimate(theta_diff(F, O))) - (xf - xi))
+          |       <= 0.1 * (xf - xi),
+          |     ok_f = abs(tolong(theta_estimate(F)) - xf) <= 0.05 * xf,
+          |     ok_o = abs(tolong(theta_estimate(O)) - xo) <= 0.05 * xo,
+          |     ok_un = abs(un - xu) <= 0.05 * xu""".stripMargin),
       Some("""
         WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
              o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
         SELECT CAST((SELECT count(*) FROM f
-                     WHERE o_custkey IN (SELECT o_custkey FROM o)) AS BIGINT) AS inter_fo,
+                     WHERE o_custkey IN (SELECT o_custkey FROM o)) AS BIGINT) AS exact_inter,
                CAST((SELECT count(*) FROM f
-                     WHERE o_custkey NOT IN (SELECT o_custkey FROM o)) AS BIGINT) AS only_f,
-               CAST((SELECT count(*) FROM f) AS BIGINT) AS nf,
-               CAST((SELECT count(*) FROM o) AS BIGINT) AS no,
+                     WHERE o_custkey NOT IN (SELECT o_custkey FROM o)) AS BIGINT) AS exact_only_f,
+               CAST((SELECT count(*) FROM f) AS BIGINT) AS exact_f,
+               CAST((SELECT count(*) FROM o) AS BIGINT) AS exact_o,
                CAST((SELECT count(*) FROM
-                     (SELECT * FROM f UNION SELECT * FROM o)) AS BIGINT) AS un_all""")),
+                     (SELECT * FROM f UNION SELECT * FROM o)) AS BIGINT) AS exact_un,
+               TRUE AS ok_inter, TRUE AS ok_only_f, TRUE AS ok_f,
+               TRUE AS ok_o, TRUE AS ok_un""")),
 
     "q_kql_freq_sketch" -> QueryDef(
       // frequent-items sketches, the top-k member of the two-level family:
