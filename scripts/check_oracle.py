@@ -10,6 +10,8 @@ args = sys.argv[1:]
 record_path = None
 if "--record" in args:
     i = args.index("--record")
+    if i + 1 >= len(args):
+        sys.exit("usage: check_oracle.py [sf_dir] [out_dir] [--record FILE]")
     record_path = args[i + 1]
     del args[i:i + 2]
 sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"

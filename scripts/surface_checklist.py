@@ -169,7 +169,7 @@ IMPOSSIBLE = {
 # q_kql_scalar_passthrough so the claim is checked, not assumed.
 PASSTHROUGH = """
 acos atan ceiling current_database dayofyear degrees exp floor isnan isnotnull
-isnull log log10 log2 not pi radians round sign tan url_encode
+isnull log log10 log2 not pi radians round sign tan
 """.split()
 
 DIVERGENT = {
@@ -196,6 +196,7 @@ DIVERGENT = {
     "extent_tags": "mirror-plane analog: add.tags through the checkpoint fold (MirrorTable.liveFiles)",
     "ingestion_time": "mirror-plane analog: the MLK_IngestTs column stamped at staging",
     "geo_angle": "angle convention documented at the expansion: CW at p2 from ray p2->p1 to ray p2->p3 in [0, 2pi)",
+    "geo_union_lines_array": "vertex-identical duplicates collapse; PARTIAL overlaps are not dissolved (the clipper's documented collinear-overlap divergence class)",
     "percentrank_tdigest": "fraction [0,1] = rank_tdigest/100 (the pair's percentage read scaled)",
 }
 
@@ -210,6 +211,13 @@ ALIASES = {
 }
 
 
+def _check_disjoint():
+    overlaps = (set(PASSTHROUGH) & set(DIVERGENT)) | \
+        (set(PASSTHROUGH) & set(IMPOSSIBLE)) | (set(DIVERGENT) & set(IMPOSSIBLE))
+    if overlaps:
+        sys.exit(f"FATAL: adjudication maps overlap (a name belongs to exactly one): {sorted(overlaps)}")
+
+
 def grep_hit(name: str, haystack: str) -> bool:
     token = ALIASES.get(name)
     if token is not None:
@@ -220,6 +228,7 @@ def grep_hit(name: str, haystack: str) -> bool:
 
 
 def main() -> int:
+    _check_disjoint()
     hay = "".join(p.read_text() for p in SOURCES)
     hay += "".join(p.read_text() for p in EXPR_DIR.glob("*.scala"))
 

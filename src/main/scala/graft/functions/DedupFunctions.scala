@@ -107,6 +107,12 @@ object DedupFunctions {
     * twice (count + bloom build): cache it first if it is expensive.
     * Requires [[graft.GraftSessionExtensions]] on the session (every
     * graft builder configures it).
+    *
+    * LIFETIME (large-bloom path): past 256 KB the bloom rides a Broadcast
+    * that the next `releaseCaches()` sweep DESTROYS — the returned frame
+    * is valid until then and must not be re-executed afterwards (rebuild
+    * it instead; Bench/ScaleBench call the sweep between queries and
+    * rebuild plans per run, which is the intended usage pattern).
     */
   def bloomSemiPrefilter(big: DataFrame, small: DataFrame, key: String,
       fpp: Double = 0.02): DataFrame = {

@@ -153,12 +153,71 @@ object KqlCompat {
     * `isempty`/`isnotempty`, and `startofday/month/year`. Spark-SQL-native
     * input passes through untouched.
     */
+  /** `dynamic({...})` bag literals → single-quoted JSON string literals
+    * (this engine's dynamic currency is JSON text). Runs FIRST, before any
+    * other rewrite: the bag's DOUBLE-quoted JSON strings are invisible to
+    * the single-quote-aware expansions, so running late would let an
+    * earlier handler corrupt function-shaped text inside them (e.g. a
+    * message value "split(a,b) failed"), and expandCalls' comma-split+trim
+    * would eat interior whitespace ("x, y" → "x,y"). This scanner keeps
+    * the raw text verbatim: paren depth tracked OUTSIDE JSON strings,
+    * JSON strings tracked with backslash escapes.
+    */
+  private def rewriteDynamicBags(s0: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < s0.length) {
+      val idx = s0.indexOf("dynamic(", i)
+      val precededByIdent = idx > 0 &&
+        (s0.charAt(idx - 1).isLetterOrDigit || s0.charAt(idx - 1) == '_')
+      // only outside single-quoted SQL literals (quote parity, '' escapes
+      // keep parity) and only when the first payload char is '{'
+      lazy val insideLiteral = s0.substring(0, idx).count(_ == '\'') % 2 == 1
+      var payload = if (idx < 0) -1 else idx + "dynamic(".length
+      while (payload >= 0 && payload < s0.length && s0.charAt(payload).isWhitespace)
+        payload += 1
+      if (idx < 0) { out.append(s0.substring(i)); i = s0.length }
+      else if (precededByIdent || insideLiteral ||
+          payload >= s0.length || s0.charAt(payload) != '{') {
+        out.append(s0.substring(i, idx + 1)); i = idx + 1
+      } else {
+        var depth = 0; var inStr = false; var esc = false
+        var j = idx + "dynamic(".length
+        var end = -1
+        while (j < s0.length && end < 0) {
+          val c = s0.charAt(j)
+          if (inStr) {
+            if (esc) esc = false
+            else if (c == '\\') esc = true
+            else if (c == '"') inStr = false
+          } else c match {
+            case '"' => inStr = true
+            case '(' => depth += 1
+            case ')' => if (depth == 0) end = j else depth -= 1
+            case _   =>
+          }
+          j += 1
+        }
+        if (end < 0) { out.append(s0.substring(i, idx + 1)); i = idx + 1 }
+        else {
+          val content = s0.substring(idx + "dynamic(".length, end).trim
+          out.append(s0.substring(i, idx))
+          out.append("'").append(content.replace("'", "''")).append("'")
+          i = end + 1
+        }
+      }
+    }
+    out.toString
+  }
+
   def rewrite(kql: String): String = {
+    // bag literals first — see rewriteDynamicBags
+    val kql1 = rewriteDynamicBags(kql)
     // name/literal rewrites see only the text OUTSIDE single-quoted string
     // literals, and match only at identifier boundaries — `my_strcat(`,
     // `sdiff(` and `concat('iff(', x)` must all survive untouched (the
     // no-op-on-Spark-SQL invariant)
-    var s = mapOutsideQuotes(kql) { seg0 =>
+    var s = mapOutsideQuotes(kql1) { seg0 =>
       var seg = seg0
       // datetime(2021-01-01) literal → timestamp'2021-01-01'; the negative
       // look-behind keeps `todatetime(` intact
@@ -474,6 +533,11 @@ object KqlCompat {
     // percentile_array_tdigest(sketch, percentiles): map the native
     // percentile_tdigest read over the array (or over listed percentiles)
     s = expandCalls(s, "percentile_array_tdigest") {
+      // 2-arg with a NUMERIC literal percentile (the legal single-vararg
+      // ADX form) still returns an ARRAY — wrap it; an array/column second
+      // arg maps directly
+      case Seq(d, p) if p.trim.matches("-?[0-9.]+") =>
+        s"transform(array($p), __pp -> percentile_tdigest($d, __pp))"
       case Seq(d, arr) => s"transform($arr, __pp -> percentile_tdigest($d, __pp))"
       case args if args.size > 2 =>
         s"transform(array(${args.tail.mkString(", ")}), " +
@@ -640,9 +704,6 @@ object KqlCompat {
     // IS its JSON. expandCalls splits the bracket commas at depth 1, so
     // rejoin before unwrapping.
     s = expandCalls(s, "dynamic") {
-      case parts if parts.nonEmpty && parts.head.trim.startsWith("{") &&
-          parts.last.trim.endsWith("}") =>
-        "'" + parts.mkString(",").trim.replace("'", "''") + "'"
       case parts if parts.nonEmpty && parts.head.trim.startsWith("[") &&
           parts.last.trim.endsWith("]") =>
         // every [..] group (outer AND nested — dynamic([[1,2],[3,4]]) ring

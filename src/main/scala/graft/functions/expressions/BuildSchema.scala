@@ -38,7 +38,7 @@ object SchemaTree {
     var hasArr     = false
   }
 
-  private val M = new ObjectMapper()
+  private[expressions] val M = new ObjectMapper()
 
   def fromJson(n: JsonNode, into: Node): Unit =
     if (n.isObject) {
@@ -138,7 +138,10 @@ case class BuildSchemaAgg(
   // STRUCTURE preserved ({"__s":[...], "__f":{...}, "__a":<node|null>}),
   // so deserialize(serialize(x)) merges exactly like x itself
   private def ser(n: SchemaTree.Node): JsonNode = {
-    val M = new ObjectMapper()
+    // the shared mapper — serialize() runs per partial-buffer flush, and a
+    // fresh ObjectMapper per NODE would be Jackson's heaviest allocation
+    // on a high-cardinality groupBy
+    val M = SchemaTree.M
     val o = M.createObjectNode()
     val s = M.createArrayNode()
     n.scalars.foreach(s.add)

@@ -451,9 +451,13 @@ object GeoClip {
   def unionLinesArray(shapes: Seq[(Array[Double], Array[Double])]): String = {
     if (shapes.isEmpty) return emptyGeo
     if (shapes.exists { case (lo, la) => lineOf(lo, la).isEmpty }) return null
+    // vertex-identical duplicates collapse (union idempotence — the same
+    // guard class as the polygon clip's dup-ring check); PARTIAL overlaps
+    // are NOT dissolved — the same measure-zero collinear-overlap
+    // divergence the polygon clipper documents, stated here too
     val coords = shapes.map { case (lo, la) =>
       lo.indices.map(i => s"[${lo(i)},${la(i)}]").mkString("[", ",", "]")
-    }
+    }.distinct
     if (coords.size == 1) s"""{"type":"LineString","coordinates":${coords.head}}"""
     else s"""{"type":"MultiLineString","coordinates":[${coords.mkString(",")}]}"""
   }

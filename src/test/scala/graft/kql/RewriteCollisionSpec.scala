@@ -88,8 +88,11 @@ class RewriteCollisionSpec extends AnyFunSuite {
     // expansion), erfc emits erf (the complement riding the later A-S
     // polynomial), bin_auto emits bin (the query_bin_auto_size binding
     // fed into the later bin flooring).
+    // "dynamic" is NOT an emission: rewriteDynamicBags scans for the
+    // literal token "dynamic(" (its own input detection, runs BEFORE the
+    // array handler and leaves non-bag calls untouched).
     val reviewed = Set(
-      "bag_pack", "bin", "erf", "format_ipv4", "geo_azimuth",
+      "bag_pack", "bin", "dynamic", "erf", "format_ipv4", "geo_azimuth",
       "geo_distance_2points", "geo_distance_point_to_line",
       "geo_intersects_2lines", "geo_line_length", "geo_point_in_polygon",
       "parse_url", "series_decompose", "series_outliers", "split",
