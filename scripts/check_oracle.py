@@ -40,6 +40,8 @@ for name in sorted(os.listdir(out_dir)):
     if name not in oracles:
         print(f"{name:28s} rows-only: {len(spark_df)} rows")
         record[name] = f"rows-only:{len(spark_df)}"
+        if len(spark_df) == 0:
+            fails.append(name)
         continue
     try:
         oracle_df = con.execute(oracles[name]).fetchdf()
@@ -63,6 +65,14 @@ for name in sorted(os.listdir(out_dir)):
     if len(a) != len(b):
         print(f"{name:28s} ROWCOUNT spark={len(a)} oracle={len(b)}")
         record[name] = f"ROWCOUNT spark={len(a)} oracle={len(b)}"
+        fails.append(name); continue
+    if len(a) == 0:
+        # both engines agree on empty — but an empty result verifies NOTHING
+        # about the operator, so a 0-row pass is a FAILURE at every recorded
+        # scale (the CLAUDE.md no-0-row registration rule, extended to sweeps
+        # after two sf0.1 rows went silently vacuous in round 12)
+        print(f"{name:28s} VACUOUS (0 rows in both engines)")
+        record[name] = "VACUOUS:0"
         fails.append(name); continue
     try:
         pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)

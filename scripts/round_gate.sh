@@ -36,6 +36,24 @@ if [ -z "$REGISTRY" ] || [ "$REGISTRY" != "$DUMPED" ]; then
 fi
 echo "registry == dumped == $REGISTRY"
 
+echo "== sf0.1 correctness sweep (standing stage — caught 4 scale-regime bugs in r12) =="
+# Full-registry DuckDB compare at the BENCH scale too: tie/rounding/sketch-
+# regime bugs invisible at sf0.01 fail HERE instead of surfacing a round
+# later. The --record file is the committed CORRECTNESS_SF01_r{N}.json.
+SWEEP_OUT=/tmp/verify_out_sf01
+rm -rf "$SWEEP_OUT"
+SWEEP_LOG=$(mktemp)
+SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify $SF_BENCH $SWEEP_OUT" 2>&1 \
+  | tee "$SWEEP_LOG" | tail -2
+if grep -qE "\[verify\].*failed" "$SWEEP_LOG"; then echo "SF0.1 VERIFY FAILURES"; exit 1; fi
+grep -q "\[success\]" "$SWEEP_LOG" || { echo "SF0.1 VERIFY DID NOT COMPLETE"; exit 1; }
+rm -f "$SWEEP_LOG"
+SWEEP_ROUND=$(ls CORRECTNESS_r*.json 2>/dev/null \
+  | sed -E 's/.*_r0*([0-9]+)\.json/\1/' | sort -n | tail -1)
+SWEEP_ROUND=$(( ${SWEEP_ROUND:-0} + 1 ))
+python3 scripts/check_oracle.py "$SF_BENCH" "$SWEEP_OUT" \
+  --record "$(printf 'CORRECTNESS_SF01_r%02d.json' "$SWEEP_ROUND")"
+
 echo "== bench @ $SF_BENCH =="
 BENCH_LINE=$(SPARK_GRAFT_SF_DIR="$SF_BENCH" SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench" \
   | grep '"queries"')

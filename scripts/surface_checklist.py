@@ -168,8 +168,9 @@ IMPOSSIBLE = {
 # semantics (rewrite() is a no-op on them) — each one oracle-pinned by
 # q_kql_scalar_passthrough so the claim is checked, not assumed.
 PASSTHROUGH = """
-acos atan ceiling current_database dayofyear degrees exp floor isnan isnotnull
-isnull log log10 log2 not pi radians round sign tan
+abs acos asin atan atan2 ceiling coalesce cos current_database dayofyear
+degrees exp floor isnan isnotnull isnull log log10 log2 not pi pow radians
+reverse round sign sin sqrt tan
 """.split()
 
 DIVERGENT = {
@@ -222,9 +223,37 @@ def grep_hit(name: str, haystack: str) -> bool:
     token = ALIASES.get(name)
     if token is not None:
         return token in haystack
-    # registrations appear as the quoted name ("foo" -> / case "foo") or as
-    # the quoted call prefix in the rewrite table ("foo(" -> "spark_fn(")
-    return f'"{name}"' in haystack or f'"{name}(' in haystack
+    # REGISTRATION shapes only — a docs name that merely appears inside some
+    # other handler's emitted string (a rewrite-table VALUE or an error
+    # message) must not count as implemented (r12 advice):
+    #   "foo" ->               map key (rewrite table / registry / dispatch)
+    #   "foo(" ->              call-prefix rewrite-table key
+    #   case "foo"             match-arm dispatch
+    #   case Seq("foo", ...)   "
+    #   expandCalls(s, "foo")  expansion registration
+    #   expandAgg*( ... "foo") aggregate-expansion registration
+    #   == "foo" / != "foo"    name-comparison dispatch (pipeline stages)
+    #   startsWith("foo ")     operator-prefix dispatch
+    q = re.escape(name)
+    shapes = [
+        rf'"{q}"\s*(->|=>)',
+        rf'"{q}\("\s*(->|=>)',
+        rf'case\s+"{q}"',
+        rf'case\s+Seq\(\s*"{q}"',
+        rf'expandCalls\(\s*\w+\s*,\s*"{q}"\s*[,)]',
+        rf'expand\w*\(\s*\w+\s*,\s*"{q}"\s*[,)]',
+        rf'[=!]=\s*"{q}"',
+        rf'"{q}"\s*[=!]=',
+        rf'startsWith\("{q}[ ("]',
+        rf'indexOf\("{q}"',
+        # GraftSessionExtensions registration helpers:
+        #   unary("name", classOf[...], ...) / binary(...) and the
+        #   ("name", Mk(_), classOf[Mk]) tuple batches
+        rf'(unary|binary)\("{q}"',
+        rf'\("{q}",\s*[A-Z]\w*\(',
+        rf'FunctionIdentifier\("{q}"\)',
+    ]
+    return any(re.search(p, haystack) for p in shapes)
 
 
 def main() -> int:

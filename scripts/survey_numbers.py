@@ -32,22 +32,30 @@ def main():
 
     local = load(f"BENCH_LOCAL_{tag}.json")
     if local:
-        qs = local["queries"]
-        total = sum(qs.values()) if all(
+        qs = local.get("queries", {})
+        total = sum(qs.values()) if qs and all(
             isinstance(v, (int, float)) for v in qs.values()) else local.get("value")
-        print(f"BENCH_LOCAL_{tag}: {total:.1f} s / {len(qs)} queries "
-              f"(max {max(qs, key=qs.get)} {max(qs.values()):.2f} s)")
+        if total is None or not qs:
+            print(f"BENCH_LOCAL_{tag}: SKIPPED (non-numeric queries and no "
+                  "top-level 'value' — record malformed?)")
+        else:
+            print(f"BENCH_LOCAL_{tag}: {total:.1f} s / {len(qs)} queries "
+                  f"(max {max(qs, key=qs.get)} {max(qs.values()):.2f} s)")
     for name, label in ((f"BENCH_SF1_{tag}.json", "SF1 (10x)"),
                         (f"BENCH_SF10_{tag}.json", "SF10 (100x)")):
         rec = load(name)
         if not rec:
             continue
+        if not all(k in rec for k in ("timed", "median_ratio", "max_ratio")):
+            print(f"{label}: SKIPPED (record missing timed/ratio keys)")
+            continue
         line = (f"{label}: {len(rec['timed'])} queries, median "
                 f"{rec['median_ratio']}x, max {rec['max_ratio']}x, "
-                f"failed={rec['failed']}")
+                f"failed={rec.get('failed', '?')}")
         second = rec.get("second_run")
         if second:
-            line += f"; run-2 median {second['median_ratio']}x, failed={second['failed']}"
+            line += (f"; run-2 median {second.get('median_ratio', '?')}x, "
+                     f"failed={second.get('failed', '?')}")
         print(line)
     meta = load(f"BENCH_META_{tag}.json")
     if meta:

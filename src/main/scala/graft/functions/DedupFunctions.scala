@@ -52,11 +52,16 @@ object DedupFunctions {
   def releaseCaches(): Unit = persistedFrames.synchronized {
     persistedFrames.foreach(_.unpersist(blocking = false))
     persistedFrames.clear()
-    liveBloomBroadcasts.foreach(_.destroy())
+    // unpersist, NOT destroy: executor copies are dropped now, but a caller
+    // re-executing a returned frame across the sweep boundary re-ships from
+    // the driver instead of crashing on a destroyed handle. The driver-side
+    // block is reclaimed by the ContextCleaner once the plan (and this
+    // buffer's reference, cleared below) are unreachable.
+    liveBloomBroadcasts.foreach(_.unpersist(blocking = false))
     liveBloomBroadcasts.clear()
   }
 
-  // broadcasts handed to in-flight BloomContainsBc plans; destroyed with
+  // broadcasts handed to in-flight BloomContainsBc plans; unpersisted with
   // the per-query releaseCaches sweep (Bench/ScaleBench call it between
   // queries), never accumulated across a session — the r11 advice leak
   private val liveBloomBroadcasts =
@@ -109,10 +114,11 @@ object DedupFunctions {
     * graft builder configures it).
     *
     * LIFETIME (large-bloom path): past 256 KB the bloom rides a Broadcast
-    * that the next `releaseCaches()` sweep DESTROYS — the returned frame
-    * is valid until then and must not be re-executed afterwards (rebuild
-    * it instead; Bench/ScaleBench call the sweep between queries and
-    * rebuild plans per run, which is the intended usage pattern).
+    * whose executor copies the next `releaseCaches()` sweep unpersists —
+    * re-executing the returned frame afterwards is legal (the value
+    * re-ships from the driver on first probe), it just pays the torrent
+    * again; Bench/ScaleBench call the sweep between queries and rebuild
+    * plans per run, which is the intended usage pattern.
     */
   def bloomSemiPrefilter(big: DataFrame, small: DataFrame, key: String,
       fpp: Double = 0.02): DataFrame = {
@@ -130,7 +136,7 @@ object DedupFunctions {
         // CONTENT during canonicalization, so a multi-MB literal taxes
         // every analysis pass (measured on the 100x dedup corpus) —
         // broadcast it and probe through the Broadcast-backed expression;
-        // the handle is destroyed by the next releaseCaches sweep
+        // executor copies are unpersisted by the next releaseCaches sweep
         val bc = big.sparkSession.sparkContext.broadcast(bytes)
         persistedFrames.synchronized { liveBloomBroadcasts += bc }
         big.filter(org.apache.spark.sql.graftbridge.GraftColumnBridge.column(

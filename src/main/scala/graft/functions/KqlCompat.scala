@@ -166,19 +166,32 @@ object KqlCompat {
   private def rewriteDynamicBags(s0: String): String = {
     val out = new StringBuilder
     var i = 0
+    // single-quote parity tracked INCREMENTALLY over the text this scanner
+    // has passed through (consumed bag payloads excluded): a recount of the
+    // raw prefix would let an apostrophe inside an earlier bag's
+    // double-quoted JSON string (dynamic({"m":"it's"})) flip parity and
+    // misclassify every later bag as inside-a-literal
+    var parity = false
+    def advance(chunk: String): Unit = chunk.foreach(c => if (c == '\'') parity = !parity)
     while (i < s0.length) {
       val idx = s0.indexOf("dynamic(", i)
       val precededByIdent = idx > 0 &&
         (s0.charAt(idx - 1).isLetterOrDigit || s0.charAt(idx - 1) == '_')
       // only outside single-quoted SQL literals (quote parity, '' escapes
       // keep parity) and only when the first payload char is '{'
-      lazy val insideLiteral = s0.substring(0, idx).count(_ == '\'') % 2 == 1
+      lazy val insideLiteral = {
+        var p = parity
+        var k = i
+        while (k < idx) { if (s0.charAt(k) == '\'') p = !p; k += 1 }
+        p
+      }
       var payload = if (idx < 0) -1 else idx + "dynamic(".length
       while (payload >= 0 && payload < s0.length && s0.charAt(payload).isWhitespace)
         payload += 1
       if (idx < 0) { out.append(s0.substring(i)); i = s0.length }
       else if (precededByIdent || insideLiteral ||
           payload >= s0.length || s0.charAt(payload) != '{') {
+        advance(s0.substring(i, idx + 1))
         out.append(s0.substring(i, idx + 1)); i = idx + 1
       } else {
         var depth = 0; var inStr = false; var esc = false
@@ -198,10 +211,13 @@ object KqlCompat {
           }
           j += 1
         }
-        if (end < 0) { out.append(s0.substring(i, idx + 1)); i = idx + 1 }
-        else {
+        if (end < 0) {
+          advance(s0.substring(i, idx + 1))
+          out.append(s0.substring(i, idx + 1)); i = idx + 1
+        } else {
           val content = s0.substring(idx + "dynamic(".length, end).trim
-          out.append(s0.substring(i, idx))
+          advance(s0.substring(i, idx)) // payload itself never counts: it
+          out.append(s0.substring(i, idx)) // becomes a BALANCED literal below
           out.append("'").append(content.replace("'", "''")).append("'")
           i = end + 1
         }
@@ -210,7 +226,18 @@ object KqlCompat {
     out.toString
   }
 
+  /** Test hook: when non-null, every `rewrite` INPUT is recorded so the
+    * fixpoint property spec (RewriteFixpointSpec) can replay the real
+    * corpus — every scalar fragment the registry's queries actually push
+    * through this engine — and assert rewrite∘rewrite == rewrite. Zero
+    * cost when null (the default); never set outside tests.
+    */
+  @volatile private[graft] var recordInputs:
+      java.util.concurrent.ConcurrentLinkedQueue[String] = null
+
   def rewrite(kql: String): String = {
+    val rec = recordInputs
+    if (rec != null) rec.add(kql)
     // bag literals first — see rewriteDynamicBags
     val kql1 = rewriteDynamicBags(kql)
     // name/literal rewrites see only the text OUTSIDE single-quoted string
@@ -595,10 +622,13 @@ object KqlCompat {
     s = expandCalls(s, "max_of") { case xs if xs.size >= 2 => s"greatest(${xs.mkString(", ")})" }
     s = expandCalls(s, "min_of") { case xs if xs.size >= 2 => s"least(${xs.mkString(", ")})" }
     // KQL substring is 0-based (Spark's is 1-based); negative-start and
-    // over-length behavior already agree once shifted
+    // over-length behavior already agree once shifted. Emit Spark's SUBSTR
+    // alias, not substring: the emission must not re-match this handler on
+    // a second rewrite pass (the fixpoint invariant — RewriteFixpointSpec),
+    // or the +1 shift compounds.
     s = expandCalls(s, "substring") {
-      case Seq(x, i)      => s"substring($x, ($i) + 1)"
-      case Seq(x, i, len) => s"substring($x, ($i) + 1, $len)"
+      case Seq(x, i)      => s"substr($x, ($i) + 1)"
+      case Seq(x, i, len) => s"substr($x, ($i) + 1, $len)"
     }
     s = expandCalls(s, "exp2") { case Seq(x) => s"pow(CAST(2 AS DOUBLE), $x)" }
     s = expandCalls(s, "exp10") { case Seq(x) => s"pow(CAST(10 AS DOUBLE), $x)" }
@@ -1047,9 +1077,12 @@ object KqlCompat {
           s"CAST(0 AS DOUBLE)) * pow(10, 8 * (3 - i)))"
     }
     // translate(searchList, replaceList, text): ADX argument order →
-    // Spark's translate(text, from, to)
+    // Spark's translate(text, from, to). Emitted UPPERCASE: Spark resolves
+    // function names case-insensitively, but this handler matches
+    // case-sensitively — a second rewrite pass must not permute the
+    // already-permuted arguments again (the fixpoint invariant).
     s = expandCalls(s, "translate") {
-      case Seq(from, to, t) => s"translate($t, $from, $to)"
+      case Seq(from, to, t) => s"TRANSLATE($t, $from, $to)"
     }
     // replace_strings(text, lookups, rewrites): sequential plain-text
     // replacements — a left fold over the zipped pair arrays, so later
@@ -1878,11 +1911,17 @@ object KqlCompat {
     }
     // has_any_ipv4_prefix(text, prefix1, …): a properly delimited, valid
     // quad whose TEXT starts with any listed prefix (the has_ipv4_prefix
-    // contract, any-folded). Also accepts a single dynamic array arg.
+    // contract, any-folded). Also accepts a single dynamic array arg —
+    // detected by the ARRAY-CONSTRUCTOR shape it necessarily has by now
+    // (dynamic([…]) and pack_array(…) both became array(…) in earlier
+    // passes), so a single non-literal SCALAR prefix (a string column,
+    // legal ADX) folds as one prefix instead of failing exists() analysis.
     s = expandCalls(s, "has_any_ipv4_prefix") {
       case args if args.size >= 2 =>
+        val a1 = args(1).trim
         val list =
-          if (args.size == 2 && !args(1).trim.startsWith("'")) args(1)
+          if (args.size == 2 && (a1.startsWith("array(") || a1.startsWith("pack_array(")))
+            args(1)
           else args.tail.mkString("array(", ", ", ")")
         s"exists(${Ipv4Candidates.format(args.head)}, c -> (${ip4("c")}) IS NOT NULL " +
           s"AND exists($list, __px -> startswith(c, __px)))"

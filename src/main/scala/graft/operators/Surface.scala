@@ -1132,24 +1132,29 @@ object Surface {
         // column (covered_id_bound, oracle-matched): no silent coverage cap.
         // The unbounded scale path for near-dup detection is
         // dedup_minhash_lsh; this query is its exact teaching baseline.
-        // The bound still covers real near-dup pairs at sf0.01+ (they are
-        // spread across the id range, e.g. (61,185), (8,245) — doc_id<50
-        // found none → vacuous).
-        val bound = 300L
-        ngramJaccardPairs(t(s, dir, "documents").filter(col("doc_id") < bound), 0.4)
+        // The bound is DATA-DERIVED (3/5 of the corpus row count, truncating
+        // — 300 at sf0.01, 3000 at sf0.1) so the slice scales with the
+        // corpus and real near-dup pairs land INSIDE it at every recorded
+        // sweep scale: a fixed 300 went vacuous (0 rows) at sf0.1 where the
+        // generator spreads pair partners across the full id range.
+        // Both engines derive the identical bound from the identical count.
+        val docs  = t(s, dir, "documents")
+        val bound = docs.count() * 3 / 5
+        ngramJaccardPairs(docs.filter(col("doc_id") < bound), 0.4)
           .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"),
             lit(bound).as("covered_id_bound"))
       },
       Some("""
-        WITH sh AS (SELECT DISTINCT doc_id,
+        WITH bd AS (SELECT 3 * count(*) // 5 AS bound FROM documents),
+             sh AS (SELECT DISTINCT doc_id,
                       unnest(list_transform(range(1, greatest(length(text) - 9, 1) + 1),
                                             i -> substr(text, CAST(i AS INT), 10))) AS sh
-                    FROM documents WHERE doc_id < 300),
+                    FROM documents WHERE doc_id < (SELECT bound FROM bd)),
              sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
              it AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
                     FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
         SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard,
-               CAST(300 AS BIGINT) AS covered_id_bound
+               CAST((SELECT bound FROM bd) AS BIGINT) AS covered_id_bound
         FROM it JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
         WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.4""")),
 
@@ -3739,10 +3744,13 @@ object Surface {
 
     "q_kql_diffpatterns_text" -> QueryDef(
       // token-share difference between English and non-English documents:
-      // one explode + one hash groupBy, percents per cohort token total
+      // one explode + one hash groupBy, percents per cohort token total.
+      // Threshold 0.05 (not 0.2): share differences SHRINK as the corpus
+      // grows more uniform — 0.2 went vacuous (0 rows) at sf0.1 where the
+      // max |diff| is 0.168; 0.05 yields 26 rows at sf0.01 and 13 at sf0.1.
       (s, dir) => kqlRun(s, dir,
         """documents
-          | | evaluate diffpatterns_text(text, lang == 'en', 0.2)
+          | | evaluate diffpatterns_text(text, lang == 'en', 0.05)
           | | order by PercentDiff desc, token asc""".stripMargin),
       Some("""
         WITH tok AS (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token,
@@ -3761,7 +3769,7 @@ object Surface {
                round(cb * 100 / tb, 6) AS PercentB,
                round(round(ca * 100 / ta, 6) - round(cb * 100 / tb, 6), 6) AS PercentDiff
         FROM cand, tot
-        WHERE abs(round(round(ca * 100 / ta, 6) - round(cb * 100 / tb, 6), 6)) >= 0.2
+        WHERE abs(round(round(ca * 100 / ta, 6) - round(cb * 100 / tb, 6), 6)) >= 0.05
         ORDER BY PercentDiff DESC, token""")),
 
     "sim_hamming_topk" -> QueryDef(
@@ -4571,7 +4579,13 @@ object Surface {
           |     nn = isnan(acos(2.0)), nl = isnull(missing_col_stand_in),
           |     nnl = isnotnull(x), ng = not(x > 1.0),
           |     doy = dayofyear(d), cdb = current_database() == 'default',
-          |     ue = url_encode('hello world/x')""".stripMargin
+          |     ue = url_encode('hello world/x'),
+          |     ab = abs(todouble(-3.5)), as1 = round(asin(x), 6),
+          |     at2 = round(atan2(1.0, 1.0), 6),
+          |     co = coalesce(missing_col_stand_in, x),
+          |     cs = round(cos(0.0), 6), pw = pow(2.0, 10.0),
+          |     rv = reverse('abc'), sn = round(sin(0.0), 6),
+          |     sq = round(sqrt(4.0), 6)""".stripMargin
           .replace("missing_col_stand_in", "iff(x > 1.0, x, todouble(null))")),
       Some("""
         SELECT round(acos(0.5), 6) AS ac, round(atan(0.5), 6) AS at,
@@ -4581,7 +4595,10 @@ object Surface {
                round(pi(), 6) AS pi6, -1.0 AS sg, 0.0 AS tn,
                TRUE AS nn, TRUE AS nl, TRUE AS nnl, TRUE AS ng,
                CAST(75 AS INT) AS doy, TRUE AS cdb,
-               'hello+world%2Fx' AS ue""")),
+               'hello+world%2Fx' AS ue,
+               3.5 AS ab, round(asin(0.5), 6) AS as1,
+               round(atan2(1.0, 1.0), 6) AS at2, 0.5 AS co,
+               1.0 AS cs, 1024.0 AS pw, 'cba' AS rv, 0.0 AS sn, 2.0 AS sq""")),
 
     "q_kql_scalar_stragglers" -> QueryDef(
       // round-12 newly-implemented scalar stragglers, each oracle-pinned:
