@@ -27,4 +27,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // One-JVM multi-query suites (Bench: 260 plans ×3, ScaleBench: 41 ×2
+  // scales) generate far more compiled code than the 240 MB default cache
+  // holds; once it fills, UseCodeCacheFlushing evicts nondeterministically
+  // and late-suite queries run partially uncompiled — the r12 embed_kmeans
+  // 143% SF10 spread (adjudicated via tools.KmeansProfile: cold-code rep
+  // 11 s vs 4.1 s steady, GC and task balance ruled out). Reserved, not
+  // committed, so tests pay nothing for it.
+  "-XX:ReservedCodeCacheSize=512m",
 )
