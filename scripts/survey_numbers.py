@@ -57,16 +57,41 @@ def main():
             line += (f"; run-2 median {second.get('median_ratio', '?')}x, "
                      f"failed={second.get('failed', '?')}")
         print(line)
-    meta = load(f"BENCH_META_{tag}.json")
-    if meta:
+        stream = rec.get("streaming")
+        if stream and "trigger_points" in stream:
+            pts = ", ".join(
+                f"mft={p['max_files_per_trigger']}: {p['stream_sec']:.1f} s "
+                f"({p['stream_over_batch']:.2f}x batch)"
+                for p in stream["trigger_points"])
+            print(f"  streaming {stream.get('rows', '?')} rows / "
+                  f"{stream.get('commits', '?')} commits, batch "
+                  f"{stream.get('batch_sec', float('nan')):.1f} s; {pts}; "
+                  f"drain-equals-batch "
+                  f"{all(p.get('drain_equals_batch') for p in stream['trigger_points'])}")
+    for meta_name in sorted(glob.glob(f"BENCH_META*_{tag}.json")):
+        meta = load(meta_name)
+        if not meta:
+            continue
         ph = meta["phases"]
-        print(f"BENCH_META_{tag}: bootstrap {ph['bootstrap_full_snapshot']['adds']} adds "
+        print(f"{meta_name[:-5]}: bootstrap {ph['bootstrap_full_snapshot']['adds']} adds "
               f"{ph['bootstrap_full_snapshot']['sec']:.1f} s "
               f"({ph['bootstrap_full_snapshot']['heap_after_gb']:.2f} GB after GC), "
               f"delta {ph['delta_vs_90pct_applied']:.1f} s, "
               f"coalesce {ph['coalesce_10_slices']:.1f} s, "
               f"E2E {meta['n_blobs']} blobs {ph['e2e_first_mirror_batch']['sec']:.1f} s, "
               f"heap peak {meta['heap_peak_gb']:.2f} GB / {meta['driver_heap_gb']:.0f} GB")
+        bd = meta.get("e2e_breakdown")
+        if bd:
+            top = sorted(bd.items(), key=lambda kv: -kv[1]["sec"])[:4]
+            print("  E2E breakdown (nesting: orch.stage ⊃ mirror.stage+appends; "
+                  "orch.status ⊃ store.read; mirror.stage sums concurrent workers): "
+                  + ", ".join(f"{k} {v['sec']:.1f} s/{v['calls']}x" for k, v in top))
+        sc = meta.get("store_compaction")
+        if sc:
+            print(f"  store compaction: {sc['raw_rows']} raw rows "
+                  f"({sc['raw_mb']:.0f} MB) -> {sc['live_rows']} live "
+                  f"({sc['compact_mb']:.0f} MB) in {sc['compact_sec']:.1f} s, "
+                  f"reload {sc['reload_sec']:.1f} s")
 
 
 if __name__ == "__main__":

@@ -82,7 +82,12 @@ class MirrorOrchestrator(
   private val mirror = new MirrorTable(spark, config.mirrorDir, config.mirrorTableName)
 
   private def now(): Instant = Instant.now()
-  private def status(): TableStatus = TableStatus.fromStore(store, config.mirrorTableName)
+  // status() re-reads + lastWins-folds the WHOLE store — the per-poll O(n)
+  // constant that dominates large-file-count batches; timed so the
+  // metadata-plane record can show it (orch.status CONTAINS store.read)
+  private def status(): TableStatus = graft.util.PhaseTimer.time("orch.status") {
+    TableStatus.fromStore(store, config.mirrorTableName)
+  }
 
   /** One poll: discover + persist new logs, then drain incomplete batches
     * (DeltaTableOrchestration.cs:50-83). Returns the number of batches
@@ -158,7 +163,7 @@ class MirrorOrchestrator(
     * state, persist its items as `Initial` (PersistNewLogsAsync,
     * DeltaTableOrchestration.cs:337-351).
     */
-  private def discoverNext(st: TableStatus): Boolean = {
+  private def discoverNext(st: TableStatus): Boolean = graft.util.PhaseTimer.time("orch.discover") {
     val applied = st.getHistorical(Long.MaxValue)
     reader.nextBatch(applied) match {
       case None => false
@@ -203,7 +208,7 @@ class MirrorOrchestrator(
     * one Spark job for all tuples, the reference's one-KQL-round-trip
     * batching), apply the go-back retention skip (P7/O5), persist Analyzed.
     */
-  private def analyze(batch: TxLog): Unit = {
+  private def analyze(batch: TxLog): Unit = graft.util.PhaseTimer.time("orch.analyze") {
     val todo = batch.adds.filter(_.state == TxState.Initial) // P6
     if (todo.isEmpty) return
 
@@ -257,7 +262,8 @@ class MirrorOrchestrator(
     * never read from parquet. Lineage (`MLK_BlobPath`) comes from
     * `input_file_name()`; `MLK_IngestTs` pins this ingest instance.
     */
-  private def stageAdds(st: TableStatus, startTxId: Long): Unit = {
+  private def stageAdds(st: TableStatus, startTxId: Long): Unit =
+      graft.util.PhaseTimer.time("orch.stage") {
     val batch = st.getBatch(startTxId)
     val stagingName = batch.stagingTable
       .flatMap(_.internalState.stagingTableName)
@@ -309,7 +315,7 @@ class MirrorOrchestrator(
         // stable column order = mirror schema order
         .select(KustoTypes.withTrackingColumns(schema).fields.map(f => col(f.name)).toIndexedSeq: _*)
 
-      mirror.stage(stagingName, groupId, df)
+      graft.util.PhaseTimer.time("mirror.stage")(mirror.stage(stagingName, groupId, df))
       store.append(adds.map(a => a.copy(
         state = TxState.Staged,
         mirrorTimestamp = now(),
@@ -322,7 +328,8 @@ class MirrorOrchestrator(
     * adds (J3 — a remove of a Skipped add is itself Skipped; a remove with no
     * matching past add is a hard error), then delete by pinned lineage (O12).
     */
-  private def load(st: TableStatus, startTxId: Long): Unit = {
+  private def load(st: TableStatus, startTxId: Long): Unit =
+      graft.util.PhaseTimer.time("orch.load") {
     val batch = st.getBatch(startTxId)
     val stagingName = batch.stagingTable
       .flatMap(_.internalState.stagingTableName)
@@ -340,7 +347,8 @@ class MirrorOrchestrator(
       val pvByGroup = batch.adds
         .map(_.partitionValues.getOrElse(Map.empty[String, String])).distinct
         .map(pv => MirrorOrchestrator.groupId(pv) -> pv).toMap
-      mirror.publishStaged(stagingName, pvByGroup, config.statsColumns)
+      graft.util.PhaseTimer.time("mirror.publish")(
+        mirror.publishStaged(stagingName, pvByGroup, config.statsColumns))
       store.append(status().getBatch(startTxId).adds
         .filter(_.state == TxState.Staged).map(_.withState(TxState.Done, now())))
     }

@@ -79,42 +79,95 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
       .orderBy("KustoTableName", "StartTxId", "Action", "BlobPath")
   }
 
+  private def cacheKey: String = fs.makeQualified(indexPath).toString
+
   /** All rows in arrival order, duplicates included. Takes the index lock:
     * atomicWrite momentarily has the index deleted-but-not-yet-renamed, and a
     * read landing in that window would see an EMPTY state (→ spurious
     * batch rediscovery under multi-table concurrency).
+    *
+    * Served from the parsed-items cache when valid: the orchestrator calls
+    * `status()` after every stage transition, and each call re-read + re-
+    * parsed the WHOLE index — 290 s of the 1137 s 10⁶-blob E2E
+    * (BENCH_META_1M_r13 e2e_breakdown, round 13). The in-JVM writers below
+    * maintain the cache under the same per-path lock, so in-process
+    * readers never re-parse; a (len, mtime) mismatch (an out-of-process
+    * writer — out of contract, but detectable) falls back to a full read.
     */
-  def readRaw(): Seq[TransactionItem] = withIndexLock {
-    if (!fs.exists(indexPath)) Seq.empty
-    else {
-      val in = fs.open(indexPath)
-      val text =
-        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), StandardCharsets.UTF_8)
-        finally in.close()
-      parseCsv(text)
+  def readRaw(): Seq[TransactionItem] = graft.util.PhaseTimer.time("store.read") {
+    withIndexLock {
+      if (!fs.exists(indexPath)) Seq.empty
+      else {
+        val st = fs.getFileStatus(indexPath)
+        val c  = indexCache.get(cacheKey)
+        if (c != null && c.len == st.getLen && c.mtime == st.getModificationTime) c.items
+        else {
+          val in = fs.open(indexPath)
+          val text =
+            try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), StandardCharsets.UTF_8)
+            finally in.close()
+          val items = parseCsv(text).toVector
+          indexCache.put(cacheKey, CachedIndex(st.getLen, st.getModificationTime, items))
+          items
+        }
+      }
     }
   }
 
-  /** Append new state rows (last-write-wins upsert, J6 / TableStatus.cs:119-129). */
-  def append(items: Seq[TransactionItem]): Unit = if (items.nonEmpty) withIndexLock {
-    val existing = if (fs.exists(indexPath)) {
-      val in = fs.open(indexPath)
-      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), StandardCharsets.UTF_8)
-      finally in.close()
-    } else Header + "\n"
-    val sb = new StringBuilder(existing)
-    items.foreach(i => sb.append(toCsvLine(i)).append('\n'))
-    atomicWrite(sb.toString)
-  }
+  /** Append new state rows (last-write-wins upsert, J6 / TableStatus.cs:119-129).
+    * The existing index is STREAMED byte-for-byte into the temp file (no
+    * decode/encode of a half-GB string — the other half of the 10⁶-blob
+    * store cost) and only the new lines are serialized.
+    */
+  def append(items: Seq[TransactionItem]): Unit = if (items.nonEmpty)
+    graft.util.PhaseTimer.time("store.append") {
+      withIndexLock {
+        val exists  = fs.exists(indexPath)
+        val preSt   = if (exists) Some(fs.getFileStatus(indexPath)) else None
+        val cPre    = indexCache.get(cacheKey)
+        // pre-append items, when known without a parse (cache valid or
+        // empty store) — lets the cache stay warm through the append
+        val preItems: Vector[TransactionItem] = preSt match {
+          case None => Vector.empty
+          case Some(st) if cPre != null && cPre.len == st.getLen &&
+            cPre.mtime == st.getModificationTime => cPre.items
+          case Some(_) => null
+        }
+        if (!fs.exists(dir)) fs.mkdirs(dir)
+        val tmp = new Path(dir, s"index.csv.tmp-${java.util.UUID.randomUUID()}")
+        val out = fs.create(tmp, true)
+        try {
+          if (exists) {
+            val in = fs.open(indexPath)
+            try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024, false)
+            finally in.close()
+          } else out.write((Header + "\n").getBytes(StandardCharsets.UTF_8))
+          val sb = new StringBuilder
+          items.foreach(i => sb.append(toCsvLine(i)).append('\n'))
+          out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
+        } finally out.close()
+        commitTmp(tmp)
+        if (preItems != null) {
+          val st2 = fs.getFileStatus(indexPath)
+          indexCache.put(cacheKey,
+            CachedIndex(st2.getLen, st2.getModificationTime, preItems ++ items))
+        } else indexCache.remove(cacheKey)
+      }
+    }
 
   /** Rewrite the state as its deduplicated snapshot (S8/O10,
     * GlobalTableStatus.cs:210-222): temp file then atomic rename.
     */
-  def compact(): Unit = withIndexLock {
-    val items = readAll()
-    val sb    = new StringBuilder(Header).append('\n')
-    items.foreach(i => sb.append(toCsvLine(i)).append('\n'))
-    atomicWrite(sb.toString)
+  def compact(): Unit = graft.util.PhaseTimer.time("store.compact") {
+    withIndexLock {
+      val items = readAll()
+      val sb    = new StringBuilder(Header).append('\n')
+      items.foreach(i => sb.append(toCsvLine(i)).append('\n'))
+      atomicWrite(sb.toString)
+      val st2 = fs.getFileStatus(indexPath)
+      indexCache.put(cacheKey,
+        CachedIndex(st2.getLen, st2.getModificationTime, items.toVector))
+    }
   }
 
   private def atomicWrite(content: String): Unit = {
@@ -123,6 +176,10 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
     val out = fs.create(tmp, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    commitTmp(tmp)
+  }
+
+  private def commitTmp(tmp: Path): Unit = {
     if (fs.exists(indexPath)) fs.delete(indexPath, false)
     if (!fs.rename(tmp, indexPath))
       throw new IllegalStateException(s"Failed to commit checkpoint state at $indexPath")
@@ -135,6 +192,18 @@ object CheckpointStore {
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def lockFor(key: String): Object =
     locks.computeIfAbsent(key, _ => new Object)
+
+  /** Parsed-items cache, one entry per qualified index path (shared across
+    * store instances — the multi-table mode shares one index.csv). Guarded
+    * by the SAME per-path lock as every read/write; (len, mtime) detect
+    * out-of-process modification. Holds one immutable Vector per live
+    * store — ~400 B/item, i.e. ~1.6 GB at the 4M-row 10⁶-blob ceiling
+    * (sized against the 24 GB driver that scale already requires).
+    */
+  private final case class CachedIndex(len: Long, mtime: Long,
+      items: Vector[TransactionItem])
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, CachedIndex]()
 
   /** CSV schema of Storage/TransactionItem.cs:24, column-for-column. */
   val Header: String =

@@ -117,11 +117,37 @@ object MetaScale {
       mirrorTableName = "meta_e2e",
       checkpointDir = s"$workDir/state")
     val orch = new MirrorOrchestrator(spark, cfg)
+    graft.util.PhaseTimer.reset()
     val (batches, e2eSec) = timed(orch.runOnce())
     require(batches >= 1, s"E2E mirror processed $batches batches")
     val mirrored = orch.table.snapshot().count()
     require(mirrored == nBlobs * 10L, s"mirrored $mirrored rows != ${nBlobs * 10L}")
     val e2eHeap = usedAfterGcGb()
+
+    // E2E phase breakdown (r13 — the 196 s/100k figure was one opaque
+    // number): accumulated seconds per phase from PhaseTimer. Nesting:
+    // orch.stage CONTAINS mirror.stage + its store.appends; orch.status
+    // CONTAINS store.read; the store.* totals are store-global.
+    val breakdown = graft.util.PhaseTimer.snapshot().toSeq.sortBy(-_._2._1)
+      .map { case (k, (sec, n)) => f""""$k":{"sec":$sec%.3f,"calls":$n}""" }
+      .mkString("{", ",", "}")
+
+    // ---- part 3: state-store compaction + reload at the accumulated size ---
+    // The E2E leaves the index at ~4×nBlobs RAW rows (one per state
+    // transition) — exactly the store a 10⁶-file table accumulates. Time
+    // the S8 compaction (read + lastWins + atomic rewrite) and a full
+    // status reload of the compacted store.
+    val storePath = new Path(s"$workDir/state/index.csv")
+    val rawBytes  = fs.getFileStatus(storePath).getLen
+    val store     = new graft.state.CheckpointStore(spark, s"$workDir/state")
+    val rawRows   = store.readRaw().size
+    val (_, compactSec) = timed(store.compact())
+    val compBytes = fs.getFileStatus(storePath).getLen
+    val (liveStatus, reloadSec) =
+      timed(graft.state.TableStatus.fromStore(store, "meta_e2e"))
+    val liveRows = store.readRaw().size
+    require(liveStatus.getHistorical(Long.MaxValue).exists(_.adds.nonEmpty),
+      "compacted store lost the applied adds")
 
     val heapGb  = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
     val peakGb  = heapPeak / (1024.0 * 1024 * 1024)
@@ -134,6 +160,10 @@ object MetaScale {
       f""""coalesce_10_slices":$coalSec%.3f,"algebra_heap_after_gb":$algebraHeap%.2f,""" +
       f""""gen_blobs":$linkSec%.3f,""" +
       f""""e2e_first_mirror_batch":{"sec":$e2eSec%.3f,"blobs":$nBlobs,"rows":$mirrored,"heap_after_gb":$e2eHeap%.2f}},""" +
+      f""""e2e_breakdown":$breakdown,""" +
+      f""""store_compaction":{"raw_rows":$rawRows,"raw_mb":${rawBytes / 1048576.0}%.1f,""" +
+      f""""compact_sec":$compactSec%.3f,"live_rows":$liveRows,""" +
+      f""""compact_mb":${compBytes / 1048576.0}%.1f,"reload_sec":$reloadSec%.3f},""" +
       f""""driver_heap_gb":$heapGb%.1f,"heap_peak_gb":$peakGb%.2f}""")
     spark.stop()
   }

@@ -61,33 +61,46 @@ object StreamScale {
     orch.runOnce()
     val batchSec = (System.nanoTime() - t0) / 1e9
 
-    // streaming drain of the same data files: one micro-batch per source
-    // file (maxFilesPerTrigger=1 matches one commit = one staged publish)
-    val mirror2 = new MirrorTable(spark, s"$base/mirror-stream", "ss2")
-    mirror2.ensureSchema(schema, Nil)
-    val events = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(s"${src.dir}/part-*.parquet")
-    val t1 = System.nanoTime()
-    val q = StreamMirror.start(events, mirror2, s"$base/ckpt")
-    q.awaitTermination()
-    val streamSec = (System.nanoTime() - t1) / 1e9
-
-    // drain-equals-batch at scale: identical row multisets on the source
-    // columns (ids are unique, so count + both-way anti-joins pin equality)
-    val a = orch.table.snapshot().select("id", "v", "tag")
-    val b = mirror2.snapshot().select("id", "v", "tag")
-    val (na, nb) = (a.count(), b.count())
-    val onlyA = a.except(b).count()
-    val onlyB = b.except(a).count()
-    val equal = na == rows && nb == rows && onlyA == 0 && onlyB == 0
-    require(equal,
-      s"stream drain != batch mirror: batch=$na stream=$nb onlyBatch=$onlyA onlyStream=$onlyB")
-
+    // streaming drains of the same data files at several TRIGGER
+    // GRANULARITIES (r12 verdict ask #6): maxFilesPerTrigger=1 is one
+    // micro-batch per source commit — the exactly-once price paid
+    // per-commit; coarser triggers amortize the staged-publish commit over
+    // more files, trading end-to-end freshness for throughput. Every point
+    // must still drain EXACTLY the batch mirror's rows.
+    val mfts = (if (args.length > 2) args(2) else "1,4,%d".format(commits))
+      .split(",").map(_.trim.toInt).distinct.sorted
     def d3(v: Double) = f"$v%.3f"
-    println(s"""{"what":"stream-vs-batch mirror drain","rows":$rows,"commits":$commits,""" +
-      s""""batch_sec":${d3(batchSec)},"stream_sec":${d3(streamSec)},""" +
-      s""""stream_over_batch":${d3(streamSec / batchSec)},"drain_equals_batch":$equal}""")
+    val points = mfts.map { mft =>
+      val mirror2 = new MirrorTable(spark, s"$base/mirror-stream-$mft", s"ss_$mft")
+      mirror2.ensureSchema(schema, Nil)
+      val events = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", mft)
+        .parquet(s"${src.dir}/part-*.parquet")
+      val t1 = System.nanoTime()
+      val q = StreamMirror.start(events, mirror2, s"$base/ckpt-$mft")
+      q.awaitTermination()
+      val streamSec = (System.nanoTime() - t1) / 1e9
+
+      // drain-equals-batch at scale: identical row multisets on the source
+      // columns (ids are unique, so count + both-way anti-joins pin equality)
+      val a = orch.table.snapshot().select("id", "v", "tag")
+      val b = mirror2.snapshot().select("id", "v", "tag")
+      val (na, nb) = (a.count(), b.count())
+      val onlyA = a.except(b).count()
+      val onlyB = b.except(a).count()
+      val equal = na == rows && nb == rows && onlyA == 0 && onlyB == 0
+      require(equal,
+        s"stream drain (mft=$mft) != batch mirror: batch=$na stream=$nb " +
+          s"onlyBatch=$onlyA onlyStream=$onlyB")
+      val microBatches = (commits + mft - 1) / mft
+      s"""{"max_files_per_trigger":$mft,"micro_batches":$microBatches,""" +
+        s""""stream_sec":${d3(streamSec)},"stream_over_batch":${d3(streamSec / batchSec)},""" +
+        s""""drain_equals_batch":$equal}"""
+    }
+
+    println(s"""{"what":"stream-vs-batch mirror drain (trigger-granularity curve)",""" +
+      s""""rows":$rows,"commits":$commits,"batch_sec":${d3(batchSec)},""" +
+      s""""trigger_points":[${points.mkString(",")}]}""")
     spark.stop()
   }
 }
