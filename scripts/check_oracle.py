@@ -38,10 +38,13 @@ for name in sorted(os.listdir(out_dir)):
         continue
     spark_df = pd.concat([pd.read_parquet(f) for f in glob.glob(f"{d}/*.parquet")])
     if name not in oracles:
-        print(f"{name:28s} rows-only: {len(spark_df)} rows")
-        record[name] = f"rows-only:{len(spark_df)}"
         if len(spark_df) == 0:
+            print(f"{name:28s} VACUOUS (rows-only query returned 0 rows)")
+            record[name] = "VACUOUS:rows-only:0"
             fails.append(name)
+        else:
+            print(f"{name:28s} rows-only: {len(spark_df)} rows")
+            record[name] = f"rows-only:{len(spark_df)}"
         continue
     try:
         oracle_df = con.execute(oracles[name]).fetchdf()

@@ -36,6 +36,12 @@ if [ -z "$REGISTRY" ] || [ "$REGISTRY" != "$DUMPED" ]; then
 fi
 echo "registry == dumped == $REGISTRY"
 
+# Round number = latest CORRECTNESS_r*.json + 1 (the round being built) —
+# computed ONCE, used by both the sf0.1 sweep record and BENCH_LOCAL below.
+ROUND=$(ls CORRECTNESS_r*.json 2>/dev/null \
+  | sed -E 's/.*_r0*([0-9]+)\.json/\1/' | sort -n | tail -1)
+ROUND=$(( ${ROUND:-0} + 1 ))
+
 echo "== sf0.1 correctness sweep (standing stage — caught 4 scale-regime bugs in r12) =="
 # Full-registry DuckDB compare at the BENCH scale too: tie/rounding/sketch-
 # regime bugs invisible at sf0.01 fail HERE instead of surfacing a round
@@ -48,11 +54,8 @@ SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify $SF_BENCH $SWEEP_OUT" 2>&1 \
 if grep -qE "\[verify\].*failed" "$SWEEP_LOG"; then echo "SF0.1 VERIFY FAILURES"; exit 1; fi
 grep -q "\[success\]" "$SWEEP_LOG" || { echo "SF0.1 VERIFY DID NOT COMPLETE"; exit 1; }
 rm -f "$SWEEP_LOG"
-SWEEP_ROUND=$(ls CORRECTNESS_r*.json 2>/dev/null \
-  | sed -E 's/.*_r0*([0-9]+)\.json/\1/' | sort -n | tail -1)
-SWEEP_ROUND=$(( ${SWEEP_ROUND:-0} + 1 ))
 python3 scripts/check_oracle.py "$SF_BENCH" "$SWEEP_OUT" \
-  --record "$(printf 'CORRECTNESS_SF01_r%02d.json' "$SWEEP_ROUND")"
+  --record "$(printf 'CORRECTNESS_SF01_r%02d.json' "$ROUND")"
 
 echo "== bench @ $SF_BENCH =="
 BENCH_LINE=$(SPARK_GRAFT_SF_DIR="$SF_BENCH" SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench" \
@@ -61,10 +64,7 @@ echo "$BENCH_LINE"
 
 # Committed, truncation-proof per-query record: the driver's BENCH_r{N}.json
 # is head-truncated, which has forced manual re-runs to adjudicate noise.
-# Round number = latest CORRECTNESS_r*.json + 1 (the round being built).
-ROUND=$(ls CORRECTNESS_r*.json 2>/dev/null \
-  | sed -E 's/.*_r0*([0-9]+)\.json/\1/' | sort -n | tail -1)
-ROUND=$(( ${ROUND:-0} + 1 ))
+# ROUND computed once above (shared with the sf0.1 sweep record).
 printf '%s\n' "$BENCH_LINE" | sed 's/^\[info\] *//' \
   | python3 -m json.tool > "$(printf 'BENCH_LOCAL_r%02d.json' "$ROUND")"
 echo "full per-query bench written to $(printf 'BENCH_LOCAL_r%02d.json' "$ROUND")"

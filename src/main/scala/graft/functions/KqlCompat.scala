@@ -1911,17 +1911,22 @@ object KqlCompat {
     }
     // has_any_ipv4_prefix(text, prefix1, …): a properly delimited, valid
     // quad whose TEXT starts with any listed prefix (the has_ipv4_prefix
-    // contract, any-folded). Also accepts a single dynamic array arg —
-    // detected by the ARRAY-CONSTRUCTOR shape it necessarily has by now
-    // (dynamic([…]) and pack_array(…) both became array(…) in earlier
-    // passes), so a single non-literal SCALAR prefix (a string column,
-    // legal ADX) folds as one prefix instead of failing exists() analysis.
+    // contract, any-folded). Also accepts a single array arg — detected by
+    // the array-PRODUCING call shapes this engine's rewrites leave behind:
+    // dynamic([…])/pack_array(…) became array(…) in earlier passes, and
+    // 2-arg split passes through as Spark's array<string>. Any OTHER single
+    // second arg (quoted literal, string column, strcat(…)) folds as ONE
+    // scalar prefix — the legal ADX shape that the pre-r13 any-non-quote
+    // heuristic misclassified. Contract note: an array-typed expression in
+    // a shape not listed here must be spelled through pack_array(…); it
+    // fails ANALYSIS loudly (exists over array<array>), never silently.
     s = expandCalls(s, "has_any_ipv4_prefix") {
       case args if args.size >= 2 =>
         val a1 = args(1).trim
+        val isArrayShape = a1.startsWith("array(") || a1.startsWith("pack_array(") ||
+          a1.startsWith("split(")
         val list =
-          if (args.size == 2 && (a1.startsWith("array(") || a1.startsWith("pack_array(")))
-            args(1)
+          if (args.size == 2 && isArrayShape) args(1)
           else args.tail.mkString("array(", ", ", ")")
         s"exists(${Ipv4Candidates.format(args.head)}, c -> (${ip4("c")}) IS NOT NULL " +
           s"AND exists($list, __px -> startswith(c, __px)))"

@@ -4667,6 +4667,8 @@ object Surface {
           |     pm_bad = isnull(parse_ipv4_mask('192.168.1.77', 40)),
           |     hap = has_any_ipv4_prefix('src 192.168.1.5 dst', '10.', '192.168.'),
           |     hap_no = has_any_ipv4_prefix('src 192.168.1.5 dst', '172.') == false,
+          |     hap_arr = has_any_ipv4_prefix('src 192.168.1.5 dst', split('10.;192.168.', ';')),
+          |     hap_one = has_any_ipv4_prefix('src 192.168.1.5 dst', strcat('192.', '168.')),
           |     ud = url_decode('a%20b%2Fc'), ud_bad = isnull(url_decode('%zz')),
           |     uc = url_encode_component('hello world/x')""".stripMargin),
       Some("""
@@ -4675,7 +4677,7 @@ object Surface {
                'datetime' AS gt_d, 'array' AS gt_a, 'null' AS gt_n,
                CAST(16 AS BIGINT) AS eds,
                CAST(3232235776 AS BIGINT) AS pm, TRUE AS pm_bad,
-               TRUE AS hap, TRUE AS hap_no,
+               TRUE AS hap, TRUE AS hap_no, TRUE AS hap_arr, TRUE AS hap_one,
                'a b/c' AS ud, TRUE AS ud_bad, 'hello%20world%2Fx' AS uc""")),
 
     "q_kql_geo_stragglers" -> QueryDef(

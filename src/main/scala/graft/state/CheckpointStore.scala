@@ -195,15 +195,26 @@ object CheckpointStore {
 
   /** Parsed-items cache, one entry per qualified index path (shared across
     * store instances — the multi-table mode shares one index.csv). Guarded
-    * by the SAME per-path lock as every read/write; (len, mtime) detect
-    * out-of-process modification. Holds one immutable Vector per live
-    * store — ~400 B/item, i.e. ~1.6 GB at the 4M-row 10⁶-blob ceiling
-    * (sized against the 24 GB driver that scale already requires).
+    * by the SAME per-path lock for same-path coherence; the map itself is
+    * an access-ordered LRU CAPPED at 4 paths (entries can be GB-scale at
+    * the 4M-row 10⁶-blob ceiling, and a long-lived JVM that opens many
+    * stores — the test suite's per-spec tmp dirs, a multi-table service
+    * with churn — must not pin every dead store's Vector forever).
+    * (len, mtime) detect out-of-process modification → full re-read.
     */
   private final case class CachedIndex(len: Long, mtime: Long,
       items: Vector[TransactionItem])
-  private val indexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, CachedIndex]()
+  private val indexCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, CachedIndex](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, CachedIndex]): Boolean = size() > 4
+    })
+
+  /** Test/instrument hook: drop every cached parse so the next read pays
+    * the full cold cost (MetaScale's compaction/reload phase measures the
+    * COLD path on purpose — a warm-cache figure would overstate it).
+    */
+  def invalidateCache(): Unit = indexCache.clear()
 
   /** CSV schema of Storage/TransactionItem.cs:24, column-for-column. */
   val Header: String =
