@@ -4728,9 +4728,14 @@ object Surface {
       // dcount_hll and tolerance-gated IN-PLAN against the exact
       // dcountif, the approximate-operator discipline), variancepif
       // (cross-checked in-plan against its sumif/countif moment identity
-      // at 1e-9 relative), and the t-digest array/rank reads
-      // (percentile_array_tdigest against per-percentile exact answers;
-      // percentrank_tdigest must put ~25% of mass under the exact p25).
+      // at 1e-9 relative), and the t-digest array/rank reads. The
+      // percentile_array_tdigest gate is RANK-space (each read must land
+      // between the exact ±2%-rank percentiles): t-digest's accuracy
+      // contract is on rank, and a value-space "within 2% of the exact
+      // value" band proved PARTITION-COUNT-SENSITIVE at sf0.1 (k=200
+      // digest merged from 8 partials missed it; 32 passed — caught by
+      // the r13 standing sweep's first run). percentrank_tdigest must
+      // put ~25% of mass under the exact p25 (already rank-space).
       (s, dir) => kqlRun(s, dir,
         """lineitem
           | | summarize h = hll_if(l_orderkey, l_quantity > 25),
@@ -4740,14 +4745,16 @@ object Surface {
           |     s2 = sumif(todouble(l_quantity) * todouble(l_quantity), l_discount > 0.05),
           |     nf = countif(l_discount > 0.05),
           |     td = tdigest(todouble(l_extendedprice)),
-          |     p25 = percentile(todouble(l_extendedprice), 25),
-          |     p75 = percentile(todouble(l_extendedprice), 75)
+          |     p23 = percentile(todouble(l_extendedprice), 23),
+          |     p27 = percentile(todouble(l_extendedprice), 27),
+          |     p73 = percentile(todouble(l_extendedprice), 73),
+          |     p77 = percentile(todouble(l_extendedprice), 77),
+          |     p25 = percentile(todouble(l_extendedprice), 25)
+          | | extend pa = percentile_array_tdigest(td, dynamic([25.0, 75.0]))
+          | | extend pa0 = todouble(pa[0]), pa1 = todouble(pa[1])
           | | project hll_ok = abs(dcount_hll(h) - x) <= 0.1 * x,
           |     vp_ok = abs(vp - (s2 / nf - (s1 / nf) * (s1 / nf))) <= 0.000000001 * vp,
-          |     pa_ok = abs(todouble(percentile_array_tdigest(td, dynamic([25.0, 75.0]))[0]) - p25)
-          |         <= 0.02 * p25
-          |       and abs(todouble(percentile_array_tdigest(td, dynamic([25.0, 75.0]))[1]) - p75)
-          |         <= 0.02 * p75,
+          |     pa_ok = pa0 between (p23 .. p27) and pa1 between (p73 .. p77),
           |     pr_ok = abs(percentrank_tdigest(td, p25) - 0.25) <= 0.02""".stripMargin),
       Some("""
         SELECT TRUE AS hll_ok, TRUE AS vp_ok, TRUE AS pa_ok, TRUE AS pr_ok""")),
