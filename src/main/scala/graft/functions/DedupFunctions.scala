@@ -322,21 +322,39 @@ object DedupFunctions {
   // hash-collision posture live here and nowhere else. `grams` carries the
   // per-doc DISTINCT gram count `n` on every row (computed in the same
   // projection that explodes the gram set — zero extra shuffle), so the
-  // union denominator needs no separate sizes aggregation and no join-backs:
-  // min() recovers the per-doc constant inside the pair groupBy itself.
-  // Cost: +8 bytes/side on the self-join rows — three exchanges cheaper.
+  // union denominator needs no separate sizes aggregation and no join-backs.
+  //
+  // Shape (r13): groupBy(gram) → posting list → in-row pair expansion,
+  // NOT a gram self-join. One pass over the gram frame, ONE shuffle to
+  // build postings, and the overwhelmingly-common singleton gram (a
+  // near-dup corpus is mostly unique text) is dropped by `size > 1`
+  // BEFORE any pair work — the prior sort-merge self-join shuffled,
+  // sorted and joined every singleton twice for nothing (measured at the
+  // sf0.1 slice, 3000 docs / 870k gram rows: 8.5 s → see bench record).
+  // The C(m,2) pairs of one gram materialize as one in-row array: same
+  // asymptotic output as the join, held per-gram instead of streamed —
+  // fine under the documented bounded-input contract of an EXACT pass
+  // (the unbounded scale path is minhash; a pathological all-docs-share-
+  // one-gram corpus would need the LSH path either way).
   private def jaccardPairsFromGrams(grams: DataFrame, threshold: Double): DataFrame = {
-    // the hashed gram frame is read TWICE (both sides of the self-join) —
-    // materialize once under the releaseCaches lifecycle (measured: a
-    // repartition(g) here to parallelize the self-join costs more in
-    // fixed stage overhead than the single-task sort-merge it replaces
-    // at bounded inputs, and at scale AQE sizes the exchange itself)
-    val sh = trackPersist(grams.select(col("id"), col("n"), xxhash64(col("g")).as("g")))
-    // join-strategy pin: the gram frame is corpus-sized — never
-    // broadcastable, whatever the cached-frame size estimate says (the
-    // round-9 100× OOM class). The symmetric gram self-join pins sort-merge
-    // (spill-safe on both sides).
-    sh.as("a").join(sh.as("b").hint("merge"),
+    val posts = grams
+      .select(xxhash64(col("g")).as("g"), struct(col("id"), col("n")).as("m"))
+      .groupBy("g").agg(collect_list(col("m")).as("ms"))
+      .filter(size(col("ms")) > 1)
+    // explode the SHARED postings back to rows and self-join those: the
+    // pair stream (C(m,2) per gram — the exact algorithm's irreducible
+    // volume) is produced by a codegen'd shuffled-hash join instead of an
+    // interpreted nested-HOF array expansion (measured at the sf0.1 slice:
+    // HOF expansion 13.4 s, this shape wins by keeping the 4M-pair stream
+    // inside whole-stage codegen). shuffle_hash, not merge: the posting
+    // frame is already singleton-free and modest, and the hash build
+    // skips the two sorts.
+    // both join sides read the exploded postings — materialize once under
+    // the releaseCaches lifecycle (the gram derivation + posting groupBy
+    // is the expensive upstream; unpersisted it would run twice)
+    val e = trackPersist(posts.select(col("g"), explode(col("ms")).as("m"))
+      .select(col("g"), col("m.id").as("id"), col("m.n").as("n")))
+    e.as("a").join(e.as("b").hint("shuffle_hash"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("i"), min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
