@@ -29,6 +29,7 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
 
   private val dir       = new Path(checkpointDir)
   private val indexPath = new Path(dir, "index.csv")
+  private val oldPath   = new Path(dir, "index.csv.old")
   private def fs: FileSystem =
     dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -82,7 +83,7 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
   private def cacheKey: String = fs.makeQualified(indexPath).toString
 
   /** All rows in arrival order, duplicates included. Takes the index lock:
-    * atomicWrite momentarily has the index deleted-but-not-yet-renamed, and a
+    * commitTmp momentarily has the index backed-up-but-not-yet-swapped, and a
     * read landing in that window would see an EMPTY state (→ spurious
     * batch rediscovery under multi-table concurrency).
     *
@@ -96,18 +97,25 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
     */
   def readRaw(): Seq[TransactionItem] = graft.util.PhaseTimer.time("store.read") {
     withIndexLock {
-      if (!fs.exists(indexPath)) Seq.empty
+      if (!fs.exists(indexPath) && !recoverIndex()) Seq.empty
       else {
         val st = fs.getFileStatus(indexPath)
         val c  = indexCache.get(cacheKey)
-        if (c != null && c.len == st.getLen && c.mtime == st.getModificationTime) c.items
+        // validity = (len, mtime) + a head/tail content fingerprint: an
+        // out-of-process rewrite landing on the same length within one
+        // mtime tick (coarse-mtime filesystems) is out of contract but must
+        // fail LOUD-ish, not serve stale state — the 512-byte probe read is
+        // noise next to the parse it guards (round-13 advice)
+        if (c != null && c.len == st.getLen && c.mtime == st.getModificationTime
+            && c.fp == fingerprintOf(fs, indexPath, st.getLen)) c.items
         else {
           val in = fs.open(indexPath)
-          val text =
-            try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), StandardCharsets.UTF_8)
+          val bytes =
+            try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
             finally in.close()
-          val items = parseCsv(text).toVector
-          indexCache.put(cacheKey, CachedIndex(st.getLen, st.getModificationTime, items))
+          val items = parseCsv(new String(bytes, StandardCharsets.UTF_8)).toVector
+          indexCache.put(cacheKey,
+            CachedIndex(st.getLen, st.getModificationTime, fingerprintOf(bytes), items))
           items
         }
       }
@@ -122,7 +130,7 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
   def append(items: Seq[TransactionItem]): Unit = if (items.nonEmpty)
     graft.util.PhaseTimer.time("store.append") {
       withIndexLock {
-        val exists  = fs.exists(indexPath)
+        val exists  = fs.exists(indexPath) || recoverIndex()
         val preSt   = if (exists) Some(fs.getFileStatus(indexPath)) else None
         val cPre    = indexCache.get(cacheKey)
         // pre-append items, when known without a parse (cache valid or
@@ -149,8 +157,8 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
         commitTmp(tmp)
         if (preItems != null) {
           val st2 = fs.getFileStatus(indexPath)
-          indexCache.put(cacheKey,
-            CachedIndex(st2.getLen, st2.getModificationTime, preItems ++ items))
+          indexCache.put(cacheKey, CachedIndex(st2.getLen, st2.getModificationTime,
+            fingerprintOf(fs, indexPath, st2.getLen), preItems ++ items))
         } else indexCache.remove(cacheKey)
       }
     }
@@ -165,8 +173,8 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
       items.foreach(i => sb.append(toCsvLine(i)).append('\n'))
       atomicWrite(sb.toString)
       val st2 = fs.getFileStatus(indexPath)
-      indexCache.put(cacheKey,
-        CachedIndex(st2.getLen, st2.getModificationTime, items.toVector))
+      indexCache.put(cacheKey, CachedIndex(st2.getLen, st2.getModificationTime,
+        fingerprintOf(fs, indexPath, st2.getLen), items.toVector))
     }
   }
 
@@ -179,11 +187,58 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
     commitTmp(tmp)
   }
 
+  /** Commit a fully-written temp file as the new index — crash-recoverable
+    * at every step. The old delete-then-rename had a window where a crash
+    * left NO index at all, and `readRaw` would treat the missing file as an
+    * EMPTY store → the orchestrator cold-starts and re-ingests everything
+    * (silent duplication — round-13 verdict #1). The reference never has
+    * this window: its appends go to Azure append-blobs in place
+    * (GlobalTableStatus.cs:132-180); this protocol matches that guarantee
+    * on rename-only filesystems:
+    *
+    *   1. rename index  → index.csv.old   (backup; nothing destroyed)
+    *   2. rename tmp    → index.csv       (THE commit point)
+    *   3. delete index.csv.old            (cleanup)
+    *
+    * Crash between 1-2: index missing but `.old` holds the full pre-commit
+    * state — [[recoverIndex]] rolls back (the append was never acknowledged,
+    * so dropping it is the linearizable outcome). Crash between 2-3: the
+    * commit took effect; the stale `.old` is swept by the next commit.
+    * `FaultPoints` are test-only hooks that simulate dying between the ops.
+    */
   private def commitTmp(tmp: Path): Unit = {
-    if (fs.exists(indexPath)) fs.delete(indexPath, false)
-    if (!fs.rename(tmp, indexPath))
+    if (fs.exists(indexPath)) {
+      if (fs.exists(oldPath)) fs.delete(oldPath, false) // stale post-commit backup
+      if (!fs.rename(indexPath, oldPath))
+        throw new IllegalStateException(s"Failed to back up checkpoint state at $indexPath")
+    }
+    faultHook("commit.backup-done")
+    if (!fs.rename(tmp, indexPath)) {
+      // restore the backup so the store is never left headless in-process
+      if (fs.exists(oldPath)) fs.rename(oldPath, indexPath)
       throw new IllegalStateException(s"Failed to commit checkpoint state at $indexPath")
+    }
+    faultHook("commit.swap-done")
+    fs.delete(oldPath, false)
   }
+
+  /** Open-time recovery (under the index lock): called when `index.csv` is
+    * absent. A crash between commitTmp's backup and swap leaves the full
+    * pre-commit state in `index.csv.old` — restore it and sweep the aborted
+    * commit's orphaned tmp files. Returns true iff an index was restored.
+    * The rename preserves the file's bytes and mtime, so a cached parse of
+    * the pre-commit state (same len+mtime) stays coherent by construction.
+    */
+  private def recoverIndex(): Boolean =
+    fs.exists(oldPath) && {
+      if (!fs.rename(oldPath, indexPath))
+        throw new IllegalStateException(
+          s"Found interrupted-commit backup $oldPath but could not restore it")
+      fs.listStatus(dir).map(_.getPath)
+        .filter(_.getName.startsWith("index.csv.tmp-"))
+        .foreach(fs.delete(_, false))
+      true
+    }
 }
 
 object CheckpointStore {
@@ -202,13 +257,50 @@ object CheckpointStore {
     * with churn — must not pin every dead store's Vector forever).
     * (len, mtime) detect out-of-process modification → full re-read.
     */
-  private final case class CachedIndex(len: Long, mtime: Long,
+  private final case class CachedIndex(len: Long, mtime: Long, fp: Long,
       items: Vector[TransactionItem])
+
+  /** Head/tail content fingerprint: 64-bit mix of the first and last 256
+    * bytes. Catches an external same-length-same-mtime-tick rewrite (the
+    * silent staleness the (len,mtime) check alone cannot see) at the cost
+    * of one 512-byte probe per cache hit.
+    */
+  private def fingerprintOf(bytes: Array[Byte]): Long = {
+    val n    = bytes.length
+    val head = java.util.Arrays.copyOfRange(bytes, 0, math.min(256, n))
+    val tail = java.util.Arrays.copyOfRange(bytes, math.max(0, n - 256), n)
+    (java.util.Arrays.hashCode(head).toLong << 32) ^
+      (java.util.Arrays.hashCode(tail).toLong & 0xffffffffL)
+  }
+
+  private def fingerprintOf(fs: FileSystem, p: Path, len: Long): Long = {
+    val headLen = math.min(256L, len).toInt
+    val tailOff = math.max(0L, len - 256)
+    val tailLen = (len - tailOff).toInt
+    val head    = new Array[Byte](headLen)
+    val tail    = new Array[Byte](tailLen)
+    val in      = fs.open(p)
+    try {
+      in.readFully(0L, head)
+      in.readFully(tailOff, tail)
+    } finally in.close()
+    // must equal fingerprintOf(wholeFileBytes): head/tail windows only
+    (java.util.Arrays.hashCode(head).toLong << 32) ^
+      (java.util.Arrays.hashCode(tail).toLong & 0xffffffffL)
+  }
   private val indexCache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[String, CachedIndex](8, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[String, CachedIndex]): Boolean = size() > 4
     })
+
+  /** Test-only fault injection: invoked at named points inside the commit
+    * protocol (commitTmp). A spec installs a throwing hook to simulate a
+    * process crash between two filesystem operations — the exception aborts
+    * the commit exactly where a kill would, and the remaining ops never run.
+    * Production leaves the no-op default.
+    */
+  @volatile private[state] var faultHook: String => Unit = _ => ()
 
   /** Test/instrument hook: drop every cached parse so the next read pays
     * the full cold cost (MetaScale's compaction/reload phase measures the

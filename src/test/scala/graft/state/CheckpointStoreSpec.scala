@@ -70,6 +70,32 @@ class CheckpointStoreSpec extends SparkSuite {
     assert(all.map(_.blobPath.get).toSet.size == 200)
   }
 
+  test("cache detects an external same-length same-mtime rewrite (fingerprint)") {
+    val dir   = tmpDir("ckpt-fp")
+    val store = new CheckpointStore(spark, dir)
+    val a = fullItem.copy(tableName = "t", blobPath = Some("aaaa.parquet"))
+    store.append(Seq(a))
+    assert(store.readAll() == Seq(a)) // warm the cache
+
+    // out-of-process rewrite: same byte length, different content, and the
+    // mtime pinned back to the cached tick — (len, mtime) alone would serve
+    // the stale parse; the head/tail fingerprint must not
+    val idx   = java.nio.file.Paths.get(dir, "index.csv")
+    val mtime = java.nio.file.Files.getLastModifiedTime(idx)
+    val text  = new String(java.nio.file.Files.readAllBytes(idx),
+      java.nio.charset.StandardCharsets.UTF_8)
+    java.nio.file.Files.write(idx, text.replace("aaaa.parquet", "bbbb.parquet")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.setLastModifiedTime(idx, mtime)
+    // a non-Hadoop external writer leaves no CRC sidecar — drop the stale
+    // one so the checksum layer skips and the FINGERPRINT is what detects
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, ".index.csv.crc"))
+
+    assert(store.readAll().head.blobPath.contains("bbbb.parquet"),
+      "cache served stale state past an external rewrite")
+  }
+
   test("statusView is the arg_max dedup of the raw CSV (MLK_DeltaStatus, A1)") {
     val store = new CheckpointStore(spark, tmpDir("ckpt"))
     val a  = fullItem
