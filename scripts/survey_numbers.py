@@ -72,26 +72,35 @@ def main():
         meta = load(meta_name)
         if not meta:
             continue
-        ph = meta["phases"]
-        print(f"{meta_name[:-5]}: bootstrap {ph['bootstrap_full_snapshot']['adds']} adds "
-              f"{ph['bootstrap_full_snapshot']['sec']:.1f} s "
-              f"({ph['bootstrap_full_snapshot']['heap_after_gb']:.2f} GB after GC), "
-              f"delta {ph['delta_vs_90pct_applied']:.1f} s, "
-              f"coalesce {ph['coalesce_10_slices']:.1f} s, "
-              f"E2E {meta['n_blobs']} blobs {ph['e2e_first_mirror_batch']['sec']:.1f} s, "
-              f"heap peak {meta['heap_peak_gb']:.2f} GB / {meta['driver_heap_gb']:.0f} GB")
-        bd = meta.get("e2e_breakdown")
-        if bd:
-            top = sorted(bd.items(), key=lambda kv: -kv[1]["sec"])[:4]
-            print("  E2E breakdown (nesting: orch.stage ⊃ mirror.stage+appends; "
-                  "orch.status ⊃ store.read; mirror.stage sums concurrent workers): "
-                  + ", ".join(f"{k} {v['sec']:.1f} s/{v['calls']}x" for k, v in top))
-        sc = meta.get("store_compaction")
-        if sc:
-            print(f"  store compaction: {sc['raw_rows']} raw rows "
-                  f"({sc['raw_mb']:.0f} MB) -> {sc['live_rows']} live "
-                  f"({sc['compact_mb']:.0f} MB) in {sc['compact_sec']:.1f} s, "
-                  f"reload {sc['reload_sec']:.1f} s")
+        # same missing-key tolerance as the BENCH_LOCAL/BENCH_SF records: one
+        # malformed or partial BENCH_META file must skip, not crash the survey
+        try:
+            ph = meta["phases"]
+            print(f"{meta_name[:-5]}: bootstrap {ph['bootstrap_full_snapshot']['adds']} adds "
+                  f"{ph['bootstrap_full_snapshot']['sec']:.1f} s "
+                  f"({ph['bootstrap_full_snapshot']['heap_after_gb']:.2f} GB after GC), "
+                  f"delta {ph['delta_vs_90pct_applied']:.1f} s, "
+                  f"coalesce {ph['coalesce_10_slices']:.1f} s, "
+                  f"E2E {meta['n_blobs']} blobs {ph['e2e_first_mirror_batch']['sec']:.1f} s, "
+                  f"heap peak {meta['heap_peak_gb']:.2f} GB / {meta['driver_heap_gb']:.0f} GB")
+        except (KeyError, TypeError):
+            print(f"{meta_name[:-5]}: SKIPPED (record missing phase keys)")
+            continue
+        try:
+            bd = meta.get("e2e_breakdown")
+            if bd:
+                top = sorted(bd.items(), key=lambda kv: -kv[1]["sec"])[:4]
+                print("  E2E breakdown (nesting: orch.stage ⊃ mirror.stage+appends; "
+                      "orch.status ⊃ store.read; mirror.stage sums concurrent workers): "
+                      + ", ".join(f"{k} {v['sec']:.1f} s/{v['calls']}x" for k, v in top))
+            sc = meta.get("store_compaction")
+            if sc:
+                print(f"  store compaction: {sc['raw_rows']} raw rows "
+                      f"({sc['raw_mb']:.0f} MB) -> {sc['live_rows']} live "
+                      f"({sc['compact_mb']:.0f} MB) in {sc['compact_sec']:.1f} s, "
+                      f"reload {sc['reload_sec']:.1f} s")
+        except (KeyError, TypeError):
+            print("  (breakdown/compaction keys malformed — SKIPPED)")
 
 
 if __name__ == "__main__":

@@ -82,6 +82,24 @@ class MirrorOrchestrator(
   private val mirror = new MirrorTable(spark, config.mirrorDir, config.mirrorTableName)
 
   private def now(): Instant = Instant.now()
+
+  // Staging reads run on a session whose file-packing reflects the REAL
+  // per-file open cost. The default spark.sql.files.openCostInBytes (4 MB)
+  // bills every tiny source file as 4 MB, capping scan bins at ~32 files —
+  // a 125k-file partition group then plans ~3,900 partitions of ~320 rows,
+  // and the per-task + per-output-file overhead dominated the whole batch
+  // (orch.stage was 526 s of the 746 s 10^6-blob E2E, round 13). 64 KB ≈
+  // the measured open+footer cost at local/object-store latency; bins then
+  // pack by ACTUAL bytes, with FilePartition's bytesPerCore floor keeping
+  // scan parallelism ≥ defaultParallelism. Reads of large files are
+  // unaffected (true size dominates the bill either way), and fewer scan
+  // partitions also means right-sized staged output files instead of a
+  // 31k-tiny-file mirror. Session-scoped so the caller's conf is untouched.
+  private lazy val stagingSpark: SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.files.openCostInBytes", (64L * 1024).toString)
+    s
+  }
   // status() re-reads + lastWins-folds the WHOLE store — the per-poll O(n)
   // constant that dominates large-file-count batches; timed so the
   // metadata-plane record can show it (orch.status CONTAINS store.read)
@@ -297,11 +315,29 @@ class MirrorOrchestrator(
       val absByRel = adds.flatMap(_.blobPath).map { rel =>
         MirrorTable.normalizePath(new Path(tableRoot, rel).toString) -> rel
       }
-      val paths = adds.flatMap(_.blobPath).map(rel => new Path(tableRoot, rel).toString)
-
-      import spark.implicits._
+      import stagingSpark.implicits._
       val mapping = absByRel.toDF("_abs", KustoTypes.BlobPathColumn)
-      var df: DataFrame = spark.read.schema(physicalSchema).parquet(paths: _*)
+      // manifest scan: the Delta log records every add's length, so the
+      // group read hands Spark the file statuses directly — zero listing
+      // (spark.read.parquet over 10⁵ explicit paths cost 380 s of
+      // glob-status + distributed-listing jobs per 10⁶-blob batch). Adds
+      // missing a size (legal but rare in real logs) fall back to a listed
+      // read for the whole group — the manifest must never guess a length.
+      val scan: DataFrame = graft.util.PhaseTimer.time("stage.plan") {
+        if (adds.forall(a => a.size.isDefined && a.blobPath.isDefined))
+          org.apache.spark.sql.graftbridge.GraftManifestScan.parquet(
+            stagingSpark, physicalSchema,
+            adds.map { a =>
+              org.apache.spark.sql.graftbridge.GraftManifestScan.status(
+                new Path(tableRoot, a.blobPath.get), a.size.get,
+                a.deltaTimestamp.map(_.toEpochMilli).getOrElse(0L))
+            })
+        else {
+          val paths = adds.flatMap(_.blobPath).map(rel => new Path(tableRoot, rel).toString)
+          stagingSpark.read.schema(physicalSchema).parquet(paths: _*)
+        }
+      }
+      var df: DataFrame = scan
         .withColumn("_abs", MirrorTable.normalizePathCol(input_file_name()))
         .join(broadcast(mapping), Seq("_abs"), "left")
         .drop("_abs")

@@ -28,6 +28,12 @@ object DedupFunctions {
   private val SigPrime   = (1L << 31) - 1
   private val ParamBound = 1L << 31
 
+  // Loud ceiling on one gram's posting-list length in the EXACT Jaccard
+  // core (see jaccardPairsFromGrams): above this the corpus is too skewed
+  // for an exact all-pairs pass and the query fails with a pointer to the
+  // LSH path instead of risking an aggregation-buffer OOM.
+  private val MaxPostingsPerGram = 100000
+
   // persisted shingle-set frames, released via releaseCaches(): long-lived
   // sessions (Bench runs every query 3×) would otherwise accumulate cached
   // plans holding executor memory until GC-driven cleanup
@@ -341,6 +347,19 @@ object DedupFunctions {
       .select(xxhash64(col("g")).as("g"), struct(col("id"), col("n")).as("m"))
       .groupBy("g").agg(collect_list(col("m")).as("ms"))
       .filter(size(col("ms")) > 1)
+      // the bounded-input contract, ENFORCED: collect_list holds one gram's
+      // full posting list in a single aggregation buffer, so a heavy-tailed
+      // corpus (one gram shared by ~everything) must fail LOUDLY with a
+      // pointer to the unbounded path instead of OOMing an executor. Legit
+      // exact-pass corpora are ≤ ~10k docs, so postings per gram ≤ ~10k;
+      // the cap sits 10× above that and far below buffer-OOM territory.
+      .withColumn("ms",
+        when(size(col("ms")) <= lit(MaxPostingsPerGram), col("ms"))
+          .otherwise(raise_error(format_string(
+            "exact-Jaccard posting list for one gram exceeds %d entries (%d): " +
+              "corpus too skewed for the exact pass — use minHashNearDups / " +
+              "the LSH path, which bounds per-key work by construction",
+            lit(MaxPostingsPerGram), size(col("ms"))))))
     // explode the SHARED postings back to rows and self-join those: the
     // pair stream (C(m,2) per gram — the exact algorithm's irreducible
     // volume) is produced by a codegen'd shuffled-hash join instead of an

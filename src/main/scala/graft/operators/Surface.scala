@@ -1138,11 +1138,21 @@ object Surface {
         // sweep scale: a fixed 300 went vacuous (0 rows) at sf0.1 where the
         // generator spreads pair partners across the full id range.
         // Both engines derive the identical bound from the identical count.
+        // Derived IN-PLAN (broadcast 1-row scalar, the repo's standard
+        // scalar-broadcast shape) so plan-only consumers (PlanDump,
+        // RewriteFixpointSpec's build pass) never execute a scan at
+        // DataFrame-construction time. NOTE the generator contract this
+        // leans on: doc_id is DENSE in [0, count), so an id bound of
+        // 3·count/5 covers 3/5 of the corpus — a sparse-id corpus would
+        // need percentile_approx(doc_id, 0.6) instead.
         val docs  = t(s, dir, "documents")
-        val bound = docs.count() * 3 / 5
-        ngramJaccardPairs(docs.filter(col("doc_id") < bound), 0.4)
+        val bd = broadcast(docs.agg(
+          floor(count(lit(1)) * 3 / 5).cast("long").as("_bound")))
+        ngramJaccardPairs(
+          docs.crossJoin(bd).filter(col("doc_id") < col("_bound")).drop("_bound"), 0.4)
+          .crossJoin(bd)
           .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"),
-            lit(bound).as("covered_id_bound"))
+            col("_bound").as("covered_id_bound"))
       },
       Some("""
         WITH bd AS (SELECT 3 * count(*) // 5 AS bound FROM documents),

@@ -113,23 +113,25 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
       statsColumns: Seq[String] = Nil): Long = {
     val stg = stagingDir(stagingName)
     if (!fs.exists(stg)) return -1L
-    val files = listParquet(stg)
+    val files = graft.util.PhaseTimer.time("publish.list")(listParquet(stg))
     if (files.isEmpty) return -1L
 
-    val live = liveAdds().map(_.path).toSet
-    val rel  = files.map(p => p -> relPath(p)).filterNot { case (_, r) => live.contains(r) }
+    val live = graft.util.PhaseTimer.time("publish.live")(liveAdds().map(_.path).toSet)
+    val rel  = files.map(f => f -> relPath(f.getPath))
+      .filterNot { case (_, r) => live.contains(r) }
     if (rel.isEmpty) return -1L
 
-    val lineage = lineageOf(rel.map(_._1), statsColumns)
-    val actions = rel.map { case (p, r) =>
+    val lineage = graft.util.PhaseTimer.time("publish.lineage")(
+      lineageOf(rel.map(_._1), statsColumns))
+    val actions = rel.map { case (f, r) =>
+      val p    = f.getPath
       val meta = lineage.getOrElse(normalizePath(p.toString), FileMeta(Seq.empty, 0L))
       // partition values recorded per file (keyed by the staging group dir)
       // → metadata-only partition pruning at read time, like Kusto extents
       val pv = pvByGroup.getOrElse(p.getParent.getName, Map.empty)
-      writer.addAction(r, fs.getFileStatus(p).getLen, pv, Some(meta.rows),
-        tags = tagsFor(meta))
+      writer.addAction(r, f.getLen, pv, Some(meta.rows), tags = tagsFor(meta))
     }
-    val v = writer.commit(actions)
+    val v = graft.util.PhaseTimer.time("publish.commit")(writer.commit(actions))
     maybeCheckpoint(v)
     v
   }
@@ -175,16 +177,19 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
     val newFiles = rewritten.flatMap(_._3)
     val lineage  = if (newFiles.nonEmpty) lineageOf(newFiles, statsColumns)
                    else Map.empty[String, FileMeta]
-    val fileToPv = rewritten.flatMap { case (pv, _, files) => files.map(_ -> pv) }.toMap
+    val fileToPv = rewritten.flatMap { case (pv, _, files) =>
+      files.map(_.getPath -> pv)
+    }.toMap
     val actions =
       rewritten.flatMap { case (_, adds, _) =>
         adds.map(a => writer.removeAction(a.path, Some(a.partitionValues)))
       } ++
-        newFiles.map { p =>
+        newFiles.map { f =>
+          val p    = f.getPath
           val meta = lineage.getOrElse(normalizePath(p.toString), FileMeta(Seq.empty, 0L))
           // rewrites inherit their group's partition values so file-level
           // pruning keeps working after deletes
-          writer.addAction(relPath(p), fs.getFileStatus(p).getLen,
+          writer.addAction(relPath(p), f.getLen,
             fileToPv.getOrElse(p, Map.empty), Some(meta.rows),
             tags = tagsFor(meta))
         }
@@ -262,9 +267,10 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
       (statsColumns ++ clusterBy ++ inherited).distinct)
     val actions = staged.flatMap { case (pv, files, newFiles) =>
       files.map(a => writer.removeAction(a.path, Some(a.partitionValues))) ++
-        newFiles.map { p =>
+        newFiles.map { f =>
+          val p    = f.getPath
           val meta = lineage.getOrElse(normalizePath(p.toString), FileMeta(Seq.empty, 0L))
-          writer.addAction(relPath(p), fs.getFileStatus(p).getLen, pv, Some(meta.rows),
+          writer.addAction(relPath(p), f.getLen, pv, Some(meta.rows),
             tags = tagsFor(meta))
         }
     }
@@ -321,10 +327,10 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
   private def vacuumFull(cutoff: Long): Int = {
     val live = liveAdds().map(a => normalizePath(new Path(root, a.path).toString)).toSet
     var deleted = 0
-    listParquet(dataPath).foreach { p =>
-      if (!live.contains(normalizePath(p.toString))
-          && fs.getFileStatus(p).getModificationTime < cutoff) {
-        fs.delete(p, false)
+    listParquet(dataPath).foreach { f =>
+      if (!live.contains(normalizePath(f.getPath.toString))
+          && f.getModificationTime < cutoff) {
+        fs.delete(f.getPath, false)
         deleted += 1
       }
     }
@@ -410,11 +416,26 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
   private def prunedSnapshot(keep: LiveFile => Boolean): DataFrame = {
     val meta = currentMeta().getOrElse(
       throw new IllegalStateException(s"Mirror table $name has no schema commit"))
-    val files = liveAdds().filter(keep).map(a => new Path(root, a.path).toString)
+    val files = liveAdds().filter(keep)
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta._1)
-    else spark.read.schema(meta._1).parquet(files: _*)
+    else manifestRead(meta._1, files.map(a => (a.path, a.size)))
   }
+
+  /** Parquet over (relPath, recordedLen) pairs served from the commit log —
+    * zero filesystem listing at plan time (the log IS the manifest; a 10⁶-
+    * file snapshot must not pay a 10⁶-path glob+list per read). Our own
+    * publisher always records true lengths; a non-positive length (foreign
+    * or hand-built log) falls back to a listed read rather than trust it.
+    */
+  private def manifestRead(schema: StructType, files: Seq[(String, Long)]): DataFrame =
+    if (files.forall(_._2 > 0L))
+      org.apache.spark.sql.graftbridge.GraftManifestScan.parquet(
+        spark, schema,
+        files.map { case (rel, len) =>
+          org.apache.spark.sql.graftbridge.GraftManifestScan.status(new Path(root, rel), len)
+        })
+    else spark.read.schema(schema).parquet(files.map(f => new Path(root, f._1).toString): _*)
 
   /** Stats-pruned snapshot: only live files whose recorded numeric
     * [min,max] for `column` intersects [lo,hi] are opened. Files without
@@ -459,10 +480,10 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
     val schema = log.metadata.map(m => KustoTypes.structFrom(m.schema.getOrElse(Seq.empty)))
       .getOrElse(currentMeta().map(_._1).getOrElse(
         throw new IllegalStateException(s"Mirror table $name has no schema commit")))
-    val files = log.adds.flatMap(_.blobPath).map(p => new Path(root, p).toString)
+    val files = log.adds.flatMap(a => a.blobPath.map(p => (p, a.size.getOrElse(0L))))
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(files: _*)
+    else manifestRead(schema, files)
   }
 
   /** Commit history (DESCRIBE HISTORY analog): one row per sink-log commit
@@ -496,9 +517,11 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
     val schema = currentMeta().map(_._1).getOrElse(
       throw new IllegalStateException(s"Mirror table $name has no schema commit"))
     val logs = reader.readCommits(reader.listCommits(fromVersion + 1, toVersion))
-    val fileToV = logs.flatMap { l =>
-      l.adds.flatMap(_.blobPath).map(p =>
-        normalizePath(new Path(root, p).toString) -> l.startTxId)
+    val added = logs.flatMap { l =>
+      l.adds.flatMap(a => a.blobPath.map(p => (p, a.size.getOrElse(0L), l.startTxId)))
+    }
+    val fileToV = added.map { case (p, _, v) =>
+      normalizePath(new Path(root, p).toString) -> v
     }
     val out = KustoTypes.CommitVersionColumn
     if (fileToV.isEmpty)
@@ -515,7 +538,7 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
           s"reclaimed by VACUUM — narrow the range or raise vacuum retention. First: ${vacuumed.head}")
     import spark.implicits._
     val mapping = fileToV.toDF("_abs", out)
-    spark.read.schema(schema).parquet(fileToV.map(_._1): _*)
+    manifestRead(schema, added.map(t => (t._1, t._2)))
       .withColumn("_abs", normalizePathCol(input_file_name()))
       .join(broadcast(mapping), Seq("_abs"))
       .drop("_abs")
@@ -557,25 +580,34 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
   private def relPath(p: Path): String =
     normalizePath(p.toString).stripPrefix(normalizePath(root.toString)).stripPrefix("/")
 
-  private def listParquet(dirPath: Path): Seq[Path] = {
+  /** Recursive parquet listing returning the full statuses: callers need
+    * (path, len, mtime) and a per-file `getFileStatus` round-trip on top of
+    * the listing doubles the metadata ops at 10⁴⁺ staged files.
+    */
+  private def listParquet(dirPath: Path): Seq[org.apache.hadoop.fs.LocatedFileStatus] = {
     if (!fs.exists(dirPath)) return Seq.empty
-    val out = Seq.newBuilder[Path]
+    val out = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
     val it  = fs.listFiles(dirPath, true)
     while (it.hasNext) {
       val f = it.next()
-      if (f.getPath.getName.endsWith(".parquet")) out += f.getPath
+      if (f.getPath.getName.endsWith(".parquet")) out += f
     }
     out.result()
   }
 
   /** One distributed job: per staged file → (source blobs, row count, and —
     * when `statsCols` is non-empty — per-column min/max for numeric data
-    * skipping). Columns absent from the files are skipped silently.
+    * skipping). Columns absent from the table schema are skipped silently.
+    * Takes the statuses the caller already holds from its staging listing —
+    * a manifest scan, so publish never re-lists or schema-infers what it
+    * just wrote.
     */
   private def lineageOf(
-      files: Seq[Path],
+      files: Seq[org.apache.hadoop.fs.FileStatus],
       statsCols: Seq[String] = Nil): Map[String, FileMeta] = {
-    val df = spark.read.parquet(files.map(_.toString): _*)
+    val schema = currentMeta().getOrElse(
+      throw new IllegalStateException(s"Mirror table $name has no schema commit"))._1
+    val df = org.apache.spark.sql.graftbridge.GraftManifestScan.parquet(spark, schema, files)
     // string columns keep lexicographic string bounds; everything else goes
     // through the numeric double path
     val (strCols, present) = statsCols.filter(df.columns.contains).partition { c =>
