@@ -80,7 +80,10 @@ object KqlDemo {
 
     // the reference's OWN status-view query text (DatabaseGateway.cs:85-96):
     // externaldata over the checkpoint CSV + arg_max(MirrorTimestamp, *) —
-    // running unchanged against the live checkpoint store's index.csv
+    // running unchanged against the live checkpoint store's index.csv.
+    // Compact first: the externaldata path names the BASE file, so fold any
+    // trailing append segments into it (what a poll does on load anyway)
+    store.compact()
     show(s"""externaldata (KustoTableName:string, StartTxId:long, EndTxId:long,
             |    Action:string, State:string, MirrorTimestamp:datetime,
             |    DeltaTimestamp:string, BlobPath:string, PartitionValues:string,

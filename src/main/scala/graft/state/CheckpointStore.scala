@@ -10,8 +10,8 @@ import org.apache.spark.sql.SparkSession
 
 import graft.txlog._
 
-/** Durable engine state: an `index.csv` of [[TransactionItem]] rows,
-  * append-ordered, last-write-wins per [[ItemKey]], compacted on load.
+/** Durable engine state: CSV rows of [[TransactionItem]], append-ordered,
+  * last-write-wins per [[ItemKey]], compacted on load.
   *
   * Reference: Storage/GlobalTableStatus.cs (S6-S8, A2, O10),
   * Storage/CheckpointGateway.cs, Storage/TransactionItem.cs:24 (CSV schema —
@@ -19,10 +19,29 @@ import graft.txlog._
   *
   * The state is metadata-sized (one row per file-level state transition), so
   * reads/writes are driver-side through the Hadoop FS API (works on any Spark
-  * filesystem). Appends go through write-temp + atomic-rename because local
-  * `ChecksumFileSystem` does not support true appends; on an append-capable
-  * store the same interface maps to append blocks (≤4 MB chunks in the
-  * reference, GlobalTableStatus.cs:138 — unnecessary here).
+  * filesystem).
+  *
+  * Layout — SEGMENTED, because rename-only filesystems (local
+  * `ChecksumFileSystem`, object stores) cannot append in place and a
+  * read-modify-write append is O(total state) per call (the 10⁶-blob E2E
+  * paid 70 s re-streaming a growing ~500 MB file 13 times, round 13):
+  *
+  *   - `index.csv`            — the compacted BASE, written only by
+  *                              [[compact]] via the crash-recoverable
+  *                              backup→swap→sweep protocol;
+  *   - `index.csv.seg-NNNNNN` — append segments, arrival-ordered by number,
+  *                              each written ONCE (tmp + single atomic
+  *                              rename) holding only its own new rows —
+  *                              O(new rows) per append, the rename-FS
+  *                              equivalent of the reference's append-blob
+  *                              blocks (GlobalTableStatus.cs:138);
+  *   - `index.csv.old`        — transient crash backup of the base.
+  *
+  * A read assembles base + segments in order. Compaction folds everything
+  * into a fresh base and deletes the folded segments; a crash between the
+  * base swap and the segment sweep leaves rows duplicated between base and
+  * segments, which the last-wins fold absorbs (same keys, same winning
+  * values) and the next compaction removes.
   */
 class CheckpointStore(spark: SparkSession, checkpointDir: String) {
   import CheckpointStore._
@@ -82,9 +101,31 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
 
   private def cacheKey: String = fs.makeQualified(indexPath).toString
 
+  private def segNumber(name: String): Long = name.stripPrefix(SegPrefix).toLong
+
+  /** Base (if any) + segments, assembled in arrival order. Under the lock. */
+  private def storeFiles(): Seq[org.apache.hadoop.fs.FileStatus] = {
+    if (!fs.exists(indexPath)) recoverIndex() // mid-commit-lost base, if any
+    val base = if (fs.exists(indexPath)) Seq(fs.getFileStatus(indexPath)) else Seq.empty
+    val segs =
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).filter(s => s.getPath.getName.startsWith(SegPrefix))
+        .sortBy(s => segNumber(s.getPath.getName)).toSeq
+    base ++ segs
+  }
+
+  private def sigOf(files: Seq[org.apache.hadoop.fs.FileStatus]): Vector[(String, Long, Long)] =
+    files.map(s => (s.getPath.getName, s.getLen, s.getModificationTime)).toVector
+
+  private def readFileBytes(p: Path): Array[Byte] = {
+    val in = fs.open(p)
+    try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+    finally in.close()
+  }
+
   /** All rows in arrival order, duplicates included. Takes the index lock:
-    * commitTmp momentarily has the index backed-up-but-not-yet-swapped, and a
-    * read landing in that window would see an EMPTY state (→ spurious
+    * compaction momentarily has the base backed-up-but-not-yet-swapped, and
+    * a read landing in that window would see a truncated state (→ spurious
     * batch rediscovery under multi-table concurrency).
     *
     * Served from the parsed-items cache when valid: the orchestrator calls
@@ -92,90 +133,110 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
     * parsed the WHOLE index — 290 s of the 1137 s 10⁶-blob E2E
     * (BENCH_META_1M_r13 e2e_breakdown, round 13). The in-JVM writers below
     * maintain the cache under the same per-path lock, so in-process
-    * readers never re-parse; a (len, mtime) mismatch (an out-of-process
-    * writer — out of contract, but detectable) falls back to a full read.
+    * readers never re-parse; validity is the full (name, len, mtime)
+    * signature of base+segments PLUS a head/tail content fingerprint of
+    * the newest file, so an out-of-process rewrite landing on the same
+    * lengths within one mtime tick (coarse-mtime filesystems) is detected
+    * instead of silently served stale (round-13 advice).
     */
   def readRaw(): Seq[TransactionItem] = graft.util.PhaseTimer.time("store.read") {
     withIndexLock {
-      if (!fs.exists(indexPath) && !recoverIndex()) Seq.empty
+      val files = storeFiles()
+      if (files.isEmpty) Seq.empty
       else {
-        val st = fs.getFileStatus(indexPath)
-        val c  = indexCache.get(cacheKey)
-        // validity = (len, mtime) + a head/tail content fingerprint: an
-        // out-of-process rewrite landing on the same length within one
-        // mtime tick (coarse-mtime filesystems) is out of contract but must
-        // fail LOUD-ish, not serve stale state — the 512-byte probe read is
-        // noise next to the parse it guards (round-13 advice)
-        if (c != null && c.len == st.getLen && c.mtime == st.getModificationTime
-            && c.fp == fingerprintOf(fs, indexPath, st.getLen)) c.items
+        val sig  = sigOf(files)
+        val last = files.last
+        val c    = indexCache.get(cacheKey)
+        if (c != null && c.sig == sig
+            && c.fp == fingerprintOf(fs, last.getPath, last.getLen)) c.items
         else {
-          val in = fs.open(indexPath)
-          val bytes =
-            try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
-            finally in.close()
-          val items = parseCsv(new String(bytes, StandardCharsets.UTF_8)).toVector
-          indexCache.put(cacheKey,
-            CachedIndex(st.getLen, st.getModificationTime, fingerprintOf(bytes), items))
+          var fp = 0L
+          val items = files.iterator.flatMap { f =>
+            val bytes = readFileBytes(f.getPath)
+            if (f eq last) fp = fingerprintOf(bytes)
+            parseCsv(new String(bytes, StandardCharsets.UTF_8))
+          }.toVector
+          indexCache.put(cacheKey, CachedIndex(sig, fp, items))
           items
         }
       }
     }
   }
 
-  /** Append new state rows (last-write-wins upsert, J6 / TableStatus.cs:119-129).
-    * The existing index is STREAMED byte-for-byte into the temp file (no
-    * decode/encode of a half-GB string — the other half of the 10⁶-blob
-    * store cost) and only the new lines are serialized.
+  /** Append new state rows (last-write-wins upsert, J6 / TableStatus.cs:119-129)
+    * as ONE new write-once segment: serialize only the new lines, write to a
+    * temp file, single atomic rename — O(new rows), never touching existing
+    * state (so there is no lost-base crash window on the append path at all,
+    * matching the reference's in-place append blobs). The per-poll compaction
+    * plus the [[MaxSegments]] bound keep the segment count small.
     */
   def append(items: Seq[TransactionItem]): Unit = if (items.nonEmpty)
     graft.util.PhaseTimer.time("store.append") {
       withIndexLock {
-        val exists  = fs.exists(indexPath) || recoverIndex()
-        val preSt   = if (exists) Some(fs.getFileStatus(indexPath)) else None
-        val cPre    = indexCache.get(cacheKey)
-        // pre-append items, when known without a parse (cache valid or
-        // empty store) — lets the cache stay warm through the append
-        val preItems: Vector[TransactionItem] = preSt match {
-          case None => Vector.empty
-          case Some(st) if cPre != null && cPre.len == st.getLen &&
-            cPre.mtime == st.getModificationTime => cPre.items
-          case Some(_) => null
-        }
         if (!fs.exists(dir)) fs.mkdirs(dir)
+        val pre    = storeFiles()
+        val preSig = sigOf(pre)
+        val nextN  = pre.lastOption.map(_.getPath.getName) match {
+          case Some(n) if n.startsWith(SegPrefix) => segNumber(n) + 1
+          case _                                  => 1L
+        }
+        val seg = new Path(dir, f"$SegPrefix$nextN%06d")
         val tmp = new Path(dir, s"index.csv.tmp-${java.util.UUID.randomUUID()}")
-        val out = fs.create(tmp, true)
-        try {
-          if (exists) {
-            val in = fs.open(indexPath)
-            try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024, false)
-            finally in.close()
-          } else out.write((Header + "\n").getBytes(StandardCharsets.UTF_8))
-          val sb = new StringBuilder
-          items.foreach(i => sb.append(toCsvLine(i)).append('\n'))
-          out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
-        } finally out.close()
-        commitTmp(tmp)
-        if (preItems != null) {
-          val st2 = fs.getFileStatus(indexPath)
-          indexCache.put(cacheKey, CachedIndex(st2.getLen, st2.getModificationTime,
-            fingerprintOf(fs, indexPath, st2.getLen), preItems ++ items))
+        val sb  = new StringBuilder(Header).append('\n')
+        items.foreach(i => sb.append(toCsvLine(i)).append('\n'))
+        val bytes = sb.toString.getBytes(StandardCharsets.UTF_8)
+        val out   = fs.create(tmp, true)
+        try out.write(bytes) finally out.close()
+        faultHook("segment.pre-commit")
+        if (!fs.rename(tmp, seg))
+          throw new IllegalStateException(s"Failed to commit state segment $seg")
+        faultHook("segment.committed")
+        // cache maintenance: extend a valid pre-state parse in place
+        val cPre = indexCache.get(cacheKey)
+        if (cPre != null && cPre.sig == preSig) {
+          val st = fs.getFileStatus(seg)
+          indexCache.put(cacheKey, CachedIndex(
+            preSig :+ ((st.getPath.getName, st.getLen, st.getModificationTime)),
+            fingerprintOf(bytes), cPre.items ++ items))
+        } else if (pre.isEmpty) {
+          val st = fs.getFileStatus(seg)
+          indexCache.put(cacheKey, CachedIndex(
+            Vector((st.getPath.getName, st.getLen, st.getModificationTime)),
+            fingerprintOf(bytes), items.toVector))
         } else indexCache.remove(cacheKey)
+        // bound the read-assembly width between the per-poll compactions
+        if (pre.size >= MaxSegments) compactLocked()
       }
     }
 
-  /** Rewrite the state as its deduplicated snapshot (S8/O10,
-    * GlobalTableStatus.cs:210-222): temp file then atomic rename.
+  /** Fold base + segments into a fresh deduplicated base (S8/O10,
+    * GlobalTableStatus.cs:210-222) via the crash-recoverable commit, then
+    * sweep the folded segments. No-op when the store is already one
+    * deduplicated base (the per-poll dedup-on-load call must not rewrite
+    * an unchanged multi-GB file every 5 s).
     */
   def compact(): Unit = graft.util.PhaseTimer.time("store.compact") {
-    withIndexLock {
-      val items = readAll()
-      val sb    = new StringBuilder(Header).append('\n')
+    withIndexLock(compactLocked())
+  }
+
+  private def compactLocked(): Unit = {
+    val segs  = storeFiles().filter(_.getPath.getName.startsWith(SegPrefix))
+    val raw   = graft.util.PhaseTimer.time("compact.parse")(readRaw())
+    val items = graft.util.PhaseTimer.time("compact.fold")(TxLog.lastWins(raw))
+    if (segs.isEmpty && raw.size == items.size && raw == items) return
+    val content = graft.util.PhaseTimer.time("compact.serialize") {
+      val sb = new StringBuilder(Header).append('\n')
       items.foreach(i => sb.append(toCsvLine(i)).append('\n'))
-      atomicWrite(sb.toString)
-      val st2 = fs.getFileStatus(indexPath)
-      indexCache.put(cacheKey, CachedIndex(st2.getLen, st2.getModificationTime,
-        fingerprintOf(fs, indexPath, st2.getLen), items.toVector))
+      sb.toString
     }
+    graft.util.PhaseTimer.time("compact.write")(atomicWrite(content))
+    // segments now folded into the base are redundant — a crash mid-sweep
+    // leaves duplicates the last-wins fold absorbs until the next compact
+    segs.foreach(s => fs.delete(s.getPath, false))
+    val st = fs.getFileStatus(indexPath)
+    indexCache.put(cacheKey, CachedIndex(
+      Vector((st.getPath.getName, st.getLen, st.getModificationTime)),
+      fingerprintOf(fs, indexPath, st.getLen), items.toVector))
   }
 
   private def atomicWrite(content: String): Unit = {
@@ -257,7 +318,15 @@ object CheckpointStore {
     * with churn — must not pin every dead store's Vector forever).
     * (len, mtime) detect out-of-process modification → full re-read.
     */
-  private final case class CachedIndex(len: Long, mtime: Long, fp: Long,
+  /** Append-segment filename prefix (`index.csv.seg-NNNNNN`). */
+  private[state] val SegPrefix = "index.csv.seg-"
+
+  /** Appends past this many live segments fold eagerly — bounds the files a
+    * read assembles even if the caller never compacts.
+    */
+  private val MaxSegments = 64
+
+  private final case class CachedIndex(sig: Vector[(String, Long, Long)], fp: Long,
       items: Vector[TransactionItem])
 
   /** Head/tail content fingerprint: 64-bit mix of the first and last 256

@@ -140,12 +140,22 @@ object MetaScale {
     // cache INVALIDATED first, so the figures are the cold fresh-process
     // cost, not a warm-cache fold (the r13 review finding).
     val storePath = new Path(s"$workDir/state/index.csv")
-    val rawBytes  = fs.getFileStatus(storePath).getLen
-    val store     = new graft.state.CheckpointStore(spark, s"$workDir/state")
+    // raw size spans the segmented layout: base + append segments
+    def stateBytes(): Long = fs.listStatus(new Path(s"$workDir/state"))
+      .filter { s =>
+        val n = s.getPath.getName
+        n == "index.csv" || n.startsWith("index.csv.seg-")
+      }.map(_.getLen).sum
+    val rawBytes = stateBytes()
+    val store    = new graft.state.CheckpointStore(spark, s"$workDir/state")
     graft.state.CheckpointStore.invalidateCache()
     val rawRows = store.readRaw().size
     graft.state.CheckpointStore.invalidateCache()
+    graft.util.PhaseTimer.reset() // isolate the COLD compaction's sub-phases
     val (_, compactSec) = timed(store.compact())
+    val compactBreakdown = graft.util.PhaseTimer.snapshot().toSeq.sortBy(-_._2._1)
+      .map { case (k, (sec, n)) => f""""$k":{"sec":$sec%.3f,"calls":$n}""" }
+      .mkString("{", ",", "}")
     val compBytes = fs.getFileStatus(storePath).getLen
     graft.state.CheckpointStore.invalidateCache()
     val (liveStatus, reloadSec) =
@@ -168,7 +178,8 @@ object MetaScale {
       f""""e2e_breakdown":$breakdown,""" +
       f""""store_compaction":{"raw_rows":$rawRows,"raw_mb":${rawBytes / 1048576.0}%.1f,""" +
       f""""compact_sec":$compactSec%.3f,"live_rows":$liveRows,""" +
-      f""""compact_mb":${compBytes / 1048576.0}%.1f,"reload_sec":$reloadSec%.3f},""" +
+      f""""compact_mb":${compBytes / 1048576.0}%.1f,"reload_sec":$reloadSec%.3f,""" +
+      f""""compact_breakdown":$compactBreakdown},""" +
       f""""driver_heap_gb":$heapGb%.1f,"heap_peak_gb":$peakGb%.2f}""")
     spark.stop()
   }

@@ -50,59 +50,44 @@ class CheckpointCrashSpec extends SparkSuite {
     new CheckpointStore(spark, dir)
   }
 
-  test("crash between backup and swap: reopened store has the full pre-crash state") {
-    val dir   = tmpDir("crash-pre-swap")
+  test("crash before a segment commit: append rolls back, prior state intact") {
+    val dir   = tmpDir("crash-seg-pre")
     val store = new CheckpointStore(spark, dir)
     store.append(Seq(item(0), item(1)))
     store.append(Seq(item(2)))
 
-    crashAt("commit.backup-done", 1)
+    crashAt("segment.pre-commit", 1)
     intercept[SimulatedCrash](store.append(Seq(item(3))))
     clearHook()
 
-    // the crash window: index.csv absent, backup + orphaned tmp on disk
-    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new Path(dir, "index.csv")), "crash did not land in the window")
-    assert(fs.exists(new Path(dir, "index.csv.old")))
-
     val back = reopen(dir)
-    // rollback semantics: the un-acknowledged append(3) is dropped, every
-    // acknowledged row survives — NEVER an empty store
+    // the un-acknowledged append(3) is dropped, every acknowledged row
+    // survives — NEVER an empty or truncated store
     assert(back.readAll().toSet == Set(item(0), item(1), item(2)))
-    // recovery swept the aborted commit's tmp and the store accepts writes
-    assert(!fs.listStatus(new Path(dir)).map(_.getPath.getName)
-      .exists(_.startsWith("index.csv.tmp-")), "orphan tmp files not swept")
     back.append(Seq(item(3)))
     assert(back.readAll().toSet == Set(item(0), item(1), item(2), item(3)))
-    assert(!fs.exists(new Path(dir, "index.csv.old")))
   }
 
-  test("crash between swap and cleanup: commit took effect, stale backup is swept") {
-    val dir   = tmpDir("crash-post-swap")
+  test("crash right after a segment commit: append is durable") {
+    val dir   = tmpDir("crash-seg-post")
     val store = new CheckpointStore(spark, dir)
     store.append(Seq(item(0)))
 
-    crashAt("commit.swap-done", 1)
+    crashAt("segment.committed", 1)
     intercept[SimulatedCrash](store.append(Seq(item(1))))
     clearHook()
 
-    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(fs.exists(new Path(dir, "index.csv")))
-    assert(fs.exists(new Path(dir, "index.csv.old")), "crash did not land in the window")
-
     val back = reopen(dir)
-    // past the commit point → the append IS applied
-    assert(back.readAll().toSet == Set(item(0), item(1)))
-    back.compact() // next commit sweeps the stale backup
-    assert(!fs.exists(new Path(dir, "index.csv.old")))
+    // past the rename → the append IS applied
     assert(back.readAll().toSet == Set(item(0), item(1)))
   }
 
-  test("crash during compact rolls back to the uncompacted state") {
-    val dir   = tmpDir("crash-compact")
+  test("crash between compact's backup and swap: full pre-crash state recovers") {
+    val dir   = tmpDir("crash-compact-pre")
     val store = new CheckpointStore(spark, dir)
     val a = item(0)
     store.append(Seq(a))
+    store.compact() // establish a BASE so the backup path is exercised
     store.append(Seq(a.withState(TxState.Done, T0.plusSeconds(5)), item(1)))
     assert(store.readRaw().size == 3)
 
@@ -110,18 +95,54 @@ class CheckpointCrashSpec extends SparkSuite {
     intercept[SimulatedCrash](store.compact())
     clearHook()
 
+    // the crash window: base absent, backup on disk, segments untouched
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(dir, "index.csv")), "crash did not land in the window")
+    assert(fs.exists(new Path(dir, "index.csv.old")))
+
     val back = reopen(dir)
-    assert(back.readRaw().size == 3, "rollback must restore the raw pre-compact rows")
+    assert(back.readRaw().size == 3, "recovery must restore the raw pre-compact rows")
+    assert(back.readAll().toSet == Set(a.withState(TxState.Done, T0.plusSeconds(5)), item(1)))
+    // recovery swept the aborted commit's tmp and the backup was consumed
+    assert(!fs.listStatus(new Path(dir)).map(_.getPath.getName)
+      .exists(_.startsWith("index.csv.tmp-")), "orphan tmp files not swept")
+    assert(!fs.exists(new Path(dir, "index.csv.old")))
+  }
+
+  test("crash between compact's swap and segment sweep: fold absorbs the duplicates") {
+    val dir   = tmpDir("crash-compact-post")
+    val store = new CheckpointStore(spark, dir)
+    val a = item(0)
+    store.append(Seq(a))
+    store.append(Seq(a.withState(TxState.Done, T0.plusSeconds(5)), item(1)))
+
+    crashAt("commit.swap-done", 1)
+    intercept[SimulatedCrash](store.compact())
+    clearHook()
+
+    val back = reopen(dir)
+    // base holds the fold AND the stale segments still exist — last-wins
+    // over (fold ++ originals) equals the fold, so the view is unchanged
+    assert(back.readAll().toSet == Set(a.withState(TxState.Done, T0.plusSeconds(5)), item(1)))
+    back.compact() // next compact removes the duplicates and the stale backup
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(dir, "index.csv.old")))
+    assert(back.readRaw().size == 2)
     assert(back.readAll().toSet == Set(a.withState(TxState.Done, T0.plusSeconds(5)), item(1)))
   }
 
-  test("mirror resume after a commit crash at EVERY commit point: exact rows, no duplicates") {
-    // systematic sweep: for each fault point and each k, crash at the k-th
-    // state-store commit of a fresh pipeline's first runOnce, then resume
-    // with a fresh-process store and assert the landing table is exact.
+  test("mirror resume after a crash at EVERY store write point: exact rows, no duplicates") {
+    // systematic sweep: batch 1 mirrors cleanly, then batch 2's poll —
+    // whose opening compaction folds batch 1's segments (the commit.*
+    // points) and whose batch pipeline appends segments (the segment.*
+    // points) — is killed at the k-th firing of each fault point; a
+    // fresh-process resume must land the table at EXACTLY batch1+batch2.
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType)))
-    for (point <- Seq("commit.backup-done", "commit.swap-done")) {
+    val minPoints = Map(
+      "segment.pre-commit" -> 4, "segment.committed" -> 4,
+      "commit.backup-done" -> 1, "commit.swap-done" -> 1)
+    for (point <- minPoints.keys.toSeq.sorted) {
       var k    = 1
       var done = false
       while (!done) {
@@ -135,24 +156,27 @@ class CheckpointCrashSpec extends SparkSuite {
           mirrorTableName = name,
           checkpointDir = tmpDir(s"state-$name"),
           ingestParallelism = 1) // deterministic commit ordering for the sweep
+        new MirrorOrchestrator(spark, cfg).runOnce() // batch 1, clean
+        src.addCommit(spark.range(10, 15).toDF("id"))
         crashAt(point, k)
         val crashed =
           try { new MirrorOrchestrator(spark, cfg).runOnce(); false }
           catch { case _: SimulatedCrash => true }
         clearHook()
-        if (!crashed) done = true // fewer than k commits in a clean run — swept all
+        if (!crashed) done = true // fewer than k firings in a clean poll — swept all
         else {
           CheckpointStore.invalidateCache() // fresh-process resume
           val resumed = new MirrorOrchestrator(spark, cfg)
           resumed.runOnce()
           val got = resumed.table.snapshot().select("id").collect()
             .map(_.getLong(0)).sorted.toSeq
-          assert(got == (0L until 10L),
+          assert(got == (0L until 15L),
             s"crash at $point #$k: resumed mirror rows $got (duplicates or loss)")
         }
         k += 1
       }
-      assert(k > 3, s"sweep for $point exercised too few commit points (${k - 1})")
+      assert(k > minPoints(point),
+        s"sweep for $point exercised too few write points (${k - 1})")
     }
   }
 }

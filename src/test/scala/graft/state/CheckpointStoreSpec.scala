@@ -75,6 +75,7 @@ class CheckpointStoreSpec extends SparkSuite {
     val store = new CheckpointStore(spark, dir)
     val a = fullItem.copy(tableName = "t", blobPath = Some("aaaa.parquet"))
     store.append(Seq(a))
+    store.compact() // fold the segment into the BASE the rewrite targets
     assert(store.readAll() == Seq(a)) // warm the cache
 
     // out-of-process rewrite: same byte length, different content, and the
