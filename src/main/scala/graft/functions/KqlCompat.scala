@@ -1912,19 +1912,24 @@ object KqlCompat {
     // has_any_ipv4_prefix(text, prefix1, …): a properly delimited, valid
     // quad whose TEXT starts with any listed prefix (the has_ipv4_prefix
     // contract, any-folded). Also accepts a single array arg — detected by
-    // the array-PRODUCING call shapes this engine's rewrites leave behind:
-    // dynamic([…])/pack_array(…) became array(…) in earlier passes, and
-    // 2-arg split passes through as Spark's array<string>. Any OTHER single
-    // second arg (quoted literal, string column, strcat(…)) folds as ONE
-    // scalar prefix — the legal ADX shape that the pre-r13 any-non-quote
-    // heuristic misclassified. Contract note: an array-typed expression in
-    // a shape not listed here must be spelled through pack_array(…); it
-    // fails ANALYSIS loudly (exists over array<array>), never silently.
+    // the array-PRODUCING call shapes this engine's rewrites leave behind
+    // (dynamic([…])/pack_array(…) became array(…) in earlier passes, and
+    // 2-arg split passes through as Spark's array<string>) OR a bare
+    // identifier, which in the ADX signature is a dynamic-array column
+    // (the shape that worked pre-r13 and regressed — round-13 advice).
+    // Any OTHER single second arg (quoted literal, strcat(…), arithmetic)
+    // folds as ONE scalar prefix. Contract notes, both loud at ANALYSIS
+    // time, never silent: a SCALAR STRING COLUMN as the single prefix must
+    // be spelled pack_array(col) (a bare identifier is taken as the array
+    // column and fails `exists` type-checking otherwise); an array-typed
+    // CALL in a shape not listed here must go through pack_array(…)
+    // (it fails as exists over array<array>).
     s = expandCalls(s, "has_any_ipv4_prefix") {
       case args if args.size >= 2 =>
         val a1 = args(1).trim
         val isArrayShape = a1.startsWith("array(") || a1.startsWith("pack_array(") ||
-          a1.startsWith("split(")
+          a1.startsWith("split(") ||
+          a1.matches("[A-Za-z_][A-Za-z0-9_]*") || a1.matches("`[^`]+`")
         val list =
           if (args.size == 2 && isArrayShape) args(1)
           else args.tail.mkString("array(", ", ", ")")

@@ -299,6 +299,24 @@ class KqlCompatSpec extends SparkSuite {
     assert(!b("has_any_ipv4('x 10.0.0.1 y', '8.8.8.8')"))
   }
 
+  test("has_any_ipv4_prefix: bare identifier = dynamic array COLUMN (r13 advice)") {
+    import spark.implicits._
+    val df = Seq(
+      ("src 192.168.1.5 dst", Seq("10.", "192.168.")),
+      ("src 172.16.0.9 dst", Seq("10.", "192.168."))).toDF("t", "prefixes")
+    val got = df.selectExpr(KqlCompat.rewrite("has_any_ipv4_prefix(t, prefixes)"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(got == Seq(true, false))
+    // the other single-arg shapes hold: literal = ONE scalar prefix,
+    // call-expression = ONE scalar prefix, pack_array(col) = explicit array
+    val one = df.selectExpr(
+      KqlCompat.rewrite("has_any_ipv4_prefix(t, '192.168.')"),
+      KqlCompat.rewrite("has_any_ipv4_prefix(t, strcat('192.', '168.'))"),
+      KqlCompat.rewrite("has_any_ipv4_prefix(t, pack_array(t))")) // scalar col via pack_array
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2))).toSeq
+    assert(one == Seq((true, true, false), (false, false, false)))
+  }
+
   test("2-arg trim strips both ends; Spark's 1-arg trim passes through") {
     val r = spark.range(1).selectExpr(
       KqlCompat.rewrite("trim('[-+]+', '--hi++')"),
