@@ -2134,10 +2134,24 @@ object KqlCompat {
     s = expandCalls(s, "extract") {
       case Seq(re, g, x) => s"regexp_extract($x, $re, $g)"
     }
-    // datetime_diff('unit', a, b) = a − b in units → timestampdiff(UNIT, b, a)
+    // datetime_diff('unit', a, b) = a − b in units. ADX counts period
+    // BOUNDARIES crossed (datetime_diff('day', 03T00:01, 02T23:59) = 1);
+    // Spark's timestampdiff counts COMPLETE elapsed units — truncate both
+    // operands to the unit first, which makes the two agree for every
+    // fixed- and calendar-width unit. Found by ScalarFuzzSpec (r14): 17 of
+    // 600 random compositions diverged by one unit on non-aligned operands;
+    // DuckDB's date_diff counts boundaries too, so the oracles only passed
+    // on unit-aligned fixtures. ADX weeks start SUNDAY while Spark's WEEK
+    // truncation lands on Monday — shift by a day around the truncation.
     s = expandCalls(s, "datetime_diff") {
       case Seq(p, a, b) =>
-        s"timestampdiff(${p.replace("'", "").trim.toUpperCase}, $b, $a)"
+        val unit = p.replace("'", "").trim.toUpperCase
+        def trunc(x: String) = unit match {
+          case "WEEK"       => s"(date_trunc('WEEK', ($x) + interval '1' day) - interval '1' day)"
+          case "NANOSECOND" => x // µs storage resolution: already aligned
+          case u            => s"date_trunc('$u', $x)"
+        }
+        s"timestampdiff($unit, ${trunc(b)}, ${trunc(a)})"
     }
     // datetime_add('unit', n, dt) → timestampadd(UNIT, n, dt)
     s = expandCalls(s, "datetime_add") {

@@ -116,8 +116,12 @@ class KqlCompatSpec extends SparkSuite {
     assert(KqlCompat.rewrite("split(s, '-')") == "split(s, '-')")
     assert(KqlCompat.rewrite("extract('([0-9]+)', 1, s)") ==
       "regexp_extract(s, '([0-9]+)', 1)")
+    // boundary-crossing semantics: both operands unit-truncated (r14 fuzz)
     assert(KqlCompat.rewrite("datetime_diff('day', a, b)") ==
-      "timestampdiff(DAY, b, a)")
+      "timestampdiff(DAY, date_trunc('DAY', b), date_trunc('DAY', a))")
+    assert(KqlCompat.rewrite("datetime_diff('week', a, b)") ==
+      "timestampdiff(WEEK, (date_trunc('WEEK', (b) + interval '1' day) - interval '1' day), " +
+        "(date_trunc('WEEK', (a) + interval '1' day) - interval '1' day))")
 
     // evaluate through expr(): 0-based split index, NULL out of bounds, and
     // occurrence counting
@@ -315,6 +319,27 @@ class KqlCompatSpec extends SparkSuite {
       KqlCompat.rewrite("has_any_ipv4_prefix(t, pack_array(t))")) // scalar col via pack_array
       .collect().map(r => (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2))).toSeq
     assert(one == Seq((true, true, false), (false, false, false)))
+  }
+
+  test("datetime_diff counts period boundaries, Sunday-based for weeks") {
+    val r = spark.range(1).selectExpr(
+      // one minute apart across midnight: a DAY boundary was crossed
+      KqlCompat.rewrite(
+        "datetime_diff('day', datetime(2026-08-17 00:01:00), datetime(2026-08-16 23:59:00))") + " as d",
+      // Saturday → Sunday crosses the ADX week boundary (weeks start Sunday);
+      // Monday-based truncation would answer 0 here
+      KqlCompat.rewrite(
+        "datetime_diff('week', datetime(2026-08-16 01:00:00), datetime(2026-08-15 23:00:00))") + " as w",
+      // and within one Sunday-based week: 0 (Spark's Monday week has a
+      // boundary between Sunday and Monday that ADX does not)
+      KqlCompat.rewrite(
+        "datetime_diff('week', datetime(2026-08-17 01:00:00), datetime(2026-08-16 23:00:00))") + " as w0",
+      KqlCompat.rewrite(
+        "datetime_diff('month', datetime(2026-03-01 00:00:01), datetime(2026-02-28 23:59:59))") + " as m").head
+    assert(r.getLong(0) == 1L)
+    assert(r.getLong(1) == 1L)
+    assert(r.getLong(2) == 0L)
+    assert(r.getLong(3) == 1L)
   }
 
   test("2-arg trim strips both ends; Spark's 1-arg trim passes through") {
