@@ -324,7 +324,7 @@ class MirrorOrchestrator(
       // missing a size (legal but rare in real logs) fall back to a listed
       // read for the whole group — the manifest must never guess a length.
       val scan: DataFrame = graft.util.PhaseTimer.time("stage.plan") {
-        if (adds.forall(a => a.size.isDefined && a.blobPath.isDefined))
+        if (adds.forall(a => a.size.exists(_ > 0L) && a.blobPath.isDefined))
           org.apache.spark.sql.graftbridge.GraftManifestScan.parquet(
             stagingSpark, physicalSchema,
             adds.map { a =>

@@ -220,10 +220,20 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
   }
 
   private def compactLocked(): Unit = {
+    // orphaned tmp files (a crashed or failed write before its rename) are
+    // swept here: the lock guarantees no write is in flight in-contract,
+    // and compaction runs every poll, so orphans never accumulate
+    if (fs.exists(dir))
+      fs.listStatus(dir).map(_.getPath)
+        .filter(_.getName.startsWith("index.csv.tmp-"))
+        .foreach(fs.delete(_, false))
     val segs  = storeFiles().filter(_.getPath.getName.startsWith(SegPrefix))
     val raw   = graft.util.PhaseTimer.time("compact.parse")(readRaw())
     val items = graft.util.PhaseTimer.time("compact.fold")(TxLog.lastWins(raw))
-    if (segs.isEmpty && raw.size == items.size && raw == items) return
+    // equal size ⇒ identical: lastWins keeps winners in first-arrival key
+    // order, so a duplicate-free store folds to itself — skip the rewrite
+    // (and skip a deep element compare: per-poll at 10⁶ rows it isn't free)
+    if (segs.isEmpty && raw.size == items.size) return
     val content = graft.util.PhaseTimer.time("compact.serialize") {
       val sb = new StringBuilder(Header).append('\n')
       items.foreach(i => sb.append(toCsvLine(i)).append('\n'))
