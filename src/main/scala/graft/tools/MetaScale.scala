@@ -115,7 +115,10 @@ object MetaScale {
       deltaTableUrl = tableB,
       mirrorDir = s"$workDir/mirror",
       mirrorTableName = "meta_e2e",
-      checkpointDir = s"$workDir/state")
+      checkpointDir = s"$workDir/state",
+      // experiment knob: staged-group worker-pool width (default = the
+      // MirrorConfig default, the reference's 4-worker posture)
+      ingestParallelism = sys.env.get("SPARK_GRAFT_INGEST_PAR").map(_.toInt).getOrElse(4))
     val orch = new MirrorOrchestrator(spark, cfg)
     graft.util.PhaseTimer.reset()
     val (batches, e2eSec) = timed(orch.runOnce())

@@ -30,6 +30,7 @@ class ScalarFuzzSpec extends SparkSuite {
   sealed trait V
   case class VStr(s: String)          extends V
   case class VInt(l: Long)            extends V
+  case class VDbl(d: Double)          extends V
   case class VBool(b: Boolean)        extends V
   case class VDt(i: Instant)          extends V
   case class VArr(vs: Vector[V])      extends V
@@ -37,6 +38,7 @@ class ScalarFuzzSpec extends SparkSuite {
   sealed trait Ty
   case object TStr  extends Ty
   case object TInt  extends Ty
+  case object TDbl  extends Ty // double-valued math family (tolerant compare)
   case object TBool extends Ty
   case object TDt   extends Ty
   case object TArrS extends Ty // array<string>
@@ -51,6 +53,7 @@ class ScalarFuzzSpec extends SparkSuite {
   private def renderLit(v: V): String = v match {
     case VStr(s)  => s"'$s'" // leaf pool is quote/backslash-free by construction
     case VInt(l)  => l.toString
+    case VDbl(d)  => if (d == d.toLong.toDouble) s"${d.toLong}.0" else d.toString
     case VBool(b) => b.toString
     case VDt(i)   =>
       val t = java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
@@ -62,9 +65,11 @@ class ScalarFuzzSpec extends SparkSuite {
   private def render(n: Node): String = n match {
     case Lit(v, _) => renderLit(v)
     case Call(op, a, _) => op match {
+      case "d+" | "d-" | "d*"                            => s"(${render(a(0))} ${op.drop(1)} ${render(a(1))})"
       case "+" | "-" | "*"                               => s"(${render(a(0))} ${op} ${render(a(1))})"
       case "==" | "!=" | "<" | "<=" | ">" | ">="         => s"(${render(a(0))} ${op} ${render(a(1))})"
       case "and" | "or"                                  => s"(${render(a(0))} ${op} ${render(a(1))})"
+      case "round_d"                                     => s"round(${a.map(render).mkString(", ")})"
       case f                                             => s"$f(${a.map(render).mkString(", ")})"
     }
   }
@@ -75,6 +80,11 @@ class ScalarFuzzSpec extends SparkSuite {
   private def bool(v: V): Boolean = v.asInstanceOf[VBool].b
   private def dt(v: V): Instant   = v.asInstanceOf[VDt].i
   private def arr(v: V): Vector[V] = v.asInstanceOf[VArr].vs
+  private def dbl(v: V): Double = v match {
+    case VDbl(d) => d
+    case VInt(l) => l.toDouble
+    case other   => sys.error(s"dbl type hole: $other")
+  }
 
   private def chrono(part: String): ChronoUnit = part match {
     case "day" => ChronoUnit.DAYS; case "hour" => ChronoUnit.HOURS
@@ -120,6 +130,22 @@ class ScalarFuzzSpec extends SparkSuite {
           VInt(math.floorDiv(v, w) * w)
         case "toint" | "tolong" => x(0)
         case "iif" => if (bool(x(0))) x(1) else x(2)
+        // doubles (same-JVM Math semantics; compared with relative tolerance)
+        case "d+"      => VDbl(dbl(x(0)) + dbl(x(1)))
+        case "d-"      => VDbl(dbl(x(0)) - dbl(x(1)))
+        case "d*"      => VDbl(dbl(x(0)) * dbl(x(1)))
+        case "exp"     => VDbl(math.exp(dbl(x(0))))
+        case "log"     => VDbl(math.log(dbl(x(0))))   // generator guards arg > 0
+        case "log10"   => VDbl(math.log10(dbl(x(0))))
+        case "sqrt"    => VDbl(math.sqrt(dbl(x(0))))  // generator guards arg >= 0
+        case "sin"     => VDbl(math.sin(dbl(x(0))))
+        case "cos"     => VDbl(math.cos(dbl(x(0))))
+        case "pow"     => VDbl(math.pow(dbl(x(0)), dbl(x(1))))
+        case "todouble" => VDbl(dbl(x(0)))
+        case "round_d" => // ADX round(x, n): half-away-from-zero at n decimals
+          val n = int(x(1)).toInt
+          val f = math.pow(10, n)
+          VDbl(math.round(dbl(x(0)) * f) / f) // args kept non-negative by the generator
         // booleans
         case "==" => VBool(x(0) == x(1))
         case "!=" => VBool(x(0) != x(1))
@@ -186,9 +212,12 @@ class ScalarFuzzSpec extends SparkSuite {
     "2024-02-29T23:59:58Z", "2026-01-01T00:00:00Z", "2025-06-15T04:05:06Z",
     "2024-12-31T23:00:01Z", "2026-08-16T12:00:00Z").map(Instant.parse)
 
+  private val dblPool = Vector(0.5, 1.25, 2.0, 3.75, 0.125, 7.5, 10.0, 0.0)
+
   private def litOf(t: Ty): Node = t match {
     case TStr  => Lit(VStr(strPool(rnd.nextInt(strPool.size))), TStr)
     case TInt  => Lit(VInt(rnd.nextInt(26) - 5L), TInt)
+    case TDbl  => Lit(VDbl(dblPool(rnd.nextInt(dblPool.size))), TDbl)
     case TBool => Lit(VBool(rnd.nextBoolean()), TBool)
     case TDt   => Lit(VDt(dtPool(rnd.nextInt(dtPool.size))), TDt)
     case TArrS | TArrI => sys.error("array leaves come from pack_array/split")
@@ -201,8 +230,33 @@ class ScalarFuzzSpec extends SparkSuite {
     def g(t2: Ty): Node = gen(t2, depth - 1)
     def leafInt(lo: Int, hi: Int) = Lit(VInt(lo + rnd.nextInt(hi - lo + 1).toLong), TInt)
     def part() = Lit(VStr(pick(Seq("day", "hour", "minute", "second"))), TStr)
-    if (depth <= 0 && (t == TStr || t == TInt || t == TBool || t == TDt)) litOf(t)
+    if (depth <= 0 && (t == TStr || t == TInt || t == TDbl || t == TBool || t == TDt)) litOf(t)
     else t match {
+      case TDbl => pick[() => Node](Seq(
+        () => litOf(TDbl),
+        () => Call("d+", Vector(g(TDbl), g(TDbl)), TDbl),
+        () => Call("d-", Vector(g(TDbl), g(TDbl)), TDbl),
+        () => Call("d*", Vector(g(TDbl), litOf(TDbl)), TDbl),
+        // domain-guarded transcendentals: args from pools/compositions that
+        // stay finite and in-domain (pool ≥ 0; log/sqrt get +1 shifts)
+        () => Call("exp", Vector(litOf(TDbl)), TDbl),
+        // log/sqrt args squared (+1 for log): strictly in-domain even when
+        // a nested d- composition goes negative
+        () => { val n = g(TDbl)
+                Call("log", Vector(Call("d+",
+                  Vector(Call("d*", Vector(n, n), TDbl), Lit(VDbl(1.0), TDbl)), TDbl)), TDbl) },
+        () => Call("log10", Vector(Call("d+", Vector(litOf(TDbl), Lit(VDbl(1.0), TDbl)), TDbl)), TDbl),
+        () => { val n = g(TDbl)
+                Call("sqrt", Vector(Call("d*", Vector(n, n), TDbl)), TDbl) },
+        () => Call("sin", Vector(litOf(TDbl)), TDbl),
+        () => Call("cos", Vector(litOf(TDbl)), TDbl),
+        () => Call("pow", Vector(litOf(TDbl), Lit(VDbl(pick(Seq(2.0, 3.0, 0.5))), TDbl)), TDbl),
+        // non-negative round arg (n²): Spark rounds half AWAY FROM ZERO,
+        // java Math.round half-up — they differ only at negative .5s
+        () => { val n = g(TDbl)
+                Call("round_d", Vector(Call("d*", Vector(n, n), TDbl), leafInt(0, 3)), TDbl) },
+        () => Call("todouble", Vector(g(TInt)), TDbl),
+        () => Call("iif", Vector(g(TBool), g(TDbl), g(TDbl)), TDbl)))()
       case TStr => pick[() => Node](Seq(
         () => litOf(TStr),
         () => Call("toupper", Vector(g(TStr)), TStr),
@@ -279,6 +333,10 @@ class ScalarFuzzSpec extends SparkSuite {
     case (s: String, TStr)           => Some(VStr(s))
     case (l: Long, TInt)             => Some(VInt(l))
     case (i: Integer, TInt)          => Some(VInt(i.toLong))
+    case (d: java.lang.Double, TDbl) => Some(VDbl(d))
+    case (l: Long, TDbl)             => Some(VDbl(l.toDouble))
+    case (i: Integer, TDbl)          => Some(VDbl(i.toDouble))
+    case (d: java.math.BigDecimal, TDbl) => Some(VDbl(d.doubleValue))
     case (b: java.lang.Boolean, TBool) => Some(VBool(b))
     case (ts: java.sql.Timestamp, TDt) => Some(VDt(ts.toInstant))
     case (a: scala.collection.Seq[_], TArrS) =>
@@ -291,9 +349,22 @@ class ScalarFuzzSpec extends SparkSuite {
     case other => sys.error(s"decode hole: $other / $t")
   }
 
-  test("600 random typed scalar compositions agree with the ADX-semantics evaluator") {
-    val N     = 600
-    val types = Vector(TStr, TInt, TBool, TDt, TArrS, TArrI)
+  /** Equality with a relative tolerance on doubles (the transcendental
+    * chain may differ by a few ulps between codegen'd Spark and the
+    * evaluator's Math calls); everything else exact.
+    */
+  private def agree(expected: V, got: V): Boolean = (expected, got) match {
+    case (VDbl(a), VDbl(b)) =>
+      (a == b) || (a.isNaN && b.isNaN) ||
+        math.abs(a - b) <= 1e-12 * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+    case (VArr(as), VArr(bs)) =>
+      as.size == bs.size && as.zip(bs).forall { case (x, y) => agree(x, y) }
+    case (a, b) => a == b
+  }
+
+  test("700 random typed scalar compositions agree with the ADX-semantics evaluator") {
+    val N     = 700
+    val types = Vector(TStr, TInt, TDbl, TBool, TDt, TArrS, TArrI)
     val cases = (0 until N).map { i =>
       val t = types(i % types.size)
       val n = gen(t, 3)
@@ -308,7 +379,7 @@ class ScalarFuzzSpec extends SparkSuite {
       val row = spark.range(1).selectExpr(sqls: _*).head
       batch.zipWithIndex.foreach { case ((i, t, _, kql, expected), j) =>
         val got = decode(row.get(j), t)
-        if (!got.contains(expected))
+        if (!got.exists(agree(expected, _)))
           failures += s"#$i KQL: $kql\n   SQL: ${KqlCompat.rewrite(kql)}\n" +
             s"   expected: $expected\n   got:      $got"
       }
