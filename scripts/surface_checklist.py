@@ -183,6 +183,10 @@ DIVERGENT = {
     "geo_simplify_polygons_array": "per-ring simplify; ADX preserves shared borders (documented at the operator)",
     "rand": "Spark-seeded deterministic stream, not ADX's nondeterministic rand (oracle requires determinism)",
     "new_guid": "deterministic UUID from a seeded stream (oracle requires determinism)",
+    "has_any_ipv4_prefix": "a single BARE-IDENTIFIER prefix arg is taken as a dynamic-array "
+        "column (the common ADX shape); a scalar string COLUMN as the one prefix must be "
+        "spelled pack_array(col) — the textual rewrite cannot see column types, and both "
+        "misreadings fail analysis loudly (KqlCompat.scala, r13 advice / r14 review)",
     # round-12 straggler batch (q_kql_scalar/dynamic/geo_stragglers pins)
     "gettype": "STATIC column type mapped to KQL names, not ADX's per-row dynamic probe (documented at the expansion)",
     "estimate_data_size": "per-type width heuristic (strings by bytes, dynamics by serialized text); ADX's estimate is engine-specific too",

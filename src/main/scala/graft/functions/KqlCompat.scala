@@ -2147,11 +2147,14 @@ object KqlCompat {
       case Seq(p, a, b) =>
         val unit = p.replace("'", "").trim.toUpperCase
         def trunc(x: String) = unit match {
-          case "WEEK"       => s"(date_trunc('WEEK', ($x) + interval '1' day) - interval '1' day)"
-          case "NANOSECOND" => x // µs storage resolution: already aligned
-          case u            => s"date_trunc('$u', $x)"
+          case "WEEK" => s"(date_trunc('WEEK', ($x) + interval '1' day) - interval '1' day)"
+          case u      => s"date_trunc('$u', $x)"
         }
-        s"timestampdiff($unit, ${trunc(b)}, ${trunc(a)})"
+        // Spark's timestampdiff has no NANOSECOND unit (MICROSECOND..YEAR);
+        // storage is µs anyway, so nanoseconds = microseconds × 1000 with
+        // no truncation needed (every stored instant is ns-aligned)
+        if (unit == "NANOSECOND") s"(timestampdiff(MICROSECOND, $b, $a) * 1000)"
+        else s"timestampdiff($unit, ${trunc(b)}, ${trunc(a)})"
     }
     // datetime_add('unit', n, dt) → timestampadd(UNIT, n, dt)
     s = expandCalls(s, "datetime_add") {

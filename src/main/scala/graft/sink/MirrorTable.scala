@@ -163,14 +163,18 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
     val stagingName = s"delete-${java.util.UUID.randomUUID().toString.take(8)}"
     // one rewrite job per affected PARTITION GROUP, not per file — a delete
     // touching 10k files submits tens of group jobs (bounded-parallel), each
-    // reading all its files in a single distributed scan. mergeSchema keeps
-    // additive-evolution groups whole (older files surface the newer columns
-    // as nulls, exactly the create-merge read semantics).
+    // reading all its files in one MANIFEST scan (lengths come from the
+    // commit log; no per-path listing). The explicit CURRENT table schema
+    // subsumes what the old mergeSchema read computed: schema evolution is
+    // additive-only (mergeSchemas refuses type changes), so every live file
+    // holds a subset of it and older files surface the newer columns as
+    // nulls — exactly the create-merge read semantics.
+    val tableSchema = currentMeta().getOrElse(
+      throw new IllegalStateException(s"Mirror table $name has no schema commit"))._1
     val byPv = affected.groupBy(_.partitionValues).toSeq.sortBy(_._1.toString)
     val rewritten = graft.util.BoundedPar.run(byPv.zipWithIndex, parallelism) {
       case ((pv, adds), i) =>
-        val paths = adds.map(a => new Path(root, a.path).toString)
-        val df = spark.read.option("mergeSchema", "true").parquet(paths: _*).filter(keep)
+        val df = manifestRead(tableSchema, adds.map(a => (a.path, a.size))).filter(keep)
         stage(stagingName, s"rw$i", df)
         (pv, adds, listParquet(new Path(stagingDir(stagingName), s"rw$i")))
     }

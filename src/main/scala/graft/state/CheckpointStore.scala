@@ -139,21 +139,28 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
     * lengths within one mtime tick (coarse-mtime filesystems) is detected
     * instead of silently served stale (round-13 advice).
     */
+  /** Combined content fingerprint over EVERY store file in order (512-byte
+    * head/tail probe each): probing only the newest file would let an
+    * external same-length same-mtime rewrite of the BASE (or an older
+    * segment) slip through — the exact staleness the check exists for.
+    */
+  private def combinedFpFromFs(files: Seq[org.apache.hadoop.fs.FileStatus]): Long =
+    files.foldLeft(FpSeed)((acc, f) =>
+      combineFp(acc, fingerprintOf(fs, f.getPath, f.getLen)))
+
   def readRaw(): Seq[TransactionItem] = graft.util.PhaseTimer.time("store.read") {
     withIndexLock {
       val files = storeFiles()
       if (files.isEmpty) Seq.empty
       else {
-        val sig  = sigOf(files)
-        val last = files.last
-        val c    = indexCache.get(cacheKey)
-        if (c != null && c.sig == sig
-            && c.fp == fingerprintOf(fs, last.getPath, last.getLen)) c.items
+        val sig = sigOf(files)
+        val c   = indexCache.get(cacheKey)
+        if (c != null && c.sig == sig && c.fp == combinedFpFromFs(files)) c.items
         else {
-          var fp = 0L
+          var fp = FpSeed
           val items = files.iterator.flatMap { f =>
             val bytes = readFileBytes(f.getPath)
-            if (f eq last) fp = fingerprintOf(bytes)
+            fp = combineFp(fp, fingerprintOf(bytes))
             parseCsv(new String(bytes, StandardCharsets.UTF_8))
           }.toVector
           indexCache.put(cacheKey, CachedIndex(sig, fp, items))
@@ -191,18 +198,20 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
         if (!fs.rename(tmp, seg))
           throw new IllegalStateException(s"Failed to commit state segment $seg")
         faultHook("segment.committed")
-        // cache maintenance: extend a valid pre-state parse in place
+        // cache maintenance: extend a valid pre-state parse in place (the
+        // combined fingerprint folds left-to-right, so appending one file's
+        // fp to the cached combined value equals a full recompute)
         val cPre = indexCache.get(cacheKey)
         if (cPre != null && cPre.sig == preSig) {
           val st = fs.getFileStatus(seg)
           indexCache.put(cacheKey, CachedIndex(
             preSig :+ ((st.getPath.getName, st.getLen, st.getModificationTime)),
-            fingerprintOf(bytes), cPre.items ++ items))
+            combineFp(cPre.fp, fingerprintOf(bytes)), cPre.items ++ items))
         } else if (pre.isEmpty) {
           val st = fs.getFileStatus(seg)
           indexCache.put(cacheKey, CachedIndex(
             Vector((st.getPath.getName, st.getLen, st.getModificationTime)),
-            fingerprintOf(bytes), items.toVector))
+            combineFp(FpSeed, fingerprintOf(bytes)), items.toVector))
         } else indexCache.remove(cacheKey)
         // bound the read-assembly width between the per-poll compactions
         if (pre.size >= MaxSegments) compactLocked()
@@ -246,7 +255,7 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
     val st = fs.getFileStatus(indexPath)
     indexCache.put(cacheKey, CachedIndex(
       Vector((st.getPath.getName, st.getLen, st.getModificationTime)),
-      fingerprintOf(fs, indexPath, st.getLen), items.toVector))
+      combineFp(FpSeed, fingerprintOf(fs, indexPath, st.getLen)), items.toVector))
   }
 
   private def atomicWrite(content: String): Unit = {
@@ -338,6 +347,13 @@ object CheckpointStore {
 
   private final case class CachedIndex(sig: Vector[(String, Long, Long)], fp: Long,
       items: Vector[TransactionItem])
+
+  /** Fold seed/step for the combined multi-file fingerprint (FNV offset
+    * basis as seed; the fold must be associative-in-order so append can
+    * extend a cached value incrementally: f(acc, fp) = acc*31 ^ fp).
+    */
+  private val FpSeed = 1469598103934665603L
+  private def combineFp(acc: Long, fp: Long): Long = acc * 31 ^ fp
 
   /** Head/tail content fingerprint: 64-bit mix of the first and last 256
     * bytes. Catches an external same-length-same-mtime-tick rewrite (the

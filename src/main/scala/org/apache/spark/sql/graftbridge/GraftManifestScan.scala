@@ -56,6 +56,12 @@ object GraftManifestScan {
   /** DataFrame over exactly `files`, read as parquet with `dataSchema`.
     * Options pass through to the format (e.g. mergeSchema is NOT supported
     * here — the schema is explicit by design, like every manifest reader).
+    *
+    * Duplicate paths are deduplicated (last entry wins). This is an ENGINE
+    * guarantee, deliberately stronger than `spark.read.parquet(p, p)` —
+    * which scans p twice (pinned in ManifestScanSpec): a manifest carrying
+    * the same blob twice (e.g. one coalesced source batch re-adding a path
+    * at a later txId) must not double the blob's rows in the mirror.
     */
   def parquet(
       spark: SparkSession,
@@ -63,8 +69,14 @@ object GraftManifestScan {
       files: Seq[FileStatus],
       options: Map[String, String] = Map.empty): DataFrame = {
     val session = spark.asInstanceOf[ClassicSession]
+    val byPath = new java.util.LinkedHashMap[Path, FileStatus]()
+    files.foreach(f => byPath.put(f.getPath, f))
+    val deduped = {
+      import scala.jdk.CollectionConverters._
+      byPath.values.asScala.toSeq
+    }
     val relation = HadoopFsRelation(
-      location = new ManifestFileIndex(files),
+      location = new ManifestFileIndex(deduped),
       partitionSchema = StructType(Nil),
       dataSchema = dataSchema,
       bucketSpec = None,

@@ -335,11 +335,16 @@ class KqlCompatSpec extends SparkSuite {
       KqlCompat.rewrite(
         "datetime_diff('week', datetime(2026-08-17 01:00:00), datetime(2026-08-16 23:00:00))") + " as w0",
       KqlCompat.rewrite(
-        "datetime_diff('month', datetime(2026-03-01 00:00:01), datetime(2026-02-28 23:59:59))") + " as m").head
+        "datetime_diff('month', datetime(2026-03-01 00:00:01), datetime(2026-02-28 23:59:59))") + " as m",
+      // nanosecond: Spark's timestampdiff has no NANOSECOND unit — emitted
+      // as microseconds × 1000 (µs storage ⇒ every instant is ns-aligned)
+      KqlCompat.rewrite(
+        "datetime_diff('nanosecond', datetime(2026-08-16 00:00:01), datetime(2026-08-16 00:00:00))") + " as ns").head
     assert(r.getLong(0) == 1L)
     assert(r.getLong(1) == 1L)
     assert(r.getLong(2) == 0L)
     assert(r.getLong(3) == 1L)
+    assert(r.getLong(4) == 1000000000L)
   }
 
   test("2-arg trim strips both ends; Spark's 1-arg trim passes through") {

@@ -97,6 +97,31 @@ class CheckpointStoreSpec extends SparkSuite {
       "cache served stale state past an external rewrite")
   }
 
+  test("fingerprint covers the BASE too, not just the newest segment (r14 review)") {
+    val dir   = tmpDir("ckpt-fp-base")
+    val store = new CheckpointStore(spark, dir)
+    val a = fullItem.copy(tableName = "t", blobPath = Some("aaaa.parquet"))
+    val b = fullItem.copy(tableName = "t", blobPath = Some("bbbb.parquet"))
+    store.append(Seq(a))
+    store.compact()          // a → BASE
+    store.append(Seq(b))     // b → a newer SEGMENT after the base
+    assert(store.readAll().toSet == Set(a, b)) // warm the cache
+
+    // external same-length same-mtime rewrite of the BASE while the newest
+    // file (the segment) is untouched — a newest-file-only probe would miss it
+    val idx   = java.nio.file.Paths.get(dir, "index.csv")
+    val mtime = java.nio.file.Files.getLastModifiedTime(idx)
+    val text  = new String(java.nio.file.Files.readAllBytes(idx),
+      java.nio.charset.StandardCharsets.UTF_8)
+    java.nio.file.Files.write(idx, text.replace("aaaa.parquet", "cccc.parquet")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.setLastModifiedTime(idx, mtime)
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, ".index.csv.crc"))
+
+    assert(store.readAll().map(_.blobPath.get).toSet == Set("cccc.parquet", "bbbb.parquet"),
+      "cache served a stale BASE past an external rewrite")
+  }
+
   test("statusView is the arg_max dedup of the raw CSV (MLK_DeltaStatus, A1)") {
     val store = new CheckpointStore(spark, tmpDir("ckpt"))
     val a  = fullItem
