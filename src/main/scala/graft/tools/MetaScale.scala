@@ -123,7 +123,11 @@ object MetaScale {
     graft.util.PhaseTimer.reset()
     val (batches, e2eSec) = timed(orch.runOnce())
     require(batches >= 1, s"E2E mirror processed $batches batches")
-    val mirrored = orch.table.snapshot().count()
+    // the read side of the manifest design: a full snapshot count — plan-
+    // time file resolution comes from the commit log (zero listing), and
+    // the openCost packing made the published file count right-sized
+    val liveFiles = orch.table.liveAdds().size
+    val (mirrored, snapshotSec) = timed(orch.table.snapshot().count())
     require(mirrored == nBlobs * 10L, s"mirrored $mirrored rows != ${nBlobs * 10L}")
     val e2eHeap = usedAfterGcGb()
 
@@ -177,7 +181,8 @@ object MetaScale {
       f""""delta_vs_90pct_applied":$deltaSec%.3f,""" +
       f""""coalesce_10_slices":$coalSec%.3f,"algebra_heap_after_gb":$algebraHeap%.2f,""" +
       f""""gen_blobs":$linkSec%.3f,""" +
-      f""""e2e_first_mirror_batch":{"sec":$e2eSec%.3f,"blobs":$nBlobs,"rows":$mirrored,"heap_after_gb":$e2eHeap%.2f}},""" +
+      f""""e2e_first_mirror_batch":{"sec":$e2eSec%.3f,"blobs":$nBlobs,"rows":$mirrored,"heap_after_gb":$e2eHeap%.2f},""" +
+      f""""snapshot_count":{"sec":$snapshotSec%.3f,"live_files":$liveFiles}},""" +
       f""""e2e_breakdown":$breakdown,""" +
       f""""store_compaction":{"raw_rows":$rawRows,"raw_mb":${rawBytes / 1048576.0}%.1f,""" +
       f""""compact_sec":$compactSec%.3f,"live_rows":$liveRows,""" +

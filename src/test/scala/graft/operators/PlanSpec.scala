@@ -365,4 +365,30 @@ class PlanSpec extends SparkSuite {
     assert(nljIds.size <= 1, s)
     assert(s.contains("BroadcastHashJoin"), s"dl join must broadcast-hash:\n$s")
   }
+
+  test("manifest scans keep predicate pushdown and column pruning (r14)") {
+    // the manifest-backed FileIndex replaces the listing, NOT the relation:
+    // PushedFilters / ReadSchema must behave exactly as on a listed scan
+    val dir = graft.SparkSuite.session.sparkContext.hadoopConfiguration
+    val fsDir = tmpDir("plan-manifest")
+    spark.range(1000).selectExpr("id", "id * 2 as v", "concat('s', id) as s")
+      .repartition(2).write.mode("overwrite").parquet(fsDir)
+    val p  = new org.apache.hadoop.fs.Path(fsDir)
+    val fs = p.getFileSystem(dir)
+    val stats = fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+      .map(f => org.apache.spark.sql.graftbridge.GraftManifestScan.status(
+        f.getPath, f.getLen)).toSeq
+    val df = org.apache.spark.sql.graftbridge.GraftManifestScan
+      .parquet(spark, spark.read.parquet(fsDir).schema, stats)
+      .filter(org.apache.spark.sql.functions.col("id") > 500)
+      .select("id", "v")
+    df.collect()
+    val s = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(s.contains("PushedFilters:") && s.contains("GreaterThan(id"), s)
+    val readSchema = s.linesIterator.find(_.contains("ReadSchema:")).get
+    assert(!readSchema.contains("s:string"), s"column pruning lost on manifest scan: $readSchema")
+    assert(readSchema.contains("id:bigint") && readSchema.contains("v:bigint"), readSchema)
+    // formatted mode marks codegen'd operators with a '*' prefix
+    assert(s.contains("* Filter"), s"manifest scan fell out of codegen:\n$s")
+  }
 }
