@@ -72,6 +72,16 @@ def main():
         meta = load(meta_name)
         if not meta:
             continue
+        if "n_tables" in meta:  # the multi-table record has its own shape
+            try:
+                print(f"{meta_name[:-5]}: {meta['n_tables']} tables x "
+                      f"{meta['blobs_per_table']} blobs over ONE shared store, "
+                      f"E2E {meta['value']:.1f} s, all-mirrors snapshot "
+                      f"{meta['snapshot_all_sec']:.1f} s, shared state "
+                      f"{meta['shared_state_mb']:.0f} MB / {meta['state_live_rows']} live rows")
+            except (KeyError, TypeError):
+                print(f"{meta_name[:-5]}: SKIPPED (multi record missing keys)")
+            continue
         # same missing-key tolerance as the BENCH_LOCAL/BENCH_SF records: one
         # malformed or partial BENCH_META file must skip, not crash the survey
         try:
