@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""DuckDB referee for the scalar differential fuzz.
+
+Usage: check_fuzz.py <fuzz_dump.jsonl>
+
+Reads the case list written by `graft.tools.FuzzDump` (one JSON object per
+line: kql / spark_sql / duck_sql / expected) and executes every non-null
+duck_sql in DuckDB, comparing the result against the in-repo evaluator's
+`expected` value. The evaluator and the KQL rewriter share authorship; the
+fuzz spec (Spark vs evaluator) plus this script (DuckDB vs evaluator)
+complete the three-way diff — a semantic bug would have to fool two
+independent engines identically to slip through.
+
+Doubles compare with 1e-9 relative tolerance (three engines, three libm
+builds); timestamps compare on the instant; everything else exactly.
+Exits 1 on any mismatch, 2 on an empty/missing dump.
+"""
+import datetime
+import json
+import math
+import sys
+
+import duckdb
+
+
+def from_typed(e):
+    t = e["t"]
+    if t == "str":
+        return e["v"]
+    if t == "int":
+        return int(e["v"])
+    if t == "dbl":
+        return float("nan") if e["v"] == "NaN" else float(e["v"])
+    if t == "bool":
+        return bool(e["v"])
+    if t == "dt":
+        return datetime.datetime.fromisoformat(e["v"].replace("Z", "+00:00"))
+    if t == "arr":
+        return [from_typed(x) for x in e["v"]]
+    if t == "null":
+        return None
+    raise ValueError(f"unexpected expected-type {t} in a duck-twinned case")
+
+
+def agree(exp, got):
+    if isinstance(exp, float):
+        g = float(got)
+        if math.isnan(exp) and math.isnan(g):
+            return True
+        return abs(exp - g) <= 1e-9 * max(1.0, abs(exp), abs(g))
+    if isinstance(exp, datetime.datetime):
+        if not isinstance(got, datetime.datetime):
+            return False
+        g = got if got.tzinfo else got.replace(tzinfo=datetime.timezone.utc)
+        return exp == g
+    if isinstance(exp, list):
+        return (isinstance(got, list) and len(exp) == len(got)
+                and all(agree(a, b) for a, b in zip(exp, got)))
+    if isinstance(exp, bool):
+        return isinstance(got, bool) and exp == got
+    if isinstance(exp, int):
+        return not isinstance(got, bool) and int(got) == exp
+    return exp == got
+
+
+def main():
+    if len(sys.argv) != 2:
+        print(__doc__)
+        return 2
+    cases = [json.loads(line) for line in open(sys.argv[1]) if line.strip()]
+    if not cases:
+        print("[check-fuzz] EMPTY dump")
+        return 2
+    con = duckdb.connect()
+    ran, skipped, bad = 0, 0, []
+    for c in cases:
+        if c["duck_sql"] is None:
+            skipped += 1
+            continue
+        ran += 1
+        try:
+            got = con.execute(f"SELECT {c['duck_sql']}").fetchone()[0]
+        except Exception as e:  # a twin DuckDB cannot parse is itself a finding
+            bad.append(f"#{c['id']} DUCK ERROR: {e}\n  duck: {c['duck_sql']}")
+            continue
+        exp = from_typed(c["expected"])
+        if not agree(exp, got):
+            bad.append(
+                f"#{c['id']} MISMATCH\n  kql:  {c['kql']}\n"
+                f"  duck: {c['duck_sql']}\n  expected: {exp!r}\n  got:      {got!r}")
+    print(f"[check-fuzz] {ran} DuckDB twins executed, {skipped} bag-family cases skipped")
+    if bad:
+        print(f"[check-fuzz] {len(bad)} divergences:")
+        print("\n".join(bad[:12]))
+        return 1
+    print("[check-fuzz] ALL MATCH")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

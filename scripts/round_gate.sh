@@ -27,6 +27,10 @@ rm -f "$VERIFY_LOG"
 echo "== DuckDB oracle compare =="
 python3 scripts/check_oracle.py "$SF_CORRECT" "$OUT"
 
+echo "== scalar fuzz, DuckDB referee (same seeded cases as ScalarFuzzSpec) =="
+sbt -batch "runMain graft.tools.FuzzDump /tmp/fuzz_dump.jsonl" | tail -1
+python3 scripts/check_fuzz.py /tmp/fuzz_dump.jsonl
+
 echo "== registry-count gate =="
 # every registry entry must have produced a dump that the compare above saw;
 # a drifted SURVEY/README total or a silently-skipped query fails here

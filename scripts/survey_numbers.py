@@ -82,6 +82,28 @@ def main():
             except (KeyError, TypeError):
                 print(f"{meta_name[:-5]}: SKIPPED (multi record missing keys)")
             continue
+        if meta.get("metric") == "meta_steady_sec":  # r15 steady-state record
+            try:
+                g, c = meta["gated"], meta["control_r14_policy"]
+                print(f"{meta_name[:-5]}: {meta['ballast_rows']} ballast rows "
+                      f"({meta['base_mb']:.0f} MB base), {g['batches']} small batches: "
+                      f"gated median batch {g['median_batch_sec']:.2f} s / store "
+                      f"{g['median_store_sec']:.3f} s, {g['compactions']} compaction(s); "
+                      f"forced-compact control median batch {c['median_batch_sec']:.2f} s / "
+                      f"store {c['median_store_sec']:.2f} s, {c['compactions']} compactions")
+            except (KeyError, TypeError):
+                print(f"{meta_name[:-5]}: SKIPPED (steady record missing keys)")
+            continue
+        if meta.get("metric") == "stage_floor_sec":  # r15 staged-read floor
+            try:
+                at = meta["attribution"]
+                print(f"{meta_name[:-5]}: {meta['n_blobs']} blobs staged-read floor "
+                      f"{meta['value']:.1f} s = open+footer {at['open_footer']:.1f} s + "
+                      f"decode {at['page_decode_materialize']:.1f} s + decoration "
+                      f"{at['lineage_decoration']:.1f} s + write {at['output_write']:.1f} s")
+            except (KeyError, TypeError):
+                print(f"{meta_name[:-5]}: SKIPPED (stage record missing keys)")
+            continue
         # same missing-key tolerance as the BENCH_LOCAL/BENCH_SF records: one
         # malformed or partial BENCH_META file must skip, not crash the survey
         try:

@@ -102,6 +102,14 @@ class MirrorOrchestrator(
   // 31k-tiny-file mirror. Session-scoped so the caller's conf is untouched.
   private lazy val stagingSpark: SparkSession = {
     val s = spark.newSession()
+    // newSession() inherits only builder-time options — runtime conf.set()
+    // calls an embedding app made on the caller's session (timezone, ANSI
+    // mode, tuned shuffle partitions) would otherwise silently not apply to
+    // staging reads/writes (round-14 advice #4). Copy the caller's current
+    // modifiable SQL confs, THEN apply the deliberate openCost override.
+    spark.conf.getAll.foreach { case (k, v) =>
+      if (s.conf.isModifiable(k) && s.conf.getOption(k) != Some(v)) s.conf.set(k, v)
+    }
     s.conf.set("spark.sql.files.openCostInBytes", (64L * 1024).toString)
     s
   }
@@ -173,8 +181,11 @@ class MirrorOrchestrator(
   }
 
   // whether this orchestrator's open-time (restart-equivalent) compaction
-  // has run — see runOnce
-  private var openCompacted = false
+  // has run — see runOnce. Volatile: multi-table polls run each orchestrator
+  // on a fresh pool thread, so successive polls of ONE orchestrator can be
+  // on different threads; a stale read only costs a redundant no-op compact,
+  // but the flag should still publish correctly.
+  @volatile private var openCompacted = false
 
   // batches processed since the last auto-OPTIMIZE. In-memory on purpose:
   // the policy is a maintenance heuristic, not state the mirror's

@@ -2152,7 +2152,10 @@ object KqlCompat {
         }
         // Spark's timestampdiff has no NANOSECOND unit (MICROSECOND..YEAR);
         // storage is µs anyway, so nanoseconds = microseconds × 1000 with
-        // no truncation needed (every stored instant is ns-aligned)
+        // no truncation needed (every stored instant is ns-aligned). The
+        // ×1000 overflows Long silently in non-ANSI mode for spans past
+        // ~292 years — ADX's own ns-tick range caps out similarly, so the
+        // bound is inherited from the domain, not added by the expansion
         if (unit == "NANOSECOND") s"(timestampdiff(MICROSECOND, $b, $a) * 1000)"
         else s"timestampdiff($unit, ${trunc(b)}, ${trunc(a)})"
     }

@@ -521,9 +521,14 @@ class MirrorTable(spark: SparkSession, dir: String, val name: String) {
     val schema = currentMeta().map(_._1).getOrElse(
       throw new IllegalStateException(s"Mirror table $name has no schema commit"))
     val logs = reader.readCommits(reader.listCommits(fromVersion + 1, toVersion))
+    // a path re-added at multiple versions inside the range yields ONE row
+    // per data row, tagged with the LATEST introducing commit — matching the
+    // manifest scan's last-entry-wins read of the file; without this dedup
+    // the version join fanned each row out once per re-add (round-14 advice)
     val added = logs.flatMap { l =>
       l.adds.flatMap(a => a.blobPath.map(p => (p, a.size.getOrElse(0L), l.startTxId)))
-    }
+    }.groupBy(t => normalizePath(new Path(root, t._1).toString))
+      .valuesIterator.map(_.maxBy(_._3)).toSeq.sortBy(_._3)
     val fileToV = added.map { case (p, _, v) =>
       normalizePath(new Path(root, p).toString) -> v
     }

@@ -49,8 +49,59 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
   private val dir       = new Path(checkpointDir)
   private val indexPath = new Path(dir, "index.csv")
   private val oldPath   = new Path(dir, "index.csv.old")
+  private val ownerPath = new Path(dir, "index.csv.owner")
   private def fs: FileSystem =
     dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Foreign-writer detection (round-14 verdict #3). The JVM-global per-path
+    * lock makes in-process writers safe; a SECOND PROCESS writing the same
+    * store is out of contract (the reference leans on Azure blob leases
+    * there), but its failure mode was SILENT lost appends — local-FS rename
+    * replaces an existing destination, so two processes computing the same
+    * next segment number overwrite each other. Every mutation now stamps an
+    * owner marker (process id + epoch) and checks it first: a process that
+    * has previously written this store and finds another process's stamp
+    * fails LOUDLY with ConcurrentModificationException instead of losing
+    * state. Sequential handover (restart, failover) stays silent — a fresh
+    * process takes ownership on its first write. Readers never stamp.
+    */
+  private def checkAndStampOwner(): Unit = {
+    val marker = readOwner()
+    marker match {
+      case Some((id, epoch)) if id != ProcessOwnerId && writtenPaths.contains(cacheKey) =>
+        throw new java.util.ConcurrentModificationException(
+          s"Checkpoint store $indexPath was written by another process " +
+            s"(owner $id, epoch $epoch) after this process last wrote it — " +
+            "concurrent cross-process writers are unsupported (single-writer " +
+            "contract; use one orchestration process per store)")
+      case _ => ()
+    }
+    val epoch = marker.map(_._2 + 1).getOrElse(1L)
+    // the tmp name matches the "index.csv.tmp-" sweep prefix so a crashed
+    // stamp's orphan is collected by the existing cleanup passes
+    val tmp = new Path(dir, s"index.csv.tmp-owner-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(s"$ProcessOwnerId,$epoch".getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(ownerPath)) fs.delete(ownerPath, false)
+    if (!fs.rename(tmp, ownerPath))
+      throw new IllegalStateException(s"Failed to stamp owner marker $ownerPath")
+    writtenPaths.add(cacheKey)
+  }
+
+  /** (ownerId, epoch) from the marker; None if absent or unparseable (a
+    * torn marker from a crashed stamp must not brick the store — the next
+    * successful stamp repairs it).
+    */
+  private def readOwner(): Option[(String, Long)] =
+    if (!fs.exists(ownerPath)) None
+    else {
+      val text = new String(readFileBytes(ownerPath), StandardCharsets.UTF_8)
+      text.split(",", 2) match {
+        case Array(id, e) if e.forall(_.isDigit) && e.nonEmpty => Some((id, e.toLong))
+        case _                                                 => None
+      }
+    }
 
   // append/compact are read-modify-write over the whole index — they must be
   // mutually exclusive PER INDEX FILE, or a concurrent writer's rows are
@@ -211,6 +262,7 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
     graft.util.PhaseTimer.time("store.append") {
       withIndexLock {
         if (!fs.exists(dir)) fs.mkdirs(dir)
+        checkAndStampOwner()
         val pre    = storeFiles()
         val preSig = sigOf(pre)
         val nextN  = pre.lastOption.map(_.getPath.getName) match {
@@ -303,6 +355,7 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
     // order, so a duplicate-free store folds to itself — skip the rewrite
     // (and skip a deep element compare: per-poll at 10⁶ rows it isn't free)
     if (segs.isEmpty && raw.size == items.size) return
+    checkAndStampOwner()
     val content = graft.util.PhaseTimer.time("compact.serialize") {
       val sb = new StringBuilder(Header).append('\n')
       items.foreach(i => sb.append(toCsvLine(i)).append('\n'))
@@ -388,6 +441,21 @@ object CheckpointStore {
   private def lockFor(key: String): Object =
     locks.computeIfAbsent(key, _ => new Object)
 
+  /** This process's writer identity for the owner marker — one id per JVM,
+    * shared by every store instance (in-process concurrency is covered by
+    * the per-path lock; the marker only distinguishes PROCESSES).
+    */
+  private val ProcessOwnerId: String =
+    java.util.UUID.randomUUID().toString.take(8) + "@" +
+      java.lang.ProcessHandle.current().pid()
+
+  /** Store paths this process has written — a foreign owner stamp on one of
+    * these means interleaved cross-process writes (loud failure), whereas a
+    * foreign stamp on a never-written path is a legal sequential takeover.
+    */
+  private val writtenPaths =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Parsed-items cache, one entry per qualified index path (shared across
     * store instances — the multi-table mode shares one index.csv). Guarded
     * by the SAME per-path lock for same-path coherence; the map itself is
@@ -465,7 +533,7 @@ object CheckpointStore {
     * the commit exactly where a kill would, and the remaining ops never run.
     * Production leaves the no-op default.
     */
-  @volatile private[state] var faultHook: String => Unit = _ => ()
+  @volatile private[graft] var faultHook: String => Unit = _ => ()
 
   /** Test/instrument hook: drop every cached parse so the next read pays
     * the full cold cost (MetaScale's compaction/reload phase measures the

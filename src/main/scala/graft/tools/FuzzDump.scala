@@ -1,0 +1,40 @@
+package graft.tools
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.functions.KqlCompat
+
+/** Dump lane of the scalar differential fuzz (`FuzzDump <outFile> [n]
+  * [seed]`): replays the ScalarFuzzSpec's EXACT seeded case list and writes
+  * one JSON line per composition — the KQL text, the Spark SQL the rewriter
+  * produces, the DuckDB twin derived independently from the AST (null for
+  * the bag family), and the evaluator's expected value. No SparkSession:
+  * this main only renders and evaluates; `scripts/check_fuzz.py` then runs
+  * the twins in DuckDB and diffs against `expected`, giving the fuzz a
+  * second referee that shares no authorship with the in-repo evaluator
+  * (round-14 verdict ask #5).
+  */
+object FuzzDump {
+
+  def main(args: Array[String]): Unit = {
+    val out  = args(0)
+    val n    = if (args.length > 1) args(1).toInt else 800
+    val seed = if (args.length > 2) args(2).toLong else 20260816L
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"; case c => c.toString
+    }
+    val lines = ScalarFuzz.cases(n, seed).map { case (i, ty, node) =>
+      val kql  = ScalarFuzz.render(node)
+      val duck = ScalarFuzz.renderDuck(node)
+      s"""{"id":$i,"ty":"$ty","kql":"${esc(kql)}",""" +
+        s""""spark_sql":"${esc(KqlCompat.rewrite(kql))}",""" +
+        s""""duck_sql":${duck.map(d => "\"" + esc(d) + "\"").getOrElse("null")},""" +
+        s""""expected":${ScalarFuzz.expectedJson(ScalarFuzz.eval(node))}}"""
+    }
+    Files.write(Paths.get(out),
+      (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    val twinned = lines.count(_.contains("\"duck_sql\":\""))
+    println(s"[fuzzdump] wrote $n cases ($twinned with DuckDB twins) to $out")
+  }
+}

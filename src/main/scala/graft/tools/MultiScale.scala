@@ -58,8 +58,55 @@ object MultiScale {
         checkpointDir = s"$workDir/state") // ONE shared store for all tables
     }
     val orch = new MirrorOrchestration(spark, configs)
+
+    // SPARK_GRAFT_MULTI_CRASH=<fault point> — the crash arm of the record:
+    // table 0's poll is killed at the 2nd firing of the point mid-drain
+    // while tables 1-3 stage 10⁵ real blobs each through the SHARED store;
+    // the exactness requires below then prove siblings landed exact AND the
+    // victim resumed to exactly its rows (the in-suite CheckpointCrashSpec
+    // variant at 4×1k, held at the real scale).
+    val crashPoint = sys.env.get("SPARK_GRAFT_MULTI_CRASH")
     graft.util.PhaseTimer.reset()
-    val (batches, e2eSec) = timed(orch.runOnce())
+    val (batches, e2eSec) = crashPoint match {
+      case None => timed(orch.runOnce())
+      case Some(point) =>
+        val store  = orch.checkpointStore
+        val orchs  = configs.map(c =>
+          new graft.engine.MirrorOrchestrator(spark, c, Some(store)))
+        val count  = new java.util.concurrent.atomic.AtomicInteger()
+        val done   = new java.util.concurrent.atomic.AtomicInteger()
+        val errs   = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+        @volatile var victim: Thread = null
+        graft.state.CheckpointStore.faultHook = p =>
+          if (p == point && (Thread.currentThread() eq victim) &&
+              count.incrementAndGet() == 2)
+            throw new RuntimeException("simulated multi-table crash")
+        val (_, sec) = timed {
+          val threads = orchs.zipWithIndex.map { case (o, i) =>
+            new Thread(() => {
+              try { done.addAndGet(o.runOnce()); () }
+              catch {
+                case e: RuntimeException if e.getMessage == "simulated multi-table crash" =>
+                  crashed.set(true)
+                case e: Throwable => errs.add(e)
+              }
+            }, s"multi-poll-$i")
+          }
+          victim = threads.head
+          threads.foreach(_.start())
+          threads.foreach(_.join())
+          graft.state.CheckpointStore.faultHook = _ => ()
+          require(errs.isEmpty, s"sibling poll failed: ${errs.peek()}")
+          require(crashed.get(), s"victim never reached firing #2 of $point")
+          // fresh-process resume of the victim over the shared store
+          graft.state.CheckpointStore.invalidateCache()
+          done.addAndGet(
+            new graft.engine.MirrorOrchestrator(spark, configs.head,
+              Some(new graft.state.CheckpointStore(spark, s"$workDir/state"))).runOnce())
+        }
+        (done.get(), sec)
+    }
     require(batches >= nTables, s"processed $batches batches for $nTables tables")
 
     // exactness per table, through the shared store's per-table filter
@@ -83,9 +130,13 @@ object MultiScale {
       .map { case (k, (sec, n)) => f""""$k":{"sec":$sec%.3f,"calls":$n}""" }
       .mkString("{", ",", "}")
     val idx = fs.listStatus(new Path(s"$workDir/state"))
-      .filter(_.getPath.getName.startsWith("index.csv")).map(_.getLen).sum
+      .filter { s =>
+        val n = s.getPath.getName // state bytes = base + segments (not the owner marker)
+        n == "index.csv" || n.startsWith("index.csv.seg-")
+      }.map(_.getLen).sum
+    val crashField = crashPoint.map(p => s""""crash_point":"$p",""").getOrElse("")
     println(
-      f"""{"metric":"multi_table_sec","value":$e2eSec%.3f,"unit":"sec",""" +
+      f"""{"metric":"multi_table_sec","value":$e2eSec%.3f,"unit":"sec",$crashField""" +
       f""""n_tables":$nTables,"blobs_per_table":$nBlobs,""" +
       f""""rows_per_table":${nBlobs * 10L},"gen_sec":$genSec%.3f,""" +
       f""""snapshot_all_sec":$snapshotSec%.3f,""" +

@@ -1,0 +1,518 @@
+package graft.tools
+
+import java.time.Instant
+import java.time.temporal.ChronoUnit
+
+/** Core of the KQL scalar differential fuzz (round-13 verdict ask #4,
+  * round-14 verdict ask #5): a seeded generator of random TYPED compositions
+  * over the scalar surface, an independent evaluator implementing the
+  * ADX-documented semantics directly, and TWO renderers — KQL text (fed to
+  * `KqlCompat.rewrite` → Spark by the spec) and a DuckDB-SQL twin derived
+  * from the SAME AST for every composition whose operators DuckDB can
+  * express. The twin gives the fuzz a second referee that shares no code or
+  * authorship blind spots with either the rewriter or the evaluator:
+  * `graft.tools.FuzzDump` dumps (kql, duck_sql, expected) and
+  * `scripts/check_fuzz.py` executes the twins in DuckDB and diffs against
+  * the evaluator, completing the three-way Spark/evaluator/DuckDB diff.
+  *
+  * Lives in src/main (not the spec) so the ScalaTest lane and the DuckDB
+  * dump lane generate the IDENTICAL case list from the same seed.
+  *
+  * Scope notes (inherited from the r14 spec): double-valued functions are
+  * domain-guarded and compared with relative tolerance; string literal
+  * leaves avoid quotes/backslashes; regex-taking functions and functions
+  * with documented-arbitrary ordering are out. The dynamic BAG family
+  * (bag_pack/bag_merge/bag_set_key/bag_remove_keys/bag_keys/bag_has_key/
+  * extractjson — JSON-string currency) fuzzes on the Spark lane only:
+  * bags are this engine's own currency with deterministic contracts
+  * (insertion-order bag_pack, sorted-key earlier-wins bag_merge), not a
+  * portable SQL surface.
+  */
+object ScalarFuzz {
+
+  // ---- value model ---------------------------------------------------------
+  sealed trait V
+  case class VStr(s: String)                 extends V
+  case class VInt(l: Long)                   extends V
+  case class VDbl(d: Double)                 extends V
+  case class VBool(b: Boolean)               extends V
+  case class VDt(i: Instant)                 extends V
+  case class VArr(vs: Vector[V])             extends V
+  case class VBag(kv: Vector[(String, V)])   extends V
+  case object VNull                          extends V
+
+  sealed trait Ty
+  case object TStr  extends Ty
+  case object TInt  extends Ty
+  case object TDbl  extends Ty // double-valued math family (tolerant compare)
+  case object TBool extends Ty
+  case object TDt   extends Ty
+  case object TArrS extends Ty // array<string>
+  case object TArrI extends Ty // array<long>
+  case object TBag  extends Ty // JSON-string property bag
+
+  // ---- AST -----------------------------------------------------------------
+  sealed trait Node { def ty: Ty }
+  case class Lit(v: V, ty: Ty) extends Node
+  case class Call(name: String, args: Vector[Node], ty: Ty) extends Node
+
+  // ---- rendering to KQL ----------------------------------------------------
+  private def renderLit(v: V): String = v match {
+    case VStr(s)  => s"'$s'" // leaf pool is quote/backslash-free by construction
+    case VInt(l)  => l.toString
+    case VDbl(d)  => if (d == d.toLong.toDouble) s"${d.toLong}.0" else d.toString
+    case VBool(b) => b.toString
+    case VDt(i)   =>
+      val t = java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
+      f"datetime(${t.getYear}%04d-${t.getMonthValue}%02d-${t.getDayOfMonth}%02d " +
+        f"${t.getHour}%02d:${t.getMinute}%02d:${t.getSecond}%02d)"
+    case other => sys.error(s"unrenderable literal: $other")
+  }
+
+  def render(n: Node): String = n match {
+    case Lit(v, _) => renderLit(v)
+    case Call(op, a, _) => op match {
+      case "d+" | "d-" | "d*"                            => s"(${render(a(0))} ${op.drop(1)} ${render(a(1))})"
+      case "+" | "-" | "*"                               => s"(${render(a(0))} ${op} ${render(a(1))})"
+      case "==" | "!=" | "<" | "<=" | ">" | ">="         => s"(${render(a(0))} ${op} ${render(a(1))})"
+      case "and" | "or"                                  => s"(${render(a(0))} ${op} ${render(a(1))})"
+      case "round_d"                                     => s"round(${a.map(render).mkString(", ")})"
+      case f                                             => s"$f(${a.map(render).mkString(", ")})"
+    }
+  }
+
+  // ---- rendering to DuckDB SQL (the second referee) -------------------------
+  // Derived from the AST directly — NOT from KqlCompat's output — so the twin
+  // shares nothing with the rewriter. Returns None when the composition uses
+  // an operator with no faithful DuckDB twin (the bag family).
+  private def duckLit(v: V): String = v match {
+    case VStr(s)  => s"'$s'"
+    case VInt(l)  => s"CAST($l AS BIGINT)"
+    case VDbl(d)  => s"CAST($d AS DOUBLE)"
+    case VBool(b) => b.toString.toUpperCase
+    case VDt(i)   => s"TIMESTAMP '${i.toString.stripSuffix("Z").replace('T', ' ')}'"
+    case other    => sys.error(s"unduckable literal: $other")
+  }
+
+  def renderDuck(n: Node): Option[String] = n match {
+    case Lit(v, _) => Some(duckLit(v))
+    case Call(op, a, _) =>
+      val sub = a.map(renderDuck)
+      if (sub.exists(_.isEmpty)) None
+      else {
+        val x = sub.map(_.get)
+        op match {
+          case "d+" | "d-" | "d*" => Some(s"(${x(0)} ${op.drop(1)} ${x(1)})")
+          case "+" | "-" | "*"    => Some(s"(${x(0)} $op ${x(1)})")
+          case "==" => Some(s"(${x(0)} = ${x(1)})")
+          case "!=" => Some(s"(${x(0)} <> ${x(1)})")
+          case "<" | "<=" | ">" | ">=" => Some(s"(${x(0)} $op ${x(1)})")
+          case "and" => Some(s"(${x(0)} AND ${x(1)})")
+          case "or"  => Some(s"(${x(0)} OR ${x(1)})")
+          case "not" => Some(s"(NOT ${x(0)})")
+          case "iif" => Some(s"(CASE WHEN ${x(0)} THEN ${x(1)} ELSE ${x(2)} END)")
+          // strings
+          case "toupper" => Some(s"upper(${x(0)})")
+          case "tolower" => Some(s"lower(${x(0)})")
+          case "reverse" => Some(s"reverse(${x(0)})")
+          case "strcat"  => Some(x.mkString("(", " || ", ")"))
+          case "substring" =>
+            // ADX zero-based start → DuckDB 1-based substr; DuckDB clamps
+            // out-of-range the same way for start ≥ 1 and len ≥ 0
+            if (a.size < 3) Some(s"substr(${x(0)}, GREATEST(${x(1)}, 0) + 1)")
+            else Some(s"substr(${x(0)}, GREATEST(${x(1)}, 0) + 1, GREATEST(${x(2)}, 0))")
+          case "replace_string" => Some(s"replace(${x(0)}, ${x(1)}, ${x(2)})")
+          case "translate"      =>
+            // ADX translate(search, replace, text) → pg-style translate(text, from, to)
+            Some(s"translate(${x(2)}, ${x(0)}, ${x(1)})")
+          case "strlen"  => Some(s"CAST(length(${x(0)}) AS BIGINT)")
+          case "indexof" => Some(s"CAST(strpos(${x(0)}, ${x(1)}) - 1 AS BIGINT)")
+          case "strcat_array" => Some(s"array_to_string(${x(0)}, ${x(1)})")
+          case "strrep"  => Some(s"repeat(${x(0)}, CAST(${x(1)} AS INTEGER))")
+          // integers
+          case "abs"    => Some(s"abs(${x(0)})")
+          case "min_of" => Some(s"least(${x(0)}, ${x(1)})")
+          case "max_of" => Some(s"greatest(${x(0)}, ${x(1)})")
+          case "bin"    =>
+            // floor alignment, negative-safe (values are small; the double
+            // round-trip is exact far beyond the generator's ranges)
+            Some(s"(CAST(floor(CAST(${x(0)} AS DOUBLE) / ${x(1)}) AS BIGINT) * ${x(1)})")
+          case "toint" | "tolong" => Some(x(0))
+          // doubles
+          case "exp"      => Some(s"exp(${x(0)})")
+          case "log"      => Some(s"ln(${x(0)})")
+          case "log10"    => Some(s"log10(${x(0)})")
+          case "sqrt"     => Some(s"sqrt(${x(0)})")
+          case "sin"      => Some(s"sin(${x(0)})")
+          case "cos"      => Some(s"cos(${x(0)})")
+          case "pow"      => Some(s"pow(${x(0)}, ${x(1)})")
+          case "todouble" => Some(s"CAST(${x(0)} AS DOUBLE)")
+          case "round_d"  => Some(s"round(${x(0)}, CAST(${x(1)} AS INTEGER))")
+          // booleans
+          case "isempty"    => Some(s"(${x(0)} = '')")
+          case "isnotempty" => Some(s"(${x(0)} <> '')")
+          // datetimes
+          case "datetime_add" =>
+            val unit = a(0) match { case Lit(VStr(u), _) => u; case _ => return None }
+            Some(s"(${x(2)} + (${x(1)} * INTERVAL 1 ${unit.toUpperCase}))")
+          case "datetime_diff" =>
+            val unit = a(0) match { case Lit(VStr(u), _) => u; case _ => return None }
+            // DuckDB date_diff counts partition-boundary crossings — the
+            // ADX contract (the r14 datetime_diff fix, independently stated)
+            Some(s"date_diff('$unit', ${x(2)}, ${x(1)})")
+          // DuckDB date_trunc('day', ts) narrows to DATE — cast back
+          case "startofday" => Some(s"CAST(date_trunc('day', ${x(0)}) AS TIMESTAMP)")
+          case "getyear"    => Some(s"CAST(EXTRACT(year FROM ${x(0)}) AS BIGINT)")
+          case "getmonth"   => Some(s"CAST(EXTRACT(month FROM ${x(0)}) AS BIGINT)")
+          case "dayofmonth" => Some(s"CAST(EXTRACT(day FROM ${x(0)}) AS BIGINT)")
+          case "hourofday"  => Some(s"CAST(EXTRACT(hour FROM ${x(0)}) AS BIGINT)")
+          // arrays
+          case "pack_array"    => Some(x.mkString("[", ", ", "]"))
+          case "array_length"  => Some(s"CAST(len(${x(0)}) AS BIGINT)")
+          case "array_concat"  => Some(s"list_concat(${x(0)}, ${x(1)})")
+          case "array_reverse" => Some(s"list_reverse(${x(0)})")
+          case "array_index_of" =>
+            Some(s"CAST(COALESCE(list_position(${x(0)}, ${x(1)}), 0) - 1 AS BIGINT)")
+          case "split" => Some(s"string_split(${x(0)}, ${x(1)})")
+          // bag family: JSON-string engine currency, no faithful twin
+          case "bag_pack" | "bag_merge" | "bag_set_key" | "bag_remove_keys" |
+               "bag_keys" | "bag_has_key" | "extractjson" => None
+          case other => sys.error(s"duck renderer hole: $other")
+        }
+      }
+  }
+
+  // ---- the independent evaluator (ADX-documented semantics) ----------------
+  private def str(v: V): String    = v.asInstanceOf[VStr].s
+  private def int(v: V): Long      = v.asInstanceOf[VInt].l
+  private def bool(v: V): Boolean  = v.asInstanceOf[VBool].b
+  private def dt(v: V): Instant    = v.asInstanceOf[VDt].i
+  private def arr(v: V): Vector[V] = v.asInstanceOf[VArr].vs
+  private def bag(v: V): Vector[(String, V)] = v.asInstanceOf[VBag].kv
+  private def dbl(v: V): Double = v match {
+    case VDbl(d) => d
+    case VInt(l) => l.toDouble
+    case other   => sys.error(s"dbl type hole: $other")
+  }
+
+  private def chrono(part: String): ChronoUnit = part match {
+    case "day" => ChronoUnit.DAYS; case "hour" => ChronoUnit.HOURS
+    case "minute" => ChronoUnit.MINUTES; case "second" => ChronoUnit.SECONDS
+  }
+
+  def eval(n: Node): V = n match {
+    case Lit(v, _) => v
+    case Call(op, a, _) =>
+      val x = a.map(eval)
+      op match {
+        // strings
+        case "toupper" => VStr(str(x(0)).toUpperCase)
+        case "tolower" => VStr(str(x(0)).toLowerCase)
+        case "reverse" => VStr(str(x(0)).reverse)
+        case "strcat"  => VStr(x.map(str).mkString) // nulls never generated
+        case "substring" =>
+          // ADX: zero-based start; out-of-range clamps to empty; optional len
+          val s = str(x(0)); val st = int(x(1)).toInt
+          val from = math.max(0, math.min(st, s.length))
+          val to = if (x.size < 3) s.length
+                   else math.max(from, math.min(from + math.max(0, int(x(2)).toInt), s.length))
+          VStr(s.substring(from, to))
+        case "replace_string" => VStr(str(x(0)).replace(str(x(1)), str(x(2))))
+        case "translate" =>
+          // ADX translate(searchList, replacementList, text): per-char map
+          // (generator keeps |search| == |replace|, the well-specified core)
+          val m = str(x(0)).zip(str(x(1))).toMap
+          VStr(str(x(2)).map(c => m.getOrElse(c, c)))
+        case "strlen"  => VInt(str(x(0)).length.toLong)
+        case "indexof" => VInt(str(x(0)).indexOf(str(x(1))).toLong) // 0-based, -1 absent
+        case "strcat_array" => VStr(arr(x(0)).map(str).mkString(str(x(1))))
+        case "strrep" => VStr(str(x(0)) * int(x(1)).toInt) // generator keeps 0..4
+        // integers
+        case "+" => VInt(int(x(0)) + int(x(1)))
+        case "-" => VInt(int(x(0)) - int(x(1)))
+        case "*" => VInt(int(x(0)) * int(x(1)))
+        case "abs"    => VInt(math.abs(int(x(0))))
+        case "min_of" => VInt(math.min(int(x(0)), int(x(1))))
+        case "max_of" => VInt(math.max(int(x(0)), int(x(1))))
+        case "bin"    => // floor alignment, negative-safe: bin(-7, 3) = -9
+          val v = int(x(0)); val w = int(x(1))
+          VInt(math.floorDiv(v, w) * w)
+        case "toint" | "tolong" => x(0)
+        case "iif" => if (bool(x(0))) x(1) else x(2)
+        // doubles (same-JVM Math semantics; compared with relative tolerance)
+        case "d+"      => VDbl(dbl(x(0)) + dbl(x(1)))
+        case "d-"      => VDbl(dbl(x(0)) - dbl(x(1)))
+        case "d*"      => VDbl(dbl(x(0)) * dbl(x(1)))
+        case "exp"     => VDbl(math.exp(dbl(x(0))))
+        case "log"     => VDbl(math.log(dbl(x(0))))   // generator guards arg > 0
+        case "log10"   => VDbl(math.log10(dbl(x(0))))
+        case "sqrt"    => VDbl(math.sqrt(dbl(x(0))))  // generator guards arg >= 0
+        case "sin"     => VDbl(math.sin(dbl(x(0))))
+        case "cos"     => VDbl(math.cos(dbl(x(0))))
+        case "pow"     => VDbl(math.pow(dbl(x(0)), dbl(x(1))))
+        case "todouble" => VDbl(dbl(x(0)))
+        case "round_d" => // ADX round(x, n): half-away-from-zero at n decimals
+          val n = int(x(1)).toInt
+          val f = math.pow(10, n)
+          VDbl(math.round(dbl(x(0)) * f) / f) // args kept non-negative by the generator
+        // booleans
+        case "==" => VBool(x(0) == x(1))
+        case "!=" => VBool(x(0) != x(1))
+        case "<"  => cmp(x(0), x(1), _ < 0)
+        case "<=" => cmp(x(0), x(1), _ <= 0)
+        case ">"  => cmp(x(0), x(1), _ > 0)
+        case ">=" => cmp(x(0), x(1), _ >= 0)
+        case "and" => VBool(bool(x(0)) && bool(x(1)))
+        case "or"  => VBool(bool(x(0)) || bool(x(1)))
+        case "not" => VBool(!bool(x(0)))
+        case "isempty"    => VBool(str(x(0)).isEmpty)
+        case "isnotempty" => VBool(str(x(0)).nonEmpty)
+        // datetimes
+        case "datetime_add" =>
+          VDt(dt(x(2)).plus(int(x(1)), chrono(str(x(0)))))
+        case "datetime_diff" =>
+          // ADX: count of period BOUNDARIES crossed between 2nd and 1st arg
+          val u = chrono(str(x(0)))
+          val t1 = dt(x(1)).truncatedTo(u); val t2 = dt(x(2)).truncatedTo(u)
+          VInt(u.between(t2, t1))
+        case "startofday" => VDt(dt(x(0)).truncatedTo(ChronoUnit.DAYS))
+        case "getyear" =>
+          VInt(java.time.LocalDateTime.ofInstant(dt(x(0)), java.time.ZoneOffset.UTC).getYear.toLong)
+        case "getmonth" =>
+          VInt(java.time.LocalDateTime.ofInstant(dt(x(0)), java.time.ZoneOffset.UTC).getMonthValue.toLong)
+        case "dayofmonth" =>
+          VInt(java.time.LocalDateTime.ofInstant(dt(x(0)), java.time.ZoneOffset.UTC).getDayOfMonth.toLong)
+        case "hourofday" =>
+          VInt(java.time.LocalDateTime.ofInstant(dt(x(0)), java.time.ZoneOffset.UTC).getHour.toLong)
+        // arrays
+        case "pack_array"    => VArr(x.toVector)
+        case "array_length"  => VInt(arr(x(0)).size.toLong)
+        case "array_concat"  => VArr(arr(x(0)) ++ arr(x(1)))
+        case "array_reverse" => VArr(arr(x(0)).reverse)
+        case "array_index_of" => // 0-based position, -1 when absent
+          VInt(arr(x(0)).indexOf(x(1)).toLong)
+        case "split" => VArr(splitAdx(str(x(0)), str(x(1))))
+        // bags (JSON-string currency; deterministic engine contracts)
+        case "bag_pack" => // literal distinct keys, insertion order preserved
+          VBag(x.grouped(2).map { case Vector(k, v) => (str(k), v) }.toVector)
+        case "bag_merge" => // earlier argument wins; output keys SORTED
+          val seen = scala.collection.mutable.LinkedHashMap[String, V]()
+          x.foreach(b => bag(b).foreach { case (k, v) =>
+            if (!seen.contains(k)) seen(k) = v
+          })
+          VBag(seen.toVector.sortBy(_._1))
+        case "bag_set_key" => // set/overwrite one key (new pair merges first)
+          val kv = (str(x(1)), x(2)) +: bag(x(0)).filterNot(_._1 == str(x(1)))
+          VBag(kv.sortBy(_._1))
+        case "bag_remove_keys" => // drop listed keys; output keys SORTED
+          val drop = arr(x(1)).map(str).toSet
+          VBag(bag(x(0)).filterNot(p => drop(p._1)).sortBy(_._1))
+        case "bag_keys"    => VArr(bag(x(0)).map(p => VStr(p._1)))
+        case "bag_has_key" => VBool(bag(x(0)).exists(_._1 == str(x(1))))
+        case "extractjson" => // '$.key' scalar access; absent key → null
+          val key = str(x(0)).stripPrefix("$.")
+          bag(x(1)).collectFirst { case (k, v) if k == key =>
+            v match { case VInt(l) => VStr(l.toString); case s: VStr => s; case o => o }
+          }.getOrElse(VNull)
+        case other => sys.error(s"evaluator hole: $other")
+      }
+  }
+
+  private def cmp(a: V, b: V, f: Int => Boolean): VBool = (a, b) match {
+    case (VInt(x), VInt(y)) => VBool(f(x.compareTo(y)))
+    case (VDt(x), VDt(y))   => VBool(f(x.compareTo(y)))
+    case (VStr(x), VStr(y)) => VBool(f(x.compareTo(y)))
+    case _                  => sys.error("cmp type hole")
+  }
+
+  /** ADX split keeps empty entries ("a,,b" → [a,"",b]); java split drops
+    * trailing ones, so split with -1 limit.
+    */
+  private def splitAdx(s: String, d: String): Vector[V] =
+    s.split(java.util.regex.Pattern.quote(d), -1).toVector.map(VStr)
+
+  // ---- generator -----------------------------------------------------------
+  /** Deterministic case list: same (seed, n) → byte-identical compositions in
+    * the ScalaTest lane and the FuzzDump/DuckDB lane.
+    */
+  def cases(n: Int, seed: Long): Seq[(Int, Ty, Node)] = {
+    val g = new Gen(seed)
+    val types = Vector(TStr, TInt, TDbl, TBool, TDt, TArrS, TArrI, TBag)
+    (0 until n).map { i =>
+      val t = types(i % types.size)
+      (i, t, g.gen(t, 3))
+    }
+  }
+
+  final class Gen(seed: Long) {
+    private val rnd = new scala.util.Random(seed)
+
+    private val strPool = Vector(
+      "", "a", "abc", "graft", "a,b,c", "na-dup", "  pad  ", "x.y.z",
+      "AbCdEf", "0012", "zzz", "m", "abcabc", "the lake", "k;v;w")
+    private val dtPool = Vector(
+      "2024-02-29T23:59:58Z", "2026-01-01T00:00:00Z", "2025-06-15T04:05:06Z",
+      "2024-12-31T23:00:01Z", "2026-08-16T12:00:00Z").map(Instant.parse)
+    private val dblPool = Vector(0.5, 1.25, 2.0, 3.75, 0.125, 7.5, 10.0, 0.0)
+    // bag keys: plain identifiers (named_struct field names on the Spark side)
+    private val keyPool = Vector("alpha", "beta", "gamma", "delta", "k1", "k2")
+
+    private def litOf(t: Ty): Node = t match {
+      case TStr  => Lit(VStr(strPool(rnd.nextInt(strPool.size))), TStr)
+      case TInt  => Lit(VInt(rnd.nextInt(26) - 5L), TInt)
+      case TDbl  => Lit(VDbl(dblPool(rnd.nextInt(dblPool.size))), TDbl)
+      case TBool => Lit(VBool(rnd.nextBoolean()), TBool)
+      case TDt   => Lit(VDt(dtPool(rnd.nextInt(dtPool.size))), TDt)
+      case _     => sys.error("array/bag leaves come from constructor calls")
+    }
+
+    private def pick[T](xs: Seq[T]): T = xs(rnd.nextInt(xs.size))
+
+    /** One random node of type `t` with recursion budget `depth`. */
+    def gen(t: Ty, depth: Int): Node = {
+      def g(t2: Ty): Node = gen(t2, depth - 1)
+      def leafInt(lo: Int, hi: Int) = Lit(VInt(lo + rnd.nextInt(hi - lo + 1).toLong), TInt)
+      def part() = Lit(VStr(pick(Seq("day", "hour", "minute", "second"))), TStr)
+      def key()  = Lit(VStr(pick(keyPool)), TStr)
+      // distinct literal keys + scalar values — the named_struct bag shape
+      def bagPack(nKeys: Int): Node = {
+        val ks = rnd.shuffle(keyPool).take(nKeys)
+        Call("bag_pack", ks.flatMap(k => Vector(
+          Lit(VStr(k), TStr),
+          if (rnd.nextBoolean()) g(TStr) else g(TInt))).toVector, TBag)
+      }
+      if (depth <= 0 && (t == TStr || t == TInt || t == TDbl || t == TBool || t == TDt)) litOf(t)
+      else t match {
+        case TDbl => pick[() => Node](Seq(
+          () => litOf(TDbl),
+          () => Call("d+", Vector(g(TDbl), g(TDbl)), TDbl),
+          () => Call("d-", Vector(g(TDbl), g(TDbl)), TDbl),
+          () => Call("d*", Vector(g(TDbl), litOf(TDbl)), TDbl),
+          // domain-guarded transcendentals: args from pools/compositions that
+          // stay finite and in-domain (pool ≥ 0; log/sqrt get +1 shifts)
+          () => Call("exp", Vector(litOf(TDbl)), TDbl),
+          // log/sqrt args squared (+1 for log): strictly in-domain even when
+          // a nested d- composition goes negative
+          () => { val n = g(TDbl)
+                  Call("log", Vector(Call("d+",
+                    Vector(Call("d*", Vector(n, n), TDbl), Lit(VDbl(1.0), TDbl)), TDbl)), TDbl) },
+          () => Call("log10", Vector(Call("d+", Vector(litOf(TDbl), Lit(VDbl(1.0), TDbl)), TDbl)), TDbl),
+          () => { val n = g(TDbl)
+                  Call("sqrt", Vector(Call("d*", Vector(n, n), TDbl)), TDbl) },
+          () => Call("sin", Vector(litOf(TDbl)), TDbl),
+          () => Call("cos", Vector(litOf(TDbl)), TDbl),
+          () => Call("pow", Vector(litOf(TDbl), Lit(VDbl(pick(Seq(2.0, 3.0, 0.5))), TDbl)), TDbl),
+          // non-negative round arg (n²): Spark rounds half AWAY FROM ZERO,
+          // java Math.round half-up — they differ only at negative .5s
+          () => { val n = g(TDbl)
+                  Call("round_d", Vector(Call("d*", Vector(n, n), TDbl), leafInt(0, 3)), TDbl) },
+          () => Call("todouble", Vector(g(TInt)), TDbl),
+          () => Call("iif", Vector(g(TBool), g(TDbl), g(TDbl)), TDbl)))()
+        case TStr => pick[() => Node](Seq(
+          () => litOf(TStr),
+          () => Call("toupper", Vector(g(TStr)), TStr),
+          () => Call("tolower", Vector(g(TStr)), TStr),
+          () => Call("reverse", Vector(g(TStr)), TStr),
+          () => Call("strcat", Vector(g(TStr), g(TStr)), TStr),
+          () => Call("substring", Vector(g(TStr), leafInt(0, 6)), TStr),
+          () => Call("substring", Vector(g(TStr), leafInt(0, 6), leafInt(0, 5)), TStr),
+          () => Call("replace_string",
+            Vector(g(TStr), Lit(VStr(pick(Seq("a", "b", "ab", "z", ","))), TStr),
+              Lit(VStr(pick(Seq("", "X", "-", "aa"))), TStr)), TStr),
+          () => Call("translate",
+            Vector(Lit(VStr("abz"), TStr), Lit(VStr(pick(Seq("xyz", "ZYX", "120"))), TStr),
+              g(TStr)), TStr),
+          () => Call("strcat_array",
+            Vector(g(TArrS), Lit(VStr(pick(Seq("-", "", "|"))), TStr)), TStr),
+          () => Call("strrep", Vector(g(TStr), leafInt(1, 4)), TStr), // multiplier ≥ 1 in ADX
+          // guaranteed-present key via bag_set_key, so null never flows into
+          // a parent composition (the absent-key → null lane is a dedicated
+          // deterministic assertion in the spec)
+          () => { val k = pick(keyPool)
+                  Call("extractjson", Vector(Lit(VStr("$." + k), TStr),
+                    Call("bag_set_key", Vector(g(TBag), Lit(VStr(k), TStr),
+                      g(TStr)), TBag)), TStr) },
+          () => Call("iif", Vector(g(TBool), g(TStr), g(TStr)), TStr)))()
+        case TInt => pick[() => Node](Seq(
+          () => litOf(TInt),
+          () => Call("strlen", Vector(g(TStr)), TInt),
+          () => Call("indexof", Vector(g(TStr),
+            Lit(VStr(pick(Seq("a", "b", "c", "ab", "q"))), TStr)), TInt),
+          () => Call("+", Vector(g(TInt), g(TInt)), TInt),
+          () => Call("-", Vector(g(TInt), g(TInt)), TInt),
+          () => Call("*", Vector(g(TInt), leafInt(-3, 3)), TInt),
+          () => Call("abs", Vector(g(TInt)), TInt),
+          () => Call("min_of", Vector(g(TInt), g(TInt)), TInt),
+          () => Call("max_of", Vector(g(TInt), g(TInt)), TInt),
+          () => Call("bin", Vector(g(TInt), leafInt(1, 5)), TInt),
+          () => Call("array_length", Vector(g(TArrS)), TInt),
+          () => Call("array_index_of", Vector(g(TArrI), leafInt(-5, 20)), TInt),
+          () => Call("datetime_diff", Vector(part(), g(TDt), g(TDt)), TInt),
+          () => Call("getyear", Vector(g(TDt)), TInt),
+          () => Call("getmonth", Vector(g(TDt)), TInt),
+          () => Call("dayofmonth", Vector(g(TDt)), TInt),
+          () => Call("hourofday", Vector(g(TDt)), TInt),
+          () => Call("iif", Vector(g(TBool), g(TInt), g(TInt)), TInt)))()
+        case TBool => pick[() => Node](Seq(
+          () => litOf(TBool),
+          () => Call(pick(Seq("==", "!=", "<", "<=", ">", ">=")),
+            Vector(g(TInt), g(TInt)), TBool),
+          // strings order-compare only via == / != in ADX
+          () => Call(pick(Seq("==", "!=")), Vector(g(TStr), g(TStr)), TBool),
+          () => Call(pick(Seq("==", "<", ">")), Vector(g(TDt), g(TDt)), TBool),
+          () => Call("and", Vector(g(TBool), g(TBool)), TBool),
+          () => Call("or", Vector(g(TBool), g(TBool)), TBool),
+          () => Call("not", Vector(g(TBool)), TBool),
+          () => Call("isempty", Vector(g(TStr)), TBool),
+          () => Call("isnotempty", Vector(g(TStr)), TBool),
+          () => Call("bag_has_key", Vector(g(TBag), key()), TBool)))()
+        case TDt => pick[() => Node](Seq(
+          () => litOf(TDt),
+          () => Call("datetime_add", Vector(part(), leafInt(-30, 30), g(TDt)), TDt),
+          () => Call("startofday", Vector(g(TDt)), TDt),
+          () => Call("iif", Vector(g(TBool), g(TDt), g(TDt)), TDt)))()
+        case TArrS => pick[() => Node](Seq(
+          () => Call("pack_array", Vector(g(TStr), g(TStr)), TArrS),
+          () => Call("pack_array", Vector(g(TStr), g(TStr), g(TStr)), TArrS),
+          () => Call("split", Vector(g(TStr),
+            Lit(VStr(pick(Seq(",", ";", "a"))), TStr)), TArrS),
+          () => Call("array_concat", Vector(g(TArrS), g(TArrS)), TArrS),
+          () => Call("array_reverse", Vector(g(TArrS)), TArrS),
+          () => Call("bag_keys", Vector(g(TBag)), TArrS)))()
+        case TArrI => pick[() => Node](Seq(
+          () => Call("pack_array", Vector(g(TInt), g(TInt)), TArrI),
+          () => Call("pack_array", Vector(g(TInt), g(TInt), g(TInt)), TArrI),
+          () => Call("array_concat", Vector(g(TArrI), g(TArrI)), TArrI),
+          () => Call("array_reverse", Vector(g(TArrI)), TArrI)))()
+        case TBag if depth <= 0 => bagPack(2) // recursion floor: bags bottom out in bag_pack
+        case TBag => pick[() => Node](Seq(
+          () => bagPack(2),
+          () => bagPack(3),
+          () => Call("bag_merge", Vector(g(TBag), g(TBag)), TBag),
+          () => Call("bag_set_key", Vector(g(TBag), key(),
+            if (rnd.nextBoolean()) g(TStr) else g(TInt)), TBag),
+          () => Call("bag_remove_keys", Vector(g(TBag),
+            Call("pack_array", Vector(key(), key()), TArrS)), TBag)))()
+      }
+    }
+  }
+
+  /** Typed JSON for the dump lane (`{"t":…,"v":…}`); bag values never reach
+    * the dump (no DuckDB twin), but serialize for completeness.
+    */
+  def expectedJson(v: V): String = {
+    def esc(s: String) =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+    v match {
+      case VStr(s)  => s"""{"t":"str","v":"${esc(s)}"}"""
+      case VInt(l)  => s"""{"t":"int","v":$l}"""
+      case VDbl(d)  => s"""{"t":"dbl","v":${if (d.isNaN) "\"NaN\"" else d.toString}}"""
+      case VBool(b) => s"""{"t":"bool","v":$b}"""
+      case VDt(i)   => s"""{"t":"dt","v":"${i.toString}"}"""
+      case VArr(vs) => s"""{"t":"arr","v":[${vs.map(expectedJson).mkString(",")}]}"""
+      case VBag(kv) =>
+        s"""{"t":"bag","v":[${kv.map { case (k, x) => s"""["${esc(k)}",${expectedJson(x)}]""" }.mkString(",")}]}"""
+      case VNull    => s"""{"t":"null"}"""
+    }
+  }
+}

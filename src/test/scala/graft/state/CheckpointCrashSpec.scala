@@ -131,6 +131,76 @@ class CheckpointCrashSpec extends SparkSuite {
     assert(back.readAll().toSet == Set(a.withState(TxState.Done, T0.plusSeconds(5)), item(1)))
   }
 
+  test("one table's poll killed mid-drain: concurrent siblings exact, victim resumes (shared store)") {
+    // Composes the multi-table mode (4 orchestrators, ONE shared store) with
+    // the fault hooks: table 0's poll dies at the k-th firing of a segment
+    // write point WHILE tables 1-3 drain concurrently through the same
+    // index.csv. The siblings must land exactly (the crash must not corrupt
+    // or truncate shared state), and a fresh-process resume of the victim
+    // must finish at exactly its rows. The single-table sweep below covers
+    // the compaction (commit.*) windows; the multi-table addition here is
+    // the INTERLEAVED append path — segment.* is where sharing happens.
+    val nTables = 4
+    val nBlobs  = 1000
+    for (point <- Seq("segment.pre-commit", "segment.committed")) {
+      val tag      = point.replace('.', '_')
+      val stateDir = tmpDir(s"mstate-$tag")
+      val cfgs = (0 until nTables).map { t =>
+        val src = tmpDir(s"msrc-$tag-$t")
+        graft.tools.MetaScale.writeBlobTable(spark, src, nBlobs)
+        graft.engine.MirrorConfig(
+          deltaTableUrl = src,
+          mirrorDir = tmpDir(s"mmirror-$tag-$t"),
+          mirrorTableName = s"mc_${tag}_t$t",
+          checkpointDir = stateDir,
+          ingestParallelism = 1) // appends stay on the poll thread (BoundedPar inlines p=1)
+      }
+      val store = new CheckpointStore(spark, stateDir)
+      val orchs = cfgs.map(c => new MirrorOrchestrator(spark, c, Some(store)))
+
+      val crashed  = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val sibErrs  = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val count    = new java.util.concurrent.atomic.AtomicInteger()
+      @volatile var victim: Thread = null
+      CheckpointStore.faultHook = p =>
+        if (p == point && (Thread.currentThread() eq victim) &&
+            count.incrementAndGet() == 2) throw new SimulatedCrash
+      val threads = orchs.zipWithIndex.map { case (o, i) =>
+        new Thread(() => {
+          try { o.runOnce(); () }
+          catch {
+            case _: SimulatedCrash => crashed.set(true)
+            case e: Throwable      => sibErrs.add(e)
+          }
+        }, s"mc-poll-$tag-$i")
+      }
+      victim = threads.head
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      clearHook()
+      assert(sibErrs.isEmpty, s"sibling poll failed: ${sibErrs.peek()}")
+      assert(crashed.get(), s"victim never reached firing #2 of $point")
+
+      (1 until nTables).foreach { t =>
+        val n = orchs(t).table.snapshot().count()
+        assert(n == nBlobs * 10L,
+          s"table $t mirrored $n rows != ${nBlobs * 10L} after the sibling crash at $point")
+      }
+      CheckpointStore.invalidateCache() // fresh-process resume of the victim
+      val resumedStore = new CheckpointStore(spark, stateDir)
+      val resumed = new MirrorOrchestrator(spark, cfgs.head, Some(resumedStore))
+      resumed.runOnce()
+      val n0 = resumed.table.snapshot().count()
+      assert(n0 == nBlobs * 10L, s"victim resumed to $n0 rows (crash at $point)")
+      // the shared store still carries every sibling's state (U4)
+      val live = resumedStore.readAll()
+      (1 until nTables).foreach { t =>
+        assert(live.exists(_.tableName == cfgs(t).mirrorTableName),
+          s"sibling $t's state lost from the shared store")
+      }
+    }
+  }
+
   test("mirror resume after a crash at EVERY store write point: exact rows, no duplicates") {
     // systematic sweep: batch 1 mirrors cleanly, then batch 2's poll —
     // whose opening compaction folds batch 1's segments (the commit.*

@@ -145,6 +145,42 @@ class CheckpointStoreSpec extends SparkSuite {
     assert(!store.compactIfNeeded(), "fresh base must reset the trigger")
   }
 
+  test("foreign-writer stamp turns interleaved cross-process writes loud (r14 verdict #3)") {
+    val dir   = tmpDir("ckpt-owner")
+    val store = new CheckpointStore(spark, dir)
+    val a = fullItem.copy(tableName = "t", blobPath = Some("own-a.parquet"))
+    val b = fullItem.copy(tableName = "t", blobPath = Some("own-b.parquet"))
+    store.append(Seq(a)) // this process takes ownership
+
+    // another PROCESS writes the store: on disk that is exactly an owner
+    // marker carrying a different process id (plus whatever state it wrote)
+    val owner = java.nio.file.Paths.get(dir, "index.csv.owner")
+    assert(java.nio.file.Files.exists(owner), "first write must stamp ownership")
+    java.nio.file.Files.write(owner,
+      "deadbeef@99999,7".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, ".index.csv.owner.crc"))
+
+    // interleaved write from this process → LOUD, nothing silently lost
+    val e = intercept[java.util.ConcurrentModificationException](store.append(Seq(b)))
+    assert(e.getMessage.contains("another process"), e.getMessage)
+    intercept[java.util.ConcurrentModificationException](store.compact())
+
+    // reads stay available (the marker only guards mutation)
+    assert(store.readAll() == Seq(a))
+
+    // a FRESH process (never wrote this path) takes over silently — restart/
+    // failover handover is legal; simulate by reopening under a new path id
+    // is impossible in-JVM, so assert the complement: a torn/unparseable
+    // marker must not brick writes either (treated as absent, re-stamped)
+    java.nio.file.Files.write(owner,
+      "torn".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, ".index.csv.owner.crc"))
+    store.append(Seq(b))
+    assert(store.readAll().toSet == Set(a, b))
+  }
+
   test("statusView is the arg_max dedup of the raw CSV (MLK_DeltaStatus, A1)") {
     val store = new CheckpointStore(spark, tmpDir("ckpt"))
     val a  = fullItem

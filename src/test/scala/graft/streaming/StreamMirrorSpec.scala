@@ -95,4 +95,31 @@ class StreamMirrorSpec extends SparkSuite {
     val e = intercept[IllegalStateException](mirror.changesBetween(v1 - 1, v1))
     assert(e.getMessage.contains("reclaimed by VACUUM"), e.getMessage)
   }
+
+  test("changesBetween: a path re-added at two versions yields rows once, latest version") {
+    val dir    = tmpDir("cdc-readd")
+    val mirror = new MirrorTable(spark, dir, "readd")
+    mirror.ensureSchema(schema, Nil)
+    mirror.stage("s0", "g-default", spark.range(0, 4).toDF("id").coalesce(1)
+      .withColumn(KustoTypes.BlobPathColumn, org.apache.spark.sql.functions.lit("b0"))
+      .withColumn(KustoTypes.IngestTsColumn,
+        org.apache.spark.sql.functions.lit(new java.sql.Timestamp(0L))))
+    mirror.publishStaged("s0")
+    val live = mirror.liveAdds() match {
+      case Seq(only) => only
+      case many      => fail(s"test needs exactly one published file, got ${many.size}")
+    }
+
+    // re-add the SAME file path in a later commit (restore-like history):
+    // the manifest scan reads the file once, so the version join must not
+    // fan each row out to both introducing versions (round-14 advice)
+    val w = new graft.deltalog.DeltaLogWriter(spark, dir)
+    w.commit(Seq(w.addAction(live.path, live.size, live.partitionValues, Some(4L))))
+    val v2 = mirror.currentVersion()
+
+    val ch = mirror.changesBetween(-1L, v2)
+    assert(ch.count() == 4, "re-added path fanned rows out per version")
+    assert(ch.select(KustoTypes.CommitVersionColumn).distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(v2), "rows must carry the LATEST re-add version")
+  }
 }
