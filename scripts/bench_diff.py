@@ -89,6 +89,13 @@ def calib_factor(cur, base):
     if c is None or b is None:
         return 1.0, "no calibration in current run" if c is None else \
             "baseline has no calibration"
+    # the probe runs `threads` copies of fixed work, so its seconds are only
+    # comparable at the SAME thread count — an 8-cpu rerun against a 32-cpu
+    # baseline would otherwise inflate every normalized ratio 4x
+    ct = (cur.get("calib") or {}).get("threads")
+    bt = (base.get("calib") or {}).get("threads")
+    if str(ct) != str(bt):
+        return 1.0, f"thread counts differ ({bt} -> {ct}); not normalizing"
     return c / b, f"host probe {b:.2f}s -> {c:.2f}s"
 
 

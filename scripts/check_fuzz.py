@@ -43,6 +43,10 @@ def from_typed(e):
 
 
 def agree(exp, got):
+    if exp is None or got is None:
+        # a NULL on either side must report as a per-case mismatch (unless
+        # both are NULL), never crash the comparator mid-run
+        return exp is None and got is None
     if isinstance(exp, float):
         g = float(got)
         if math.isnan(exp) and math.isnan(g):

@@ -81,8 +81,8 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val calibEnd1 = graft.util.Calibrate.singleThreadSec()
     val calibEndN = graft.util.Calibrate.multiThreadSec(cpus.toInt)
-    val calib = s"""{"s1":${d3(calibStart1)},"sN":${d3(calibStartN)},""" +
-      s""""e1":${d3(calibEnd1)},"eN":${d3(calibEndN)},"threads":$cpus}"""
+    val calib = graft.util.Calibrate.recordJson(
+      calibStart1, calibStartN, calibEnd1, calibEndN, cpus.toInt)
     println(s"""{"queries":$qs,"calib":$calib,"metric":"total","value":${d3(total)},"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }

@@ -102,16 +102,23 @@ class MirrorOrchestrator(
   // 31k-tiny-file mirror. Session-scoped so the caller's conf is untouched.
   private lazy val stagingSpark: SparkSession = {
     val s = spark.newSession()
-    // newSession() inherits only builder-time options — runtime conf.set()
-    // calls an embedding app made on the caller's session (timezone, ANSI
-    // mode, tuned shuffle partitions) would otherwise silently not apply to
-    // staging reads/writes (round-14 advice #4). Copy the caller's current
-    // modifiable SQL confs, THEN apply the deliberate openCost override.
+    syncStagingConfs(s)
+    s
+  }
+
+  /** newSession() inherits only builder-time options — runtime conf.set()
+    * calls an embedding app made on the caller's session (timezone, ANSI
+    * mode, tuned shuffle partitions) would otherwise silently not apply to
+    * staging reads/writes (round-14 advice #4). Re-synced at the START of
+    * every staging pass (not just session creation) so confs changed
+    * BETWEEN polls propagate too; the deliberate openCost override is
+    * applied last.
+    */
+  private def syncStagingConfs(s: SparkSession): Unit = {
     spark.conf.getAll.foreach { case (k, v) =>
       if (s.conf.isModifiable(k) && s.conf.getOption(k) != Some(v)) s.conf.set(k, v)
     }
     s.conf.set("spark.sql.files.openCostInBytes", (64L * 1024).toString)
-    s
   }
   // status() re-reads + lastWins-folds the WHOLE store — the per-poll O(n)
   // constant that dominates large-file-count batches; timed so the
@@ -328,6 +335,7 @@ class MirrorOrchestrator(
         s"No schema known at tx $startTxId for ${config.mirrorTableName}"))
     val physicalSchema = StructType(schema.fields.filterNot(f => pcols.contains(f.name)))
     val ingestTs       = new Timestamp(System.currentTimeMillis())
+    syncStagingConfs(stagingSpark) // pick up caller conf changes since last poll
 
     val groups = todo.groupBy(_.partitionValues.getOrElse(Map.empty)).toSeq.sortBy(_._1.toString)
     val tableRoot = new Path(config.deltaTableUrl)

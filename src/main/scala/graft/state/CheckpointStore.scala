@@ -98,8 +98,12 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
     else {
       val text = new String(readFileBytes(ownerPath), StandardCharsets.UTF_8)
       text.split(",", 2) match {
-        case Array(id, e) if e.forall(_.isDigit) && e.nonEmpty => Some((id, e.toLong))
-        case _                                                 => None
+        // toLong via Try, not a digit pre-check: Character.isDigit accepts
+        // Unicode digits and >19-digit strings that parseLong rejects — a
+        // marker corrupted into that shape must read as absent, not throw
+        // (the no-brick contract above)
+        case Array(id, e) => scala.util.Try(e.trim.toLong).toOption.map(id -> _)
+        case _            => None
       }
     }
 
@@ -207,7 +211,7 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
     * advice — see [[fpStale]]).
     */
   /** Per-file content fingerprints are re-probed ONLY for files whose
-    * recorded mtime is within one granularity tick of `now`: the
+    * recorded mtime is within one granularity tick of "now": the
     * (name, len, mtime) signature is decisive for any file whose mtime is
     * old (an external rewrite would stamp a NEWER mtime → sig mismatch);
     * the blind spot is exactly a same-length rewrite landing inside the
@@ -215,11 +219,19 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
     * tick is still current. Cold files therefore cost zero opens on a
     * cache hit — on high-latency object stores the probe-every-file
     * validation re-added the per-poll round trips the cache exists to
-    * remove (round-14 advice #1).
+    * remove (round-14 advice #1). The newest file (mtime == maxMtime) is
+    * always inside the window and so always probed — one 512-byte open per
+    * cache-hit read, the pre-r14 accepted cost.
     */
   private def fpStale(files: Seq[org.apache.hadoop.fs.FileStatus],
       fps: Vector[Long]): Boolean = {
-    val horizon = System.currentTimeMillis() - MtimeGranularityMs
+    // "recent" is judged against BOTH clocks: mtimes are stamped by the
+    // STORAGE clock, so a local-only horizon silently declassifies fresh
+    // files when storage lags the reader by more than the granularity —
+    // the newest file's mtime is the storage-domain "now" lower bound
+    val maxMtime = files.iterator.map(_.getModificationTime).max
+    val horizon =
+      math.min(System.currentTimeMillis(), maxMtime) - MtimeGranularityMs
     files.iterator.zip(fps.iterator).exists { case (f, cachedFp) =>
       f.getModificationTime >= horizon &&
         fingerprintOf(fs, f.getPath, f.getLen) != cachedFp
@@ -326,14 +338,23 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
     */
   def compactIfNeeded(garbageRatio: Double = DefaultGarbageRatio): Boolean =
     withIndexLock {
-      val files = storeFiles()
-      if (!files.exists(_.getPath.getName.startsWith(SegPrefix))) false
-      else {
-        val raw = readRaw()
-        val c   = indexCache.get(cacheKey)
-        // unknown base size (eviction race) → compact conservatively
-        val base = if (c != null && (c.items eq raw)) c.baseRows else 0
-        if (raw.size >= garbageRatio * math.max(base, 1)) {
+      // ONE listing per probe: readRaw lists/validates and its cache entry's
+      // sig carries the file names, so the segment check reads the sig
+      // instead of a second storeFiles() round trip (idle polls on object
+      // stores pay per-listing)
+      val raw = readRaw()
+      val c   = indexCache.get(cacheKey)
+      if (raw.isEmpty) false
+      else if (c != null && (c.items eq raw)) {
+        val hasSegs = c.sig.exists(_._1.startsWith(SegPrefix))
+        if (hasSegs && raw.size >= garbageRatio * math.max(c.baseRows, 1)) {
+          graft.util.PhaseTimer.time("store.compact")(compactLocked())
+          true
+        } else false
+      } else {
+        // eviction race: base size unknown → compact conservatively if any
+        // segment exists
+        if (storeFiles().exists(_.getPath.getName.startsWith(SegPrefix))) {
           graft.util.PhaseTimer.time("store.compact")(compactLocked())
           true
         } else false

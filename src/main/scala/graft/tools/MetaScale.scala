@@ -60,11 +60,7 @@ object MetaScale {
     memBean.getHeapMemoryUsage.getUsed / (1024.0 * 1024 * 1024)
   }
 
-  private def timed[T](f: => T): (T, Double) = {
-    val t0 = System.nanoTime()
-    val r  = f
-    (r, (System.nanoTime() - t0) / 1e9)
-  }
+  private def timed[T](f: => T): (T, Double) = graft.util.Timed.timed(f)
 
   def main(args: Array[String]): Unit = {
     val workDir = args(0)

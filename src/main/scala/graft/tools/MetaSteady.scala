@@ -46,11 +46,7 @@ import graft.txlog.{InternalState, TransactionItem, TxAction, TxState}
   */
 object MetaSteady {
 
-  private def timed[T](f: => T): (T, Double) = {
-    val t0 = System.nanoTime()
-    val r  = f
-    (r, (System.nanoTime() - t0) / 1e9)
-  }
+  private def timed[T](f: => T): (T, Double) = graft.util.Timed.timed(f)
 
   private def median(xs: Seq[Double]): Double =
     if (xs.isEmpty) 0.0 else xs.sorted.apply(xs.size / 2)

@@ -23,11 +23,7 @@ import graft.engine.{MirrorConfig, MirrorOrchestration}
   */
 object MultiScale {
 
-  private def timed[T](f: => T): (T, Double) = {
-    val t0 = System.nanoTime()
-    val r  = f
-    (r, (System.nanoTime() - t0) / 1e9)
-  }
+  private def timed[T](f: => T): (T, Double) = graft.util.Timed.timed(f)
 
   def main(args: Array[String]): Unit = {
     val workDir = args(0)

@@ -188,8 +188,8 @@ object ScaleBench {
     // BENCH_SF*_r{N}.json records must keep their `notes` keys a subset of
     // it (1:1, per-query) so a copy-pasted or stale note can't ride along
     val timedJson = names.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val calib = s"""{"s1":${d3(calibStart1)},"sN":${d3(calibStartN)},""" +
-      s""""e1":${d3(calibEnd1)},"eN":${d3(calibEndN)},"threads":$cpus}"""
+    val calib = graft.util.Calibrate.recordJson(
+      calibStart1, calibStartN, calibEnd1, calibEndN, cpus.toInt)
     println(s"""{"queries":$per,"metric":"median_ratio","value":${d3(med)},""" +
       s""""unit":"x","scale":$scale,"small":"$small","big":"$big",""" +
       s""""timed":$timedJson,"calib":$calib,""" +

@@ -27,10 +27,7 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
   */
 object StageProfile {
 
-  private def timed[T](f: => T): Double = {
-    val t0 = System.nanoTime(); f
-    (System.nanoTime() - t0) / 1e9
-  }
+  private def timed[T](f: => T): Double = graft.util.Timed.timed(f)._2
 
   def main(args: Array[String]): Unit = {
     val workDir = args(0)

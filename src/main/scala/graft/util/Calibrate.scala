@@ -44,6 +44,13 @@ object Calibrate {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** The calib record fragment Bench and ScaleBench stamp — single-sourced
+    * so the field names bench_diff parses cannot drift between the two.
+    */
+  def recordJson(start1: Double, startN: Double, end1: Double, endN: Double,
+      threads: Int): String =
+    f"""{"s1":$start1%.3f,"sN":$startN%.3f,"e1":$end1%.3f,"eN":$endN%.3f,"threads":$threads}"""
+
   /** Wall seconds with `threads` concurrent copies of the SAME fixed
     * workload (per-core throughput under full load — the shape a 32-thread
     * local bench actually runs in). Distinct seeds keep the threads from
