@@ -33,14 +33,21 @@ object StageProfile {
     val workDir = args(0)
     val nBlobs  = if (args.length > 1) args(1).toInt else 100000
     val cpus    = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftSessionExtensions")
       .config("spark.sql.files.openCostInBytes", (64L * 1024).toString)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // experiment knob: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" — A/B the floor
+    // against reader/FS variants (e.g. RawLocalFileSystem to remove the
+    // checksum sidecar probing from the open path)
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      builder.config(k.trim, v.trim)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val fs = new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
