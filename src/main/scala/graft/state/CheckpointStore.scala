@@ -137,6 +137,25 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
     }
   }
 
+  /** ONE table's folded state — the per-poll `status()` read. Served from
+    * the per-table views the cache maintains INCREMENTALLY (an append
+    * refolds only the tables it touches), so a poll of one table is
+    * O(live_that_table), never O(whole shared store): at a 4M-row shared
+    * store the global fold+filter was ~15 s of in-memory work per small
+    * batch (BENCH_META_STEADY4M_r15's residual). Equal to
+    * `readAll().filter(_.tableName == tableName)` by construction
+    * (ItemKey includes tableName, so the fold partitions exactly).
+    */
+  def readTable(tableName: String): Seq[TransactionItem] = withIndexLock {
+    val raw = readRaw()
+    if (raw.isEmpty) Seq.empty
+    else {
+      val c = indexCache.get(cacheKey)
+      if (c != null && (c.items eq raw)) c.byTable.getOrElse(tableName, Vector.empty)
+      else TxLog.lastWins(raw.filter(_.tableName == tableName))
+    }
+  }
+
   /** The `MLK_DeltaStatus` view (A1, DatabaseGateway.cs:76-104) as a
     * DataFrame: arg_max dedup by MirrorTimestamp over the SAME key the
     * reference's view uses — (table, StartTxId, Action, BlobPath), note NO
@@ -256,7 +275,8 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
             if (f.getPath.getName == "index.csv") baseRows = parsed.size
             parsed
           }.toVector
-          indexCache.put(cacheKey, CachedIndex(sig, fps.result(), items, baseRows))
+          indexCache.put(cacheKey,
+            CachedIndex(sig, fps.result(), items, baseRows, foldByTable(items)))
           items
         }
       }
@@ -300,12 +320,13 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
           val st = fs.getFileStatus(seg)
           indexCache.put(cacheKey, CachedIndex(
             preSig :+ ((st.getPath.getName, st.getLen, st.getModificationTime)),
-            cPre.fps :+ fingerprintOf(bytes), cPre.items ++ items, cPre.baseRows))
+            cPre.fps :+ fingerprintOf(bytes), cPre.items ++ items, cPre.baseRows,
+            extendByTable(cPre.byTable, items)))
         } else if (pre.isEmpty) {
           val st = fs.getFileStatus(seg)
           indexCache.put(cacheKey, CachedIndex(
             Vector((st.getPath.getName, st.getLen, st.getModificationTime)),
-            Vector(fingerprintOf(bytes)), items.toVector, 0))
+            Vector(fingerprintOf(bytes)), items.toVector, 0, foldByTable(items)))
         } else indexCache.remove(cacheKey)
         // bound the read-assembly width even if no trigger ever compacts
         if (pre.size >= MaxSegments) compactLocked()
@@ -389,7 +410,8 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
     val st = fs.getFileStatus(indexPath)
     indexCache.put(cacheKey, CachedIndex(
       Vector((st.getPath.getName, st.getLen, st.getModificationTime)),
-      Vector(fingerprintOf(fs, indexPath, st.getLen)), items.toVector, items.size))
+      Vector(fingerprintOf(fs, indexPath, st.getLen)), items.toVector, items.size,
+      foldByTable(items)))
   }
 
   private def atomicWrite(content: String): Unit = {
@@ -509,10 +531,32 @@ object CheckpointStore {
   private val MtimeGranularityMs = 2000L
 
   private final case class CachedIndex(sig: Vector[(String, Long, Long)], fps: Vector[Long],
-      items: Vector[TransactionItem], baseRows: Int) {
+      items: Vector[TransactionItem], baseRows: Int,
+      // per-table FOLDED views, maintained incrementally by append (only the
+      // tables an append touches are refolded — O(live_table + new), so a
+      // poll's status() over one table never pays for the other tables'
+      // accumulated history; ItemKey includes tableName, so the partitioned
+      // fold equals the global fold filtered). Vectors share the same
+      // TransactionItem references as `items` — no row duplication.
+      byTable: Map[String, Vector[TransactionItem]]) {
     // computed once per store mutation, served to every readAll in between
     lazy val folded: Seq[TransactionItem] = TxLog.lastWins(items)
   }
+
+  /** Per-table folded views from scratch (cold parse / compaction). */
+  private def foldByTable(items: Seq[TransactionItem]): Map[String, Vector[TransactionItem]] =
+    items.groupBy(_.tableName).view
+      .mapValues(ts => TxLog.lastWins(ts).toVector).toMap
+
+  /** Extend per-table views with an append's new rows: refold ONLY the
+    * affected tables (last-wins over oldFolded ++ new preserves first-arrival
+    * key order exactly like the global fold).
+    */
+  private def extendByTable(pre: Map[String, Vector[TransactionItem]],
+      items: Seq[TransactionItem]): Map[String, Vector[TransactionItem]] =
+    items.groupBy(_.tableName).foldLeft(pre) { case (acc, (t, ts)) =>
+      acc.updated(t, TxLog.lastWins(acc.getOrElse(t, Vector.empty) ++ ts).toVector)
+    }
 
   /** Head/tail content fingerprint: 64-bit mix of the first and last 256
     * bytes. Catches an external same-length-same-mtime-tick rewrite (the

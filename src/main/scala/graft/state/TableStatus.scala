@@ -52,5 +52,8 @@ final case class TableStatus(tableName: String, items: Seq[TransactionItem]) {
 
 object TableStatus {
   def fromStore(store: CheckpointStore, tableName: String): TableStatus =
-    TableStatus(tableName, store.readAll().filter(_.tableName == tableName))
+    // per-table read: O(this table's live rows), not O(whole shared store) —
+    // the multi-table mode shares one store and a poll must not pay for the
+    // other tables' accumulated history (round-15, BENCH_META_STEADY4M note)
+    TableStatus(tableName, store.readTable(tableName))
 }

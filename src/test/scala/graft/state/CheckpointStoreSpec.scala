@@ -181,6 +181,34 @@ class CheckpointStoreSpec extends SparkSuite {
     assert(store.readAll().toSet == Set(a, b))
   }
 
+  test("readTable equals readAll filtered under interleaved appends/compactions (r15 per-table index)") {
+    val store = new CheckpointStore(spark, tmpDir("ckpt-bytable"))
+    val rnd   = new scala.util.Random(15L)
+    val tables = Seq("ta", "tb", "tc")
+    def check(): Unit = {
+      val all = store.readAll()
+      tables.foreach { t =>
+        assert(store.readTable(t) == all.filter(_.tableName == t),
+          s"per-table view diverged for $t")
+      }
+      assert(store.readTable("absent").isEmpty)
+    }
+    (0 until 30).foreach { i =>
+      val t = tables(rnd.nextInt(tables.size))
+      // mix of new keys and overwrites of earlier keys within the table
+      val id = if (rnd.nextBoolean() && i > 3) rnd.nextInt(i) else i
+      store.append(Seq(fullItem.copy(tableName = t,
+        startTxId = id.toLong, endTxId = id.toLong,
+        state = if (id == i) TxState.Initial else TxState.Done,
+        blobPath = Some(s"bt-$id.parquet"))))
+      if (i % 7 == 3) store.compact()
+      if (i % 11 == 5) { CheckpointStore.invalidateCache(); () } // cold-path parity
+      check()
+    }
+    store.compact()
+    check()
+  }
+
   test("statusView is the arg_max dedup of the raw CSV (MLK_DeltaStatus, A1)") {
     val store = new CheckpointStore(spark, tmpDir("ckpt"))
     val a  = fullItem
