@@ -25,7 +25,9 @@ def load_current(arg):
     text = open(arg).read() if os.path.exists(arg) else arg
     # accept either the bare Bench JSON line (queries-first or metric-first
     # field order) or a driver BENCH_r file
-    m = re.search(r'\{"queries":\{.*\}', text) or re.search(r'\{"metric":"total".*\}', text)
+    m = (re.search(r'\{"spread":\{.*\}', text)
+         or re.search(r'\{"queries":\{.*\}', text)
+         or re.search(r'\{"metric":"total".*\}', text))
     if m:
         return json.loads(m.group(0))
     return json.loads(text)
@@ -142,8 +144,13 @@ def main():
                 marker = "  << REGRESSION"
                 bad.append((name, was, now, norm))
         if marker or norm > 1.2 or norm < 0.8:
+            # current run's two-sample spread, when the record carries it:
+            # a mover whose own samples disagree by a similar margin is
+            # Spark-internal noise, not a regression (round-15 verdict #2)
+            sp = cur.get("spread", {}).get(name)
+            sptxt = f"  [spread {sp:.0%}]" if isinstance(sp, (int, float)) and sp >= 0 else ""
             print(f"[bench-diff] {ratio:5.2f}x raw / {norm:5.2f}x norm  "
-                  f"{name}: {was:.2f}s -> {now:.2f}s{marker}")
+                  f"{name}: {was:.2f}s -> {now:.2f}s{sptxt}{marker}")
     tot_was, tot_now = base.get("value"), cur.get("value")
     if tot_was and tot_now:
         print(f"[bench-diff] total: {tot_was:.2f}s -> {tot_now:.2f}s "

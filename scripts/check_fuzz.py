@@ -63,7 +63,13 @@ def agree(exp, got):
     if isinstance(exp, bool):
         return isinstance(got, bool) and exp == got
     if isinstance(exp, int):
-        return not isinstance(got, bool) and int(got) == exp
+        # require the DuckDB value to be integral before comparing: int(3.7)
+        # truncates to 3 and would falsely match an expected 3
+        if isinstance(got, bool):
+            return False
+        if isinstance(got, float) and not got.is_integer():
+            return False
+        return int(got) == exp
     return exp == got
 
 
@@ -77,9 +83,12 @@ def main():
         return 2
     con = duckdb.connect()
     ran, skipped, bad = 0, 0, []
+    skip_census = {}
     for c in cases:
         if c["duck_sql"] is None:
             skipped += 1
+            for op in c.get("skip_ops", ["<unattributed>"]):
+                skip_census[op] = skip_census.get(op, 0) + 1
             continue
         ran += 1
         try:
@@ -92,7 +101,13 @@ def main():
             bad.append(
                 f"#{c['id']} MISMATCH\n  kql:  {c['kql']}\n"
                 f"  duck: {c['duck_sql']}\n  expected: {exp!r}\n  got:      {got!r}")
-    print(f"[check-fuzz] {ran} DuckDB twins executed, {skipped} bag-family cases skipped")
+    print(f"[check-fuzz] {ran} DuckDB twins executed, {skipped} cases skipped "
+          f"({ran / max(len(cases), 1):.0%} portable)")
+    # per-op skip census: every untwinned case names the ops that made it
+    # unportable — a silent-shrink of the DuckDB lane shows up here as a
+    # new op name or a jump in an existing count
+    for op, n in sorted(skip_census.items(), key=lambda kv: -kv[1]):
+        print(f"[check-fuzz]   skip census: {op:<18} {n}")
     if bad:
         print(f"[check-fuzz] {len(bad)} divergences:")
         print("\n".join(bad[:12]))

@@ -56,7 +56,10 @@ object Bench {
 
     // min of two timed runs: a single sample is hostage to whatever else the
     // machine is doing; the min is the standard steady-state throughput
-    // estimator (warm-up above already paid codegen/JIT)
+    // estimator (warm-up above already paid codegen/JIT). Both samples are
+    // kept so the record carries per-query SPREAD — the calibration anchor
+    // proved the ±20% local swing is Spark-internal (round-15 verdict #2),
+    // so a flagged query with a large spread is noise, not a regression.
     val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def timed(): Double =
         try {
@@ -70,20 +73,55 @@ object Bench {
       // don't re-run a deterministic failure; keep the good sample if only
       // the second attempt hiccups
       val b = if (a < 0) a else timed()
-      name -> (if (a < 0) -1.0 else if (b < 0) a else math.min(a, b))
+      val best = if (a < 0) -1.0 else if (b < 0) a else math.min(a, b)
+      val spread = if (a < 0 || b < 0) -1.0 else (math.max(a, b) - best) / math.max(best, 1e-9)
+      (name, best, spread)
     }
     // 3-decimal per-query values and summary fields LAST: the driver captures
     // a bounded tail of stdout, so a long line loses its HEAD — keep the line
     // short and put metric/value where truncation can't eat them (key order
-    // is irrelevant to any JSON parser)
+    // is irrelevant to any JSON parser). `spread` goes FIRST for the same
+    // reason: it is diagnostic context, the first thing truncation may eat.
     def d3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + d3(v) }.mkString("{", ",", "}")
+    def d2(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
+    val sp = results.map { case (k, _, s) => "\"" + k + "\":" + d2(s) }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + d3(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val calibEnd1 = graft.util.Calibrate.singleThreadSec()
     val calibEndN = graft.util.Calibrate.multiThreadSec(cpus.toInt)
     val calib = graft.util.Calibrate.recordJson(
       calibStart1, calibStartN, calibEnd1, calibEndN, cpus.toInt)
-    println(s"""{"queries":$qs,"calib":$calib,"metric":"total","value":${d3(total)},"unit":"sec","sf":"$sfDir"}""")
+    // self-describing interference (round-15 verdict #7): when the START
+    // probes sit >25% above the newest committed BENCH_LOCAL record's band,
+    // the run's head was measured on a loaded host — say so IN the artifact
+    // so the adjudication travels with the numbers instead of needing a rerun
+    val warning = calibWarning(calibStart1, calibStartN)
+      .map(w => s""","calib_warning":"$w"""").getOrElse("")
+    println(s"""{"spread":$sp,"queries":$qs,"calib":$calib$warning,"metric":"total","value":${d3(total)},"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Compare this run's start probes against the newest committed
+    * BENCH_LOCAL_r*.json band (the repo's idle-machine record). Absent or
+    * unparseable records → None (a fresh checkout must not warn).
+    */
+  private[graft] def calibWarning(s1: Double, sN: Double): Option[String] = {
+    val repo = new java.io.File(sys.props.getOrElse("user.dir", "."))
+    val recs = Option(repo.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.matches("BENCH_LOCAL_r\\d+\\.json"))
+    if (recs.isEmpty) return None
+    val latest = recs.maxBy(f => f.getName.replaceAll("\\D", "").toInt)
+    val calib = scala.util.Try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(latest)
+      val c    = root.get("calib")
+      (c.get("s1").asDouble, c.get("sN").asDouble)
+    }.toOption
+    calib.flatMap { case (b1, bN) =>
+      if (b1 > 0 && bN > 0 && (s1 > 1.25 * b1 || sN > 1.25 * bN))
+        Some(f"start probes s1=$s1%.3f sN=$sN%.3f exceed committed band " +
+          f"s1=$b1%.3f sN=$bN%.3f (${latest.getName}) by >25%% - " +
+          "head-of-run host interference likely")
+      else None
+    }
   }
 }

@@ -60,7 +60,13 @@ final case class MirrorConfig(
     // reference's 50k-block checkpoint budget, CheckpointGateway.cs:46).
     // Compaction otherwise happens only on open — never per poll.
     compactGarbageRatio: Double = graft.state.CheckpointStore.DefaultGarbageRatio
-)
+) {
+  // a ratio <= 1.0 makes compactIfNeeded fire on essentially every poll with
+  // segments present — silently reinstating the per-poll O(total-state)
+  // rewrite pathology the knob exists to prevent (round-14 verdict #1)
+  require(compactGarbageRatio > 1.0,
+    s"compactGarbageRatio must be > 1.0, got $compactGarbageRatio")
+}
 
 /** The control plane: discover new Delta commits, persist them as state rows,
   * and drive each batch through analyze → stage → load → drop-staging with

@@ -121,9 +121,18 @@ case class BloomContainsBc(
     val bcRef = ctx.addReferenceObj("graftBloomBc", bloomBc,
       classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
     val bfClass = classOf[BloomFilter].getName
+    // readFrom declares `throws IOException` — the generated init MUST catch
+    // it or janino rejects the whole class and Spark silently falls back to
+    // an INTERPRETED filter for the entire stage (the dedup_substring_spans
+    // 100× warm-up-curve variance, round-15 verdict #1: walls 31-70 s with
+    // codegen disabled vs a compiled stage)
     val bfVar = ctx.addMutableState(bfClass, "graftBloomBcFilter",
-      v => s"""$v = $bfClass.readFrom(
-         new java.io.ByteArrayInputStream((byte[]) $bcRef.value()));""".stripMargin)
+      v => s"""try {
+         |  $v = $bfClass.readFrom(
+         |    new java.io.ByteArrayInputStream((byte[]) $bcRef.value()));
+         |} catch (java.io.IOException e) {
+         |  throw new RuntimeException(e);
+         |}""".stripMargin)
     nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $bfVar.mightContainLong($v);")
   }
 

@@ -74,6 +74,13 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
             s"(owner $id, epoch $epoch) after this process last wrote it — " +
             "concurrent cross-process writers are unsupported (single-writer " +
             "contract; use one orchestration process per store)")
+      case Some((id, _)) if id == ProcessOwnerId =>
+        // marker already names this process: detection semantics are
+        // identical without the rewrite (a foreign writer stamps its OWN id
+        // when it writes), so steady-state polls skip the ~4 per-mutation FS
+        // round trips the stamp costs on object stores (round-15 advice)
+        writtenPaths.add(cacheKey)
+        return
       case _ => ()
     }
     val epoch = marker.map(_._2 + 1).getOrElse(1L)
@@ -83,9 +90,16 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
     val out = fs.create(tmp, true)
     try out.write(s"$ProcessOwnerId,$epoch".getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (fs.exists(ownerPath)) fs.delete(ownerPath, false)
-    if (!fs.rename(tmp, ownerPath))
-      throw new IllegalStateException(s"Failed to stamp owner marker $ownerPath")
+    // rename OVER the existing marker (local-FS rename replaces the
+    // destination): the old delete-then-rename had a crash window with NO
+    // marker at all, silently disarming one round of interleave detection
+    // (round-15 advice). Delete+retry only for filesystems whose rename
+    // refuses an existing destination.
+    if (!fs.rename(tmp, ownerPath)) {
+      if (fs.exists(ownerPath)) fs.delete(ownerPath, false)
+      if (!fs.rename(tmp, ownerPath))
+        throw new IllegalStateException(s"Failed to stamp owner marker $ownerPath")
+    }
     writtenPaths.add(cacheKey)
   }
 
@@ -189,16 +203,26 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
 
   private def cacheKey: String = fs.makeQualified(indexPath).toString
 
-  private def segNumber(name: String): Long = name.stripPrefix(SegPrefix).toLong
+  /** Arrival number of a segment file — the digits after the prefix. The
+    * writer-uid suffix (`-<uid>`, round-15 verdict #5) is ignored here: it
+    * exists only to make the NAME collision-proof across processes.
+    */
+  private def segNumber(name: String): Long =
+    name.stripPrefix(SegPrefix).takeWhile(_.isDigit).toLong
 
-  /** Base (if any) + segments, assembled in arrival order. Under the lock. */
+  /** Base (if any) + segments, assembled in arrival order. Two processes
+    * that raced to the same segment number (out-of-contract, but now
+    * non-destructive) produce two files with the same number — ordered
+    * deterministically by (number, mtime, name). Under the lock.
+    */
   private def storeFiles(): Seq[org.apache.hadoop.fs.FileStatus] = {
     if (!fs.exists(indexPath)) recoverIndex() // mid-commit-lost base, if any
     val base = if (fs.exists(indexPath)) Seq(fs.getFileStatus(indexPath)) else Seq.empty
     val segs =
       if (!fs.exists(dir)) Seq.empty
       else fs.listStatus(dir).filter(s => s.getPath.getName.startsWith(SegPrefix))
-        .sortBy(s => segNumber(s.getPath.getName)).toSeq
+        .sortBy(s => (segNumber(s.getPath.getName), s.getModificationTime,
+          s.getPath.getName)).toSeq
     base ++ segs
   }
 
@@ -301,7 +325,12 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
           case Some(n) if n.startsWith(SegPrefix) => segNumber(n) + 1
           case _                                  => 1L
         }
-        val seg = new Path(dir, f"$SegPrefix$nextN%06d")
+        // writer-uid suffix makes the segment NAME collision-proof: two
+        // processes racing to the same number (out-of-contract — the owner
+        // marker still fails the loser's NEXT write loudly) now write two
+        // distinct files instead of rename-replacing each other's rows
+        // (round-15 verdict #5 — no-lost-state by construction)
+        val seg = new Path(dir, f"$SegPrefix$nextN%06d-$SegWriterUid")
         val tmp = new Path(dir, s"index.csv.tmp-${java.util.UUID.randomUUID()}")
         val sb  = new StringBuilder(Header).append('\n')
         items.foreach(i => sb.append(toCsvLine(i)).append('\n'))
@@ -508,8 +537,17 @@ object CheckpointStore {
     * with churn — must not pin every dead store's Vector forever).
     * (len, mtime) detect out-of-process modification → full re-read.
     */
-  /** Append-segment filename prefix (`index.csv.seg-NNNNNN`). */
+  /** Append-segment filename prefix (`index.csv.seg-NNNNNN-<uid>`; plain
+    * `seg-NNNNNN` names from older stores still parse — the uid suffix is
+    * optional on read).
+    */
   private[state] val SegPrefix = "index.csv.seg-"
+
+  /** Filename-safe per-process token suffixed to every segment name so two
+    * processes computing the same next number cannot destroy each other's
+    * file (round-15 verdict #5). Derived from [[ProcessOwnerId]].
+    */
+  private[state] lazy val SegWriterUid: String = ProcessOwnerId.replace("@", "-")
 
   /** Appends past this many live segments fold eagerly — bounds the files a
     * read assembles even if no garbage-ratio trigger ever fires. Raised

@@ -21,15 +21,29 @@ object FuzzDump {
     val out  = args(0)
     val n    = if (args.length > 1) args(1).toInt else 800
     val seed = if (args.length > 2) args(2).toLong else 20260816L
+    // every control char < 0x20 must be escaped or the JSONL line is invalid
+    // (json.loads in check_fuzz.py rejects it) — \uXXXX covers \t \r \f etc.
     def esc(s: String) = s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"; case c => c.toString
+      case '"'            => "\\\""
+      case '\\'           => "\\\\"
+      case '\n'           => "\\n"
+      case c if c < 0x20  => f"\\u${c.toInt}%04x"
+      case c              => c.toString
     }
     val lines = ScalarFuzz.cases(n, seed).map { case (i, ty, node) =>
       val kql  = ScalarFuzz.render(node)
       val duck = ScalarFuzz.renderDuck(node)
+      // untwinned cases carry the ops that made them unportable, so the
+      // check_fuzz referee prints a per-op skip census instead of a bare
+      // skip count (round-15 verdict #6)
+      val skips =
+        if (duck.isEmpty)
+          ScalarFuzz.unduckableOps(node).map(o => "\"" + esc(o) + "\"")
+            .mkString(""","skip_ops":[""", ",", "]")
+        else ""
       s"""{"id":$i,"ty":"$ty","kql":"${esc(kql)}",""" +
         s""""spark_sql":"${esc(KqlCompat.rewrite(kql))}",""" +
-        s""""duck_sql":${duck.map(d => "\"" + esc(d) + "\"").getOrElse("null")},""" +
+        s""""duck_sql":${duck.map(d => "\"" + esc(d) + "\"").getOrElse("null")}$skips,""" +
         s""""expected":${ScalarFuzz.expectedJson(ScalarFuzz.eval(node))}}"""
     }
     Files.write(Paths.get(out),

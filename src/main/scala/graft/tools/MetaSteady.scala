@@ -125,13 +125,21 @@ object MetaSteady {
       w.commit(lines)
     }
 
-    // drain `n` small batches; returns (perBatchSec, perBatchStoreSec, compactions)
+    // live segment count after a batch — makes the compaction sawtooth
+    // (segment creep → trigger → reset) directly visible in the record
+    def segCount(): Int =
+      fs.listStatus(new Path(stateDir))
+        .count(_.getPath.getName.startsWith("index.csv.seg-"))
+
+    // drain `n` small batches; returns per-batch (sec, storeSec, compactions,
+    // post-batch segment count)
     def drain(orch: MirrorOrchestrator, dir: String, w: DeltaLogWriter,
         seed: java.nio.file.Path, n: Int, forceCompact: Boolean):
-        (Seq[Double], Seq[Double], Long) = {
+        (Seq[Double], Seq[Double], Seq[Long], Seq[Int]) = {
       val perBatch  = Seq.newBuilder[Double]
       val storeSec  = Seq.newBuilder[Double]
-      var compactions = 0L
+      val compacts  = Seq.newBuilder[Long]
+      val segs      = Seq.newBuilder[Int]
       (0 until n).foreach { _ =>
         commitSmallBatch(dir, w, seed)
         graft.util.PhaseTimer.reset()
@@ -142,9 +150,10 @@ object MetaSteady {
         val ph = storePhases()
         perBatch += sec
         storeSec += ph.valuesIterator.map(_._1).sum
-        compactions += ph.get("store.compact").map(_._2).getOrElse(0L)
+        compacts += ph.get("store.compact").map(_._2).getOrElse(0L)
+        segs += segCount()
       }
-      (perBatch.result(), storeSec.result(), compactions)
+      (perBatch.result(), storeSec.result(), compacts.result(), segs.result())
     }
 
     // ---- gated arm (shipped policy) ------------------------------------------
@@ -155,8 +164,9 @@ object MetaSteady {
     // open-time compaction happens on the FIRST poll — keep it out of the
     // steady measurement by folding it into batch 0's figure but reporting
     // batch 0 separately from the steady tail
-    val (gatedSec, gatedStore, gatedCompacts) =
+    val (gatedSec, gatedStore, gatedCompactsSeq, gatedSegs) =
       drain(orchG, dirG, wG, seedG, steadyBatches, forceCompact = false)
+    val gatedCompacts = gatedCompactsSeq.sum
     val gatedRows = orchG.table.snapshot().count()
     require(gatedRows == steadyBatches.toLong * blobsPerBatch * 10,
       s"gated arm mirrored $gatedRows rows")
@@ -166,8 +176,9 @@ object MetaSteady {
     val orchC = new MirrorOrchestrator(spark, MirrorConfig(
       deltaTableUrl = dirC, mirrorDir = s"$workDir/mirror-control",
       mirrorTableName = "steady_control", checkpointDir = stateDir))
-    val (controlSec, controlStore, controlCompacts) =
+    val (controlSec, controlStore, controlCompactsSeq, _) =
       drain(orchC, dirC, wC, seedC, controlBatches, forceCompact = true)
+    val controlCompacts = controlCompactsSeq.sum
     val controlRows = orchC.table.snapshot().count()
     require(controlRows == controlBatches.toLong * blobsPerBatch * 10,
       s"control arm mirrored $controlRows rows")
@@ -191,6 +202,8 @@ object MetaSteady {
       f""""open_batch_sec":${gatedSec.head}%.3f,"median_batch_sec":${median(gTail)}%.3f,""" +
       f""""max_batch_sec":${if (gTail.nonEmpty) gTail.max else 0.0}%.3f,""" +
       f""""median_store_sec":${median(gsTail)}%.3f,"compactions":$gatedCompacts,""" +
+      f""""compact_batches":${gatedCompactsSeq.zipWithIndex.collect { case (c, i) if c > 0 => i }.mkString("[", ",", "]")},""" +
+      f""""per_batch_segs":${gatedSegs.mkString("[", ",", "]")},""" +
       f""""per_batch_sec":${arr(gatedSec)},"per_batch_store_sec":${arr(gatedStore)}},""" +
       f""""control_r14_policy":{"batches":$controlBatches,"rows":$controlRows,""" +
       f""""median_batch_sec":${median(controlSec)}%.3f,""" +

@@ -126,6 +126,9 @@ object ScalarFuzz {
             // ADX translate(search, replace, text) → pg-style translate(text, from, to)
             Some(s"translate(${x(2)}, ${x(0)}, ${x(1)})")
           case "strlen"  => Some(s"CAST(length(${x(0)}) AS BIGINT)")
+          case "countof" => // non-overlapping plain-text count, the ADX default
+            Some(s"CAST((length(${x(0)}) - length(replace(${x(0)}, ${x(1)}, ''))) / length(${x(1)}) AS BIGINT)")
+          case "tostring" => Some(s"CAST(${x(0)} AS VARCHAR)")
           case "indexof" => Some(s"CAST(strpos(${x(0)}, ${x(1)}) - 1 AS BIGINT)")
           case "strcat_array" => Some(s"array_to_string(${x(0)}, ${x(1)})")
           case "strrep"  => Some(s"repeat(${x(0)}, CAST(${x(1)} AS INTEGER))")
@@ -161,7 +164,10 @@ object ScalarFuzz {
             // ADX contract (the r14 datetime_diff fix, independently stated)
             Some(s"date_diff('$unit', ${x(2)}, ${x(1)})")
           // DuckDB date_trunc('day', ts) narrows to DATE — cast back
-          case "startofday" => Some(s"CAST(date_trunc('day', ${x(0)}) AS TIMESTAMP)")
+          case "startofday"   => Some(s"CAST(date_trunc('day', ${x(0)}) AS TIMESTAMP)")
+          case "startofmonth" => Some(s"CAST(date_trunc('month', ${x(0)}) AS TIMESTAMP)")
+          case "startofyear"  => Some(s"CAST(date_trunc('year', ${x(0)}) AS TIMESTAMP)")
+          case "dayofyear"    => Some(s"CAST(EXTRACT(doy FROM ${x(0)}) AS BIGINT)")
           case "getyear"    => Some(s"CAST(EXTRACT(year FROM ${x(0)}) AS BIGINT)")
           case "getmonth"   => Some(s"CAST(EXTRACT(month FROM ${x(0)}) AS BIGINT)")
           case "dayofmonth" => Some(s"CAST(EXTRACT(day FROM ${x(0)}) AS BIGINT)")
@@ -224,6 +230,12 @@ object ScalarFuzz {
           val m = str(x(0)).zip(str(x(1))).toMap
           VStr(str(x(2)).map(c => m.getOrElse(c, c)))
         case "strlen"  => VInt(str(x(0)).length.toLong)
+        case "countof" => // non-overlapping, left-to-right (the ADX 'normal' kind)
+          val s0 = str(x(0)); val t = str(x(1))
+          var c = 0L; var i = if (t.isEmpty) -1 else s0.indexOf(t)
+          while (i >= 0) { c += 1; i = s0.indexOf(t, i + t.length) }
+          VInt(c)
+        case "tostring" => VStr(int(x(0)).toString)
         case "indexof" => VInt(str(x(0)).indexOf(str(x(1))).toLong) // 0-based, -1 absent
         case "strcat_array" => VStr(arr(x(0)).map(str).mkString(str(x(1))))
         case "strrep" => VStr(str(x(0)) * int(x(1)).toInt) // generator keeps 0..4
@@ -269,13 +281,24 @@ object ScalarFuzz {
         case "isnotempty" => VBool(str(x(0)).nonEmpty)
         // datetimes
         case "datetime_add" =>
-          VDt(dt(x(2)).plus(int(x(1)), chrono(str(x(0)))))
+          // week is exactly 7 days in ADX and DuckDB alike; ChronoUnit.WEEKS
+          // is "estimated" so Instant.plus rejects it — expand by hand
+          if (str(x(0)) == "week") VDt(dt(x(2)).plus(int(x(1)) * 7, ChronoUnit.DAYS))
+          else VDt(dt(x(2)).plus(int(x(1)), chrono(str(x(0)))))
         case "datetime_diff" =>
           // ADX: count of period BOUNDARIES crossed between 2nd and 1st arg
           val u = chrono(str(x(0)))
           val t1 = dt(x(1)).truncatedTo(u); val t2 = dt(x(2)).truncatedTo(u)
           VInt(u.between(t2, t1))
         case "startofday" => VDt(dt(x(0)).truncatedTo(ChronoUnit.DAYS))
+        case "startofmonth" =>
+          val d = java.time.LocalDateTime.ofInstant(dt(x(0)), java.time.ZoneOffset.UTC)
+          VDt(d.toLocalDate.withDayOfMonth(1).atStartOfDay.toInstant(java.time.ZoneOffset.UTC))
+        case "startofyear" =>
+          val d = java.time.LocalDateTime.ofInstant(dt(x(0)), java.time.ZoneOffset.UTC)
+          VDt(d.toLocalDate.withDayOfYear(1).atStartOfDay.toInstant(java.time.ZoneOffset.UTC))
+        case "dayofyear" =>
+          VInt(java.time.LocalDateTime.ofInstant(dt(x(0)), java.time.ZoneOffset.UTC).getDayOfYear.toLong)
         case "getyear" =>
           VInt(java.time.LocalDateTime.ofInstant(dt(x(0)), java.time.ZoneOffset.UTC).getYear.toLong)
         case "getmonth" =>
@@ -425,6 +448,7 @@ object ScalarFuzz {
           () => Call("strcat_array",
             Vector(g(TArrS), Lit(VStr(pick(Seq("-", "", "|"))), TStr)), TStr),
           () => Call("strrep", Vector(g(TStr), leafInt(1, 4)), TStr), // multiplier ≥ 1 in ADX
+          () => Call("tostring", Vector(g(TInt)), TStr),
           // guaranteed-present key via bag_set_key, so null never flows into
           // a parent composition (the absent-key → null lane is a dedicated
           // deterministic assertion in the spec)
@@ -448,6 +472,9 @@ object ScalarFuzz {
           () => Call("array_length", Vector(g(TArrS)), TInt),
           () => Call("array_index_of", Vector(g(TArrI), leafInt(-5, 20)), TInt),
           () => Call("datetime_diff", Vector(part(), g(TDt), g(TDt)), TInt),
+          () => Call("countof", Vector(g(TStr),
+            Lit(VStr(pick(Seq("a", "b", "ab", "z"))), TStr)), TInt),
+          () => Call("dayofyear", Vector(g(TDt)), TInt),
           () => Call("getyear", Vector(g(TDt)), TInt),
           () => Call("getmonth", Vector(g(TDt)), TInt),
           () => Call("dayofmonth", Vector(g(TDt)), TInt),
@@ -469,7 +496,14 @@ object ScalarFuzz {
         case TDt => pick[() => Node](Seq(
           () => litOf(TDt),
           () => Call("datetime_add", Vector(part(), leafInt(-30, 30), g(TDt)), TDt),
+          // week only on the ADD side: datetime_diff('week') counts
+          // week-boundary crossings whose start-of-week convention differs
+          // between ADX (Sunday) and DuckDB (ISO Monday) — not twinnable
+          () => Call("datetime_add",
+            Vector(Lit(VStr("week"), TStr), leafInt(-4, 4), g(TDt)), TDt),
           () => Call("startofday", Vector(g(TDt)), TDt),
+          () => Call("startofmonth", Vector(g(TDt)), TDt),
+          () => Call("startofyear", Vector(g(TDt)), TDt),
           () => Call("iif", Vector(g(TBool), g(TDt), g(TDt)), TDt)))()
         case TArrS => pick[() => Node](Seq(
           () => Call("pack_array", Vector(g(TStr), g(TStr)), TArrS),
@@ -497,12 +531,31 @@ object ScalarFuzz {
     }
   }
 
+  /** The ops in a composition with no DuckDB twin — the per-family skip
+    * census (round-15 verdict #6): FuzzDump stamps these on every untwinned
+    * case so check_fuzz can report WHY each skip happened instead of
+    * dropping them silently. Must stay in sync with renderDuck's None arm.
+    */
+  def unduckableOps(n: Node): Seq[String] = n match {
+    case Call(op, args, _) =>
+      val here = if (op.startsWith("bag_") || op == "extractjson") Seq(op) else Nil
+      (here ++ args.flatMap(unduckableOps)).distinct
+    case _ => Nil
+  }
+
   /** Typed JSON for the dump lane (`{"t":…,"v":…}`); bag values never reach
     * the dump (no DuckDB twin), but serialize for completeness.
     */
   def expectedJson(v: V): String = {
-    def esc(s: String) =
-      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+    def esc(s: String) = s.flatMap {
+      // control chars < 0x20 would emit invalid JSON (json.loads rejects a
+      // raw \n/\t inside a string) — escape them even though today's value
+      // pools are control-char-free
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < 0x20 => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    }
     v match {
       case VStr(s)  => s"""{"t":"str","v":"${esc(s)}"}"""
       case VInt(l)  => s"""{"t":"int","v":$l}"""

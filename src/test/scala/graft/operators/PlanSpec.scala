@@ -179,6 +179,37 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("broadcast-backed bloom probe compiles under whole-stage codegen (r15 verdict #1)") {
+    // the >256KB bloom rides a Broadcast (DedupFunctions.bloomSemiPrefilter's
+    // large path) — engaged only at the 100× replica, where its generated
+    // init called BloomFilter.readFrom (throws IOException) uncaught: janino
+    // rejected the class and Spark SILENTLY ran the whole dedup filter stage
+    // interpreted (the dedup_substring_spans 31-70 s warm-up-curve variance).
+    // fallback=false turns any such compile failure into a loud test failure.
+    import org.apache.spark.sql.functions.col
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(1000000, 0.02)
+    (0L until 1000L).foreach(bf.putLong)
+    val bytes = graft.functions.expressions.BloomContains.serialize(bf)
+    assert(bytes.length > 256 * 1024, "bloom too small to exercise the broadcast path")
+    val bc = spark.sparkContext.broadcast(bytes)
+    val df = spark.range(0, 10000).toDF("h").filter(
+      org.apache.spark.sql.graftbridge.GraftColumnBridge.column(
+        graft.functions.expressions.BloomContainsBc(
+          org.apache.spark.sql.graftbridge.GraftColumnBridge.expression(col("h")), bc)))
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val n = df.count() // throws on a codegen compile failure with fallback off
+      assert(n >= 1000 && n <= 2000, s"bloom probe wrong: $n of 1000 members (+fpp)")
+      df.collect()
+      val s = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert(s.contains("codegen id :"), s"bloom filter stage left codegen:\n$s")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None    => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("graph-match: edge predicates push through the pattern's join chain") {
     val s = finalPlan("q_kql_graph_match")
     // the e1.qty/e2.qty == 50 step predicates must reach every lineitem

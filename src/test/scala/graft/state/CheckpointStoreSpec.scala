@@ -181,6 +181,36 @@ class CheckpointStoreSpec extends SparkSuite {
     assert(store.readAll().toSet == Set(a, b))
   }
 
+  test("same-number segment collision is non-destructive (r15 verdict #5)") {
+    val dir   = tmpDir("ckpt-segcollide")
+    val store = new CheckpointStore(spark, dir)
+    val a = fullItem.copy(tableName = "t", blobPath = Some("col-a.parquet"))
+    val b = fullItem.copy(tableName = "t", blobPath = Some("col-b.parquet"))
+    val c = fullItem.copy(tableName = "t", blobPath = Some("col-c.parquet"))
+    store.append(Seq(a)) // → index.csv.seg-000001-<thisProcessUid>
+
+    // a FOREIGN process racing this one computes the SAME next number and
+    // commits its own segment + owner stamp. Before the writer-uid suffix
+    // the name was exactly `seg-000001` for both and local-FS rename
+    // REPLACED this process's file — rows silently lost; now the names
+    // differ by construction and both files survive.
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "index.csv.seg-000001-feign-99999"),
+      (CheckpointStore.Header + "\n" + CheckpointStore.toCsvLine(b) + "\n").getBytes(utf8))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "index.csv.owner"), "feign@99999,2".getBytes(utf8))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, ".index.csv.owner.crc"))
+
+    // BOTH same-number segments assemble on read (readers never stamp) —
+    // deterministic (number, mtime, name) order, distinct keys here
+    assert(store.readAll().toSet == Set(a, b), "a same-number segment was lost")
+
+    // and the interleave is STILL detected loudly on this process's next write
+    intercept[java.util.ConcurrentModificationException](store.append(Seq(c)))
+  }
+
   test("readTable equals readAll filtered under interleaved appends/compactions (r15 per-table index)") {
     val store = new CheckpointStore(spark, tmpDir("ckpt-bytable"))
     val rnd   = new scala.util.Random(15L)
