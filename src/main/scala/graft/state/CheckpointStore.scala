@@ -357,8 +357,12 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
             Vector((st.getPath.getName, st.getLen, st.getModificationTime)),
             Vector(fingerprintOf(bytes)), items.toVector, 0, foldByTable(items)))
         } else indexCache.remove(cacheKey)
-        // bound the read-assembly width even if no trigger ever compacts
-        if (pre.size >= MaxSegments) compactLocked()
+        // bound the read-assembly width even if no trigger ever compacts;
+        // timed under the same label as every other compaction so the
+        // steady-state instruments see THIS firing too (it was the invisible
+        // sawtooth in the first r16 MetaSteady cut)
+        if (pre.size >= MaxSegments)
+          graft.util.PhaseTimer.time("store.compact")(compactLocked())
       }
     }
 
