@@ -87,7 +87,10 @@ def main():
     for c in cases:
         if c["duck_sql"] is None:
             skipped += 1
-            for op in c.get("skip_ops", ["<unattributed>"]):
+            # `or` (not a dict default): an EMPTY skip_ops list means the
+            # duck renderer refused for a reason unduckableOps doesn't name —
+            # exactly the desync this census exists to flag
+            for op in (c.get("skip_ops") or ["<unattributed>"]):
                 skip_census[op] = skip_census.get(op, 0) + 1
             continue
         ran += 1

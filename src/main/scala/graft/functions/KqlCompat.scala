@@ -2102,13 +2102,31 @@ object KqlCompat {
         s"(CASE WHEN ($a) IS NULL OR ($b) IS NULL THEN CAST(NULL AS BIGINT) " +
           s"WHEN ($a) < ($b) THEN -1 WHEN ($a) = ($b) THEN 0 ELSE 1 END)"
     }
-    // countof(text, search [, kind]): non-overlapping occurrence count —
-    // kind 'normal' (default, plain text) or 'regex' (pattern matches)
+    // countof(text, search [, kind]): kind 'normal' (default) counts plain-
+    // text matches which per the ADX docs MAY OVERLAP (countof('aaa','aa')
+    // = 2); 'regex' matches don't overlap. The replace() trick counts
+    // non-overlapping only, so it is used just when the needle provably
+    // cannot overlap itself — a literal with no proper border (prefix ==
+    // suffix), which covers every 1-char needle; otherwise a positional
+    // scan counts every start offset (round-16 review finding #2).
+    def plainCountof(x: String, n: String): String = {
+      val literal = "^'([^']*)'$".r
+      val selfOverlapFree = n match {
+        case literal(w) =>
+          w.nonEmpty && !(1 until w.length).exists(k => w.take(k) == w.takeRight(k))
+        case _ => false
+      }
+      if (selfOverlapFree)
+        s"CAST((length($x) - length(replace($x, $n, ''))) / length($n) AS BIGINT)"
+      else
+        // sequence(a, b) DESCENDS when b < a — guard the short-text case
+        s"(CASE WHEN length($n) = 0 OR length($n) > length($x) THEN CAST(0 AS BIGINT) " +
+          s"ELSE CAST(size(filter(sequence(1, length($x) - length($n) + 1), " +
+          s"__i -> substring($x, __i, length($n)) = $n)) AS BIGINT) END)"
+    }
     s = expandCalls(s, "countof") {
-      case Seq(x, n) =>
-        s"CAST((length($x) - length(replace($x, $n, ''))) / length($n) AS BIGINT)"
-      case Seq(x, n, k) if k == "'normal'" =>
-        s"CAST((length($x) - length(replace($x, $n, ''))) / length($n) AS BIGINT)"
+      case Seq(x, n)                        => plainCountof(x, n)
+      case Seq(x, n, k) if k == "'normal'"  => plainCountof(x, n)
       case Seq(x, n, k) if k == "'regex'" =>
         s"CAST(size(regexp_extract_all($x, $n, 0)) AS BIGINT)"
     }

@@ -315,8 +315,13 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
     * plus the [[MaxSegments]] bound keep the segment count small.
     */
   def append(items: Seq[TransactionItem]): Unit = if (items.nonEmpty)
-    graft.util.PhaseTimer.time("store.append") {
-      withIndexLock {
+    withIndexLock {
+      // the timer wraps only the segment write; the MaxSegments-bound
+      // compaction below runs under its own store.compact label OUTSIDE
+      // this scope — nesting it inside store.append double-counted the
+      // compaction seconds in every store.* phase sum (the first r16
+      // MetaSteady cut reported store time > batch wall)
+      val preSize = graft.util.PhaseTimer.time("store.append") {
         if (!fs.exists(dir)) fs.mkdirs(dir)
         checkAndStampOwner()
         val pre    = storeFiles()
@@ -357,13 +362,15 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
             Vector((st.getPath.getName, st.getLen, st.getModificationTime)),
             Vector(fingerprintOf(bytes)), items.toVector, 0, foldByTable(items)))
         } else indexCache.remove(cacheKey)
-        // bound the read-assembly width even if no trigger ever compacts;
-        // timed under the same label as every other compaction so the
-        // steady-state instruments see THIS firing too (it was the invisible
-        // sawtooth in the first r16 MetaSteady cut)
-        if (pre.size >= MaxSegments)
-          graft.util.PhaseTimer.time("store.compact")(compactLocked())
+        pre.size
       }
+      // bound the read-assembly width even if no trigger ever compacts;
+      // same label as every other compaction so steady-state instruments
+      // count this firing too (it was the invisible sawtooth in the first
+      // r16 MetaSteady cut) — and OUTSIDE store.append, so phase sums stay
+      // disjoint
+      if (preSize >= MaxSegments)
+        graft.util.PhaseTimer.time("store.compact")(compactLocked())
     }
 
   /** Fold base + segments into a fresh deduplicated base (S8/O10,

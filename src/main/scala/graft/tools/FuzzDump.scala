@@ -21,15 +21,9 @@ object FuzzDump {
     val out  = args(0)
     val n    = if (args.length > 1) args(1).toInt else 800
     val seed = if (args.length > 2) args(2).toLong else 20260816L
-    // every control char < 0x20 must be escaped or the JSONL line is invalid
-    // (json.loads in check_fuzz.py rejects it) — \uXXXX covers \t \r \f etc.
-    def esc(s: String) = s.flatMap {
-      case '"'            => "\\\""
-      case '\\'           => "\\\\"
-      case '\n'           => "\\n"
-      case c if c < 0x20  => f"\\u${c.toInt}%04x"
-      case c              => c.toString
-    }
+    // single shared escaper (ScalarFuzz.jsonEscape) — see its doc for the
+    // one-copy rationale
+    def esc(s: String) = ScalarFuzz.jsonEscape(s)
     val lines = ScalarFuzz.cases(n, seed).map { case (i, ty, node) =>
       val kql  = ScalarFuzz.render(node)
       val duck = ScalarFuzz.renderDuck(node)

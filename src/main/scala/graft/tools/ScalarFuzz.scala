@@ -126,8 +126,11 @@ object ScalarFuzz {
             // ADX translate(search, replace, text) → pg-style translate(text, from, to)
             Some(s"translate(${x(2)}, ${x(0)}, ${x(1)})")
           case "strlen"  => Some(s"CAST(length(${x(0)}) AS BIGINT)")
-          case "countof" => // non-overlapping plain-text count, the ADX default
-            Some(s"CAST((length(${x(0)}) - length(replace(${x(0)}, ${x(1)}, ''))) / length(${x(1)}) AS BIGINT)")
+          case "countof" => // OVERLAPPING plain-text count (the ADX default):
+            // every start offset where the needle matches, via a positional
+            // scan — NOT the replace() trick, which misses self-overlaps
+            Some(s"CAST(len(list_filter(range(1, greatest(length(${x(0)}) - length(${x(1)}) + 2, 1)), " +
+              s"__i -> substring(${x(0)}, __i, length(${x(1)})) = ${x(1)})) AS BIGINT)")
           case "tostring" => Some(s"CAST(${x(0)} AS VARCHAR)")
           case "indexof" => Some(s"CAST(strpos(${x(0)}, ${x(1)}) - 1 AS BIGINT)")
           case "strcat_array" => Some(s"array_to_string(${x(0)}, ${x(1)})")
@@ -230,10 +233,13 @@ object ScalarFuzz {
           val m = str(x(0)).zip(str(x(1))).toMap
           VStr(str(x(2)).map(c => m.getOrElse(c, c)))
         case "strlen"  => VInt(str(x(0)).length.toLong)
-        case "countof" => // non-overlapping, left-to-right (the ADX 'normal' kind)
+        case "countof" =>
+          // ADX 'normal' kind: plain-text matches MAY OVERLAP — count every
+          // start offset (countof('aaa','aa') = 2), stepping by 1 not by
+          // the needle length (round-16 review finding #2)
           val s0 = str(x(0)); val t = str(x(1))
           var c = 0L; var i = if (t.isEmpty) -1 else s0.indexOf(t)
-          while (i >= 0) { c += 1; i = s0.indexOf(t, i + t.length) }
+          while (i >= 0) { c += 1; i = s0.indexOf(t, i + 1) }
           VInt(c)
         case "tostring" => VStr(int(x(0)).toString)
         case "indexof" => VInt(str(x(0)).indexOf(str(x(1))).toLong) // 0-based, -1 absent
@@ -472,8 +478,11 @@ object ScalarFuzz {
           () => Call("array_length", Vector(g(TArrS)), TInt),
           () => Call("array_index_of", Vector(g(TArrI), leafInt(-5, 20)), TInt),
           () => Call("datetime_diff", Vector(part(), g(TDt), g(TDt)), TInt),
+          // 'aa'/'zz' are self-overlapping needles (strrep can build 'aaa',
+          // 'zzz…' texts) — the lane that separates overlapping ADX countof
+          // from the non-overlapping replace() trick
           () => Call("countof", Vector(g(TStr),
-            Lit(VStr(pick(Seq("a", "b", "ab", "z"))), TStr)), TInt),
+            Lit(VStr(pick(Seq("a", "b", "ab", "z", "aa", "zz"))), TStr)), TInt),
           () => Call("dayofyear", Vector(g(TDt)), TInt),
           () => Call("getyear", Vector(g(TDt)), TInt),
           () => Call("getmonth", Vector(g(TDt)), TInt),
@@ -531,6 +540,19 @@ object ScalarFuzz {
     }
   }
 
+  /** JSON string-content escaper shared by every dump lane (expectedJson and
+    * FuzzDump) — ONE copy, so an escaping gap cannot be fixed in one lane
+    * and silently persist in the other (round-16 review finding #4). All
+    * control chars < 0x20 escape (json.loads rejects them raw).
+    */
+  def jsonEscape(s: String): String = s.flatMap {
+    case '"'           => "\\\""
+    case '\\'          => "\\\\"
+    case '\n'          => "\\n"
+    case c if c < 0x20 => f"\\u${c.toInt}%04x"
+    case c             => c.toString
+  }
+
   /** The ops in a composition with no DuckDB twin — the per-family skip
     * census (round-15 verdict #6): FuzzDump stamps these on every untwinned
     * case so check_fuzz can report WHY each skip happened instead of
@@ -547,15 +569,7 @@ object ScalarFuzz {
     * the dump (no DuckDB twin), but serialize for completeness.
     */
   def expectedJson(v: V): String = {
-    def esc(s: String) = s.flatMap {
-      // control chars < 0x20 would emit invalid JSON (json.loads rejects a
-      // raw \n/\t inside a string) — escape them even though today's value
-      // pools are control-char-free
-      case '"'           => "\\\""
-      case '\\'          => "\\\\"
-      case c if c < 0x20 => f"\\u${c.toInt}%04x"
-      case c             => c.toString
-    }
+    def esc(s: String) = jsonEscape(s)
     v match {
       case VStr(s)  => s"""{"t":"str","v":"${esc(s)}"}"""
       case VInt(l)  => s"""{"t":"int","v":$l}"""

@@ -135,6 +135,21 @@ class KqlCompatSpec extends SparkSuite {
     assert(r.isNullAt(2))
     assert(r.getLong(3) == 2L)
     assert(r.getString(4) == "long")
+
+    // plain-text countof counts OVERLAPPING matches per the ADX docs
+    // (countof('aaa','aa') = 2); regex matches don't overlap. The engine
+    // takes the cheap replace() path only for self-overlap-free literals.
+    val o = spark.range(1).selectExpr(
+      KqlCompat.rewrite("countof('aaa', 'aa')") + " as a",
+      KqlCompat.rewrite("countof('zzzzzz', 'zz')") + " as b",
+      KqlCompat.rewrite("countof('a', 'aa')") + " as short",
+      KqlCompat.rewrite("countof('aaa', 'aa', 'normal')") + " as c",
+      KqlCompat.rewrite("countof('aaa', 'a+', 'regex')") + " as re").head
+    assert(o.getLong(0) == 2L, s"overlapping countof: ${o.getLong(0)}")
+    assert(o.getLong(1) == 5L, s"overlapping countof: ${o.getLong(1)}")
+    assert(o.getLong(2) == 0L, "needle longer than text must be 0")
+    assert(o.getLong(3) == 2L)
+    assert(o.getLong(4) == 1L, "regex matches don't overlap")
   }
 
   test("dynamic-array scalar tail: rotate/shift/iff/jaccard edge cases") {
