@@ -101,14 +101,32 @@ object Bench {
     spark.stop()
   }
 
+  /** Candidate directories that may hold the committed BENCH_LOCAL band:
+    * the cwd, plus the repo root derived from this class's code location
+    * (…/target/scala-X/classes → three levels up) — a Bench launched from
+    * any other cwd must still find the band or the warning silently
+    * disarms in exactly the "driver runs it from elsewhere" case.
+    */
+  private def bandDirs(): Seq[java.io.File] = {
+    val cwd = new java.io.File(sys.props.getOrElse("user.dir", "."))
+    val fromClasspath = scala.util.Try {
+      val loc = Bench.getClass.getProtectionDomain.getCodeSource.getLocation
+      // …/repo/target/scala-2.13/classes → repo
+      new java.io.File(loc.toURI).getParentFile.getParentFile.getParentFile
+    }.toOption
+    (Seq(cwd) ++ fromClasspath).distinct
+  }
+
   /** Compare this run's start probes against the newest committed
     * BENCH_LOCAL_r*.json band (the repo's idle-machine record). Absent or
     * unparseable records → None (a fresh checkout must not warn).
     */
-  private[graft] def calibWarning(s1: Double, sN: Double): Option[String] = {
-    val repo = new java.io.File(sys.props.getOrElse("user.dir", "."))
-    val recs = Option(repo.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.matches("BENCH_LOCAL_r\\d+\\.json"))
+  private[graft] def calibWarning(s1: Double, sN: Double,
+      dirs: Seq[java.io.File] = bandDirs()): Option[String] = {
+    val recs = dirs.iterator.map { d =>
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.matches("BENCH_LOCAL_r\\d+\\.json"))
+    }.find(_.nonEmpty).getOrElse(Array.empty[java.io.File])
     if (recs.isEmpty) return None
     val latest = recs.maxBy(f => f.getName.replaceAll("\\D", "").toInt)
     val calib = scala.util.Try {

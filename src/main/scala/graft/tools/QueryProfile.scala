@@ -101,11 +101,19 @@ object QueryProfile {
           f"execRun=${run / 1e3}%8.3f s  maxTask=${maxT / 1e3}%7.3f s")
       }
     }
-    val warm = walls.result().drop(1).sorted
-    if (warm.nonEmpty) {
+    val warmByTime = walls.result().drop(1)
+    if (warmByTime.nonEmpty) {
+      val warm   = warmByTime.sorted
       val spread = (warm.last - warm.head) / warm.head
+      // trailing-3 spread: the LAST reps in execution order are the most
+      // JIT-converged, so their spread separates residual noise from a long
+      // convergence curve (q_kql_graph_components fell across SEVEN warm
+      // reps — its full-warm spread was mostly curve, not noise)
+      val t3 = warmByTime.takeRight(3).sorted
+      val t3Spread = if (t3.size >= 2) (t3.last - t3.head) / t3.head else 0.0
       println(f"[summary] $name warm reps=${warm.size} min=${warm.head}%.3f " +
-        f"median=${warm(warm.size / 2)}%.3f max=${warm.last}%.3f spread=$spread%.2f")
+        f"median=${warm(warm.size / 2)}%.3f max=${warm.last}%.3f spread=$spread%.2f " +
+        f"trailing3_spread=$t3Spread%.2f")
     }
     spark.stop()
   }

@@ -94,102 +94,117 @@ object ScalarFuzz {
     case other    => sys.error(s"unduckable literal: $other")
   }
 
-  def renderDuck(n: Node): Option[String] = n match {
-    case Lit(v, _) => Some(duckLit(v))
+  /** Left = the ops that make the composition untwinnable (accumulated over
+    * the WHOLE tree); Right = the DuckDB SQL. One function is the single
+    * source of both the twin and the skip census, so [[renderDuck]] and
+    * [[unduckableOps]] can never desync (round-16 advice #3).
+    */
+  private def duck(n: Node): Either[Vector[String], String] = n match {
+    case Lit(v, _) => Right(duckLit(v))
     case Call(op, a, _) =>
-      val sub = a.map(renderDuck)
-      if (sub.exists(_.isEmpty)) None
+      val subs     = a.map(duck)
+      val subSkips = subs.flatMap(_.left.toOption).flatten.toVector
+      // ops with no faithful DuckDB twin regardless of their subtree (the
+      // bag family's JSON-string currency), plus structural refusals (a
+      // datetime unit the renderer can only emit for a literal)
+      val hereSkip: Vector[String] =
+        if (op.startsWith("bag_") || op == "extractjson") Vector(op)
+        else if ((op == "datetime_add" || op == "datetime_diff") &&
+          !a.headOption.exists { case Lit(VStr(_), _) => true; case _ => false })
+          Vector(s"$op(non-literal-unit)")
+        else Vector.empty
+      if (subSkips.nonEmpty || hereSkip.nonEmpty) Left((subSkips ++ hereSkip).distinct)
       else {
-        val x = sub.map(_.get)
-        op match {
-          case "d+" | "d-" | "d*" => Some(s"(${x(0)} ${op.drop(1)} ${x(1)})")
-          case "+" | "-" | "*"    => Some(s"(${x(0)} $op ${x(1)})")
-          case "==" => Some(s"(${x(0)} = ${x(1)})")
-          case "!=" => Some(s"(${x(0)} <> ${x(1)})")
-          case "<" | "<=" | ">" | ">=" => Some(s"(${x(0)} $op ${x(1)})")
-          case "and" => Some(s"(${x(0)} AND ${x(1)})")
-          case "or"  => Some(s"(${x(0)} OR ${x(1)})")
-          case "not" => Some(s"(NOT ${x(0)})")
-          case "iif" => Some(s"(CASE WHEN ${x(0)} THEN ${x(1)} ELSE ${x(2)} END)")
+        val x = subs.map(_.toOption.get)
+        Right(op match {
+          case "d+" | "d-" | "d*" => s"(${x(0)} ${op.drop(1)} ${x(1)})"
+          case "+" | "-" | "*"    => s"(${x(0)} $op ${x(1)})"
+          case "==" => s"(${x(0)} = ${x(1)})"
+          case "!=" => s"(${x(0)} <> ${x(1)})"
+          case "<" | "<=" | ">" | ">=" => s"(${x(0)} $op ${x(1)})"
+          case "and" => s"(${x(0)} AND ${x(1)})"
+          case "or"  => s"(${x(0)} OR ${x(1)})"
+          case "not" => s"(NOT ${x(0)})"
+          case "iif" => s"(CASE WHEN ${x(0)} THEN ${x(1)} ELSE ${x(2)} END)"
           // strings
-          case "toupper" => Some(s"upper(${x(0)})")
-          case "tolower" => Some(s"lower(${x(0)})")
-          case "reverse" => Some(s"reverse(${x(0)})")
-          case "strcat"  => Some(x.mkString("(", " || ", ")"))
+          case "toupper" => s"upper(${x(0)})"
+          case "tolower" => s"lower(${x(0)})"
+          case "reverse" => s"reverse(${x(0)})"
+          case "strcat"  => x.mkString("(", " || ", ")")
           case "substring" =>
             // ADX zero-based start → DuckDB 1-based substr; DuckDB clamps
             // out-of-range the same way for start ≥ 1 and len ≥ 0
-            if (a.size < 3) Some(s"substr(${x(0)}, GREATEST(${x(1)}, 0) + 1)")
-            else Some(s"substr(${x(0)}, GREATEST(${x(1)}, 0) + 1, GREATEST(${x(2)}, 0))")
-          case "replace_string" => Some(s"replace(${x(0)}, ${x(1)}, ${x(2)})")
+            if (a.size < 3) s"substr(${x(0)}, GREATEST(${x(1)}, 0) + 1)"
+            else s"substr(${x(0)}, GREATEST(${x(1)}, 0) + 1, GREATEST(${x(2)}, 0))"
+          case "replace_string" => s"replace(${x(0)}, ${x(1)}, ${x(2)})"
           case "translate"      =>
             // ADX translate(search, replace, text) → pg-style translate(text, from, to)
-            Some(s"translate(${x(2)}, ${x(0)}, ${x(1)})")
-          case "strlen"  => Some(s"CAST(length(${x(0)}) AS BIGINT)")
+            s"translate(${x(2)}, ${x(0)}, ${x(1)})"
+          case "strlen"  => s"CAST(length(${x(0)}) AS BIGINT)"
           case "countof" => // OVERLAPPING plain-text count (the ADX default):
             // every start offset where the needle matches, via a positional
             // scan — NOT the replace() trick, which misses self-overlaps
-            Some(s"CAST(len(list_filter(range(1, greatest(length(${x(0)}) - length(${x(1)}) + 2, 1)), " +
-              s"__i -> substring(${x(0)}, __i, length(${x(1)})) = ${x(1)})) AS BIGINT)")
-          case "tostring" => Some(s"CAST(${x(0)} AS VARCHAR)")
-          case "indexof" => Some(s"CAST(strpos(${x(0)}, ${x(1)}) - 1 AS BIGINT)")
-          case "strcat_array" => Some(s"array_to_string(${x(0)}, ${x(1)})")
-          case "strrep"  => Some(s"repeat(${x(0)}, CAST(${x(1)} AS INTEGER))")
+            s"CAST(len(list_filter(range(1, greatest(length(${x(0)}) - length(${x(1)}) + 2, 1)), " +
+              s"__i -> substring(${x(0)}, __i, length(${x(1)})) = ${x(1)})) AS BIGINT)"
+          case "tostring" => s"CAST(${x(0)} AS VARCHAR)"
+          case "indexof" => s"CAST(strpos(${x(0)}, ${x(1)}) - 1 AS BIGINT)"
+          case "strcat_array" => s"array_to_string(${x(0)}, ${x(1)})"
+          case "strrep"  => s"repeat(${x(0)}, CAST(${x(1)} AS INTEGER))"
           // integers
-          case "abs"    => Some(s"abs(${x(0)})")
-          case "min_of" => Some(s"least(${x(0)}, ${x(1)})")
-          case "max_of" => Some(s"greatest(${x(0)}, ${x(1)})")
+          case "abs"    => s"abs(${x(0)})"
+          case "min_of" => s"least(${x(0)}, ${x(1)})"
+          case "max_of" => s"greatest(${x(0)}, ${x(1)})"
           case "bin"    =>
             // floor alignment, negative-safe (values are small; the double
             // round-trip is exact far beyond the generator's ranges)
-            Some(s"(CAST(floor(CAST(${x(0)} AS DOUBLE) / ${x(1)}) AS BIGINT) * ${x(1)})")
-          case "toint" | "tolong" => Some(x(0))
+            s"(CAST(floor(CAST(${x(0)} AS DOUBLE) / ${x(1)}) AS BIGINT) * ${x(1)})"
+          case "toint" | "tolong" => x(0)
           // doubles
-          case "exp"      => Some(s"exp(${x(0)})")
-          case "log"      => Some(s"ln(${x(0)})")
-          case "log10"    => Some(s"log10(${x(0)})")
-          case "sqrt"     => Some(s"sqrt(${x(0)})")
-          case "sin"      => Some(s"sin(${x(0)})")
-          case "cos"      => Some(s"cos(${x(0)})")
-          case "pow"      => Some(s"pow(${x(0)}, ${x(1)})")
-          case "todouble" => Some(s"CAST(${x(0)} AS DOUBLE)")
-          case "round_d"  => Some(s"round(${x(0)}, CAST(${x(1)} AS INTEGER))")
+          case "exp"      => s"exp(${x(0)})"
+          case "log"      => s"ln(${x(0)})"
+          case "log10"    => s"log10(${x(0)})"
+          case "sqrt"     => s"sqrt(${x(0)})"
+          case "sin"      => s"sin(${x(0)})"
+          case "cos"      => s"cos(${x(0)})"
+          case "pow"      => s"pow(${x(0)}, ${x(1)})"
+          case "todouble" => s"CAST(${x(0)} AS DOUBLE)"
+          case "round_d"  => s"round(${x(0)}, CAST(${x(1)} AS INTEGER))"
           // booleans
-          case "isempty"    => Some(s"(${x(0)} = '')")
-          case "isnotempty" => Some(s"(${x(0)} <> '')")
-          // datetimes
+          case "isempty"    => s"(${x(0)} = '')"
+          case "isnotempty" => s"(${x(0)} <> '')"
+          // datetimes (unit literality pre-checked in hereSkip above)
           case "datetime_add" =>
-            val unit = a(0) match { case Lit(VStr(u), _) => u; case _ => return None }
-            Some(s"(${x(2)} + (${x(1)} * INTERVAL 1 ${unit.toUpperCase}))")
+            val unit = a(0).asInstanceOf[Lit].v.asInstanceOf[VStr].s
+            s"(${x(2)} + (${x(1)} * INTERVAL 1 ${unit.toUpperCase}))"
           case "datetime_diff" =>
-            val unit = a(0) match { case Lit(VStr(u), _) => u; case _ => return None }
+            val unit = a(0).asInstanceOf[Lit].v.asInstanceOf[VStr].s
             // DuckDB date_diff counts partition-boundary crossings — the
             // ADX contract (the r14 datetime_diff fix, independently stated)
-            Some(s"date_diff('$unit', ${x(2)}, ${x(1)})")
+            s"date_diff('$unit', ${x(2)}, ${x(1)})"
           // DuckDB date_trunc('day', ts) narrows to DATE — cast back
-          case "startofday"   => Some(s"CAST(date_trunc('day', ${x(0)}) AS TIMESTAMP)")
-          case "startofmonth" => Some(s"CAST(date_trunc('month', ${x(0)}) AS TIMESTAMP)")
-          case "startofyear"  => Some(s"CAST(date_trunc('year', ${x(0)}) AS TIMESTAMP)")
-          case "dayofyear"    => Some(s"CAST(EXTRACT(doy FROM ${x(0)}) AS BIGINT)")
-          case "getyear"    => Some(s"CAST(EXTRACT(year FROM ${x(0)}) AS BIGINT)")
-          case "getmonth"   => Some(s"CAST(EXTRACT(month FROM ${x(0)}) AS BIGINT)")
-          case "dayofmonth" => Some(s"CAST(EXTRACT(day FROM ${x(0)}) AS BIGINT)")
-          case "hourofday"  => Some(s"CAST(EXTRACT(hour FROM ${x(0)}) AS BIGINT)")
+          case "startofday"   => s"CAST(date_trunc('day', ${x(0)}) AS TIMESTAMP)"
+          case "startofmonth" => s"CAST(date_trunc('month', ${x(0)}) AS TIMESTAMP)"
+          case "startofyear"  => s"CAST(date_trunc('year', ${x(0)}) AS TIMESTAMP)"
+          case "dayofyear"    => s"CAST(EXTRACT(doy FROM ${x(0)}) AS BIGINT)"
+          case "getyear"    => s"CAST(EXTRACT(year FROM ${x(0)}) AS BIGINT)"
+          case "getmonth"   => s"CAST(EXTRACT(month FROM ${x(0)}) AS BIGINT)"
+          case "dayofmonth" => s"CAST(EXTRACT(day FROM ${x(0)}) AS BIGINT)"
+          case "hourofday"  => s"CAST(EXTRACT(hour FROM ${x(0)}) AS BIGINT)"
           // arrays
-          case "pack_array"    => Some(x.mkString("[", ", ", "]"))
-          case "array_length"  => Some(s"CAST(len(${x(0)}) AS BIGINT)")
-          case "array_concat"  => Some(s"list_concat(${x(0)}, ${x(1)})")
-          case "array_reverse" => Some(s"list_reverse(${x(0)})")
+          case "pack_array"    => x.mkString("[", ", ", "]")
+          case "array_length"  => s"CAST(len(${x(0)}) AS BIGINT)"
+          case "array_concat"  => s"list_concat(${x(0)}, ${x(1)})"
+          case "array_reverse" => s"list_reverse(${x(0)})"
           case "array_index_of" =>
-            Some(s"CAST(COALESCE(list_position(${x(0)}, ${x(1)}), 0) - 1 AS BIGINT)")
-          case "split" => Some(s"string_split(${x(0)}, ${x(1)})")
-          // bag family: JSON-string engine currency, no faithful twin
-          case "bag_pack" | "bag_merge" | "bag_set_key" | "bag_remove_keys" |
-               "bag_keys" | "bag_has_key" | "extractjson" => None
+            s"CAST(COALESCE(list_position(${x(0)}, ${x(1)}), 0) - 1 AS BIGINT)"
+          case "split" => s"string_split(${x(0)}, ${x(1)})"
           case other => sys.error(s"duck renderer hole: $other")
-        }
+        })
       }
   }
+
+  /** The DuckDB twin, when every op in the composition is portable. */
+  def renderDuck(n: Node): Option[String] = duck(n).toOption
 
   // ---- the independent evaluator (ADX-documented semantics) ----------------
   private def str(v: V): String    = v.asInstanceOf[VStr].s
@@ -558,12 +573,8 @@ object ScalarFuzz {
     * case so check_fuzz can report WHY each skip happened instead of
     * dropping them silently. Must stay in sync with renderDuck's None arm.
     */
-  def unduckableOps(n: Node): Seq[String] = n match {
-    case Call(op, args, _) =>
-      val here = if (op.startsWith("bag_") || op == "extractjson") Seq(op) else Nil
-      (here ++ args.flatMap(unduckableOps)).distinct
-    case _ => Nil
-  }
+  def unduckableOps(n: Node): Seq[String] =
+    duck(n).left.getOrElse(Vector.empty)
 
   /** Typed JSON for the dump lane (`{"t":…,"v":…}`); bag values never reach
     * the dump (no DuckDB twin), but serialize for completeness.
