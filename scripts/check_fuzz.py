@@ -23,6 +23,19 @@ import sys
 import duckdb
 
 
+class Bag:
+    """Expected bag value: ORDERED (key, value) pairs — key order is part of
+    the engine contract (insertion order for bag_pack, sorted keys for
+    merge/set/remove) and the DuckDB twins reproduce it, so the compare is
+    exact, not set-wise."""
+
+    def __init__(self, pairs):
+        self.pairs = pairs
+
+    def __repr__(self):
+        return f"Bag({self.pairs!r})"
+
+
 def from_typed(e):
     t = e["t"]
     if t == "str":
@@ -37,6 +50,8 @@ def from_typed(e):
         return datetime.datetime.fromisoformat(e["v"].replace("Z", "+00:00"))
     if t == "arr":
         return [from_typed(x) for x in e["v"]]
+    if t == "bag":
+        return Bag([(k, from_typed(x)) for k, x in e["v"]])
     if t == "null":
         return None
     raise ValueError(f"unexpected expected-type {t} in a duck-twinned case")
@@ -47,6 +62,19 @@ def agree(exp, got):
         # a NULL on either side must report as a per-case mismatch (unless
         # both are NULL), never crash the comparator mid-run
         return exp is None and got is None
+    if isinstance(exp, Bag):
+        # DuckDB returns the bag as JSON text; parse preserves document
+        # order (py dicts are insertion-ordered), compare pairs IN ORDER
+        if not isinstance(got, str):
+            return False
+        try:
+            d = json.loads(got)
+        except ValueError:
+            return False
+        if not isinstance(d, dict) or len(d) != len(exp.pairs):
+            return False
+        return all(gk == ek and agree(ev, gv)
+                   for (gk, gv), (ek, ev) in zip(d.items(), exp.pairs))
     if isinstance(exp, float):
         g = float(got)
         if math.isnan(exp) and math.isnan(g):
@@ -82,6 +110,25 @@ def main():
         print("[check-fuzz] EMPTY dump")
         return 2
     con = duckdb.connect()
+    # bag-contract macros the twins call (r16 verdict #4): sorted-key
+    # rebuild of a JSON object (the engine's bag_merge/bag_set_key/
+    # bag_remove_keys contracts emit SORTED keys; json_merge_patch alone
+    # does not). Lambda-style on purpose — a subquery form breaks when the
+    # macro lands inside another lambda (countof's positional scan).
+    # COALESCE covers array_to_string([]) -> NULL (a bag emptied by
+    # bag_remove_keys must render '{}').
+    con.execute("""CREATE MACRO bag_sort(j) AS
+        '{' || COALESCE(array_to_string(
+            list_transform(list_sort(CAST(json_keys(j) AS VARCHAR[])),
+                k -> to_json(k) || ':' || json_extract(j, '$.' || k)),
+            ','), '') || '}'""")
+    con.execute("""CREATE MACRO bag_remove(j, ks) AS
+        '{' || COALESCE(array_to_string(
+            list_transform(
+                list_sort(list_filter(CAST(json_keys(j) AS VARCHAR[]),
+                    k -> NOT list_contains(ks, k))),
+                k -> to_json(k) || ':' || json_extract(j, '$.' || k)),
+            ','), '') || '}'""")
     ran, skipped, bad = 0, 0, []
     skip_census = {}
     for c in cases:

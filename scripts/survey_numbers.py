@@ -119,11 +119,17 @@ def main():
             print(f"{meta_name[:-5]}: SKIPPED (record missing phase keys)")
             continue
         try:
+            fl = meta.get("io_floor")
+            if fl:
+                print(f"  in-record IO floor ({fl['n_files']} files): pre "
+                      f"{fl['pre_sec']:.1f} s / post {fl['post_sec']:.1f} s; "
+                      f"E2E normalized to floor: {fl['e2e_per_file_over_floor']:.2f}x "
+                      f"per-file; store.append in window {fl['store_append_in_window_sec']:.1f} s")
             bd = meta.get("e2e_breakdown")
             if bd:
                 top = sorted(bd.items(), key=lambda kv: -kv[1]["sec"])[:4]
-                print("  E2E breakdown (nesting: orch.stage ⊃ mirror.stage+appends; "
-                      "orch.status ⊃ store.read; mirror.stage sums concurrent workers): "
+                print("  E2E breakdown (innermost-label attribution, same-thread "
+                      "phases disjoint; concurrent workers still sum across threads): "
                       + ", ".join(f"{k} {v['sec']:.1f} s/{v['calls']}x" for k, v in top))
             sc = meta.get("store_compaction")
             if sc:

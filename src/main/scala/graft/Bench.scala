@@ -54,12 +54,16 @@ object Bench {
       finally graft.Bench.releaseAll(spark)
     }
 
-    // min of two timed runs: a single sample is hostage to whatever else the
-    // machine is doing; the min is the standard steady-state throughput
-    // estimator (warm-up above already paid codegen/JIT). Both samples are
-    // kept so the record carries per-query SPREAD — the calibration anchor
-    // proved the ±20% local swing is Spark-internal (round-15 verdict #2),
-    // so a flagged query with a large spread is noise, not a regression.
+    // min of up to four timed runs: a single sample is hostage to whatever
+    // else the machine is doing; the min is the standard steady-state
+    // throughput estimator (warm-up above already paid codegen/JIT).
+    // SPREAD is the gap between the two SMALLEST samples relative to the
+    // min — for a min estimator that is the meaningful agreement measure
+    // (two independent samples near the floor ⇒ the floor is real). When
+    // the first two samples disagree by >50% we pay up to two bounded
+    // extra reps (round-16 verdict #2: 83/260 queries at >50% spread under
+    // min-of-two made sub-second movers cost adjudication thought); the
+    // committed spread is the final two-smallest gap.
     val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def timed(): Double =
         try {
@@ -69,13 +73,26 @@ object Bench {
         } catch {
           case NonFatal(e) => System.err.println(s"[bench] $name failed: $e"); -1.0
         } finally graft.Bench.releaseAll(spark)
+      def twoSmallestGap(samples: List[Double]): Double = {
+        val sorted = samples.sorted
+        (sorted(1) - sorted(0)) / math.max(sorted(0), 1e-9)
+      }
       val a = timed()
-      // don't re-run a deterministic failure; keep the good sample if only
-      // the second attempt hiccups
-      val b = if (a < 0) a else timed()
-      val best = if (a < 0) -1.0 else if (b < 0) a else math.min(a, b)
-      val spread = if (a < 0 || b < 0) -1.0 else (math.max(a, b) - best) / math.max(best, 1e-9)
-      (name, best, spread)
+      if (a < 0) (name, -1.0, -1.0)
+      else {
+        // don't re-run a deterministic failure; keep the good samples if a
+        // later attempt hiccups
+        var samples = List(a)
+        var hiccup  = false
+        while (!hiccup && samples.size < 4 &&
+               (samples.size < 2 || twoSmallestGap(samples) > 0.5)) {
+          val s = timed()
+          if (s < 0) hiccup = true else samples = s :: samples
+        }
+        val best   = samples.min
+        val spread = if (samples.size < 2) -1.0 else twoSmallestGap(samples)
+        (name, best, spread)
+      }
     }
     // 3-decimal per-query values and summary fields LAST: the driver captures
     // a bounded tail of stdout, so a long line loses its HEAD — keep the line

@@ -2107,8 +2107,11 @@ object KqlCompat {
     // = 2); 'regex' matches don't overlap. The replace() trick counts
     // non-overlapping only, so it is used just when the needle provably
     // cannot overlap itself — a literal with no proper border (prefix ==
-    // suffix), which covers every 1-char needle; otherwise a positional
-    // scan counts every start offset (round-16 review finding #2).
+    // suffix), which covers every 1-char needle; otherwise the native
+    // countof_scan expression counts every start offset in one
+    // allocation-free byte scan (round-16 review finding #2; the earlier
+    // sequence()+filter fallback materialized a length(x)-element array
+    // per row — ~KB/row against real document columns, round-16 ADVICE).
     def plainCountof(x: String, n: String): String = {
       val literal = "^'([^']*)'$".r
       val selfOverlapFree = n match {
@@ -2119,10 +2122,7 @@ object KqlCompat {
       if (selfOverlapFree)
         s"CAST((length($x) - length(replace($x, $n, ''))) / length($n) AS BIGINT)"
       else
-        // sequence(a, b) DESCENDS when b < a — guard the short-text case
-        s"(CASE WHEN length($n) = 0 OR length($n) > length($x) THEN CAST(0 AS BIGINT) " +
-          s"ELSE CAST(size(filter(sequence(1, length($x) - length($n) + 1), " +
-          s"__i -> substring($x, __i, length($n)) = $n)) AS BIGINT) END)"
+        s"countof_scan($x, $n)"
     }
     s = expandCalls(s, "countof") {
       case Seq(x, n)                        => plainCountof(x, n)

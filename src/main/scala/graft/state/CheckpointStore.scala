@@ -210,6 +210,18 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
   private def segNumber(name: String): Long =
     name.stripPrefix(SegPrefix).takeWhile(_.isDigit).toLong
 
+  /** A stray non-numeric seg-prefixed name (e.g. a hand-dropped
+    * `index.csv.seg-foo`) must not brick every read with a
+    * NumberFormatException from the arrival-order sort — such names are
+    * outside the writer contract (writers always emit `seg-NNNNNN-<uid>`),
+    * so they are skipped with a warning rather than parsed.
+    */
+  private def hasSegNumber(name: String): Boolean = {
+    val ok = name.stripPrefix(SegPrefix).headOption.exists(_.isDigit)
+    if (!ok) System.err.println(s"[checkpoint-store] ignoring non-numeric segment name: $name")
+    ok
+  }
+
   /** Base (if any) + segments, assembled in arrival order. Two processes
     * that raced to the same segment number (out-of-contract, but now
     * non-destructive) produce two files with the same number — ordered
@@ -220,7 +232,8 @@ class CheckpointStore(spark: SparkSession, checkpointDir: String) {
     val base = if (fs.exists(indexPath)) Seq(fs.getFileStatus(indexPath)) else Seq.empty
     val segs =
       if (!fs.exists(dir)) Seq.empty
-      else fs.listStatus(dir).filter(s => s.getPath.getName.startsWith(SegPrefix))
+      else fs.listStatus(dir).filter(s => s.getPath.getName.startsWith(SegPrefix) &&
+          hasSegNumber(s.getPath.getName))
         .sortBy(s => (segNumber(s.getPath.getName), s.getModificationTime,
           s.getPath.getName)).toSeq
     base ++ segs

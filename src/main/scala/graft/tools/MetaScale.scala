@@ -62,6 +62,34 @@ object MetaScale {
 
   private def timed[T](f: => T): (T, Double) = graft.util.Timed.timed(f)
 
+  /** In-record host-IO floor probe (r16 verdict #1): the per-file
+    * open+footer cost — a footer-only count over a manifest scan of the
+    * first `nProbe` blob files, the same shape as StageProfile's
+    * `footer_only` phase. The r15→r16 1M E2E moved 337.6 → 481-488 s on
+    * UNCHANGED mirror code purely with this floor (33.3 → 50.5 s at 100k
+    * files, measured by hand-run probes); running the probe INSIDE the
+    * record, immediately before and after the E2E, makes every committed
+    * meta number self-normalizing instead of needing a prose adjudication.
+    * Two reps, min (the first rep warms the FS metadata cache — the honest
+    * steady floor, matching StageProfile's discipline).
+    */
+  def ioFloorSec(spark: SparkSession, blobTable: String, nProbe: Int): Double = {
+    val root = new Path(blobTable)
+    val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seedLen = fs.getFileStatus(new Path(root, "blob-0000000.parquet")).getLen
+    val physicalSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType)))
+    def rep(): Double = timed {
+      val n = org.apache.spark.sql.graftbridge.GraftManifestScan.parquet(
+        spark, physicalSchema,
+        (0 until nProbe).map(i => org.apache.spark.sql.graftbridge.GraftManifestScan
+          .status(new Path(root, f"blob-$i%07d.parquet"), seedLen))).count()
+      require(n == nProbe * 10L, s"floor probe counted $n rows != ${nProbe * 10L}")
+    }._2
+    math.min(rep(), rep())
+  }
+
   def main(args: Array[String]): Unit = {
     val workDir = args(0)
     val nCkpt   = if (args.length > 1) args(1).toInt else 1000000
@@ -116,6 +144,13 @@ object MetaScale {
       // MirrorConfig default, the reference's 4-worker posture)
       ingestParallelism = sys.env.get("SPARK_GRAFT_INGEST_PAR").map(_.toInt).getOrElse(4))
     val orch = new MirrorOrchestrator(spark, cfg)
+    // floor probe BEFORE the E2E (same session, same files): the host's
+    // current per-file open+footer cost, the number every cross-round E2E
+    // comparison must normalize by (r16 verdict #1)
+    val floorFiles = math.min(nBlobs, 100000)
+    val calibStart1 = graft.util.Calibrate.singleThreadSec()
+    val calibStartN = graft.util.Calibrate.multiThreadSec(cpus.toInt)
+    val ioFloorPre = ioFloorSec(spark, tableB, floorFiles)
     graft.util.PhaseTimer.reset()
     val (batches, e2eSec) = timed(orch.runOnce())
     require(batches >= 1, s"E2E mirror processed $batches batches")
@@ -128,12 +163,30 @@ object MetaScale {
     val e2eHeap = usedAfterGcGb()
 
     // E2E phase breakdown (r13 — the 196 s/100k figure was one opaque
-    // number): accumulated seconds per phase from PhaseTimer. Nesting:
-    // orch.stage CONTAINS mirror.stage + its store.appends; orch.status
-    // CONTAINS store.read; the store.* totals are store-global.
+    // number): accumulated seconds per phase from PhaseTimer. Attribution
+    // is to the INNERMOST label only (r16 verdict #5) — same-thread phases
+    // are disjoint; phases on concurrent staging workers still sum across
+    // threads and may exceed wall.
     val breakdown = graft.util.PhaseTimer.snapshot().toSeq.sortBy(-_._2._1)
       .map { case (k, (sec, n)) => f""""$k":{"sec":$sec%.3f,"calls":$n}""" }
       .mkString("{", ",", "}")
+    // store.append wall in the SAME window as the floors — separates the
+    // append policy cost from the host-IO window (r16 verdict #7)
+    val appendSec = graft.util.PhaseTimer.snapshot()
+      .get("store.append").map(_._1).getOrElse(0.0)
+
+    // floor probe AFTER the E2E: a drifting host-IO window shows up as
+    // pre/post disagreement; the mean is the in-window floor the
+    // normalized figure divides by
+    val ioFloorPost = ioFloorSec(spark, tableB, floorFiles)
+    val calibEnd1 = graft.util.Calibrate.singleThreadSec()
+    val calibEndN = graft.util.Calibrate.multiThreadSec(cpus.toInt)
+    val ioFloorMean = (ioFloorPre + ioFloorPost) / 2.0
+    // dimensionless: E2E per-file cost over the floor's per-file cost
+    // (r15: 337.6s/10⁶ over 33.3s/10⁵ = 1.01; r16: 481s/10⁶ over
+    // 50.5s/10⁵ = 0.95 — the two "incompatible" windows reconcile to 6%)
+    val e2ePerFileOverFloor =
+      (e2eSec / nBlobs) / (ioFloorMean / floorFiles)
 
     // ---- part 3: state-store compaction + reload at the accumulated size ---
     // The E2E leaves the index at ~4×nBlobs RAW rows (one per state
@@ -179,6 +232,12 @@ object MetaScale {
       f""""gen_blobs":$linkSec%.3f,""" +
       f""""e2e_first_mirror_batch":{"sec":$e2eSec%.3f,"blobs":$nBlobs,"rows":$mirrored,"heap_after_gb":$e2eHeap%.2f},""" +
       f""""snapshot_count":{"sec":$snapshotSec%.3f,"live_files":$liveFiles}},""" +
+      f""""io_floor":{"n_files":$floorFiles,"pre_sec":$ioFloorPre%.3f,""" +
+      f""""post_sec":$ioFloorPost%.3f,"mean_sec":$ioFloorMean%.3f,""" +
+      f""""e2e_per_file_over_floor":$e2ePerFileOverFloor%.3f,""" +
+      f""""store_append_in_window_sec":$appendSec%.3f},""" +
+      s""""calib":${graft.util.Calibrate.recordJson(
+             calibStart1, calibStartN, calibEnd1, calibEndN, cpus.toInt)},""" +
       f""""e2e_breakdown":$breakdown,""" +
       f""""store_compaction":{"raw_rows":$rawRows,"raw_mb":${rawBytes / 1048576.0}%.1f,""" +
       f""""compact_sec":$compactSec%.3f,"live_rows":$liveRows,""" +

@@ -23,10 +23,12 @@ import java.time.temporal.ChronoUnit
   * leaves avoid quotes/backslashes; regex-taking functions and functions
   * with documented-arbitrary ordering are out. The dynamic BAG family
   * (bag_pack/bag_merge/bag_set_key/bag_remove_keys/bag_keys/bag_has_key/
-  * extractjson — JSON-string currency) fuzzes on the Spark lane only:
-  * bags are this engine's own currency with deterministic contracts
-  * (insertion-order bag_pack, sorted-key earlier-wins bag_merge), not a
-  * portable SQL surface.
+  * extractjson — JSON-string currency) twins through DuckDB's native JSON
+  * type since round 17 (r16 verdict #4): json_object preserves bag_pack's
+  * insertion order; the check_fuzz-defined bag_sort/bag_remove macros
+  * reproduce the sorted-key contracts of merge/set/remove; bag results
+  * compare as ordered (key, value) pairs. The only remaining skips are
+  * structural: a datetime_add/diff whose unit argument is not a literal.
   */
 object ScalarFuzz {
 
@@ -104,12 +106,16 @@ object ScalarFuzz {
     case Call(op, a, _) =>
       val subs     = a.map(duck)
       val subSkips = subs.flatMap(_.left.toOption).flatten.toVector
-      // ops with no faithful DuckDB twin regardless of their subtree (the
-      // bag family's JSON-string currency), plus structural refusals (a
-      // datetime unit the renderer can only emit for a literal)
+      // structural refusals only (a datetime unit the renderer can only
+      // emit for a literal). The bag family twins through DuckDB's native
+      // JSON type since round 17 (r16 verdict #4): bags render as JSON
+      // text — `json_object` preserves bag_pack's insertion order, and the
+      // `bag_sort`/`bag_remove` macros check_fuzz defines reproduce the
+      // engine's sorted-key contracts for merge/set/remove — so key-order-
+      // dependent downstream compositions (strcat_array over bag_keys)
+      // compare exactly, not just set-wise.
       val hereSkip: Vector[String] =
-        if (op.startsWith("bag_") || op == "extractjson") Vector(op)
-        else if ((op == "datetime_add" || op == "datetime_diff") &&
+        if ((op == "datetime_add" || op == "datetime_diff") &&
           !a.headOption.exists { case Lit(VStr(_), _) => true; case _ => false })
           Vector(s"$op(non-literal-unit)")
         else Vector.empty
@@ -143,9 +149,13 @@ object ScalarFuzz {
           case "strlen"  => s"CAST(length(${x(0)}) AS BIGINT)"
           case "countof" => // OVERLAPPING plain-text count (the ADX default):
             // every start offset where the needle matches, via a positional
-            // scan — NOT the replace() trick, which misses self-overlaps
-            s"CAST(len(list_filter(range(1, greatest(length(${x(0)}) - length(${x(1)}) + 2, 1)), " +
-              s"__i -> substring(${x(0)}, __i, length(${x(1)})) = ${x(1)})) AS BIGINT)"
+            // scan — NOT the replace() trick, which misses self-overlaps.
+            // Empty-needle guard mirrors KqlCompat's plainCountof (0, not
+            // len+1 vacuous matches) — the generator pool is never empty
+            // today, but a future pool change must not desync three lanes.
+            s"CAST(CASE WHEN length(${x(1)}) = 0 THEN 0 ELSE " +
+              s"len(list_filter(range(1, greatest(length(${x(0)}) - length(${x(1)}) + 2, 1)), " +
+              s"__i -> substring(${x(0)}, __i, length(${x(1)})) = ${x(1)})) END AS BIGINT)"
           case "tostring" => s"CAST(${x(0)} AS VARCHAR)"
           case "indexof" => s"CAST(strpos(${x(0)}, ${x(1)}) - 1 AS BIGINT)"
           case "strcat_array" => s"array_to_string(${x(0)}, ${x(1)})"
@@ -198,6 +208,20 @@ object ScalarFuzz {
           case "array_index_of" =>
             s"CAST(COALESCE(list_position(${x(0)}, ${x(1)}), 0) - 1 AS BIGINT)"
           case "split" => s"string_split(${x(0)}, ${x(1)})"
+          // bags — JSON-text currency on the DuckDB side too. Key order is
+          // part of the engine contract and is reproduced exactly:
+          // insertion order from json_object, sorted keys from the
+          // bag_sort/bag_remove macros (defined by check_fuzz.py).
+          case "bag_pack" => s"json_object(${x.mkString(", ")})"
+          case "bag_merge" => // earlier argument wins -> patch the LATER with the EARLIER
+            s"bag_sort(json_merge_patch(${x(1)}, ${x(0)}))"
+          case "bag_set_key" => // new pair overwrites; output keys sorted
+            s"bag_sort(json_merge_patch(${x(0)}, json_object(${x(1)}, ${x(2)})))"
+          case "bag_remove_keys" => s"bag_remove(${x(0)}, ${x(1)})"
+          case "bag_keys"        => s"json_keys(${x(0)})"
+          case "bag_has_key"     => s"list_contains(json_keys(${x(0)}), ${x(1)})"
+          case "extractjson"     => // args are (path, bag); absent key -> NULL
+            s"json_extract_string(${x(1)}, ${x(0)})"
           case other => sys.error(s"duck renderer hole: $other")
         })
       }

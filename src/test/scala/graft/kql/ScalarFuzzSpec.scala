@@ -109,24 +109,16 @@ class ScalarFuzzSpec extends SparkSuite {
     assert(got == null, s"absent-key extractjson returned $got")
   }
 
-  test("duck renderer covers every non-bag composition of the standing case list") {
-    // the DuckDB lane must not silently shrink: every composition whose
-    // operators are portable SQL gets a twin; only bag-family cases may
-    // opt out. A renderer hole would surface here, not as silent skips.
+  test("duck renderer covers every composition of the standing case list") {
+    // the DuckDB lane must not silently shrink: since the r17 bag-family
+    // port (JSON-type twins) every composition gets a twin except the
+    // structural datetime non-literal-unit refusal, which this seed's
+    // generator never produces (units come from literal pools). A renderer
+    // hole would surface here, not as silent skips.
     val cs = ScalarFuzz.cases(N, Seed)
-    val missing = cs.filter { case (_, _, n) =>
-      ScalarFuzz.renderDuck(n).isEmpty && !usesBag(n)
-    }
+    val missing = cs.filter { case (_, _, n) => ScalarFuzz.renderDuck(n).isEmpty }
     assert(missing.isEmpty,
-      s"${missing.size} non-bag compositions lack a DuckDB twin: " +
+      s"${missing.size} compositions lack a DuckDB twin: " +
         missing.take(3).map(c => ScalarFuzz.render(c._3)).mkString(" | "))
-    val twinned = cs.count(c => ScalarFuzz.renderDuck(c._3).nonEmpty)
-    assert(twinned >= N / 2, s"only $twinned of $N cases have DuckDB twins")
-  }
-
-  private def usesBag(n: Node): Boolean = n match {
-    case Call(op, args, _) =>
-      op.startsWith("bag_") || op == "extractjson" || args.exists(usesBag)
-    case _ => false
   }
 }

@@ -211,6 +211,25 @@ class CheckpointStoreSpec extends SparkSuite {
     intercept[java.util.ConcurrentModificationException](store.append(Seq(c)))
   }
 
+  test("a stray non-numeric seg-prefixed file is skipped, not a read-bricking parse error (r16 advice)") {
+    val dir   = tmpDir("ckpt-straysegname")
+    val store = new CheckpointStore(spark, dir)
+    val a = fullItem.copy(tableName = "t", blobPath = Some("stray-a.parquet"))
+    val b = fullItem.copy(tableName = "t", blobPath = Some("stray-b.parquet"))
+    store.append(Seq(a))
+    // a hand-dropped file outside the writer contract (`seg-NNNNNN-<uid>`):
+    // before the digit filter this threw NumberFormatException from every
+    // storeFiles() sort, bricking ALL reads until hand-removed
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "index.csv.seg-foo"),
+      "junk".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(store.readAll() == Seq(a), "stray seg name broke reads")
+    store.append(Seq(b)) // appends keep numbering from the VALID segments
+    assert(store.readAll().toSet == Set(a, b))
+    store.compact()
+    assert(store.readAll().toSet == Set(a, b))
+  }
+
   test("readTable equals readAll filtered under interleaved appends/compactions (r15 per-table index)") {
     val store = new CheckpointStore(spark, tmpDir("ckpt-bytable"))
     val rnd   = new scala.util.Random(15L)

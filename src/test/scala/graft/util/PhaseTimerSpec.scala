@@ -33,6 +33,46 @@ class PhaseTimerSpec extends AnyFunSuite {
     PhaseTimer.reset()
   }
 
+  test("nested time attributes to the innermost label only: sum(phases) <= wall (r16 verdict #5)") {
+    PhaseTimer.reset()
+    val t0 = System.nanoTime()
+    PhaseTimer.time("outer") {
+      Thread.sleep(10)
+      PhaseTimer.time("inner") { Thread.sleep(20) }
+      PhaseTimer.time("inner") { Thread.sleep(20) }
+      Thread.sleep(10)
+    }
+    val wall = (System.nanoTime() - t0) / 1e9
+    val snap = PhaseTimer.snapshot()
+    val (outerSec, outerCalls) = snap("outer")
+    val (innerSec, innerCalls) = snap("inner")
+    assert(outerCalls == 1 && innerCalls == 2)
+    // inner gets its own ~40ms; outer gets ONLY its ~20ms residual
+    assert(innerSec >= 0.035, s"inner under-attributed: $innerSec")
+    assert(outerSec >= 0.015, s"outer residual lost: $outerSec")
+    assert(outerSec < innerSec, s"outer still includes inner: outer=$outerSec inner=$innerSec")
+    // the pinned contract: same-thread phases are DISJOINT
+    assert(outerSec + innerSec <= wall + 1e-3,
+      s"sum(phases) ${outerSec + innerSec} exceeds wall $wall")
+    PhaseTimer.reset()
+  }
+
+  test("deeper nests subtract the whole child span from the direct parent only") {
+    PhaseTimer.reset()
+    PhaseTimer.time("a") {
+      PhaseTimer.time("b") {
+        PhaseTimer.time("c") { Thread.sleep(15) }
+      }
+      Thread.sleep(5)
+    }
+    val snap = PhaseTimer.snapshot()
+    // c owns the sleep; b is a thin wrapper (~0); a owns only its 5ms tail
+    assert(snap("c")._1 >= 0.012, s"c: ${snap("c")._1}")
+    assert(snap("b")._1 < 0.010, s"b should be near-zero self time: ${snap("b")._1}")
+    assert(snap("a")._1 < snap("c")._1, s"a=${snap("a")._1} c=${snap("c")._1}")
+    PhaseTimer.reset()
+  }
+
   test("concurrent adds from parallel workers do not lose counts") {
     PhaseTimer.reset()
     val threads = (1 to 8).map(_ => new Thread(() =>
