@@ -869,7 +869,14 @@ object KqlPipeline {
     * deterministic path per pair (the lexicographically smallest node
     * array); `output=all` keeps every distinct shortest path. where/project
     * see the endpoint node aliases (`x.col`, `y.col`) plus `<e>_hops`
-    * (long) and `<e>_path` (the node-id array, start inclusive). Self-pairs
+    * (long) and `<e>_path` (the node-id array, start inclusive). When
+    * `output=any` and no consumer mentions `<e>_path`, the BFS runs a
+    * no-path fast lane: bare (start, cur) pairs with hops = the level
+    * counter — no array concat or min(array) fold per level. The edge
+    * frame and each level frame are eagerly localCheckpoint-ed (each has
+    * 2-3 lazy consumers that would otherwise re-run the whole prefix of
+    * the loop; the 100× profile showed seven full edge-subtree scans per
+    * run before this). Self-pairs
     * appear when a genuine cycle closes (hops >= 1). A lower bound lo > 1
     * answers "shortest qualifying walk of length in [lo, hi]": levels below
     * lo expand unpruned (a pair's shorter reach must not mask its first
@@ -919,7 +926,22 @@ object KqlPipeline {
       }
       if (pushable.isEmpty) None else Some(pushable.mkString(" AND "))
     }
-    val edges = g.edges.select(col(g.src).as("__sp_esrc"), col(g.dst).as("__sp_edst"))
+    val edges0 = g.edges.select(col(g.src).as("__sp_esrc"), col(g.dst).as("__sp_edst"))
+    // The edge frame is consumed by the seed pass AND by every BFS level's
+    // expand join; left lazy, each consumer re-derives the whole edge
+    // subtree (seven full lineitem scans per run at the 100× replica —
+    // tools.QueryProfile, round 17). One eager localCheckpoint
+    // materializes it once; block lifetime ties to frame reachability and
+    // it is released explicitly after the loop, since every surviving
+    // frame is checkpointed itself (the markComponents pattern). The
+    // checkpoint materializes the DISTINCT edge set: parallel duplicate
+    // edges (many orders linking one customer–supplier pair) can never
+    // change this operator's answer — paths carry node ids only and
+    // dedupLevel collapses them at every level — but they multiply every
+    // expand join's intermediate size first. hi == 1 has a single
+    // consumer and dedupLevel already dedups its one level — no
+    // checkpoint, no extra distinct.
+    val edges = if (hi >= 2) edges0.distinct().localCheckpoint(true) else edges0
     val seeded = seedPred match {
       case Some(p) if g.implicitNodes =>
         // implicit nodes carry ONLY the id, which IS the edge source value —
@@ -933,14 +955,36 @@ object KqlPipeline {
           col("__sp_esrc") === col("__sp_seed"), "left_semi")
       case None => edges
     }
+    // No-path fast lane (round 17, from the 100× QueryProfile): when
+    // output=any and neither where nor project mentions `<e>_path`, the
+    // hops answer needs only WHICH pairs first-reach at each level — the
+    // BFS carries bare (start, cur) string pairs with hops = the level
+    // counter, and the per-level dedup is a plain distinct. That deletes
+    // the per-row array concat and the min(array)-per-pair fold, the
+    // profile's heaviest jobs (both registry BFS queries project hops
+    // only). output=all must keep paths: its row count IS the number of
+    // distinct shortest paths per pair.
+    val carryPath = outputAll || projectPart.isEmpty ||
+      (wherePart.toSeq ++ projectPart.toSeq).exists(_.contains(s"${e}_path"))
     // one deterministic path per pair (min array) vs all distinct paths
     def dedupLevel(df: DataFrame): DataFrame =
-      if (outputAll) df.distinct()
+      if (!carryPath || outputAll) df.distinct()
       else df.groupBy(col("__sp_start"), col("__sp_cur"))
         .agg(min(col("__sp_path")).as("__sp_path"))
-    var frontier = dedupLevel(seeded.select(
-      col("__sp_esrc").as("__sp_start"), col("__sp_edst").as("__sp_cur"),
-      array(col("__sp_esrc"), col("__sp_edst")).as("__sp_path")))
+    // every surviving level frame is eagerly checkpointed: acc, reached,
+    // and the next level's expand all re-consume it, and as lazy plans
+    // those three consumers would each re-run the level's join (and,
+    // transitively, every level below it)
+    def ck(df: DataFrame): DataFrame = if (hi >= 2) df.localCheckpoint(true) else df
+    // in the fast lane the level number rides along as the hops value
+    def withHops(df: DataFrame, level: Int): DataFrame =
+      if (carryPath) df else df.withColumn("__sp_hops", lit(level))
+    var frontier = ck(dedupLevel(
+      if (carryPath) seeded.select(
+        col("__sp_esrc").as("__sp_start"), col("__sp_edst").as("__sp_cur"),
+        array(col("__sp_esrc"), col("__sp_edst")).as("__sp_path"))
+      else seeded.select(
+        col("__sp_esrc").as("__sp_start"), col("__sp_edst").as("__sp_cur"))))
     // acc/reached start at level lo: below it every walk keeps extending
     // unpruned (a pair's sub-lo reach must not block its first QUALIFYING
     // reach), from lo on the standard first-reach anti-join prunes. The
@@ -948,29 +992,39 @@ object KqlPipeline {
     // level l' >= lo, any longer route through u would give (s,t) a
     // qualifying walk shorter than its supposed minimum — contradiction.
     var reached = if (lo <= 1) frontier.select(col("__sp_start"), col("__sp_cur")) else null
-    var acc     = if (lo <= 1) frontier else null
+    var acc     = if (lo <= 1) withHops(frontier, 1) else null
     for (level <- 2 to hi) {
-      val expanded = dedupLevel(frontier.join(edges, col("__sp_cur") === col("__sp_esrc"))
-        .select(col("__sp_start"), col("__sp_edst").as("__sp_cur"),
-          concat(col("__sp_path"), array(col("__sp_edst"))).as("__sp_path")))
-      val nxt =
+      val expandJoin = frontier.join(edges, col("__sp_cur") === col("__sp_esrc"))
+      val expanded = dedupLevel(
+        if (carryPath) expandJoin.select(
+          col("__sp_start"), col("__sp_edst").as("__sp_cur"),
+          concat(col("__sp_path"), array(col("__sp_edst"))).as("__sp_path"))
+        else expandJoin.select(col("__sp_start"), col("__sp_edst").as("__sp_cur")))
+      val nxt = ck(
         if (reached == null) expanded
-        else expanded.join(reached, Seq("__sp_start", "__sp_cur"), "left_anti")
+        else expanded.join(reached, Seq("__sp_start", "__sp_cur"), "left_anti"))
       if (level >= lo) {
         if (acc == null) {
-          acc     = nxt
+          acc     = withHops(nxt, level)
           reached = nxt.select(col("__sp_start"), col("__sp_cur"))
         } else {
-          acc     = acc.unionByName(nxt)
+          acc     = acc.unionByName(withHops(nxt, level))
           reached = reached.unionByName(nxt.select(col("__sp_start"), col("__sp_cur")))
         }
       }
       frontier = nxt
     }
+    // acc/reached/frontier are all views over the checkpointed level
+    // frames — nothing can re-derive from the edge blocks anymore
+    if (hi >= 2) graft.util.Checkpoints.release(edges)
     require(acc != null, s"graph-shortest-paths: internal — no level reached lo=$lo")
-    val bfs = acc
-      .withColumn(s"${e}_hops", (size(col("__sp_path")) - 1).cast("long"))
-      .withColumnRenamed("__sp_path", s"${e}_path")
+    val bfs =
+      if (carryPath) acc
+        .withColumn(s"${e}_hops", (size(col("__sp_path")) - 1).cast("long"))
+        .withColumnRenamed("__sp_path", s"${e}_path")
+      else acc
+        .withColumn(s"${e}_hops", col("__sp_hops").cast("long"))
+        .drop("__sp_hops")
     // implicit nodes have exactly one column — the id, which already rides
     // in the BFS frame as start/cur — so `x.node_id`/`y.node_id` substitute
     // textually and BOTH endpoint joins (each a full distinct at scale)
