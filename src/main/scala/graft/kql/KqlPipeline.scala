@@ -722,6 +722,7 @@ object KqlPipeline {
     * answer set at O(hi) joins regardless of path multiplicity.
     */
   private def graphMatch(g: GraphCtx, rest: String): DataFrame = {
+    import java.util.regex.{Matcher, Pattern}
     val (beforeProject, projectPart) = splitAtTopLevelKeyword(rest, "project")
     val (patternStr, wherePart)      = splitAtTopLevelKeyword(beforeProject, "where")
     val NodeRe = """^\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*""".r
@@ -756,24 +757,62 @@ object KqlPipeline {
     val allHops = paths.flatMap(_.hops)
     require(allHops.nonEmpty, s"graph-match needs at least one edge: '$patternStr'")
 
+    // Implicit-node elision (optimization round 17): an implicit node set is
+    // BY CONSTRUCTION the distinct endpoints of the edge frame, so every
+    // node-frame join in the chain lowering is a semantic no-op — an edge's
+    // src/dst always matches exactly one distinct-endpoint row. Joining them
+    // anyway cost a full distinct-aggregate over the edge subtree PER node
+    // variable PER chain (the 100× profile of q_kql_graph_varlen_agg: 78
+    // parquet scans / 52 exchanges for a *1..2 pattern). When the pattern
+    // has an explicit `project` (so the output schema is pinned by the query
+    // text), bind each node variable textually to its edge endpoint column
+    // instead — the same move graphShortestPaths' seed pass makes. Explicit
+    // node frames keep the join lowering: they carry real node columns
+    // (x.kind) and possibly restrict membership.
+    val elide = g.implicitNodes && projectPart.isDefined
+    val choices = allHops.map(h => h.range.map { case (lo, hi) => lo to hi }.getOrElse(1 to 1))
+    val combos  = choices.foldLeft(Seq(Seq.empty[Int]))((acc, r) =>
+      acc.flatMap(pfx => r.map(pfx :+ _)))
+    require(combos.size <= 64,
+      s"variable-length expansion too large (${combos.size} > 64 chains)")
+    // The edge frame is consumed once per hop per chain; left lazy, every
+    // consumer re-derives the whole edge subtree (join + union + filters).
+    // One eager localCheckpoint materializes it once — block lifetime ties
+    // to frame reachability (the markComponents pattern). NO distinct here:
+    // graph-match is homomorphic path enumeration, parallel edges are
+    // distinct matches. Single-consumer patterns skip the materialization.
+    val gEdges = if (elide && combos.map(_.sum).sum > 1)
+      g.edges.localCheckpoint(true) else g.edges
+
     // `all(e.col)` / `any(e.col)` over a variable hop's edges → the
     // hop-ordered array of this branch's per-edge values
     def branchTx(s: String, hopAliases: Map[String, Seq[String]]): String =
       hopAliases.foldLeft(s) { case (acc, (e, aliases)) =>
         val re = ("""(?i)(?<![A-Za-z0-9_])(?:all|any)\s*\(\s*""" +
-          java.util.regex.Pattern.quote(e) +
+          Pattern.quote(e) +
           """\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)""").r
-        re.replaceAllIn(acc, m => java.util.regex.Matcher.quoteReplacement(
+        re.replaceAllIn(acc, m => Matcher.quoteReplacement(
           aliases.map(a => s"$a.${m.group(1)}").mkString("array(", ", ", ")")))
       }
 
-    def projected(frame: DataFrame, hopAliases: Map[String, Seq[String]]): DataFrame =
+    // under elision `x.node_id` refs rewrite to the bound edge endpoint
+    // column (`__ge1.src`) — implicit nodes carry ONLY the id column
+    def nodeTx(s: String, bound: Map[String, String]): String =
+      if (!elide) s
+      else bound.foldLeft(s) { case (acc, (v, ref)) =>
+        ("(?i)(?<![A-Za-z0-9_.])" + Pattern.quote(v) + """\s*\.\s*""" +
+          Pattern.quote(g.id) + "(?![A-Za-z0-9_])").r
+          .replaceAllIn(acc, Matcher.quoteReplacement(ref))
+      }
+
+    def projected(frame: DataFrame, hopAliases: Map[String, Seq[String]],
+                  bound: Map[String, String]): DataFrame =
       projectPart match {
         case Some(items) =>
           val cols = splitTopLevel(items, ',').map(_.trim).filter(_.nonEmpty).map { it =>
             assignment(it) match {
-              case Some((n2, e2)) => expr(tx(branchTx(e2, hopAliases))).as(n2)
-              case None           => expr(tx(branchTx(it, hopAliases)))
+              case Some((n2, e2)) => expr(tx(branchTx(nodeTx(e2, bound), hopAliases))).as(n2)
+              case None           => expr(tx(branchTx(nodeTx(it, bound), hopAliases)))
             }
           }
           frame.select(cols: _*)
@@ -786,20 +825,25 @@ object KqlPipeline {
       * on its existing alias. Returns the frame plus the per-variable-hop
       * edge aliases this branch used (for all()/any()).
       */
-    def chain(lengths: Seq[Int]): (DataFrame, Map[String, Seq[String]]) = {
+    def chain(lengths: Seq[Int]): (DataFrame, Map[String, Seq[String]], Map[String, String]) = {
       var out: DataFrame = null
       var bound      = Map.empty[String, String]      // node var → qualified id
       var hopAliases = Map.empty[String, Seq[String]] // varlen edge → aliases
       var anon = 0
       var li   = 0
       paths.foreach { p =>
+        // under elision the first path's start variable binds at its first
+        // edge join (to that edge's src column) — `null` marks the deferral
         var prev = bound.getOrElse(p.start, {
           require(out == null,
             s"graph-match: path starting at unbound '${p.start}' is disconnected " +
               "(a cross product) — start later paths at an already-bound node variable")
-          out    = g.nodes.alias(p.start)
-          bound += p.start -> s"${p.start}.${g.id}"
-          s"${p.start}.${g.id}"
+          if (elide) null
+          else {
+            out    = g.nodes.alias(p.start)
+            bound += p.start -> s"${p.start}.${g.id}"
+            s"${p.start}.${g.id}"
+          }
         })
         p.hops.foreach { h =>
           val len = lengths(li); li += 1
@@ -808,18 +852,30 @@ object KqlPipeline {
             val last   = i == len
             val eAlias = if (h.range.isEmpty) h.edge else { anon += 1; s"__ge$anon" }
             branchAliases += eAlias
-            out = out.join(g.edges.alias(eAlias), col(prev) === col(s"$eAlias.${g.src}"))
+            val eFrame = gEdges.alias(eAlias)
+            if (prev == null) {
+              out    = eFrame
+              bound += p.start -> s"$eAlias.${g.src}"
+              prev   = s"$eAlias.${g.src}"
+            } else {
+              out = out.join(eFrame, col(prev) === col(s"$eAlias.${g.src}"))
+            }
             if (last) {
               bound.get(h.node) match {
                 case Some(ref) =>
                   out  = out.filter(col(s"$eAlias.${g.dst}") === col(ref))
                   prev = ref
+                case None if elide =>
+                  bound += h.node -> s"$eAlias.${g.dst}"
+                  prev   = s"$eAlias.${g.dst}"
                 case None =>
                   out = out.join(g.nodes.alias(h.node),
                     col(s"$eAlias.${g.dst}") === col(s"${h.node}.${g.id}"))
                   bound += h.node -> s"${h.node}.${g.id}"
                   prev = s"${h.node}.${g.id}"
               }
+            } else if (elide) {
+              prev = s"$eAlias.${g.dst}"
             } else {
               anon += 1
               val nAlias = s"__gn$anon"
@@ -835,22 +891,17 @@ object KqlPipeline {
           }
         }
       }
-      (wherePart.map(p => out.filter(expr(tx(branchTx(p, hopAliases)))))
-        .getOrElse(out), hopAliases)
+      (wherePart.map(p => out.filter(expr(tx(branchTx(nodeTx(p, bound), hopAliases)))))
+        .getOrElse(out), hopAliases, bound)
     }
 
     if (allHops.forall(_.range.isEmpty)) {
-      val (f, m) = chain(allHops.map(_ => 1)); projected(f, m)
+      val (f, m, b) = chain(allHops.map(_ => 1)); projected(f, m, b)
     } else {
       require(projectPart.isDefined,
         "graph-match with a variable-length hop needs an explicit `project` " +
           "(the union of expansions flattens the pattern aliases)")
-      val choices = allHops.map(h => h.range.map { case (lo, hi) => lo to hi }.getOrElse(1 to 1))
-      val combos  = choices.foldLeft(Seq(Seq.empty[Int]))((acc, r) =>
-        acc.flatMap(pfx => r.map(pfx :+ _)))
-      require(combos.size <= 64,
-        s"variable-length expansion too large (${combos.size} > 64 chains)")
-      combos.map { ls => val (f, m) = chain(ls); projected(f, m) }
+      combos.map { ls => val (f, m, b) = chain(ls); projected(f, m, b) }
         .reduce(_ unionByName _)
     }
   }

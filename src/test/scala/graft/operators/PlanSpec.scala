@@ -275,18 +275,48 @@ class PlanSpec extends SparkSuite {
     assert(!s.contains("SortMergeJoin"), s) // cohort totals ride a broadcast
   }
 
-  test("graph-match varlen: bounded union of fixed chains, edge filters pushed") {
+  test("graph-match varlen: bounded union of fixed chains over ONE edge materialization") {
     val s = finalPlan("q_kql_graph_varlen_agg")
     // *1..2 must plan as a UNION of exactly the 2 fixed chains — the
     // documented path-enumeration contract (path multiplicity matters for
     // all(e.qty) folds); pair-reachability questions take the BFS operator
     // (see the graph-match scaladoc crossover note)
     assert(s.contains("Union"), s)
-    // the qty >= 48 step predicate must reach the lineitem scans of BOTH
-    // chain legs — pushdown is what keeps each leg ~2% of the edge table
-    val pushed = s.linesIterator.count(_.contains("GreaterThanOrEqual(l_quantity,48"))
-    assert(pushed >= 2, s"edge predicate not pushed into both chain legs:\n$s")
+    // round 17: the edge frame (qty >= 48, filter pushed at materialization)
+    // is localCheckpoint-ed ONCE and every chain leg reads the checkpoint —
+    // the final plan must carry NO parquet re-scan (the pre-fix plan
+    // re-derived the orders⋈lineitem edge subtree 13×: 78 parquet scans /
+    // 52 exchanges), and under implicit-node elision NO distinct-endpoint
+    // node aggregation survives either
+    assert(!s.contains("Scan parquet"),
+      s"edge subtree re-derived from parquet instead of the one checkpoint:\n$s")
+    val rddScans = s.linesIterator.count(_.contains("Scan ExistingRDD"))
+    assert(rddScans >= 3, s"expected >=3 checkpoint reads (1-hop leg + 2-hop leg x2):\n$s")
     assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("graph-match implicit-node elision returns exactly the node-join lowering's rows") {
+    // the elision's correctness contract, pinned as an A/B: the SAME edges
+    // matched with implicit nodes (elided — no node joins) and with an
+    // explicit node table equal to the distinct endpoint set (join lowering)
+    // must produce identical multisets, including a cycle-closing repeat
+    // variable and a variable-length hop with an all() fold
+    def kql(body: String) = graft.kql.KqlPipeline.run(
+      Map.empty[String, org.apache.spark.sql.DataFrame], body)
+    val edges = """datatable (s:string, d:string, w:long) [
+      |   'a', 'b', 1, 'b', 'c', 2, 'a', 'c', 3, 'c', 'a', 4, 'b', 'c', 5 ]""".stripMargin
+    val nodesLet = """let N = datatable (node_id:string) [ 'a', 'b', 'c' ];"""
+    for (pattern <- Seq(
+      "(x)-[e*1..2]->(y)\n    project dst = y.node_id, hops = e_hops, ws = tolong(array_sum(all(e.w)))",
+      "(x)-[e1]->(y)-[e2]->(x)\n    project x = x.node_id, y = y.node_id")) {
+      val implicitRows = kql(
+        s"$edges\n | make-graph s --> d\n | graph-match $pattern")
+        .collect().map(_.toString).sorted.toSeq
+      val explicitRows = kql(
+        s"$nodesLet\n$edges\n | make-graph s --> d with N on node_id\n | graph-match $pattern")
+        .collect().map(_.toString).sorted.toSeq
+      assert(implicitRows == explicitRows, s"elision diverged for $pattern")
+    }
   }
 
   test("graph-shortest-paths: seeded BFS with no node-frame distincts") {
