@@ -104,6 +104,28 @@ def main():
             except (KeyError, TypeError):
                 print(f"{meta_name[:-5]}: SKIPPED (stage record missing keys)")
             continue
+        if "rep1" in meta and "e2e_reps_sec" in meta:
+            # r17 two-rep SELF-NORMALIZING record: full per-rep records under
+            # rep1/rep2, each carrying its own in-record io_floor block
+            try:
+                reps = [meta["rep1"], meta["rep2"]]
+                e2e = "/".join(
+                    f"{r['phases']['e2e_first_mirror_batch']['sec']:.1f}" for r in reps)
+                floors = "/".join(
+                    f"{r['io_floor']['pre_sec']:.1f}+{r['io_floor']['post_sec']:.1f}"
+                    for r in reps)
+                norm = "/".join(
+                    f"{r['io_floor']['e2e_per_file_over_floor']:.2f}" for r in reps)
+                app = "/".join(
+                    f"{r['io_floor']['store_append_in_window_sec']:.1f}" for r in reps)
+                print(f"{meta_name[:-5]}: E2E {meta['n_blobs']} blobs {e2e} s (2 reps); "
+                      f"in-record IO floors {floors} s per "
+                      f"{reps[0]['io_floor']['n_files']} files; "
+                      f"normalized-to-floor {norm}x per-file; "
+                      f"store.append in-window {app} s")
+            except (KeyError, TypeError):
+                print(f"{meta_name[:-5]}: SKIPPED (two-rep record missing keys)")
+            continue
         # same missing-key tolerance as the BENCH_LOCAL/BENCH_SF records: one
         # malformed or partial BENCH_META file must skip, not crash the survey
         try:
