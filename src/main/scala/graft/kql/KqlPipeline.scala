@@ -778,31 +778,58 @@ object KqlPipeline {
     // The edge frame is consumed once per hop per chain; left lazy, every
     // consumer re-derives the whole edge subtree (join + union + filters).
     // One eager localCheckpoint materializes it once — block lifetime ties
-    // to frame reachability (the markComponents pattern). NO distinct here:
-    // graph-match is homomorphic path enumeration, parallel edges are
-    // distinct matches. Single-consumer patterns skip the materialization.
-    val gEdges = if (elide && combos.map(_.sum).sum > 1)
-      g.edges.localCheckpoint(true) else g.edges
+    // to frame reachability (the markComponents pattern). NOTE: the
+    // checkpoint is eager, so lowering a multi-hop elided pattern executes
+    // one Spark job over the edge subtree at DataFrame-CONSTRUCTION time —
+    // plan-only consumers (PlanDump, plan specs) pay that materialization
+    // even if the query is never collected (accepted trade, r17 advice:
+    // same posture as markComponents/BFS). NO distinct here: graph-match
+    // is homomorphic path enumeration, parallel edges are distinct
+    // matches. Single-consumer patterns skip the materialization.
+    //
+    // NULL endpoints (r17 advice, medium): the node-join lowering admits
+    // only edges with BOTH endpoints non-null — every src is equi-joined
+    // against a node id (first hop: start.id === e.src) and every dst
+    // against a node id or membership projection. The elided chain starts
+    // at the bare edge frame and binds first-src/last-dst textually, so
+    // NULL-src-first-edge / NULL-dst-last-edge rows would survive only
+    // under elision. Reproduce the join lowering's drops once up front:
+    // elision must return EXACTLY the node-join lowering's rows (pinned by
+    // the PlanSpec A/B, which carries null-endpoint edges).
+    val gEdges = {
+      val base = if (elide)
+        g.edges.filter(col(g.src).isNotNull && col(g.dst).isNotNull)
+      else g.edges
+      if (elide && combos.map(_.sum).sum > 1) base.localCheckpoint(true) else base
+    }
 
     // `all(e.col)` / `any(e.col)` over a variable hop's edges → the
     // hop-ordered array of this branch's per-edge values
+    // both rewrites run through rewriteOutsideLiterals: string literals in
+    // the where/project text stay verbatim (r17 advice — a rewrite inside a
+    // literal would fire only under elision and diverge from the join
+    // lowering, which never rewrites)
     def branchTx(s: String, hopAliases: Map[String, Seq[String]]): String =
-      hopAliases.foldLeft(s) { case (acc, (e, aliases)) =>
-        val re = ("""(?i)(?<![A-Za-z0-9_])(?:all|any)\s*\(\s*""" +
-          Pattern.quote(e) +
-          """\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)""").r
-        re.replaceAllIn(acc, m => Matcher.quoteReplacement(
-          aliases.map(a => s"$a.${m.group(1)}").mkString("array(", ", ", ")")))
+      rewriteOutsideLiterals(s) { seg =>
+        hopAliases.foldLeft(seg) { case (acc, (e, aliases)) =>
+          val re = ("""(?i)(?<![A-Za-z0-9_])(?:all|any)\s*\(\s*""" +
+            Pattern.quote(e) +
+            """\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)""").r
+          re.replaceAllIn(acc, m => Matcher.quoteReplacement(
+            aliases.map(a => s"$a.${m.group(1)}").mkString("array(", ", ", ")")))
+        }
       }
 
     // under elision `x.node_id` refs rewrite to the bound edge endpoint
     // column (`__ge1.src`) — implicit nodes carry ONLY the id column
     def nodeTx(s: String, bound: Map[String, String]): String =
       if (!elide) s
-      else bound.foldLeft(s) { case (acc, (v, ref)) =>
-        ("(?i)(?<![A-Za-z0-9_.])" + Pattern.quote(v) + """\s*\.\s*""" +
-          Pattern.quote(g.id) + "(?![A-Za-z0-9_])").r
-          .replaceAllIn(acc, Matcher.quoteReplacement(ref))
+      else rewriteOutsideLiterals(s) { seg =>
+        bound.foldLeft(seg) { case (acc, (v, ref)) =>
+          ("(?i)(?<![A-Za-z0-9_.])" + Pattern.quote(v) + """\s*\.\s*""" +
+            Pattern.quote(g.id) + "(?![A-Za-z0-9_])").r
+            .replaceAllIn(acc, Matcher.quoteReplacement(ref))
+        }
       }
 
     def projected(frame: DataFrame, hopAliases: Map[String, Seq[String]],
@@ -977,7 +1004,17 @@ object KqlPipeline {
       }
       if (pushable.isEmpty) None else Some(pushable.mkString(" AND "))
     }
-    val edges0 = g.edges.select(col(g.src).as("__sp_esrc"), col(g.dst).as("__sp_edst"))
+    // Implicit nodes: same NULL-endpoint posture as graph-match's elision
+    // (r17 advice) — the explicit-node lowering equi-joins start/cur against
+    // node ids at the end, dropping NULL endpoints; the textual-substitution
+    // path must reproduce those drops up front so implicit == explicit over
+    // the distinct endpoint set.
+    val edges0 = {
+      val base = if (g.implicitNodes)
+        g.edges.filter(col(g.src).isNotNull && col(g.dst).isNotNull)
+      else g.edges
+      base.select(col(g.src).as("__sp_esrc"), col(g.dst).as("__sp_edst"))
+    }
     // The edge frame is consumed by the seed pass AND by every BFS level's
     // expand join; left lazy, each consumer re-derives the whole edge
     // subtree (seven full lineitem scans per run at the 100× replica —
@@ -1082,9 +1119,9 @@ object KqlPipeline {
     // disappear; property-carrying node frames still join per alias
     def aliasTx(sArg: String): String =
       if (!g.implicitNodes) sArg
-      else sArg
-        .replaceAll(s"(?<![A-Za-z0-9_])$x\\s*\\.\\s*${g.id}(?![A-Za-z0-9_])", "__sp_start")
-        .replaceAll(s"(?<![A-Za-z0-9_])$y\\s*\\.\\s*${g.id}(?![A-Za-z0-9_])", "__sp_cur")
+      else rewriteOutsideLiterals(sArg)(
+        _.replaceAll(s"(?<![A-Za-z0-9_])$x\\s*\\.\\s*${g.id}(?![A-Za-z0-9_])", "__sp_start")
+          .replaceAll(s"(?<![A-Za-z0-9_])$y\\s*\\.\\s*${g.id}(?![A-Za-z0-9_])", "__sp_cur"))
     var out =
       if (g.implicitNodes) bfs
       else bfs
@@ -3631,6 +3668,32 @@ object KqlPipeline {
   private def assignment(item: String): Option[(String, String)] = item match {
     case AssignRe(name, e) => Some((name, e))
     case _                 => None
+  }
+
+  /** Apply `f` to the spans of `s` OUTSIDE single/double-quoted literals,
+    * leaving literal text verbatim. The graph lowerings' textual rewrites
+    * (node-variable binding under implicit-node elision, all()/any() hop
+    * folds) must never rewrite inside a string literal: `project tag =
+    * 'x.node_id'` would otherwise become `'__ge1.src'` under elision while
+    * the node-join lowering leaves the literal intact (r17 advice). Quote
+    * convention matches [[splitTopLevel]]: a literal ends at the next
+    * occurrence of its opening quote, no escapes.
+    */
+  private def rewriteOutsideLiterals(s: String)(f: String => String): String = {
+    val out = new StringBuilder
+    val seg = new StringBuilder
+    var q   = '\u0000'
+    var i   = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (q != '\u0000') { out.append(c); if (c == q) q = '\u0000' }
+      else if (c == '\'' || c == '"') {
+        out.append(f(seg.toString)); seg.clear(); out.append(c); q = c
+      } else seg.append(c)
+      i += 1
+    }
+    out.append(f(seg.toString))
+    out.toString
   }
 
   /** Split `s` at top-level occurrences of `sep` — outside single/double

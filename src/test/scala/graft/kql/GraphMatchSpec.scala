@@ -217,6 +217,24 @@ class GraphMatchSpec extends SparkSuite {
     assert(rows == Seq(("a", 2L), ("b", 2L)))
   }
 
+  test("graph-shortest-paths implicit nodes: NULL endpoints drop, literals stay verbatim") {
+    // r17 advice (graph-match elision's twin): the explicit-node lowering
+    // drops NULL endpoints via its id equi-joins; the implicit textual path
+    // must reproduce the drops — an 'a'→NULL edge must not surface as a
+    // dst=NULL pair. And aliasTx must never rewrite inside a string literal:
+    // tag stays the literal text 'y.node_id', not a rewritten column name.
+    val out = run(
+      """datatable (s:string, d:string) [
+        |   'a', 'b', 'b', 'c', 'a', null, null, 'b' ]
+        | | make-graph s --> d
+        | | graph-shortest-paths (x)-[e*1..2]->(y)
+        |     where x.node_id == 'a'
+        |     project dst = y.node_id, tag = 'y.node_id'
+        | | order by dst asc""".stripMargin)
+    val rows = out.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows == Seq(("b", "y.node_id"), ("c", "y.node_id")))
+  }
+
   test("graph-to-table materializes the node and edge sides") {
     val nodes = run(
       """datatable (s:string, d:string) [ 'a', 'b', 'b', 'c' ]

@@ -303,12 +303,22 @@ class PlanSpec extends SparkSuite {
     // variable and a variable-length hop with an all() fold
     def kql(body: String) = graft.kql.KqlPipeline.run(
       Map.empty[String, org.apache.spark.sql.DataFrame], body)
+    // NULL-endpoint edges (r17 advice, medium): the node-join lowering drops
+    // them via its id equi-joins; the elided lowering must filter them up
+    // front — without that, NULL-src-first-edge / NULL-dst-last-edge rows
+    // survive only under elision and this A/B diverges. N stays {a,b,c}: a
+    // NULL row in the node table could never equi-join anyway.
     val edges = """datatable (s:string, d:string, w:long) [
-      |   'a', 'b', 1, 'b', 'c', 2, 'a', 'c', 3, 'c', 'a', 4, 'b', 'c', 5 ]""".stripMargin
+      |   'a', 'b', 1, 'b', 'c', 2, 'a', 'c', 3, 'c', 'a', 4, 'b', 'c', 5,
+      |   null, 'b', 6, 'c', null, 7 ]""".stripMargin
     val nodesLet = """let N = datatable (node_id:string) [ 'a', 'b', 'c' ];"""
     for (pattern <- Seq(
       "(x)-[e*1..2]->(y)\n    project dst = y.node_id, hops = e_hops, ws = tolong(array_sum(all(e.w)))",
-      "(x)-[e1]->(y)-[e2]->(x)\n    project x = x.node_id, y = y.node_id")) {
+      "(x)-[e1]->(y)-[e2]->(x)\n    project x = x.node_id, y = y.node_id",
+      // string literals stay verbatim under every lowering (r17 advice):
+      // un-protected, elision rewrites 'x.node_id' to the bound edge column
+      // and both lowerings rewrite 'all(e.w)' to (differing) alias arrays
+      "(x)-[e*1..2]->(y)\n    project dst = y.node_id, tag = 'x.node_id', fold = 'all(e.w)'")) {
       val implicitRows = kql(
         s"$edges\n | make-graph s --> d\n | graph-match $pattern")
         .collect().map(_.toString).sorted.toSeq
