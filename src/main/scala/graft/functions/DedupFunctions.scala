@@ -199,19 +199,35 @@ object DedupFunctions {
       seed: Long = 42L,
       wordGrams: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows   = numHashes / bands
-    val params = hashParams(numHashes, seed)
+    val rows = numHashes / bands
 
-    def shingleSet(c: Column): Column =
-      if (wordGrams > 0) array_distinct(TextFunctions.wordNGrams(c, wordGrams))
-      else array_distinct(TextFunctions.shingles(c, shingleK))
-    // for word grams the lambda must read a materialized token ARRAY column,
-    // never re-tokenize per element
+    // word grams ride as 64-BIT HASHES, never as strings (optimization
+    // round 18): each word is xxhash64-ed once, each gram's hash is one
+    // xxhash64 over its n word hashes — no concat_ws string per gram, no
+    // string murmur in the signature explode, long (not string) compares in
+    // array_distinct and the exact-verify array_intersect. Downstream
+    // consumes only the hash: a 64-bit gram collision perturbs a candidate
+    // set / an intersection count with negligible probability — the same
+    // posture [[exactJaccardPairs]] codifies by joining grams on xxhash64 —
+    // and the DuckDB oracle re-verifies byte-identical output at both
+    // recorded scales (gram-hash A/B at the 100× replica:
+    // OPTIMIZATION_r18.md). The lambda reads MATERIALIZED columns (_tok,
+    // _wh), never re-derives per element; char shingles (wordGrams = 0)
+    // keep the string form — that path's substrings are cheap and no
+    // registry query uses it.
     def shingleSource(d: DataFrame, textC: String, as: String): DataFrame =
       if (wordGrams > 0)
         d.withColumn(s"_tok_$as", split(col(textC), " "))
-          .withColumn(as, shingleSet(col(s"_tok_$as"))).drop(s"_tok_$as", textC)
-      else d.withColumn(as, shingleSet(col(textC))).drop(textC)
+          .withColumn(s"_wh_$as", transform(col(s"_tok_$as"), w => xxhash64(w)))
+          .withColumn(as, array_distinct(
+            when(size(col(s"_wh_$as")) < wordGrams, array().cast("array<long>"))
+              .otherwise(transform(
+                sequence(lit(0), size(col(s"_wh_$as")) - wordGrams),
+                i => xxhash64((1 to wordGrams).map(j =>
+                  element_at(col(s"_wh_$as"), i + j)): _*)))))
+          .drop(s"_tok_$as", s"_wh_$as", textC)
+      else d.withColumn(as,
+        array_distinct(TextFunctions.shingles(col(textC), shingleK))).drop(textC)
 
     // the shingle SETS are the most expensive thing in the pipeline (tokenize
     // + n-gram expand per doc) and are read three times (signatures, and both
@@ -221,23 +237,27 @@ object DedupFunctions {
     val sets = trackPersist(shingleSource(
         df.select(col(idCol).as("id"), col(textCol).as("text")), "text", "shset"))
 
-    // signature via explode + partial aggregation: each shingle hashed ONCE,
-    // the 64 per-doc minima computed map-side (one shuffle on id). This beats
-    // the per-row array-expression form, which Catalyst re-evaluates per
-    // band (no CSE across lambda expressions).
-    val sh = sets
-      .select(col("id"), explode(col("shset")).as("s"))
-      .withColumn("h", pmod(hash(col("s")).cast("long"), lit(ParamBound)))
-    val sigs = sh.groupBy("id").agg(
-      min(pmod(col("h") * params.head._1 + params.head._2, lit(SigPrime))).as("m0"),
-      params.zipWithIndex.tail.map { case ((a, b), i) =>
-        min(pmod(col("h") * a + b, lit(SigPrime))).as(s"m$i")
-      }: _*)
-
+    // signature via ONE native pass per row (minhash_sig, optimization
+    // round 18): all 64 slot minima computed in a tight primitive loop
+    // inside whole-stage codegen, numerically identical to the prior
+    // explode + 64-column min-aggregate lowering (same seeded parameter
+    // draw, same pmod arithmetic — MinHashParitySpec pins the equality)
+    // but without pushing corpus×grams generator rows through aggregate
+    // buffers and a shuffle — the pipeline's heaviest stage at the 100×
+    // replica (OPTIMIZATION_r18.md). A NULL signature marks an empty gram
+    // set; filtering it keeps the signature table row-identical to the
+    // aggregate form, which emitted no row for such docs. (The per-row
+    // BUILT-IN array-expression form stays off the table: Catalyst
+    // re-evaluates the base array per hash function — no CSE across
+    // lambdas; the native expression sidesteps that entirely.)
     // persisted: read by the band explode AND the signature gather
     val withSig = trackPersist(
-      sigs.withColumn("sig", array((0 until numHashes).map(i => col(s"m$i")): _*))
-        .select("id", "sig"))
+      sets.select(col("id"),
+          graft.functions.expressions.MinHashSig.minHashSig(
+            if (wordGrams > 0) col("shset")
+            else transform(col("shset"), s => hash(s).cast("long")),
+            numHashes, seed).as("sig"))
+        .filter(col("sig").isNotNull))
 
     // the bucket self-join carries ONLY (id, band, bandHash) — 24-byte
     // rows. Carrying the 512-byte signature arrays through a sort-merge
