@@ -6612,8 +6612,17 @@ object Surface {
           grams.groupBy("h")
             .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
             .filter(col("d0") =!= col("d1")).select("h"))
+        // shuffle_hash pin (r18): left to the planner, the dup set's
+        // cached-size estimate sits under the broadcast threshold at the
+        // 100× replica and the join becomes a BroadcastHashJoin whose
+        // relation is built+compressed on ONE driver thread — thread dumps
+        // showed ~17 s per rep of zero executor activity with only the
+        // broadcast-exchange thread running (≈40% of the rep). Hash-
+        // building the dup side per partition parallelizes that wall; the
+        // bloom prefilter has already shrunk the gram side, so the extra
+        // exchange is small at every scale.
         val hits = DedupFunctions.bloomSemiPrefilter(grams, dup, "h")
-          .join(dup, "h").select(col("doc_id"), col("pos"))
+          .join(dup.hint("shuffle_hash"), "h").select(col("doc_id"), col("pos"))
         val w = Window.partitionBy("doc_id").orderBy("pos")
         hits.withColumn("nxt", lead(col("pos"), 1).over(w))
           .groupBy("doc_id")
