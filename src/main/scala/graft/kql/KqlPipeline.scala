@@ -2444,14 +2444,24 @@ object KqlPipeline {
       // longest-prefix CIDR match as a BUCKETED EQUI-JOIN — never a range
       // theta-join. TWO bucket tiers bound the LUT-side explode at 256
       // rows for ANY mask: CIDRs with mask ≥ 8 explode to the /16 buckets
-      // they cover (2^(16−m), ≤ 256) and join facts on ipn>>16; wider
-      // CIDRs (mask < 8, e.g. a /4 or the /0 default route) explode to /8
-      // buckets (2^(8−m), ≤ 256) and join on ipn>>24. A residual range
-      // filter keeps real containment. Longest prefix wins per fact row
-      // (mask desc, cidr desc tie-break — the oracle orders the same way)
-      // via a hash max_by over the UNION of both legs: partial aggregation
-      // collapses a row's matches inside the join tasks, no window, no
-      // sort. ZipIndex supplies the deterministic row id.
+      // they cover (2^(16−m), ≤ 256); wider CIDRs (mask < 8, e.g. a /4 or
+      // the /0 default route) explode to /8 buckets (2^(8−m), ≤ 256). The
+      // tiers union into ONE broadcastable dim keyed (tier, bucket); each
+      // fact row explodes to its two (tier, bucket) probes, so the corpus
+      // side is derived ONCE and joined ONCE (r18: the previous two-leg
+      // shape ran the fact subtree through ZipIndex's df.rdd — a
+      // Row-conversion round-trip per row — and computed it once per leg;
+      // monotonically_increasing_id on the single derivation gives the
+      // per-row group key the multiset semantics need, stays inside
+      // whole-stage codegen, and costs no counting job — the rid never
+      // leaves the operator). A residual range filter keeps real
+      // containment. Longest prefix wins per fact row (mask desc, cidr
+      // desc tie-break — the oracle orders the same way) via a hash
+      // max_by: partial aggregation collapses a row's matches inside the
+      // join tasks, no window, no sort. return_unmatched rides the SAME
+      // plan as a left-outer join: an unmatched row's copies carry an
+      // all-null ordering struct, which loses to any real match and
+      // surfaces null lookup columns when nothing matched.
       case "evaluate" if rest.trim.toLowerCase.startsWith("ipv4_lookup") =>
         val a = pluginArgs(rest, "ipv4_lookup", 3, maxN = 4)
         val lutName = a(0).trim
@@ -2466,41 +2476,34 @@ object KqlPipeline {
             "__lk_base - pmod(__lk_base, shiftleft(CAST(1 AS BIGINT), 32 - __lk_mask))"))
           .withColumn("__lk_hi", expr(
             "__lk_lo + shiftleft(CAST(1 AS BIGINT), 32 - __lk_mask) - 1"))
-        val lutB16 = lut.filter(col("__lk_mask") >= 8).withColumn("__lk_b",
-          explode(expr("sequence(__lk_lo div 65536, __lk_hi div 65536)")))
-        val lutB8 = lut.filter(col("__lk_mask") < 8).withColumn("__lk_b8",
-          explode(expr("sequence(__lk_lo div 16777216, __lk_hi div 16777216)")))
-        val fact = graft.util.ZipIndex.withRowIndex(df, "__lk_rid", 0L)
+        val lutB = lut.filter(col("__lk_mask") >= 8)
+          .withColumn("__lk_lt", lit(0))
+          .withColumn("__lk_lb", explode(expr("sequence(__lk_lo div 65536, __lk_hi div 65536)")))
+          .unionByName(lut.filter(col("__lk_mask") < 8)
+            .withColumn("__lk_lt", lit(1))
+            .withColumn("__lk_lb",
+              explode(expr("sequence(__lk_lo div 16777216, __lk_hi div 16777216)"))))
+        val fact = df
+          .withColumn("__lk_rid", monotonically_increasing_id())
           .withColumn("__lk_ipn", expr(tx(s"parse_ipv4($ipC)")))
-          .withColumn("__lk_b", expr("__lk_ipn div 65536"))
-          .withColumn("__lk_b8", expr("__lk_ipn div 16777216"))
-        // longest prefix per fact row as a hash max_by (mask desc, cidr
-        // desc tie-break) — partial aggregation collapses a row's matches
-        // INSIDE the broadcast-join task before any shuffle, and no sort
-        // is ever planned (a rid-window would shuffle + sort everything)
+          .withColumn("__lk_tb", explode(array(
+            struct(lit(0).as("__lk_t"), expr("__lk_ipn div 65536").as("__lk_b")),
+            struct(lit(1).as("__lk_t"), expr("__lk_ipn div 16777216").as("__lk_b")))))
+          .withColumn("__lk_t", col("__lk_tb.__lk_t"))
+          .withColumn("__lk_b", col("__lk_tb.__lk_b"))
+          .drop("__lk_tb")
         val lutOut  = resolve(lutName).columns.toSeq
         val factOut = df.columns.toSeq
-        val candCols = col("__lk_rid") +: col("__lk_mask") +:
-          (factOut ++ lutOut).map(col)
-        val cand = fact.join(lutB16, Seq("__lk_b"))
-          .filter(expr("__lk_ipn BETWEEN __lk_lo AND __lk_hi"))
-          .select(candCols: _*)
-          .unionByName(fact.join(lutB8, Seq("__lk_b8"))
-            .filter(expr("__lk_ipn BETWEEN __lk_lo AND __lk_hi"))
-            .select(candCols: _*))
-        val matched = cand
+        val joined = fact.join(lutB,
+          col("__lk_t") === col("__lk_lt") && col("__lk_b") === col("__lk_lb") &&
+            col("__lk_ipn").between(col("__lk_lo"), col("__lk_hi")),
+          if (returnUnmatched) "left_outer" else "inner")
+        joined
           .groupBy(col("__lk_rid") +: factOut.map(col): _*)
           .agg(max_by(struct(lutOut.map(col): _*),
             struct(col("__lk_mask"), col(cidrC))).as("__lk_best"))
-          .select(col("__lk_rid") +: factOut.map(col) ++:
+          .select(factOut.map(col) ++:
             lutOut.map(c2 => col(s"__lk_best.$c2").as(c2)): _*)
-        val out =
-          if (!returnUnmatched) matched
-          else matched.unionByName(
-            fact.select(col("__lk_rid") +: factOut.map(col): _*)
-              .join(matched.select(col("__lk_rid")), Seq("__lk_rid"), "left_anti"),
-            allowMissingColumns = true)
-        out.drop("__lk_rid")
 
       // session_count(id, axis, start, end, bin, lookback): active sessions
       // per bin. A session = an id's activity cluster with gaps <= lookback;
