@@ -1839,8 +1839,18 @@ object KqlPipeline {
         val right0 = operand(resolve, rightSrc)
         // ADX hint.strategy=broadcast → broadcast the RIGHT side (ADX
         // broadcasts the left; our operand order maps its intent: the small
-        // side skips the shuffle). shuffle = the default exchange plan.
-        val right = if (hint.contains("broadcast")) broadcast(right0) else right0
+        // side skips the shuffle). hint.strategy=shuffle → a genuine
+        // shuffle join (shuffle_hash, right side as build): previously a
+        // no-op "default plan", which let the planner pick a broadcast
+        // whose relation is built+compressed on ONE driver thread — the
+        // graph queries' orders⋈lineitem edge subtrees spent ~8 s per run
+        // there at the 100× replica with every executor idle (r18,
+        // thread-dump evidence in OPTIMIZATION_r18.md).
+        val right = hint match {
+          case Some("broadcast") => broadcast(right0)
+          case Some("shuffle")   => right0.hint("shuffle_hash")
+          case _                 => right0
+        }
         applyJoin(df, right, kind, onClause)
 
       // KQL `lookup`: the dimension-enrichment join — semantically a

@@ -3574,7 +3574,7 @@ object Surface {
       // the match runs on ~2% of the edge list — the scale story at 100 TB.
       (s, dir) => kqlRun(s, dir,
         """let E = orders
-          |   | join kind=inner (lineitem) on $left.o_orderkey == $right.l_orderkey
+          |   | join kind=inner hint.strategy=shuffle (lineitem) on $left.o_orderkey == $right.l_orderkey
           |   | project src = strcat('c', tostring(o_custkey)),
           |       dst = strcat('s', tostring(l_suppkey)), qty = l_quantity
           |   | union (lineitem
@@ -6186,7 +6186,7 @@ object Surface {
       // plain Catalyst joins with the qty=50 edge filter pushed to scans.
       (s, dir) => kqlRun(s, dir,
         """let E = orders
-          |   | join kind=inner (lineitem) on $left.o_orderkey == $right.l_orderkey
+          |   | join kind=inner hint.strategy=shuffle (lineitem) on $left.o_orderkey == $right.l_orderkey
           |   | where l_quantity == 50
           |   | project src = strcat('c', tostring(o_custkey)),
           |       dst = strcat('s', tostring(l_suppkey))
@@ -6254,7 +6254,7 @@ object Surface {
       // restates directly.
       (s, dir) => kqlRun(s, dir,
         """let E = orders
-          |   | join kind=inner (lineitem) on $left.o_orderkey == $right.l_orderkey
+          |   | join kind=inner hint.strategy=shuffle (lineitem) on $left.o_orderkey == $right.l_orderkey
           |   | where l_quantity == 50
           |   | project src = strcat('c', tostring(o_custkey)),
           |       dst = strcat('s', tostring(l_suppkey));
@@ -6284,7 +6284,7 @@ object Surface {
       // — no extra shuffle, predicates still pushed to both edge scans.
       (s, dir) => kqlRun(s, dir,
         """let E = orders
-          |   | join kind=inner (lineitem) on $left.o_orderkey == $right.l_orderkey
+          |   | join kind=inner hint.strategy=shuffle (lineitem) on $left.o_orderkey == $right.l_orderkey
           |   | where l_quantity >= 48
           |   | project src = strcat('c', tostring(o_custkey)),
           |       dst = strcat('s', tostring(l_suppkey)), qty = toint(l_quantity)
@@ -6326,7 +6326,7 @@ object Surface {
       // CTE min-folded per (start, end) pair.
       (s, dir) => kqlRun(s, dir,
         """let E = orders
-          |   | join kind=inner (lineitem) on $left.o_orderkey == $right.l_orderkey
+          |   | join kind=inner hint.strategy=shuffle (lineitem) on $left.o_orderkey == $right.l_orderkey
           |   | where l_quantity == 50
           |   | project src = strcat('c', tostring(o_custkey)),
           |       dst = strcat('s', tostring(l_suppkey))
@@ -6335,7 +6335,7 @@ object Surface {
           |       | project src = strcat('s', tostring(l_suppkey)),
           |           dst = strcat('p', tostring(l_partkey)))
           |   | union (orders
-          |       | join kind=inner (lineitem) on $left.o_orderkey == $right.l_orderkey
+          |       | join kind=inner hint.strategy=shuffle (lineitem) on $left.o_orderkey == $right.l_orderkey
           |       | where l_quantity == 49
           |       | project src = strcat('c', tostring(o_custkey)),
           |           dst = strcat('p', tostring(l_partkey)));
@@ -6379,7 +6379,7 @@ object Surface {
       // Oracle: recursive walk enumeration min-folded per pair over h >= 2.
       (s, dir) => kqlRun(s, dir,
         """let E = orders
-          |   | join kind=inner (lineitem) on $left.o_orderkey == $right.l_orderkey
+          |   | join kind=inner hint.strategy=shuffle (lineitem) on $left.o_orderkey == $right.l_orderkey
           |   | where l_quantity == 50
           |   | project src = strcat('c', tostring(o_custkey)),
           |       dst = strcat('s', tostring(l_suppkey))
@@ -6388,7 +6388,7 @@ object Surface {
           |       | project src = strcat('s', tostring(l_suppkey)),
           |           dst = strcat('p', tostring(l_partkey)))
           |   | union (orders
-          |       | join kind=inner (lineitem) on $left.o_orderkey == $right.l_orderkey
+          |       | join kind=inner hint.strategy=shuffle (lineitem) on $left.o_orderkey == $right.l_orderkey
           |       | where l_quantity == 49
           |       | project src = strcat('c', tostring(o_custkey)),
           |           dst = strcat('p', tostring(l_partkey)));
